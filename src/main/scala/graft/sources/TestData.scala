@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated test tables (`TESTDATA.md`).
+  *
+  * Plain parquet scans: schema comes from the files, and Catalyst pushes
+  * filters/column pruning into the scan (verify with
+  * `.explain("formatted")` → `PushedFilters` / `ReadSchema`). At cluster
+  * scale these would be partitioned/bucketed external tables; the read API
+  * is identical.
+  */
+object TestData {
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
+  /** `ts` is TIMESTAMP(NANOS) in the file; with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as LongType
+    * nanos. Expose both a microsecond `ts` (Spark's native precision) and
+    * the exact `ts_ns` for integer time arithmetic that must match an
+    * oracle reading full nanos.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = read(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+    else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+}
