@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
+import graft.operators.BankEtl
+import graft.oracle.BankOracle
 import graft.sources.TestData
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -51,6 +53,69 @@ object SparkEntry {
         .limit(5)
     },
 
+    // ---- Bank warehouse (SURVEY.md §2 parity): cleaning J1-J3/P2/P4,
+    // dims D1-D12/A1-A3, fact J5-J9, dashboards A4-A6/O1-O3/D14.
+    "q20_bank_clean_accounts" -> { (s, dir) =>
+      val b = BankEtl.read(s, dir)
+      BankEtl.cleanAccounts(b.accounts, b.customers).orderBy("AccountID")
+    },
+    "q21_bank_clean_customers" -> { (s, dir) =>
+      val b = BankEtl.read(s, dir)
+      BankEtl.cleanCustomers(b.customers, BankEtl.cleanAccounts(b.accounts, b.customers))
+        .orderBy("CustomerID")
+    },
+    "q22_bank_clean_transactions" -> { (s, dir) =>
+      val b = BankEtl.read(s, dir)
+      BankEtl.cleanTransactions(b.transactions, BankEtl.cleanAccounts(b.accounts, b.customers))
+        .orderBy("TransactionID")
+    },
+    "q23_dim_customer" -> { (s, dir) =>
+      val b = BankEtl.read(s, dir)
+      BankEtl.dimCustomer(
+        BankEtl.cleanCustomers(b.customers, BankEtl.cleanAccounts(b.accounts, b.customers)))
+        .orderBy("Customer_Key")
+    },
+    "q24_dim_account" -> { (s, dir) =>
+      val b = BankEtl.read(s, dir)
+      BankEtl.dimAccount(BankEtl.cleanAccounts(b.accounts, b.customers)).orderBy("Account_Key")
+    },
+    "q25_dim_merchant" -> { (s, dir) =>
+      val b = BankEtl.read(s, dir)
+      val cls = BankEtl.classified(
+        BankEtl.cleanTransactions(b.transactions, BankEtl.cleanAccounts(b.accounts, b.customers)),
+        b.mcc)
+      BankEtl.dimMerchant(cls).orderBy("Merchant_Key")
+    },
+    "q26_dim_location" -> { (s, dir) =>
+      val b = BankEtl.read(s, dir)
+      BankEtl.dimLocation(
+        BankEtl.cleanTransactions(b.transactions, BankEtl.cleanAccounts(b.accounts, b.customers)))
+        .orderBy("Location_Key")
+    },
+    "q27_dim_date" -> { (s, dir) =>
+      val b = BankEtl.read(s, dir)
+      BankEtl.dimDate(
+        BankEtl.cleanTransactions(b.transactions, BankEtl.cleanAccounts(b.accounts, b.customers)))
+        .orderBy("Date_Key")
+    },
+    "q28_fact_spending" -> { (s, dir) =>
+      BankEtl.build(s, dir, cache = true).fact
+        .orderBy("Date_Key", "Customer_Key", "Account_Key", "Merchant_Key",
+          "Location_Key", "Amount_Spent")
+    },
+    "q29_dash_trend" -> { (s, dir) =>
+      val w = BankEtl.build(s, dir, cache = true)
+      BankEtl.dashTrend(w.fact, w.dimDate)
+    },
+    "q30_dash_top_categories" -> { (s, dir) =>
+      val w = BankEtl.build(s, dir, cache = true)
+      BankEtl.dashTopCategories(w.fact, w.dimMerchant)
+    },
+    "q31_dash_age_groups" -> { (s, dir) =>
+      val w = BankEtl.build(s, dir, cache = true)
+      BankEtl.dashAgeGroups(w.fact, w.dimCustomer)
+    },
+
     // D7-family probe over the nanosecond-timestamp events table.
     "q60_events_hourly" -> { (s, dir) =>
       TestData.events(s, dir)
@@ -60,7 +125,7 @@ object SparkEntry {
     },
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = BankOracle.queries ++ Map(
     "q01_scan_filter_project" ->
       s"""SELECT l_orderkey, l_linenumber, ${moneySql("l_extendedprice")} AS price
           FROM lineitem

@@ -1,0 +1,232 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BankFunctions._
+import graft.sources.BankAdapter
+
+/** The reference ETL (`etl_pipeline/etl.py`) as one lazy Spark DAG:
+  * cleaning → star-schema dimensions → fact — no materialization between
+  * steps, no IDENTITY read-back round-trip (keys are computed in the DAG,
+  * [[SurrogateKeys]]), and the reference's O(n·m) per-row MCC dictionary
+  * scans (`etl.py:201-203`) become one broadcast hash join.
+  *
+  * Joins: dimension sides that are provably bounded (merchant vocabulary,
+  * country list, MCC dictionary) carry explicit `broadcast` hints; the
+  * data-sized joins (accounts, customers) are left to Catalyst/AQE, which
+  * picks broadcast at test scale and shuffled hash join at cluster scale.
+  */
+object BankEtl {
+
+  /** Age asOf pinned for reproducibility (reference uses wall-clock `now`,
+    * `etl.py:145` — a hidden input we make explicit).
+    */
+  val defaultAsOf: Date = Date.valueOf("2026-01-01")
+  val defaultAsOfSql: String = "DATE '2026-01-01'"
+
+  // ---------------------------------------------------------------- inputs
+
+  final case class Bank(
+      customers: DataFrame,
+      accounts: DataFrame,
+      transactions: DataFrame,
+      mcc: DataFrame)
+
+  def read(spark: SparkSession, dir: String): Bank = Bank(
+    BankAdapter.customers(spark, dir),
+    BankAdapter.accounts(spark, dir),
+    BankAdapter.transactions(spark, dir),
+    BankAdapter.mccMapping(spark, dir))
+
+  // -------------------------------------------------------------- cleaning
+
+  /** J1+P2 (etl.py:105-110): drop accounts opened on/before the owner's
+    * birth date (strict `>` keeps the boundary row OUT).
+    */
+  def cleanAccounts(accounts: DataFrame, customers: DataFrame): DataFrame =
+    accounts
+      .join(customers.select("CustomerID", "BirthDate"), Seq("CustomerID"))
+      .filter(col("OpenDate") > col("BirthDate"))
+      .select("AccountID", "CustomerID", "AccountType", "OpenDate")
+
+  /** J2 (etl.py:117-121): keep only customers that own a surviving account. */
+  def cleanCustomers(customers: DataFrame, cleanAccounts: DataFrame): DataFrame =
+    customers.join(cleanAccounts.select("CustomerID"), Seq("CustomerID"), "left_semi")
+
+  /** J3+P4+P5 (etl.py:124-134): inner join doubles as the orphan filter;
+    * `>=` KEEPS a transaction at the exact open instant.
+    */
+  def cleanTransactions(transactions: DataFrame, cleanAccounts: DataFrame): DataFrame =
+    transactions
+      .join(cleanAccounts.select("AccountID", "OpenDate"), Seq("AccountID"))
+      .filter(col("TransactionTimestamp") >= col("OpenDate"))
+      .select("TransactionID", "AccountID", "MerchantName", "Amount",
+        "TransactionTimestamp", "TransactionCountry", "BeneficiaryName",
+        "TransactionDescription")
+
+  // ---------------------------------------------------- merchant classifier
+
+  /** J4+D5+D6: counterparty name coalesce + category resolution. MCC
+    * dictionary probe is a broadcast left join (first occurrence wins via
+    * the adapter's already-distinct dictionary); misses fall through to the
+    * keyword classifier over the description — including the reference's
+    * str(NaN)="nan" quirk for POS rows with no dictionary entry.
+    */
+  def classified(cleanTx: DataFrame, mcc: DataFrame): DataFrame =
+    cleanTx
+      .join(broadcast(mcc), Seq("MerchantName"), "left")
+      .withColumn("Final_Name", coalesce(col("MerchantName"), col("BeneficiaryName")))
+      .withColumn("Category_Final",
+        when(col("MerchantName").isNotNull && col("Category").isNotNull, col("Category"))
+          .otherwise(categoryFromDescription(col("TransactionDescription"))))
+
+  // ------------------------------------------------------------ dimensions
+
+  /** Dim_Customer (etl.py:143-167): D1 age, D2 bucket, D3 name concat. */
+  def dimCustomer(cleanCust: DataFrame, asOf: Date = defaultAsOf): DataFrame =
+    SurrogateKeys.dense(
+      cleanCust.select(
+        col("CustomerID").as("CustomerID_Source"),
+        concat(col("FirstName"), lit(" "), col("LastName")).as("CustomerName"),
+        ageGroup(age(col("BirthDate"), lit(asOf))).as("Age_Group"),
+        col("Gender"), col("City"), col("Country"), col("BirthDate")),
+      "Customer_Key", col("CustomerID_Source"))
+
+  /** Dim_Account (etl.py:169-171). */
+  def dimAccount(cleanAcc: DataFrame): DataFrame =
+    SurrogateKeys.dense(
+      cleanAcc.select(
+        col("AccountID").as("AccountID_Source"),
+        col("AccountType").as("Account_Type"),
+        col("OpenDate").as("Account_Open_Date")),
+      "Account_Key", col("AccountID_Source"))
+
+  /** Dim_Merchant (etl.py:186-229): keep-FIRST category per counterparty.
+    * pandas keeps first in row order; we make that deterministic as
+    * min-by-TransactionID, computed with `min_by` (partial-aggregatable —
+    * no single-partition window, no skew blowup on popular merchants).
+    */
+  def dimMerchant(classifiedTx: DataFrame): DataFrame =
+    SurrogateKeys.dense(
+      classifiedTx
+        .groupBy(col("Final_Name").as("MerchantName_Source"))
+        .agg(min_by(col("Category_Final"), col("TransactionID")).as("Category")),
+      "Merchant_Key", col("MerchantName_Source"))
+
+  /** Dim_Location (etl.py:173-183): A1 distinct + D4 region bucket. */
+  def dimLocation(cleanTx: DataFrame): DataFrame =
+    SurrogateKeys.dense(
+      cleanTx.select(col("TransactionCountry").as("Transaction_Country")).distinct()
+        .withColumn("Transaction_Region", region(col("Transaction_Country"))),
+      "Location_Key", col("Transaction_Country"))
+
+  /** Dim_Date (etl.py:232-270): hourly grain. Distinct FIRST on the
+    * truncated hour (cheap, partial-aggregatable), then the D7-D12
+    * derivations run once per distinct hour instead of once per row.
+    */
+  def dimDate(cleanTx: DataFrame): DataFrame = {
+    val hourly = cleanTx
+      .select(date_trunc("hour", col("TransactionTimestamp")).as("ts_hour"))
+      .distinct()
+    val dow = dayOfWeekVn(col("ts_hour"))
+    hourly.select(
+      dateKey(col("ts_hour")).as("Date_Key"),
+      to_date(col("ts_hour")).as("Full_Date"),
+      dow.as("Day_Of_Week"),
+      dayName(dow).as("Day_Name"),
+      isWeekend(dow).as("Is_Weekend"),
+      month(col("ts_hour")).as("Month"),
+      monthName(month(col("ts_hour"))).as("Month_Name"),
+      quarter(col("ts_hour")).as("Quarter"),
+      year(col("ts_hour")).as("Year"),
+      hour(col("ts_hour")).as("Hour_Of_Day"))
+  }
+
+  // ------------------------------------------------------------------ fact
+
+  /** Fact_Spending (etl.py:329-379): J5-J9 surrogate-key resolution, D12
+    * Date_Key, D13 unit count measure, P7 projection.
+    */
+  def factSpending(
+      classifiedTx: DataFrame,
+      cleanAcc: DataFrame,
+      dimCust: DataFrame,
+      dimAcc: DataFrame,
+      dimMerch: DataFrame,
+      dimLoc: DataFrame): DataFrame =
+    classifiedTx
+      .join(dimAcc.select(col("Account_Key"), col("AccountID_Source")),
+        col("AccountID") === col("AccountID_Source"))
+      .join(cleanAcc.select("AccountID", "CustomerID"), Seq("AccountID"))
+      .join(dimCust.select(col("Customer_Key"), col("CustomerID_Source")),
+        col("CustomerID") === col("CustomerID_Source"))
+      .join(broadcast(dimMerch.select(col("Merchant_Key"), col("MerchantName_Source"))),
+        col("Final_Name") === col("MerchantName_Source"))
+      .join(broadcast(dimLoc.select(col("Location_Key"), col("Transaction_Country"))),
+        col("TransactionCountry") === col("Transaction_Country"))
+      .select(
+        dateKey(col("TransactionTimestamp")).as("Date_Key"),
+        col("Customer_Key"), col("Account_Key"), col("Merchant_Key"), col("Location_Key"),
+        col("Amount").as("Amount_Spent"),
+        lit(1).as("Transaction_Count"))
+
+  // ------------------------------------------------------------- pipeline
+
+  final case class Warehouse(
+      dimDate: DataFrame, dimCustomer: DataFrame, dimAccount: DataFrame,
+      dimMerchant: DataFrame, dimLocation: DataFrame, fact: DataFrame)
+
+  /** Full star-schema build as one lazy DAG. `cache` materializes the
+    * cleaned/classified transaction set once — it feeds Dim_Merchant,
+    * Dim_Location, Dim_Date AND the fact (the reference recomputes it,
+    * SURVEY.md §4).
+    */
+  def build(spark: SparkSession, dir: String, asOf: Date = defaultAsOf,
+      cache: Boolean = false): Warehouse = {
+    val b = read(spark, dir)
+    val cleanAcc = cleanAccounts(b.accounts, b.customers)
+    val cleanCust = cleanCustomers(b.customers, cleanAcc)
+    val cls = {
+      val c = classified(cleanTransactions(b.transactions, cleanAcc), b.mcc)
+      if (cache) c.cache() else c
+    }
+    val dCust = dimCustomer(cleanCust, asOf)
+    val dAcc = dimAccount(cleanAcc)
+    val dMerch = dimMerchant(cls)
+    val dLoc = dimLocation(cls)
+    val dDate = dimDate(cls)
+    Warehouse(dDate, dCust, dAcc, dMerch, dLoc,
+      factSpending(cls, cleanAcc, dCust, dAcc, dMerch, dLoc))
+  }
+
+  // ----------------------------------------------------- dashboard queries
+
+  /** Q1 monthly spend trend (dashboard.py:34-43): A4 + O1 + D14. */
+  def dashTrend(fact: DataFrame, dimDate: DataFrame): DataFrame =
+    fact.join(dimDate.select("Date_Key", "Year", "Month"), Seq("Date_Key"))
+      .groupBy("Year", "Month")
+      .agg(sum(col("Amount_Spent")).cast("decimal(18,2)").as("Total_Spent"))
+      .select(col("Year"), col("Month"),
+        yearMonth(col("Year"), col("Month")).as("YearMonth"), col("Total_Spent"))
+      .orderBy("Year", "Month")
+
+  /** Q2 top-5 categories (dashboard.py:47-55): A5 + O2, deterministic
+    * tie-break on Category added (reference order is engine-arbitrary).
+    */
+  def dashTopCategories(fact: DataFrame, dimMerchant: DataFrame): DataFrame =
+    fact.join(broadcast(dimMerchant.select("Merchant_Key", "Category")), Seq("Merchant_Key"))
+      .groupBy("Category")
+      .agg(sum(col("Amount_Spent")).cast("decimal(18,2)").as("Total_Spent"))
+      .orderBy(desc("Total_Spent"), asc("Category"))
+      .limit(5)
+
+  /** Q3 spend by age group (dashboard.py:59-67): A6 + O3 + tie-break. */
+  def dashAgeGroups(fact: DataFrame, dimCustomer: DataFrame): DataFrame =
+    fact.join(dimCustomer.select("Customer_Key", "Age_Group"), Seq("Customer_Key"))
+      .groupBy("Age_Group")
+      .agg(sum(col("Amount_Spent")).cast("decimal(18,2)").as("Total_Spent"))
+      .orderBy(desc("Total_Spent"), asc("Age_Group"))
+}
