@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
-import graft.operators.BankEtl
+import graft.operators.{BankEtl, Dedup, Events, Multimodal, Similarity, TextAnalysis}
 import graft.oracle.BankOracle
 import graft.sources.TestData
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -51,6 +52,92 @@ object SparkEntry {
         .agg(sum(money(col("l_extendedprice"))).cast("decimal(18,2)").as("total_revenue"))
         .orderBy(desc("total_revenue"), asc("p_brand"))
         .limit(5)
+    },
+
+    // J1/P2-pattern: inner equi join + θ-filter on columns of both sides.
+    "q04_join_theta_filter" -> { (s, dir) =>
+      TestData.orders(s, dir)
+        .join(TestData.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_totalprice") > col("c_acctbal"))
+        .select(col("o_orderkey"), col("o_custkey"), money(col("o_totalprice")).as("price"),
+          money(col("c_acctbal")).as("acctbal"))
+        .orderBy("o_orderkey")
+    },
+
+    // J2: left-semi join (EXISTS).
+    "q05_semi_join" -> { (s, dir) =>
+      TestData.customer(s, dir)
+        .join(TestData.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Anti join (NOT EXISTS) — the orphan-check primitive (SURVEY.md §7.4-8).
+    "q06_anti_join" -> { (s, dir) =>
+      TestData.customer(s, dir)
+        .join(TestData.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // J4-pattern: broadcast dictionary lookup chain.
+    "q07_lookup_join" -> { (s, dir) =>
+      TestData.supplier(s, dir)
+        .join(broadcast(TestData.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(TestData.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+        .orderBy("s_suppkey")
+    },
+
+    // O4: UNION ALL by name.
+    "q08_union" -> { (s, dir) =>
+      val o = TestData.orders(s, dir)
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority").as("priority"))
+        .unionByName(
+          o.filter(col("o_orderpriority") === "5-LOW")
+            .select(col("o_orderkey"), col("o_orderpriority").as("priority")))
+        .orderBy("o_orderkey", "priority")
+    },
+
+    // A1/A3: multi-column hash distinct.
+    "q09_distinct" -> { (s, dir) =>
+      TestData.orders(s, dir)
+        .select("o_orderstatus", "o_orderpriority").distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    // A2: deterministic keep-first via ranking window.
+    "q10_keep_first" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      TestData.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+          col("o_orderdate").as("first_orderdate"))
+        .orderBy("o_custkey")
+    },
+
+    // Analytic window: running total + rank per partition.
+    "q11_window_running" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      TestData.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(money(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("decimal(18,2)").as("cum_spent"),
+          row_number().over(w).as("order_seq"))
+        .orderBy("o_custkey", "order_seq")
+    },
+
+    // Hierarchical aggregate: ROLLUP(year, month).
+    "q12_rollup" -> { (s, dir) =>
+      TestData.orders(s, dir)
+        .rollup(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
+        .orderBy(asc_nulls_first("y"), asc_nulls_first("m"))
     },
 
     // ---- Bank warehouse (SURVEY.md §2 parity): cleaning J1-J3/P2/P4,
@@ -116,12 +203,68 @@ object SparkEntry {
       BankEtl.dashAgeGroups(w.fact, w.dimCustomer)
     },
 
+    // ---- LLM-data-pipeline operators: dedup, similarity, text, multimodal.
+    "q40_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(TestData.documents(s, dir)).orderBy("text_hash")
+    },
+    "q41_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(TestData.documents(s, dir), n = 3, threshold = 0.1)
+        .orderBy("doc_a", "doc_b")
+    },
+    "q42_minhash_signatures" -> { (s, dir) =>
+      Dedup.minhashSignatures(TestData.documents(s, dir)).orderBy("doc_id", "h")
+    },
+    "q43_lsh_candidates" -> { (s, dir) =>
+      Dedup.lshCandidates(TestData.documents(s, dir)).orderBy("doc_a", "doc_b")
+    },
+    "q44_simhash" -> { (s, dir) =>
+      Dedup.simhash(TestData.documents(s, dir)).orderBy("doc_id")
+    },
+    "q45_ann_brute" -> { (s, dir) =>
+      Similarity.bruteForceTopK(TestData.embeddings(s, dir)).orderBy("qid", "rank")
+    },
+    "q46_ann_lsh" -> { (s, dir) =>
+      Similarity.lshTopK(TestData.embeddings(s, dir)).orderBy("qid", "rank")
+    },
+    "q47_embedding_near_dups" -> { (s, dir) =>
+      Similarity.embeddingNearDups(TestData.embeddings(s, dir), threshold = 0.45)
+        .orderBy("vec_a", "vec_b")
+    },
+    "q48_lang_id" -> { (s, dir) =>
+      TextAnalysis.languageId(TestData.documents(s, dir)).orderBy("doc_id")
+    },
+    "q49_quality_signals" -> { (s, dir) =>
+      TextAnalysis.qualitySignals(TestData.documents(s, dir)).orderBy("doc_id")
+    },
+    "q50_token_counts" -> { (s, dir) =>
+      TextAnalysis.tokenCounts(TestData.documents(s, dir)).orderBy("doc_id")
+    },
+    "q51_fingerprints" -> { (s, dir) =>
+      TextAnalysis.fingerprints(TestData.documents(s, dir)).orderBy("doc_id")
+    },
+    "q52_multimodal_meta" -> { (s, dir) =>
+      Multimodal.documentMedia(TestData.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // ---- Event-stream operators.
     // D7-family probe over the nanosecond-timestamp events table.
     "q60_events_hourly" -> { (s, dir) =>
       TestData.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(money(col("value"))).cast("decimal(18,2)").as("total_value"))
         .orderBy("hour", "event_type")
+    },
+    "q61_sessionize" -> { (s, dir) =>
+      Events.sessionize(TestData.events(s, dir)).orderBy("user_id", "session_seq")
+    },
+    "q62_asof_join" -> { (s, dir) =>
+      Events.asOfLastSignup(TestData.events(s, dir)).orderBy("event_id")
+    },
+    "q63_pivot_counts" -> { (s, dir) =>
+      Events.pivotCounts(TestData.events(s, dir)).orderBy("user_id")
+    },
+    "q64_stream_tumbling" -> { (s, dir) =>
+      EventStream.tumblingHourly(s, dir)
     },
   )
 
@@ -150,6 +293,120 @@ object SparkEntry {
           ORDER BY total_revenue DESC, p_brand
           LIMIT 5""",
 
+    "q04_join_theta_filter" ->
+      s"""SELECT o_orderkey, o_custkey, ${moneySql("o_totalprice")} AS price,
+                 ${moneySql("c_acctbal")} AS acctbal
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_totalprice > c_acctbal
+          ORDER BY o_orderkey""",
+
+    "q05_semi_join" ->
+      s"""SELECT c_custkey, c_name FROM customer
+          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          ORDER BY c_custkey""",
+
+    "q06_anti_join" ->
+      s"""SELECT c_custkey, c_name FROM customer
+          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          ORDER BY c_custkey""",
+
+    "q07_lookup_join" ->
+      s"""SELECT s_suppkey, s_name, n_name, r_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          ORDER BY s_suppkey""",
+
+    "q08_union" ->
+      s"""SELECT * FROM (
+            SELECT o_orderkey, o_orderpriority AS priority FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT o_orderkey, o_orderpriority AS priority FROM orders
+            WHERE o_orderpriority = '5-LOW')
+          ORDER BY o_orderkey, priority""",
+
+    "q09_distinct" ->
+      s"""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+          ORDER BY o_orderstatus, o_orderpriority""",
+
+    "q10_keep_first" ->
+      s"""SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+          WHERE rn = 1
+          ORDER BY o_custkey""",
+
+    "q11_window_running" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderdate,
+                 CAST(SUM(${moneySql("o_totalprice")}) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS cum_spent,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS order_seq
+          FROM orders
+          ORDER BY o_custkey, order_seq""",
+
+    "q12_rollup" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+                 CAST(SUM(${moneySql("o_totalprice")}) AS DECIMAL(18,2)) AS total
+          FROM orders
+          GROUP BY ROLLUP (1, 2)
+          ORDER BY y NULLS FIRST, m NULLS FIRST""",
+
+    "q40_dedup_exact" ->
+      s"""${Dedup.exactSql}
+          ORDER BY text_hash""",
+
+    "q41_ngram_jaccard" ->
+      s"""WITH ${Dedup.ngramJaccardPairsSql(3, 0.1)}
+          SELECT doc_a, doc_b, inter, jaccard FROM jaccard_pairs
+          ORDER BY doc_a, doc_b""",
+
+    "q42_minhash_signatures" ->
+      s"""WITH ${Dedup.minhashSignaturesSql()}
+          SELECT doc_id, h, mh FROM minhash ORDER BY doc_id, h""",
+
+    "q43_lsh_candidates" ->
+      s"""WITH ${Dedup.lshCandidatesSql()}
+          SELECT doc_a, doc_b, n_shared_bands FROM lsh_pairs ORDER BY doc_a, doc_b""",
+
+    "q44_simhash" ->
+      s"""WITH ${Dedup.simhashSql}
+          SELECT doc_id, simhash FROM simhash ORDER BY doc_id""",
+
+    "q45_ann_brute" ->
+      s"""WITH ${Similarity.bruteForceTopKSql()}
+          SELECT qid, rank, nid, score FROM brute_topk ORDER BY qid, rank""",
+
+    "q46_ann_lsh" ->
+      s"""WITH ${Similarity.lshTopKSql()}
+          SELECT qid, rank, nid, score FROM lsh_topk ORDER BY qid, rank""",
+
+    "q47_embedding_near_dups" ->
+      s"""WITH ${Similarity.embeddingNearDupsSql(0.45)}
+          SELECT vec_a, vec_b, score FROM near_dups ORDER BY vec_a, vec_b""",
+
+    "q48_lang_id" ->
+      s"""${TextAnalysis.languageIdSql}
+          ORDER BY doc_id""",
+
+    "q49_quality_signals" ->
+      s"""${TextAnalysis.qualitySignalsSql}
+          ORDER BY doc_id""",
+
+    "q50_token_counts" ->
+      s"""${TextAnalysis.tokenCountsSql}
+          ORDER BY doc_id""",
+
+    "q51_fingerprints" ->
+      s"""${TextAnalysis.fingerprintsSql}
+          ORDER BY doc_id""",
+
+    "q52_multimodal_meta" ->
+      s"""${Multimodal.documentMediaSql}
+          ORDER BY doc_id""",
+
     "q60_events_hourly" ->
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,
                  COUNT(*) AS n,
@@ -157,5 +414,19 @@ object SparkEntry {
           FROM events
           GROUP BY 1, 2
           ORDER BY 1, 2""",
+
+    "q61_sessionize" ->
+      s"""${Events.sessionizeSql()}
+          ORDER BY user_id, session_seq""",
+
+    "q62_asof_join" ->
+      s"""${Events.asOfLastSignupSql}
+          ORDER BY event_id""",
+
+    "q63_pivot_counts" ->
+      s"""${Events.pivotCountsSql}
+          ORDER BY user_id""",
+
+    "q64_stream_tumbling" -> EventStream.tumblingHourlySql,
   )
 }

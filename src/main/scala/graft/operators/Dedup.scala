@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, from exact to
+  * approximate, each designed for the 100 TB path:
+  *
+  *  - exact: group by content hash, not raw text — the shuffle moves 16-byte
+  *    keys instead of documents.
+  *  - MinHash + LSH banding: signature rows are (doc, hash_id, min) — fully
+  *    partial-aggregatable; candidate generation joins band buckets, never
+  *    all-pairs.
+  *  - SimHash: 32-bit signature via exact integer arithmetic.
+  *  - n-gram Jaccard: shingle inverted-index self-join — cost is
+  *    sum-over-shingles(freq²), not n² over documents.
+  *
+  * All hashing is deterministic modular arithmetic over a dense token
+  * dictionary (built with [[SurrogateKeys.dense]]) so results are
+  * reproducible across engines and cluster runs.
+  */
+object Dedup {
+
+  val MinhashPrime = 2147483647L // 2^31 - 1
+
+  /** Exact dedup: one survivor (min doc id) per distinct content hash. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  val exactSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Dense integer ids for the distinct token vocabulary. */
+  def tokenDict(docs: DataFrame): DataFrame =
+    SurrogateKeys.dense(
+      docs.select(explode(split(col("text"), " ")).as("tok")).distinct(),
+      "tid", col("tok"))
+
+  val tokenDictSql: String =
+    """tok_dict AS (
+      |  SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) AS tid
+      |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents))""".stripMargin
+
+  /** (doc_id, tid) distinct membership pairs. */
+  def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .join(tokenDict(docs), Seq("tok"))
+      .select("doc_id", "tid")
+
+  val docTokensSql: String =
+    """doc_tokens AS (
+      |  SELECT DISTINCT doc_id, tid
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) dt
+      |  JOIN tok_dict USING (tok))""".stripMargin
+
+  /** MinHash signatures: for hash function j, min over the doc's tokens of
+    * (aⱼ·tid + bⱼ) mod P. Emitted in exploded row form (doc_id, h, mh) —
+    * partial-aggregatable min, no per-doc state.
+    */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 16): DataFrame =
+    docTokens(docs)
+      .crossJoin(spark_range_df(docs, numHashes))
+      .select(col("doc_id"), col("h"),
+        ((lit(2) * col("h") + 1) * col("tid") + (col("h") * col("h") + 7)) % MinhashPrime)
+      .toDF("doc_id", "h", "hv")
+      .groupBy("doc_id", "h").agg(min("hv").as("mh"))
+
+  private def spark_range_df(docs: DataFrame, n: Int): DataFrame =
+    docs.sparkSession.range(n).select(col("id").cast("int").as("h"))
+
+  def minhashSignaturesSql(numHashes: Int = 16): String =
+    s"""$tokenDictSql,
+       |$docTokensSql,
+       |minhash AS (
+       |  SELECT doc_id, h, min(((2*h + 1) * tid + (h*h + 7)) % $MinhashPrime) AS mh
+       |  FROM doc_tokens, (SELECT unnest(generate_series(0, ${numHashes - 1})) AS h)
+       |  GROUP BY doc_id, h)""".stripMargin
+
+  /** LSH banding over minhash signatures: band hash = md5 of the band's
+    * minhash values in h order; candidate pairs share ≥1 band bucket.
+    */
+  def lshCandidates(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bands = minhashSignatures(docs, numHashes)
+      .withColumn("band", (col("h") / lit(rowsPerBand)).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(collect_list(struct(col("h"), col("mh"))).as("hs"))
+      .select(col("doc_id"), col("band"),
+        md5(array_join(transform(array_sort(col("hs")), s => s.getField("mh").cast("string")), ","))
+          .as("bh"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  def lshCandidatesSql(numHashes: Int = 16, rowsPerBand: Int = 4): String =
+    s"""${minhashSignaturesSql(numHashes)},
+       |bands AS (
+       |  SELECT doc_id, h // $rowsPerBand AS band,
+       |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY h)) AS bh
+       |  FROM minhash GROUP BY doc_id, h // $rowsPerBand),
+       |lsh_pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** 32-bit SimHash from the token membership set: per bit, sum ±1 votes
+    * from each token's deterministic bit hash; signature bit = vote ≥ 0.
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docTokens(docs)
+      .crossJoin(spark_range_df(docs, 32).withColumnRenamed("h", "b"))
+      .select(col("doc_id"), col("b"),
+        (((col("tid") * 2654435761L + col("b") * 40507L) % 97 % 2) * 2 - 1).as("vote"))
+      .groupBy("doc_id", "b").agg(sum("vote").as("votes"))
+      .select(col("doc_id"),
+        (when(col("votes") >= 0, 1L).otherwise(0L)
+          * expr("shiftleft(CAST(1 AS BIGINT), b)")).as("bitval"))
+      .groupBy("doc_id").agg(sum("bitval").as("simhash"))
+
+  val simhashSql: String =
+    s"""$tokenDictSql,
+       |$docTokensSql,
+       |votes AS (
+       |  SELECT doc_id, b, sum(((tid * 2654435761 + b * 40507) % 97 % 2) * 2 - 1) AS votes
+       |  FROM doc_tokens, (SELECT unnest(generate_series(0, 31)) AS b)
+       |  GROUP BY doc_id, b),
+       |simhash AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN votes >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+       |           AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  /** Word n-gram shingles, distinct per document. */
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - n),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))).as("sh"))
+
+  def shinglesSql(n: Int): String =
+    s"""shingles AS (
+       |  SELECT DISTINCT doc_id,
+       |         array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + ${n - 1}], ' ') AS sh
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t) idx)""".stripMargin
+
+  /** Pairwise n-gram Jaccard via inverted-index self-join on shingles. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.1): DataFrame = {
+    val sh = shingles(docs, n)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+  }
+
+  def ngramJaccardPairsSql(n: Int = 3, threshold: Double = 0.1): String =
+    s"""${shinglesSql(n)},
+       |sh_counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jaccard_pairs AS (
+       |  SELECT doc_a, doc_b, inter,
+       |         inter * 1.0 / (ca.n_sh + cb.n_sh - inter) AS jaccard
+       |  FROM inter
+       |  JOIN sh_counts ca ON doc_a = ca.doc_id
+       |  JOIN sh_counts cb ON doc_b = cb.doc_id
+       |  WHERE inter * 1.0 / (ca.n_sh + cb.n_sh - inter) >= $threshold)""".stripMargin
+}

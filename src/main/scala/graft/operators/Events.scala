@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.OracleSafe.{money, moneySql}
+
+/** Event-stream operators (batch form; the streaming twins live in
+  * [[graft.streaming.EventStream]]).
+  *
+  * All time arithmetic runs on integer epoch-milliseconds derived from the
+  * exact nanosecond column (`ts_ns DIV 1e6`) — engine-precision-proof: the
+  * oracle's ns→ms truncation lands on the same integers.
+  */
+object Events {
+
+  private val msCol = expr("ts_ns DIV 1000000")
+
+  /** Gap-based sessionization: a new session starts after `gapMinutes` of
+    * inactivity; emits one row per session with span and value rollups.
+    * Classic two-window formulation (lag → flag → running sum); shuffles
+    * once on user_id.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapMs = gapMinutes * 60000L
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    events
+      .withColumn("ms", msCol)
+      .withColumn("prev_ms", lag("ms", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ms").as("start_ms"),
+        max("ms").as("end_ms"),
+        sum(money(col("value"))).cast("decimal(18,2)").as("total_value"))
+  }
+
+  def sessionizeSql(gapMinutes: Int = 30): String = {
+    val gapMs = gapMinutes * 60000L
+    s"""SELECT user_id, session_seq, count(*) AS n_events,
+       |       min(ms) AS start_ms, max(ms) AS end_ms,
+       |       CAST(SUM(${moneySql("value")}) AS DECIMAL(18,2)) AS total_value
+       |FROM (
+       |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       |  FROM (
+       |    SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > $gapMs THEN 1 ELSE 0 END
+       |             AS new_session
+       |    FROM (
+       |      SELECT event_id, user_id, value, epoch_ms(ts) AS ms,
+       |             LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+       |               AS prev_ms
+       |      FROM events) l) f) s
+       |GROUP BY user_id, session_seq""".stripMargin
+  }
+
+  /** As-of join: each purchase matched to the user's most recent
+    * at-or-before signup. Implemented the scalable way — one sort per user
+    * over the UNION of both event roles, carrying the last-seen signup
+    * forward with an ignore-nulls `last` window (no per-row range probe,
+    * no nested-loop).
+    */
+  def asOfLastSignup(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms"), col("signup_first"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("ms", msCol)
+      .withColumn("signup_first", when(col("event_type") === "signup", 0).otherwise(1))
+      .withColumn("signup_ms", when(col("event_type") === "signup", col("ms")))
+      .withColumn("last_signup_ms", last("signup_ms", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms").as("purchase_ms"),
+        col("last_signup_ms"))
+  }
+
+  val asOfLastSignupSql: String =
+    """SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS purchase_ms,
+      |       (SELECT max(epoch_ms(s.ts)) FROM events s
+      |        WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+      |          AND epoch_ms(s.ts) <= epoch_ms(e.ts)) AS last_signup_ms
+      |FROM events e
+      |WHERE e.event_type = 'purchase'""".stripMargin
+
+  /** Pivot: per-user event-type counts as columns. */
+  val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotCounts(events: DataFrame): DataFrame = {
+    val p = events.groupBy("user_id").pivot("event_type", eventTypes).agg(count(lit(1)))
+    eventTypes.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+  }
+
+  val pivotCountsSql: String = {
+    val cols = eventTypes
+      .map(t => s"count(*) FILTER (WHERE event_type = '$t') AS $t")
+      .mkString(",\n       ")
+    s"""SELECT user_id,
+       |       $cols
+       |FROM events GROUP BY user_id""".stripMargin
+  }
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.OracleSafe
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Numerics: floats are quantized to an integer grid (×10⁴) so dot products
+  * and norms are EXACT integer arithmetic — identical on any engine and
+  * under any aggregation order. The only floating-point steps (sqrt,
+  * division) are IEEE-correctly-rounded unary/binary ops on identical
+  * inputs, so cosine scores are bit-identical across engines. This is what
+  * makes an ANN operator oracle-checkable at all.
+  *
+  * Scale paths:
+  *  - [[bruteForceTopK]]: queries × corpus via a broadcast of the (small)
+  *    query set — the exact baseline; corpus-side embarrassingly parallel.
+  *  - [[lshBuckets]] / [[lshTopK]]: random-hyperplane signs bucket the
+  *    corpus; search only touches the query's bucket — the 100 TB path
+  *    (candidates per query drop from |corpus| to |bucket|).
+  */
+object Similarity {
+
+  /** vec_id, q: array<long> (quantized), n2: ∑q² (exact). */
+  def quantized(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      transform(col("embedding"), x => OracleSafe.quant(x)).as("q"))
+      .withColumn("n2", aggregate(transform(col("q"), x => x * x), lit(0L), (acc, x) => acc + x))
+
+  val quantizedSql: String =
+    s"""qv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> ${OracleSafe.quantSql("x")}) AS q
+       |  FROM embeddings),
+       |qn AS (
+       |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+       |  FROM qv)""".stripMargin
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def cosine(dotCol: Column, n2a: Column, n2b: Column): Column =
+    dotCol.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** Exact top-k cosine neighbours for every vec with `vec_id % queryMod == 0`. */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = quantized(embeddings)
+    val queries = qv.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("n2a"))
+    val scored = qv.select(col("vec_id").as("nid"), col("q").as("qb"), col("n2").as("n2b"))
+      .join(broadcast(queries), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("score"))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "score")
+  }
+
+  def bruteForceTopKSql(k: Int = 5, queryMod: Int = 10): String =
+    s"""$quantizedSql,
+       |scores AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |         list_dot_product(a.q, b.q)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS score
+       |  FROM qn a JOIN qn b ON a.vec_id % $queryMod = 0 AND a.vec_id <> b.vec_id),
+       |brute_topk AS (
+       |  SELECT qid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank,
+       |         nid, score
+       |  FROM scores
+       |  QUALIFY rank <= $k)""".stripMargin
+
+  /** Deterministic hyperplane weight for (plane h, dimension d): a fixed
+    * pseudo-random integer in [-10⁶, 10⁶] — pure modular arithmetic, no RNG
+    * state, identical in SQL.
+    */
+  private def planeWeight(h: Column, d: Column): Column =
+    ((h * 64 + d + 1) * lit(2654435761L)) % 2000001L - 1000000L
+
+  private def planeWeightSql(h: String, d: String): String =
+    s"((($h) * 64 + ($d) + 1) * 2654435761) % 2000001 - 1000000"
+
+  /** Random-hyperplane LSH bucket per vector: bit h = sign(∑_d w(h,d)·q_d),
+    * bucket = the `planes`-bit signature as an int.
+    */
+  def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame =
+    quantized(embeddings)
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "x")))
+      .crossJoin(embeddings.sparkSession.range(planes).select(col("id").cast("int").as("h")))
+      .groupBy("vec_id", "h")
+      .agg(sum(planeWeight(col("h"), col("d")) * col("x")).as("proj"))
+      .select(col("vec_id"),
+        (when(col("proj") >= 0, 1L).otherwise(0L)
+          * expr("shiftleft(CAST(1 AS BIGINT), h)")).as("bitval"))
+      .groupBy("vec_id").agg(sum("bitval").cast("int").as("bucket"))
+
+  def lshBucketsSql(planes: Int = 8): String =
+    s"""$quantizedSql,
+       |elems AS (
+       |  SELECT vec_id, CAST(i - 1 AS INT) AS d, q[CAST(i AS INT)] AS x
+       |  FROM (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i FROM qv) t),
+       |proj AS (
+       |  SELECT vec_id, h, sum((${planeWeightSql("h", "d")}) * x) AS proj
+       |  FROM elems, (SELECT unnest(generate_series(0, ${planes - 1})) AS h) hs
+       |  GROUP BY vec_id, h),
+       |lsh_buckets AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << h) ELSE 0 END) AS INT)
+       |           AS bucket
+       |  FROM proj GROUP BY vec_id)""".stripMargin
+
+  /** ANN search: exact cosine top-k restricted to the query's LSH bucket. */
+  def lshTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10, planes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = quantized(embeddings).join(lshBuckets(embeddings, planes), Seq("vec_id"))
+    val queries = qv.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("n2a"), col("bucket"))
+    qv.select(col("vec_id").as("nid"), col("q").as("qb"), col("n2").as("n2b"), col("bucket"))
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine(dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("score"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "nid", "score")
+  }
+
+  def lshTopKSql(k: Int = 5, queryMod: Int = 10, planes: Int = 8): String =
+    s"""${lshBucketsSql(planes)},
+       |qb AS (SELECT qn.*, bucket FROM qn JOIN lsh_buckets USING (vec_id)),
+       |bucket_scores AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |         list_dot_product(a.q, b.q)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS score
+       |  FROM qb a JOIN qb b ON a.bucket = b.bucket
+       |   AND a.vec_id % $queryMod = 0 AND a.vec_id <> b.vec_id),
+       |lsh_topk AS (
+       |  SELECT qid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank,
+       |         nid, score
+       |  FROM bucket_scores
+       |  QUALIFY rank <= $k)""".stripMargin
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold among LSH-bucket
+    * cohabitants (the scalable near-dup sweep; exact within bucket).
+    */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.95, planes: Int = 8): DataFrame = {
+    val qv = quantized(embeddings).join(lshBuckets(embeddings, planes), Seq("vec_id"))
+    qv.as("a").join(qv.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(dot(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  def embeddingNearDupsSql(threshold: Double = 0.95, planes: Int = 8): String =
+    s"""${lshBucketsSql(planes)},
+       |qb AS (SELECT qn.*, bucket FROM qn JOIN lsh_buckets USING (vec_id)),
+       |near_dups AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         list_dot_product(a.q, b.q)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS score
+       |  FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.q, b.q)
+       |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $threshold)""".stripMargin
+}

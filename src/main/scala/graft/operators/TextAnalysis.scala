@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis operators for training-data pipelines, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All pure column expressions (whole-stage codegen; no UDFs), all
+  * embarrassingly parallel — no shuffles except the final aggregations, so
+  * they scale linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Language-ID by marker-token voting: count hits from per-language
+    * marker lists, argmax with a deterministic preference order. Marker
+    * lists here are tiny English-function-word stand-ins; production swaps
+    * in real per-language stopword lists — the operator shape (score →
+    * argmax) is the point.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("de", "le", "he"))
+
+  private def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === lit(m)).reduce(_ || _)))
+
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = langMarkers.foldLeft(docs) { case (df, (lang, markers)) =>
+      df.withColumn(s"score_$lang", markerHits(toks, markers))
+    }
+    // argmax; ties go to the earliest-listed language
+    val maxScore = greatest(langMarkers.map(p => col(s"score_${p._1}")): _*)
+    val winner = langMarkers.map(_._1).foldRight(lit("und")) { (l, acc) =>
+      when(col(s"score_$l") === maxScore, lit(l)).otherwise(acc)
+    }
+    scored.select(
+      col("doc_id"), col("lang").as("lang_actual"),
+      when(maxScore > 0, winner).otherwise(lit("und")).as("lang_predicted"),
+      maxScore.cast("int").as("marker_hits"))
+  }
+
+  def languageIdSql: String = {
+    val scores = langMarkers.map { case (lang, markers) =>
+      val inList = markers.map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS INT) AS score_$lang"
+    }.mkString(",\n         ")
+    val maxExpr = "greatest(" + langMarkers.map(p => s"score_${p._1}").mkString(", ") + ")"
+    val winner = langMarkers.map(_._1)
+      .map(l => s"WHEN score_$l = mx THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""SELECT doc_id, lang AS lang_actual,
+       |       CASE WHEN mx > 0 THEN $winner ELSE 'und' END AS lang_predicted,
+       |       mx AS marker_hits
+       |FROM (SELECT doc_id, lang, $maxExpr AS mx,
+       |        ${langMarkers.map(p => s"score_${p._1}").mkString(", ")}
+       |      FROM (SELECT doc_id, lang, text,
+       |         $scores
+       |      FROM documents))""".stripMargin
+  }
+
+  /** Quality signals: token counts, vocabulary diversity, mean token
+    * length — integer-ratio arithmetic only (engine-exact).
+    */
+  def qualitySignals(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("distinct_ratio"),
+      ((col("n_chars") - size(toks) + 1).cast("double") / size(toks)).as("mean_token_len"))
+  }
+
+  val qualitySignalsSql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |         / len(string_split(text, ' ')) AS distinct_ratio,
+      |       CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |         / len(string_split(text, ' ')) AS mean_token_len
+      |FROM documents""".stripMargin
+
+  /** Token counting: whitespace tokens + BPE-ish alpha-run tokens. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("alpha_tokens"),
+      (col("n_chars").cast("double") / lit(4.0)).as("approx_bpe_tokens"))
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS alpha_tokens,
+      |       CAST(n_chars AS DOUBLE) / 4.0 AS approx_bpe_tokens
+      |FROM documents""".stripMargin
+
+  /** Content fingerprint: md5 of the sorted distinct token set — an
+    * order-insensitive document identity for containment-style dedup.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
+        .as("fingerprint"))
+
+  val fingerprintsSql: String =
+    """SELECT doc_id,
+      |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      |         AS fingerprint
+      |FROM documents""".stripMargin
+}

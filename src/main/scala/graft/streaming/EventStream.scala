@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.OracleSafe.money
+
+/** Structured Streaming over the events table.
+  *
+  * The batch parquet drives a real streaming query (file source →
+  * watermarked tumbling-window aggregation → sink) via
+  * `Trigger.AvailableNow`, so the streaming plan itself is what gets
+  * correctness-checked against the batch oracle: the windowed aggregation,
+  * watermark wiring, and sink round-trip all execute. On a cluster the same
+  * code tails a directory/Kafka source continuously.
+  */
+object EventStream {
+
+  /** Hourly tumbling-window counts/sums per event type, computed BY THE
+    * STREAMING ENGINE and returned as a batch DataFrame once the source is
+    * exhausted.
+    */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    // Explicit schema (file sources cannot infer): the nanos column arrives
+    // as LongType under spark.sql.legacy.parquet.nanosAsLong. The source
+    // takes a glob (its basePath must be the directory, not a bare file).
+    val rawSchema = spark.read.parquet(path).schema
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+
+    val agg = spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
+      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("tstamp", "1 hour")
+      .groupBy(window(col("tstamp"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("decimal(18,2)").as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy("hour", "event_type")
+  }
+
+  val tumblingHourlySql: String =
+    s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+       |       COUNT(*) AS n,
+       |       CAST(SUM(${graft.functions.OracleSafe.moneySql("value")}) AS DECIMAL(18,2))
+       |         AS total_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+}
