@@ -72,10 +72,13 @@ object SparkEntry {
         .orderBy("c_custkey")
     },
 
-    // Anti join (NOT EXISTS) — the orphan-check primitive (SURVEY.md §7.4-8).
+    // Anti join (NOT EXISTS) — the orphan-check primitive (SURVEY.md §7.4-8):
+    // customers with no urgent order (every customer has SOME order in this
+    // data, so the anti-join runs against a filtered build side).
     "q06_anti_join" -> { (s, dir) =>
       TestData.customer(s, dir)
-        .join(TestData.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(TestData.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },
@@ -307,7 +310,8 @@ object SparkEntry {
 
     "q06_anti_join" ->
       s"""SELECT c_custkey, c_name FROM customer
-          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          WHERE NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
           ORDER BY c_custkey""",
 
     "q07_lookup_join" ->

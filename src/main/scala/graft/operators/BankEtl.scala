@@ -187,7 +187,12 @@ object BankEtl {
   def build(spark: SparkSession, dir: String, asOf: Date = defaultAsOf,
       cache: Boolean = false): Warehouse = {
     val b = read(spark, dir)
-    val cleanAcc = cleanAccounts(b.accounts, b.customers)
+    val cleanAcc = {
+      // Feeds Dim_Account, the customer semi-join AND two fact joins —
+      // worth one materialization.
+      val c = cleanAccounts(b.accounts, b.customers)
+      if (cache) c.cache() else c
+    }
     val cleanCust = cleanCustomers(b.customers, cleanAcc)
     val cls = {
       val c = classified(cleanTransactions(b.transactions, cleanAcc), b.mcc)

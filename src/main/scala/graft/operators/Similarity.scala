@@ -39,8 +39,12 @@ object Similarity {
        |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
        |  FROM qv)""".stripMargin
 
+  /** Exact dot product via the codegen'd [[graft.plans.LongArrayDot]]
+    * expression (the `aggregate(zip_with(...))` formulation is interpreted
+    * per row and allocates; see that class).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.plans.LongArrayDot.long_dot(a, b)
 
   private def cosine(dotCol: Column, n2a: Column, n2b: Column): Column =
     dotCol.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))

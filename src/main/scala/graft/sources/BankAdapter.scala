@@ -37,7 +37,7 @@ object BankAdapter {
     "tien grab di lam",     // transport
     "dong hoc phi ky 1",    // bills
     "du lich da lat",       // entertainment
-    "gao va keo",           // grocery
+    "keo cho em be",        // grocery ('gao'-style words trip the 'ao' shopping substring)
     "tra no",               // fallback (no keyword)
     "thanh toan tien cho",  // food via the 'an'-substring quirk
     "mua rau qua gao",      // shopping beats grocery by list order

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: (Long, String)*): DataFrame =
+    texts.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+
+  private val corpus = docs(
+    0L -> "the quick brown fox jumps over the lazy dog today",
+    1L -> "the quick brown fox jumps over the lazy dog today",   // exact dup of 0
+    2L -> "the quick brown fox jumps over the lazy cat today",   // near dup of 0
+    3L -> "completely different words about spark query engines here now",
+    4L -> "tiny")                                                // < shingle size
+
+  test("exact dedup keeps the minimum doc id per content hash") {
+    val res = Dedup.exact(corpus).orderBy("keep_doc_id")
+      .select("keep_doc_id", "n_copies").as[(Long, Long)].collect()
+    assert(res.toSeq == Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("identical documents get identical minhash signatures") {
+    val sigs = Dedup.minhashSignatures(corpus)
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.collect_list("mh"))
+    val m = sigs.as[(Long, Seq[Long])].collect().toMap
+    assert(m(0L).sorted == m(1L).sorted)
+    assert(m(0L).sorted != m(3L).sorted)
+    assert(!m.contains(4L)) // too short to shingle — excluded, by design
+  }
+
+  test("exact dups are always LSH candidates with all bands shared") {
+    val cand = Dedup.lshCandidates(corpus)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(cand((0L, 1L)) == 4L) // 16 hashes / 4 rows per band = 4 bands
+  }
+
+  test("ngram jaccard: exact pair scores 1.0, near pair in (0,1)") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.01)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._4).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    val near = pairs((0L, 2L))
+    assert(near > 0.3 && near < 1.0)
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("simhash: equal for identical docs, close for near dups, far for unrelated") {
+    val m = Dedup.simhash(corpus).as[(Long, Long)].collect().toMap
+    assert(m(0L) == m(1L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(0L), m(2L)) <= hamming(m(0L), m(3L)))
+  }
+
+  test("shingle count: n tokens → n-2 trigram shingles (distinct)") {
+    val sh = Dedup.shingles(docs(7L -> "a b c d e"), 3)
+    assert(sh.count() == 3)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String, Long)*): DataFrame =
+    // (event_id, user_id, event_type, ts_ms)
+    rows.toDF("event_id", "user_id", "event_type", "ms")
+      .selectExpr("event_id", "user_id", "event_type",
+        "ms * 1000000 AS ts_ns", "CAST(10.0 AS DOUBLE) AS value")
+
+  test("sessionize: gap strictly greater than threshold starts a new session") {
+    val gap = 30 * 60000L
+    val e = ev(
+      (1L, 1L, "click", 0L),
+      (2L, 1L, "click", gap),          // exactly 30 min later → SAME session (> not >=)
+      (3L, 1L, "click", 2 * gap + 1),  // 30 min + 1 ms after prev → new session
+      (4L, 2L, "click", 5L))           // other user → own session
+    val s = Events.sessionize(e).orderBy("user_id", "session_seq")
+      .select("user_id", "session_seq", "n_events").as[(Long, Long, Long)].collect()
+    assert(s.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("as-of join: purchase takes the latest signup at-or-before it") {
+    val e = ev(
+      (1L, 1L, "signup", 100L),
+      (2L, 1L, "signup", 500L),
+      (3L, 1L, "purchase", 500L),   // signup at the same ms counts
+      (4L, 1L, "purchase", 300L),   // only the 100-ms signup is before
+      (5L, 2L, "purchase", 999L))   // no signup at all → null
+    val r = Events.asOfLastSignup(e).orderBy("event_id")
+      .select("event_id", "last_signup_ms").collect()
+      .map(row => (row.getLong(0), if (row.isNullAt(1)) None else Some(row.getLong(1))))
+    assert(r.toSeq == Seq((3L, Some(500L)), (4L, Some(100L)), (5L, None)))
+  }
+
+  test("pivot: absent event types come back as zero, not null") {
+    val e = ev((1L, 1L, "click", 0L), (2L, 1L, "click", 1L), (3L, 1L, "purchase", 2L))
+    val row = Events.pivotCounts(e).head()
+    assert(row.getAs[Long]("click") == 2L)
+    assert(row.getAs[Long]("purchase") == 1L)
+    assert(row.getAs[Long]("signup") == 0L)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.plans.LongArrayDot.long_dot
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LongArrayDot: codegen and interpreted paths agree with manual result") {
+    val df = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L))).toDF("a", "b")
+    // codegen path
+    assert(df.select(long_dot(col("a"), col("b"))).head().getLong(0) == 32L)
+    // interpreted path (eval via filter on the driver-evaluable expression)
+    val expr = graft.plans.LongArrayDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1L, 2L, 3L)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(4L, 5L, 6L)))
+    assert(expr.eval(null) == 32L)
+  }
+
+  test("brute-force top-k: nearest neighbour of a duplicated vector is its twin with score ~1") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // identical to 0
+      (11L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (12L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (13L, Array(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, k = 2, queryMod = 10)
+      .filter(col("qid") === 0).orderBy("rank")
+      .select("nid", "score").as[(Long, Double)].collect()
+    assert(top(0)._1 == 10L && math.abs(top(0)._2 - 1.0) < 1e-9)
+    assert(top(1)._1 == 11L)
+  }
+
+  test("identical vectors land in the same LSH bucket") {
+    val emb = Seq(
+      (0L, Array.fill(8)(0.5f)),
+      (1L, Array.fill(8)(0.5f)),
+      (2L, Array.fill(8)(-0.5f))).toDF("vec_id", "embedding")
+    val buckets = Similarity.lshBuckets(emb).as[(Long, Int)].collect().toMap
+    assert(buckets(0L) == buckets(1L))
+    assert(buckets(0L) != buckets(2L)) // opposite vector flips every plane sign
+  }
+
+  test("lshTopK finds the exact twin when it shares the bucket") {
+    val emb = Seq(
+      (0L, Array.fill(8)(0.5f)),
+      (5L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val res = Similarity.lshTopK(emb, k = 1, queryMod = 10)
+      .select("qid", "nid", "score").as[(Long, Long, Double)].collect()
+    assert(res.length == 1 && res(0)._1 == 0L && res(0)._2 == 5L
+      && math.abs(res(0)._3 - 1.0) < 1e-9)
+  }
+
+  test("embeddingNearDups flags identical vectors at any threshold") {
+    val emb = Seq(
+      (0L, Array(0.3f, -0.2f, 0.9f)),
+      (1L, Array(0.3f, -0.2f, 0.9f)),
+      (2L, Array(-0.9f, 0.4f, 0.1f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(emb, threshold = 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+}
