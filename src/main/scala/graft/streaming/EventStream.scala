@@ -50,6 +50,32 @@ object EventStream {
     spark.table(name).orderBy("hour", "event_type")
   }
 
+  /** Idempotent streaming ingest: exactly-once semantics over an
+    * at-least-once source via `dropDuplicatesWithinWatermark` on the event
+    * id — state for an id is held only until the watermark passes it, so
+    * state size is bounded by the lateness window, not the stream length
+    * (the 100 TB-stream version of `dropDuplicates`).
+    */
+  def dedupedCount(spark: SparkSession, dir: String, glob: String = "*.parquet"): Long = {
+    val sample = spark.read.parquet(dir)
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.schema(sample.schema).parquet(s"$dir/$glob")
+      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("tstamp", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy()
+      .count()
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).head().getLong(0)
+  }
+
   val tumblingHourlySql: String =
     s"""SELECT date_trunc('hour', ts) AS hour, event_type,
        |       COUNT(*) AS n,

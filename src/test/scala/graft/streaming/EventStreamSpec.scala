@@ -14,4 +14,14 @@ class EventStreamSpec extends SparkSpec {
     assert(streaming.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streaming).count() == 0)
   }
+
+  test("stateful dedup-within-watermark collapses a doubled source to distinct ids") {
+    // simulate at-least-once delivery: the same file arrives twice
+    val dir = java.nio.file.Files.createTempDirectory("evdup")
+    for (name <- Seq("a.parquet", "b.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Path.of(s"$sf/events.parquet"), dir.resolve(name))
+    val distinctIds = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(EventStream.dedupedCount(spark, dir.toString) == distinctIds)
+  }
 }
