@@ -143,6 +143,16 @@ object SparkEntry {
         .orderBy(asc_nulls_first("y"), asc_nulls_first("m"))
     },
 
+    // Set operations: INTERSECT / EXCEPT (distinct semantics).
+    "q13_setops" -> { (s, dir) =>
+      val c = TestData.customer(s, dir)
+      val rich = c.filter(col("c_acctbal") > 5000).select("c_mktsegment")
+      val poor = c.filter(col("c_acctbal") < 0).select("c_mktsegment")
+      rich.intersect(poor).withColumn("op", lit("both"))
+        .unionByName(rich.except(poor).withColumn("op", lit("rich_only")))
+        .orderBy("op", "c_mktsegment")
+    },
+
     // ---- Bank warehouse (SURVEY.md §2 parity): cleaning J1-J3/P2/P4,
     // dims D1-D12/A1-A3, fact J5-J9, dashboards A4-A6/O1-O3/D14.
     "q20_bank_clean_accounts" -> { (s, dir) =>
@@ -189,20 +199,20 @@ object SparkEntry {
         .orderBy("Date_Key")
     },
     "q28_fact_spending" -> { (s, dir) =>
-      BankEtl.build(s, dir, cache = true).fact
+      BankEtl.buildCached(s, dir).fact
         .orderBy("Date_Key", "Customer_Key", "Account_Key", "Merchant_Key",
           "Location_Key", "Amount_Spent")
     },
     "q29_dash_trend" -> { (s, dir) =>
-      val w = BankEtl.build(s, dir, cache = true)
+      val w = BankEtl.buildCached(s, dir)
       BankEtl.dashTrend(w.fact, w.dimDate)
     },
     "q30_dash_top_categories" -> { (s, dir) =>
-      val w = BankEtl.build(s, dir, cache = true)
+      val w = BankEtl.buildCached(s, dir)
       BankEtl.dashTopCategories(w.fact, w.dimMerchant)
     },
     "q31_dash_age_groups" -> { (s, dir) =>
-      val w = BankEtl.build(s, dir, cache = true)
+      val w = BankEtl.buildCached(s, dir)
       BankEtl.dashAgeGroups(w.fact, w.dimCustomer)
     },
 
@@ -357,6 +367,19 @@ object SparkEntry {
           FROM orders
           GROUP BY ROLLUP (1, 2)
           ORDER BY y NULLS FIRST, m NULLS FIRST""",
+
+    "q13_setops" ->
+      s"""SELECT * FROM (
+            SELECT c_mktsegment, 'both' AS op FROM (
+              SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+              INTERSECT
+              SELECT c_mktsegment FROM customer WHERE c_acctbal < 0)
+            UNION ALL
+            SELECT c_mktsegment, 'rich_only' AS op FROM (
+              SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+              EXCEPT
+              SELECT c_mktsegment FROM customer WHERE c_acctbal < 0))
+          ORDER BY op, c_mktsegment""",
 
     "q40_dedup_exact" ->
       s"""${Dedup.exactSql}

@@ -207,6 +207,17 @@ object BankEtl {
       factSpending(cls, cleanAcc, dCust, dAcc, dMerch, dLoc))
   }
 
+  /** Session-scoped warehouse memo: the fact and the three dashboards all
+    * need the same star schema — materialize it once per (session, dir,
+    * asOf) like a warehouse would keep its conformed dimensions resident,
+    * instead of re-running the cleaning joins four times.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Date), Warehouse]()
+
+  def buildCached(spark: SparkSession, dir: String, asOf: Date = defaultAsOf): Warehouse =
+    memo.computeIfAbsent((spark, dir, asOf), _ => build(spark, dir, asOf, cache = true))
+
   // ----------------------------------------------------- dashboard queries
 
   /** Q1 monthly spend trend (dashboard.py:34-43): A4 + O1 + D14. */

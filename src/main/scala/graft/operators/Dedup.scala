@@ -33,56 +33,46 @@ object Dedup {
       |       count(*) AS n_copies
       |FROM documents GROUP BY md5(text)""".stripMargin
 
-  /** Dense integer ids for the distinct token vocabulary. */
-  def tokenDict(docs: DataFrame): DataFrame =
-    SurrogateKeys.dense(
-      docs.select(explode(split(col("text"), " ")).as("tok")).distinct(),
-      "tid", col("tok"))
-
-  val tokenDictSql: String =
-    """tok_dict AS (
-      |  SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) AS tid
-      |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents))""".stripMargin
-
-  /** (doc_id, tid) distinct membership pairs. */
+  /** (doc_id, tid) distinct token-membership pairs; ids are md5-derived
+    * (see [[docShingles]]) reduced mod 100003 so downstream multiplies
+    * stay in BIGINT range on both engines.
+    */
   def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
-      .join(tokenDict(docs), Seq("tok"))
-      .select("doc_id", "tid")
+      .select(col("doc_id"), (elemId(col("tok")) % 100003L).as("tid"))
 
   val docTokensSql: String =
-    """doc_tokens AS (
-      |  SELECT DISTINCT doc_id, tid
-      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) dt
-      |  JOIN tok_dict USING (tok))""".stripMargin
+    s"""doc_tokens AS (
+       |  SELECT doc_id, ${"('0x' || substring(md5(tok), 1, 12))::BIGINT"} % 100003 AS tid
+       |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents) dt)""".stripMargin
 
-  /** Dense integer ids for the distinct shingle vocabulary. MinHash runs
-    * over SHINGLE sets, not unigram tokens: with a small token vocabulary
-    * every document contains nearly every token, so unigram signatures
-    * collide en masse and LSH candidate generation degenerates to all-pairs
-    * (measured: 12.8 s / millions of pairs at sf0.1). 3-gram shingles keep
-    * the element space large, so only genuinely similar documents share
-    * signature bands.
+  /** Deterministic 48-bit element id from the md5 prefix — no dictionary
+    * build, no join, no global sort; ids are stable across engines
+    * (Spark `conv(hex,16,10)` ≡ DuckDB `('0x'||hex)::BIGINT`) and across
+    * cluster runs. Collision odds at 2⁴⁸ are negligible for any realistic
+    * shingle vocabulary, and a collision only perturbs one minhash slot.
     */
-  def shingleDict(docs: DataFrame, n: Int): DataFrame =
-    SurrogateKeys.dense(
-      shingles(docs, n).select("sh").distinct(), "sid", col("sh"))
+  private def elemId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+  private def elemIdSql(expr: String): String =
+    s"('0x' || substring(md5($expr), 1, 12))::BIGINT"
 
-  def shingleDictSql(n: Int): String =
-    s"""${shinglesSql(n)},
-       |shingle_dict AS (
-       |  SELECT sh, ROW_NUMBER() OVER (ORDER BY sh) AS sid
-       |  FROM (SELECT DISTINCT sh FROM shingles) d)""".stripMargin
-
-  /** (doc_id, sid) distinct shingle-membership pairs. */
+  /** (doc_id, sid) distinct shingle-membership pairs. MinHash runs over
+    * SHINGLE sets, not unigram tokens: with a small token vocabulary every
+    * document contains nearly every token, so unigram signatures collide en
+    * masse and LSH candidate generation degenerates to all-pairs (measured:
+    * 12.8 s / millions of pairs at sf0.1). 3-gram shingles keep the element
+    * space large, so only genuinely similar documents share bands.
+    */
   def docShingles(docs: DataFrame, n: Int): DataFrame =
-    shingles(docs, n).join(shingleDict(docs, n), Seq("sh")).select("doc_id", "sid")
+    shingles(docs, n).select(col("doc_id"), elemId(col("sh")).as("sid"))
 
   def docShinglesSql(n: Int): String =
-    s"""${shingleDictSql(n)},
+    s"""${shinglesSql(n)},
        |doc_shingles AS (
-       |  SELECT doc_id, sid FROM shingles JOIN shingle_dict USING (sh))""".stripMargin
+       |  SELECT doc_id, ${elemIdSql("sh")} AS sid FROM shingles)""".stripMargin
 
   /** MinHash signatures: for hash function j, min over the doc's shingles
     * of (aⱼ·sid + bⱼ) mod P. Emitted in exploded row form (doc_id, h, mh) —
@@ -152,8 +142,7 @@ object Dedup {
       .groupBy("doc_id").agg(sum("bitval").as("simhash"))
 
   val simhashSql: String =
-    s"""$tokenDictSql,
-       |$docTokensSql,
+    s"""$docTokensSql,
        |votes AS (
        |  SELECT doc_id, b, sum(((tid * 2654435761 + b * 40507) % 97 % 2) * 2 - 1) AS votes
        |  FROM doc_tokens, (SELECT unnest(generate_series(0, 31)) AS b)
