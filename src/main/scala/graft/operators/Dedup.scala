@@ -107,6 +107,7 @@ object Dedup {
       .select(col("doc_id"), col("band"),
         md5(array_join(transform(array_sort(col("hs")), s => s.getField("mh").cast("string")), ","))
           .as("bh"))
+      .cache() // both sides of the self-join read this — compute signatures once
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
@@ -171,7 +172,7 @@ object Dedup {
 
   /** Pairwise n-gram Jaccard via inverted-index self-join on shingles. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.1): DataFrame = {
-    val sh = shingles(docs, n)
+    val sh = shingles(docs, n).cache() // probe + build side + counts: three readers
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

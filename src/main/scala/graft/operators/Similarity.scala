@@ -120,7 +120,7 @@ object Similarity {
   /** ANN search: exact cosine top-k restricted to the query's LSH bucket. */
   def lshTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10, planes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qv = quantized(embeddings).join(lshBuckets(embeddings, planes), Seq("vec_id"))
+    val qv = quantized(embeddings).join(lshBuckets(embeddings, planes), Seq("vec_id")).cache()
     val queries = qv.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("n2a"), col("bucket"))
     qv.select(col("vec_id").as("nid"), col("q").as("qb"), col("n2").as("n2b"), col("bucket"))
@@ -153,7 +153,7 @@ object Similarity {
     * cohabitants (the scalable near-dup sweep; exact within bucket).
     */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.95, planes: Int = 8): DataFrame = {
-    val qv = quantized(embeddings).join(lshBuckets(embeddings, planes), Seq("vec_id"))
+    val qv = quantized(embeddings).join(lshBuckets(embeddings, planes), Seq("vec_id")).cache()
     qv.as("a").join(qv.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -19,6 +19,12 @@ class SimilaritySpec extends SparkSpec {
     assert(expr.eval(null) == 32L)
   }
 
+  test("long_dot is registered for SQL via SparkSessionExtensions") {
+    val r = spark.sql(
+      "SELECT long_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head().getLong(0)
+    assert(r == 32L)
+  }
+
   test("brute-force top-k: nearest neighbour of a duplicated vector is its twin with score ~1") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
