@@ -154,8 +154,19 @@ object Dedup {
        |           AS BIGINT) AS simhash
        |  FROM votes GROUP BY doc_id)""".stripMargin
 
-  /** Word n-gram shingles, distinct per document. */
+  /** Word n-gram shingles, distinct per document. Memoized per (session,
+    * plan, n): the jaccard, minhash, and LSH queries all start from the
+    * same shingle set — materialize it once per session like a shared
+    * intermediate view.
+    */
   def shingles(docs: DataFrame, n: Int): DataFrame =
+    shingleMemo.computeIfAbsent((docs.sparkSession, docs.queryExecution.logical.toString, n),
+      _ => shinglesUncached(docs, n).cache())
+
+  private val shingleMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, Int), DataFrame]()
+
+  private def shinglesUncached(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),

@@ -49,19 +49,20 @@ object Similarity {
   private def cosine(dotCol: Column, n2a: Column, n2b: Column): Column =
     dotCol.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
-  /** Exact top-k cosine neighbours for every vec with `vec_id % queryMod == 0`. */
+  /** Exact top-k cosine neighbours for every vec with `vec_id % queryMod == 0`.
+    * Top-k selection runs on the custom [[graft.plans.TopKPerKey]] operator
+    * (bounded heap per key) instead of a row_number window (full sort per
+    * key group).
+    */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qv = quantized(embeddings)
     val queries = qv.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("n2a"))
     val scored = qv.select(col("vec_id").as("nid"), col("q").as("qb"), col("n2").as("n2b"))
       .join(broadcast(queries), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("score"))
-    scored
-      .withColumn("rank",
-        row_number().over(Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))))
-      .filter(col("rank") <= k)
+    graft.plans.TopK.perKey(scored, Seq("qid"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("nid")), k)
       .select("qid", "rank", "nid", "score")
   }
 
@@ -119,18 +120,16 @@ object Similarity {
 
   /** ANN search: exact cosine top-k restricted to the query's LSH bucket. */
   def lshTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10, planes: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qv = quantized(embeddings).join(lshBuckets(embeddings, planes), Seq("vec_id")).cache()
     val queries = qv.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("n2a"), col("bucket"))
-    qv.select(col("vec_id").as("nid"), col("q").as("qb"), col("n2").as("n2b"), col("bucket"))
+    val scored = qv.select(col("vec_id").as("nid"), col("q").as("qb"), col("n2").as("n2b"), col("bucket"))
       .join(broadcast(queries), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosine(dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("score"))
-      .withColumn("rank",
-        row_number().over(Window.partitionBy("qid").orderBy(desc("score"), asc("nid"))))
-      .filter(col("rank") <= k)
+    graft.plans.TopK.perKey(scored, Seq("qid"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("nid")), k)
       .select("qid", "rank", "nid", "score")
   }
 
