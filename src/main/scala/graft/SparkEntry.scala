@@ -153,6 +153,29 @@ object SparkEntry {
         .orderBy("op", "c_mktsegment")
     },
 
+    // Hierarchical aggregate: CUBE over two dimensions.
+    "q14_cube" -> { (s, dir) =>
+      TestData.orders(s, dir)
+        .cube(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"))
+        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)").as("total"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("st"), asc_nulls_first("pri"))
+    },
+
+    // Statistical aggregates: exact interpolated median over decimal money.
+    "q15_stats" -> { (s, dir) =>
+      TestData.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          min(money(col("o_totalprice"))).as("min_price"),
+          max(money(col("o_totalprice"))).as("max_price"),
+          // moneySql is valid Spark SQL too — one fragment, two engines
+          expr(s"percentile(CAST(${moneySql("o_totalprice")} AS DOUBLE), 0.5)")
+            .as("median_price"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- Bank warehouse (SURVEY.md §2 parity): cleaning J1-J3/P2/P4,
     // dims D1-D12/A1-A3, fact J5-J9, dashboards A4-A6/O1-O3/D14.
     "q20_bank_clean_accounts" -> { (s, dir) =>
@@ -219,6 +242,12 @@ object SparkEntry {
     // ---- LLM-data-pipeline operators: dedup, similarity, text, multimodal.
     "q40_dedup_exact" -> { (s, dir) =>
       Dedup.exact(TestData.documents(s, dir)).orderBy("text_hash")
+    },
+    "q53_ann_ivf_assign" -> { (s, dir) =>
+      Similarity.ivfAssign(TestData.embeddings(s, dir)).orderBy("vec_id")
+    },
+    "q54_ann_ivf_topk" -> { (s, dir) =>
+      Similarity.ivfTopK(TestData.embeddings(s, dir)).orderBy("qid", "rank")
     },
     "q41_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(TestData.documents(s, dir), n = 3, threshold = 0.1)
@@ -381,9 +410,35 @@ object SparkEntry {
               SELECT c_mktsegment FROM customer WHERE c_acctbal < 0))
           ORDER BY op, c_mktsegment""",
 
+    "q14_cube" ->
+      s"""SELECT o_orderstatus AS st, o_orderpriority AS pri,
+                 CAST(SUM(${moneySql("o_totalprice")}) AS DECIMAL(18,2)) AS total,
+                 COUNT(*) AS n
+          FROM orders
+          GROUP BY CUBE (1, 2)
+          ORDER BY st NULLS FIRST, pri NULLS FIRST""",
+
+    "q15_stats" ->
+      s"""SELECT o_orderpriority,
+                 COUNT(*) AS n,
+                 MIN(${moneySql("o_totalprice")}) AS min_price,
+                 MAX(${moneySql("o_totalprice")}) AS max_price,
+                 quantile_cont(CAST(${moneySql("o_totalprice")} AS DOUBLE), 0.5) AS median_price
+          FROM orders
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""",
+
     "q40_dedup_exact" ->
       s"""${Dedup.exactSql}
           ORDER BY text_hash""",
+
+    "q53_ann_ivf_assign" ->
+      s"""WITH ${Similarity.ivfAssignSql()}
+          SELECT vec_id, cell, score FROM ivf_assign ORDER BY vec_id""",
+
+    "q54_ann_ivf_topk" ->
+      s"""WITH ${Similarity.ivfTopKSql()}
+          SELECT qid, rank, nid, score FROM ivf_topk ORDER BY qid, rank""",
 
     "q41_ngram_jaccard" ->
       s"""WITH ${Dedup.ngramJaccardPairsSql(3, 0.1)}

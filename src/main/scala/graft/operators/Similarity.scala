@@ -148,6 +148,71 @@ object Similarity {
        |  FROM bucket_scores
        |  QUALIFY rank <= $k)""".stripMargin
 
+  /** IVF-style ANN, deterministic flavor: "centroids" are a fixed 1/centMod
+    * sample of the corpus (a real build would k-means them — the sampling
+    * stands in so assignment stays engine-exact), every vector joins its
+    * nearest centroid's inverted list, and search probes only the query's
+    * cell. Assignment reuses the custom [[graft.plans.TopKPerKey]] operator
+    * with k=1 (argmax-by-key).
+    */
+  def ivfAssign(embeddings: DataFrame, centMod: Int = 125): DataFrame = {
+    val qv = quantized(embeddings).cache()
+    val cents = qv.filter(col("vec_id") % centMod === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    val scores = qv.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        cosine(dot(col("q"), col("cq")), col("n2"), col("cn2")).as("score"))
+    graft.plans.TopK.perKey(scores, Seq("vec_id"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("cid")), k = 1, rankName = "rnk")
+      .select(col("vec_id"), col("cid").as("cell"), col("score"))
+  }
+
+  def ivfAssignSql(centMod: Int = 125): String =
+    s"""$quantizedSql,
+       |cents AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qn WHERE vec_id % $centMod = 0),
+       |cell_scores AS (
+       |  SELECT qn.vec_id, cid,
+       |         list_dot_product(q, cq)
+       |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS score
+       |  FROM qn, cents),
+       |ivf_assign AS (
+       |  SELECT vec_id, cid AS cell, score
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |          ORDER BY score DESC, cid) AS rnk FROM cell_scores)
+       |  WHERE rnk = 1)""".stripMargin
+
+  /** ANN search probing only the query's IVF cell (nprobe=1). */
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10, centMod: Int = 125): DataFrame = {
+    val qv = quantized(embeddings)
+      .join(ivfAssign(embeddings, centMod).select("vec_id", "cell"), Seq("vec_id"))
+      .cache()
+    val queries = qv.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("n2a"), col("cell"))
+    val scored = qv.select(col("vec_id").as("nid"), col("q").as("qb"), col("n2").as("n2b"), col("cell"))
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine(dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("score"))
+    graft.plans.TopK.perKey(scored, Seq("qid"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("nid")), k)
+      .select("qid", "rank", "nid", "score")
+  }
+
+  def ivfTopKSql(k: Int = 5, queryMod: Int = 10, centMod: Int = 125): String =
+    s"""${ivfAssignSql(centMod)},
+       |qc AS (SELECT qn.*, cell FROM qn JOIN ivf_assign USING (vec_id)),
+       |ivf_scores AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |         list_dot_product(a.q, b.q)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS score
+       |  FROM qc a JOIN qc b ON a.cell = b.cell
+       |   AND a.vec_id % $queryMod = 0 AND a.vec_id <> b.vec_id),
+       |ivf_topk AS (
+       |  SELECT qid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank,
+       |         nid, score
+       |  FROM ivf_scores
+       |  QUALIFY rank <= $k)""".stripMargin
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among LSH-bucket
     * cohabitants (the scalable near-dup sweep; exact within bucket).
     */

@@ -76,6 +76,31 @@ object EventStream {
     spark.table(name).head().getLong(0)
   }
 
+  /** Stream-static join: a streaming fact enriched against a static
+    * (broadcastable) dimension — the streaming analog of the warehouse's
+    * dimension lookups. The static side is re-read per micro-batch by
+    * Spark; no state is kept.
+    */
+  def enrichedTypeTotals(spark: SparkSession, dir: String,
+      userDim: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val path = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
+      .join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"))
+      .groupBy("cohort", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy("cohort", "event_type")
+  }
+
   val tumblingHourlySql: String =
     s"""SELECT date_trunc('hour', ts) AS hour, event_type,
        |       COUNT(*) AS n,

@@ -15,6 +15,20 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exceptAll(streaming).count() == 0)
   }
 
+  test("stream-static broadcast join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val userDim = (0L to 14L).map(u => (u, if (u % 2 == 0) "even" else "odd"))
+      .toDF("user_id", "cohort")
+    val streaming = EventStream.enrichedTypeTotals(spark, sf, userDim)
+    val batch = graft.sources.TestData.events(spark, sf)
+      .join(userDim, Seq("user_id"))
+      .groupBy("cohort", "event_type").agg(count(lit(1)).as("n"))
+    assert(streaming.count() > 0)
+    assert(streaming.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streaming).count() == 0)
+  }
+
   test("stateful dedup-within-watermark collapses a doubled source to distinct ids") {
     // simulate at-least-once delivery: the same file arrives twice
     val dir = java.nio.file.Files.createTempDirectory("evdup")
