@@ -179,47 +179,28 @@ object SparkEntry {
     // ---- Bank warehouse (SURVEY.md §2 parity): cleaning J1-J3/P2/P4,
     // dims D1-D12/A1-A3, fact J5-J9, dashboards A4-A6/O1-O3/D14.
     "q20_bank_clean_accounts" -> { (s, dir) =>
-      val b = BankEtl.read(s, dir)
-      BankEtl.cleanAccounts(b.accounts, b.customers).orderBy("AccountID")
+      BankEtl.buildCached(s, dir).cleanAccounts.orderBy("AccountID")
     },
     "q21_bank_clean_customers" -> { (s, dir) =>
-      val b = BankEtl.read(s, dir)
-      BankEtl.cleanCustomers(b.customers, BankEtl.cleanAccounts(b.accounts, b.customers))
-        .orderBy("CustomerID")
+      BankEtl.buildCached(s, dir).cleanCustomers.orderBy("CustomerID")
     },
     "q22_bank_clean_transactions" -> { (s, dir) =>
-      val b = BankEtl.read(s, dir)
-      BankEtl.cleanTransactions(b.transactions, BankEtl.cleanAccounts(b.accounts, b.customers))
-        .orderBy("TransactionID")
+      BankEtl.buildCached(s, dir).cleanTransactions.orderBy("TransactionID")
     },
     "q23_dim_customer" -> { (s, dir) =>
-      val b = BankEtl.read(s, dir)
-      BankEtl.dimCustomer(
-        BankEtl.cleanCustomers(b.customers, BankEtl.cleanAccounts(b.accounts, b.customers)))
-        .orderBy("Customer_Key")
+      BankEtl.buildCached(s, dir).dimCustomer.orderBy("Customer_Key")
     },
     "q24_dim_account" -> { (s, dir) =>
-      val b = BankEtl.read(s, dir)
-      BankEtl.dimAccount(BankEtl.cleanAccounts(b.accounts, b.customers)).orderBy("Account_Key")
+      BankEtl.buildCached(s, dir).dimAccount.orderBy("Account_Key")
     },
     "q25_dim_merchant" -> { (s, dir) =>
-      val b = BankEtl.read(s, dir)
-      val cls = BankEtl.classified(
-        BankEtl.cleanTransactions(b.transactions, BankEtl.cleanAccounts(b.accounts, b.customers)),
-        b.mcc)
-      BankEtl.dimMerchant(cls).orderBy("Merchant_Key")
+      BankEtl.buildCached(s, dir).dimMerchant.orderBy("Merchant_Key")
     },
     "q26_dim_location" -> { (s, dir) =>
-      val b = BankEtl.read(s, dir)
-      BankEtl.dimLocation(
-        BankEtl.cleanTransactions(b.transactions, BankEtl.cleanAccounts(b.accounts, b.customers)))
-        .orderBy("Location_Key")
+      BankEtl.buildCached(s, dir).dimLocation.orderBy("Location_Key")
     },
     "q27_dim_date" -> { (s, dir) =>
-      val b = BankEtl.read(s, dir)
-      BankEtl.dimDate(
-        BankEtl.cleanTransactions(b.transactions, BankEtl.cleanAccounts(b.accounts, b.customers)))
-        .orderBy("Date_Key")
+      BankEtl.buildCached(s, dir).dimDate.orderBy("Date_Key")
     },
     "q28_fact_spending" -> { (s, dir) =>
       BankEtl.buildCached(s, dir).fact

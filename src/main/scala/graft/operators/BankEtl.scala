@@ -177,7 +177,8 @@ object BankEtl {
 
   final case class Warehouse(
       dimDate: DataFrame, dimCustomer: DataFrame, dimAccount: DataFrame,
-      dimMerchant: DataFrame, dimLocation: DataFrame, fact: DataFrame)
+      dimMerchant: DataFrame, dimLocation: DataFrame, fact: DataFrame,
+      cleanAccounts: DataFrame, cleanCustomers: DataFrame, cleanTransactions: DataFrame)
 
   /** Full star-schema build as one lazy DAG. `cache` materializes the
     * cleaned/classified transaction set once — it feeds Dim_Merchant,
@@ -194,8 +195,9 @@ object BankEtl {
       if (cache) c.cache() else c
     }
     val cleanCust = cleanCustomers(b.customers, cleanAcc)
+    val cleanTx = cleanTransactions(b.transactions, cleanAcc)
     val cls = {
-      val c = classified(cleanTransactions(b.transactions, cleanAcc), b.mcc)
+      val c = classified(cleanTx, b.mcc)
       if (cache) c.cache() else c
     }
     val dCust = dimCustomer(cleanCust, asOf)
@@ -204,7 +206,8 @@ object BankEtl {
     val dLoc = dimLocation(cls)
     val dDate = dimDate(cls)
     Warehouse(dDate, dCust, dAcc, dMerch, dLoc,
-      factSpending(cls, cleanAcc, dCust, dAcc, dMerch, dLoc))
+      factSpending(cls, cleanAcc, dCust, dAcc, dMerch, dLoc),
+      cleanAcc, cleanCust, cleanTx)
   }
 
   /** Session-scoped warehouse memo: the fact and the three dashboards all
