@@ -176,6 +176,16 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     },
 
+    // Distinct aggregation (expand + two-phase under the hood).
+    "q16_count_distinct" -> { (s, dir) =>
+      TestData.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- Bank warehouse (SURVEY.md §2 parity): cleaning J1-J3/P2/P4,
     // dims D1-D12/A1-A3, fact J5-J9, dashboards A4-A6/O1-O3/D14.
     "q20_bank_clean_accounts" -> { (s, dir) =>
@@ -390,6 +400,15 @@ object SparkEntry {
               EXCEPT
               SELECT c_mktsegment FROM customer WHERE c_acctbal < 0))
           ORDER BY op, c_mktsegment""",
+
+    "q16_count_distinct" ->
+      s"""SELECT l_returnflag,
+                 COUNT(DISTINCT l_suppkey) AS n_suppliers,
+                 COUNT(DISTINCT l_partkey) AS n_parts,
+                 COUNT(*) AS n_rows
+          FROM lineitem
+          GROUP BY l_returnflag
+          ORDER BY l_returnflag""",
 
     "q14_cube" ->
       s"""SELECT o_orderstatus AS st, o_orderpriority AS pri,

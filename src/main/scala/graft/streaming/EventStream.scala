@@ -101,6 +101,66 @@ object EventStream {
     spark.table(name).orderBy("cohort", "event_type")
   }
 
+  final case class RawEvent(event_id: Long, user_id: Long, ts_ms: Long, value: Double)
+  final case class Session(user_id: Long, session_seq: Long, n_events: Long,
+      start_ms: Long, end_ms: Long)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the escape
+    * hatch for state machines the built-in windows can't express. Here the
+    * state is the per-user event buffer; on a bounded AvailableNow run the
+    * group sees all its events in one batch, so sessions close immediately —
+    * on a live stream the same function would carry the open session in
+    * `GroupState` across batches and close it on timeout.
+    */
+  def sessionizeStateful(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    val path = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+
+    def close(userId: Long, events: Iterator[RawEvent],
+        state: GroupState[List[RawEvent]]): Iterator[Session] = {
+      val all = (state.getOption.getOrElse(Nil) ++ events).sortBy(e => (e.ts_ms, e.event_id))
+      state.remove()
+      if (all.isEmpty) Iterator.empty
+      else {
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
+        var seq = 0L
+        var start = all.head
+        var prev = all.head
+        var n = 0L
+        def flush(end: RawEvent): Unit = {
+          seq += 1
+          sessions += Session(userId, seq, n, start.ts_ms, end.ts_ms)
+        }
+        for (e <- all) {
+          if (n > 0 && e.ts_ms - prev.ts_ms > gapMs) { flush(prev); start = e; n = 0 }
+          n += 1
+          prev = e
+        }
+        flush(prev)
+        sessions.iterator
+      }
+    }
+
+    val q = spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
+      .selectExpr("event_id", "user_id", "ts DIV 1000000 AS ts_ms", "value")
+      .as[RawEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(close)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy("user_id", "session_seq")
+  }
+
   val tumblingHourlySql: String =
     s"""SELECT date_trunc('hour', ts) AS hour, event_type,
        |       COUNT(*) AS n,

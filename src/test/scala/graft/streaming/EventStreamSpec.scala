@@ -15,6 +15,16 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exceptAll(streaming).count() == 0)
   }
 
+  test("flatMapGroupsWithState sessionization equals the batch window formulation") {
+    val streaming = EventStream.sessionizeStateful(spark, sf)
+      .select("user_id", "session_seq", "n_events", "start_ms", "end_ms")
+    val batch = graft.operators.Events.sessionize(graft.sources.TestData.events(spark, sf))
+      .select("user_id", "session_seq", "n_events", "start_ms", "end_ms")
+    assert(streaming.count() > 0)
+    assert(streaming.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streaming).count() == 0)
+  }
+
   test("stream-static broadcast join equals the batch join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
