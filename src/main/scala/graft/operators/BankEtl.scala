@@ -106,14 +106,21 @@ object BankEtl {
 
   /** Dim_Merchant (etl.py:186-229): keep-FIRST category per counterparty.
     * pandas keeps first in row order; we make that deterministic as
-    * min-by-TransactionID, computed with `min_by` (partial-aggregatable —
-    * no single-partition window, no skew blowup on popular merchants).
+    * min-by-(TransactionID, Category), computed with `min_by`
+    * (partial-aggregatable — no single-partition window, no skew blowup on
+    * popular merchants). The Category component of the ordering key makes
+    * the pick a TOTAL order, so correctness never rests on TransactionID
+    * uniqueness — the sf0.1 data proved ids can collide.
     */
   def dimMerchant(classifiedTx: DataFrame): DataFrame =
     SurrogateKeys.dense(
       classifiedTx
         .groupBy(col("Final_Name").as("MerchantName_Source"))
-        .agg(min_by(col("Category_Final"), col("TransactionID")).as("Category")),
+        // zero-padded composite key: lexicographic == (tid numeric, category);
+        // a struct key would be natural but DuckDB's arg_min can't order one
+        .agg(min_by(col("Category_Final"),
+          concat(lpad(col("TransactionID").cast("string"), 20, "0"), lit("|"),
+            col("Category_Final"))).as("Category")),
       "Merchant_Key", col("MerchantName_Source"))
 
   /** Dim_Location (etl.py:173-183): A1 distinct + D4 region bucket. */

@@ -54,7 +54,9 @@ object BankOracle {
        |  SELECT ROW_NUMBER() OVER (ORDER BY MerchantName_Source) AS Merchant_Key,
        |         MerchantName_Source, Category
        |  FROM (SELECT Final_Name AS MerchantName_Source,
-       |               arg_min(Category_Final, TransactionID) AS Category
+       |               arg_min(Category_Final,
+       |                 lpad(CAST(TransactionID AS VARCHAR), 20, '0') || '|' || Category_Final)
+       |                 AS Category
        |        FROM tx_classified GROUP BY Final_Name)),
        |dim_location AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY Transaction_Country) AS Location_Key,

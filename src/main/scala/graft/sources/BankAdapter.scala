@@ -81,7 +81,11 @@ object BankAdapter {
       .join(broadcast(TestData.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(TestData.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .select(
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("TransactionID"),
+        // the synthetic lineitem has DUPLICATE (orderkey, linenumber) pairs
+        // (linenumber is random, not sequential) — fold part+supplier keys
+        // in so the id is unique per source row
+        (((col("l_orderkey") * 10 + col("l_linenumber")) * 100000 + col("l_partkey")) * 10000
+          + col("l_suppkey")).as("TransactionID"),
         col("l_orderkey").as("AccountID"),
         when(isPos, col("p_brand")).as("MerchantName"),
         money(col("l_extendedprice")).as("Amount"),
@@ -142,7 +146,8 @@ object BankAdapter {
        |         o_orderdate AS OpenDate
        |  FROM orders),
        |bank_transactions AS (
-       |  SELECT l_orderkey * 10 + l_linenumber AS TransactionID,
+       |  SELECT ((l_orderkey * 10 + l_linenumber) * 100000 + l_partkey) * 10000
+       |           + l_suppkey AS TransactionID,
        |         l_orderkey AS AccountID,
        |         CASE WHEN l_linenumber % 2 = 0 THEN p_brand END AS MerchantName,
        |         ${moneySql("l_extendedprice")} AS Amount,
