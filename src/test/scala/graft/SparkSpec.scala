@@ -15,5 +15,9 @@ object SparkSpec {
   lazy val session: SparkSession =
     GraftSession.builder("graft-test", master = Some("local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
+      // fresh per-JVM warehouse: managed-table tests never collide with
+      // leftovers from a previous run
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
 }
