@@ -182,40 +182,43 @@ object BankEtl {
 
   // ------------------------------------------------------------- pipeline
 
-  final case class Warehouse(
-      dimDate: DataFrame, dimCustomer: DataFrame, dimAccount: DataFrame,
-      dimMerchant: DataFrame, dimLocation: DataFrame, fact: DataFrame,
-      cleanAccounts: DataFrame, cleanCustomers: DataFrame, cleanTransactions: DataFrame)
+  /** Lazily-constructed star schema. Members are `lazy val`s because
+    * surrogate-key assignment (RDD.zipWithIndex) runs its partition-count
+    * job EAGERLY at RDD construction — an eager Warehouse would execute
+    * four key-assignment jobs even for a caller that only wants the
+    * cleaned accounts.
+    */
+  final class Warehouse(spark: SparkSession, dir: String, asOf: Date, cache: Boolean) {
+    private lazy val bank = read(spark, dir)
+    lazy val cleanAccounts: DataFrame = {
+      // feeds Dim_Account, the customer semi-join AND two fact joins
+      val c = BankEtl.cleanAccounts(bank.accounts, bank.customers)
+      if (cache) c.cache() else c
+    }
+    lazy val cleanCustomers: DataFrame = BankEtl.cleanCustomers(bank.customers, cleanAccounts)
+    lazy val cleanTransactions: DataFrame =
+      BankEtl.cleanTransactions(bank.transactions, cleanAccounts)
+    lazy val classifiedTx: DataFrame = {
+      val c = classified(cleanTransactions, bank.mcc)
+      if (cache) c.cache() else c
+    }
+    lazy val dimDate: DataFrame = BankEtl.dimDate(classifiedTx)
+    lazy val dimCustomer: DataFrame = BankEtl.dimCustomer(cleanCustomers, asOf)
+    lazy val dimAccount: DataFrame = BankEtl.dimAccount(cleanAccounts)
+    lazy val dimMerchant: DataFrame = BankEtl.dimMerchant(classifiedTx)
+    lazy val dimLocation: DataFrame = BankEtl.dimLocation(classifiedTx)
+    lazy val fact: DataFrame =
+      factSpending(classifiedTx, cleanAccounts, dimCustomer, dimAccount, dimMerchant, dimLocation)
+  }
 
   /** Full star-schema build as one lazy DAG. `cache` materializes the
-    * cleaned/classified transaction set once — it feeds Dim_Merchant,
-    * Dim_Location, Dim_Date AND the fact (the reference recomputes it,
+    * cleaned-accounts and classified-transaction sets once — they feed
+    * multiple dims AND the fact (the reference recomputes them,
     * SURVEY.md §4).
     */
   def build(spark: SparkSession, dir: String, asOf: Date = defaultAsOf,
-      cache: Boolean = false): Warehouse = {
-    val b = read(spark, dir)
-    val cleanAcc = {
-      // Feeds Dim_Account, the customer semi-join AND two fact joins —
-      // worth one materialization.
-      val c = cleanAccounts(b.accounts, b.customers)
-      if (cache) c.cache() else c
-    }
-    val cleanCust = cleanCustomers(b.customers, cleanAcc)
-    val cleanTx = cleanTransactions(b.transactions, cleanAcc)
-    val cls = {
-      val c = classified(cleanTx, b.mcc)
-      if (cache) c.cache() else c
-    }
-    val dCust = dimCustomer(cleanCust, asOf)
-    val dAcc = dimAccount(cleanAcc)
-    val dMerch = dimMerchant(cls)
-    val dLoc = dimLocation(cls)
-    val dDate = dimDate(cls)
-    Warehouse(dDate, dCust, dAcc, dMerch, dLoc,
-      factSpending(cls, cleanAcc, dCust, dAcc, dMerch, dLoc),
-      cleanAcc, cleanCust, cleanTx)
-  }
+      cache: Boolean = false): Warehouse =
+    new Warehouse(spark, dir, asOf, cache)
 
   /** Session-scoped warehouse memo: the fact and the three dashboards all
     * need the same star schema — materialize it once per (session, dir,
