@@ -18,9 +18,12 @@ import graft.streaming.EventStream
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The monthly spend trend exercises the whole engine: adapter → cleaning
+    * → classifier → surrogate keys → fact assembly → dashboard aggregate.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q02_agg_groupby")(spark, "/root/testdata/sf0.001")
+    queries("q29_dash_trend")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P3/P5: parquet scan with filter + projection pushed into the scan.
