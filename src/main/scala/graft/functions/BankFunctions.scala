@@ -74,7 +74,15 @@ object BankFunctions {
   private def descNorm(desc: Column): Column = lower(coalesce(desc, lit("nan")))
   private def descNormSql(desc: String): String = s"lower(coalesce($desc, 'nan'))"
 
-  def categoryFromDescription(desc: Column): Column = {
+  /** Single-pass custom kernel (see [[graft.plans.FirstKeywordMatch]]). */
+  def categoryFromDescription(desc: Column): Column =
+    graft.plans.FirstKeywordMatch.first_keyword_match(
+      descNorm(desc), keywordLists.map(_._1), keywordLists.map(_._2), fallbackCategory)
+
+  /** The same semantics composed from built-ins (when + contains chain) —
+    * kept as the differential-test twin of the custom kernel.
+    */
+  def categoryFromDescriptionComposed(desc: Column): Column = {
     val d = descNorm(desc)
     keywordLists.foldLeft(when(lit(false), lit(""))) { case (acc, (kws, label)) =>
       acc.when(kws.map(k => d.contains(k)).reduce(_ || _), lit(label))

@@ -51,6 +51,16 @@ class BankFunctionsSpec extends SparkSpec {
     assert(classify("ve xem phim toi nay") == "Di chuyển & Vận tải")
   }
 
+  test("custom keyword kernel equals the composed when/contains chain on real descriptions") {
+    val tx = graft.operators.BankEtl.read(spark, sf).transactions
+      .select(col("TransactionDescription").as("d"))
+    val diff = tx.select(
+      categoryFromDescription(col("d")).as("a"),
+      categoryFromDescriptionComposed(col("d")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diff.count() == 0)
+  }
+
   private def bucket(age: Int): String =
     Seq(age).toDF("a").select(ageGroup(col("a")).as("g")).head().getString(0)
 
