@@ -240,6 +240,12 @@ object SparkEntry {
     "q53_ann_ivf_assign" -> { (s, dir) =>
       Similarity.ivfAssign(TestData.embeddings(s, dir)).orderBy("vec_id")
     },
+    "q55_contamination" -> { (s, dir) =>
+      TextAnalysis.contamination(TestData.documents(s, dir)).orderBy("doc_id")
+    },
+    "q56_quality_filter" -> { (s, dir) =>
+      TextAnalysis.qualityFilter(TestData.documents(s, dir)).orderBy("doc_id")
+    },
     "q54_ann_ivf_topk" -> { (s, dir) =>
       Similarity.ivfTopK(TestData.embeddings(s, dir)).orderBy("qid", "rank")
     },
@@ -438,6 +444,15 @@ object SparkEntry {
     "q53_ann_ivf_assign" ->
       s"""WITH ${Similarity.ivfAssignSql()}
           SELECT vec_id, cell, score FROM ivf_assign ORDER BY vec_id""",
+
+    "q55_contamination" ->
+      s"""WITH ${TextAnalysis.contaminationSql()}
+          SELECT doc_id, n_shingles, contaminated, contamination_ratio
+          FROM contamination ORDER BY doc_id""",
+
+    "q56_quality_filter" ->
+      s"""${TextAnalysis.qualityFilterSql()}
+          ORDER BY doc_id""",
 
     "q54_ann_ivf_topk" ->
       s"""WITH ${Similarity.ivfTopKSql()}

@@ -104,6 +104,67 @@ object TextAnalysis {
       |       CAST(n_chars AS DOUBLE) / 4.0 AS approx_bpe_tokens
       |FROM documents""".stripMargin
 
+  /** Benchmark-contamination detection: per document, the fraction of its
+    * n-gram shingles that appear anywhere in a reference corpus (here: the
+    * `source = 'src0'` slice standing in for an eval benchmark). The
+    * standard train/test-overlap sweep: shingle the benchmark once
+    * (broadcastable set at real scale), semi-join candidate shingles
+    * against it, and score containment — never a doc×doc comparison.
+    */
+  def contamination(docs: DataFrame, benchmarkSource: String = "src0", n: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(docs, n)
+    val benchShingles = sh
+      .join(docs.filter(col("source") === benchmarkSource).select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("sh").distinct()
+    val candidates = sh
+      .join(docs.filter(col("source") =!= benchmarkSource).select("doc_id"), Seq("doc_id"), "left_semi")
+    val hits = candidates.join(broadcast(benchShingles), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("contaminated"))
+    candidates.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+        (coalesce(col("contaminated"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("contamination_ratio"))
+  }
+
+  def contaminationSql(benchmarkSource: String = "src0", n: Int = 3): String =
+    s"""${Dedup.shinglesSql(n)},
+       |bench_sh AS (
+       |  SELECT DISTINCT sh FROM shingles
+       |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = '$benchmarkSource')),
+       |cand AS (
+       |  SELECT * FROM shingles
+       |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE source <> '$benchmarkSource')),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS contaminated FROM cand
+       |  WHERE sh IN (SELECT sh FROM bench_sh) GROUP BY doc_id),
+       |contamination AS (
+       |  SELECT c.doc_id, count(*) AS n_shingles,
+       |         coalesce(any_value(h.contaminated), 0) AS contaminated,
+       |         CAST(coalesce(any_value(h.contaminated), 0) AS DOUBLE) / count(*)
+       |           AS contamination_ratio
+       |  FROM cand c LEFT JOIN hits h ON c.doc_id = h.doc_id
+       |  GROUP BY c.doc_id)""".stripMargin
+
+  /** Quality-filter decision: thresholds over the quality signals → a
+    * keep/drop verdict with the firing rule named (the auditable form a
+    * production data filter needs).
+    */
+  def qualityFilter(docs: DataFrame, minTokens: Int = 15, minDistinctRatio: Double = 0.35): DataFrame =
+    qualitySignals(docs).select(
+      col("doc_id"),
+      when(col("n_tokens") < minTokens, lit("too_short"))
+        .when(col("distinct_ratio") < minDistinctRatio, lit("too_repetitive"))
+        .otherwise(lit("keep")).as("verdict"))
+
+  def qualityFilterSql(minTokens: Int = 15, minDistinctRatio: Double = 0.35): String =
+    s"""SELECT doc_id,
+       |       CASE WHEN n_tokens < $minTokens THEN 'too_short'
+       |            WHEN distinct_ratio < $minDistinctRatio THEN 'too_repetitive'
+       |            ELSE 'keep' END AS verdict
+       |FROM ($qualitySignalsSql)""".stripMargin
+
   /** Content fingerprint: md5 of the sorted distinct token set — an
     * order-insensitive document identity for containment-style dedup.
     */
