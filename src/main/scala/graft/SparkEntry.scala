@@ -189,6 +189,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     },
 
+    // Generator + spine: a continuous date dimension from sequence/explode,
+    // left-joined to the data (the classic gap-free time axis).
+    "q17_date_spine" -> { (s, dir) =>
+      val o = TestData.orders(s, dir)
+      val bounds = o.agg(min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+      val spine = bounds.select(
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
+      val daily = o.groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("day")
+    },
+
     // ---- Bank warehouse (SURVEY.md §2 parity): cleaning J1-J3/P2/P4,
     // dims D1-D12/A1-A3, fact J5-J9, dashboards A4-A6/O1-O3/D14.
     "q20_bank_clean_accounts" -> { (s, dir) =>
@@ -409,6 +424,20 @@ object SparkEntry {
               EXCEPT
               SELECT c_mktsegment FROM customer WHERE c_acctbal < 0))
           ORDER BY op, c_mktsegment""",
+
+    "q17_date_spine" ->
+      s"""WITH bounds AS (
+            SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi
+            FROM orders),
+          spine AS (
+            SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM bounds),
+          daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+            FROM orders GROUP BY 1)
+          SELECT spine.day, coalesce(daily.n_orders, 0) AS n_orders
+          FROM spine LEFT JOIN daily USING (day)
+          ORDER BY day""",
 
     "q16_count_distinct" ->
       s"""SELECT l_returnflag,

@@ -59,6 +59,22 @@ object Events {
        |GROUP BY user_id, session_seq""".stripMargin
   }
 
+  /** Sessionization via Spark's native gap window (`session_window`) —
+    * the built-in this engine prefers when its boundary semantics fit
+    * (sessions merge while the gap is STRICTLY below the threshold; the
+    * lag formulation in [[sessionize]] keeps an exactly-gap event in the
+    * same session). Equal on any data without exact-gap ties
+    * (differential-tested).
+    */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withColumn("tstamp", timestamp_micros(expr("ts_ns DIV 1000")))
+      .groupBy(session_window(col("tstamp"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(expr("ts_ns DIV 1000000")).as("start_ms"),
+        max(expr("ts_ns DIV 1000000")).as("end_ms"))
+      .select("user_id", "n_events", "start_ms", "end_ms")
+
   /** As-of join: each purchase matched to the user's most recent
     * at-or-before signup. Implemented the scalable way — one sort per user
     * over the UNION of both event roles, carrying the last-seen signup

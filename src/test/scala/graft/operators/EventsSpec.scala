@@ -38,6 +38,27 @@ class EventsSpec extends SparkSpec {
     assert(r.toSeq == Seq((3L, Some(500L)), (4L, Some(100L)), (5L, None)))
   }
 
+  test("native session_window agrees with the lag formulation on real data") {
+    val events = graft.sources.TestData.events(spark, sf)
+    val native = Events.sessionizeNative(events)
+      .select("user_id", "n_events", "start_ms", "end_ms")
+    val lagBased = Events.sessionize(events)
+      .select("user_id", "n_events", "start_ms", "end_ms")
+    assert(native.count() > 0)
+    assert(native.exceptAll(lagBased).count() == 0)
+    assert(lagBased.exceptAll(native).count() == 0)
+  }
+
+  test("approx_count_distinct within 5% of exact on event users") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.TestData.events(spark, sf)
+    val r = events.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).head()
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact <= 0.05)
+  }
+
   test("pivot: absent event types come back as zero, not null") {
     val e = ev((1L, 1L, "click", 0L), (2L, 1L, "click", 1L), (3L, 1L, "purchase", 2L))
     val row = Events.pivotCounts(e).head()
