@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension maintenance, type 2: history is preserved by
+  * closing the current version of a changed row and appending the new one.
+  * The reference truncates-and-reloads its dimensions (`schema.sql:61-68`);
+  * a warehouse ingesting deltas at scale needs merge semantics instead.
+  *
+  * Pure DataFrame formulation (no MERGE-capable table format required):
+  * one shuffle on the natural key, change detection by comparing tracked
+  * attributes, output = untouched rows ∪ closed rows ∪ new versions.
+  */
+object Scd {
+
+  /** @param dim      current dimension: naturalKey, tracked..., effective_from,
+    *                 effective_to (null = open)
+    * @param updates  incoming snapshot rows: naturalKey, tracked...
+    * @param asOfDate batch date stamped on closes/opens
+    */
+  def type2(dim: DataFrame, updates: DataFrame, naturalKey: String,
+      tracked: Seq[String], asOfDate: Column): DataFrame = {
+    val open = dim.filter(col("effective_to").isNull)
+    val closed = dim.filter(col("effective_to").isNotNull)
+
+    val changeCond = tracked
+      .map(c => !(col(s"cur.$c") <=> col(s"upd.$c")))
+      .reduce(_ || _)
+
+    val joined = open.as("cur")
+      .join(updates.as("upd"), col(s"cur.$naturalKey") === col(s"upd.$naturalKey"), "full")
+
+    // unchanged or update-absent → keep the open row as is
+    val keep = joined
+      .filter(col(s"cur.$naturalKey").isNotNull &&
+        (col(s"upd.$naturalKey").isNull || !changeCond))
+      .select("cur.*")
+
+    // changed → close the current version at asOfDate
+    val close = joined
+      .filter(col(s"cur.$naturalKey").isNotNull && col(s"upd.$naturalKey").isNotNull && changeCond)
+      .select("cur.*")
+      .withColumn("effective_to", asOfDate)
+
+    // changed or brand-new → open a new version
+    val openNew = joined
+      .filter(col(s"upd.$naturalKey").isNotNull &&
+        (col(s"cur.$naturalKey").isNull || changeCond))
+      .select((naturalKey +: tracked).map(c => col(s"upd.$c")): _*)
+      .withColumn("effective_from", asOfDate)
+      .withColumn("effective_to", lit(null).cast("date"))
+
+    closed.unionByName(keep).unionByName(close).unionByName(openNew)
+  }
+}

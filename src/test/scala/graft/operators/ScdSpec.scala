@@ -1,0 +1,50 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d0 = Date.valueOf("2026-01-01")
+  private val d1 = Date.valueOf("2026-02-01")
+
+  private val dim = Seq(
+    (1L, "Hà Nội", d0, null.asInstanceOf[Date]),   // will change city
+    (2L, "Cà Mau", d0, null.asInstanceOf[Date]),   // unchanged
+    (3L, "Huế", d0, d0))                           // already closed history
+    .toDF("CustomerID", "City", "effective_from", "effective_to")
+
+  private val updates = Seq(
+    (1L, "Hồ Chí Minh"), // change
+    (2L, "Cà Mau"),      // no change
+    (4L, "Đà Nẵng"))     // brand new
+    .toDF("CustomerID", "City")
+
+  test("type 2: closes changed, keeps unchanged, appends new, preserves history") {
+    val out = Scd.type2(dim, updates, "CustomerID", Seq("City"), lit(d1))
+      .orderBy("CustomerID", "effective_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getDate(2)).map(_.toString).orNull,
+        Option(r.getDate(3)).map(_.toString).orNull))
+
+    assert(out.toSeq == Seq(
+      (1L, "Hà Nội", "2026-01-01", "2026-02-01"),      // closed old version
+      (1L, "Hồ Chí Minh", "2026-02-01", null),         // new open version
+      (2L, "Cà Mau", "2026-01-01", null),              // untouched
+      (3L, "Huế", "2026-01-01", "2026-01-01"),         // closed history preserved
+      (4L, "Đà Nẵng", "2026-02-01", null)))            // brand new
+  }
+
+  test("idempotent: re-applying the same snapshot changes nothing") {
+    val once = Scd.type2(dim, updates, "CustomerID", Seq("City"), lit(d1))
+    val twice = Scd.type2(once, updates, "CustomerID", Seq("City"),
+      lit(Date.valueOf("2026-03-01")))
+    assert(twice.exceptAll(once).count() == 0)
+    assert(once.exceptAll(twice).count() == 0)
+  }
+}
