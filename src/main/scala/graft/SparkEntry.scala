@@ -255,6 +255,20 @@ object SparkEntry {
     "q53_ann_ivf_assign" -> { (s, dir) =>
       Similarity.ivfAssign(TestData.embeddings(s, dir)).orderBy("vec_id")
     },
+    // Typed Aggregator (UDAF): per-label embedding centroid.
+    "q58_label_centroids" -> { (s, dir) =>
+      import s.implicits._
+      val quantized = TestData.embeddings(s, dir)
+        .select(col("label"),
+          transform(col("embedding"), x => quant(x)).as("q"))
+        .as[(Int, Seq[Long])]
+      quantized.groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(graft.functions.VectorCentroid.toColumn.name("centroid"))
+        .toDF("label", "centroid")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("d", "mean")))
+        .orderBy("label", "d")
+    },
     "q55_contamination" -> { (s, dir) =>
       TextAnalysis.contamination(TestData.documents(s, dir)).orderBy("doc_id")
     },
@@ -473,6 +487,19 @@ object SparkEntry {
     "q53_ann_ivf_assign" ->
       s"""WITH ${Similarity.ivfAssignSql()}
           SELECT vec_id, cell, score FROM ivf_assign ORDER BY vec_id""",
+
+    "q58_label_centroids" ->
+      s"""WITH qv AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> ${quantSql("x")}) AS q
+            FROM embeddings),
+          elems AS (
+            SELECT label, CAST(i - 1 AS INT) AS d, q[CAST(i AS INT)] AS x
+            FROM (SELECT label, q, unnest(generate_series(1, len(q))) AS i FROM qv) t)
+          SELECT label, d, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean
+          FROM elems
+          GROUP BY label, d
+          ORDER BY label, d""",
 
     "q55_contamination" ->
       s"""WITH ${TextAnalysis.contaminationSql()}

@@ -19,6 +19,20 @@ class SimilaritySpec extends SparkSpec {
     assert(expr.eval(null) == 32L)
   }
 
+  test("VectorCentroid aggregator is partition-invariant (merge correctness)") {
+    import graft.functions.OracleSafe.quant
+    def centroids(parts: Int) = {
+      val q = graft.sources.TestData.embeddings(spark, sf)
+        .repartition(parts)
+        .select(col("label"), transform(col("embedding"), x => quant(x)).as("q"))
+        .as[(Int, Seq[Long])]
+      q.groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.VectorCentroid.toColumn.name("c"))
+        .collect().toMap
+    }
+    assert(centroids(1) == centroids(7))
+  }
+
   test("long_dot is registered for SQL via SparkSessionExtensions") {
     val r = spark.sql(
       "SELECT long_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head().getLong(0)
