@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => TopKRewriteRule)
     e.injectFunction((
       new FunctionIdentifier("long_dot"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "long_dot"),

@@ -34,6 +34,32 @@ class TopKPerKeySpec extends SparkSpec {
     assert(top.toSeq == Seq(("a", 9, 1), ("a", 9, 2), ("b", 5, 1)))
   }
 
+  test("optimizer rule rewrites window+filter top-k automatically") {
+    val orders = TestData.orders(spark, sf)
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val viaWindow = orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    val plan = viaWindow.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"rule did not fire:\n$plan")
+    assert(!plan.contains("Window"), s"window still present:\n$plan")
+    // expected via rank() — the rule only matches row_number, so this stays
+    // a real Window; with a unique ORDER BY, rank == row_number
+    val expected = orders
+      .withColumn("rn2", rank().over(w)).filter(col("rn2") <= 2)
+      .select(col("o_orderkey"), col("rn2").cast("int").as("rn"))
+    assert(viaWindow.select("o_orderkey", "rn").exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(viaWindow.select("o_orderkey", "rn")).count() == 0)
+  }
+
+  test("rule leaves non-matching windows alone (rank projected without filter)") {
+    val orders = TestData.orders(spark, sf)
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    val df = orders.withColumn("rn", row_number().over(w)) // no filter → no rewrite
+    assert(df.queryExecution.executedPlan.toString.contains("Window"))
+    assert(df.count() == orders.count())
+  }
+
   test("physical plan contains TopKPerKeyExec, not a Window sort") {
     val orders = TestData.orders(spark, sf)
     val plan = TopK.perKey(orders, Seq("o_custkey"), Seq(TopK.asc("o_orderkey")), 2)
