@@ -25,7 +25,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q29_dash_trend")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Every query bootstraps the session first ([[graft.plans.GraftRuntime]])
+    * so the custom operators plan on a caller-provided session that was
+    * built without GraftExtensions.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> { (s: SparkSession, dir: String) =>
+        graft.plans.GraftRuntime.ensure(s)
+        fn(s, dir)
+      }
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P3/P5: parquet scan with filter + projection pushed into the scan.
     "q01_scan_filter_project" -> { (s, dir) =>
       TestData.lineitem(s, dir)
