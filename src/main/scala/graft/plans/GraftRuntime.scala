@@ -16,5 +16,8 @@ object GraftRuntime {
       exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
     if (!exp.extraOptimizations.contains(TopKRewriteRule))
       exp.extraOptimizations = exp.extraOptimizations :+ TopKRewriteRule
+    // events.parquet carries TIMESTAMP(NANOS); without this the scan
+    // errors at load time on a session that didn't preset it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 }
