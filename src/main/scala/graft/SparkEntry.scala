@@ -337,6 +337,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(money(col("value"))).cast("decimal(18,2)").as("total_value"))
         .orderBy("hour", "event_type")
     },
+    // Semi-structured: JSON property extraction from the events payload.
+    "q65_json_extract" -> { (s, dir) =>
+      TestData.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // Fuzzy matching: edit-distance self-join (entity-resolution primitive).
+    "q66_fuzzy_match" -> { (s, dir) =>
+      val n = TestData.nation(s, dir).select(col("n_name"))
+      n.as("a").join(n.as("b"), col("a.n_name") < col("b.n_name"))
+        .select(col("a.n_name").as("name_a"), col("b.n_name").as("name_b"),
+          levenshtein(col("a.n_name"), col("b.n_name")).as("dist"))
+        .filter(col("dist") <= 1)
+        .orderBy("name_a", "name_b")
+    },
+
     "q61_sessionize" -> { (s, dir) =>
       Events.sessionize(TestData.events(s, dir)).orderBy("user_id", "session_seq")
     },
@@ -582,6 +605,22 @@ object SparkEntry {
           FROM events
           GROUP BY 1, 2
           ORDER BY 1, 2""",
+
+    "q65_json_extract" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(CAST(json_extract_string(props, '$$.k') AS INT)) AS BIGINT) AS sum_k,
+                 MIN(CAST(json_extract_string(props, '$$.k') AS INT)) AS min_k,
+                 MAX(CAST(json_extract_string(props, '$$.k') AS INT)) AS max_k
+          FROM events
+          GROUP BY event_type
+          ORDER BY event_type""",
+
+    "q66_fuzzy_match" ->
+      s"""SELECT a.n_name AS name_a, b.n_name AS name_b,
+                 CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+          FROM nation a JOIN nation b ON a.n_name < b.n_name
+          WHERE levenshtein(a.n_name, b.n_name) <= 1
+          ORDER BY name_a, name_b""",
 
     "q61_sessionize" ->
       s"""${Events.sessionizeSql()}
