@@ -122,6 +122,8 @@ object TopK {
     */
   def perKey(df: DataFrame, keys: Seq[String], order: Seq[Sort], k: Int,
       rankName: String = "rank"): DataFrame = {
+    require(keys.nonEmpty, "TopK.perKey needs at least one key (global top-k: use orderBy().limit())")
+    require(order.nonEmpty, "TopK.perKey needs a total order (include tie-break columns)")
     val child = df.queryExecution.analyzed
     def attr(name: String): Attribute =
       child.output.find(_.name.equalsIgnoreCase(name)).getOrElse(

@@ -27,9 +27,12 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
   }
 
   private def rewrite(cond: Expression, w: Window): Option[LogicalPlan] = w match {
+    // partitionSpec must be nonempty: a GLOBAL top-k has no clustering key
+    // (ClusteredDistribution(Nil) is illegal) and Spark's own
+    // WindowGroupLimit/TakeOrdered path already handles it well.
     case Window(Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)),
         partitionSpec, orderSpec, child, _)
-        if orderSpec.nonEmpty =>
+        if partitionSpec.nonEmpty && orderSpec.nonEmpty =>
       limitFromCondition(cond, alias).map { k =>
         val rankAttr = AttributeReference(alias.name, IntegerType, nullable = false)(
           exprId = alias.exprId, qualifier = alias.qualifier)

@@ -52,6 +52,14 @@ class TopKPerKeySpec extends SparkSpec {
     assert(expected.exceptAll(viaWindow.select("o_orderkey", "rn")).count() == 0)
   }
 
+  test("rule skips GLOBAL top-k (empty partitionBy) — Spark's own path handles it") {
+    val orders = TestData.orders(spark, sf)
+    val w = Window.orderBy("o_orderkey")
+    val df = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(df.count() == 3)
+  }
+
   test("rule leaves non-matching windows alone (rank projected without filter)") {
     val orders = TestData.orders(spark, sf)
     val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
