@@ -28,7 +28,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces: the line on stdout (bare — build.sbt sets
+    // StdoutOutput for forked runs) AND a file copy, in case the caller's
+    // stdout is decorated by a build tool.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
+    println(json)
   }
 }

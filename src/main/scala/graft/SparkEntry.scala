@@ -42,8 +42,11 @@ object SparkEntry {
     "q01_scan_filter_project" -> { (s, dir) =>
       TestData.lineitem(s, dir)
         .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp") && col("l_quantity") > 45)
-        .select(col("l_orderkey"), col("l_linenumber"), money(col("l_extendedprice")).as("price"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          moneyOut(money(col("l_extendedprice"))).as("price"))
+        // (l_orderkey, l_linenumber) is NOT unique in this data (linenumber
+        // is random) — price completes the total order over the output
+        .orderBy("l_orderkey", "l_linenumber", "price")
     },
 
     // A4/A5/A7 + P6: partial+final hash aggregation with exact decimal sums.
@@ -51,10 +54,10 @@ object SparkEntry {
       TestData.lineitem(s, dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(money(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
-          sum(money(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_base_price"),
-          sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-            .cast("decimal(18,2)").as("sum_disc_price"),
+          moneyOut(sum(money(col("l_quantity"))).cast("decimal(18,2)")).as("sum_qty"),
+          moneyOut(sum(money(col("l_extendedprice"))).cast("decimal(18,2)")).as("sum_base_price"),
+          moneyOut(sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("decimal(18,2)")).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -64,7 +67,7 @@ object SparkEntry {
       TestData.lineitem(s, dir)
         .join(TestData.part(s, dir), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
-        .agg(sum(money(col("l_extendedprice"))).cast("decimal(18,2)").as("total_revenue"))
+        .agg(moneyOut(sum(money(col("l_extendedprice"))).cast("decimal(18,2)")).as("total_revenue"))
         .orderBy(desc("total_revenue"), asc("p_brand"))
         .limit(5)
     },
@@ -74,8 +77,9 @@ object SparkEntry {
       TestData.orders(s, dir)
         .join(TestData.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .filter(col("o_totalprice") > col("c_acctbal"))
-        .select(col("o_orderkey"), col("o_custkey"), money(col("o_totalprice")).as("price"),
-          money(col("c_acctbal")).as("acctbal"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          moneyOut(money(col("o_totalprice"))).as("price"),
+          moneyOut(money(col("c_acctbal"))).as("acctbal"))
         .orderBy("o_orderkey")
     },
 
@@ -143,9 +147,9 @@ object SparkEntry {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       TestData.orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          sum(money(col("o_totalprice")))
+          moneyOut(sum(money(col("o_totalprice")))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("decimal(18,2)").as("cum_spent"),
+            .cast("decimal(18,2)")).as("cum_spent"),
           row_number().over(w).as("order_seq"))
         .orderBy("o_custkey", "order_seq")
     },
@@ -154,7 +158,7 @@ object SparkEntry {
     "q12_rollup" -> { (s, dir) =>
       TestData.orders(s, dir)
         .rollup(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
-        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
+        .agg(moneyOut(sum(money(col("o_totalprice"))).cast("decimal(18,2)")).as("total"))
         .orderBy(asc_nulls_first("y"), asc_nulls_first("m"))
     },
 
@@ -172,7 +176,7 @@ object SparkEntry {
     "q14_cube" -> { (s, dir) =>
       TestData.orders(s, dir)
         .cube(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"))
-        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)").as("total"),
+        .agg(moneyOut(sum(money(col("o_totalprice"))).cast("decimal(18,2)")).as("total"),
           count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("st"), asc_nulls_first("pri"))
     },
@@ -183,8 +187,8 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(
           count(lit(1)).as("n"),
-          min(money(col("o_totalprice"))).as("min_price"),
-          max(money(col("o_totalprice"))).as("max_price"),
+          moneyOut(min(money(col("o_totalprice")))).as("min_price"),
+          moneyOut(max(money(col("o_totalprice")))).as("max_price"),
           // moneySql is valid Spark SQL too — one fragment, two engines
           expr(s"percentile(CAST(${moneySql("o_totalprice")} AS DOUBLE), 0.5)")
             .as("median_price"))
@@ -225,7 +229,10 @@ object SparkEntry {
       BankEtl.buildCached(s, dir).cleanCustomers.orderBy("CustomerID")
     },
     "q22_bank_clean_transactions" -> { (s, dir) =>
-      BankEtl.buildCached(s, dir).cleanTransactions.orderBy("TransactionID")
+      // Amount stays DECIMAL inside the warehouse; DOUBLE only at this boundary
+      BankEtl.buildCached(s, dir).cleanTransactions
+        .withColumn("Amount", moneyOut(col("Amount")))
+        .orderBy("TransactionID")
     },
     "q23_dim_customer" -> { (s, dir) =>
       BankEtl.buildCached(s, dir).dimCustomer.orderBy("Customer_Key")
@@ -244,8 +251,8 @@ object SparkEntry {
     },
     "q28_fact_spending" -> { (s, dir) =>
       BankEtl.buildCached(s, dir).fact
-        .orderBy("Date_Key", "Customer_Key", "Account_Key", "Merchant_Key",
-          "Location_Key", "Amount_Spent")
+        .withColumn("Amount_Spent", moneyOut(col("Amount_Spent")))
+        .orderBy("Transaction_Key")
     },
     "q29_dash_trend" -> { (s, dir) =>
       val w = BankEtl.buildCached(s, dir)
@@ -334,7 +341,8 @@ object SparkEntry {
     "q60_events_hourly" -> { (s, dir) =>
       TestData.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(money(col("value"))).cast("decimal(18,2)").as("total_value"))
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(money(col("value"))).cast("decimal(18,2)")).as("total_value"))
         .orderBy("hour", "event_type")
     },
     // Semi-structured: JSON property extraction from the events payload.
@@ -376,16 +384,16 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = BankOracle.queries ++ Map(
     "q01_scan_filter_project" ->
-      s"""SELECT l_orderkey, l_linenumber, ${moneySql("l_extendedprice")} AS price
+      s"""SELECT l_orderkey, l_linenumber, ${moneyOutSql(moneySql("l_extendedprice"))} AS price
           FROM lineitem
           WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 45
-          ORDER BY l_orderkey, l_linenumber""",
+          ORDER BY l_orderkey, l_linenumber, price""",
 
     "q02_agg_groupby" ->
       s"""SELECT l_returnflag, l_linestatus,
-                 CAST(SUM(${moneySql("l_quantity")}) AS DECIMAL(18,2)) AS sum_qty,
-                 CAST(SUM(${moneySql("l_extendedprice")}) AS DECIMAL(18,2)) AS sum_base_price,
-                 CAST(SUM(${moneySql("l_extendedprice * (1.0 - l_discount)")}) AS DECIMAL(18,2)) AS sum_disc_price,
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("l_quantity")}) AS DECIMAL(18,2))")} AS sum_qty,
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("l_extendedprice")}) AS DECIMAL(18,2))")} AS sum_base_price,
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("l_extendedprice * (1.0 - l_discount)")}) AS DECIMAL(18,2))")} AS sum_disc_price,
                  COUNT(*) AS count_order
           FROM lineitem
           GROUP BY l_returnflag, l_linestatus
@@ -393,15 +401,15 @@ object SparkEntry {
 
     "q03_topk" ->
       s"""SELECT p_brand,
-                 CAST(SUM(${moneySql("l_extendedprice")}) AS DECIMAL(18,2)) AS total_revenue
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("l_extendedprice")}) AS DECIMAL(18,2))")} AS total_revenue
           FROM lineitem JOIN part ON l_partkey = p_partkey
           GROUP BY p_brand
           ORDER BY total_revenue DESC, p_brand
           LIMIT 5""",
 
     "q04_join_theta_filter" ->
-      s"""SELECT o_orderkey, o_custkey, ${moneySql("o_totalprice")} AS price,
-                 ${moneySql("c_acctbal")} AS acctbal
+      s"""SELECT o_orderkey, o_custkey, ${moneyOutSql(moneySql("o_totalprice"))} AS price,
+                 ${moneyOutSql(moneySql("c_acctbal"))} AS acctbal
           FROM orders JOIN customer ON o_custkey = c_custkey
           WHERE o_totalprice > c_acctbal
           ORDER BY o_orderkey""",
@@ -446,9 +454,9 @@ object SparkEntry {
 
     "q11_window_running" ->
       s"""SELECT o_custkey, o_orderkey, o_orderdate,
-                 CAST(SUM(${moneySql("o_totalprice")}) OVER (
+                 ${moneyOutSql(s"""CAST(SUM(${moneySql("o_totalprice")}) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS cum_spent,
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2))""")} AS cum_spent,
                  ROW_NUMBER() OVER (PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey) AS order_seq
           FROM orders
@@ -456,7 +464,7 @@ object SparkEntry {
 
     "q12_rollup" ->
       s"""SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
-                 CAST(SUM(${moneySql("o_totalprice")}) AS DECIMAL(18,2)) AS total
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("o_totalprice")}) AS DECIMAL(18,2))")} AS total
           FROM orders
           GROUP BY ROLLUP (1, 2)
           ORDER BY y NULLS FIRST, m NULLS FIRST""",
@@ -499,7 +507,7 @@ object SparkEntry {
 
     "q14_cube" ->
       s"""SELECT o_orderstatus AS st, o_orderpriority AS pri,
-                 CAST(SUM(${moneySql("o_totalprice")}) AS DECIMAL(18,2)) AS total,
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("o_totalprice")}) AS DECIMAL(18,2))")} AS total,
                  COUNT(*) AS n
           FROM orders
           GROUP BY CUBE (1, 2)
@@ -508,8 +516,8 @@ object SparkEntry {
     "q15_stats" ->
       s"""SELECT o_orderpriority,
                  COUNT(*) AS n,
-                 MIN(${moneySql("o_totalprice")}) AS min_price,
-                 MAX(${moneySql("o_totalprice")}) AS max_price,
+                 ${moneyOutSql(s"MIN(${moneySql("o_totalprice")})")} AS min_price,
+                 ${moneyOutSql(s"MAX(${moneySql("o_totalprice")})")} AS max_price,
                  quantile_cont(CAST(${moneySql("o_totalprice")} AS DOUBLE), 0.5) AS median_price
           FROM orders
           GROUP BY o_orderpriority
@@ -601,7 +609,7 @@ object SparkEntry {
     "q60_events_hourly" ->
       s"""SELECT date_trunc('hour', ts) AS hour, event_type,
                  COUNT(*) AS n,
-                 CAST(SUM(${moneySql("value")}) AS DECIMAL(18,2)) AS total_value
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("value")}) AS DECIMAL(18,2))")} AS total_value
           FROM events
           GROUP BY 1, 2
           ORDER BY 1, 2""",

@@ -30,6 +30,18 @@ object OracleSafe {
   def moneySql(expr: String): String =
     s"CAST(FLOOR(($expr)*100)/100.0 AS DECIMAL(18,2))"
 
+  /** Money LEAVING the engine: cast the exact decimal to DOUBLE in the final
+    * projection (and the oracle SQL twin does the same). Values sit on an
+    * exact 0.01 grid, so every engine rounds to the identical float64 and
+    * renders the identical shortest representation — whereas a DECIMAL
+    * output renders scale-preserving on one engine ("123.40") and
+    * float-style on another ("123.4"), defeating a textual hasher even when
+    * values are exact. Arithmetic stays decimal; ONLY the boundary changes.
+    */
+  def moneyOut(c: Column): Column = c.cast("double")
+
+  def moneyOutSql(expr: String): String = s"CAST(($expr) AS DOUBLE)"
+
   /** Quantize an embedding float to an integer grid: exact BIGINT arithmetic
     * downstream (dot products, norms) is then engine- and order-independent.
     */

@@ -37,14 +37,14 @@ object Events {
         count(lit(1)).as("n_events"),
         min("ms").as("start_ms"),
         max("ms").as("end_ms"),
-        sum(money(col("value"))).cast("decimal(18,2)").as("total_value"))
+        sum(money(col("value"))).cast("decimal(18,2)").cast("double").as("total_value"))
   }
 
   def sessionizeSql(gapMinutes: Int = 30): String = {
     val gapMs = gapMinutes * 60000L
     s"""SELECT user_id, session_seq, count(*) AS n_events,
        |       min(ms) AS start_ms, max(ms) AS end_ms,
-       |       CAST(SUM(${moneySql("value")}) AS DECIMAL(18,2)) AS total_value
+       |       CAST(CAST(SUM(${moneySql("value")}) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
        |FROM (
        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq

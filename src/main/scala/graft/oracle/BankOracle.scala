@@ -78,7 +78,8 @@ object BankOracle {
        |  FROM (SELECT DISTINCT date_trunc('hour', TransactionTimestamp) AS ts_hour
        |        FROM clean_transactions)),
        |fact_spending AS (
-       |  SELECT ${dateKeySql("t.TransactionTimestamp")} AS Date_Key,
+       |  SELECT ROW_NUMBER() OVER (ORDER BY t.TransactionID) AS Transaction_Key,
+       |         ${dateKeySql("t.TransactionTimestamp")} AS Date_Key,
        |         dc.Customer_Key, da.Account_Key, dm.Merchant_Key, dl.Location_Key,
        |         t.Amount AS Amount_Spent,
        |         1 AS Transaction_Count
@@ -104,7 +105,8 @@ object BankOracle {
 
     "q22_bank_clean_transactions" ->
       s"""$prelude
-         |SELECT TransactionID, AccountID, MerchantName, Amount, TransactionTimestamp,
+         |SELECT TransactionID, AccountID, MerchantName,
+         |       CAST(Amount AS DOUBLE) AS Amount, TransactionTimestamp,
          |       TransactionCountry, BeneficiaryName, TransactionDescription
          |FROM clean_transactions ORDER BY TransactionID""".stripMargin,
 
@@ -137,17 +139,17 @@ object BankOracle {
 
     "q28_fact_spending" ->
       s"""$prelude
-         |SELECT Date_Key, Customer_Key, Account_Key, Merchant_Key, Location_Key,
-         |       Amount_Spent, Transaction_Count
+         |SELECT Transaction_Key, Date_Key, Customer_Key, Account_Key, Merchant_Key,
+         |       Location_Key, CAST(Amount_Spent AS DOUBLE) AS Amount_Spent,
+         |       Transaction_Count
          |FROM fact_spending
-         |ORDER BY Date_Key, Customer_Key, Account_Key, Merchant_Key, Location_Key,
-         |         Amount_Spent""".stripMargin,
+         |ORDER BY Transaction_Key""".stripMargin,
 
     "q29_dash_trend" ->
       s"""$prelude
          |SELECT d.Year, d.Month,
          |       ${yearMonthSql("d.Year", "d.Month")} AS YearMonth,
-         |       CAST(SUM(f.Amount_Spent) AS DECIMAL(18,2)) AS Total_Spent
+         |       CAST(CAST(SUM(f.Amount_Spent) AS DECIMAL(18,2)) AS DOUBLE) AS Total_Spent
          |FROM fact_spending f JOIN dim_date d ON f.Date_Key = d.Date_Key
          |GROUP BY d.Year, d.Month
          |ORDER BY d.Year, d.Month""".stripMargin,
@@ -155,7 +157,7 @@ object BankOracle {
     "q30_dash_top_categories" ->
       s"""$prelude
          |SELECT m.Category,
-         |       CAST(SUM(f.Amount_Spent) AS DECIMAL(18,2)) AS Total_Spent
+         |       CAST(CAST(SUM(f.Amount_Spent) AS DECIMAL(18,2)) AS DOUBLE) AS Total_Spent
          |FROM fact_spending f JOIN dim_merchant m ON f.Merchant_Key = m.Merchant_Key
          |GROUP BY m.Category
          |ORDER BY Total_Spent DESC, m.Category
@@ -164,7 +166,7 @@ object BankOracle {
     "q31_dash_age_groups" ->
       s"""$prelude
          |SELECT c.Age_Group,
-         |       CAST(SUM(f.Amount_Spent) AS DECIMAL(18,2)) AS Total_Spent
+         |       CAST(CAST(SUM(f.Amount_Spent) AS DECIMAL(18,2)) AS DOUBLE) AS Total_Spent
          |FROM fact_spending f JOIN dim_customer c ON f.Customer_Key = c.Customer_Key
          |GROUP BY c.Age_Group
          |ORDER BY Total_Spent DESC, c.Age_Group""".stripMargin,

@@ -45,6 +45,8 @@ object BankSchemas {
     StructField("Category", StringType, nullable = false)))
 
   val factSpending: StructType = StructType(Seq(
+    // BIGINT IDENTITY PK (schema.sql:116), assigned in-DAG by SurrogateKeys
+    StructField("Transaction_Key", LongType, nullable = false),
     StructField("Date_Key", IntegerType, nullable = false),
     StructField("Customer_Key", LongType, nullable = false),
     StructField("Account_Key", LongType, nullable = false),

@@ -36,7 +36,7 @@ object EventStream {
       .withWatermark("tstamp", "1 hour")
       .groupBy(window(col("tstamp"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(money(col("value"))).cast("decimal(18,2)").as("total_value"))
+        sum(money(col("value"))).cast("decimal(18,2)").cast("double").as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
     val q = agg.writeStream
@@ -164,8 +164,8 @@ object EventStream {
   val tumblingHourlySql: String =
     s"""SELECT date_trunc('hour', ts) AS hour, event_type,
        |       COUNT(*) AS n,
-       |       CAST(SUM(${graft.functions.OracleSafe.moneySql("value")}) AS DECIMAL(18,2))
-       |         AS total_value
+       |       CAST(CAST(SUM(${graft.functions.OracleSafe.moneySql("value")}) AS DECIMAL(18,2))
+       |         AS DOUBLE) AS total_value
        |FROM events
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin

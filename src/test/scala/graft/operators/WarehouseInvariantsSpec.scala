@@ -56,7 +56,8 @@ class WarehouseInvariantsSpec extends SparkSpec {
     w.dimMerchant.createOrReplaceTempView("Dim_Merchant")
     // the reference's Q2 as literal SQL (TOP 5 → LIMIT 5)
     val viaSql = spark.sql(
-      """SELECT m.Category, CAST(SUM(f.Amount_Spent) AS DECIMAL(18,2)) AS Total_Spent
+      """SELECT m.Category,
+        |       CAST(CAST(SUM(f.Amount_Spent) AS DECIMAL(18,2)) AS DOUBLE) AS Total_Spent
         |FROM Fact_Spending f JOIN Dim_Merchant m ON f.Merchant_Key = m.Merchant_Key
         |GROUP BY m.Category ORDER BY Total_Spent DESC, m.Category LIMIT 5""".stripMargin)
     val viaDf = BankEtl.dashTopCategories(w.fact, w.dimMerchant)
