@@ -200,8 +200,8 @@ object BankEtl {
     * four key-assignment jobs even for a caller that only wants the
     * cleaned accounts.
     */
-  final class Warehouse(spark: SparkSession, dir: String, asOf: Date, cache: Boolean) {
-    private lazy val bank = read(spark, dir)
+  final class Warehouse(bankSrc: () => Bank, asOf: Date, cache: Boolean) {
+    private lazy val bank = bankSrc()
     lazy val cleanAccounts: DataFrame = {
       // feeds Dim_Account, the customer semi-join AND two fact joins
       val c = BankEtl.cleanAccounts(bank.accounts, bank.customers)
@@ -242,7 +242,13 @@ object BankEtl {
     */
   def build(spark: SparkSession, dir: String, asOf: Date = defaultAsOf,
       cache: Boolean = false): Warehouse =
-    new Warehouse(spark, dir, asOf, cache)
+    new Warehouse(() => read(spark, dir), asOf, cache)
+
+  /** Star schema over caller-provided OLTP inputs — e.g. the reference's
+    * own seed data via [[graft.sources.SeedSql.bank]].
+    */
+  def buildFrom(bank: Bank, asOf: Date = defaultAsOf, cache: Boolean = false): Warehouse =
+    new Warehouse(() => bank, asOf, cache)
 
   /** Session-scoped warehouse memo: the fact and the three dashboards all
     * need the same star schema — materialize it once per (session, dir,
