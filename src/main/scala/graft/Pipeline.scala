@@ -27,6 +27,8 @@ object Pipeline {
     require(checks.forall(_.count == 0), "constraint violations — aborting load")
 
     WarehouseSink.write(w, outDir)
+    graft.charts.SvgCharts.renderDashboards(w, s"$outDir/charts")
+      .foreach(p => println(s"[pipeline] chart → $p"))
 
     // count the WRITTEN parquet (metadata-only) rather than recomputing DAGs
     def n(t: String): Long = spark.read.parquet(s"$outDir/$t").count()

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.OracleSafe._
 import graft.operators.{BankEtl, Dedup, Events, Multimodal, Similarity, TextAnalysis}
 import graft.oracle.BankOracle
-import graft.sources.TestData
+import graft.sources.{BankAdapter, CsvSource, TestData}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -254,6 +254,18 @@ object SparkEntry {
         .withColumn("Amount_Spent", moneyOut(col("Amount_Spent")))
         .orderBy("Transaction_Key")
     },
+    // S2 with an oracle row: the MCC dictionary read from CSV (the
+    // reference's actual dictionary medium, etl.py:55) joined to the
+    // transactions — proves the CSV source feeds the classifier's join
+    // identically to the parquet-derived dictionary.
+    "q32_csv_mcc_enrich" -> { (s, dir) =>
+      BankAdapter.transactions(s, dir)
+        .join(broadcast(CsvSource.mccMapping(s, mccBrandsCsv)), Seq("MerchantName"))
+        .groupBy("Category")
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(col("Amount")).cast("decimal(18,2)")).as("total"))
+        .orderBy("Category")
+    },
     "q29_dash_trend" -> { (s, dir) =>
       val w = BankEtl.buildCached(s, dir)
       BankEtl.dashTrend(w.fact, w.dimDate)
@@ -382,7 +394,21 @@ object SparkEntry {
     },
   )
 
+  /** Committed CSV twin of [[BankAdapter.mccMapping]] — brands are the same
+    * fixed Brand#1..25 set at every scale factor, so one fixture serves all.
+    */
+  val mccBrandsCsv = "/root/repo/src/test/resources/bank/mcc_brands.csv"
+
   def oracleSql: Map[String, String] = BankOracle.queries ++ Map(
+    "q32_csv_mcc_enrich" ->
+      s"""WITH ${BankAdapter.ctes}
+          SELECT m.Category, COUNT(*) AS n,
+                 CAST(CAST(SUM(t.Amount) AS DECIMAL(18,2)) AS DOUBLE) AS total
+          FROM bank_transactions t
+          JOIN read_csv('$mccBrandsCsv', header=true) m USING (MerchantName)
+          GROUP BY m.Category
+          ORDER BY m.Category""",
+
     "q01_scan_filter_project" ->
       s"""SELECT l_orderkey, l_linenumber, ${moneyOutSql(moneySql("l_extendedprice"))} AS price
           FROM lineitem
