@@ -34,7 +34,7 @@ object Bench {
     // stdout is decorated by a build tool.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
       (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
     println(json)
   }

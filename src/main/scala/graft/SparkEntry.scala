@@ -396,8 +396,12 @@ object SparkEntry {
 
   /** Committed CSV twin of [[BankAdapter.mccMapping]] — brands are the same
     * fixed Brand#1..25 set at every scale factor, so one fixture serves all.
+    * Resolved relative to the working directory (sbt runs from the repo
+    * root) with a `-Dgraft.mcc.csv=...` override, so no absolute checkout
+    * path is baked into main code or the generated oracle SQL.
     */
-  val mccBrandsCsv = "/root/repo/src/test/resources/bank/mcc_brands.csv"
+  val mccBrandsCsv: String = sys.props.getOrElse("graft.mcc.csv",
+    new java.io.File("src/main/resources/bank/mcc_brands.csv").getAbsolutePath)
 
   def oracleSql: Map[String, String] = BankOracle.queries ++ Map(
     "q32_csv_mcc_enrich" ->

@@ -160,10 +160,14 @@ object BankEtl {
   /** Fact_Spending (etl.py:329-379): J5-J9 surrogate-key resolution, D12
     * Date_Key, D13 unit count measure, P7 projection, plus the
     * `Transaction_Key BIGINT IDENTITY` PK (`schema.sql:116`). The reference's
-    * IDENTITY assigns in arbitrary load order; we pin the deterministic total
-    * order ORDER BY TransactionID (the OLTP PK), assigned at fact scale via
-    * range-partition + zipWithIndex ([[SurrogateKeys.dense]] — never a
-    * single-partition global window).
+    * IDENTITY assigns in arbitrary load order; we pin a deterministic TOTAL
+    * order — TransactionID first (the OLTP PK), then every other fact column
+    * as tie-breaks, because the source ids are not guaranteed unique
+    * (see [[dimMerchant]]: the sf0.1 data proved ids can collide). On a full
+    * tie all remaining columns are equal too, so the rows are
+    * indistinguishable and any key↔row pairing yields the same result set.
+    * Assigned at fact scale via range-partition + zipWithIndex
+    * ([[SurrogateKeys.dense]] — never a single-partition global window).
     */
   def factSpending(
       classifiedTx: DataFrame,
@@ -188,7 +192,9 @@ object BankEtl {
         col("Customer_Key"), col("Account_Key"), col("Merchant_Key"), col("Location_Key"),
         col("Amount").as("Amount_Spent"),
         lit(1).as("Transaction_Count"))
-    SurrogateKeys.dense(joined, "Transaction_Key", col("TransactionID"))
+    SurrogateKeys.dense(joined, "Transaction_Key",
+        col("TransactionID"), col("Date_Key"), col("Customer_Key"), col("Account_Key"),
+        col("Merchant_Key"), col("Location_Key"), col("Amount_Spent"))
       .drop("TransactionID")
   }
 
@@ -226,7 +232,7 @@ object BankEtl {
     // per dashboard query re-runs that job AND the 5-way fact join each time
     // (measured: q30/q31 were 3.4 s/4.5 s uncached, dominated by re-assembly).
     private def memoized(df: => DataFrame): DataFrame = if (cache) df.cache() else df
-    lazy val dimDate: DataFrame = BankEtl.dimDate(classifiedSlim)
+    lazy val dimDate: DataFrame = memoized(BankEtl.dimDate(classifiedSlim))
     lazy val dimCustomer: DataFrame = memoized(BankEtl.dimCustomer(cleanCustomers, asOf))
     lazy val dimAccount: DataFrame = memoized(BankEtl.dimAccount(cleanAccounts))
     lazy val dimMerchant: DataFrame = memoized(BankEtl.dimMerchant(classifiedSlim))

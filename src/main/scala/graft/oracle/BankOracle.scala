@@ -78,7 +78,10 @@ object BankOracle {
        |  FROM (SELECT DISTINCT date_trunc('hour', TransactionTimestamp) AS ts_hour
        |        FROM clean_transactions)),
        |fact_spending AS (
-       |  SELECT ROW_NUMBER() OVER (ORDER BY t.TransactionID) AS Transaction_Key,
+       |  SELECT ROW_NUMBER() OVER (ORDER BY t.TransactionID,
+       |           ${dateKeySql("t.TransactionTimestamp")}, dc.Customer_Key,
+       |           da.Account_Key, dm.Merchant_Key, dl.Location_Key, t.Amount)
+       |           AS Transaction_Key,
        |         ${dateKeySql("t.TransactionTimestamp")} AS Date_Key,
        |         dc.Customer_Key, da.Account_Key, dm.Merchant_Key, dl.Location_Key,
        |         t.Amount AS Amount_Spent,

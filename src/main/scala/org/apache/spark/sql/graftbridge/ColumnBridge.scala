@@ -24,4 +24,15 @@ object ColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Wrap an `RDD[InternalRow]` back into a DataFrame WITHOUT a
+    * Row-encoder round-trip (`internalCreateDataFrame` is `private[sql]`).
+    * The rows must already match `schema` physically (e.g. UnsafeRow from
+    * an UnsafeProjection).
+    */
+  def internalDf(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
