@@ -558,7 +558,7 @@ object SparkEntry {
           ORDER BY text_hash""",
 
     "q53_ann_ivf_assign" ->
-      s"""WITH ${Similarity.ivfAssignSql()}
+      s"""WITH ${Similarity.ivfAssignSql}
           SELECT vec_id, cell, score FROM ivf_assign ORDER BY vec_id""",
 
     "q58_label_centroids" ->

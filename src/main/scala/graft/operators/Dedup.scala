@@ -158,11 +158,25 @@ object Dedup {
     * plan, n): the jaccard, minhash, and LSH queries all start from the
     * same shingle set — materialize it once per session like a shared
     * intermediate view.
+    *
+    * The memo is BOUNDED: cached DataFrames pin executor memory for the
+    * session, and a plan-string key is only a heuristic identity (two
+    * different plans can print alike — acceptable for a cache whose worst
+    * failure is a recompute or an extra cached copy). Past [[MaxShingleMemo]]
+    * entries the whole map is unpersisted and dropped, so a long-lived
+    * session that shingles many distinct corpora cannot accumulate
+    * unbounded cache blocks.
     */
-  def shingles(docs: DataFrame, n: Int): DataFrame =
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    if (shingleMemo.size > MaxShingleMemo) {
+      shingleMemo.values.forEach(df => { df.unpersist(); () })
+      shingleMemo.clear()
+    }
     shingleMemo.computeIfAbsent((docs.sparkSession, docs.queryExecution.logical.toString, n),
       _ => shinglesUncached(docs, n).cache())
+  }
 
+  private val MaxShingleMemo = 16
   private val shingleMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, Int), DataFrame]()
 
@@ -181,12 +195,36 @@ object Dedup {
        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS i
        |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t) idx)""".stripMargin
 
-  /** Pairwise n-gram Jaccard via inverted-index self-join on shingles. */
+  /** Pairwise n-gram Jaccard via inverted-index self-join on shingles,
+    * with a corpus-derived '''hot-shingle document-frequency cap''':
+    * shingles appearing in more than `df_cap(n_docs) = max(64, n_docs/20)`
+    * documents are dropped from the shingle SETS — consistently from both
+    * the per-document counts and the intersections, so the score stays a
+    * true Jaccard over the capped shingle space.
+    *
+    * 100 TB sizing rule: the self-join emits Σ_sh df(sh)² candidate rows.
+    * Uncapped, one boilerplate shingle shared by 1M documents alone yields
+    * 10¹² pairs; with the cap the blowup is bounded by
+    * Σ df² ≤ (Σ df) · df_cap = |postings| · df_cap — linear in corpus size
+    * for a fixed cap fraction. A shingle in >5% of all documents carries no
+    * dedup signal (it IS the boilerplate near-dup detection should ignore),
+    * which is why capping it is semantically safe, not just fast. The cap
+    * is derived in-plan from a 1-row count, identically in the oracle SQL.
+    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.1): DataFrame = {
-    val sh = shingles(docs, n).cache() // probe + build side + counts: three readers
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    val cap = docs.agg(count(lit(1)).as("n_docs"))
+      .select(greatest(lit(64L), floor(col("n_docs").cast("double") / 20).cast("long"))
+        .as("df_cap"))
+    val sh = shingles(docs, n)
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val kept = sh.join(freq, Seq("sh"))
+      .crossJoin(broadcast(cap))
+      .filter(col("df") <= col("df_cap"))
+      .select("doc_id", "sh")
+      .cache() // probe + build side + counts: three readers
+    val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = kept.as("a")
+      .join(kept.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -200,10 +238,18 @@ object Dedup {
 
   def ngramJaccardPairsSql(n: Int = 3, threshold: Double = 0.1): String =
     s"""${shinglesSql(n)},
-       |sh_counts AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+       |df_cap AS (
+       |  SELECT GREATEST(64, CAST(floor(CAST(COUNT(*) AS DOUBLE) / 20) AS BIGINT)) AS df_cap
+       |  FROM documents),
+       |sh_freq AS (SELECT sh, count(*) AS df FROM shingles GROUP BY sh),
+       |kept AS (
+       |  SELECT s.doc_id, s.sh
+       |  FROM shingles s JOIN sh_freq f ON s.sh = f.sh, df_cap
+       |  WHERE f.df <= df_cap.df_cap),
+       |sh_counts AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |jaccard_pairs AS (
        |  SELECT doc_a, doc_b, inter,

@@ -16,10 +16,36 @@ import graft.functions.OracleSafe
   *
   * Scale paths:
   *  - [[bruteForceTopK]]: queries × corpus via a broadcast of the (small)
-  *    query set — the exact baseline; corpus-side embarrassingly parallel.
+  *    query set — the exact baseline, weak BY DESIGN: it exists to measure
+  *    the approximate paths' recall, not to run at corpus scale.
   *  - [[lshBuckets]] / [[lshTopK]]: random-hyperplane signs bucket the
-  *    corpus; search only touches the query's bucket — the 100 TB path
-  *    (candidates per query drop from |corpus| to |bucket|).
+  *    corpus; search touches the query's bucket plus its Hamming-distance-1
+  *    probes — the 100 TB path.
+  *  - [[ivfAssign]] / [[ivfTopK]]: inverted-file cells around ~√n centroids.
+  *
+  * == 100 TB sizing rules (corpus-size-derived, never fixed) ==
+  *
+  *  - '''planes(n) = clamp(ceil(log₂ n) − 2, 4, 24)''': 2^planes buckets keep
+  *    the expected bucket occupancy n / 2^planes ≈ 4, so per-bucket all-pairs
+  *    work is O(n · occupancy) — linear in corpus size at ANY n. A fixed
+  *    plane count degenerates to (n / 2^planes)² per bucket as n grows.
+  *    The recall a coarser fixed bucket bought back is restored by
+  *    '''multi-probe''': each query also searches the `planes` buckets at
+  *    Hamming distance 1 (flip one sign bit), giving ~4·(planes+1) candidates
+  *    per query instead of ~4, at planes× the probe cost — still O(log n)
+  *    per query. ceil(log₂ n) is computed as `length(bin(n − 1))` — pure
+  *    integer arithmetic, bit-identical in Spark and DuckDB (no floating
+  *    log whose last ulp could differ between libm implementations).
+  *  - '''centroids(n) = min(ceil(√n), 65536)''': the broadcast centroid set
+  *    stays O(√n · dim) — hard-capped at 64 Ki vectors ≈ a few MB at
+  *    dim 64 — and assignment work is O(n · √n) capped at O(n · 65536).
+  *    Centroid count ∝ n (a fixed `centMod`) means the broadcast grows
+  *    linearly with the corpus and assignment is O(n²/centMod).
+  *
+  * Both constants are derived lazily INSIDE the plan from a 1-row count
+  * aggregate ([[params]]) cross-joined where needed, so building a query
+  * runs no driver-side action, and the DuckDB oracle derives the identical
+  * values from the identical count.
   */
 object Similarity {
 
@@ -38,6 +64,36 @@ object Similarity {
        |qn AS (
        |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
        |  FROM qv)""".stripMargin
+
+  // ------------------------------------------------- corpus-derived sizing
+
+  /** clamp(ceil(log₂ n) − 2, 4, 24) — see the sizing rules above. */
+  private def planesOf(n: Column): Column =
+    greatest(lit(4), least(lit(24), length(bin(n - 1)) - 2)).cast("int")
+
+  /** Centroid sampling modulus: n / min(ceil(√n), 65536), ≥ 1. The double
+    * division is exact for any realistic corpus (n < 2⁵³) and is written
+    * the same way in the oracle SQL so both engines truncate identically.
+    */
+  private def centModOf(n: Column): Column =
+    greatest(lit(1L), floor(n.cast("double") /
+      least(lit(65536L), greatest(lit(1L), ceil(sqrt(n.cast("double"))).cast("long"))))
+      .cast("long"))
+
+  /** 1-row sizing frame: (n, planes, cent_mod), computed in-plan. */
+  private def params(embeddings: DataFrame): DataFrame =
+    embeddings.agg(count(lit(1)).as("n"))
+      .select(col("n"), planesOf(col("n")).as("planes"), centModOf(col("n")).as("cent_mod"))
+
+  /** DuckDB twin of [[params]] — identical derivation from the same count. */
+  val paramsSql: String =
+    """params AS (
+      |  SELECT n,
+      |         GREATEST(4, LEAST(24, length(bin(n - 1)) - 2)) AS planes,
+      |         GREATEST(1, CAST(floor(CAST(n AS DOUBLE) /
+      |           LEAST(65536, GREATEST(1, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))))
+      |           AS BIGINT)) AS cent_mod
+      |  FROM (SELECT COUNT(*) AS n FROM embeddings))""".stripMargin
 
   /** Exact dot product via the codegen'd [[graft.plans.LongArrayDot]]
     * expression (the `aggregate(zip_with(...))` formulation is interpreted
@@ -90,27 +146,32 @@ object Similarity {
     s"((($h) * 64 + ($d) + 1) * 2654435761) % 2000001 - 1000000"
 
   /** Random-hyperplane LSH bucket per vector: bit h = sign(∑_d w(h,d)·q_d),
-    * bucket = the `planes`-bit signature as an int.
+    * bucket = the corpus-derived `planes(n)`-bit signature as an int.
     */
-  def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame =
+  def lshBuckets(embeddings: DataFrame): DataFrame = {
+    val hs = params(embeddings)
+      .select(explode(sequence(lit(0), col("planes") - 1)).as("h"))
     quantized(embeddings)
       .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "x")))
-      .crossJoin(embeddings.sparkSession.range(planes).select(col("id").cast("int").as("h")))
+      .crossJoin(broadcast(hs))
       .groupBy("vec_id", "h")
       .agg(sum(planeWeight(col("h"), col("d")) * col("x")).as("proj"))
       .select(col("vec_id"),
         (when(col("proj") >= 0, 1L).otherwise(0L)
           * expr("shiftleft(CAST(1 AS BIGINT), h)")).as("bitval"))
       .groupBy("vec_id").agg(sum("bitval").cast("int").as("bucket"))
+  }
 
-  def lshBucketsSql(planes: Int = 8): String =
+  def lshBucketsSql: String =
     s"""$quantizedSql,
+       |$paramsSql,
+       |hs AS (SELECT unnest(generate_series(0, planes - 1)) AS h FROM params),
        |elems AS (
        |  SELECT vec_id, CAST(i - 1 AS INT) AS d, q[CAST(i AS INT)] AS x
        |  FROM (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i FROM qv) t),
        |proj AS (
        |  SELECT vec_id, h, sum((${planeWeightSql("h", "d")}) * x) AS proj
-       |  FROM elems, (SELECT unnest(generate_series(0, ${planes - 1})) AS h) hs
+       |  FROM elems, hs
        |  GROUP BY vec_id, h),
        |lsh_buckets AS (
        |  SELECT vec_id,
@@ -118,13 +179,34 @@ object Similarity {
        |           AS bucket
        |  FROM proj GROUP BY vec_id)""".stripMargin
 
-  /** ANN search: exact cosine top-k restricted to the query's LSH bucket. */
-  def lshTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10, planes: Int = 8): DataFrame = {
-    val qv = quantized(embeddings).join(lshBuckets(embeddings, planes), Seq("vec_id")).cache()
-    val queries = qv.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("n2a"), col("bucket"))
+  /** Multi-probe query expansion: probe 0 is the vector's own bucket,
+    * probe p ∈ 1..planes flips sign bit p−1. Probe buckets are pairwise
+    * distinct, so a candidate is matched at most once — no dedup needed.
+    */
+  private def probed(withBucket: DataFrame, ps: DataFrame): DataFrame =
+    withBucket.crossJoin(broadcast(ps))
+      .withColumn("bucket",
+        when(col("p") === 0, col("bucket"))
+          .otherwise(col("bucket").bitwiseXOR(expr("shiftleft(1, p - 1)"))))
+      .drop("p")
+
+  private def probesOf(embeddings: DataFrame): DataFrame =
+    params(embeddings).select(explode(sequence(lit(0), col("planes"))).as("p"))
+
+  /** ANN search: exact cosine top-k over the query's LSH bucket plus its
+    * `planes` Hamming-distance-1 probe buckets. The candidate join carries
+    * no broadcast hint: at test scale Catalyst broadcasts the small probe
+    * side; at corpus scale it shuffles on `bucket` — both sides ~4 rows per
+    * bucket value, so the shuffle is balanced by construction.
+    */
+  def lshTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10): DataFrame = {
+    val qv = quantized(embeddings).join(lshBuckets(embeddings), Seq("vec_id")).cache()
+    val queries = probed(
+      qv.filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("n2a"), col("bucket")),
+      probesOf(embeddings))
     val scored = qv.select(col("vec_id").as("nid"), col("q").as("qb"), col("n2").as("n2b"), col("bucket"))
-      .join(broadcast(queries), Seq("bucket"))
+      .join(queries, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosine(dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("score"))
@@ -133,31 +215,39 @@ object Similarity {
       .select("qid", "rank", "nid", "score")
   }
 
-  def lshTopKSql(k: Int = 5, queryMod: Int = 10, planes: Int = 8): String =
-    s"""${lshBucketsSql(planes)},
+  def lshTopKSql(k: Int = 5, queryMod: Int = 10): String =
+    s"""$lshBucketsSql,
        |qb AS (SELECT qn.*, bucket FROM qn JOIN lsh_buckets USING (vec_id)),
+       |probes AS (
+       |  SELECT qb.vec_id, qb.q, qb.n2,
+       |         CASE WHEN p = 0 THEN bucket
+       |              ELSE xor(bucket, CAST(1 << (p - 1) AS INT)) END AS bucket
+       |  FROM qb, (SELECT unnest(generate_series(0, planes)) AS p FROM params) ps
+       |  WHERE qb.vec_id % $queryMod = 0),
        |bucket_scores AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
        |         list_dot_product(a.q, b.q)
        |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS score
-       |  FROM qb a JOIN qb b ON a.bucket = b.bucket
-       |   AND a.vec_id % $queryMod = 0 AND a.vec_id <> b.vec_id),
+       |  FROM probes a JOIN qb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
        |lsh_topk AS (
        |  SELECT qid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank,
        |         nid, score
        |  FROM bucket_scores
        |  QUALIFY rank <= $k)""".stripMargin
 
-  /** IVF-style ANN, deterministic flavor: "centroids" are a fixed 1/centMod
-    * sample of the corpus (a real build would k-means them — the sampling
-    * stands in so assignment stays engine-exact), every vector joins its
-    * nearest centroid's inverted list, and search probes only the query's
-    * cell. Assignment reuses the custom [[graft.plans.TopKPerKey]] operator
-    * with k=1 (argmax-by-key).
+  /** IVF-style ANN, deterministic flavor: "centroids" are a fixed
+    * 1/cent_mod(n) sample of the corpus (a real build would k-means them —
+    * the sampling stands in so assignment stays engine-exact), every vector
+    * joins its nearest centroid's inverted list, and search probes only the
+    * query's cell. Assignment reuses the custom [[graft.plans.TopKPerKey]]
+    * operator with k=1 (argmax-by-key). `cent_mod` is derived in-plan so the
+    * centroid count tracks √n — see the sizing rules above.
     */
-  def ivfAssign(embeddings: DataFrame, centMod: Int = 125): DataFrame = {
+  def ivfAssign(embeddings: DataFrame): DataFrame = {
     val qv = quantized(embeddings).cache()
-    val cents = qv.filter(col("vec_id") % centMod === 0)
+    val cents = qv
+      .crossJoin(broadcast(params(embeddings).select("cent_mod")))
+      .filter(col("vec_id") % col("cent_mod") === 0)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
     val scores = qv.join(broadcast(cents))
       .select(col("vec_id"), col("cid"),
@@ -167,9 +257,11 @@ object Similarity {
       .select(col("vec_id"), col("cid").as("cell"), col("score"))
   }
 
-  def ivfAssignSql(centMod: Int = 125): String =
+  def ivfAssignSql: String =
     s"""$quantizedSql,
-       |cents AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM qn WHERE vec_id % $centMod = 0),
+       |$paramsSql,
+       |cents AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2
+       |          FROM qn, params WHERE vec_id % cent_mod = 0),
        |cell_scores AS (
        |  SELECT qn.vec_id, cid,
        |         list_dot_product(q, cq)
@@ -182,14 +274,14 @@ object Similarity {
        |  WHERE rnk = 1)""".stripMargin
 
   /** ANN search probing only the query's IVF cell (nprobe=1). */
-  def ivfTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10, centMod: Int = 125): DataFrame = {
+  def ivfTopK(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10): DataFrame = {
     val qv = quantized(embeddings)
-      .join(ivfAssign(embeddings, centMod).select("vec_id", "cell"), Seq("vec_id"))
+      .join(ivfAssign(embeddings).select("vec_id", "cell"), Seq("vec_id"))
       .cache()
     val queries = qv.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("n2a"), col("cell"))
     val scored = qv.select(col("vec_id").as("nid"), col("q").as("qb"), col("n2").as("n2b"), col("cell"))
-      .join(broadcast(queries), Seq("cell"))
+      .join(queries, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         cosine(dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("score"))
@@ -198,8 +290,8 @@ object Similarity {
       .select("qid", "rank", "nid", "score")
   }
 
-  def ivfTopKSql(k: Int = 5, queryMod: Int = 10, centMod: Int = 125): String =
-    s"""${ivfAssignSql(centMod)},
+  def ivfTopKSql(k: Int = 5, queryMod: Int = 10): String =
+    s"""$ivfAssignSql,
        |qc AS (SELECT qn.*, cell FROM qn JOIN ivf_assign USING (vec_id)),
        |ivf_scores AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
@@ -213,26 +305,34 @@ object Similarity {
        |  FROM ivf_scores
        |  QUALIFY rank <= $k)""".stripMargin
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold among LSH-bucket
-    * cohabitants (the scalable near-dup sweep; exact within bucket).
+  /** Embedding near-duplicate pairs: cosine ≥ threshold among pairs whose
+    * corpus-derived LSH buckets are within Hamming distance 1 (multi-probe
+    * from the smaller id's side, so each unordered pair is generated exactly
+    * once; exact cosine within the candidate set).
     */
-  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.95, planes: Int = 8): DataFrame = {
-    val qv = quantized(embeddings).join(lshBuckets(embeddings, planes), Seq("vec_id")).cache()
-    qv.as("a").join(qv.as("b"),
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val qv = quantized(embeddings).join(lshBuckets(embeddings), Seq("vec_id")).cache()
+    val probes = probed(qv, probesOf(embeddings))
+    probes.as("a").join(qv.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosine(dot(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")).as("score"))
       .filter(col("score") >= threshold)
   }
 
-  def embeddingNearDupsSql(threshold: Double = 0.95, planes: Int = 8): String =
-    s"""${lshBucketsSql(planes)},
+  def embeddingNearDupsSql(threshold: Double = 0.95): String =
+    s"""$lshBucketsSql,
        |qb AS (SELECT qn.*, bucket FROM qn JOIN lsh_buckets USING (vec_id)),
+       |nd_probes AS (
+       |  SELECT qb.vec_id, qb.q, qb.n2,
+       |         CASE WHEN p = 0 THEN bucket
+       |              ELSE xor(bucket, CAST(1 << (p - 1) AS INT)) END AS bucket
+       |  FROM qb, (SELECT unnest(generate_series(0, planes)) AS p FROM params) ps),
        |near_dups AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |         list_dot_product(a.q, b.q)
        |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS score
-       |  FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  FROM nd_probes a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |  WHERE list_dot_product(a.q, b.q)
        |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $threshold)""".stripMargin
 }
