@@ -266,6 +266,15 @@ object SparkEntry {
           moneyOut(sum(col("Amount")).cast("decimal(18,2)")).as("total"))
         .orderBy("Category")
     },
+    // The SQL-text entry point (dashboard.py's literal surface): same
+    // dashboard, but through registerViews + spark.sql — Catalyst parses,
+    // analyzes, and optimizes the SQL string; the result must hash-match
+    // the same oracle as the DataFrame build.
+    "q33_sql_dash_top_categories" -> { (s, dir) =>
+      val w = BankEtl.buildCached(s, dir)
+      BankEtl.registerViews(w)
+      s.sql(BankEtl.DashboardSql.topCategories)
+    },
     "q29_dash_trend" -> { (s, dir) =>
       val w = BankEtl.buildCached(s, dir)
       BankEtl.dashTrend(w.fact, w.dimDate)
@@ -404,6 +413,10 @@ object SparkEntry {
     new java.io.File("src/main/resources/bank/mcc_brands.csv").getAbsolutePath)
 
   def oracleSql: Map[String, String] = BankOracle.queries ++ Map(
+    // identical result contract as q30 — the SQL-text path must land on the
+    // same oracle as the DataFrame path
+    "q33_sql_dash_top_categories" -> BankOracle.queries("q30_dash_top_categories"),
+
     "q32_csv_mcc_enrich" ->
       s"""WITH ${BankAdapter.ctes}
           SELECT m.Category, COUNT(*) AS n,

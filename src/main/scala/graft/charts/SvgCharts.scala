@@ -48,12 +48,15 @@ object SvgCharts {
     }.mkString("\n")
   }
 
-  /** Monthly trend as a marked polyline (dashboard.py:89-101). */
+  /** Monthly trend as a marked polyline (dashboard.py:89-101).
+    * An empty series renders an empty-axes chart (an all-filtered warehouse
+    * must not crash the presentation step).
+    */
   def lineChart(points: Seq[(String, Double)], title: String,
       xLabel: String, yLabel: String): String = {
     val plotW = W - MarginL - MarginR
     val plotH = H - MarginT - MarginB
-    val maxV = math.max(points.map(_._2).max, 1.0) * 1.05
+    val maxV = math.max(points.map(_._2).maxOption.getOrElse(0.0), 1.0) * 1.05
     def x(i: Int) = MarginL + (if (points.size == 1) plotW / 2.0
       else plotW * i.toDouble / (points.size - 1))
     def y(v: Double) = MarginT + plotH - plotH * v / maxV
@@ -68,9 +71,11 @@ object SvgCharts {
         val xi = x(i)
         f"""<text x="$xi%.1f" y="${MarginT + plotH + 14}" font-size="10" text-anchor="end" transform="rotate(-45 $xi%.1f ${MarginT + plotH + 14})">${esc(label)}</text>"""
     }.mkString("\n")
+    val polyline = if (points.isEmpty) ""
+      else s"""<polyline points="$poly" fill="none" stroke="#2ecc71" stroke-width="2.5"/>"""
     s"""${header(title)}
        |${yMoneyTicks(maxV)}
-       |<polyline points="$poly" fill="none" stroke="#2ecc71" stroke-width="2.5"/>
+       |$polyline
        |$markers
        |$xticks
        |${axisLabels(xLabel, yLabel)}
@@ -80,14 +85,16 @@ object SvgCharts {
   private val palette =
     Seq("#440154", "#3b528b", "#21918c", "#5ec962", "#fde725") // viridis stops
 
-  /** Horizontal bars, longest on top (dashboard.py:104-115). */
+  /** Horizontal bars, longest on top (dashboard.py:104-115). Empty input →
+    * empty-axes chart (no bars), never a division by zero.
+    */
   def barChartH(items: Seq[(String, Double)], title: String,
       xLabel: String, yLabel: String): String = {
     val plotW = W - MarginL - MarginR - 120 // room for category labels
     val left = MarginL + 120
     val plotH = H - MarginT - MarginB
-    val maxV = math.max(items.map(_._2).max, 1.0) * 1.05
-    val bh = plotH / items.size
+    val maxV = math.max(items.map(_._2).maxOption.getOrElse(0.0), 1.0) * 1.05
+    val bh = plotH / math.max(items.size, 1)
     val bars = items.zipWithIndex.map { case ((label, v), i) =>
       val y = MarginT + i * bh
       val w = plotW * v / maxV
@@ -107,13 +114,13 @@ object SvgCharts {
        |</svg>""".stripMargin
   }
 
-  /** Vertical bars (dashboard.py:118-129). */
+  /** Vertical bars (dashboard.py:118-129). Empty input → empty-axes chart. */
   def barChartV(items: Seq[(String, Double)], title: String,
       xLabel: String, yLabel: String): String = {
     val plotW = W - MarginL - MarginR
     val plotH = H - MarginT - MarginB
-    val maxV = math.max(items.map(_._2).max, 1.0) * 1.05
-    val bw = plotW / items.size
+    val maxV = math.max(items.map(_._2).maxOption.getOrElse(0.0), 1.0) * 1.05
+    val bw = plotW / math.max(items.size, 1)
     val bars = items.zipWithIndex.map { case ((label, v), i) =>
       val x = MarginL + i * bw
       val h = plotH * v / maxV

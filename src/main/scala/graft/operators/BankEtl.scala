@@ -267,6 +267,56 @@ object BankEtl {
   def buildCached(spark: SparkSession, dir: String, asOf: Date = defaultAsOf): Warehouse =
     memo.computeIfAbsent((spark, dir, asOf), _ => build(spark, dir, asOf, cache = true))
 
+  // ------------------------------------------------------ SQL entry surface
+
+  /** Register the star schema under the warehouse DDL's table names
+    * (`schema.sql:71-135`), making the engine usable from pure SQL text —
+    * the reference's actual analytics entry point (`dashboard.py:34-67` is
+    * SQL strings shipped to SQL Server).
+    */
+  def registerViews(w: Warehouse): Unit = {
+    w.dimDate.createOrReplaceTempView("Dim_Date")
+    w.dimCustomer.createOrReplaceTempView("Dim_Customer")
+    w.dimAccount.createOrReplaceTempView("Dim_Account")
+    w.dimMerchant.createOrReplaceTempView("Dim_Merchant")
+    w.dimLocation.createOrReplaceTempView("Dim_Location")
+    w.fact.createOrReplaceTempView("Fact_Spending")
+  }
+
+  /** The three dashboard queries as literal Spark SQL strings over the
+    * [[registerViews]] views — `dashboard.py:34-43,47-55,59-67` verbatim up
+    * to dialect (`TOP 5` → `LIMIT 5`, T-SQL string concat → format_string,
+    * money rendered DOUBLE at the boundary, deterministic tie-breaks).
+    * Each goes through the full SQL lifecycle: parse → analyze → optimize →
+    * execute, and must produce exactly what the DataFrame twins
+    * ([[dashTrend]]/[[dashTopCategories]]/[[dashAgeGroups]]) produce —
+    * asserted by SqlSurfaceSpec's differentials.
+    */
+  object DashboardSql {
+    val trend: String =
+      """SELECT d.Year, d.Month,
+        |       format_string('%d-%02d', d.Year, d.Month) AS YearMonth,
+        |       CAST(CAST(SUM(f.Amount_Spent) AS DECIMAL(18,2)) AS DOUBLE) AS Total_Spent
+        |FROM Fact_Spending f JOIN Dim_Date d ON f.Date_Key = d.Date_Key
+        |GROUP BY d.Year, d.Month
+        |ORDER BY d.Year, d.Month""".stripMargin
+
+    val topCategories: String =
+      """SELECT m.Category,
+        |       CAST(CAST(SUM(f.Amount_Spent) AS DECIMAL(18,2)) AS DOUBLE) AS Total_Spent
+        |FROM Fact_Spending f JOIN Dim_Merchant m ON f.Merchant_Key = m.Merchant_Key
+        |GROUP BY m.Category
+        |ORDER BY Total_Spent DESC, m.Category
+        |LIMIT 5""".stripMargin
+
+    val ageGroups: String =
+      """SELECT c.Age_Group,
+        |       CAST(CAST(SUM(f.Amount_Spent) AS DECIMAL(18,2)) AS DOUBLE) AS Total_Spent
+        |FROM Fact_Spending f JOIN Dim_Customer c ON f.Customer_Key = c.Customer_Key
+        |GROUP BY c.Age_Group
+        |ORDER BY Total_Spent DESC, c.Age_Group""".stripMargin
+  }
+
   // ----------------------------------------------------- dashboard queries
 
   /** Q1 monthly spend trend (dashboard.py:34-43): A4 + O1 + D14.
