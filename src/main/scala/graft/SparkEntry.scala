@@ -275,6 +275,16 @@ object SparkEntry {
       BankEtl.registerViews(w)
       s.sql(BankEtl.DashboardSql.topCategories)
     },
+    "q34_sql_dash_trend" -> { (s, dir) =>
+      val w = BankEtl.buildCached(s, dir)
+      BankEtl.registerViews(w)
+      s.sql(BankEtl.DashboardSql.trend)
+    },
+    "q35_sql_dash_age_groups" -> { (s, dir) =>
+      val w = BankEtl.buildCached(s, dir)
+      BankEtl.registerViews(w)
+      s.sql(BankEtl.DashboardSql.ageGroups)
+    },
     "q29_dash_trend" -> { (s, dir) =>
       val w = BankEtl.buildCached(s, dir)
       BankEtl.dashTrend(w.fact, w.dimDate)
@@ -379,12 +389,28 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
-    // Fuzzy matching: edit-distance self-join (entity-resolution primitive).
+    // Fuzzy matching (entity-resolution primitive): SymSpell delete-1
+    // blocking + edit-distance verify. Two strings with levenshtein <= 1
+    // always share a key in their delete-1 neighborhoods (delete the edited
+    // position from both sides), so the equi-join on the blocking key is
+    // COMPLETE for the threshold — identical output to the naive O(n^2)
+    // theta join, but candidate pairs are bounded by
+    // sum_over_keys C(bucket, 2) ~ O(n * avg_len * occupancy) instead of
+    // C(n, 2): the join shuffles on `bk` and scales to corpus-sized inputs.
     "q66_fuzzy_match" -> { (s, dir) =>
       val n = TestData.nation(s, dir).select(col("n_name"))
-      n.as("a").join(n.as("b"), col("a.n_name") < col("b.n_name"))
-        .select(col("a.n_name").as("name_a"), col("b.n_name").as("name_b"),
-          levenshtein(col("a.n_name"), col("b.n_name")).as("dist"))
+      // name itself + every delete-one-char variant, deduped
+      val keyed = n.select(col("n_name"), explode(array_distinct(concat(
+        transform(sequence(lit(1), length(col("n_name"))), i =>
+          concat(col("n_name").substr(lit(1), i - 1),
+            col("n_name").substr(i + 1, length(col("n_name"))))),
+        array(col("n_name"))))).as("bk"))
+      keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.bk") === col("b.bk") && col("a.n_name") < col("b.n_name"))
+        .select(col("a.n_name").as("name_a"), col("b.n_name").as("name_b"))
+        .distinct() // a pair can share several delete-1 keys
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
         .filter(col("dist") <= 1)
         .orderBy("name_a", "name_b")
     },
@@ -413,9 +439,11 @@ object SparkEntry {
     new java.io.File("src/main/resources/bank/mcc_brands.csv").getAbsolutePath)
 
   def oracleSql: Map[String, String] = BankOracle.queries ++ Map(
-    // identical result contract as q30 — the SQL-text path must land on the
-    // same oracle as the DataFrame path
+    // identical result contract as q30/q29/q31 — the SQL-text paths must
+    // land on the same oracles as the DataFrame paths
     "q33_sql_dash_top_categories" -> BankOracle.queries("q30_dash_top_categories"),
+    "q34_sql_dash_trend" -> BankOracle.queries("q29_dash_trend"),
+    "q35_sql_dash_age_groups" -> BankOracle.queries("q31_dash_age_groups"),
 
     "q32_csv_mcc_enrich" ->
       s"""WITH ${BankAdapter.ctes}
@@ -667,10 +695,21 @@ object SparkEntry {
           ORDER BY event_type""",
 
     "q66_fuzzy_match" ->
-      s"""SELECT a.n_name AS name_a, b.n_name AS name_b,
-                 CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
-          FROM nation a JOIN nation b ON a.n_name < b.n_name
-          WHERE levenshtein(a.n_name, b.n_name) <= 1
+      s"""WITH fuzzy_keys AS (
+            SELECT n_name,
+                   unnest(list_distinct(list_append(
+                     list_transform(generate_series(1, length(n_name)),
+                       i -> substr(n_name, 1, i - 1) || substr(n_name, i + 1)),
+                     n_name))) AS bk
+            FROM nation
+          )
+          SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS dist
+          FROM (
+            SELECT DISTINCT a.n_name AS name_a, b.n_name AS name_b
+            FROM fuzzy_keys a JOIN fuzzy_keys b
+              ON a.bk = b.bk AND a.n_name < b.n_name
+          )
+          WHERE levenshtein(name_a, name_b) <= 1
           ORDER BY name_a, name_b""",
 
     "q61_sessionize" ->
