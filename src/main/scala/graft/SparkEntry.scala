@@ -431,12 +431,27 @@ object SparkEntry {
 
   /** Committed CSV twin of [[BankAdapter.mccMapping]] — brands are the same
     * fixed Brand#1..25 set at every scale factor, so one fixture serves all.
-    * Resolved relative to the working directory (sbt runs from the repo
-    * root) with a `-Dgraft.mcc.csv=...` override, so no absolute checkout
-    * path is baked into main code or the generated oracle SQL.
+    * Resolution order: `-Dgraft.mcc.csv=...` override; the source checkout
+    * path when running from the repo root; otherwise the classpath resource
+    * extracted to a temp file — so a packaged jar, spark-submit, or an IDE
+    * runner launched from any directory resolves the same bytes (the
+    * DuckDB oracle's `read_csv` gets whichever absolute path was picked).
     */
-  val mccBrandsCsv: String = sys.props.getOrElse("graft.mcc.csv",
-    new java.io.File("src/main/resources/bank/mcc_brands.csv").getAbsolutePath)
+  lazy val mccBrandsCsv: String = sys.props.get("graft.mcc.csv").getOrElse {
+    val checkout = new java.io.File("src/main/resources/bank/mcc_brands.csv")
+    if (checkout.isFile) checkout.getAbsolutePath
+    else {
+      val in = getClass.getResourceAsStream("/bank/mcc_brands.csv")
+      require(in != null,
+        "bank/mcc_brands.csv not on classpath; set -Dgraft.mcc.csv=<path>")
+      val tmp = java.nio.file.Files.createTempFile("graft-mcc-brands", ".csv")
+      try java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      tmp.toFile.deleteOnExit()
+      tmp.toString
+    }
+  }
 
   def oracleSql: Map[String, String] = BankOracle.queries ++ Map(
     // identical result contract as q30/q29/q31 — the SQL-text paths must

@@ -167,18 +167,27 @@ object Dedup {
     * session that shingles many distinct corpora cannot accumulate
     * unbounded cache blocks.
     */
-  def shingles(docs: DataFrame, n: Int): DataFrame = {
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    memoized(docs.sparkSession, s"shingles:$n:${docs.queryExecution.logical.toString}")(
+      shinglesUncached(docs, n))
+
+  private val MaxShingleMemo = 16
+  private val shingleMemo = new java.util.HashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  /** Bounded memo of cached intermediates. The evict-then-insert sequence
+    * is one critical section (a coarse lock — the memo is tiny and builds
+    * are plan construction, not jobs), so a concurrent clear can never
+    * orphan a freshly cached plan's executor blocks.
+    */
+  private def memoized(session: org.apache.spark.sql.SparkSession, key: String)(
+      build: => DataFrame): DataFrame = shingleMemo.synchronized {
     if (shingleMemo.size > MaxShingleMemo) {
       shingleMemo.values.forEach(df => { df.unpersist(); () })
       shingleMemo.clear()
     }
-    shingleMemo.computeIfAbsent((docs.sparkSession, docs.queryExecution.logical.toString, n),
-      _ => shinglesUncached(docs, n).cache())
+    shingleMemo.computeIfAbsent((session, key), _ => build.cache())
   }
-
-  private val MaxShingleMemo = 16
-  private val shingleMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Int), DataFrame]()
 
   private def shinglesUncached(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -216,12 +225,15 @@ object Dedup {
       .select(greatest(lit(64L), floor(col("n_docs").cast("double") / 20).cast("long"))
         .as("df_cap"))
     val sh = shingles(docs, n)
-    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val kept = sh.join(freq, Seq("sh"))
-      .crossJoin(broadcast(cap))
-      .filter(col("df") <= col("df_cap"))
-      .select("doc_id", "sh")
-      .cache() // probe + build side + counts: three readers
+    // probe + build side + counts: three readers — cached via the bounded
+    // memo so repeated corpora reuse one copy and eviction still applies
+    val kept = memoized(docs.sparkSession,
+      s"jaccardKept:$n:${docs.queryExecution.logical.toString}") {
+      sh.join(sh.groupBy("sh").agg(count(lit(1)).as("df")), Seq("sh"))
+        .crossJoin(broadcast(cap))
+        .filter(col("df") <= col("df_cap"))
+        .select("doc_id", "sh")
+    }
     val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = kept.as("a")
       .join(kept.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

@@ -37,8 +37,13 @@ import graft.functions.OracleSafe
   *    integer arithmetic, bit-identical in Spark and DuckDB (no floating
   *    log whose last ulp could differ between libm implementations).
   *  - '''centroids(n) = min(ceil(√n), 65536)''': the broadcast centroid set
-  *    stays O(√n · dim) — hard-capped at 64 Ki vectors ≈ a few MB at
-  *    dim 64 — and assignment work is O(n · √n) capped at O(n · 65536).
+  *    stays O(√n · dim) — hard-capped at 64 Ki vectors, which at dim 64 is
+  *    64 Ki × 64 longs ≈ 34 MB of quantized values (plus JVM array
+  *    overhead) broadcast to every assignment task and retained on the
+  *    driver; a deliberate ceiling that fits default executor broadcast
+  *    budgets with headroom, and the cap is the knob to lower first on
+  *    memory-tight drivers. Assignment work is O(n · √n) capped at
+  *    O(n · 65536).
   *    Centroid count ∝ n (a fixed `centMod`) means the broadcast grows
   *    linearly with the corpus and assignment is O(n²/centMod).
   *

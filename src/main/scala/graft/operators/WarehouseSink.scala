@@ -16,6 +16,75 @@ import org.apache.spark.sql.functions.col
   */
 object WarehouseSink {
 
+  /** Knobs for the JDBC write-back path, mirroring what the reference's
+    * `to_sql(..., if_exists='append', fast_executemany=True, chunksize)`
+    * load depends on (`etl_pipeline/etl.py:287-304,386`):
+    * `batchSize` is the executemany chunk, `isolationLevel` the per-writer
+    * transaction level, and `numPartitions` caps write parallelism — each
+    * Spark partition opens one connection, so an uncapped 100 TB fact would
+    * otherwise open thousands of sessions against the warehouse.
+    */
+  final case class JdbcSinkConfig(
+      url: String,
+      batchSize: Int = 10000,
+      isolationLevel: String = "READ_COMMITTED",
+      numPartitions: Option[Int] = None,
+      tablePrefix: String = "")
+
+  private val isolationLevels = Set(
+    "NONE", "READ_COMMITTED", "READ_UNCOMMITTED", "REPEATABLE_READ",
+    "SERIALIZABLE")
+
+  /** Star-schema load order: dimensions before the fact, so the fact's FK
+    * references never dangle mid-load (schema.sql's FK constraints).
+    */
+  val loadOrder: Seq[String] = Seq(
+    "Dim_Date", "Dim_Customer", "Dim_Account", "Dim_Merchant",
+    "Dim_Location", "Fact_Spending")
+
+  /** Pure option assembly for one table — unit-testable without a database
+    * (the harness has none; see [[graft.sources.JdbcSource]]).
+    */
+  def jdbcOptions(cfg: JdbcSinkConfig, table: String): Map[String, String] = {
+    require(cfg.batchSize > 0, s"batchSize must be positive: ${cfg.batchSize}")
+    require(isolationLevels.contains(cfg.isolationLevel),
+      s"unknown isolationLevel '${cfg.isolationLevel}' " +
+        s"(one of ${isolationLevels.mkString(", ")})")
+    Map(
+      "url" -> cfg.url,
+      "dbtable" -> (cfg.tablePrefix + table),
+      "batchsize" -> cfg.batchSize.toString,
+      "isolationLevel" -> cfg.isolationLevel) ++
+      cfg.numPartitions.map(n => "numPartitions" -> n.toString)
+  }
+
+  /** JDBC write-back of the whole star schema (the reference's actual sink;
+    * parquet [[write]] stays the primary path). Untestable in this harness
+    * — no database — but the option plumbing and load order are unit-tested
+    * and the writer is the stock Spark JDBC relation, so deployments with a
+    * warehouse get the reference's load without the single-process
+    * `executemany` bottleneck.
+    */
+  def writeJdbc(w: BankEtl.Warehouse, cfg: JdbcSinkConfig,
+      mode: SaveMode = SaveMode.Append): Unit = {
+    val tables: Map[String, DataFrame] = Map(
+      "Dim_Date" -> w.dimDate,
+      "Dim_Customer" -> w.dimCustomer,
+      "Dim_Account" -> w.dimAccount,
+      "Dim_Merchant" -> w.dimMerchant,
+      "Dim_Location" -> w.dimLocation,
+      "Fact_Spending" -> w.fact)
+    loadOrder.foreach { name =>
+      val df = tables(name)
+      val sized = cfg.numPartitions match {
+        case Some(n) if df.rdd.getNumPartitions > n => df.coalesce(n)
+        case _ => df
+      }
+      sized.write.format("jdbc").mode(mode)
+        .options(jdbcOptions(cfg, name)).save()
+    }
+  }
+
   def write(w: BankEtl.Warehouse, outDir: String): Unit = {
     def dim(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")

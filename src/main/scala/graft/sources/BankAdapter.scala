@@ -120,15 +120,20 @@ object BankAdapter {
   /** CTE definitions reproducing the adapter in DuckDB SQL, verbatim twins
     * of the Spark readers above. Prepend to oracle queries.
     */
+  /** SQL string literal with single quotes doubled, so a future constant
+    * containing `'` can't silently break the generated oracle SQL.
+    */
+  private def sqlLit(s: String): String = s"'${s.replace("'", "''")}'"
+
   def ctes: String = {
     val genderCase = genders.zipWithIndex
-      .map { case (g, i) => s"WHEN $i THEN '$g'" }
+      .map { case (g, i) => s"WHEN $i THEN ${sqlLit(g)}" }
       .mkString("CASE c_custkey % 7 ", " ", " END")
     val descCase = descriptions.zipWithIndex
-      .map { case (d, i) => s"WHEN $i THEN '$d'" }
+      .map { case (d, i) => s"WHEN $i THEN ${sqlLit(d)}" }
       .mkString(s"CASE (l_partkey + l_suppkey) % ${descriptions.size} ", " ", " END")
     val mccCase = mccCategories.zipWithIndex
-      .map { case (c, i) => s"WHEN $i THEN '$c'" }
+      .map { case (c, i) => s"WHEN $i THEN ${sqlLit(c)}" }
       .mkString("CASE bnum % 6 ", " ", " END")
     s"""bank_customers AS (
        |  SELECT c_custkey AS CustomerID,

@@ -21,4 +21,34 @@ class WarehouseSinkSpec extends SparkSpec {
     val dimBack = spark.read.parquet(s"$out/Dim_Merchant")
     assert(dimBack.count() == w.dimMerchant.count())
   }
+
+  test("S4: JDBC write-back option plumbing and FK-safe load order") {
+    import WarehouseSink.{JdbcSinkConfig, jdbcOptions, loadOrder}
+    val cfg = JdbcSinkConfig("jdbc:sqlserver://wh:1433;databaseName=dw",
+      batchSize = 5000, isolationLevel = "READ_UNCOMMITTED",
+      numPartitions = Some(8), tablePrefix = "dbo.")
+
+    val opts = jdbcOptions(cfg, "Fact_Spending")
+    assert(opts("url") == "jdbc:sqlserver://wh:1433;databaseName=dw")
+    assert(opts("dbtable") == "dbo.Fact_Spending")
+    assert(opts("batchsize") == "5000")
+    assert(opts("isolationLevel") == "READ_UNCOMMITTED")
+    assert(opts("numPartitions") == "8")
+    // defaults: no numPartitions cap unless asked
+    assert(!jdbcOptions(JdbcSinkConfig("jdbc:h2:mem:x"), "Dim_Date")
+      .contains("numPartitions"))
+
+    // invalid knobs fail fast, before any connection is opened
+    intercept[IllegalArgumentException] {
+      jdbcOptions(cfg.copy(batchSize = 0), "Dim_Date")
+    }
+    intercept[IllegalArgumentException] {
+      jdbcOptions(cfg.copy(isolationLevel = "SNAPSHOT"), "Dim_Date")
+    }
+
+    // dims load before the fact so FK references never dangle mid-load
+    assert(loadOrder.last == "Fact_Spending")
+    assert(loadOrder.init.forall(_.startsWith("Dim_")))
+    assert(loadOrder.distinct.size == 6)
+  }
 }
