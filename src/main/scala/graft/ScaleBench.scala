@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence main: measures whether the corpus-derived dedup/ANN
+  * constants (df cap, planes(n), centroids(n) — see
+  * [[graft.operators.Dedup]] / [[graft.operators.Similarity]]) actually
+  * bend the curve when the corpus grows 10×, which is the exact claim they
+  * were built for. The harness ships no sf1 tables, so this main
+  * MANUFACTURES a 10× corpus from sf0.1:
+  *
+  *  - documents ×10 with remapped ids and per-copy token salting (every
+  *    token gets a `_c<copy>` suffix), so copies share NO shingles — the
+  *    scaled corpus has 10× the rows with the same per-copy near-dup
+  *    structure, instead of turning every document into a 10-way exact-dup
+  *    cluster (which would measure output blowup, not scan scaling);
+  *  - embeddings ×10 with remapped ids and a small deterministic per-copy
+  *    offset, so copies are distinct points rather than 10-deep identical
+  *    stacks in every LSH/IVF bucket.
+  *
+  * This synthetic blow-up exists ONLY for wall-clock measurement — the
+  * correctness gate stays on the driver's own tables. Prints one JSON line
+  * with per-query seconds at 1× and 10× and the ratio; a sub-quadratic
+  * (ideally ≲ 10–15×) ratio on q41/q46/q53 is the pass signal, since a
+  * fixed-constant design degenerates to ~100× (all-pairs terms) at 10×.
+  */
+object ScaleBench {
+
+  private val measured = Seq(
+    "q41_ngram_jaccard", "q42_minhash_signatures", "q43_lsh_candidates",
+    "q44_simhash", "q46_ann_lsh", "q53_ann_ivf_assign", "q54_ann_ivf_topk")
+
+  private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
+    val docs = graft.sources.TestData.documents(spark, base)
+    val delta = 1000000L
+    docs.crossJoin(
+        spark.range(copies.toLong).select(col("id").as("copy")))
+      .select(
+        (col("doc_id") + col("copy") * delta).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit("_c"), col("copy"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+  }
+
+  private def scaleEmbeddings(spark: SparkSession, base: String, copies: Int): DataFrame = {
+    val emb = graft.sources.TestData.embeddings(spark, base)
+    val delta = 1000000L
+    emb.crossJoin(
+        spark.range(copies.toLong).select(col("id").as("copy")))
+      .select(
+        (col("vec_id") + col("copy") * delta).as("vec_id"),
+        transform(col("embedding"),
+          x => x + col("copy").cast("float") * lit(0.003f)).as("embedding"),
+        col("label"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outRoot = args.headOption.getOrElse("/tmp/graft-scale")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val spark = GraftSession.local("graft-scale-bench")
+
+    val scaledDir = s"$outRoot/x$copies"
+    scaleDocs(spark, base, copies).repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$scaledDir/documents.parquet")
+    scaleEmbeddings(spark, base, copies).repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$scaledDir/embeddings.parquet")
+
+    // JIT/codegen warm-up on the smallest SF, same as Bench
+    measured.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+
+    def time(dir: String): Seq[(String, Double)] = measured.map { name =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, dir).count()
+      catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+
+    val at1x = time(base).toMap
+    val at10x = time(scaledDir).toMap
+    val entries = measured.map { name =>
+      val r = at10x(name) / math.max(at1x(name), 1e-9)
+      f""""$name":{"x1_sec":${at1x(name)}%.3f,"x$copies%d_sec":${at10x(name)}%.3f,"ratio":$r%.2f}"""
+    }
+    val json = s"""{"metric":"scale_ratio","copies":$copies,"base":"$base",""" +
+      s""""queries":{${entries.mkString(",")}}}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () }
+    spark.stop()
+    println(json)
+  }
+}
