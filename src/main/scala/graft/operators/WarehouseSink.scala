@@ -59,11 +59,11 @@ object WarehouseSink {
   }
 
   /** JDBC write-back of the whole star schema (the reference's actual sink;
-    * parquet [[write]] stays the primary path). Untestable in this harness
-    * — no database — but the option plumbing and load order are unit-tested
-    * and the writer is the stock Spark JDBC relation, so deployments with a
-    * warehouse get the reference's load without the single-process
-    * `executemany` bottleneck.
+    * parquet [[write]] stays the primary path). Exercised end-to-end against
+    * an embedded Derby database in JdbcRoundTripSpec — the writer is the
+    * stock Spark JDBC relation, so deployments with a real warehouse get
+    * the reference's load without the single-process `executemany`
+    * bottleneck.
     */
   def writeJdbc(w: BankEtl.Warehouse, cfg: JdbcSinkConfig,
       mode: SaveMode = SaveMode.Append): Unit = {

@@ -5,9 +5,9 @@ import java.util.Properties
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Optional JDBC source (SURVEY.md S1 — the reference extracts with
-  * `SELECT *` over ODBC, `etl_pipeline/etl.py:48-50`). The harness has no
-  * database, so this path is exercised only on deployments that do; the
-  * parquet readers in [[TestData]] are the primary source.
+  * `SELECT *` over ODBC, `etl_pipeline/etl.py:48-50`). Exercised
+  * end-to-end against an embedded Derby database in JdbcRoundTripSpec;
+  * the parquet readers in [[TestData]] are the primary source.
   *
   * Scale notes baked into the API: always read with a partition column +
   * bounds (otherwise the whole table arrives through ONE connection —
