@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
-import graft.operators.{BankEtl, Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{BankEtl, DataQuality, Dedup, Events, Multimodal, Similarity, TextAnalysis, WarehouseSink}
 import graft.oracle.BankOracle
 import graft.sources.{BankAdapter, CsvSource, TestData}
 import graft.streaming.EventStream
@@ -285,6 +285,27 @@ object SparkEntry {
       BankEtl.registerViews(w)
       s.sql(BankEtl.DashboardSql.ageGroups)
     },
+    // S4 with an oracle row: the full parquet warehouse write (dims +
+    // ym-partitioned fact) followed by a read-back aggregation over the
+    // partition column — the oracle computes the same rollup straight from
+    // the fact CTE, so a hash match proves the sink round-trips the data
+    // through the partition layout losslessly.
+    "q36_warehouse_roundtrip" -> { (s, dir) =>
+      val w = BankEtl.buildCached(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft-q36").toString
+      WarehouseSink.write(w, out)
+      s.read.parquet(s"$out/Fact_Spending")
+        .groupBy("ym")
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(col("Amount_Spent")).cast("decimal(18,2)")).as("total"))
+        .orderBy("ym")
+    },
+    // S5 with an oracle row: every FK/PK constraint check as one lazy
+    // DataFrame; all-zero violation counts are themselves the asserted
+    // result, hash-matched against the oracle's anti-join/dup counts.
+    "q37_data_quality" -> { (s, dir) =>
+      DataQuality.checksDf(BankEtl.buildCached(s, dir))
+    },
     "q29_dash_trend" -> { (s, dir) =>
       val w = BankEtl.buildCached(s, dir)
       BankEtl.dashTrend(w.fact, w.dimDate)
@@ -324,6 +345,12 @@ object SparkEntry {
     },
     "q56_quality_filter" -> { (s, dir) =>
       TextAnalysis.qualityFilter(TestData.documents(s, dir)).orderBy("doc_id")
+    },
+    // Ranked retrieval over the corpus: stats broadcast + linear scoring
+    // pass + bounded-heap top-k. Query terms are fixed literals so the
+    // oracle computes the identical arithmetic.
+    "q57_bm25_topk" -> { (s, dir) =>
+      TextAnalysis.bm25(TestData.documents(s, dir), bm25Terms)
     },
     "q54_ann_ivf_topk" -> { (s, dir) =>
       Similarity.ivfTopK(TestData.embeddings(s, dir)).orderBy("qid", "rank")
@@ -437,6 +464,11 @@ object SparkEntry {
     * runner launched from any directory resolves the same bytes (the
     * DuckDB oracle's `read_csv` gets whichever absolute path was picked).
     */
+  /** Fixed retrieval query for q57 — terms from the synthetic corpus
+    * vocabulary, shared by engine and oracle.
+    */
+  val bm25Terms: Seq[String] = Seq("spark", "query", "join")
+
   lazy val mccBrandsCsv: String = sys.props.get("graft.mcc.csv").getOrElse {
     val checkout = new java.io.File("src/main/resources/bank/mcc_brands.csv")
     if (checkout.isFile) checkout.getAbsolutePath
@@ -638,6 +670,8 @@ object SparkEntry {
     "q56_quality_filter" ->
       s"""${TextAnalysis.qualityFilterSql()}
           ORDER BY doc_id""",
+
+    "q57_bm25_topk" -> TextAnalysis.bm25Sql(bm25Terms),
 
     "q54_ann_ivf_topk" ->
       s"""WITH ${Similarity.ivfTopKSql()}

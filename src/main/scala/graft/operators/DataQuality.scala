@@ -12,26 +12,44 @@ object DataQuality {
 
   final case class Violations(check: String, count: Long)
 
-  /** FK checks: every fact key resolves; PK checks: dim keys unique. */
-  def warehouseChecks(w: BankEtl.Warehouse): Seq[Violations] = {
-    def orphans(dim: DataFrame, key: String): Long =
-      w.fact.join(dim, Seq(key), "left_anti").count()
-    def dupKeys(dim: DataFrame, key: String): Long = {
-      val r = dim.agg(count(col(key)).as("n"), countDistinct(col(key)).as("d")).head()
-      r.getLong(0) - r.getLong(1)
+  /** One row per dim: (display name, oracle CTE name, surrogate key).
+    * [[checksDf]] and the DuckDB twin in BankOracle both iterate THIS list,
+    * so the check set cannot drift between engine and oracle.
+    */
+  val dimKeys: Seq[(String, String, String)] = Seq(
+    ("Dim_Date", "dim_date", "Date_Key"),
+    ("Dim_Customer", "dim_customer", "Customer_Key"),
+    ("Dim_Account", "dim_account", "Account_Key"),
+    ("Dim_Merchant", "dim_merchant", "Merchant_Key"),
+    ("Dim_Location", "dim_location", "Location_Key"))
+
+  /** All FK/PK checks as ONE lazy DataFrame of (check_name, violations):
+    * every fact key resolves (anti-join counts) and dim keys are unique
+    * (count − count-distinct). Each branch is a distributed aggregate over
+    * a pruned single-column projection, so the whole sweep is a handful of
+    * shuffle-light jobs even on a 100 TB fact.
+    */
+  def checksDf(w: BankEtl.Warehouse): DataFrame = {
+    val dims: Map[String, DataFrame] = Map(
+      "Dim_Date" -> w.dimDate, "Dim_Customer" -> w.dimCustomer,
+      "Dim_Account" -> w.dimAccount, "Dim_Merchant" -> w.dimMerchant,
+      "Dim_Location" -> w.dimLocation)
+    val branches = dimKeys.flatMap { case (name, _, key) =>
+      val dim = dims(name)
+      Seq(
+        w.fact.join(dim.select(col(key)), Seq(key), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(s"fact.$key orphans").as("check_name"), col("violations")),
+        dim.agg((count(col(key)) - countDistinct(col(key))).as("violations"))
+          .select(lit(s"$name dup keys").as("check_name"), col("violations")))
     }
-    Seq(
-      Violations("fact.Customer_Key orphans", orphans(w.dimCustomer, "Customer_Key")),
-      Violations("fact.Account_Key orphans", orphans(w.dimAccount, "Account_Key")),
-      Violations("fact.Merchant_Key orphans", orphans(w.dimMerchant, "Merchant_Key")),
-      Violations("fact.Location_Key orphans", orphans(w.dimLocation, "Location_Key")),
-      Violations("fact.Date_Key orphans", orphans(w.dimDate, "Date_Key")),
-      Violations("Dim_Customer dup keys", dupKeys(w.dimCustomer, "Customer_Key")),
-      Violations("Dim_Account dup keys", dupKeys(w.dimAccount, "Account_Key")),
-      Violations("Dim_Merchant dup keys", dupKeys(w.dimMerchant, "Merchant_Key")),
-      Violations("Dim_Location dup keys", dupKeys(w.dimLocation, "Location_Key")),
-      Violations("Dim_Date dup keys", dupKeys(w.dimDate, "Date_Key")))
+    branches.reduce(_.unionByName(_)).orderBy("check_name")
   }
+
+  /** FK checks: every fact key resolves; PK checks: dim keys unique. */
+  def warehouseChecks(w: BankEtl.Warehouse): Seq[Violations] =
+    checksDf(w).collect().toSeq
+      .map(r => Violations(r.getString(0), r.getLong(1)))
 
   def assertClean(w: BankEtl.Warehouse): Unit = {
     val bad = warehouseChecks(w).filter(_.count > 0)

@@ -173,5 +173,33 @@ object BankOracle {
          |FROM fact_spending f JOIN dim_customer c ON f.Customer_Key = c.Customer_Key
          |GROUP BY c.Age_Group
          |ORDER BY Total_Spent DESC, c.Age_Group""".stripMargin,
+
+    // S4 twin: the engine side writes the ym-partitioned parquet warehouse
+    // and re-aggregates the read-back fact; the oracle aggregates the same
+    // fact directly — byte-identical results prove the sink lost nothing.
+    "q36_warehouse_roundtrip" ->
+      s"""$prelude
+         |SELECT CAST(Date_Key // 10000 AS INT) AS ym, COUNT(*) AS n,
+         |       CAST(CAST(SUM(Amount_Spent) AS DECIMAL(18,2)) AS DOUBLE) AS total
+         |FROM fact_spending
+         |GROUP BY ym ORDER BY ym""".stripMargin,
+
+    // S5 twin: FK orphan / PK dup counts, generated from the SAME
+    // DataQuality.dimKeys list the engine iterates.
+    "q37_data_quality" -> {
+      val branches = graft.operators.DataQuality.dimKeys.flatMap {
+        case (name, cte, key) => Seq(
+          s"""SELECT 'fact.$key orphans' AS check_name, COUNT(*) AS violations
+             |FROM fact_spending f
+             |WHERE NOT EXISTS (SELECT 1 FROM $cte d WHERE d.$key = f.$key)""".stripMargin,
+          s"""SELECT '$name dup keys' AS check_name,
+             |       COUNT($key) - COUNT(DISTINCT $key) AS violations
+             |FROM $cte""".stripMargin)
+      }
+      s"""$prelude
+         |SELECT check_name, violations FROM (
+         |${branches.mkString("\nUNION ALL\n")}
+         |) ORDER BY check_name""".stripMargin
+    },
   )
 }
