@@ -95,6 +95,11 @@ object WarehouseSink {
     dim(w.dimLocation, "Dim_Location")
     w.fact
       .withColumn("ym", (col("Date_Key") / 10000).cast("int")) // yyyyMM prefix
+      // One shuffle so each writer task owns whole ym partitions: without
+      // it every input split writes a sliver into every ym directory —
+      // splits × months tiny files, the classic small-files failure at
+      // scale. (AQE coalesces the shuffle when months are few.)
+      .repartition(col("ym"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("ym")
       .parquet(s"$outDir/Fact_Spending")
