@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
-import graft.operators.{BankEtl, DataQuality, Dedup, Events, Multimodal, Similarity, TextAnalysis, WarehouseSink}
+import graft.operators.{BankEtl, DataQuality, Dedup, Events, Multimodal, Sampling, Similarity, TextAnalysis, WarehouseSink}
 import graft.oracle.BankOracle
 import graft.sources.{BankAdapter, CsvSource, TestData}
 import graft.streaming.EventStream
@@ -352,6 +352,17 @@ object SparkEntry {
     "q57_bm25_topk" -> { (s, dir) =>
       TextAnalysis.bm25(TestData.documents(s, dir), bm25Terms)
     },
+    // Deterministic training-mix sampling: md5-hash coin per doc_id, so
+    // the subset is identical across runs, clusters, and engines — a pure
+    // filter on the scan, no shuffle.
+    "q38_stratified_sample" -> { (s, dir) =>
+      Sampling.stratifiedSample(TestData.documents(s, dir), sampleRates)
+        .orderBy("doc_id")
+    },
+    // Vocabulary building: corpus-global token frequencies, top 50.
+    "q39_vocab_topk" -> { (s, dir) =>
+      TextAnalysis.vocabTopK(TestData.documents(s, dir))
+    },
     "q54_ann_ivf_topk" -> { (s, dir) =>
       Similarity.ivfTopK(TestData.embeddings(s, dir)).orderBy("qid", "rank")
     },
@@ -364,6 +375,11 @@ object SparkEntry {
     },
     "q43_lsh_candidates" -> { (s, dir) =>
       Dedup.lshCandidates(TestData.documents(s, dir)).orderBy("doc_a", "doc_b")
+    },
+    // Pairs → clusters: connected components over the LSH candidate graph
+    // (iterative min-label propagation; the oracle is a recursive CTE).
+    "q59_dedup_clusters" -> { (s, dir) =>
+      Dedup.dedupClusters(TestData.documents(s, dir)).orderBy("doc_id")
     },
     "q44_simhash" -> { (s, dir) =>
       Dedup.simhash(TestData.documents(s, dir)).orderBy("doc_id")
@@ -468,6 +484,11 @@ object SparkEntry {
     * vocabulary, shared by engine and oracle.
     */
   val bm25Terms: Seq[String] = Seq("spark", "query", "join")
+
+  /** q38 training mix: keep all of the curated source, half of the next,
+    * a tenth of everything else.
+    */
+  val sampleRates: Seq[(String, Int)] = Seq("src0" -> 100, "src1" -> 50)
 
   lazy val mccBrandsCsv: String = sys.props.get("graft.mcc.csv").getOrElse {
     val checkout = new java.io.File("src/main/resources/bank/mcc_brands.csv")
@@ -673,6 +694,12 @@ object SparkEntry {
 
     "q57_bm25_topk" -> TextAnalysis.bm25Sql(bm25Terms),
 
+    "q38_stratified_sample" ->
+      s"""${Sampling.stratifiedSampleSql(sampleRates)}
+          ORDER BY doc_id""",
+
+    "q39_vocab_topk" -> TextAnalysis.vocabTopKSql(),
+
     "q54_ann_ivf_topk" ->
       s"""WITH ${Similarity.ivfTopKSql()}
           SELECT qid, rank, nid, score FROM ivf_topk ORDER BY qid, rank""",
@@ -689,6 +716,10 @@ object SparkEntry {
     "q43_lsh_candidates" ->
       s"""WITH ${Dedup.lshCandidatesSql()}
           SELECT doc_a, doc_b, n_shared_bands FROM lsh_pairs ORDER BY doc_a, doc_b""",
+
+    "q59_dedup_clusters" ->
+      s"""WITH RECURSIVE ${Dedup.dedupClustersSql()}
+          SELECT doc_id, cluster_id, is_survivor FROM dedup_clusters ORDER BY doc_id""",
 
     "q44_simhash" ->
       s"""WITH ${Dedup.simhashSql}

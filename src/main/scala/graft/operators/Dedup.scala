@@ -154,6 +154,70 @@ object Dedup {
        |           AS BIGINT) AS simhash
        |  FROM votes GROUP BY doc_id)""".stripMargin
 
+  /** Candidate pairs → dedup CLUSTERS: the resolution step every near-dup
+    * pipeline needs after LSH banding (pairs alone over-delete — A~B and
+    * B~C must keep exactly one of {A,B,C}, which requires the connected
+    * component, not the pair list). Components via iterative min-label
+    * propagation: every round each vertex takes the minimum label among
+    * itself and its neighbours — one shuffle join + one aggregate per
+    * round, converging in O(component diameter) rounds (near-dup clusters
+    * are shallow; `maxIters` is a safety bound, and convergence is an
+    * exact changed-row count, so the loop is deterministic). The driver
+    * carries only that scalar per round — labels never leave the cluster —
+    * and each round's result is localCheckpoint'ed so lineage stays O(1)
+    * instead of growing with the iteration count.
+    *
+    * Output: one row per vertex of the candidate graph —
+    * (doc_id, cluster_id = min doc_id of its component,
+    *  is_survivor = 1 for the cluster minimum).
+    */
+  def dedupClusters(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = lshCandidates(docs, numHashes, rowsPerBand).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache() // re-read every round
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val prop = edges.join(labels.withColumnRenamed("v", "src"), Seq("src"))
+        .groupBy(col("dst").as("v")).agg(min("label").as("nbr"))
+      val next = labels.join(prop, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("v"))
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"),
+      (col("v") === col("label")).cast("int").as("is_survivor"))
+  }
+
+  /** DuckDB twin of [[dedupClusters]]: transitive closure as a recursive
+    * CTE (set-semantics UNION terminates it), then min per vertex. Must be
+    * opened with `WITH RECURSIVE`.
+    */
+  def dedupClustersSql(numHashes: Int = 16, rowsPerBand: Int = 4): String =
+    s"""${lshCandidatesSql(numHashes, rowsPerBand)},
+       |cc_edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM lsh_pairs),
+       |reach(v, u) AS (
+       |  SELECT src, src FROM cc_edges
+       |  UNION
+       |  SELECT r.v, e.dst FROM reach r JOIN cc_edges e ON r.u = e.src),
+       |dedup_clusters AS (
+       |  SELECT v AS doc_id, MIN(u) AS cluster_id,
+       |         CAST(v = MIN(u) AS INT) AS is_survivor
+       |  FROM reach GROUP BY v)""".stripMargin
+
   /** Word n-gram shingles, distinct per document. Memoized per (session,
     * plan, n): the jaccard, minhash, and LSH queries all start from the
     * same shingle set — materialize it once per session like a shared

@@ -165,6 +165,25 @@ object TextAnalysis {
        |            ELSE 'keep' END AS verdict
        |FROM ($qualitySignalsSql)""".stripMargin
 
+  /** Corpus vocabulary: global token frequencies, top k — the vocab-
+    * building pass of a tokenizer pipeline. Explode → groupBy with
+    * map-side combine (each split pre-aggregates to its distinct tokens,
+    * so the shuffle carries vocab-sized, not corpus-sized, data) →
+    * bounded-heap top-k.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(k)
+
+  def vocabTopKSql(k: Int = 50): String =
+    s"""SELECT token, COUNT(*) AS freq
+       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |GROUP BY token
+       |ORDER BY freq DESC, token
+       |LIMIT $k""".stripMargin
+
   /** BM25 ranked retrieval over the corpus (k1 = 1.2, b = 0.75): the
     * training-data-curation primitive behind "find documents like this
     * query" sweeps. Two passes, both distributed: one aggregate produces a

@@ -61,4 +61,22 @@ class DedupSpec extends SparkSpec {
     val sh = Dedup.shingles(docs(7L -> "a b c d e"), 3)
     assert(sh.count() == 3)
   }
+
+  test("dedup clusters: components resolve to min-id survivor; singletons absent") {
+    // 0,1,2 identical (one component), 3,4 identical (another), 5 unique
+    // (never a candidate, so not a graph vertex).
+    val c = docs(
+      0L -> "the quick brown fox jumps over the lazy dog today",
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "completely different words about spark query engines here now",
+      4L -> "completely different words about spark query engines here now",
+      5L -> "unique text with nothing shared among any other corpus member")
+    val res = Dedup.dedupClusters(c)
+      .as[(Long, Long, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(res.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(Seq(0L, 1L, 2L).forall(res(_)._1 == 0L))
+    assert(Seq(3L, 4L).forall(res(_)._1 == 3L))
+    assert(res.collect { case (id, (_, 1)) => id }.toSet == Set(0L, 3L))
+  }
 }
