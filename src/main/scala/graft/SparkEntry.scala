@@ -470,6 +470,22 @@ object SparkEntry {
     "q64_stream_tumbling" -> { (s, dir) =>
       EventStream.tumblingHourly(s, dir)
     },
+    // Stream-static join: the streaming fact enriched against a static
+    // broadcast dim (derived in-plan: cohort = user_id mod 4), then a
+    // windowless streaming aggregate — checked against the batch oracle.
+    "q67_stream_static_join" -> { (s, dir) =>
+      val dim = TestData.events(s, dir).select("user_id").distinct()
+        .withColumn("cohort", concat(lit("c"), (col("user_id") % 4).cast("string")))
+      EventStream.enrichedTypeTotals(s, dir, dim)
+    },
+    // Custom-state sessionization (flatMapGroupsWithState) must land on
+    // the SAME sessions as the batch lag/sum formulation — q61's oracle
+    // minus the money column.
+    "q68_stream_sessionize" -> { (s, dir) =>
+      EventStream.sessionizeStateful(s, dir)
+        .select("user_id", "session_seq", "n_events", "start_ms", "end_ms")
+        .orderBy("user_id", "session_seq")
+    },
   )
 
   /** Committed CSV twin of [[BankAdapter.mccMapping]] — brands are the same
@@ -805,5 +821,20 @@ object SparkEntry {
           ORDER BY user_id""",
 
     "q64_stream_tumbling" -> EventStream.tumblingHourlySql,
+
+    "q67_stream_static_join" ->
+      """SELECT 'c' || CAST(user_id % 4 AS VARCHAR) AS cohort, event_type,
+        |       COUNT(*) AS n
+        |FROM events
+        |GROUP BY cohort, event_type
+        |ORDER BY cohort, event_type""".stripMargin,
+
+    // identical session contract as the batch formulation (q61), money
+    // column omitted — the stateful streaming path must find the same
+    // session boundaries
+    "q68_stream_sessionize" ->
+      s"""SELECT user_id, session_seq, n_events, start_ms, end_ms
+          FROM (${Events.sessionizeSql()})
+          ORDER BY user_id, session_seq""",
   )
 }
