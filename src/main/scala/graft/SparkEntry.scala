@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
-import graft.operators.{BankEtl, DataQuality, Dedup, Events, Multimodal, Sampling, Similarity, TextAnalysis, WarehouseSink}
+import graft.operators.{BankEtl, DataQuality, Dedup, Events, Multimodal, Sampling, Scd, Similarity, Skew, TextAnalysis, WarehouseSink}
 import graft.oracle.BankOracle
 import graft.sources.{BankAdapter, CsvSource, TestData}
 import graft.streaming.EventStream
@@ -486,6 +486,37 @@ object SparkEntry {
         .select("user_id", "session_seq", "n_events", "start_ms", "end_ms")
         .orderBy("user_id", "session_seq")
     },
+    // SCD2 merge: close-and-append over a deterministic snapshot delta
+    // (every 10th key changes, every 100th is brand new, every 3rd is
+    // absent from the update) — all three paths of the merge exercised
+    // and hash-checked against the oracle's full-join formulation.
+    "q69_scd2_merge" -> { (s, dir) =>
+      val cust = TestData.customer(s, dir)
+      val dim = cust.select(col("c_custkey").as("k"),
+        col("c_nationkey").cast("int").as("nation"),
+        lit(java.sql.Date.valueOf("2020-01-01")).as("effective_from"),
+        lit(null).cast("date").as("effective_to"))
+      val upd = cust.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 10 === 0, (col("c_nationkey") + 1) % 25)
+            .otherwise(col("c_nationkey")).cast("int").as("nation"))
+        .unionByName(cust.filter(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"),
+            lit(7).cast("int").as("nation")))
+      Scd.type2(dim, upd, "k", Seq("nation"),
+          lit(java.sql.Date.valueOf("2024-06-01")))
+        .orderBy(col("k"), col("effective_from"))
+    },
+    // Salted two-phase aggregation: the skew-mitigation rewrite must be
+    // invisible in the result — the oracle is the PLAIN group-by. Money
+    // stays decimal through both phases so partial-sum order can't leak.
+    "q70_salted_agg" -> { (s, dir) =>
+      Skew.saltedSum(TestData.events(s, dir), "user_id",
+          money(col("value")), saltFrom = col("event_id"))
+        .select(col("user_id"),
+          moneyOut(col("total").cast("decimal(18,2)")).as("total"))
+        .orderBy("user_id")
+    },
   )
 
   /** Committed CSV twin of [[BankAdapter.mccMapping]] — brands are the same
@@ -836,5 +867,43 @@ object SparkEntry {
       s"""SELECT user_id, session_seq, n_events, start_ms, end_ms
           FROM (${Events.sessionizeSql()})
           ORDER BY user_id, session_seq""",
+
+    "q69_scd2_merge" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS k, CAST(c_nationkey AS INT) AS nation,
+        |         DATE '2020-01-01' AS effective_from,
+        |         CAST(NULL AS DATE) AS effective_to
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey AS k,
+        |         CAST(CASE WHEN c_custkey % 10 = 0 THEN (c_nationkey + 1) % 25
+        |              ELSE c_nationkey END AS INT) AS nation
+        |  FROM customer WHERE c_custkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS k, CAST(7 AS INT) AS nation
+        |  FROM customer WHERE c_custkey % 100 = 0),
+        |keep AS (
+        |  SELECT d.k, d.nation, d.effective_from, d.effective_to
+        |  FROM dim d LEFT JOIN upd u ON d.k = u.k
+        |  WHERE u.k IS NULL OR d.nation = u.nation),
+        |close AS (
+        |  SELECT d.k, d.nation, d.effective_from, DATE '2024-06-01' AS effective_to
+        |  FROM dim d JOIN upd u ON d.k = u.k WHERE d.nation <> u.nation),
+        |opennew AS (
+        |  SELECT u.k, u.nation, DATE '2024-06-01' AS effective_from,
+        |         CAST(NULL AS DATE) AS effective_to
+        |  FROM upd u LEFT JOIN dim d ON d.k = u.k
+        |  WHERE d.k IS NULL OR d.nation <> u.nation)
+        |SELECT * FROM keep UNION ALL SELECT * FROM close
+        |UNION ALL SELECT * FROM opennew
+        |ORDER BY k, effective_from""".stripMargin,
+
+    // the salt must be invisible: plain group-by is the oracle
+    "q70_salted_agg" ->
+      s"""SELECT user_id,
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("value")}) AS DECIMAL(18,2))")} AS total
+          FROM events
+          GROUP BY user_id
+          ORDER BY user_id""",
   )
 }
