@@ -517,6 +517,16 @@ object SparkEntry {
           moneyOut(col("total").cast("decimal(18,2)")).as("total"))
         .orderBy("user_id")
     },
+    // Incremental ingestion dedup: the new batch is deduped against the
+    // ingested corpus AND within itself, all on 16-byte fingerprints.
+    "q71_incremental_dedup" -> { (s, dir) =>
+      Dedup.incrementalDedup(TestData.documents(s, dir)).orderBy("keep_doc_id")
+    },
+    // Range join: value-tier banding via θ-join against a broadcast
+    // 3-row range table.
+    "q72_range_join" -> { (s, dir) =>
+      Events.tierTotals(TestData.events(s, dir))
+    },
   )
 
   /** Committed CSV twin of [[BankAdapter.mccMapping]] — brands are the same
@@ -905,5 +915,12 @@ object SparkEntry {
           FROM events
           GROUP BY user_id
           ORDER BY user_id""",
+
+    "q71_incremental_dedup" ->
+      s"""WITH ${Dedup.incrementalDedupSql()}
+          SELECT keep_doc_id, fingerprint, n_copies FROM incremental
+          ORDER BY keep_doc_id""",
+
+    "q72_range_join" -> Events.tierTotalsSql,
   )
 }

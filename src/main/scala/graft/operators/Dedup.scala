@@ -154,6 +154,46 @@ object Dedup {
        |           AS BIGINT) AS simhash
        |  FROM votes GROUP BY doc_id)""".stripMargin
 
+  /** Incremental ingestion dedup: a NEW batch of documents arrives and
+    * must be deduplicated (a) against the already-ingested corpus and
+    * (b) within itself — without ever re-reading ingested *content*. Both
+    * steps work on 16-byte content fingerprints (order-insensitive token
+    * md5, [[TextAnalysis.fingerprints]]): the ingested side collapses to a
+    * distinct fingerprint set (at 100 TB this is the small, cachable side
+    * — fingerprints, not documents), the batch anti-joins it, and the
+    * in-batch dedup is a min-survivor group-by. Here `ingestedSource`
+    * plays the already-ingested corpus; everything else is the new batch.
+    */
+  def incrementalDedup(docs: DataFrame, ingestedSource: String = "src0"): DataFrame = {
+    val fps = TextAnalysis.fingerprints(docs)
+    val ingested = fps
+      .join(docs.filter(col("source") === ingestedSource).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select("fingerprint").distinct()
+    val batch = fps
+      .join(docs.filter(col("source") =!= ingestedSource).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    batch.join(ingested, Seq("fingerprint"), "left_anti")
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select("keep_doc_id", "fingerprint", "n_copies")
+  }
+
+  def incrementalDedupSql(ingestedSource: String = "src0"): String =
+    s"""fps AS (
+       |  SELECT doc_id, source,
+       |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+       |           AS fingerprint
+       |  FROM documents),
+       |ingested AS (
+       |  SELECT DISTINCT fingerprint FROM fps WHERE source = '$ingestedSource'),
+       |incremental AS (
+       |  SELECT MIN(doc_id) AS keep_doc_id, fingerprint, COUNT(*) AS n_copies
+       |  FROM fps
+       |  WHERE source <> '$ingestedSource'
+       |    AND fingerprint NOT IN (SELECT fingerprint FROM ingested)
+       |  GROUP BY fingerprint)""".stripMargin
+
   /** Candidate pairs → dedup CLUSTERS: the resolution step every near-dup
     * pipeline needs after LSH banding (pairs alone over-delete — A~B and
     * B~C must keep exactly one of {A,B,C}, which requires the connected

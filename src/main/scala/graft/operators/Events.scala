@@ -119,4 +119,38 @@ object Events {
        |       $cols
        |FROM events GROUP BY user_id""".stripMargin
   }
+
+  /** Range (interval) join: events banded into value tiers by a θ-join
+    * against a tiny range table — the generic dimension-banding shape
+    * (price tiers, latency buckets, age bands). At scale this is a
+    * broadcast nested-loop against 3 rows = 3 comparisons per event,
+    * embarrassingly parallel, with the aggregate map-side combined; the
+    * join stays correct for overlapping or gapped bands, which a CASE
+    * bucketing can't express.
+    */
+  val valueTiers: Seq[(String, Double, Double)] = Seq(
+    ("low", -1e18, 20.0), ("mid", 20.0, 100.0), ("high", 100.0, 1e18))
+
+  def tierTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tiers = valueTiers.toDF("tier", "lo", "hi")
+    events.join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("decimal(18,2)").cast("double").as("total_value"))
+      .orderBy("tier")
+  }
+
+  val tierTotalsSql: String = {
+    val rows = valueTiers
+      .map { case (t, lo, hi) => s"('$t', CAST($lo AS DOUBLE), CAST($hi AS DOUBLE))" }
+      .mkString(", ")
+    s"""SELECT tier, COUNT(*) AS n,
+       |       CAST(CAST(SUM(${moneySql("value")}) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+       |FROM events e JOIN (VALUES $rows) tiers(tier, lo, hi)
+       |  ON e.value >= tiers.lo AND e.value < tiers.hi
+       |GROUP BY tier
+       |ORDER BY tier""".stripMargin
+  }
 }
