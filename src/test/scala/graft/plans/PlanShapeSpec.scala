@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan regression guards: the scale properties this engine is
+  * designed around (broadcasts for small sides, bounded-heap top-k,
+  * filter pushdown into the scan, no accidental cartesian products) must
+  * not silently regress when a query is edited. Assertions run against
+  * the FINAL adaptive plan (post-AQE re-planning), i.e. what would
+  * actually execute on a cluster.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def finalPlan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.collect() // drive to completion so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q03 top-k: dimension broadcast + bounded-heap TakeOrderedAndProject") {
+    val p = finalPlan("q03_topk")
+    assert(p.contains("BroadcastHashJoin"), "part side must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "LIMIT after ORDER BY must be a bounded heap, not a global sort")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join for a broadcastable dim")
+  }
+
+  test("q01 scan: predicate pushed into the parquet scan") {
+    val p = finalPlan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: ["), "scan must carry pushed filters")
+    assert(p.contains("l_shipdate") && p.contains("LessThan"),
+      "the shipdate predicate must reach the scan")
+  }
+
+  test("dedup/similarity self-joins never degenerate to cartesian products") {
+    for (q <- Seq("q41_ngram_jaccard", "q43_lsh_candidates", "q46_ann_lsh",
+        "q47_embedding_near_dups", "q66_fuzzy_match")) {
+      val p = finalPlan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
+    }
+  }
+
+  test("dashboard joins: the dim side broadcasts over the cached fact") {
+    // (the fact ASSEMBLY joins are invisible here by design: surrogate-key
+    // assignment materializes them behind an RDD scan, and the q28 query
+    // path reads the cached result — what executes per dashboard query is
+    // the fact⋈dim join below)
+    for (q <- Seq("q30_dash_top_categories", "q31_dash_age_groups")) {
+      val p = finalPlan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q dim side must broadcast")
+      assert(!p.contains("SortMergeJoin"), s"$q must not shuffle-join a small dim")
+    }
+  }
+
+  test("q57 bm25: the 1-row stats frame broadcasts; top-k is a bounded heap") {
+    val p = finalPlan("q57_bm25_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "stats side must broadcast, not shuffle")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be a bounded heap")
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"),
+      "the scoring pass must retain whole-stage codegen spans")
+  }
+}
