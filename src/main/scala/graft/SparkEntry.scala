@@ -409,6 +409,17 @@ object SparkEntry {
     "q52_multimodal_meta" -> { (s, dir) =>
       Multimodal.documentMedia(TestData.documents(s, dir)).orderBy("doc_id")
     },
+    // Frame sampling: ≤4 evenly spaced frames per media payload through
+    // the per-partition decoder; fan-out + fingerprint mirrored in SQL.
+    "q73_frame_sample" -> { (s, dir) =>
+      Multimodal.documentFrames(TestData.documents(s, dir))
+        .orderBy("doc_id", "frame_idx")
+    },
+    // Resize-to-fit planning over decoded metadata, integer-exact.
+    "q74_media_resize" -> { (s, dir) =>
+      Multimodal.resizePlan(Multimodal.documentMedia(TestData.documents(s, dir)))
+        .orderBy("doc_id")
+    },
 
     // ---- Event-stream operators.
     // D7-family probe over the nanosecond-timestamp events table.
@@ -812,6 +823,14 @@ object SparkEntry {
 
     "q52_multimodal_meta" ->
       s"""${Multimodal.documentMediaSql}
+          ORDER BY doc_id""",
+
+    "q73_frame_sample" ->
+      s"""${Multimodal.documentFramesSql}
+          ORDER BY doc_id, frame_idx""",
+
+    "q74_media_resize" ->
+      s"""${Multimodal.resizePlanSql()}
           ORDER BY doc_id""",
 
     "q60_events_hourly" ->

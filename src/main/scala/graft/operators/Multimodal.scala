@@ -75,4 +75,74 @@ object Multimodal {
       |       CAST(1 + ('0x' || substring(md5(text), 7, 6))::BIGINT % 768 AS INT) AS height,
       |       CAST(1 + octet_length(encode(text)) % 30 AS INT) AS frames
       |FROM documents""".stripMargin
+
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_md5: String)
+
+  /** Frame sampling: at most 4 evenly spaced frames per media file (step =
+    * ceil(frames/4)). The stub "decodes" a frame by hashing (payload md5,
+    * frame index) — a real codec would seek + decode + hash pixels — but
+    * the sampling arithmetic, the per-doc fan-out shape, and the
+    * one-decoder-per-partition lifecycle are the real, load-bearing parts.
+    */
+  def sampleFrames(media: Dataset[MediaFile]): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+      it.flatMap { m =>
+        md.reset()
+        val payload = hex(md.digest(m.content))
+        val frames = 1 + (m.content.length % 30)
+        val step = (frames + 3) / 4
+        (0 until 4).map(_ * step).filter(_ < frames).map { f =>
+          md.reset()
+          FrameSample(m.doc_id, f,
+            hex(md.digest((payload + ":" + f).getBytes("UTF-8"))))
+        }
+      }
+    }
+  }
+
+  /** End-to-end frame sampling over the documents' media table. */
+  def documentFrames(docs: DataFrame): DataFrame =
+    sampleFrames(mediaTable(docs)).toDF()
+
+  /** Oracle twin of [[documentFrames]] — same step arithmetic, same
+    * hash-of-hash frame fingerprint.
+    */
+  val documentFramesSql: String =
+    """SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      |       md5(md5(text) || ':' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+      |FROM (
+      |  SELECT doc_id, text,
+      |         1 + octet_length(encode(text)) % 30 AS frames,
+      |         unnest(generate_series(0, 3))
+      |           * ((1 + octet_length(encode(text)) % 30 + 3) // 4) AS frame_idx
+      |  FROM documents)
+      |WHERE frame_idx < frames""".stripMargin
+
+  /** Resize-to-fit planning (integer-exact): scale each decoded (w, h) to
+    * fit a square training input, preserving aspect ratio — the batch
+    * shape of an image-preprocessing pass. Pure column arithmetic over the
+    * metadata; the pixel work would happen in the per-partition decoder.
+    */
+  def resizePlan(meta: DataFrame, target: Int = 224): DataFrame = {
+    import org.apache.spark.sql.Column
+    // exact integer division (see TextAnalysis.bm25): double `/` can round
+    // up across an integer boundary, (a - a mod b) / b cannot
+    def intDiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("int")
+    val longest = greatest(col("width"), col("height"))
+    // clamp to >= 1: an extreme aspect ratio (1 x 768) truncates to 0
+    meta.select(
+      col("doc_id"), col("width"), col("height"),
+      greatest(lit(1), intDiv(col("width") * target, longest)).as("out_width"),
+      greatest(lit(1), intDiv(col("height") * target, longest)).as("out_height"))
+  }
+
+  def resizePlanSql(target: Int = 224): String =
+    s"""SELECT doc_id, width, height,
+       |       CAST(GREATEST(1, (width * $target) // GREATEST(width, height)) AS INT) AS out_width,
+       |       CAST(GREATEST(1, (height * $target) // GREATEST(width, height)) AS INT) AS out_height
+       |FROM ($documentMediaSql)""".stripMargin
 }
