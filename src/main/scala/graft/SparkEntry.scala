@@ -154,6 +154,39 @@ object SparkEntry {
         .orderBy("o_custkey", "order_seq")
     },
 
+    // The rest of the analytic-window family over one pass: ranking
+    // (dense_rank), distribution (ntile, percent_rank — exact double
+    // division of two ints), and offset (lag delta). One shuffle on the
+    // partition key serves all five functions.
+    "q76_window_suite" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      TestData.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          dense_rank().over(w).as("drank"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prank"),
+          moneyOut(coalesce(
+            money(col("o_totalprice")) - lag(money(col("o_totalprice")), 1).over(w),
+            lit(0).cast("decimal(18,2)"))).as("delta_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Approximate distinct (HyperLogLog++): the oracle cannot reproduce
+    // Spark's sketch, so the CONTRACT is what gets hash-checked — the
+    // estimate must land within 5% of exact (rsd 0.01, so a 5-sigma
+    // bound; deterministic for a fixed dataset — HLL has no RNG).
+    "q75_approx_distinct" -> { (s, dir) =>
+      TestData.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")).cast("double") / col("n_exact")
+            <= 0.05).as("within_5pct"))
+        .orderBy("event_type")
+    },
+
     // Hierarchical aggregate: ROLLUP(year, month).
     "q12_rollup" -> { (s, dir) =>
       TestData.orders(s, dir)
@@ -939,6 +972,22 @@ object SparkEntry {
       s"""WITH ${Dedup.incrementalDedupSql()}
           SELECT keep_doc_id, fingerprint, n_copies FROM incremental
           ORDER BY keep_doc_id""",
+
+    "q76_window_suite" ->
+      s"""SELECT o_custkey, o_orderkey,
+                 CAST(DENSE_RANK() OVER w AS INT) AS drank,
+                 CAST(NTILE(4) OVER w AS INT) AS quartile,
+                 PERCENT_RANK() OVER w AS prank,
+                 ${moneyOutSql(s"COALESCE(${moneySql("o_totalprice")} - LAG(${moneySql("o_totalprice")}, 1) OVER w, 0)")} AS delta_prev
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          ORDER BY o_custkey, o_orderkey""",
+
+    // the oracle asserts the CONTRACT: estimates must sit inside the bound
+    "q75_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+        |       TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q72_range_join" -> Events.tierTotalsSql,
   )
