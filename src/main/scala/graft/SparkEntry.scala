@@ -399,6 +399,11 @@ object SparkEntry {
     "q54_ann_ivf_topk" -> { (s, dir) =>
       Similarity.ivfTopK(TestData.embeddings(s, dir)).orderBy("qid", "rank")
     },
+    // Index-quality closure: recall@k of the LSH index vs the exact
+    // baseline, per query.
+    "q77_ann_recall" -> { (s, dir) =>
+      Similarity.annRecall(TestData.embeddings(s, dir))
+    },
     "q41_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(TestData.documents(s, dir), n = 3, threshold = 0.1)
         .orderBy("doc_a", "doc_b")
@@ -804,6 +809,10 @@ object SparkEntry {
     "q54_ann_ivf_topk" ->
       s"""WITH ${Similarity.ivfTopKSql()}
           SELECT qid, rank, nid, score FROM ivf_topk ORDER BY qid, rank""",
+
+    "q77_ann_recall" ->
+      s"""WITH ${Similarity.annRecallSql()}
+          SELECT qid, hits, recall_at_k FROM ann_recall ORDER BY qid""",
 
     "q41_ngram_jaccard" ->
       s"""WITH ${Dedup.ngramJaccardPairsSql(3, 0.1)}

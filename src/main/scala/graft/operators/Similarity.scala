@@ -127,9 +127,11 @@ object Similarity {
       .select("qid", "rank", "nid", "score")
   }
 
-  def bruteForceTopKSql(k: Int = 5, queryMod: Int = 10): String =
-    s"""$quantizedSql,
-       |scores AS (
+  /** The brute-force chain given the `qn` CTE is already in scope —
+    * shared between [[bruteForceTopKSql]] and [[annRecallSql]].
+    */
+  private def bruteCoreSql(k: Int, queryMod: Int): String =
+    s"""scores AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
        |         list_dot_product(a.q, b.q)
        |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS score
@@ -139,6 +141,10 @@ object Similarity {
        |         nid, score
        |  FROM scores
        |  QUALIFY rank <= $k)""".stripMargin
+
+  def bruteForceTopKSql(k: Int = 5, queryMod: Int = 10): String =
+    s"""$quantizedSql,
+       |${bruteCoreSql(k, queryMod)}""".stripMargin
 
   /** Deterministic hyperplane weight for (plane h, dimension d): a fixed
     * pseudo-random integer in [-10⁶, 10⁶] — pure modular arithmetic, no RNG
@@ -340,4 +346,35 @@ object Similarity {
        |  FROM nd_probes a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |  WHERE list_dot_product(a.q, b.q)
        |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $threshold)""".stripMargin
+
+  /** Index-quality evaluation: recall@k of the LSH index against the exact
+    * baseline, per query — the closing check every ANN deployment needs
+    * ("how much did the bucketing cost me?"). Both sides are the operators
+    * above; the per-query join is on (qid, nid), so the evaluation adds
+    * one small shuffle over 2·|queries|·k rows regardless of corpus size.
+    */
+  def annRecall(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10): DataFrame = {
+    val exact = bruteForceTopK(embeddings, k, queryMod).select("qid", "nid")
+    val approx = lshTopK(embeddings, k, queryMod).select("qid", "nid")
+      .withColumn("hit", lit(1))
+    exact.join(approx, Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(count(col("hit")).as("hits"))
+      .select(col("qid"), col("hits").cast("int").as("hits"),
+        (col("hits").cast("double") / k).as("recall_at_k"))
+      .orderBy("qid")
+  }
+
+  /** DuckDB twin of [[annRecall]]: the LSH chain plus the shared brute
+    * core, joined per query.
+    */
+  def annRecallSql(k: Int = 5, queryMod: Int = 10): String =
+    s"""${lshTopKSql(k, queryMod)},
+       |${bruteCoreSql(k, queryMod)},
+       |ann_recall AS (
+       |  SELECT b.qid, CAST(COUNT(l.nid) AS INT) AS hits,
+       |         CAST(COUNT(l.nid) AS DOUBLE) / $k AS recall_at_k
+       |  FROM brute_topk b
+       |  LEFT JOIN lsh_topk l ON b.qid = l.qid AND b.nid = l.nid
+       |  GROUP BY b.qid)""".stripMargin
 }
