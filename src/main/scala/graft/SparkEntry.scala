@@ -396,6 +396,16 @@ object SparkEntry {
     "q39_vocab_topk" -> { (s, dir) =>
       TextAnalysis.vocabTopK(TestData.documents(s, dir))
     },
+    // Canonicalization pass: lowercase/strip/collapse, emitting the
+    // normalized identity hash.
+    "q78_text_normalize" -> { (s, dir) =>
+      TextAnalysis.normalized(TestData.documents(s, dir)).orderBy("doc_id")
+    },
+    // Leakage-safe split: the coin is flipped on the near-dup cluster id,
+    // so paraphrase families never straddle train/test.
+    "q79_train_test_split" -> { (s, dir) =>
+      Sampling.leakageSafeSplit(TestData.documents(s, dir)).orderBy("doc_id")
+    },
     "q54_ann_ivf_topk" -> { (s, dir) =>
       Similarity.ivfTopK(TestData.embeddings(s, dir)).orderBy("qid", "rank")
     },
@@ -805,6 +815,14 @@ object SparkEntry {
           ORDER BY doc_id""",
 
     "q39_vocab_topk" -> TextAnalysis.vocabTopKSql(),
+
+    "q78_text_normalize" ->
+      s"""${TextAnalysis.normalizedSql}
+          ORDER BY doc_id""",
+
+    "q79_train_test_split" ->
+      s"""WITH RECURSIVE ${Sampling.leakageSafeSplitSql()}
+          SELECT doc_id, cluster_id, split FROM split ORDER BY doc_id""",
 
     "q54_ann_ivf_topk" ->
       s"""WITH ${Similarity.ivfTopKSql()}

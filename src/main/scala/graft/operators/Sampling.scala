@@ -35,6 +35,34 @@ object Sampling {
       .select(col("doc_id"), col(stratum), col("n_chars"))
   }
 
+  /** Leakage-safe train/test split: the hash coin is flipped on the
+    * near-dup CLUSTER id, not the document id, so a document and its
+    * near-duplicates always land in the same split — assigning per-doc
+    * would leak training text into the test set through paraphrases, the
+    * classic eval-contamination bug. Documents outside any candidate pair
+    * are their own singleton cluster (coin on their own id).
+    */
+  def leakageSafeSplit(docs: DataFrame, trainPct: Int = 90): DataFrame = {
+    val clusters = Dedup.dedupClusters(docs).select("doc_id", "cluster_id")
+    docs.select("doc_id").join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("split",
+        when(coin(col("cluster_id")) < trainPct, lit("train")).otherwise(lit("test")))
+  }
+
+  /** DuckDB twin of [[leakageSafeSplit]] — recursive-CTE clusters plus the
+    * same coin. Must be opened with `WITH RECURSIVE`.
+    */
+  def leakageSafeSplitSql(trainPct: Int = 90): String =
+    s"""${Dedup.dedupClustersSql()},
+       |split AS (
+       |  SELECT d.doc_id,
+       |         COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       |         CASE WHEN ${coinSql("COALESCE(c.cluster_id, d.doc_id)")} < $trainPct
+       |              THEN 'train' ELSE 'test' END AS split
+       |  FROM documents d LEFT JOIN dedup_clusters c ON d.doc_id = c.doc_id)""".stripMargin
+
   /** DuckDB twin of [[stratifiedSample]] — same hash, same rates. */
   def stratifiedSampleSql(rates: Seq[(String, Int)], defaultPct: Int = 10,
       stratum: String = "source"): String = {

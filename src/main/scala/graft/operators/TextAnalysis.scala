@@ -165,6 +165,31 @@ object TextAnalysis {
        |            ELSE 'keep' END AS verdict
        |FROM ($qualitySignalsSql)""".stripMargin
 
+  /** Text normalization: lowercase → strip non-alphanumerics → collapse
+    * runs of spaces → trim; the canonicalization pass that precedes
+    * shingling and fingerprinting in a dedup pipeline. Pure codegen'd
+    * string expressions, embarrassingly parallel. Emits the normalized
+    * content hash + length (the normalized text itself stays in-engine —
+    * at 100 TB you materialize the 16-byte identity, not a second corpus).
+    */
+  def normalized(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("norm_md5"),
+      length(norm).as("norm_len"))
+  }
+
+  // DuckDB regexp_replace is first-match-only without the 'g' flag
+  val normalizedSql: String =
+    """SELECT doc_id,
+      |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |                               ' +', ' ', 'g'))) AS norm_md5,
+      |       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |                               ' +', ' ', 'g'))) AS INT) AS norm_len
+      |FROM documents""".stripMargin
+
   /** Corpus vocabulary: global token frequencies, top k — the vocab-
     * building pass of a tokenizer pipeline. Explode → groupBy with
     * map-side combine (each split pre-aggregates to its distinct tokens,

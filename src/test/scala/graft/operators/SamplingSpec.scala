@@ -24,6 +24,30 @@ class SamplingSpec extends SparkSpec {
     assert(res("other") > 40L && res("other") < 160L)
   }
 
+  test("leakage-safe split: near-duplicate families never straddle train/test") {
+    // 0,1,2 identical and 3,4 identical → two clusters; 5 is a singleton
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog today",
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "completely different words about spark query engines here now",
+      4L -> "completely different words about spark query engines here now",
+      5L -> "unique text with nothing shared among any other corpus member")
+    val corpus = texts.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+    val res = Sampling.leakageSafeSplit(corpus)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    assert(res.length == 6, "every document gets a split")
+    val byCluster = res.groupBy(_._2).values
+    byCluster.foreach { members =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster ${members.head._2} straddles splits")
+    }
+    assert(res.groupBy(_._2).size == 3, "two dup families + one singleton")
+  }
+
   test("selection is deterministic: same subset on every invocation") {
     val corpus = docs(300, "s")
     val a = Sampling.stratifiedSample(corpus, Seq(), defaultPct = 30)
