@@ -429,6 +429,11 @@ object SparkEntry {
     "q59_dedup_clusters" -> { (s, dir) =>
       Dedup.dedupClusters(TestData.documents(s, dir)).orderBy("doc_id")
     },
+    // SimHash signature → candidate pairs: pigeonhole banding (recall-
+    // complete for the Hamming threshold) + exact popcount verify.
+    "q80_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(TestData.documents(s, dir)).orderBy("doc_a", "doc_b")
+    },
     "q44_simhash" -> { (s, dir) =>
       Dedup.simhash(TestData.documents(s, dir)).orderBy("doc_id")
     },
@@ -852,6 +857,10 @@ object SparkEntry {
     "q44_simhash" ->
       s"""WITH ${Dedup.simhashSql}
           SELECT doc_id, simhash FROM simhash ORDER BY doc_id""",
+
+    "q80_simhash_pairs" ->
+      s"""WITH ${Dedup.simhashPairsSql()}
+          SELECT doc_a, doc_b, hamming FROM sh_pairs ORDER BY doc_a, doc_b""",
 
     "q45_ann_brute" ->
       s"""WITH ${Similarity.bruteForceTopKSql()}

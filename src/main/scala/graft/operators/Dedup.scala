@@ -154,6 +154,104 @@ object Dedup {
        |           AS BIGINT) AS simhash
        |  FROM votes GROUP BY doc_id)""".stripMargin
 
+  /** SimHash signatures → candidate pairs (Manku-style): band the 32-bit
+    * signature into 4 bytes; any pair agreeing on at least one band at the
+    * same position is a candidate (a pair within Hamming distance 3 must
+    * agree on ≥1 of 4 bands by pigeonhole — the banding is RECALL-COMPLETE
+    * for the threshold, not heuristic); verify with an exact popcount on
+    * the XOR. Same band-bucket equi-join shape as MinHash LSH — never
+    * all-pairs. At corpus scale the production variant widens to a 64-bit
+    * signature with 16-bit bands (65 536 buckets/band) to keep bucket
+    * occupancy down; the 32/8 split here matches the q44 signature.
+    */
+  private val SimhashPairBits = 48 // 4 bands × 12 bits; stays clear of the sign bit
+
+  /** A WIDER signature than q44's, over 3-gram shingles instead of unigram
+    * tokens: on a low-entropy corpus (this testdata has a ~30-word
+    * vocabulary) unigram token SETS are near-identical across documents,
+    * so 32-bit unigram signatures collide en masse (measured: 17 415
+    * signature-equal pairs among 500 docs) — the same degeneracy that
+    * makes unigram MinHash useless here. Shingles restore per-document
+    * entropy; 48 bits keep the collision rate down.
+    */
+  private def shingleSimhash(docs: DataFrame, shingleN: Int = 3): DataFrame =
+    cappedShingles(docs, shingleN) // boilerplate shingles correlate signatures
+      .select(col("doc_id"),
+        // mod 100003 keeps the vote multiply in BIGINT range (see docTokens)
+        (conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long") % 100003L).as("sid"))
+      .crossJoin(spark_range_df(docs, SimhashPairBits).withColumnRenamed("h", "b"))
+      // vote hash design matters: an ADDITIVE b term (sid*K + b*M) makes
+      // the parity alternate in b with a document-independent stride, so
+      // every signature collapses toward one of two complementary
+      // 0101… patterns (measured: fat pair-count tails at Hamming 0 AND
+      // 48, 2 069 spurious pairs). MULTIPLICATIVE mixing sid*(b+7)*K
+      // gives each shingle its own stride through the modulus — bits
+      // decorrelate and only true near-dups land within the threshold
+      // (measured: 18 pairs, binomial-centered histogram).
+      .select(col("doc_id"), col("b"),
+        (((col("sid") * (col("b") + 7) * 2654435761L) % 2000003L % 2) * 2 - 1).as("vote"))
+      .groupBy("doc_id", "b").agg(sum("vote").as("votes"))
+      .select(col("doc_id"),
+        (when(col("votes") >= 0, 1L).otherwise(0L)
+          * expr("shiftleft(CAST(1 AS BIGINT), b)")).as("bitval"))
+      .groupBy("doc_id").agg(sum("bitval").as("sig"))
+
+  /** SimHash signatures → candidate pairs (Manku-style): band the 48-bit
+    * shingle signature into 4 × 12 bits; any pair agreeing on at least one
+    * band at the same position is a candidate (a pair within Hamming
+    * distance 3 must agree on ≥ 1 of 4 bands by pigeonhole — the banding
+    * is RECALL-COMPLETE for the threshold, not heuristic); verify with an
+    * exact popcount of the XOR. Same band-bucket equi-join shape as
+    * MinHash LSH — never all-pairs; 4 096 buckets per band bound
+    * occupancy.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = shingleSimhash(docs)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          (shiftrightunsigned(col("sig"), b * 12) % 4096).as("bandval"))): _*))
+          .as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bandval").as("bandval"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // a close pair shares several bands; min() collapses to one row and
+      // every row of the group carries the same XOR popcount
+      .agg(min(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))))
+        .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def simhashPairsSql(maxHamming: Int = 3, shingleN: Int = 3): String =
+    s"""${shinglesSql(shingleN)},
+       |$cappedShinglesSql,
+       |sp_sigs AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN votes >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+       |           AS BIGINT) AS sig
+       |  FROM (
+       |    SELECT doc_id, b,
+       |           SUM(((sid * (b + 7) * 2654435761) % 2000003 % 2) * 2 - 1) AS votes
+       |    FROM (SELECT doc_id,
+       |                 ('0x' || substring(md5(sh), 1, 12))::BIGINT % 100003 AS sid
+       |          FROM kept) s,
+       |         (SELECT unnest(generate_series(0, ${SimhashPairBits - 1})) AS b)
+       |    GROUP BY doc_id, b) v
+       |  GROUP BY doc_id),
+       |sp_bands AS (
+       |  SELECT doc_id, sig, band, (sig >> (band * 12)) % 4096 AS bandval
+       |  FROM sp_sigs, (SELECT unnest(generate_series(0, 3)) AS band)),
+       |sh_pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(MIN(bit_count(xor(a.sig, b.sig))) AS INT) AS hamming
+       |  FROM sp_bands a JOIN sp_bands b
+       |    ON a.band = b.band AND a.bandval = b.bandval AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING CAST(MIN(bit_count(xor(a.sig, b.sig))) AS INT) <= $maxHamming)""".stripMargin
+
   /** Incremental ingestion dedup: a NEW batch of documents arrives and
     * must be deduplicated (a) against the already-ingested corpus and
     * (b) within itself — without ever re-reading ingested *content*. Both
@@ -324,20 +422,39 @@ object Dedup {
     * which is why capping it is semantically safe, not just fast. The cap
     * is derived in-plan from a 1-row count, identically in the oracle SQL.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.1): DataFrame = {
+  /** Shingle sets with the hot-shingle df cap applied — shared by the
+    * Jaccard and SimHash paths (both need boilerplate shingles gone: for
+    * Jaccard they blow up the inverted-index join, for SimHash they
+    * correlate unrelated documents' signatures). Cached via the bounded
+    * memo: probe + build + counts sides all read one copy.
+    */
+  def cappedShingles(docs: DataFrame, n: Int): DataFrame = {
     val cap = docs.agg(count(lit(1)).as("n_docs"))
       .select(greatest(lit(64L), floor(col("n_docs").cast("double") / 20).cast("long"))
         .as("df_cap"))
     val sh = shingles(docs, n)
-    // probe + build side + counts: three readers — cached via the bounded
-    // memo so repeated corpora reuse one copy and eviction still applies
-    val kept = memoized(docs.sparkSession,
+    memoized(docs.sparkSession,
       s"jaccardKept:$n:${docs.queryExecution.logical.toString}") {
       sh.join(sh.groupBy("sh").agg(count(lit(1)).as("df")), Seq("sh"))
         .crossJoin(broadcast(cap))
         .filter(col("df") <= col("df_cap"))
         .select("doc_id", "sh")
     }
+  }
+
+  /** The df_cap/sh_freq/kept CTE chain given `shingles` is in scope. */
+  def cappedShinglesSql: String =
+    """df_cap AS (
+      |  SELECT GREATEST(64, CAST(floor(CAST(COUNT(*) AS DOUBLE) / 20) AS BIGINT)) AS df_cap
+      |  FROM documents),
+      |sh_freq AS (SELECT sh, count(*) AS df FROM shingles GROUP BY sh),
+      |kept AS (
+      |  SELECT s.doc_id, s.sh
+      |  FROM shingles s JOIN sh_freq f ON s.sh = f.sh, df_cap
+      |  WHERE f.df <= df_cap.df_cap)""".stripMargin
+
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.1): DataFrame = {
+    val kept = cappedShingles(docs, n)
     val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = kept.as("a")
       .join(kept.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -354,14 +471,7 @@ object Dedup {
 
   def ngramJaccardPairsSql(n: Int = 3, threshold: Double = 0.1): String =
     s"""${shinglesSql(n)},
-       |df_cap AS (
-       |  SELECT GREATEST(64, CAST(floor(CAST(COUNT(*) AS DOUBLE) / 20) AS BIGINT)) AS df_cap
-       |  FROM documents),
-       |sh_freq AS (SELECT sh, count(*) AS df FROM shingles GROUP BY sh),
-       |kept AS (
-       |  SELECT s.doc_id, s.sh
-       |  FROM shingles s JOIN sh_freq f ON s.sh = f.sh, df_cap
-       |  WHERE f.df <= df_cap.df_cap),
+       |$cappedShinglesSql,
        |sh_counts AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

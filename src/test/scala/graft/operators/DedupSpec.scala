@@ -62,6 +62,14 @@ class DedupSpec extends SparkSpec {
     assert(sh.count() == 3)
   }
 
+  test("simhash pairs: exact dup found at hamming 0, unrelated docs absent") {
+    val res = Dedup.simhashPairs(corpus)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(res((0L, 1L)) == 0, "identical docs differ in 0 signature bits")
+    assert(!res.contains((0L, 3L)) && !res.contains((1L, 3L)),
+      "unrelated docs must not pair")
+  }
+
   test("dedup clusters: components resolve to min-id survivor; singletons absent") {
     // 0,1,2 identical (one component), 3,4 identical (another), 5 unique
     // (never a candidate, so not a graph vertex).
