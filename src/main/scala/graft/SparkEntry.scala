@@ -483,6 +483,24 @@ object SparkEntry {
           moneyOut(sum(money(col("value"))).cast("decimal(18,2)")).as("total_value"))
         .orderBy("hour", "event_type")
     },
+    // Sliding (overlapping) windows: every event lands in size/slide = 2
+    // windows; the oracle replicates each event across its covering
+    // window starts with a 2-row generate_series.
+    "q81_sliding_window" -> { (s, dir) =>
+      TestData.events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(money(col("value"))).cast("decimal(18,2)")).as("total_value"))
+        .select(unix_millis(col("w.start")).as("start_ms"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("start_ms", "event_type")
+    },
+    // The same sliding windows computed BY THE STREAMING ENGINE
+    // (watermark + overlapping window state, AvailableNow) — must land on
+    // the identical oracle as the batch formulation.
+    "q82_stream_sliding" -> { (s, dir) =>
+      EventStream.slidingHourly(s, dir)
+    },
     // Semi-structured: JSON property extraction from the events payload.
     "q65_json_extract" -> { (s, dir) =>
       TestData.events(s, dir)
@@ -610,6 +628,18 @@ object SparkEntry {
     * a tenth of everything else.
     */
   val sampleRates: Seq[(String, Int)] = Seq("src0" -> 100, "src1" -> 50)
+
+  /** Shared oracle for the batch (q81) and streaming (q82) sliding-window
+    * paths: each event is replicated to its size/slide = 2 covering
+    * window starts.
+    */
+  private val slidingWindowOracle: String =
+    s"""SELECT (epoch_ms(ts) // 3600000 - k) * 3600000 AS start_ms, event_type,
+               COUNT(*) AS n,
+               ${moneyOutSql(s"CAST(SUM(${moneySql("value")}) AS DECIMAL(18,2))")} AS total_value
+        FROM events, (SELECT unnest(generate_series(0, 1)) AS k)
+        GROUP BY 1, 2
+        ORDER BY 1, 2"""
 
   lazy val mccBrandsCsv: String = sys.props.get("graft.mcc.csv").getOrElse {
     val checkout = new java.io.File("src/main/resources/bank/mcc_brands.csv")
@@ -909,6 +939,9 @@ object SparkEntry {
           FROM events
           GROUP BY 1, 2
           ORDER BY 1, 2""",
+
+    "q81_sliding_window" -> slidingWindowOracle,
+    "q82_stream_sliding" -> slidingWindowOracle,
 
     "q65_json_extract" ->
       s"""SELECT event_type, COUNT(*) AS n,

@@ -50,6 +50,37 @@ object EventStream {
     spark.table(name).orderBy("hour", "event_type")
   }
 
+  /** Sliding-window variant of [[tumblingHourly]]: 2-hour windows every
+    * hour, so each event lives in two overlapping state windows — the
+    * streaming engine maintains both and the watermark still bounds state
+    * to the lateness horizon. Emits the window start as epoch millis for
+    * oracle parity.
+    */
+  def slidingHourly(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+
+    val agg = spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
+      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("tstamp", "2 hours")
+      .groupBy(window(col("tstamp"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("decimal(18,2)").cast("double").as("total_value"))
+      .select(unix_millis(col("w.start")).as("start_ms"),
+        col("event_type"), col("n"), col("total_value"))
+
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy("start_ms", "event_type")
+  }
+
   /** Idempotent streaming ingest: exactly-once semantics over an
     * at-least-once source via `dropDuplicatesWithinWatermark` on the event
     * id — state for an id is held only until the watermark passes it, so
