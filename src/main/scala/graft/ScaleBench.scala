@@ -30,9 +30,10 @@ object ScaleBench {
   private val measured = Seq(
     "q41_ngram_jaccard", "q42_minhash_signatures", "q43_lsh_candidates",
     "q44_simhash", "q46_ann_lsh", "q53_ann_ivf_assign", "q54_ann_ivf_topk",
-    // round 4: the iterative component loop (shuffle-per-round) and the
-    // two-pass BM25 scorer — both must grow ~linearly, not with pair count
-    "q57_bm25_topk", "q59_dedup_clusters")
+    // round 4: the iterative component loop (shuffle-per-round), the
+    // two-pass BM25 scorer, and the simhash band join — all must grow
+    // ~linearly, not with pair count
+    "q57_bm25_topk", "q59_dedup_clusters", "q80_simhash_pairs")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)
