@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
-import graft.operators.{BankEtl, DataQuality, Dedup, Events, Multimodal, Sampling, Scd, Similarity, Skew, TextAnalysis, WarehouseSink}
+import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Multimodal, Sampling, Scd, Similarity, Skew, TextAnalysis, WarehouseSink}
 import graft.oracle.BankOracle
 import graft.sources.{BankAdapter, CsvSource, TestData}
 import graft.streaming.EventStream
@@ -483,6 +483,25 @@ object SparkEntry {
           moneyOut(sum(money(col("value"))).cast("decimal(18,2)")).as("total_value"))
         .orderBy("hour", "event_type")
     },
+    // Co-located bucketed join: both sides written bucketed on the join
+    // key, so the sort-merge join plans with NO shuffle exchange (the
+    // no-Exchange property is asserted in BucketingSpec; here the driver
+    // hash-checks that the bucketed layout round-trips the values).
+    "q83_bucketed_join" -> { (s, dir) =>
+      Bucketing.writeBucketed(
+        TestData.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b83_orders", "o_custkey", 8)
+      Bucketing.writeBucketed(
+        TestData.customer(s, dir).select("c_custkey", "c_acctbal")
+          .withColumnRenamed("c_custkey", "o_custkey"),
+        "b83_customer", "o_custkey", 8)
+      s.table("b83_orders").join(s.table("b83_customer"), Seq("o_custkey"))
+        .hint("merge")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(money(col("o_totalprice"))).cast("decimal(18,2)")).as("total"))
+        .orderBy("o_custkey")
+    },
     // Sliding (overlapping) windows: every event lands in size/slide = 2
     // windows; the oracle replicates each event across its covering
     // window starts with a 2-row generate_series.
@@ -942,6 +961,14 @@ object SparkEntry {
 
     "q81_sliding_window" -> slidingWindowOracle,
     "q82_stream_sliding" -> slidingWindowOracle,
+
+    // the bucketed layout must be invisible in the values
+    "q83_bucketed_join" ->
+      s"""SELECT o_custkey, COUNT(*) AS n,
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("o_totalprice")}) AS DECIMAL(18,2))")} AS total
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY o_custkey
+          ORDER BY o_custkey""",
 
     "q65_json_extract" ->
       s"""SELECT event_type, COUNT(*) AS n,
