@@ -520,6 +520,18 @@ object SparkEntry {
     "q82_stream_sliding" -> { (s, dir) =>
       EventStream.slidingHourly(s, dir)
     },
+    // Idempotent streaming ingest: the same file delivered twice (the
+    // at-least-once simulation) must collapse to exactly the distinct
+    // event count under dropDuplicatesWithinWatermark.
+    "q84_stream_dedup" -> { (s, dir) =>
+      import java.nio.file.{Files, Path}
+      val dup = Files.createTempDirectory("graft-evdup")
+      for (n <- Seq("a.parquet", "b.parquet"))
+        Files.copy(Path.of(s"$dir/events.parquet"), dup.resolve(n))
+      val n = EventStream.dedupedCount(s, dup.toString)
+      import s.implicits._
+      Seq(n).toDF("n_distinct")
+    },
     // Semi-structured: JSON property extraction from the events payload.
     "q65_json_extract" -> { (s, dir) =>
       TestData.events(s, dir)
@@ -961,6 +973,11 @@ object SparkEntry {
 
     "q81_sliding_window" -> slidingWindowOracle,
     "q82_stream_sliding" -> slidingWindowOracle,
+
+    // a doubled source must dedup back to the distinct id count
+    "q84_stream_dedup" ->
+      """SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+        |FROM events""".stripMargin,
 
     // the bucketed layout must be invisible in the values
     "q83_bucketed_join" ->
