@@ -172,6 +172,27 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // Exact distributed median per group by POSITIONAL selection: pick
+    // the middle element(s) with a total-order row_number, then
+    // (min+max)/2 of the one or two picked values — no interpolation
+    // formula to disagree on between engines. (At 100 TB you'd reach for
+    // approx_percentile; this is the exact twin that validates it.)
+    "q85_exact_median" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byType = Window.partitionBy("event_type")
+      val w = byType.orderBy("value", "event_id")
+      TestData.events(s, dir)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(byType))
+        // middle positions: rn*2 - n is 1 (odd n) or {1,2}... exactly the
+        // elements at ceil(n/2) and floor(n/2)+1
+        .filter((col("rn") * 2 - col("n")).isin(1, 2))
+        .groupBy("event_type")
+        .agg(((min("value") + max("value")) / 2).as("median"))
+        .orderBy("event_type")
+    },
+
     // Approximate distinct (HyperLogLog++): the oracle cannot reproduce
     // Spark's sketch, so the CONTRACT is what gets hash-checked — the
     // estimate must land within 5% of exact (rsd 0.01, so a 5-sigma
@@ -1095,6 +1116,17 @@ object SparkEntry {
           FROM orders
           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
           ORDER BY o_custkey, o_orderkey""",
+
+    "q85_exact_median" ->
+      """SELECT event_type, (MIN(value) + MAX(value)) / 2 AS median
+        |FROM (SELECT event_type, value,
+        |             ROW_NUMBER() OVER (PARTITION BY event_type
+        |                                ORDER BY value, event_id) AS rn,
+        |             COUNT(*) OVER (PARTITION BY event_type) AS n
+        |      FROM events) t
+        |WHERE rn * 2 - n IN (1, 2)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // the oracle asserts the CONTRACT: estimates must sit inside the bound
     "q75_approx_distinct" ->
