@@ -77,18 +77,24 @@ object ScaleBench {
       catch { case _: Throwable => () }
     }
 
-    def time(dir: String): Seq[(String, Double)] = measured.map { name =>
+    // a failed query must NOT masquerade as a plausible timing — record
+    // the failure so the scaling artifact can't silently report success
+    def time(dir: String): Seq[(String, (Double, Boolean))] = measured.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir).count()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { SparkEntry.queries(name)(spark, dir).count(); true }
+        catch { case _: Throwable => false }
+      name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
 
     val at1x = time(base).toMap
     val at10x = time(scaledDir).toMap
     val entries = measured.map { name =>
-      val r = at10x(name) / math.max(at1x(name), 1e-9)
-      f""""$name":{"x1_sec":${at1x(name)}%.3f,"x$copies%d_sec":${at10x(name)}%.3f,"ratio":$r%.2f}"""
+      val ((s1, ok1), (s10, ok10)) = (at1x(name), at10x(name))
+      if (ok1 && ok10) {
+        val r = s10 / math.max(s1, 1e-9)
+        f""""$name":{"x1_sec":$s1%.3f,"x$copies%d_sec":$s10%.3f,"ratio":$r%.2f}"""
+      } else
+        s""""$name":{"failed":true,"x1_ok":$ok1,"x${copies}_ok":$ok10}"""
     }
     val json = s"""{"metric":"scale_ratio","copies":$copies,"base":"$base",""" +
       s""""queries":{${entries.mkString(",")}}}"""

@@ -185,9 +185,9 @@ object SparkEntry {
         .select(col("event_type"), col("value"), col("event_id"))
         .withColumn("rn", row_number().over(w))
         .withColumn("n", count(lit(1)).over(byType))
-        // middle positions: rn*2 - n is 1 (odd n) or {1,2}... exactly the
-        // elements at ceil(n/2) and floor(n/2)+1
-        .filter((col("rn") * 2 - col("n")).isin(1, 2))
+        // middle positions rn ∈ {floor((n+1)/2), floor(n/2)+1}: rn*2-n is
+        // 1 for odd n (single middle), {0, 2} for even n (both middles)
+        .filter((col("rn") * 2 - col("n")).isin(0, 1, 2))
         .groupBy("event_type")
         .agg(((min("value") + max("value")) / 2).as("median"))
         .orderBy("event_type")
@@ -346,7 +346,7 @@ object SparkEntry {
     // through the partition layout losslessly.
     "q36_warehouse_roundtrip" -> { (s, dir) =>
       val w = BankEtl.buildCached(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("graft-q36").toString
+      val out = scratchDir("graft-q36").toString
       WarehouseSink.write(w, out)
       s.read.parquet(s"$out/Fact_Spending")
         .groupBy("ym")
@@ -546,7 +546,7 @@ object SparkEntry {
     // event count under dropDuplicatesWithinWatermark.
     "q84_stream_dedup" -> { (s, dir) =>
       import java.nio.file.{Files, Path}
-      val dup = Files.createTempDirectory("graft-evdup")
+      val dup = scratchDir("graft-evdup")
       for (n <- Seq("a.parquet", "b.parquet"))
         Files.copy(Path.of(s"$dir/events.parquet"), dup.resolve(n))
       val n = EventStream.dedupedCount(s, dup.toString)
@@ -676,6 +676,22 @@ object SparkEntry {
     */
   val bm25Terms: Seq[String] = Seq("spark", "query", "join")
 
+  /** Temp dir that is recursively removed at JVM exit — the sink/dedup
+    * queries write real files per invocation; without this, every bench
+    * warm-up leaks a warehouse copy into /tmp.
+    */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir
+  }
+
   /** q38 training mix: keep all of the curated source, half of the next,
     * a tenth of everything else.
     */
@@ -704,7 +720,10 @@ object SparkEntry {
       try java.nio.file.Files.copy(in, tmp,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       finally in.close()
-      tmp.toFile.deleteOnExit()
+      // NOT deleteOnExit: the absolute path is baked into the generated
+      // oracle SQL, which DuckDB reads in a separate process AFTER this
+      // JVM exits — deleting at exit would break exactly the packaged-jar
+      // scenario this fallback exists for
       tmp.toString
     }
   }
@@ -1124,7 +1143,7 @@ object SparkEntry {
         |                                ORDER BY value, event_id) AS rn,
         |             COUNT(*) OVER (PARTITION BY event_type) AS n
         |      FROM events) t
-        |WHERE rn * 2 - n IN (1, 2)
+        |WHERE rn * 2 - n IN (0, 1, 2)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 

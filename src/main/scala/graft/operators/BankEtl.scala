@@ -239,6 +239,19 @@ object BankEtl {
     lazy val dimLocation: DataFrame = memoized(BankEtl.dimLocation(classifiedSlim))
     lazy val fact: DataFrame = memoized(
       factSpending(classifiedSlim, cleanAccounts, dimCustomer, dimAccount, dimMerchant, dimLocation))
+
+    /** The star schema by warehouse table name — single source of truth
+      * for every consumer that enumerates it (JDBC load, data-quality
+      * sweep, round-trip tests); add a dimension HERE and all of them
+      * see it.
+      */
+    lazy val tables: Map[String, DataFrame] = Map(
+      "Dim_Date" -> dimDate,
+      "Dim_Customer" -> dimCustomer,
+      "Dim_Account" -> dimAccount,
+      "Dim_Merchant" -> dimMerchant,
+      "Dim_Location" -> dimLocation,
+      "Fact_Spending" -> fact)
   }
 
   /** Full star-schema build as one lazy DAG. `cache` materializes the

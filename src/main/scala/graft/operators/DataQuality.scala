@@ -30,12 +30,8 @@ object DataQuality {
     * shuffle-light jobs even on a 100 TB fact.
     */
   def checksDf(w: BankEtl.Warehouse): DataFrame = {
-    val dims: Map[String, DataFrame] = Map(
-      "Dim_Date" -> w.dimDate, "Dim_Customer" -> w.dimCustomer,
-      "Dim_Account" -> w.dimAccount, "Dim_Merchant" -> w.dimMerchant,
-      "Dim_Location" -> w.dimLocation)
     val branches = dimKeys.flatMap { case (name, _, key) =>
-      val dim = dims(name)
+      val dim = w.tables(name)
       Seq(
         w.fact.join(dim.select(col(key)), Seq(key), "left_anti")
           .agg(count(lit(1)).as("violations"))

@@ -154,25 +154,15 @@ object Dedup {
        |           AS BIGINT) AS simhash
        |  FROM votes GROUP BY doc_id)""".stripMargin
 
-  /** SimHash signatures → candidate pairs (Manku-style): band the 32-bit
-    * signature into 4 bytes; any pair agreeing on at least one band at the
-    * same position is a candidate (a pair within Hamming distance 3 must
-    * agree on ≥1 of 4 bands by pigeonhole — the banding is RECALL-COMPLETE
-    * for the threshold, not heuristic); verify with an exact popcount on
-    * the XOR. Same band-bucket equi-join shape as MinHash LSH — never
-    * all-pairs. At corpus scale the production variant widens to a 64-bit
-    * signature with 16-bit bands (65 536 buckets/band) to keep bucket
-    * occupancy down; the 32/8 split here matches the q44 signature.
-    */
   private val SimhashPairBits = 48 // 4 bands × 12 bits; stays clear of the sign bit
 
-  /** A WIDER signature than q44's, over 3-gram shingles instead of unigram
-    * tokens: on a low-entropy corpus (this testdata has a ~30-word
-    * vocabulary) unigram token SETS are near-identical across documents,
-    * so 32-bit unigram signatures collide en masse (measured: 17 415
-    * signature-equal pairs among 500 docs) — the same degeneracy that
-    * makes unigram MinHash useless here. Shingles restore per-document
-    * entropy; 48 bits keep the collision rate down.
+  /** A WIDER signature than q44's 32-bit one, over 3-gram shingles instead
+    * of unigram tokens: on a low-entropy corpus (this testdata has a
+    * ~30-word vocabulary) unigram token SETS are near-identical across
+    * documents, so 32-bit unigram signatures collide en masse (measured:
+    * 17 415 signature-equal pairs among 500 docs) — the same degeneracy
+    * that makes unigram MinHash useless here. Shingles restore per-document
+    * entropy; [[SimhashPairBits]] = 48 bits keep the collision rate down.
     */
   private def shingleSimhash(docs: DataFrame, shingleN: Int = 3): DataFrame =
     cappedShingles(docs, shingleN) // boilerplate shingles correlate signatures

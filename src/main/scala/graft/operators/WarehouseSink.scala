@@ -66,24 +66,13 @@ object WarehouseSink {
     * bottleneck.
     */
   def writeJdbc(w: BankEtl.Warehouse, cfg: JdbcSinkConfig,
-      mode: SaveMode = SaveMode.Append): Unit = {
-    val tables: Map[String, DataFrame] = Map(
-      "Dim_Date" -> w.dimDate,
-      "Dim_Customer" -> w.dimCustomer,
-      "Dim_Account" -> w.dimAccount,
-      "Dim_Merchant" -> w.dimMerchant,
-      "Dim_Location" -> w.dimLocation,
-      "Fact_Spending" -> w.fact)
+      mode: SaveMode = SaveMode.Append): Unit =
     loadOrder.foreach { name =>
-      val df = tables(name)
-      val sized = cfg.numPartitions match {
-        case Some(n) if df.rdd.getNumPartitions > n => df.coalesce(n)
-        case _ => df
-      }
-      sized.write.format("jdbc").mode(mode)
+      // connection-count capping is the numPartitions option's job: the
+      // stock JDBC writer coalesces to it before opening connections
+      w.tables(name).write.format("jdbc").mode(mode)
         .options(jdbcOptions(cfg, name)).save()
     }
-  }
 
   def write(w: BankEtl.Warehouse, outDir: String): Unit = {
     def dim(df: DataFrame, name: String): Unit =

@@ -29,11 +29,7 @@ class JdbcRoundTripSpec extends SparkSpec {
       WarehouseSink.writeJdbc(w, cfg, SaveMode.Append)
 
       // Every table arrived with the full row count.
-      val expected = Map(
-        "Dim_Date" -> w.dimDate, "Dim_Customer" -> w.dimCustomer,
-        "Dim_Account" -> w.dimAccount, "Dim_Merchant" -> w.dimMerchant,
-        "Dim_Location" -> w.dimLocation, "Fact_Spending" -> w.fact)
-      expected.foreach { case (table, df) =>
+      w.tables.foreach { case (table, df) =>
         val back = spark.read.format("jdbc")
           .option("url", url).option("dbtable", table).load()
         assert(back.count() == df.count(), s"$table row count")
