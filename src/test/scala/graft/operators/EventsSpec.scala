@@ -66,4 +66,22 @@ class EventsSpec extends SparkSpec {
     assert(row.getAs[Long]("purchase") == 1L)
     assert(row.getAs[Long]("signup") == 0L)
   }
+
+  test("q85 positional median equals Spark's built-in median, even and odd groups") {
+    // independent implementations: the q85 row_number selection vs the
+    // native median aggregate — a shared-formula bug in the query+oracle
+    // pair (the review-caught even-group defect) cannot fool this check
+    import org.apache.spark.sql.functions.{col, median}
+    val q85 = graft.SparkEntry.queries("q85_exact_median")(spark, sf)
+      .as[(String, Double)].collect().toMap
+    val builtin = graft.sources.TestData.events(spark, sf)
+      .groupBy("event_type").agg(median(col("value")).as("m"))
+      .as[(String, Double)].collect().toMap
+    assert(q85.nonEmpty && q85.keySet == builtin.keySet)
+    q85.foreach { case (t, m) => assert(m == builtin(t), s"median mismatch for $t") }
+    // the corpus must actually exercise the even-group path
+    val parities = graft.sources.TestData.events(spark, sf)
+      .groupBy("event_type").count().as[(String, Long)].collect().map(_._2 % 2).toSet
+    assert(parities.contains(0L), "need at least one even-sized group")
+  }
 }
