@@ -422,6 +422,12 @@ object SparkEntry {
     "q78_text_normalize" -> { (s, dir) =>
       TextAnalysis.normalized(TestData.documents(s, dir)).orderBy("doc_id")
     },
+    // Keyword extraction: per-doc top TF-IDF terms, all-integer scoring,
+    // bounded top-k on the custom TopKPerKey operator.
+    "q86_tfidf_terms" -> { (s, dir) =>
+      TextAnalysis.tfidfTopTerms(TestData.documents(s, dir))
+        .orderBy("doc_id", "rank")
+    },
     // Leakage-safe split: the coin is flipped on the near-dup cluster id,
     // so paraphrase families never straddle train/test.
     "q79_train_test_split" -> { (s, dir) =>
@@ -925,6 +931,11 @@ object SparkEntry {
     "q78_text_normalize" ->
       s"""${TextAnalysis.normalizedSql}
           ORDER BY doc_id""",
+
+    "q86_tfidf_terms" ->
+      s"""WITH ${TextAnalysis.tfidfTopTermsSql()}
+          SELECT doc_id, rank, token, score FROM tfidf_topk
+          ORDER BY doc_id, rank""",
 
     "q79_train_test_split" ->
       s"""WITH RECURSIVE ${Sampling.leakageSafeSplitSql()}

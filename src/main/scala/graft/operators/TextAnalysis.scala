@@ -190,6 +190,52 @@ object TextAnalysis {
       |                               ' +', ' ', 'g'))) AS INT) AS norm_len
       |FROM documents""".stripMargin
 
+  /** Per-document top-k TF-IDF terms — the keyword-extraction pass of a
+    * document-indexing pipeline. All-INTEGER scoring: tf is a count, idf
+    * is the floor-log₂ `length(bin((2N+2)/(2df+1))) − 1` (ln is not
+    * bit-identical across engines; see [[bm25]]), so score = tf·idf has
+    * zero float risk. Two corpus-wide aggregates (token df, doc count)
+    * then a per-doc bounded top-k on the custom TopKPerKey operator —
+    * one shuffle on doc_id, O(tokens·log k) per partition.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tokenized = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tokenized.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tokenized.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    def intDiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val scored = tf.join(df, Seq("token")).crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        (col("tf") *
+          (length(bin(intDiv(col("n_docs") * 2 + 2, col("df") * 2 + 1))) - 1))
+          .cast("long").as("score"))
+      .filter(col("score") > 0) // idf 0 = token in more than ~half the docs
+    graft.plans.TopK.perKey(scored, Seq("doc_id"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("token")), k)
+      .select("doc_id", "rank", "token", "score")
+  }
+
+  def tfidfTopTermsSql(k: Int = 3): String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |tdf AS (SELECT token, COUNT(*) AS df
+       |        FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |tfidf_scored AS (
+       |  SELECT doc_id, token,
+       |         CAST(tf * (length(bin((n_docs * 2 + 2) // (df * 2 + 1))) - 1) AS BIGINT)
+       |           AS score
+       |  FROM tf JOIN tdf USING (token), nd
+       |  WHERE tf * (length(bin((n_docs * 2 + 2) // (df * 2 + 1))) - 1) > 0),
+       |tfidf_topk AS (
+       |  SELECT doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, token) AS rank,
+       |         token, score
+       |  FROM tfidf_scored
+       |  QUALIFY rank <= $k)""".stripMargin
+
   /** Corpus vocabulary: global token frequencies, top k — the vocab-
     * building pass of a tokenizer pipeline. Explode → groupBy with
     * map-side combine (each split pre-aggregates to its distinct tokens,
