@@ -54,6 +54,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("per-key top-k queries plan on the custom bounded-heap operator") {
+    for (q <- Seq("q86_tfidf_terms", "q45_ann_brute")) {
+      val p = finalPlan(q)
+      assert(p.contains("TopKPerKey"),
+        s"$q must use TopKPerKeyExec, not a row_number window")
+    }
+  }
+
   test("q57 bm25: the 1-row stats frame broadcasts; top-k is a bounded heap") {
     val p = finalPlan("q57_bm25_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
