@@ -19,11 +19,25 @@ import graft.functions.OracleSafe.money
   */
 object EventStream {
 
+  /** Run `body` with the shuffle-partition count temporarily lowered: the
+    * state store opens/commits one provider PER shuffle partition PER
+    * stateful operator PER micro-batch, a pure fixed cost at small state
+    * sizes. A real deployment sizes this to state volume; the bounded
+    * AvailableNow runs here carry kilobytes of state, where 32 partitions
+    * are all overhead. Restores the previous setting even on failure.
+    */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Hourly tumbling-window counts/sums per event type, computed BY THE
     * STREAMING ENGINE and returned as a batch DataFrame once the source is
     * exhausted.
     */
-  def tumblingHourly(spark: SparkSession, dir: String): DataFrame = {
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 8) {
     val path = s"$dir/events.parquet"
     // Explicit schema (file sources cannot infer): the nanos column arrives
     // as LongType under spark.sql.legacy.parquet.nanosAsLong. The source
@@ -56,7 +70,7 @@ object EventStream {
     * to the lateness horizon. Emits the window start as epoch millis for
     * oracle parity.
     */
-  def slidingHourly(spark: SparkSession, dir: String): DataFrame = {
+  def slidingHourly(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 8) {
     val path = s"$dir/events.parquet"
     val rawSchema = spark.read.parquet(path).schema
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
@@ -87,7 +101,7 @@ object EventStream {
     * state size is bounded by the lateness window, not the stream length
     * (the 100 TB-stream version of `dropDuplicates`).
     */
-  def dedupedCount(spark: SparkSession, dir: String, glob: String = "*.parquet"): Long = {
+  def dedupedCount(spark: SparkSession, dir: String, glob: String = "*.parquet"): Long = withStatePartitions(spark, 8) {
     val sample = spark.read.parquet(dir)
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
     val q = spark.readStream.schema(sample.schema).parquet(s"$dir/$glob")
@@ -113,7 +127,8 @@ object EventStream {
     * Spark; no state is kept.
     */
   def enrichedTypeTotals(spark: SparkSession, dir: String,
-      userDim: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      userDim: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      withStatePartitions(spark, 8) {
     val path = s"$dir/events.parquet"
     val rawSchema = spark.read.parquet(path).schema
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
@@ -143,7 +158,8 @@ object EventStream {
     * on a live stream the same function would carry the open session in
     * `GroupState` across batches and close it on timeout.
     */
-  def sessionizeStateful(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+  def sessionizeStateful(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+      withStatePartitions(spark, 8) {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
