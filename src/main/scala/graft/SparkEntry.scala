@@ -441,6 +441,11 @@ object SparkEntry {
     "q77_ann_recall" -> { (s, dir) =>
       Similarity.annRecall(TestData.embeddings(s, dir))
     },
+    // IVF centroid refinement: two exact-integer Lloyd rounds over the
+    // seeded sample — real k-means, bit-identical across engines.
+    "q87_ivf_kmeans" -> { (s, dir) =>
+      Similarity.ivfKmeansCentroids(TestData.embeddings(s, dir))
+    },
     "q41_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(TestData.documents(s, dir), n = 3, threshold = 0.1)
         .orderBy("doc_a", "doc_b")
@@ -948,6 +953,10 @@ object SparkEntry {
     "q77_ann_recall" ->
       s"""WITH ${Similarity.annRecallSql()}
           SELECT qid, hits, recall_at_k FROM ann_recall ORDER BY qid""",
+
+    "q87_ivf_kmeans" ->
+      s"""WITH ${Similarity.ivfKmeansCentroidsSql}
+          SELECT cid, d, mean FROM km_centroids ORDER BY cid, d""",
 
     "q41_ngram_jaccard" ->
       s"""WITH ${Dedup.ngramJaccardPairsSql(3, 0.1)}

@@ -347,6 +347,122 @@ object Similarity {
        |  WHERE list_dot_product(a.q, b.q)
        |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $threshold)""".stripMargin
 
+  /** IVF centroid refinement: two Lloyd (k-means) rounds over the seeded
+    * sample, in EXACT integer arithmetic so both engines converge to the
+    * same centroids bit-for-bit:
+    *
+    *  - points are shifted to a non-negative grid (x + 10⁴ ≥ 0): L2
+    *    distances are translation-invariant, and non-negative numerators
+    *    make integer division identical across engines (DuckDB `//`
+    *    truncates toward zero, Spark's (a − a mod b)/b floors — they agree
+    *    only on non-negatives);
+    *  - assignment is argmin of |c|² − 2·x·c — integers throughout (the
+    *    |x|² term is constant per point and dropped), dot products via the
+    *    codegen'd [[graft.plans.LongArrayDot]] / DuckDB's exact
+    *    `list_dot_product`, ties to the smallest centroid id;
+    *  - round-2 centroids are the per-dimension means ROUNDED to the grid,
+    *    (2s + n)/(2n) in integer arithmetic, so round-2 distances stay
+    *    integer-exact;
+    *  - the OUTPUT means are exact-rational s/n emitted as one correctly
+    *    rounded double division per (centroid, dim).
+    *
+    * Each round is one broadcast-join assignment (points × √n centroids)
+    * plus one per-dimension aggregate — the standard distributed Lloyd
+    * step, linear in corpus size per round. Empty cells drop out (both
+    * engines identically).
+    */
+  def ivfKmeansCentroids(embeddings: DataFrame): DataFrame = {
+    val off = 10000L
+    val pts = quantized(embeddings)
+      .select(col("vec_id"), transform(col("q"), x => x + off).as("q"))
+      .withColumn("n2",
+        aggregate(transform(col("q"), x => x * x), lit(0L), (a, x) => a + x))
+    val seeds = pts.crossJoin(broadcast(params(embeddings).select("cent_mod")))
+      .filter(col("vec_id") % col("cent_mod") === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = pts.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          (col("cn2") - dot(col("q"), col("cq")) * 2L).as("score"))
+      graft.plans.TopK.perKey(scored, Seq("vec_id"),
+          Seq(graft.plans.TopK.asc("score"), graft.plans.TopK.asc("cid")), 1)
+        .select("vec_id", "cid")
+    }
+    def dimSums(a: DataFrame): DataFrame =
+      a.join(pts, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("q")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+
+    // round 1: assign to seeds, re-center on the rounded integer grid
+    def intDiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val cents1 = dimSums(assign(seeds))
+      .select(col("cid"), col("d"), intDiv(col("s") * 2 + col("n"), col("n") * 2).as("mq"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("mq")))),
+        t => t.getField("mq")).as("cq"))
+      .withColumn("cn2",
+        aggregate(transform(col("cq"), x => x * x), lit(0L), (a, x) => a + x))
+
+    // round 2: assign to refined centroids, emit exact means (unshifted)
+    dimSums(assign(cents1))
+      .select(col("cid"), col("d"),
+        ((col("s") - lit(off) * col("n")).cast("double") / col("n")).as("mean"))
+      .orderBy("cid", "d")
+  }
+
+  /** DuckDB twin of [[ivfKmeansCentroids]] — identical shifted-integer
+    * derivations, unrolled Lloyd rounds as CTEs.
+    */
+  val ivfKmeansCentroidsSql: String =
+    s"""$quantizedSql,
+       |$paramsSql,
+       |km_pts AS (
+       |  SELECT vec_id, list_transform(q, x -> x + 10000) AS q
+       |  FROM qv),
+       |km_ptsn AS (
+       |  SELECT vec_id, q,
+       |         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+       |  FROM km_pts),
+       |km_seeds AS (
+       |  SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM km_ptsn, params
+       |  WHERE vec_id % cent_mod = 0),
+       |km_a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT p.vec_id, s.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |             ORDER BY s.cn2 - 2 * list_dot_product(p.q, s.cq), s.cid) AS rn
+       |    FROM km_ptsn p, km_seeds s) t WHERE rn = 1),
+       |km_e1 AS (
+       |  SELECT a.cid, p.q, unnest(generate_series(1, len(p.q))) AS i
+       |  FROM km_a1 a JOIN km_pts p USING (vec_id)),
+       |km_m1 AS (
+       |  SELECT cid, CAST(i - 1 AS INT) AS d,
+       |         CAST(SUM(q[CAST(i AS INT)]) AS BIGINT) AS s, COUNT(*) AS n
+       |  FROM km_e1 GROUP BY cid, d),
+       |km_c1 AS (
+       |  SELECT cid, list((s * 2 + n) // (n * 2) ORDER BY d) AS cq
+       |  FROM km_m1 GROUP BY cid),
+       |km_c1n AS (
+       |  SELECT cid, cq,
+       |         CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS cn2
+       |  FROM km_c1),
+       |km_a2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT p.vec_id, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |             ORDER BY c.cn2 - 2 * list_dot_product(p.q, c.cq), c.cid) AS rn
+       |    FROM km_ptsn p, km_c1n c) t WHERE rn = 1),
+       |km_e2 AS (
+       |  SELECT a.cid, p.q, unnest(generate_series(1, len(p.q))) AS i
+       |  FROM km_a2 a JOIN km_pts p USING (vec_id)),
+       |km_centroids AS (
+       |  SELECT cid, CAST(i - 1 AS INT) AS d,
+       |         CAST(SUM(q[CAST(i AS INT)]) - 10000 * COUNT(*) AS DOUBLE)
+       |           / COUNT(*) AS mean
+       |  FROM km_e2 GROUP BY cid, d)""".stripMargin
+
   /** Index-quality evaluation: recall@k of the LSH index against the exact
     * baseline, per query — the closing check every ANN deployment needs
     * ("how much did the bucketing cost me?"). Both sides are the operators

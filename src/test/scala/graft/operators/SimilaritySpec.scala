@@ -82,4 +82,26 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_a", "vec_b").as[(Long, Long)].collect()
     assert(pairs.toSeq == Seq((0L, 1L)))
   }
+
+  test("k-means refinement pulls centroids onto the true cluster centers") {
+    // two tight, well-separated clusters around +0.8 and -0.8 on every dim;
+    // ids interleaved so the modulo seeding draws from both clusters
+    val dim = 8
+    val rows = (0 until 40).map { i =>
+      val center = if (i % 2 == 0) 0.8f else -0.8f
+      val noise = (i % 5) * 0.01f
+      (i.toLong, Array.fill(dim)(center + noise), i % 2)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val cents = Similarity.ivfKmeansCentroids(emb)
+      .as[(Long, Int, Double)].collect()
+    assert(cents.nonEmpty)
+    // means are on the 1e4 quantization grid (same convention as q58);
+    // every refined per-dim mean must sit inside one cluster's tight band,
+    // never between the clusters (a sampling-only "centroid" could)
+    cents.foreach { case (cid, d, m) =>
+      assert(math.abs(math.abs(m / 1e4) - 0.8) < 0.1,
+        s"centroid $cid dim $d mean $m not on a cluster center")
+    }
+  }
 }
