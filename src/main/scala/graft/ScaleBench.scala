@@ -33,7 +33,8 @@ object ScaleBench {
     // round 4: the iterative component loop (shuffle-per-round), the
     // two-pass BM25 scorer, and the simhash band join — all must grow
     // ~linearly, not with pair count
-    "q57_bm25_topk", "q59_dedup_clusters", "q80_simhash_pairs")
+    "q57_bm25_topk", "q59_dedup_clusters", "q80_simhash_pairs",
+    "q87_ivf_kmeans")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)
