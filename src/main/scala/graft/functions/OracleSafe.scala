@@ -50,4 +50,19 @@ object OracleSafe {
 
   def quantSql(expr: String, scale: Int = 10000): String =
     s"CAST(FLOOR(CAST(($expr) AS DOUBLE)*$scale) AS BIGINT)"
+
+  /** Exact integer FLOOR division (b > 0), identical on both engines for
+    * ANY sign of `a`: the plain double `/` can round UP across an integer
+    * boundary, DuckDB's `//` truncates toward zero while this floors —
+    * subtracting the positive remainder first makes the final division
+    * exact, so every rounding mode agrees. SQL twin: [[intDivSql]].
+    */
+  def intDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** DuckDB twin of [[intDiv]]: positive-mod subtraction then `//` — the
+    * numerator is an exact multiple of `b`, so truncation equals floor.
+    */
+  def intDivSql(a: String, b: String): String =
+    s"(($a) - ((($a) % ($b) + ($b)) % ($b))) // ($b)"
 }

@@ -128,16 +128,13 @@ object Multimodal {
     * metadata; the pixel work would happen in the per-partition decoder.
     */
   def resizePlan(meta: DataFrame, target: Int = 224): DataFrame = {
-    import org.apache.spark.sql.Column
-    // exact integer division (see TextAnalysis.bm25): double `/` can round
-    // up across an integer boundary, (a - a mod b) / b cannot
-    def intDiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("int")
+    import graft.functions.OracleSafe.intDiv
     val longest = greatest(col("width"), col("height"))
     // clamp to >= 1: an extreme aspect ratio (1 x 768) truncates to 0
     meta.select(
       col("doc_id"), col("width"), col("height"),
-      greatest(lit(1), intDiv(col("width") * target, longest)).as("out_width"),
-      greatest(lit(1), intDiv(col("height") * target, longest)).as("out_height"))
+      greatest(lit(1), intDiv(col("width") * target, longest).cast("int")).as("out_width"),
+      greatest(lit(1), intDiv(col("height") * target, longest).cast("int")).as("out_height"))
   }
 
   def resizePlanSql(target: Int = 224): String =

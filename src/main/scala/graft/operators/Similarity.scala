@@ -254,12 +254,19 @@ object Similarity {
     * operator with k=1 (argmax-by-key). `cent_mod` is derived in-plan so the
     * centroid count tracks √n — see the sizing rules above.
     */
-  def ivfAssign(embeddings: DataFrame): DataFrame = {
-    val qv = quantized(embeddings).cache()
-    val cents = qv
-      .crossJoin(broadcast(params(embeddings).select("cent_mod")))
+  /** The IVF seeding rule — ONE definition shared by [[ivfAssign]] and the
+    * k-means refinement (and mirrored by the `cents`/`km_seeds` CTEs):
+    * every vec with id ≡ 0 (mod cent_mod) seeds a cell. `frame` carries
+    * (vec_id, q, n2) in whichever coordinate system the caller works in.
+    */
+  private def seedCentroids(embeddings: DataFrame, frame: DataFrame): DataFrame =
+    frame.crossJoin(broadcast(params(embeddings).select("cent_mod")))
       .filter(col("vec_id") % col("cent_mod") === 0)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+
+  def ivfAssign(embeddings: DataFrame): DataFrame = {
+    val qv = quantized(embeddings).cache()
+    val cents = seedCentroids(embeddings, qv)
     val scores = qv.join(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         cosine(dot(col("q"), col("cq")), col("n2"), col("cn2")).as("score"))
@@ -351,11 +358,13 @@ object Similarity {
     * sample, in EXACT integer arithmetic so both engines converge to the
     * same centroids bit-for-bit:
     *
-    *  - points are shifted to a non-negative grid (x + 10⁴ ≥ 0): L2
-    *    distances are translation-invariant, and non-negative numerators
-    *    make integer division identical across engines (DuckDB `//`
-    *    truncates toward zero, Spark's (a − a mod b)/b floors — they agree
-    *    only on non-negatives);
+    *  - points are shifted to a non-negative grid (x + 10⁴ ≥ 0 for unit-
+    *    normalized inputs): L2 distances are translation-invariant, and
+    *    non-negative values keep every intermediate comfortably inside
+    *    BIGINT. Floor-division parity does NOT depend on the shift — both
+    *    engines use the positive-mod floor construction
+    *    ([[graft.functions.OracleSafe.intDiv]] / `intDivSql`), which
+    *    agrees for any sign;
     *  - assignment is argmin of |c|² − 2·x·c — integers throughout (the
     *    |x|² term is constant per point and dropped), dot products via the
     *    codegen'd [[graft.plans.LongArrayDot]] / DuckDB's exact
@@ -377,9 +386,8 @@ object Similarity {
       .select(col("vec_id"), transform(col("q"), x => x + off).as("q"))
       .withColumn("n2",
         aggregate(transform(col("q"), x => x * x), lit(0L), (a, x) => a + x))
-    val seeds = pts.crossJoin(broadcast(params(embeddings).select("cent_mod")))
-      .filter(col("vec_id") % col("cent_mod") === 0)
-      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+      .cache() // five readers: seeds + two assignment and two mean passes
+    val seeds = seedCentroids(embeddings, pts)
 
     def assign(cents: DataFrame): DataFrame = {
       val scored = pts.crossJoin(broadcast(cents))
@@ -396,9 +404,9 @@ object Similarity {
         .agg(sum("x").as("s"), count(lit(1)).as("n"))
 
     // round 1: assign to seeds, re-center on the rounded integer grid
-    def intDiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
     val cents1 = dimSums(assign(seeds))
-      .select(col("cid"), col("d"), intDiv(col("s") * 2 + col("n"), col("n") * 2).as("mq"))
+      .select(col("cid"), col("d"),
+        OracleSafe.intDiv(col("s") * 2 + col("n"), col("n") * 2).as("mq"))
       .groupBy("cid")
       .agg(transform(array_sort(collect_list(struct(col("d"), col("mq")))),
         t => t.getField("mq")).as("cq"))
@@ -442,7 +450,7 @@ object Similarity {
        |         CAST(SUM(q[CAST(i AS INT)]) AS BIGINT) AS s, COUNT(*) AS n
        |  FROM km_e1 GROUP BY cid, d),
        |km_c1 AS (
-       |  SELECT cid, list((s * 2 + n) // (n * 2) ORDER BY d) AS cq
+       |  SELECT cid, list(${OracleSafe.intDivSql("s * 2 + n", "n * 2")} ORDER BY d) AS cq
        |  FROM km_m1 GROUP BY cid),
        |km_c1n AS (
        |  SELECT cid, cq,

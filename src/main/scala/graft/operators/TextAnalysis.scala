@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.OracleSafe.intDiv
+
 /** Text-corpus analysis operators for training-data pipelines, over the
   * `documents` table (doc_id, text, lang, source, n_chars).
   *
@@ -204,7 +206,6 @@ object TextAnalysis {
     val df = tokenized.select("doc_id", "token").distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    def intDiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
     val scored = tf.join(df, Seq("token")).crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"),
         (col("tf") *
@@ -227,7 +228,7 @@ object TextAnalysis {
        |         CAST(tf * (length(bin((n_docs * 2 + 2) // (df * 2 + 1))) - 1) AS BIGINT)
        |           AS score
        |  FROM tf JOIN tdf USING (token), nd
-       |  WHERE tf * (length(bin((n_docs * 2 + 2) // (df * 2 + 1))) - 1) > 0),
+       |  WHERE score > 0),
        |tfidf_topk AS (
        |  SELECT doc_id,
        |         ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -282,9 +283,6 @@ object TextAnalysis {
         terms.zipWithIndex.map { case (t, i) =>
           sum(when(array_contains(toks, lit(t)), 1L).otherwise(0L)).as(s"df_$i")
         }: _*)
-    // exact integer division (a - a mod b) / b: the plain double `/` can
-    // round UP across an integer boundary, `div` this way cannot
-    def intDiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
     val perDoc = docs.select(
       col("doc_id") +: size(toks).cast("long").as("dl") +:
         terms.indices.map(i =>
