@@ -552,6 +552,20 @@ object SparkEntry {
     "q82_stream_sliding" -> { (s, dir) =>
       EventStream.slidingHourly(s, dir)
     },
+    // Small-file compaction: fragment the events table into 64 shards,
+    // compact to ~1 MB files, and hash-check the aggregate — the OPTIMIZE
+    // maintenance op must be invisible in the data.
+    "q88_compaction" -> { (s, dir) =>
+      val frag = scratchDir("graft-q88").resolve("events").toString
+      TestData.events(s, dir).repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      WarehouseSink.compact(s, frag, targetBytes = 1L << 20)
+      s.read.parquet(frag)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(money(col("value"))).cast("decimal(18,2)")).as("total"))
+        .orderBy("event_type")
+    },
     // Idempotent streaming ingest: the same file delivered twice (the
     // at-least-once simulation) must collapse to exactly the distinct
     // event count under dropDuplicatesWithinWatermark.
@@ -1033,6 +1047,14 @@ object SparkEntry {
 
     "q81_sliding_window" -> slidingWindowOracle,
     "q82_stream_sliding" -> slidingWindowOracle,
+
+    // the compaction rewrite must be invisible in the data
+    "q88_compaction" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("value")}) AS DECIMAL(18,2))")} AS total
+          FROM events
+          GROUP BY event_type
+          ORDER BY event_type""",
 
     // a doubled source must dedup back to the distinct id count
     "q84_stream_dedup" ->

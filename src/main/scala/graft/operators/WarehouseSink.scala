@@ -74,6 +74,30 @@ object WarehouseSink {
         .options(jdbcOptions(cfg, name)).save()
     }
 
+  /** Small-file compaction: rewrite a parquet dataset into ~`targetBytes`
+    * files — the OPTIMIZE-style maintenance a long-lived lake needs, since
+    * streaming and incremental writers accumulate small files that poison
+    * scan performance (per-file open/footer cost dominates the read).
+    * File count is sized from the ACTUAL bytes on disk, then one shuffle
+    * redistributes rows evenly across exactly that many writers; the
+    * rewrite lands in a sibling directory and is swapped in with two
+    * metadata operations, so a failure mid-rewrite leaves the original
+    * intact. Returns the new file count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compacting")
+    spark.read.parquet(dir).repartition(nFiles.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    nFiles
+  }
+
   def write(w: BankEtl.Warehouse, outDir: String): Unit = {
     def dim(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")

@@ -22,6 +22,20 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(dimBack.count() == w.dimMerchant.count())
   }
 
+  test("compaction collapses a fragmented dataset without changing the data") {
+    val dir = Files.createTempDirectory("compact").resolve("t").toString
+    val df = graft.sources.TestData.events(spark, sf)
+    df.repartition(16).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before >= 16)
+    val expected = df.count()
+    WarehouseSink.compact(spark, dir, targetBytes = 1L << 30) // everything fits one file
+    assert(parquetFiles == 1, "compaction must bin-pack to the target size")
+    assert(spark.read.parquet(dir).count() == expected, "no rows lost")
+  }
+
   test("S4: JDBC write-back option plumbing and FK-safe load order") {
     import WarehouseSink.{JdbcSinkConfig, jdbcOptions, loadOrder}
     val cfg = JdbcSinkConfig("jdbc:sqlserver://wh:1433;databaseName=dw",
