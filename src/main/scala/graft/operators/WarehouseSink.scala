@@ -79,10 +79,12 @@ object WarehouseSink {
     * streaming and incremental writers accumulate small files that poison
     * scan performance (per-file open/footer cost dominates the read).
     * File count is sized from the ACTUAL bytes on disk, then one shuffle
-    * redistributes rows evenly across exactly that many writers; the
-    * rewrite lands in a sibling directory and is swapped in with two
-    * metadata operations, so a failure mid-rewrite leaves the original
-    * intact. Returns the new file count.
+    * redistributes rows evenly across exactly that many writers. The
+    * rewrite lands in a sibling directory, so a failure during the (long)
+    * rewrite phase leaves the original untouched; the swap itself is a
+    * delete + rename window — on an object store or for stronger
+    * guarantees, front this with a table format's atomic commit. Returns
+    * the new file count.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Long = {
