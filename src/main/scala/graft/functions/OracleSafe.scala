@@ -52,17 +52,25 @@ object OracleSafe {
     s"CAST(FLOOR(CAST(($expr) AS DOUBLE)*$scale) AS BIGINT)"
 
   /** Exact integer FLOOR division (b > 0), identical on both engines for
-    * ANY sign of `a`: the plain double `/` can round UP across an integer
-    * boundary, DuckDB's `//` truncates toward zero while this floors —
-    * subtracting the positive remainder first makes the final division
-    * exact, so every rounding mode agrees. SQL twin: [[intDivSql]].
+    * ANY sign of `a` over the FULL BIGINT range: both Spark's integral
+    * `div` and DuckDB's `//` truncate toward zero, and truncation equals
+    * floor except when the remainder is negative — correct that case by
+    * subtracting 1. All-integral arithmetic (a double `/` would lose ulps
+    * above 2^53), and — unlike the subtract-positive-mod formulation —
+    * nothing here can overflow: `a - pmod(a,b)` underflows BIGINT for `a`
+    * within `b` of Long.MinValue, while `div` and the `-1` correction are
+    * total for b > 0. SQL twin: [[intDivSql]].
     */
-  def intDiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+  def intDiv(a: Column, b: Column): Column = {
+    val (al, bl) = (a.cast("long"), b.cast("long"))
+    val q = call_function("div", al, bl)
+    when(al % bl < 0, q - lit(1L)).otherwise(q)
+  }
 
-  /** DuckDB twin of [[intDiv]]: positive-mod subtraction then `//` — the
-    * numerator is an exact multiple of `b`, so truncation equals floor.
+  /** DuckDB twin of [[intDiv]]: truncating `//` with the same
+    * negative-remainder floor correction (DuckDB's `%` follows the
+    * dividend's sign, exactly like Spark's).
     */
   def intDivSql(a: String, b: String): String =
-    s"(($a) - ((($a) % ($b) + ($b)) % ($b))) // ($b)"
+    s"((($a) // ($b)) - CASE WHEN (($a) % ($b)) < 0 THEN 1 ELSE 0 END)"
 }

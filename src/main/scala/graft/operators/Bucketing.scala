@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode}
 
 /** Bucketed tables for co-located joins (SURVEY.md §"Partitioning &
@@ -12,13 +13,36 @@ object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // a previous SESSION's files can survive with no catalog entry — then
-    // Overwrite refuses with LOCATION_ALREADY_EXISTS; clear the location
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    // Resolve the REAL location from the catalog BEFORE dropping: a
+    // hand-derived <warehouse.dir>/<name> is wrong for db-qualified names,
+    // a non-default current database, or a custom LOCATION — and a
+    // recursive delete of the wrong directory is an ops hazard.
+    val existingLoc =
+      if (catalog.tableExists(ident)) Some(new Path(catalog.getTableMetadata(ident).location))
+      else None
+    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    existingLoc match {
+      case Some(loc) =>
+        // DROP already removed a managed table's files; this clears the
+        // (catalog-resolved) location an EXTERNAL table leaves behind, so
+        // Overwrite doesn't hit LOCATION_ALREADY_EXISTS.
+        val fs = loc.getFileSystem(hadoopConf)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      case None =>
+        // A previous SESSION's files can survive with no catalog entry —
+        // but only the default warehouse layout can produce that, so the
+        // blind fallback delete is restricted to unqualified names in the
+        // default database.
+        if (ident.database.getOrElse(catalog.getCurrentDatabase) == "default") {
+          val loc = new Path(
+            spark.conf.get("spark.sql.warehouse.dir"), ident.table.toLowerCase)
+          val fs = loc.getFileSystem(hadoopConf)
+          if (fs.exists(loc)) fs.delete(loc, true)
+        }
+    }
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)

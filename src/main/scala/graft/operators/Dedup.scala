@@ -289,8 +289,9 @@ object Dedup {
     * propagation: every round each vertex takes the minimum label among
     * itself and its neighbours — one shuffle join + one aggregate per
     * round, converging in O(component diameter) rounds (near-dup clusters
-    * are shallow; `maxIters` is a safety bound, and convergence is an
-    * exact changed-row count, so the loop is deterministic). The driver
+    * are shallow; `maxIters` is a safety bound that FAILS the job if hit
+    * before convergence, and convergence is an exact changed-row count,
+    * so the loop is deterministic). The driver
     * carries only that scalar per round — labels never leave the cluster —
     * and each round's result is localCheckpoint'ed so lineage stays O(1)
     * instead of growing with the iteration count.
@@ -305,6 +306,23 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache() // re-read every round
+    val labels = propagateLabels(edges, maxIters)
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"),
+      (col("v") === col("label")).cast("int").as("is_survivor"))
+  }
+
+  /** Min-label propagation to convergence over a symmetric edge list
+    * (`src`,`dst`; both directions present). Returns (`v`, `label`) with
+    * `label` = min vertex of v's connected component.
+    *
+    * FAILS LOUDLY if the bound is hit before convergence: a component
+    * whose diameter exceeds `maxIters` (plausible in a 100 TB near-dup
+    * family chain) would otherwise return labels that silently disagree
+    * with the transitive-closure oracle — a wrong answer at scale is worse
+    * than a retry with a bigger bound.
+    */
+  private[graft] def propagateLabels(edges: DataFrame, maxIters: Int): DataFrame = {
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("label"))
       .localCheckpoint()
@@ -322,9 +340,11 @@ object Dedup {
       labels = next
       it += 1
     }
-    edges.unpersist()
-    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"),
-      (col("v") === col("label")).cast("int").as("is_survivor"))
+    require(changed == 0,
+      s"label propagation did not converge after $maxIters rounds " +
+        s"($changed labels still moving — component diameter exceeds the " +
+        "bound); raise maxIters")
+    labels
   }
 
   /** DuckDB twin of [[dedupClusters]]: transitive closure as a recursive

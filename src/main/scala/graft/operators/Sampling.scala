@@ -28,6 +28,7 @@ object Sampling {
     */
   def stratifiedSample(docs: DataFrame, rates: Seq[(String, Int)],
       defaultPct: Int = 10, stratum: String = "source"): DataFrame = {
+    requireDistinctStrata(rates)
     val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
       when(col(stratum) === lit(s), lit(p)).otherwise(acc)
     }
@@ -63,11 +64,25 @@ object Sampling {
        |              THEN 'train' ELSE 'test' END AS split
        |  FROM documents d LEFT JOIN dedup_clusters c ON d.doc_id = c.doc_id)""".stripMargin
 
+  /** The engine's foldLeft makes the LAST duplicate rate win while the SQL
+    * twin's CASE makes the FIRST win — the two only agree because strata
+    * are distinct, so enforce that instead of assuming it.
+    */
+  private def requireDistinctStrata(rates: Seq[(String, Int)]): Unit = {
+    val dups = rates.map(_._1).groupBy(identity).collect {
+      case (k, vs) if vs.size > 1 => k
+    }
+    require(dups.isEmpty,
+      s"duplicate stratum keys in rates: ${dups.mkString(", ")}")
+  }
+
   /** DuckDB twin of [[stratifiedSample]] — same hash, same rates. */
   def stratifiedSampleSql(rates: Seq[(String, Int)], defaultPct: Int = 10,
       stratum: String = "source"): String = {
+    requireDistinctStrata(rates)
     def esc(s: String) = s.replace("'", "''")
-    // strata conditions are mutually exclusive, so CASE order is free
+    // strata conditions are mutually exclusive (enforced above), so CASE
+    // order is free
     val pctExpr = rates
       .map { case (s, p) => s"WHEN $stratum = '${esc(s)}' THEN $p" }
       .mkString("CASE ", " ", s" ELSE $defaultPct END")

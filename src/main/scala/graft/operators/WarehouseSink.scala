@@ -81,10 +81,14 @@ object WarehouseSink {
     * File count is sized from the ACTUAL bytes on disk, then one shuffle
     * redistributes rows evenly across exactly that many writers. The
     * rewrite lands in a sibling directory, so a failure during the (long)
-    * rewrite phase leaves the original untouched; the swap itself is a
-    * delete + rename window — on an object store or for stronger
-    * guarantees, front this with a table format's atomic commit. Returns
-    * the new file count.
+    * rewrite phase leaves the original untouched; the swap is then a
+    * three-step rename dance — original aside to `<dir>_old`, rewrite in,
+    * delete the old copy — so at EVERY instant a complete copy of the
+    * data exists on disk (a crash between the renames leaves it
+    * recoverable at `<dir>_old` rather than lost). The swap is still not
+    * atomic — a reader racing the renames can glimpse a missing path; on
+    * an object store or for stronger guarantees, front this with a table
+    * format's atomic commit. Returns the new file count.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Long = {
@@ -95,8 +99,11 @@ object WarehouseSink {
     val tmp = new org.apache.hadoop.fs.Path(dir + "_compacting")
     spark.read.parquet(dir).repartition(nFiles.toInt)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    val old = new org.apache.hadoop.fs.Path(dir + "_old")
+    if (fs.exists(old)) fs.delete(old, true) // debris from a prior crash
+    require(fs.rename(path, old), s"compact: rename $path -> $old failed")
+    require(fs.rename(tmp, path), s"compact: rename $tmp -> $path failed")
+    fs.delete(old, true)
     nFiles
   }
 

@@ -63,6 +63,28 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("intDiv equals Math.floorDiv over the full BIGINT range (|a| beyond 2^53)") {
+    import graft.functions.OracleSafe.intDiv
+    // edge cases where the old double-division (or a subtract-pmod
+    // numerator) breaks: ulp loss above 2^53, underflow near Long.MinValue
+    val edges = Seq(
+      (Long.MinValue, 3L), (Long.MinValue, 1L), (Long.MinValue, Long.MaxValue),
+      (Long.MaxValue, 7L), (Long.MaxValue, 1L),
+      ((1L << 60) + 123L, 1000L), (-(1L << 60) - 123L, 1000L),
+      ((1L << 53) + 1L, 2L), (-(1L << 53) - 1L, 2L))
+    val gen = Gen.listOfN(300, Gen.zip(
+      Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.chooseNum(1L, Long.MaxValue)))
+    for (seed <- 1L to 3L) {
+      val out = (edges ++ sample(gen, seed)).toDF("a", "b")
+        .select(col("a"), col("b"), intDiv(col("a"), col("b")).as("q"))
+        .as[(Long, Long, Long)].collect()
+      out.foreach { case (a, b, q) =>
+        assert(q == Math.floorDiv(a, b), s"intDiv($a, $b)")
+      }
+    }
+  }
+
   test("day-of-week shift always lands in 2..8 and weekend iff 7/8") {
     val gen = Gen.listOfN(300, Gen.chooseNum(0L, 4102444800L))
     for (seed <- 1L to 3L) {

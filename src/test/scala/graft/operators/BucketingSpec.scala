@@ -25,4 +25,43 @@ class BucketingSpec extends SparkSpec {
       lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), Seq("o_orderkey")).count()
     assert(joined.count() == expected)
   }
+
+  test("db-qualified rewrite never touches the look-alike default-db path") {
+    val nation = TestData.nation(spark, sf)
+    spark.sql("CREATE DATABASE IF NOT EXISTS bdb")
+    // a directory whose name matches the OLD hand-derived path
+    // <warehouse>/<'bdb.btab'.toLowerCase> — a correct implementation must
+    // leave it alone
+    val wh = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val lookAlike = new java.io.File(wh, "bdb.btab")
+    lookAlike.mkdirs()
+    val sentinel = new java.io.File(lookAlike, "sentinel")
+    sentinel.createNewFile()
+
+    Bucketing.writeBucketed(nation, "bdb.btab", "n_nationkey", 2)
+    // overwrite again: exercises the tableExists → catalog-resolved path
+    Bucketing.writeBucketed(nation, "bdb.btab", "n_nationkey", 2)
+    assert(spark.table("bdb.btab").count() == nation.count())
+    assert(sentinel.exists(), "unrelated look-alike directory was deleted")
+    spark.sql("DROP TABLE bdb.btab")
+    spark.sql("DROP DATABASE bdb")
+  }
+
+  test("custom-location table is cleared at its REAL location before rewrite") {
+    val nation = TestData.nation(spark, sf)
+    val custom = java.nio.file.Files.createTempDirectory("ext-loc").resolve("t")
+    nation.write.parquet(custom.toString)
+    spark.sql(
+      s"CREATE TABLE ext_btab USING parquet LOCATION '${custom.toUri}'")
+    assert(spark.table("ext_btab").count() == nation.count())
+
+    // rewrite under the same name: DROP leaves the external files behind;
+    // the catalog-resolved delete must clear them (not some derived path)
+    Bucketing.writeBucketed(nation, "ext_btab", "n_nationkey", 2)
+    assert(spark.table("ext_btab").count() == nation.count())
+    assert(!custom.toFile.exists(),
+      "stale external files at the catalog location were not cleared")
+    spark.sql("DROP TABLE ext_btab")
+  }
 }

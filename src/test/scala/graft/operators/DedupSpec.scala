@@ -70,6 +70,22 @@ class DedupSpec extends SparkSpec {
       "unrelated docs must not pair")
   }
 
+  test("label propagation fails loudly when component diameter exceeds maxIters") {
+    // chain 0-1-2-...-29: the min label needs ~29 rounds to reach the far
+    // end, so a bound of 5 MUST fail — silently returning partial labels
+    // would diverge from the transitive-closure oracle
+    val es = (0L until 29L).map(i => (i, i + 1))
+    val edges = es.toDF("src", "dst").union(es.map(_.swap).toDF("src", "dst"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.propagateLabels(edges, maxIters = 5)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the same chain with a sufficient bound resolves to one component
+    val ok = Dedup.propagateLabels(edges, maxIters = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.size == 30 && ok.values.forall(_ == 0L))
+  }
+
   test("dedup clusters: components resolve to min-id survivor; singletons absent") {
     // 0,1,2 identical (one component), 3,4 identical (another), 5 unique
     // (never a candidate, so not a graph vertex).

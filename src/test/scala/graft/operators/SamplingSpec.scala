@@ -48,6 +48,18 @@ class SamplingSpec extends SparkSpec {
     assert(res.groupBy(_._2).size == 3, "two dup families + one singleton")
   }
 
+  test("duplicate stratum keys are rejected (engine last-match vs SQL first-match)") {
+    val corpus = docs(10, "s")
+    val dup = Seq("web" -> 10, "books" -> 50, "web" -> 90)
+    val e = intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(corpus, dup)
+    }
+    assert(e.getMessage.contains("web"))
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSampleSql(dup)
+    }
+  }
+
   test("selection is deterministic: same subset on every invocation") {
     val corpus = docs(300, "s")
     val a = Sampling.stratifiedSample(corpus, Seq(), defaultPct = 30)

@@ -34,6 +34,23 @@ class WarehouseSinkSpec extends SparkSpec {
     WarehouseSink.compact(spark, dir, targetBytes = 1L << 30) // everything fits one file
     assert(parquetFiles == 1, "compaction must bin-pack to the target size")
     assert(spark.read.parquet(dir).count() == expected, "no rows lost")
+    // the rename-aside swap cleans up after itself: no _compacting/_old
+    // siblings survive a successful compaction
+    assert(!new java.io.File(dir + "_compacting").exists())
+    assert(!new java.io.File(dir + "_old").exists())
+  }
+
+  test("compaction recovers from debris a crashed prior run left behind") {
+    val dir = Files.createTempDirectory("compact2").resolve("t").toString
+    val df = graft.sources.TestData.nation(spark, sf)
+    df.repartition(4).write.parquet(dir)
+    // simulate a prior run that crashed between the renames
+    df.limit(1).write.parquet(dir + "_old")
+    df.limit(1).write.parquet(dir + "_compacting")
+    val expected = df.count()
+    WarehouseSink.compact(spark, dir, targetBytes = 1L << 30)
+    assert(spark.read.parquet(dir).count() == expected)
+    assert(!new java.io.File(dir + "_old").exists())
   }
 
   test("S4: JDBC write-back option plumbing and FK-safe load order") {
