@@ -8,10 +8,17 @@ package graft
   * full pipeline). A warm-up pass primes the JVM/JIT and the parquet footer
   * cache so the measured numbers reflect steady-state throughput rather than
   * first-query JVM startup.
+  *
+  * Each query is run SPARK_GRAFT_BENCH_REPS times (default 3) and the
+  * MEDIAN is reported: single runs of sub-second shapes swing 2–3× between
+  * identical-code rounds (GC, page cache, micro-batch timers), which reads
+  * as a regression when nothing changed — the median is the number a
+  * round-over-round comparison can actually trust.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = GraftSession.local("graft-bench")
 
     // Warm-up: JIT + codegen cache on the smallest SF.
@@ -36,14 +43,17 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = Seq.fill(reps) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.sorted.apply(reps / 2) // median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""warehouse_fill_sec":$fillSec,"queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: the line on stdout (bare — build.sbt sets
     // StdoutOutput for forked runs) AND a file copy, in case the caller's

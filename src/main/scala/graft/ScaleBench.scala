@@ -97,8 +97,59 @@ object ScaleBench {
       } else
         s""""$name":{"failed":true,"x1_ok":$ok1,"x${copies}_ok":$ok10}"""
     }
+
+    // Component-loop evidence at a DEEPER blow-up (default 30×): the
+    // O(diameter) claim says propagation ROUNDS track near-dup family
+    // shape, not corpus size — per-copy token salting preserves the shape,
+    // so rounds at 30× must equal rounds at 1× while wall-time stays
+    // ~linear. Reported per corpus: seconds, rounds, cluster count.
+    val ccCopies = sys.env.getOrElse("SPARK_GRAFT_SCALE_CC_COPIES", "30").toInt
+    val ccDir = s"$outRoot/x$ccCopies"
+    scaleDocs(spark, base, ccCopies).repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$ccDir/documents.parquet")
+    def ccStats(dir: String): (Double, Int, Long, Boolean) = {
+      val t0 = System.nanoTime()
+      try {
+        val (labels, rounds) = graft.operators.Dedup.dedupClustersWithRounds(
+          graft.sources.TestData.documents(spark, dir))
+        val n = labels.count()
+        ((System.nanoTime() - t0) / 1e9, rounds, n, true)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          ((System.nanoTime() - t0) / 1e9, -1, -1L, false)
+      }
+    }
+    val (cs1, cr1, cn1, cok1) = ccStats(base)
+    val (csN, crN, cnN, cokN) = ccStats(ccDir)
+    val ccJson = if (cok1 && cokN)
+      f""""dedup_clusters":{"x1_sec":$cs1%.3f,"x1_rounds":$cr1,"x1_vertices":$cn1,""" +
+        f""""x$ccCopies%d_sec":$csN%.3f,"x$ccCopies%d_rounds":$crN,""" +
+        f""""x$ccCopies%d_vertices":$cnN,"ratio":${csN / math.max(cs1, 1e-9)}%.2f}"""
+    else s""""dedup_clusters":{"failed":true,"x1_ok":$cok1,"x${ccCopies}_ok":$cokN}"""
+
+    // simhash band-join at the same depth: pair COUNT must scale with
+    // copies (per-copy structure is preserved), never quadratically
+    def shStats(dir: String): (Double, Long, Boolean) = {
+      val t0 = System.nanoTime()
+      try {
+        val n = SparkEntry.queries("q80_simhash_pairs")(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, n, true)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          ((System.nanoTime() - t0) / 1e9, -1L, false)
+      }
+    }
+    val (hs1, hn1, hok1) = shStats(base)
+    val (hsN, hnN, hokN) = shStats(ccDir)
+    val shJson = if (hok1 && hokN)
+      f""""simhash_pairs":{"x1_sec":$hs1%.3f,"x1_pairs":$hn1,""" +
+        f""""x$ccCopies%d_sec":$hsN%.3f,"x$ccCopies%d_pairs":$hnN,""" +
+        f""""ratio":${hsN / math.max(hs1, 1e-9)}%.2f}"""
+    else s""""simhash_pairs":{"failed":true,"x1_ok":$hok1,"x${ccCopies}_ok":$hokN}"""
+
     val json = s"""{"metric":"scale_ratio","copies":$copies,"base":"$base",""" +
-      s""""queries":{${entries.mkString(",")}}}"""
+      s""""queries":{${entries.mkString(",")}},""" +
+      s""""components":{"copies":$ccCopies,$ccJson,$shJson}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }

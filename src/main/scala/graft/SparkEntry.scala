@@ -566,6 +566,22 @@ object SparkEntry {
           moneyOut(sum(money(col("value"))).cast("decimal(18,2)")).as("total"))
         .orderBy("event_type")
     },
+    // GROUPING SETS beyond rollup/cube: a time slice, an orthogonal
+    // priority slice, and the grand total in ONE pass over the fact —
+    // Spark expands the sets map-side (a single Expand + one shuffle), so
+    // at 100 TB this costs one scan instead of three unioned aggregates.
+    "q89_grouping_sets" -> { (s, dir) =>
+      TestData.orders(s, dir)
+        .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+          col("o_orderpriority").as("priority"), col("o_totalprice"))
+        .groupingSets(
+          Seq(Seq(col("y"), col("m")), Seq(col("priority")), Seq()),
+          col("y"), col("m"), col("priority"))
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(money(col("o_totalprice"))).cast("decimal(18,2)")).as("total"))
+        .orderBy(asc_nulls_first("y"), asc_nulls_first("m"),
+          asc_nulls_first("priority"))
+    },
     // Idempotent streaming ingest: the same file delivered twice (the
     // at-least-once simulation) must collapse to exactly the distinct
     // event count under dropDuplicatesWithinWatermark.
@@ -1055,6 +1071,15 @@ object SparkEntry {
           FROM events
           GROUP BY event_type
           ORDER BY event_type""",
+
+    // three independent slices of the fact in one grouped pass
+    "q89_grouping_sets" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+                 o_orderpriority AS priority, COUNT(*) AS n,
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("o_totalprice")}) AS DECIMAL(18,2))")} AS total
+          FROM orders
+          GROUP BY GROUPING SETS ((y, m), (priority), ())
+          ORDER BY y NULLS FIRST, m NULLS FIRST, priority NULLS FIRST""",
 
     // a doubled source must dedup back to the distinct id count
     "q84_stream_dedup" ->

@@ -301,15 +301,25 @@ object Dedup {
     *  is_survivor = 1 for the cluster minimum).
     */
   def dedupClusters(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20): DataFrame =
+    dedupClustersWithRounds(docs, numHashes, rowsPerBand, maxIters)._1
+
+  /** [[dedupClusters]] plus the number of propagation rounds it actually
+    * ran — the scale evidence the design claim rests on: rounds track
+    * component DIAMETER, not corpus size, so a 30× corpus with the same
+    * near-dup structure must converge in the same handful of rounds
+    * ([[graft.ScaleBench]] records both).
+    */
+  def dedupClustersWithRounds(docs: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4, maxIters: Int = 20): (DataFrame, Int) = {
     val pairs = lshCandidates(docs, numHashes, rowsPerBand).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache() // re-read every round
-    val labels = propagateLabels(edges, maxIters)
+    val (labels, rounds) = propagateLabelsWithRounds(edges, maxIters)
     edges.unpersist()
-    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"),
-      (col("v") === col("label")).cast("int").as("is_survivor"))
+    (labels.select(col("v").as("doc_id"), col("label").as("cluster_id"),
+      (col("v") === col("label")).cast("int").as("is_survivor")), rounds)
   }
 
   /** Min-label propagation to convergence over a symmetric edge list
@@ -322,7 +332,11 @@ object Dedup {
     * with the transitive-closure oracle — a wrong answer at scale is worse
     * than a retry with a bigger bound.
     */
-  private[graft] def propagateLabels(edges: DataFrame, maxIters: Int): DataFrame = {
+  private[graft] def propagateLabels(edges: DataFrame, maxIters: Int): DataFrame =
+    propagateLabelsWithRounds(edges, maxIters)._1
+
+  private[graft] def propagateLabelsWithRounds(
+      edges: DataFrame, maxIters: Int): (DataFrame, Int) = {
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("label"))
       .localCheckpoint()
@@ -344,7 +358,7 @@ object Dedup {
       s"label propagation did not converge after $maxIters rounds " +
         s"($changed labels still moving — component diameter exceeds the " +
         "bound); raise maxIters")
-    labels
+    (labels, it)
   }
 
   /** DuckDB twin of [[dedupClusters]]: transitive closure as a recursive
@@ -372,16 +386,43 @@ object Dedup {
     * intermediate view.
     *
     * The memo is BOUNDED: cached DataFrames pin executor memory for the
-    * session, and a plan-string key is only a heuristic identity (two
-    * different plans can print alike — acceptable for a cache whose worst
-    * failure is a recompute or an extra cached copy). Past [[MaxShingleMemo]]
-    * entries the whole map is unpersisted and dropped, so a long-lived
-    * session that shingles many distinct corpora cannot accumulate
-    * unbounded cache blocks.
+    * session; past [[MaxShingleMemo]] entries the whole map is unpersisted
+    * and dropped, so a long-lived session that shingles many distinct
+    * corpora cannot accumulate unbounded cache blocks. Keys come from
+    * [[corpusKey]] — see there for why a raw plan string is NOT a safe
+    * identity.
     */
   def shingles(docs: DataFrame, n: Int): DataFrame =
-    memoized(docs.sparkSession, s"shingles:$n:${docs.queryExecution.logical.toString}")(
+    memoized(docs.sparkSession, s"shingles:$n:${corpusKey(docs)}")(
       shinglesUncached(docs, n))
+
+  /** Memo key that actually identifies the CORPUS. The unresolved logical
+    * plan of `spark.read.parquet(path)` prints as `UnresolvedDataSource
+    * format: parquet, …, paths: 1 provided` — no path at all — so a raw
+    * plan-string key silently collides across DIFFERENT corpora of the
+    * same shape, and the cached shingles of corpus A get served for
+    * corpus B (wrong answers in any session that touches two corpora,
+    * e.g. a warm-up pass at one scale factor followed by real work at
+    * another). Key on the CANONICALIZED analyzed plan (expression ids
+    * normalized, so re-reading the same corpus still hits) plus the
+    * resolved scan identities the plan string omits: file-source root
+    * paths, v2 table names, and local relations' data hash.
+    */
+  private def corpusKey(df: DataFrame): String = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    val plan = df.queryExecution.analyzed
+    val srcs = plan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+        case r => String.valueOf(r)
+      }
+      case v2: DataSourceV2Relation => v2.table.name()
+      case l: LocalRelation => s"local:${l.data.hashCode}"
+    }
+    s"${plan.canonicalized.toString}|${srcs.mkString(";")}"
+  }
 
   private val MaxShingleMemo = 16
   private val shingleMemo = new java.util.HashMap[
@@ -443,8 +484,7 @@ object Dedup {
       .select(greatest(lit(64L), floor(col("n_docs").cast("double") / 20).cast("long"))
         .as("df_cap"))
     val sh = shingles(docs, n)
-    memoized(docs.sparkSession,
-      s"jaccardKept:$n:${docs.queryExecution.logical.toString}") {
+    memoized(docs.sparkSession, s"jaccardKept:$n:${corpusKey(docs)}") {
       sh.join(sh.groupBy("sh").agg(count(lit(1)).as("df")), Seq("sh"))
         .crossJoin(broadcast(cap))
         .filter(col("df") <= col("df_cap"))

@@ -70,6 +70,25 @@ class DedupSpec extends SparkSpec {
       "unrelated docs must not pair")
   }
 
+  test("shingle memo never serves one corpus's shingles for another") {
+    // Regression: the unresolved plan string of a parquet read has NO path
+    // ('UnresolvedDataSource ... paths: 1 provided'), so a plan-string memo
+    // key collides across corpora — the second read here used to get the
+    // FIRST corpus's cached shingles.
+    val dirA = java.nio.file.Files.createTempDirectory("memoA")
+      .resolve("d.parquet").toString
+    val dirB = java.nio.file.Files.createTempDirectory("memoB")
+      .resolve("d.parquet").toString
+    docs(0L -> "alpha beta gamma delta epsilon").write.parquet(dirA)
+    docs(0L -> "one two three four five six seven eight").write.parquet(dirB)
+    // 5 tokens → 3 trigram shingles; 8 tokens → 6
+    assert(Dedup.shingles(spark.read.parquet(dirA), 3).count() == 3)
+    assert(Dedup.shingles(spark.read.parquet(dirB), 3).count() == 6)
+    // and the same corpus re-read from the same path still HITS the memo
+    // (same canonicalized plan + same root path)
+    assert(Dedup.shingles(spark.read.parquet(dirA), 3).count() == 3)
+  }
+
   test("label propagation fails loudly when component diameter exceeds maxIters") {
     // chain 0-1-2-...-29: the min label needs ~29 rounds to reach the far
     // end, so a bound of 5 MUST fail — silently returning partial labels
