@@ -286,10 +286,11 @@ object Dedup {
     * pipeline needs after LSH banding (pairs alone over-delete — A~B and
     * B~C must keep exactly one of {A,B,C}, which requires the connected
     * component, not the pair list). Components via iterative min-label
-    * propagation: every round each vertex takes the minimum label among
-    * itself and its neighbours — one shuffle join + one aggregate per
-    * round, converging in O(component diameter) rounds (near-dup clusters
-    * are shallow; `maxIters` is a safety bound that FAILS the job if hit
+    * propagation with pointer jumping: every round each vertex takes the
+    * minimum label among itself and its neighbours, then shortcuts to its
+    * label's label — two shuffle joins + one aggregate per round,
+    * converging in O(log diameter) rounds (near-dup clusters are shallow
+    * anyway; `maxIters` is a safety bound that FAILS the job if hit
     * before convergence, and convergence is an exact changed-row count,
     * so the loop is deterministic). The driver
     * carries only that scalar per round — labels never leave the cluster —
@@ -345,9 +346,21 @@ object Dedup {
     while (changed > 0 && it < maxIters) {
       val prop = edges.join(labels.withColumnRenamed("v", "src"), Seq("src"))
         .groupBy(col("dst").as("v")).agg(min("label").as("nbr"))
-      val next = labels.join(prop, Seq("v"), "left")
+      val stepped = labels.join(prop, Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // Pointer jumping: label(v) ← label(label(v)). Every label value is
+      // itself a vertex (labels start as own ids and only existing ids
+      // propagate), so the self-join always resolves; labels only
+      // decrease (label(u) ≤ u). The hop distance to the component
+      // minimum HALVES each round on top of the one-step neighbor move,
+      // so convergence is O(log diameter) rounds instead of O(diameter) —
+      // at 100 TB a pathological chain-shaped near-dup family costs ~40
+      // shuffle rounds at most, not tens of thousands.
+      val next = stepped.join(
+          stepped.select(col("v").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("v"), coalesce(col("ll"), col("label")).as("label"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("v"))
         .filter(col("label") =!= col("prev")).count()

@@ -89,20 +89,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.shingles(spark.read.parquet(dirA), 3).count() == 3)
   }
 
-  test("label propagation fails loudly when component diameter exceeds maxIters") {
-    // chain 0-1-2-...-29: the min label needs ~29 rounds to reach the far
-    // end, so a bound of 5 MUST fail — silently returning partial labels
-    // would diverge from the transitive-closure oracle
-    val es = (0L until 29L).map(i => (i, i + 1))
+  test("label propagation fails loudly when the round bound is hit unconverged") {
+    // chain 0-1-2-...-299: diameter 299 needs ~log2(299) ≈ 9 rounds with
+    // pointer jumping, so a bound of 3 MUST fail — silently returning
+    // partial labels would diverge from the transitive-closure oracle
+    val es = (0L until 299L).map(i => (i, i + 1))
     val edges = es.toDF("src", "dst").union(es.map(_.swap).toDF("src", "dst"))
     val e = intercept[IllegalArgumentException] {
-      Dedup.propagateLabels(edges, maxIters = 5)
+      Dedup.propagateLabels(edges, maxIters = 3)
     }
     assert(e.getMessage.contains("did not converge"))
-    // the same chain with a sufficient bound resolves to one component
-    val ok = Dedup.propagateLabels(edges, maxIters = 64)
-      .as[(Long, Long)].collect().toMap
-    assert(ok.size == 30 && ok.values.forall(_ == 0L))
+    // the same chain with a sufficient bound resolves to one component —
+    // and in O(log diameter) rounds, the scale claim the jump step buys
+    val (ok, rounds) = Dedup.propagateLabelsWithRounds(edges, maxIters = 64)
+    val m = ok.as[(Long, Long)].collect().toMap
+    assert(m.size == 300 && m.values.forall(_ == 0L))
+    assert(rounds <= 12, s"expected O(log 299) ≈ 9 rounds, got $rounds")
   }
 
   test("dedup clusters: components resolve to min-id survivor; singletons absent") {
