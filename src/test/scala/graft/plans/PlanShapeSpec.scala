@@ -62,6 +62,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q89 grouping sets: one Expand, one aggregate shuffle, map-side partials") {
+    val p = finalPlan("q89_grouping_sets")
+    assert(p.contains("Expand"), "grouping sets must expand map-side, not union scans")
+    assert(!p.contains("Union"), "must be one pass over the fact, not unioned scans")
+    // executedPlan.toString prints final AND initial adaptive plans —
+    // count shuffles only in the final section
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val aggExchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(aggExchanges == 1,
+      s"three slices must share ONE aggregate shuffle, found $aggExchanges:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "partial aggregation must run before the exchange")
+  }
+
   test("q57 bm25: the 1-row stats frame broadcasts; top-k is a bounded heap") {
     val p = finalPlan("q57_bm25_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
