@@ -42,19 +42,25 @@ object Bench {
         (System.nanoTime() - tFill) / 1e9
       } catch { case _: Throwable => -1.0 }
 
+    // A failed query must NOT masquerade as a (tiny, plausible) timing —
+    // record failures in their own field so a regression that makes a
+    // query throw fast can't read as a speedup.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = Seq.fill(reps) {
+      val runs = Seq.fill(reps) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.sorted.apply(reps / 2) // median
+      (name, runs.map(_._1).sorted.apply(reps / 2), runs.forall(_._2)) // median
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""warehouse_fill_sec":$fillSec,"queries":$qs,"sf":"$sfDir"}"""
+      s""""warehouse_fill_sec":$fillSec,"failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: the line on stdout (bare — build.sbt sets
     // StdoutOutput for forked runs) AND a file copy, in case the caller's
     // stdout is decorated by a build tool.

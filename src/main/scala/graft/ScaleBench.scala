@@ -119,6 +119,10 @@ object ScaleBench {
           ((System.nanoTime() - t0) / 1e9, -1, -1L, false)
       }
     }
+    // warm the 30× memoized intermediates before timing: the 10× loop
+    // above already warmed `base`, so timing a first-touch 30× run against
+    // a memo-warm 1× run would mix cache effects into the scale ratio
+    ccStats(ccDir)
     val (cs1, cr1, cn1, cok1) = ccStats(base)
     val (csN, crN, cnN, cokN) = ccStats(ccDir)
     val ccJson = if (cok1 && cokN)
@@ -139,6 +143,7 @@ object ScaleBench {
           ((System.nanoTime() - t0) / 1e9, -1L, false)
       }
     }
+    shStats(ccDir) // warm, as above
     val (hs1, hn1, hok1) = shStats(base)
     val (hsN, hnN, hokN) = shStats(ccDir)
     val shJson = if (hok1 && hokN)

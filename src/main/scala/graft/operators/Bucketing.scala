@@ -15,34 +15,18 @@ object Bucketing {
     val spark = df.sparkSession
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
-    // Resolve the REAL location from the catalog BEFORE dropping: a
-    // hand-derived <warehouse.dir>/<name> is wrong for db-qualified names,
-    // a non-default current database, or a custom LOCATION — and a
-    // recursive delete of the wrong directory is an ops hazard.
-    val existingLoc =
-      if (catalog.tableExists(ident)) Some(new Path(catalog.getTableMetadata(ident).location))
-      else None
     spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
-    val hadoopConf = spark.sparkContext.hadoopConfiguration
-    existingLoc match {
-      case Some(loc) =>
-        // DROP already removed a managed table's files; this clears the
-        // (catalog-resolved) location an EXTERNAL table leaves behind, so
-        // Overwrite doesn't hit LOCATION_ALREADY_EXISTS.
-        val fs = loc.getFileSystem(hadoopConf)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      case None =>
-        // A previous SESSION's files can survive with no catalog entry —
-        // but only the default warehouse layout can produce that, so the
-        // blind fallback delete is restricted to unqualified names in the
-        // default database.
-        if (ident.database.getOrElse(catalog.getCurrentDatabase) == "default") {
-          val loc = new Path(
-            spark.conf.get("spark.sql.warehouse.dir"), ident.table.toLowerCase)
-          val fs = loc.getFileSystem(hadoopConf)
-          if (fs.exists(loc)) fs.delete(loc, true)
-        }
-    }
+    // saveAsTable writes a MANAGED table at the catalog's default location
+    // for this identifier; files there can survive a previous session that
+    // left no catalog entry, and Overwrite then refuses with
+    // LOCATION_ALREADY_EXISTS. Clear exactly THAT path — resolved by the
+    // catalog (correct for db-qualified names and non-default current
+    // databases), and never an external table's custom location: DROP
+    // preserves external files by design, and deleting them could destroy
+    // shared source data (or the very files `df` is about to re-read).
+    val target = new Path(catalog.defaultTablePath(ident))
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) fs.delete(target, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)

@@ -317,8 +317,9 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache() // re-read every round
-    val (labels, rounds) = propagateLabelsWithRounds(edges, maxIters)
-    edges.unpersist()
+    val (labels, rounds) =
+      try propagateLabelsWithRounds(edges, maxIters)
+      finally edges.unpersist() // also on the non-convergence throw
     (labels.select(col("v").as("doc_id"), col("label").as("cluster_id"),
       (col("v") === col("label")).cast("int").as("is_survivor")), rounds)
   }
@@ -349,6 +350,11 @@ object Dedup {
       val stepped = labels.join(prop, Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        // materialized before the self-join: it feeds both sides under
+        // DIFFERENT partitionings (v and label), and exchange reuse can't
+        // dedupe the join compute itself — without this the edges⋈labels
+        // join would execute twice per round
+        .localCheckpoint()
       // Pointer jumping: label(v) ← label(label(v)). Every label value is
       // itself a vertex (labels start as own ids and only existing ids
       // propagate), so the self-join always resolves; labels only

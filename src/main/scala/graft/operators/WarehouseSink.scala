@@ -94,16 +94,23 @@ object WarehouseSink {
       targetBytes: Long = 128L << 20): Long = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldAside = new org.apache.hadoop.fs.Path(dir + "_old")
+    // Crash-window recovery: a prior run that died between the renames
+    // left no data at `dir` but the complete original at `<dir>_old` —
+    // restore it before sizing, so the advertised "recoverable" state
+    // actually recovers on the next call instead of failing the listing.
+    if (!fs.exists(path) && fs.exists(oldAside))
+      require(fs.rename(oldAside, path),
+        s"compact: crash recovery rename $oldAside -> $path failed")
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
     val tmp = new org.apache.hadoop.fs.Path(dir + "_compacting")
     spark.read.parquet(dir).repartition(nFiles.toInt)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(dir + "_old")
-    if (fs.exists(old)) fs.delete(old, true) // debris from a prior crash
-    require(fs.rename(path, old), s"compact: rename $path -> $old failed")
+    if (fs.exists(oldAside)) fs.delete(oldAside, true) // debris from a prior crash
+    require(fs.rename(path, oldAside), s"compact: rename $path -> $oldAside failed")
     require(fs.rename(tmp, path), s"compact: rename $tmp -> $path failed")
-    fs.delete(old, true)
+    fs.delete(oldAside, true)
     nFiles
   }
 

@@ -38,6 +38,12 @@ class BucketingSpec extends SparkSpec {
     lookAlike.mkdirs()
     val sentinel = new java.io.File(lookAlike, "sentinel")
     sentinel.createNewFile()
+    // and stale files at the REAL managed location (<warehouse>/bdb.db/btab)
+    // with no catalog entry — the previous-session leftover that makes
+    // saveAsTable refuse with LOCATION_ALREADY_EXISTS unless cleared
+    val staleReal = new java.io.File(new java.io.File(wh, "bdb.db"), "btab")
+    staleReal.mkdirs()
+    new java.io.File(staleReal, "stale").createNewFile()
 
     Bucketing.writeBucketed(nation, "bdb.btab", "n_nationkey", 2)
     // overwrite again: exercises the tableExists → catalog-resolved path
@@ -48,7 +54,7 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP DATABASE bdb")
   }
 
-  test("custom-location table is cleared at its REAL location before rewrite") {
+  test("external table's custom-location files are never deleted (self-rewrite safe)") {
     val nation = TestData.nation(spark, sf)
     val custom = java.nio.file.Files.createTempDirectory("ext-loc").resolve("t")
     nation.write.parquet(custom.toString)
@@ -56,12 +62,14 @@ class BucketingSpec extends SparkSpec {
       s"CREATE TABLE ext_btab USING parquet LOCATION '${custom.toUri}'")
     assert(spark.table("ext_btab").count() == nation.count())
 
-    // rewrite under the same name: DROP leaves the external files behind;
-    // the catalog-resolved delete must clear them (not some derived path)
-    Bucketing.writeBucketed(nation, "ext_btab", "n_nationkey", 2)
+    // rewrite the table FROM ITSELF: the df lazily re-reads the external
+    // files, so deleting them before the write would destroy both the
+    // table and its source — the delete must target only the new managed
+    // location
+    Bucketing.writeBucketed(spark.table("ext_btab"), "ext_btab", "n_nationkey", 2)
     assert(spark.table("ext_btab").count() == nation.count())
-    assert(!custom.toFile.exists(),
-      "stale external files at the catalog location were not cleared")
+    assert(custom.toFile.exists(),
+      "external source files must survive the rewrite (DROP preserves them by design)")
     spark.sql("DROP TABLE ext_btab")
   }
 }

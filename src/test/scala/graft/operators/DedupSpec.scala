@@ -82,11 +82,14 @@ class DedupSpec extends SparkSpec {
     docs(0L -> "alpha beta gamma delta epsilon").write.parquet(dirA)
     docs(0L -> "one two three four five six seven eight").write.parquet(dirB)
     // 5 tokens → 3 trigram shingles; 8 tokens → 6
-    assert(Dedup.shingles(spark.read.parquet(dirA), 3).count() == 3)
+    val first = Dedup.shingles(spark.read.parquet(dirA), 3)
+    assert(first.count() == 3)
     assert(Dedup.shingles(spark.read.parquet(dirB), 3).count() == 6)
     // and the same corpus re-read from the same path still HITS the memo
-    // (same canonicalized plan + same root path)
-    assert(Dedup.shingles(spark.read.parquet(dirA), 3).count() == 3)
+    // (same canonicalized plan + same root path) — identity, not just
+    // count, or a key unstable across re-reads would silently turn every
+    // call into a fresh cached copy
+    assert(Dedup.shingles(spark.read.parquet(dirA), 3) eq first)
   }
 
   test("label propagation fails loudly when the round bound is hit unconverged") {

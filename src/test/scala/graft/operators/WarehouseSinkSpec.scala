@@ -53,6 +53,20 @@ class WarehouseSinkSpec extends SparkSpec {
     assert(!new java.io.File(dir + "_old").exists())
   }
 
+  test("compaction recovers when a crash left NO data dir, only the _old aside") {
+    // the exact mid-swap state: rename(path, old) succeeded, rename(tmp,
+    // path) never ran — dir is absent, the complete original sits at _old
+    val dir = Files.createTempDirectory("compact3").resolve("t").toString
+    val df = graft.sources.TestData.nation(spark, sf)
+    df.repartition(4).write.parquet(dir + "_old")
+    df.limit(1).write.parquet(dir + "_compacting")
+    val expected = df.count()
+    WarehouseSink.compact(spark, dir, targetBytes = 1L << 30)
+    assert(spark.read.parquet(dir).count() == expected, "original restored from _old")
+    assert(!new java.io.File(dir + "_old").exists())
+    assert(!new java.io.File(dir + "_compacting").exists())
+  }
+
   test("S4: JDBC write-back option plumbing and FK-safe load order") {
     import WarehouseSink.{JdbcSinkConfig, jdbcOptions, loadOrder}
     val cfg = JdbcSinkConfig("jdbc:sqlserver://wh:1433;databaseName=dw",
