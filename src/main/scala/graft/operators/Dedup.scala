@@ -128,19 +128,31 @@ object Dedup {
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** Per-bit ±1 vote sums folded into a signature, in ONE aggregate over
+    * the postings: `bits` sum columns per doc_id instead of exploding
+    * every posting into `bits` rows (a `crossJoin(range(bits))` before
+    * the shuffle multiplies shuffled row COUNT by `bits` — at 100 TB
+    * that's the difference between aggregating |postings| rows and
+    * 48×|postings| rows; the bytes are similar, the per-row hash-agg
+    * work is not). The vote expressions stay inside whole-stage codegen.
+    */
+  private def simhashAgg(postings: DataFrame, bits: Int, out: String)(
+      vote: Int => Column): DataFrame = {
+    val votes = (0 until bits).map(b => sum(vote(b)).as(s"v$b"))
+    val sig = (0 until bits).map[Column](b =>
+      when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    postings.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as(out))
+  }
+
   /** 32-bit SimHash from the token membership set: per bit, sum ±1 votes
     * from each token's deterministic bit hash; signature bit = vote ≥ 0.
     */
   def simhash(docs: DataFrame): DataFrame =
-    docTokens(docs)
-      .crossJoin(spark_range_df(docs, 32).withColumnRenamed("h", "b"))
-      .select(col("doc_id"), col("b"),
-        (((col("tid") * 2654435761L + col("b") * 40507L) % 97 % 2) * 2 - 1).as("vote"))
-      .groupBy("doc_id", "b").agg(sum("vote").as("votes"))
-      .select(col("doc_id"),
-        (when(col("votes") >= 0, 1L).otherwise(0L)
-          * expr("shiftleft(CAST(1 AS BIGINT), b)")).as("bitval"))
-      .groupBy("doc_id").agg(sum("bitval").as("simhash"))
+    simhashAgg(docTokens(docs), 32, "simhash") { b =>
+      (((col("tid") * 2654435761L + lit(b * 40507L)) % 97 % 2) * 2 - 1)
+    }
 
   val simhashSql: String =
     s"""$docTokensSql,
@@ -164,27 +176,23 @@ object Dedup {
     * that makes unigram MinHash useless here. Shingles restore per-document
     * entropy; [[SimhashPairBits]] = 48 bits keep the collision rate down.
     */
-  private def shingleSimhash(docs: DataFrame, shingleN: Int = 3): DataFrame =
-    cappedShingles(docs, shingleN) // boilerplate shingles correlate signatures
+  private def shingleSimhash(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val postings = cappedShingles(docs, shingleN) // boilerplate shingles correlate signatures
       .select(col("doc_id"),
         // mod 100003 keeps the vote multiply in BIGINT range (see docTokens)
         (conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long") % 100003L).as("sid"))
-      .crossJoin(spark_range_df(docs, SimhashPairBits).withColumnRenamed("h", "b"))
-      // vote hash design matters: an ADDITIVE b term (sid*K + b*M) makes
-      // the parity alternate in b with a document-independent stride, so
-      // every signature collapses toward one of two complementary
-      // 0101… patterns (measured: fat pair-count tails at Hamming 0 AND
-      // 48, 2 069 spurious pairs). MULTIPLICATIVE mixing sid*(b+7)*K
-      // gives each shingle its own stride through the modulus — bits
-      // decorrelate and only true near-dups land within the threshold
-      // (measured: 18 pairs, binomial-centered histogram).
-      .select(col("doc_id"), col("b"),
-        (((col("sid") * (col("b") + 7) * 2654435761L) % 2000003L % 2) * 2 - 1).as("vote"))
-      .groupBy("doc_id", "b").agg(sum("vote").as("votes"))
-      .select(col("doc_id"),
-        (when(col("votes") >= 0, 1L).otherwise(0L)
-          * expr("shiftleft(CAST(1 AS BIGINT), b)")).as("bitval"))
-      .groupBy("doc_id").agg(sum("bitval").as("sig"))
+    // vote hash design matters: an ADDITIVE b term (sid*K + b*M) makes
+    // the parity alternate in b with a document-independent stride, so
+    // every signature collapses toward one of two complementary
+    // 0101… patterns (measured: fat pair-count tails at Hamming 0 AND
+    // 48, 2 069 spurious pairs). MULTIPLICATIVE mixing sid*(b+7)*K
+    // gives each shingle its own stride through the modulus — bits
+    // decorrelate and only true near-dups land within the threshold
+    // (measured: 18 pairs, binomial-centered histogram).
+    simhashAgg(postings, SimhashPairBits, "sig") { b =>
+      (((col("sid") * lit((b + 7) * 2654435761L)) % 2000003L % 2) * 2 - 1)
+    }
+  }
 
   /** SimHash signatures → candidate pairs (Manku-style): band the 48-bit
     * shingle signature into 4 × 12 bits; any pair agreeing on at least one
