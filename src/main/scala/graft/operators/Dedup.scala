@@ -355,8 +355,11 @@ object Dedup {
     while (changed > 0 && it < maxIters) {
       val prop = edges.join(labels.withColumnRenamed("v", "src"), Seq("src"))
         .groupBy(col("dst").as("v")).agg(min("label").as("nbr"))
+      // the pre-round label rides along as `prev`, so the convergence
+      // count below is a filter over the checkpointed result instead of
+      // one more shuffle join per round
       val stepped = labels.join(prop, Seq("v"), "left")
-        .select(col("v"),
+        .select(col("v"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         // materialized before the self-join: it feeds both sides under
         // DIFFERENT partitionings (v and label), and exchange reuse can't
@@ -374,11 +377,11 @@ object Dedup {
       val next = stepped.join(
           stepped.select(col("v").as("label"), col("label").as("ll")),
           Seq("label"), "left")
-        .select(col("v"), coalesce(col("ll"), col("label")).as("label"))
+        .select(col("v"), col("prev"),
+          coalesce(col("ll"), col("label")).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), Seq("v"))
-        .filter(col("label") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select("v", "label")
       it += 1
     }
     require(changed == 0,
