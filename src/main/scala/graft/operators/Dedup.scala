@@ -75,19 +75,23 @@ object Dedup {
        |  SELECT doc_id, ${elemIdSql("sh")} AS sid FROM shingles)""".stripMargin
 
   /** MinHash signatures: for hash function j, min over the doc's shingles
-    * of (aⱼ·sid + bⱼ) mod P. Emitted in exploded row form (doc_id, h, mh) —
-    * partial-aggregatable min, no per-doc state.
+    * of (aⱼ·sid + bⱼ) mod P. Emitted in exploded row form (doc_id, h, mh).
+    * The `numHashes` mins are computed as columns of ONE aggregate over
+    * the postings (partial-aggregatable, map-side combined) and the row
+    * form is restored by a posexplode AFTER aggregation — |docs|×16 rows
+    * there, instead of shuffling |postings|×16 exploded rows (see
+    * [[simhashAgg]] for the same argument on the vote side).
     */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 16, shingleN: Int = 3): DataFrame =
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 16, shingleN: Int = 3): DataFrame = {
+    val mins = (0 until numHashes).map { h =>
+      min((lit(2L * h + 1) * col("sid") + lit(h.toLong * h + 7)) % MinhashPrime).as(s"m$h")
+    }
     docShingles(docs, shingleN)
-      .crossJoin(spark_range_df(docs, numHashes))
-      .select(col("doc_id"), col("h"),
-        ((lit(2) * col("h") + 1) * col("sid") + (col("h") * col("h") + 7)) % MinhashPrime)
-      .toDF("doc_id", "h", "hv")
-      .groupBy("doc_id", "h").agg(min("hv").as("mh"))
-
-  private def spark_range_df(docs: DataFrame, n: Int): DataFrame =
-    docs.sparkSession.range(n).select(col("id").cast("int").as("h"))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until numHashes).map(h => col(s"m$h")): _*)))
+      .toDF("doc_id", "h", "mh")
+  }
 
   def minhashSignaturesSql(numHashes: Int = 16, shingleN: Int = 3): String =
     s"""${docShinglesSql(shingleN)},
