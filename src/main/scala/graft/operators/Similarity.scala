@@ -150,9 +150,7 @@ object Similarity {
     * pseudo-random integer in [-10⁶, 10⁶] — pure modular arithmetic, no RNG
     * state, identical in SQL.
     */
-  private def planeWeight(h: Column, d: Column): Column =
-    ((h * 64 + d + 1) * lit(2654435761L)) % 2000001L - 1000000L
-
+  // Column twin lives inline in lshBuckets' zip_with fold.
   private def planeWeightSql(h: String, d: String): String =
     s"((($h) * 64 + ($d) + 1) * 2654435761) % 2000001 - 1000000"
 
@@ -163,10 +161,16 @@ object Similarity {
     val hs = params(embeddings)
       .select(explode(sequence(lit(0), col("planes") - 1)).as("h"))
     quantized(embeddings)
-      .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "x")))
       .crossJoin(broadcast(hs))
-      .groupBy("vec_id", "h")
-      .agg(sum(planeWeight(col("h"), col("d")) * col("x")).as("proj"))
+      // the projection Σ_d w(h,d)·q_d runs as a codegen'd fold over the
+      // embedding array — |vectors|×planes rows total, instead of
+      // exploding every DIMENSION into its own row first
+      // (|vectors|×dim×planes rows through a shuffle aggregate)
+      .select(col("vec_id"), col("h"),
+        expr("""aggregate(
+                  zip_with(q, sequence(0L, size(q) - 1),
+                    (x, d) -> ((h * 64 + d + 1) * 2654435761L % 2000001L - 1000000L) * x),
+                  0L, (acc, v) -> acc + v)""").as("proj"))
       .select(col("vec_id"),
         (when(col("proj") >= 0, 1L).otherwise(0L)
           * expr("shiftleft(CAST(1 AS BIGINT), h)")).as("bitval"))
