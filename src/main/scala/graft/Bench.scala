@@ -58,7 +58,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    // failed queries' (fast-throw) medians are excluded from the headline,
+    // so the total itself can't improve when a query breaks
+    val total = results.collect { case (_, v, true) => v }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""warehouse_fill_sec":$fillSec,"failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: the line on stdout (bare — build.sbt sets

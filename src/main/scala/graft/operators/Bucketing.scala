@@ -15,6 +15,20 @@ object Bucketing {
     val spark = df.sparkSession
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val target = new Path(catalog.defaultTablePath(ident))
+    // An EXTERNAL table whose LOCATION happens to BE the default managed
+    // path (adopting existing files) cannot be rewritten in place: DROP
+    // preserves its files by design, but the managed write needs that
+    // exact directory clear — deleting would destroy the (possibly
+    // shared, possibly self-read) source. Refuse BEFORE dropping.
+    if (catalog.tableExists(ident)) {
+      val meta = catalog.getTableMetadata(ident)
+      require(meta.tableType != org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
+          || new Path(meta.location) != target,
+        s"writeBucketed: external table ${ident.quotedString} sits at the default " +
+          s"managed location $target — rewriting would delete its (preserved-on-DROP) " +
+          "files; copy it elsewhere or drop it explicitly first")
+    }
     spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
     // saveAsTable writes a MANAGED table at the catalog's default location
     // for this identifier; files there can survive a previous session that
@@ -24,7 +38,6 @@ object Bucketing {
     // databases), and never an external table's custom location: DROP
     // preserves external files by design, and deleting them could destroy
     // shared source data (or the very files `df` is about to re-read).
-    val target = new Path(catalog.defaultTablePath(ident))
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(target)) fs.delete(target, true)
     df.write

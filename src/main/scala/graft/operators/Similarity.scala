@@ -158,19 +158,25 @@ object Similarity {
     * bucket = the corpus-derived `planes(n)`-bit signature as an int.
     */
   def lshBuckets(embeddings: DataFrame): DataFrame = {
-    val hs = params(embeddings)
-      .select(explode(sequence(lit(0), col("planes") - 1)).as("h"))
-    quantized(embeddings)
-      .crossJoin(broadcast(hs))
-      // the projection Σ_d w(h,d)·q_d runs as a codegen'd fold over the
-      // embedding array — |vectors|×planes rows total, instead of
-      // exploding every DIMENSION into its own row first
-      // (|vectors|×dim×planes rows through a shuffle aggregate)
+    // empty/null embeddings produce NO bucket row — matching the oracle's
+    // unnest (no elements → no group) and keeping NaN scores out of the
+    // downstream cosine joins
+    val qv = quantized(embeddings).filter(size(col("q")) > 0)
+    val dims = qv.agg(max(size(col("q"))).as("dim"))
+    // one weight ARRAY per plane, built once on the (planes-row) broadcast
+    // side; the projection Σ_d w(h,d)·q_d is then the codegen'd
+    // LongArrayDot loop per (vector, plane) row — |vectors|×planes rows
+    // total instead of exploding every DIMENSION into its own row
+    // (|vectors|×dim×planes rows through a shuffle aggregate), and no
+    // per-row lambda interpretation or array allocation
+    val hs = params(embeddings).crossJoin(dims) // both 1-row
+      .select(explode(sequence(lit(0), col("planes") - 1)).as("h"), col("dim"))
+      .select(col("h"), expr(
+        "transform(sequence(0L, dim - 1), d -> (h * 64 + d + 1) * 2654435761L % 2000001L - 1000000L)")
+        .as("w"))
+    qv.crossJoin(broadcast(hs))
       .select(col("vec_id"), col("h"),
-        expr("""aggregate(
-                  zip_with(q, sequence(0L, size(q) - 1),
-                    (x, d) -> ((h * 64 + d + 1) * 2654435761L % 2000001L - 1000000L) * x),
-                  0L, (acc, v) -> acc + v)""").as("proj"))
+        graft.plans.LongArrayDot.long_dot(col("q"), col("w")).as("proj"))
       .select(col("vec_id"),
         (when(col("proj") >= 0, 1L).otherwise(0L)
           * expr("shiftleft(CAST(1 AS BIGINT), h)")).as("bitval"))

@@ -54,6 +54,24 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP DATABASE bdb")
   }
 
+  test("external table AT the default managed path is refused, files intact") {
+    // adopting existing files at the managed location: a rewrite cannot
+    // both preserve them (DROP semantics) and clear the directory for the
+    // managed write — it must refuse BEFORE any destructive step
+    val nation = TestData.nation(spark, sf)
+    val target = new java.io.File(spark.sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier("adopt_btab")))
+    nation.write.parquet(target.toString)
+    spark.sql(s"CREATE TABLE adopt_btab USING parquet LOCATION '${target.toURI}'")
+    val e = intercept[IllegalArgumentException] {
+      Bucketing.writeBucketed(nation, "adopt_btab", "n_nationkey", 2)
+    }
+    assert(e.getMessage.contains("default"))
+    assert(spark.table("adopt_btab").count() == nation.count(), "data untouched")
+    assert(target.exists(), "files untouched")
+    spark.sql("DROP TABLE adopt_btab")
+  }
+
   test("external table's custom-location files are never deleted (self-rewrite safe)") {
     val nation = TestData.nation(spark, sf)
     val custom = java.nio.file.Files.createTempDirectory("ext-loc").resolve("t")

@@ -33,6 +33,20 @@ class SimilaritySpec extends SparkSpec {
     assert(centroids(1) == centroids(7))
   }
 
+  test("lshBuckets drops empty/null embeddings instead of minting a bucket-0 row") {
+    // parity with the oracle's unnest (no elements → no group); a bucket-0
+    // row for an empty vector would join everything in bucket 0 with
+    // NaN cosine scores
+    val df = Seq(
+      (1L, Array(0.5f, -0.2f, 0.9f), 0),
+      (2L, Array.empty[Float], 0),
+      (3L, null.asInstanceOf[Array[Float]], 0),
+      (4L, Array(0.1f, 0.8f, -0.4f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val ids = Similarity.lshBuckets(df).select("vec_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 4L))
+  }
+
   test("long_dot is registered for SQL via SparkSessionExtensions") {
     val r = spark.sql(
       "SELECT long_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head().getLong(0)
