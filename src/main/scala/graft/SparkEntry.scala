@@ -566,6 +566,26 @@ object SparkEntry {
           moneyOut(sum(money(col("value"))).cast("decimal(18,2)")).as("total"))
         .orderBy("event_type")
     },
+    // Approximate percentile with a VERIFIED error contract (the q75
+    // pattern): per group, the KLL/GK sketch's p50/p90 must land within
+    // 1% of the exact percentile — the exactness anchor (count) and the
+    // contract verdicts are what cross the engine boundary, not the
+    // engine-specific sketch values. At 100 TB the exact side of this
+    // check is what you CAN'T run per-query; the contract query is the
+    // periodic audit that lets dashboards trust the sketch.
+    "q90_percentile_contract" -> { (s, dir) =>
+      TestData.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, array(0.5D, 0.9D))").as("exact"),
+          expr("percentile_approx(value, array(0.5D, 0.9D), 1000)").as("approx"))
+        .select(col("event_type"), col("n"),
+          (abs(col("approx")(0) - col("exact")(0))
+            <= col("exact")(0) * 0.01).as("p50_within_1pct"),
+          (abs(col("approx")(1) - col("exact")(1))
+            <= col("exact")(1) * 0.01).as("p90_within_1pct"))
+        .orderBy("event_type")
+    },
     // GROUPING SETS beyond rollup/cube: a time slice, an orthogonal
     // priority slice, and the grand total in ONE pass over the fact —
     // Spark expands the sets map-side (a single Expand + one shuffle), so
@@ -1071,6 +1091,12 @@ object SparkEntry {
           FROM events
           GROUP BY event_type
           ORDER BY event_type""",
+
+    // the sketch's error contract must hold — the oracle pins the verdict
+    "q90_percentile_contract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       TRUE AS p50_within_1pct, TRUE AS p90_within_1pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // three independent slices of the fact in one grouped pass
     "q89_grouping_sets" ->
