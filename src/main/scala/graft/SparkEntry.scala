@@ -566,6 +566,12 @@ object SparkEntry {
           moneyOut(sum(money(col("value"))).cast("decimal(18,2)")).as("total"))
         .orderBy("event_type")
     },
+    // Repetition detection (Gopher/C4 quality rule): dominant-n-gram
+    // fraction per document — multiplicity-preserving, unlike the dedup
+    // tier's distinct shingle sets.
+    "q91_repetition" -> { (s, dir) =>
+      TextAnalysis.repetition(TestData.documents(s, dir)).orderBy("doc_id")
+    },
     // Approximate percentile with a VERIFIED error contract (the q75
     // pattern): per group, the KLL/GK sketch's p50/p90 must land within
     // 1% of the exact percentile — the exactness anchor (count) and the
@@ -1091,6 +1097,11 @@ object SparkEntry {
           FROM events
           GROUP BY event_type
           ORDER BY event_type""",
+
+    // dominant-n-gram fraction, multiplicity preserved
+    "q91_repetition" ->
+      s"""${TextAnalysis.repetitionSql()}
+          ORDER BY doc_id""",
 
     // the sketch's error contract must hold — the oracle pins the verdict
     "q90_percentile_contract" ->

@@ -353,4 +353,40 @@ object TextAnalysis {
       |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
       |         AS fingerprint
       |FROM documents""".stripMargin
+
+  /** Repetition detection — the Gopher/C4-style quality rule: the fraction
+    * of a document's n-grams taken by its single most-repeated n-gram.
+    * Boilerplate, template spam, and degenerate generations all show a
+    * dominant repeated n-gram long before any classifier sees them. Unlike
+    * [[Dedup.shingles]] this keeps MULTIPLICITY (distinct shingle sets
+    * can't measure repetition). Two partial-aggregatable group-bys — per
+    * (doc, gram) count then per-doc sum/max — so the shuffle carries
+    * counts, never gram text twice.
+    */
+  def repetition(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - n),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("sh"))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_ngrams"), max("c").as("max_rep"))
+      // single double division of two exact integers — IEEE-identical on
+      // both engines, no OracleSafe quantization needed
+      .select(col("doc_id"), col("n_ngrams"), col("max_rep"),
+        (col("max_rep").cast("double") / col("n_ngrams")).as("rep_ratio"))
+
+  def repetitionSql(n: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id,
+       |         array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + ${n - 1}], ' ') AS sh
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS i
+       |        FROM toks WHERE len(toks) >= $n) t),
+       |counts AS (SELECT doc_id, sh, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+       |       CAST(MAX(c) AS BIGINT) AS max_rep,
+       |       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS rep_ratio
+       |FROM counts GROUP BY doc_id""".stripMargin
 }

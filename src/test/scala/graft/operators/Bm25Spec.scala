@@ -53,4 +53,17 @@ class Bm25Spec extends SparkSpec {
       .select("doc_id", "score").as[(Long, Double)].collect().toMap
     assert(res(1L) >= res(0L), "rarer term (df=1) outranks common term (df=3) at equal tf")
   }
+
+  test("repetition: dominant-trigram fraction; too-short docs excluded") {
+    val c = docs(
+      0L -> "a b c a b c a b c",    // 7 trigrams; "a b c" appears 3x
+      1L -> "one two three four five", // 3 distinct trigrams, max_rep 1
+      2L -> "x y")                  // < 3 tokens → no row
+    val m = TextAnalysis.repetition(c)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(m.keySet == Set(0L, 1L))
+    assert(m(0L) == ((7L, 3L, 3.0 / 7)))
+    assert(m(1L) == ((3L, 1L, 1.0 / 3)))
+  }
 }
