@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
-import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Multimodal, Sampling, Scd, Similarity, Skew, TextAnalysis, WarehouseSink}
+import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Multimodal, Privacy, Sampling, Scd, Similarity, Skew, TextAnalysis, WarehouseSink, ZOrder}
 import graft.oracle.BankOracle
 import graft.sources.{BankAdapter, CsvSource, TestData}
 import graft.streaming.EventStream
@@ -572,6 +572,44 @@ object SparkEntry {
     "q91_repetition" -> { (s, dir) =>
       TextAnalysis.repetition(TestData.documents(s, dir)).orderBy("doc_id")
     },
+    // PII scrub (compliance pass): regex counts + redaction over text with
+    // PII-shaped content — phone/IP/email derived deterministically from
+    // c_custkey with IDENTICAL integer arithmetic in the oracle (the slim
+    // test customer table carries no contact columns). Scan-only, codegen'd.
+    "q92_pii_redact" -> { (s, dir) =>
+      val key = col("c_custkey")
+      val phone = format_string("%02d-%03d-%03d-%04d",
+        (key % 25 + 10).cast("int"), (key % 1000).cast("int"),
+        (key * 7 % 1000).cast("int"), (key * 13 % 10000).cast("int"))
+      val ip = concat_ws(".", (key % 256).cast("string"), (key * 3 % 256).cast("string"),
+        (key * 5 % 256).cast("string"), (key * 9 % 256).cast("string"))
+      val email = concat(lit("user"), key.cast("string"), lit("@example.com"))
+      val txt = concat_ws(" ", col("c_name"), lit("ip"), ip, lit("tel"), phone,
+        lit("mail"), email, col("c_mktsegment"))
+      Privacy.detectRedact(
+        TestData.customer(s, dir).withColumn("txt", txt), "txt", Seq("c_custkey"))
+        .orderBy("c_custkey")
+    },
+    // Span-level dedup statistic (Lee et al. 2022): per document, token
+    // positions covered by an 8-gram that also occurs in another document.
+    "q93_dup_spans" -> { (s, dir) =>
+      Dedup.dupSpans(TestData.documents(s, dir)).orderBy("doc_id")
+    },
+    // Z-order (Morton) key — the multi-dimensional clustering key behind
+    // lakehouse OPTIMIZE ZORDER BY; the skipping payoff is measured in
+    // ZOrderSpec, the cross-engine check here pins the bit arithmetic.
+    "q94_zorder" -> { (s, dir) =>
+      TestData.events(s, dir)
+        .select(col("event_id"),
+          ZOrder.morton(col("user_id"),
+            hour(col("ts")) * lit(60L) + minute(col("ts"))))
+        .orderBy("event_id")
+    },
+    // MinHash-estimate vs exact-Jaccard audit per LSH candidate pair —
+    // integer agreement counts and set sizes, exact on both engines.
+    "q95_minhash_error" -> { (s, dir) =>
+      Dedup.minhashEstimatePairs(TestData.documents(s, dir)).orderBy("doc_a", "doc_b")
+    },
     // Approximate percentile with a VERIFIED error contract (the q75
     // pattern): per group, the KLL/GK sketch's p50/p90 must land within
     // 1% of the exact percentile — the exactness anchor (count) and the
@@ -1102,6 +1140,41 @@ object SparkEntry {
     "q91_repetition" ->
       s"""${TextAnalysis.repetitionSql()}
           ORDER BY doc_id""",
+
+    // regex PII counts + redaction over the same derived text
+    "q92_pii_redact" ->
+      s"""${Privacy.detectRedactSql(
+        """(SELECT c_custkey,
+          |        concat_ws(' ', c_name,
+          |          'ip', concat_ws('.', CAST(c_custkey % 256 AS VARCHAR),
+          |                               CAST(c_custkey * 3 % 256 AS VARCHAR),
+          |                               CAST(c_custkey * 5 % 256 AS VARCHAR),
+          |                               CAST(c_custkey * 9 % 256 AS VARCHAR)),
+          |          'tel', printf('%02d-%03d-%03d-%04d',
+          |                        CAST(c_custkey % 25 + 10 AS INT), CAST(c_custkey % 1000 AS INT),
+          |                        CAST(c_custkey * 7 % 1000 AS INT), CAST(c_custkey * 13 % 10000 AS INT)),
+          |          'mail', 'user' || CAST(c_custkey AS VARCHAR) || '@example.com',
+          |          c_mktsegment) AS txt
+          | FROM customer) c""".stripMargin,
+        "txt", Seq("c_custkey"))}
+          ORDER BY c_custkey""",
+
+    // cross-doc duplicated 8-gram span coverage per document
+    "q93_dup_spans" ->
+      s"""${Dedup.dupSpansSql()}
+          ORDER BY doc_id""",
+
+    // Morton bit-interleave of (user_id, minute-of-day), BIGINT-exact
+    "q94_zorder" ->
+      s"""WITH ${ZOrder.mortonSql("events",
+        "user_id", "EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)",
+        Seq("event_id"))}
+          SELECT event_id, zkey FROM zfinal ORDER BY event_id""",
+
+    // minhash agreement vs exact overlap, all integers
+    "q95_minhash_error" ->
+      s"""WITH ${Dedup.minhashEstimatePairsSql()}
+          ORDER BY doc_a, doc_b""",
 
     // the sketch's error contract must hold — the oracle pins the verdict
     "q90_percentile_contract" ->

@@ -568,4 +568,128 @@ object Dedup {
        |  JOIN sh_counts ca ON doc_a = ca.doc_id
        |  JOIN sh_counts cb ON doc_b = cb.doc_id
        |  WHERE inter * 1.0 / (ca.n_sh + cb.n_sh - inter) >= $threshold)""".stripMargin
+
+  /** Cross-document duplicated-SPAN coverage — the span-level dedup
+    * statistic (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): document-level dedup misses the crawl's
+    * dominant failure mode, long boilerplate passages shared by otherwise
+    * distinct pages. For each document: how many of its token positions
+    * are covered by some `n`-gram that also occurs in ANOTHER document.
+    *
+    * Shape at scale: positional shingles are |tokens| rows (multiplicity
+    * and position PRESERVED, unlike the set-valued [[shingles]]); the
+    * duplicated-shingle set is one hash aggregate; the cover step is an
+    * equi-join back on the shingle followed by an `n`-fold position
+    * explode of the DUPLICATED postings only. Total cost is
+    * O(|postings| + n·|dup postings|) — linear, never pairwise: a
+    * boilerplate shingle shared by 1M documents contributes 1M cover
+    * rows here, vs 10¹² pair rows in a naive pair-join formulation.
+    *
+    * Output: (doc_id, n_toks, covered_toks) — exact integers, so the
+    * engine/oracle comparison is bit-stable; the duplication FRACTION is
+    * covered/n_toks downstream where display precision is the caller's
+    * problem.
+    */
+  def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val pos = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - n),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))))
+      .toDF("doc_id", "pos", "sh")
+    val dup = pos.groupBy("sh")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2).select("sh")
+    val covered = pos.join(dup, Seq("sh"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .groupBy("doc_id").agg(countDistinct(col("p")).as("covered_toks"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("covered_toks"), lit(0L)).as("covered_toks"))
+  }
+
+  /** DuckDB twin of [[dupSpans]] — positional list slicing + the same
+    * inclusive position explode.
+    */
+  def dupSpansSql(n: Int = 8): String =
+    s"""WITH pos_shingles AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + ${n - 1}], ' ') AS sh
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t) idx),
+       |dup AS (
+       |  SELECT sh FROM pos_shingles GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+       |covered AS (
+       |  SELECT doc_id, COUNT(DISTINCT p) AS covered_toks
+       |  FROM (SELECT s.doc_id, unnest(generate_series(s.pos, s.pos + ${n - 1})) AS p
+       |        FROM pos_shingles s JOIN dup USING (sh)) c
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+       |       COALESCE(c.covered_toks, 0) AS covered_toks
+       |FROM documents d LEFT JOIN covered c USING (doc_id)""".stripMargin
+
+  /** MinHash ESTIMATE vs exact Jaccard, per LSH candidate pair — the
+    * "measure, don't guess" audit for the whole signature tier: the
+    * estimator P[minₕ(A)=minₕ(B)] = J(A,B) is only trustworthy if the
+    * measured agreement tracks the exact overlap, and at 100 TB the exact
+    * side can only ever be afforded on the (banding-bounded) candidate
+    * set — which is exactly what this computes. Standard error at
+    * `numHashes` = 16 is √(J(1−J)/16) ≤ 0.125, verified loosely in the
+    * spec; the DRIVER check needs no tolerance at all because both
+    * engines compute both sides exactly (integer agreement counts and
+    * integer set sizes — no floating ratio crosses the boundary).
+    */
+  def minhashEstimatePairs(docs: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
+    val pairs = lshCandidates(docs, numHashes, rowsPerBand).select("doc_a", "doc_b")
+    val sig = minhashSignatures(docs, numHashes, shingleN)
+    val agree = pairs
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(when(col("sa.mh") === col("sb.mh"), 1L).otherwise(0L)).as("n_agree"))
+    val sh = docShingles(docs, shingleN)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("x.sid") === col("y.sid"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    agree
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))).as("n_union"))
+  }
+
+  /** DuckDB twin of [[minhashEstimatePairs]], reusing the signature and
+    * banding CTEs. DuckDB's integer SUM returns HUGEINT — cast back to
+    * BIGINT so the schema matches Spark's long.
+    */
+  def minhashEstimatePairsSql(numHashes: Int = 16, rowsPerBand: Int = 4): String =
+    s"""${lshCandidatesSql(numHashes, rowsPerBand)},
+       |agree AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM lsh_pairs p
+       |  JOIN minhash a ON a.doc_id = p.doc_a
+       |  JOIN minhash b ON b.doc_id = p.doc_b AND b.h = a.h
+       |  GROUP BY 1, 2),
+       |sh_counts2 AS (SELECT doc_id, COUNT(*) AS n_sh FROM doc_shingles GROUP BY doc_id),
+       |inter2 AS (
+       |  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+       |  FROM lsh_pairs p
+       |  JOIN doc_shingles x ON x.doc_id = p.doc_a
+       |  JOIN doc_shingles y ON y.doc_id = p.doc_b AND y.sid = x.sid
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_agree,
+       |       COALESCE(i.n_inter, 0) AS n_inter,
+       |       ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0) AS n_union
+       |FROM agree g
+       |LEFT JOIN inter2 i USING (doc_a, doc_b)
+       |JOIN sh_counts2 ca ON ca.doc_id = doc_a
+       |JOIN sh_counts2 cb ON cb.doc_id = doc_b""".stripMargin
 }
