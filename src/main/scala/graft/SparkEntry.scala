@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
-import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Multimodal, Privacy, Sampling, Scd, Similarity, Skew, TextAnalysis, WarehouseSink, ZOrder}
+import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Multimodal, Privacy, Sampling, Scd, Segmentation, Similarity, Skew, TextAnalysis, WarehouseSink, ZOrder}
 import graft.oracle.BankOracle
 import graft.sources.{BankAdapter, CsvSource, TestData}
 import graft.streaming.EventStream
@@ -610,6 +610,50 @@ object SparkEntry {
     "q95_minhash_error" -> { (s, dir) =>
       Dedup.minhashEstimatePairs(TestData.documents(s, dir)).orderBy("doc_a", "doc_b")
     },
+    // Global NTILE without the global window: RFM deciles via
+    // range-partitioned rank + NTILE arithmetic (see Segmentation) — the
+    // single-partition-Exchange killer applied to customer segmentation.
+    "q96_rfm_decile" -> { (s, dir) =>
+      Segmentation.rfmDeciles(TestData.orders(s, dir)).orderBy("custkey")
+    },
+    // int8 embedding quantization with a per-vector verified error bound —
+    // all-integer arithmetic on the shared ×10⁴ grid (see Similarity).
+    "q97_int8_quant" -> { (s, dir) =>
+      Similarity.int8Quantize(TestData.embeddings(s, dir)).orderBy("vec_id")
+    },
+    // ORC as a second columnar source/sink: write the documents corpus as
+    // ORC, read it back, and prove content fidelity (md5 extremes) against
+    // the parquet-reading oracle. Formats differ; values must not.
+    "q98_orc_roundtrip" -> { (s, dir) =>
+      val path = scratchDir("graft-q98").resolve("documents_orc").toString
+      TestData.documents(s, dir).write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          min(md5(col("text"))).as("md5_min"), max(md5(col("text"))).as("md5_max"))
+        .orderBy("source")
+    },
+    // Two-pass heavy hitters: per-partition Misra-Gries candidates + exact
+    // confirm — the vocabulary never shuffles (see TextAnalysis scaladoc
+    // for the pigeonhole superset guarantee that makes this oracle-exact).
+    "q99_heavy_hitters" -> { (s, dir) =>
+      TextAnalysis.heavyHitters(TestData.documents(s, dir))
+        .orderBy(desc("cnt"), asc("token"))
+    },
+    // Market-basket pair counts: suppliers co-occurring in an order. The
+    // self-join fans out ≤ (items/order)² per order — bounded by the
+    // basket size, never by corpus size — and top-k plans as
+    // TakeOrderedAndProject (no global sort).
+    "q100_basket_pairs" -> { (s, dir) =>
+      val li = TestData.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+      li.join(li.select(col("ok"), col("sk").as("sk2")), Seq("ok"))
+        .filter(col("sk") < col("sk2"))
+        .groupBy(col("sk").as("supp_a"), col("sk2").as("supp_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(desc("n_orders"), asc("supp_a"), asc("supp_b"))
+        .limit(20)
+    },
     // Approximate percentile with a VERIFIED error contract (the q75
     // pattern): per group, the KLL/GK sketch's p50/p90 must land within
     // 1% of the exact percentile — the exactness anchor (count) and the
@@ -1175,6 +1219,38 @@ object SparkEntry {
     "q95_minhash_error" ->
       s"""WITH ${Dedup.minhashEstimatePairsSql()}
           ORDER BY doc_a, doc_b""",
+
+    // native NTILE over the identical total order (window is fine 1-node)
+    "q96_rfm_decile" ->
+      s"""WITH ${Segmentation.rfmDecilesSql()}
+          ORDER BY custkey""",
+
+    // same all-integer rounding and error bound via list lambdas
+    "q97_int8_quant" ->
+      s"""WITH ${Similarity.int8QuantizeSql()}
+          SELECT vec_id, amax, max_code, max_err, within_bound FROM int8q
+          ORDER BY vec_id""",
+
+    // the oracle reads the PARQUET corpus; Spark answered from its ORC copy
+    "q98_orc_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       MIN(md5(text)) AS md5_min, MAX(md5(text)) AS md5_max
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // definitionally-exact full group-by checks the sketch-based plan
+    "q99_heavy_hitters" ->
+      s"""WITH ${TextAnalysis.heavyHittersSql()}
+          SELECT token, cnt, n FROM hh ORDER BY cnt DESC, token""",
+
+    // same basket self-join, top 20 pairs with full tie-break
+    "q100_basket_pairs" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem)
+        |SELECT a.sk AS supp_a, b.sk AS supp_b, COUNT(*) AS n_orders
+        |FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.sk < b.sk
+        |GROUP BY a.sk, b.sk
+        |ORDER BY n_orders DESC, supp_a, supp_b
+        |LIMIT 20""".stripMargin,
 
     // the sketch's error contract must hold — the oracle pins the verdict
     "q90_percentile_contract" ->

@@ -511,4 +511,68 @@ object Similarity {
        |  FROM brute_topk b
        |  LEFT JOIN lsh_topk l ON b.qid = l.qid AND b.nid = l.nid
        |  GROUP BY b.qid)""".stripMargin
+
+  // ------------------------------------------------------ int8 quantization
+
+  /** Per-vector symmetric int8 quantization with a VERIFIED error contract
+    * (the q90 pattern applied to embeddings). Serving stacks store
+    * embeddings as int8 (4× smaller, SIMD dot products); the correctness
+    * question is "how much did the rounding cost?" — answered here exactly.
+    *
+    * Per vector on the ×10⁴ integer grid `q` (see [[quantized]]):
+    * amax = max|qᵢ|, codeᵢ = round-half-away(qᵢ·127 / amax) ∈ [-127, 127].
+    * Round-half-away on positive integers is `(x·254 + amax) div (2·amax)`
+    * — ALL-integer, so both engines agree bit-for-bit; the zero vector
+    * (amax = 0) maps to all-zero codes. The reconstruction error in grid
+    * units, scaled by 127 to stay integral, is errᵢ = |127·qᵢ − codeᵢ·amax|,
+    * and rounding guarantees 2·err ≤ amax — emitted as a per-vector
+    * contract verdict the oracle re-derives independently. Linear scan,
+    * codegen'd column expressions, no shuffle at all (the groupBy-free
+    * shape: one output row per input row).
+    */
+  def int8Quantize(embeddings: DataFrame): DataFrame = {
+    def codeOf(x: Column, amax: Column): Column = {
+      // (|x|·254 + amax) div (2·amax) = round-half-up of |x|·127/amax —
+      // the +amax term IS the rounding; without it this is truncation and
+      // the 2·err ≤ amax theorem fails
+      val mag = call_function("div", abs(x) * lit(254L) + amax, amax * lit(2L))
+      when(amax === 0, lit(0L)).otherwise(when(x < 0, -mag).otherwise(mag))
+    }
+    quantized(embeddings)
+      .withColumn("amax",
+        aggregate(transform(col("q"), x => abs(x)), lit(0L), (a, b) => greatest(a, b)))
+      .select(col("vec_id"), col("amax"),
+        aggregate(transform(col("q"), x => abs(codeOf(x, col("amax")))),
+          lit(0L), (a, b) => greatest(a, b)).as("max_code"),
+        aggregate(transform(col("q"),
+            x => abs(x * lit(127L) - codeOf(x, col("amax")) * col("amax"))),
+          lit(0L), (a, b) => greatest(a, b)).as("max_err"))
+      .withColumn("within_bound",
+        (col("amax") === 0 || col("max_err") * 2 <= col("amax")).cast("int"))
+  }
+
+  /** DuckDB twin of [[int8Quantize]] — identical integer arithmetic via
+    * list lambdas over the shared quantized grid.
+    */
+  def int8QuantizeSql(): String = {
+    def codeOf(x: String) =
+      s"""(CASE WHEN amax = 0 THEN 0
+         |      WHEN ($x) < 0 THEN -((-($x) * 254 + amax) // (amax * 2))
+         |      ELSE (($x) * 254 + amax) // (amax * 2) END)""".stripMargin
+    s"""$quantizedSql,
+       |qa AS (
+       |  SELECT vec_id, q,
+       |         CAST(list_max(list_transform(q, x -> abs(x))) AS BIGINT) AS amax
+       |  FROM qn),
+       |int8q AS (
+       |  SELECT vec_id, amax,
+       |         CAST(list_max(list_transform(q, x -> abs(${codeOf("x")}))) AS BIGINT)
+       |           AS max_code,
+       |         CAST(list_max(list_transform(q,
+       |                x -> abs(x * 127 - ${codeOf("x")} * amax))) AS BIGINT) AS max_err,
+       |         CAST(amax = 0 OR list_max(list_transform(q,
+       |                x -> abs(x * 127 - ${codeOf("x")} * amax))) * 2 <= amax AS INT)
+       |           AS within_bound
+       |  FROM qa)""".stripMargin
+  }
 }

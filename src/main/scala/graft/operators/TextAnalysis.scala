@@ -389,4 +389,66 @@ object TextAnalysis {
        |       CAST(MAX(c) AS BIGINT) AS max_rep,
        |       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS rep_ratio
        |FROM counts GROUP BY doc_id""".stripMargin
+
+  /** Heavy hitters (tokens with frequency > n/k) in TWO passes, neither of
+    * which shuffles the full vocabulary — the scale path that
+    * [[vocabTopK]]'s full group-by is the small-scale twin of.
+    *
+    * Pass 1 runs a Misra–Gries summary of capacity `k` INSIDE each
+    * partition (`mapPartitions` — genuine per-partition imperative state,
+    * the documented exception to expressions-only). MG guarantees any item
+    * with in-partition count > (partition size)/k survives; a weighted-
+    * average (pigeonhole) argument lifts this globally: if an item's total
+    * count exceeds n/k = (Σ nₚ)/k, then in at least one partition p its
+    * count exceeds nₚ/k. So the UNION of per-partition survivors is a
+    * SUPERSET of the true heavy hitters — at most `k · partitions` tokens,
+    * thousands of rows where the vocabulary has billions.
+    *
+    * Pass 2 broadcast-semi-joins that candidate set against the token
+    * stream and counts EXACTLY, then filters cnt·k > n with n from a 1-row
+    * count aggregate. False candidates from pass 1 die here, so the output
+    * is exactly the true heavy-hitter set with exact counts — which is why
+    * a DuckDB full group-by oracle can check a sketch-based plan at all.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 30): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counts.get(t) match {
+          case Some(c) => counts.update(t, c + 1)
+          case None if counts.size < k => counts.update(t, 1L)
+          case None => // decrement-all: the MG eviction step
+            val dead = List.newBuilder[String]
+            counts.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counts.update(key, c - 1) }
+            dead.result().foreach(counts.remove)
+        }
+      }
+      counts.keysIterator
+    }.toDF("token").distinct()
+    val n = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * k > col("n"))
+      .select(col("token"), col("cnt"), col("n"))
+  }
+
+  /** DuckDB oracle for [[heavyHitters]] — the definitionally-exact full
+    * group-by (fine single-node; the sketch exists for the cluster).
+    */
+  def heavyHittersSql(k: Int = 30): String =
+    s"""toks AS (
+       |  SELECT token
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) u
+       |  WHERE len(token) > 0),
+       |tot AS (SELECT COUNT(*) AS n FROM toks),
+       |hh AS (
+       |  SELECT token, COUNT(*) AS cnt, (SELECT n FROM tot) AS n
+       |  FROM toks GROUP BY token
+       |  HAVING COUNT(*) * $k > (SELECT n FROM tot))""".stripMargin
 }
