@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
-import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Multimodal, Privacy, Sampling, Scd, Segmentation, Similarity, Skew, TextAnalysis, WarehouseSink, ZOrder}
+import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Multimodal, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, TextAnalysis, WarehouseSink, ZOrder}
 import graft.oracle.BankOracle
 import graft.sources.{BankAdapter, CsvSource, TestData}
 import graft.streaming.EventStream
@@ -654,6 +654,32 @@ object SparkEntry {
         .orderBy(desc("n_orders"), asc("supp_a"), asc("supp_b"))
         .limit(20)
     },
+    // Stream-stream interval join (the one join shape q67's stream-static
+    // doesn't cover): watermarked on both sides, time-bounded both ends,
+    // so join state is GC-able — checked against the batch self-join.
+    "q101_stream_stream_join" -> { (s, dir) =>
+      EventStream.clickViewPairs(s, dir)
+    },
+    // Equi-width histogram with in-plan integer bounds — profiling tier.
+    "q102_histogram" -> { (s, dir) =>
+      Profile.histogram(TestData.orders(s, dir),
+        money(col("o_totalprice")) * 100, k = 20).orderBy("bucket")
+    },
+    // One-pass column profiler: nulls / exact distincts / formatted
+    // min-max for every orders column, unpivoted to a row per column.
+    "q103_profile" -> { (s, dir) =>
+      import graft.operators.Profile.ColSpec
+      Profile.columns(TestData.orders(s, dir), Seq(
+        ColSpec.plain("o_orderkey"), ColSpec.plain("o_custkey"),
+        ColSpec.plain("o_orderstatus"), ColSpec.money("o_totalprice"),
+        ColSpec.ts("o_orderdate"), ColSpec.plain("o_orderpriority")))
+        .orderBy("col_name")
+    },
+    // Token-rarity quality score (mean document frequency) — the log-free
+    // perplexity-filter stand-in; integer until the final division.
+    "q104_rarity" -> { (s, dir) =>
+      TextAnalysis.tokenRarity(TestData.documents(s, dir)).orderBy("doc_id")
+    },
     // Approximate percentile with a VERIFIED error contract (the q75
     // pattern): per group, the KLL/GK sketch's p50/p90 must land within
     // 1% of the exact percentile — the exactness anchor (count) and the
@@ -1251,6 +1277,33 @@ object SparkEntry {
         |GROUP BY a.sk, b.sk
         |ORDER BY n_orders DESC, supp_a, supp_b
         |LIMIT 20""".stripMargin,
+
+    // the batch self-join the streaming interval join must agree with
+    "q101_stream_stream_join" ->
+      EventStream.clickViewPairsSql(),
+
+    // identical integer bucket arithmetic over the cents grid
+    "q102_histogram" ->
+      s"""WITH ${Profile.histogramSql("orders",
+        s"${moneySql("o_totalprice")} * 100")}
+          SELECT CAST(bucket AS INT) AS bucket, n, lo_v, hi_v FROM hist
+          ORDER BY bucket""",
+
+    // per-column stats, one SELECT per column UNION'd (single-node oracle)
+    "q103_profile" -> {
+      import graft.operators.Profile.ColSpec
+      Profile.columnsSql("orders", Seq(
+        ColSpec.plain("o_orderkey"), ColSpec.plain("o_custkey"),
+        ColSpec.plain("o_orderstatus"), ColSpec.money("o_totalprice"),
+        ColSpec.ts("o_orderdate"), ColSpec.plain("o_orderpriority"))) +
+        "\nORDER BY col_name"
+    },
+
+    // same df join/aggregate, integer until the last division
+    "q104_rarity" ->
+      s"""WITH ${TextAnalysis.tokenRaritySql()}
+          SELECT doc_id, n_tokens, sum_df, mean_df FROM rarity
+          ORDER BY doc_id""",
 
     // the sketch's error contract must hold — the oracle pins the verdict
     "q90_percentile_contract" ->

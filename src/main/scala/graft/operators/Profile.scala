@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.OracleSafe
+
+/** Data profiling — the "what is in this table" pass every warehouse load
+  * (and every training-data ingest) runs before trusting a source: value
+  * histograms and per-column null/distinct/range statistics.
+  */
+object Profile {
+
+  /** Equi-width histogram over an INTEGER-valued column (callers put money
+    * on the cents grid first — exact arithmetic is what lets the oracle
+    * match bucket-for-bucket). Bounds come from a 1-row min/max aggregate
+    * broadcast into the scan (the in-plan params pattern — no driver
+    * action, no second submission of the input lineage... the input IS
+    * scanned twice, once for bounds and once for bucketing, which is the
+    * honest cost of exact bounds; at 100 TB you'd feed approximate bounds
+    * and a final clamp, same shape).
+    *
+    * bucket(v) = min(k-1, (v - lo) · k div (hi - lo + 1)) — all-integer,
+    * the +1 keeps the max value inside bucket k-1 without a special case
+    * and makes the degenerate hi = lo input well-defined (all rows in
+    * bucket 0). Output: (bucket, n, lo_v, hi_v) with lo_v/hi_v the OCCUPIED
+    * range per bucket, so empty buckets are absent by construction.
+    */
+  def histogram(df: DataFrame, value: Column, k: Int = 20): DataFrame = {
+    val v = value.cast("long")
+    val bounds = df.agg(min(v).as("min_v"), max(v).as("max_v"))
+    df.select(v.as("v")).crossJoin(broadcast(bounds))
+      .select(least(lit(k - 1),
+        OracleSafe.intDiv((col("v") - col("min_v")) * k,
+          col("max_v") - col("min_v") + 1)).cast("int").as("bucket"), col("v"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("v").as("lo_v"), max("v").as("hi_v"))
+  }
+
+  /** DuckDB twin of [[histogram]] for a value expression over `table`. */
+  def histogramSql(table: String, valueExpr: String, k: Int = 20): String =
+    s"""hv AS (SELECT CAST(($valueExpr) AS BIGINT) AS v FROM $table),
+       |hb AS (SELECT MIN(v) AS min_v, MAX(v) AS max_v FROM hv),
+       |hist AS (
+       |  SELECT LEAST($k - 1, ((v - min_v) * $k) // (max_v - min_v + 1)) AS bucket,
+       |         COUNT(*) AS n, MIN(v) AS lo_v, MAX(v) AS hi_v
+       |  FROM hv, hb
+       |  GROUP BY 1)""".stripMargin
+
+  /** A profiled column: its name plus how to render its typed min/max as a
+    * string BOTH engines print identically (timestamps and decimals do not
+    * round-trip through a bare CAST-to-string the same way everywhere).
+    */
+  final case class ColSpec(name: String, fmt: Column => Column, sqlFmt: String => String)
+
+  object ColSpec {
+    /** Integers and strings: a plain cast agrees across engines. */
+    def plain(name: String): ColSpec =
+      ColSpec(name, _.cast("string"), e => s"CAST($e AS VARCHAR)")
+
+    /** Doubles carrying money: pin to the 0.01 grid, render as DECIMAL. */
+    def money(name: String): ColSpec = ColSpec(name,
+      c => OracleSafe.money(c).cast("string"),
+      e => s"CAST(${OracleSafe.moneySql(e)} AS VARCHAR)")
+
+    /** Timestamps: explicit second-resolution format on both engines. */
+    def ts(name: String): ColSpec = ColSpec(name,
+      c => date_format(c, "yyyy-MM-dd HH:mm:ss"),
+      e => s"strftime($e, '%Y-%m-%d %H:%M:%S')")
+  }
+
+  /** One-PASS column profiler: for every column, null count, exact distinct
+    * count, and formatted min/max — a single wide aggregate over one scan,
+    * then an explode of the per-column stat structs (rows = columns, the
+    * classic profile unpivot). Multiple exact COUNT(DISTINCT)s plan as one
+    * Expand (rows × columns) feeding one aggregate — still one scan; at
+    * 100 TB swap in approx_count_distinct and the Expand disappears, same
+    * contract minus exactness (kept exact here so the oracle can pin it).
+    */
+  def columns(df: DataFrame, specs: Seq[ColSpec]): DataFrame = {
+    val aggs = specs.flatMap { s =>
+      Seq(count(col(s.name)).as(s"${s.name}__n"),
+        countDistinct(col(s.name)).as(s"${s.name}__d"),
+        min(col(s.name)).as(s"${s.name}__lo"),
+        max(col(s.name)).as(s"${s.name}__hi"))
+    }
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stats = specs.map { s =>
+      struct(lit(s.name).as("col_name"),
+        (col("__rows") - col(s"${s.name}__n")).as("n_nulls"),
+        col(s"${s.name}__d").as("n_distinct"),
+        s.fmt(col(s"${s.name}__lo")).as("min_s"),
+        s.fmt(col(s"${s.name}__hi")).as("max_s"))
+    }
+    wide.select(explode(array(stats: _*)).as("p")).select("p.*")
+  }
+
+  /** DuckDB twin of [[columns]]: one SELECT per column, UNION ALL — the
+    * single-node engine does not need the unpivot trick.
+    */
+  def columnsSql(table: String, specs: Seq[ColSpec]): String =
+    specs.map { s =>
+      s"""SELECT '${s.name}' AS col_name,
+         |       COUNT(*) - COUNT(${s.name}) AS n_nulls,
+         |       COUNT(DISTINCT ${s.name}) AS n_distinct,
+         |       ${s.sqlFmt(s"MIN(${s.name})")} AS min_s,
+         |       ${s.sqlFmt(s"MAX(${s.name})")} AS max_s
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+}

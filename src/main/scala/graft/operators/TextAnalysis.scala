@@ -438,6 +438,43 @@ object TextAnalysis {
       .select(col("token"), col("cnt"), col("n"))
   }
 
+  /** Token-rarity quality score — the UDF-free stand-in for a unigram-LM
+    * perplexity filter: a document whose tokens are mostly corpus-rare is
+    * likelier junk (OCR noise, mojibake, code soup) than one built from
+    * common vocabulary. Score = mean document frequency of the document's
+    * tokens (multiplicity kept). Everything before the final division is
+    * integer (df counts and their sum), so the one double divide is
+    * IEEE-identical across engines — no log(), whose last-ulp libm
+    * differences would break the oracle. Shapes: one vocab-keyed aggregate
+    * for the df table, one token-keyed shuffle join back (vocab scale, not
+    * corpus scale, rides the broadcast side... at web scale the df table
+    * outgrows a broadcast and this becomes the classic shuffle join on the
+    * token key — written as a plain join so Spark/AQE picks).
+    */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val dfreq = toks.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    toks.join(dfreq, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("df").as("sum_df"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_df"),
+        (col("sum_df").cast("double") / col("n_tokens")).as("mean_df"))
+  }
+
+  def tokenRaritySql(): String =
+    """rtoks AS (
+      |  SELECT doc_id, token
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) u
+      |  WHERE len(token) > 0),
+      |rdf AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM rtoks GROUP BY token),
+      |rarity AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(df) AS BIGINT) AS sum_df,
+      |         CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_df
+      |  FROM rtoks JOIN rdf USING (token)
+      |  GROUP BY doc_id)""".stripMargin
+
   /** DuckDB oracle for [[heavyHitters]] — the definitionally-exact full
     * group-by (fine single-node; the sketch exists for the cluster).
     */

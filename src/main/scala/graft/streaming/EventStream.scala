@@ -208,6 +208,60 @@ object EventStream {
     spark.table(name).orderBy("user_id", "session_seq")
   }
 
+  /** Stream-stream interval join — the last streaming join shape ([[enrichedTypeTotals]]
+    * covers stream-static): clicks join views of the SAME user within the
+    * preceding `windowMinutes`. Both sides carry a watermark and the join
+    * condition bounds event time on both ends, so the state store retains
+    * each side only for the lateness + interval horizon — the condition
+    * Structured Streaming needs to garbage-collect join state at all (an
+    * unbounded-state stream join is the streaming analog of a cartesian).
+    * Inner-join results emit as soon as both sides arrive (append mode
+    * never holds back inner matches), so the bounded AvailableNow run
+    * yields the complete pair set, aggregated per user for a stable
+    * contract: (user_id, n_pairs).
+    */
+  def clickViewPairs(spark: SparkSession, dir: String, windowMinutes: Int = 10): DataFrame =
+      withStatePartitions(spark, 8) {
+    val path = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    def side(eventType: String, prefix: String) =
+      spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
+        .filter(col("event_type") === eventType)
+        .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+          timestamp_micros(expr("ts DIV 1000")).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", s"$windowMinutes minutes")
+    val q = side("click", "click").join(side("view", "view"),
+        col("click_user") === col("view_user") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+          col("view_ts") <= col("click_ts"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .groupBy(col("click_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB twin of [[clickViewPairs]] — the batch self-join the streaming
+    * plan must agree with (DuckDB's parquet reader truncates the nanos
+    * timestamps to micros exactly like the `ts DIV 1000` above).
+    */
+  def clickViewPairsSql(windowMinutes: Int = 10): String =
+    s"""SELECT c.user_id, COUNT(*) AS n_pairs
+       |FROM events c JOIN events v
+       |  ON v.user_id = c.user_id
+       | AND c.event_type = 'click' AND v.event_type = 'view'
+       | AND v.ts >= c.ts - INTERVAL $windowMinutes MINUTES AND v.ts <= c.ts
+       |GROUP BY c.user_id
+       |ORDER BY c.user_id""".stripMargin
+
   val tumblingHourlySql: String =
     s"""SELECT date_trunc('hour', ts) AS hour, event_type,
        |       COUNT(*) AS n,

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Histogram bucket arithmetic edges and profiler null/distinct counting —
+  * the cases the corpus-level oracle rows can't isolate.
+  */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram: exact bucket edges, max value lands in the last bucket") {
+    // values 0..99, k=10: bucket(v) = v*10 div 100 = v div 10 exactly
+    val df = spark.range(0, 100).toDF("x")
+    val h = Profile.histogram(df, col("x"), k = 10)
+      .orderBy("bucket").collect()
+    assert(h.length === 10)
+    h.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) === i)
+      assert(r.getLong(1) === 10L) // 10 values per bucket
+      assert(r.getLong(2) === i * 10L) // lo
+      assert(r.getLong(3) === i * 10L + 9L) // hi
+    }
+  }
+
+  test("histogram: constant column degenerates to one full bucket 0") {
+    val df = Seq(7L, 7L, 7L).toDF("x")
+    val h = Profile.histogram(df, col("x"), k = 5).collect()
+    assert(h.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      === Seq((0, 3L, 7L, 7L)))
+  }
+
+  test("profiler counts nulls and distincts per column in one pass") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None), (None, Some("b")), (Some(2L), Some("a"))
+    ).toDF("num", "str")
+    val p = Profile.columns(df,
+      Seq(Profile.ColSpec.plain("num"), Profile.ColSpec.plain("str")))
+      .orderBy("col_name").collect()
+    val byName = p.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    assert(byName("num") == ((1L, 2L, "1", "2")))
+    assert(byName("str") == ((1L, 2L, "a", "b")))
+  }
+}

@@ -39,6 +39,22 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exceptAll(streaming).count() == 0)
   }
 
+  test("stream-stream interval join equals the batch self-join") {
+    import org.apache.spark.sql.functions._
+    val streaming = EventStream.clickViewPairs(spark, sf)
+    val ev = graft.sources.TestData.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"))
+    val batch = c.join(v, Seq("user_id"))
+      .filter(col("vts") >= col("cts") - expr("INTERVAL 10 MINUTES") && col("vts") <= col("cts"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+    assert(streaming.count() > 0)
+    assert(streaming.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streaming).count() == 0)
+  }
+
   test("stateful dedup-within-watermark collapses a doubled source to distinct ids") {
     // simulate at-least-once delivery: the same file arrives twice
     val dir = java.nio.file.Files.createTempDirectory("evdup")
