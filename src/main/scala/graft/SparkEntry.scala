@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
-import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Multimodal, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, TextAnalysis, WarehouseSink, ZOrder}
+import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Multimodal, Packing, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, TextAnalysis, WarehouseSink, ZOrder}
 import graft.oracle.BankOracle
 import graft.sources.{BankAdapter, CsvSource, TestData}
 import graft.streaming.EventStream
@@ -680,6 +680,44 @@ object SparkEntry {
     "q104_rarity" -> { (s, dir) =>
       TextAnalysis.tokenRarity(TestData.documents(s, dir)).orderBy("doc_id")
     },
+    // Sequence packing for LLM training: deterministic budget-greedy
+    // chunking under a (source, shard)-bounded window — see Packing for
+    // why the shard key is what keeps this off the single-partition cliff.
+    "q105_pack_sequences" -> { (s, dir) =>
+      Packing.packSequences(TestData.documents(s, dir))
+        .orderBy("source", "shard", "seq_id")
+    },
+    // Exact positional p99 outlier fence per group (q85's machinery at an
+    // arbitrary percentile): rank + count windows partitioned BY GROUP
+    // (never global), the fence value broadcast back via a full-partition
+    // window max — one pass, no self-join.
+    "q106_outlier_fence" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byType = Window.partitionBy("event_type")
+      val w = byType.orderBy("value", "event_id")
+      TestData.events(s, dir)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(byType))
+        // quantile_disc-style position: floor((n-1)*99/100) + 1
+        .withColumn("pos", intDiv((col("n") - 1) * 99, lit(100)) + 1)
+        .withColumn("p99", max(when(col("rn") === col("pos"), col("value"))).over(byType))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max("p99").as("p99"),
+          sum(when(col("value") > col("p99"), 1L).otherwise(0L)).as("n_above"))
+        .orderBy("event_type")
+    },
+    // Benford first-digit profile of order amounts (fraud-analytics
+    // screen): leading digit via STRING head of the integer cents — no
+    // floating log10 whose last ulp could disagree between engines.
+    "q107_benford" -> { (s, dir) =>
+      TestData.orders(s, dir)
+        .select((money(col("o_totalprice")) * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .orderBy("digit")
+    },
     // Approximate percentile with a VERIFIED error contract (the q75
     // pattern): per group, the KLL/GK sketch's p50/p90 must land within
     // 1% of the exact percentile — the exactness anchor (count) and the
@@ -1304,6 +1342,37 @@ object SparkEntry {
       s"""WITH ${TextAnalysis.tokenRaritySql()}
           SELECT doc_id, n_tokens, sum_df, mean_df FROM rarity
           ORDER BY doc_id""",
+
+    // identical budget-greedy packing arithmetic under the same window
+    "q105_pack_sequences" ->
+      s"""WITH ${Packing.packSequencesSql()}
+          SELECT source, shard, seq_id, n_docs, seq_tokens FROM packs
+          ORDER BY source, shard, seq_id""",
+
+    // same positional p99 and strict-above count via windows
+    "q106_outlier_fence" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |f AS (
+        |  SELECT event_type, value, n,
+        |         MAX(CASE WHEN rn = ((n - 1) * 99) // 100 + 1 THEN value END)
+        |           OVER (PARTITION BY event_type) AS p99
+        |  FROM r)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, MAX(p99) AS p99,
+        |       CAST(SUM(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same leading digit of the integer cents, string head not log10
+    "q107_benford" ->
+      s"""SELECT substr(CAST(CAST(${moneySql("o_totalprice")} * 100 AS BIGINT) AS VARCHAR), 1, 1)
+                   AS digit,
+                 COUNT(*) AS n
+          FROM orders
+          WHERE CAST(${moneySql("o_totalprice")} * 100 AS BIGINT) > 0
+          GROUP BY digit ORDER BY digit""",
 
     // the sketch's error contract must hold — the oracle pins the verdict
     "q90_percentile_contract" ->

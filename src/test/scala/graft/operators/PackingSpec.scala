@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Budget-greedy packing semantics: a document straddling the budget
+  * boundary stays in the sequence where it started; shard boundaries start
+  * fresh sequences.
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, nTokens: Int, source: String = "s") =
+    (id, Seq.fill(nTokens)("w").mkString(" "), source)
+
+  test("straddling doc stays in its starting sequence; next doc opens the new one") {
+    // budget 10: docs of 6,6,6 tokens -> prev_cums 0,6,12 -> seqs 0,0,1:
+    // the second doc STARTS under budget (prev_cum 6 < 10) so it packs
+    // into seq 0 even though it overflows it; the third starts at 12.
+    val docs = Seq(doc(1, 6), doc(2, 6), doc(3, 6)).toDF("doc_id", "text", "source")
+    val out = Packing.packSequences(docs, budget = 10, shardSize = 100)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((0L, 2L, 12L), (1L, 1L, 6L)))
+  }
+
+  test("shard boundary resets the running budget") {
+    // shardSize 2: docs 1,2 in shard 0, docs 3,4 in shard 1 (ids 2,3 -> 1)
+    // wait: shard = id div 2 -> ids 1,2,3,4 -> shards 0,1,1,2
+    val docs = Seq(doc(1, 6), doc(2, 6), doc(3, 6), doc(4, 6))
+      .toDF("doc_id", "text", "source")
+    val out = Packing.packSequences(docs, budget = 10, shardSize = 2)
+      .orderBy("shard", "seq_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // shard 0: doc1 alone (seq 0); shard 1: docs 2,3 pack greedily
+    // (prev_cums 0,6 -> both seq 0); shard 2: doc4 alone (seq 0)
+    assert(out.toSeq === Seq((0L, 0L, 1L), (1L, 0L, 2L), (2L, 0L, 1L)))
+  }
+
+  test("every document is packed exactly once (token totals conserved)") {
+    val docs = graft.sources.TestData.documents(spark, sf)
+    val packed = Packing.packSequences(docs)
+    import org.apache.spark.sql.functions._
+    val packedTotals = packed.agg(sum("n_docs"), sum("seq_tokens")).head()
+    val docTotals = docs.agg(count(lit(1)),
+      sum(size(split(col("text"), " ")).cast("long"))).head()
+    assert(packedTotals.getLong(0) === docTotals.getLong(0))
+    assert(packedTotals.getLong(1) === docTotals.getLong(1))
+  }
+}
