@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
-import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Multimodal, Packing, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, TextAnalysis, WarehouseSink, ZOrder}
+import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Funnel, Multimodal, Packing, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, TextAnalysis, WarehouseSink, ZOrder}
 import graft.oracle.BankOracle
 import graft.sources.{BankAdapter, CsvSource, TestData}
 import graft.streaming.EventStream
@@ -379,6 +379,11 @@ object SparkEntry {
     },
     "q53_ann_ivf_assign" -> { (s, dir) =>
       Similarity.ivfAssign(TestData.embeddings(s, dir)).orderBy("vec_id")
+    },
+    // SemDeDup: IVF-cluster blocking + within-cell cosine domination.
+    "q110_semantic_dedup" -> { (s, dir) =>
+      Similarity.semanticDedup(TestData.embeddings(s, dir), threshold = 0.35)
+        .orderBy("vec_id")
     },
     // Typed Aggregator (UDAF): per-label embedding centroid.
     "q58_label_centroids" -> { (s, dir) =>
@@ -808,6 +813,18 @@ object SparkEntry {
     "q61_sessionize" -> { (s, dir) =>
       Events.sessionize(TestData.events(s, dir)).orderBy("user_id", "session_seq")
     },
+    // Ordered funnel: k-1 co-partitioned join+agg steps, no per-user state.
+    "q108_funnel" -> { (s, dir) =>
+      Funnel.funnel(TestData.events(s, dir)).orderBy("stage_idx")
+    },
+    // Weekly cohort retention triangle.
+    "q109_retention" -> { (s, dir) =>
+      Funnel.retention(TestData.events(s, dir)).orderBy("cohort_week", "week_offset")
+    },
+    // Deterministic weighted sampling (integer A-Res) on the bounded heap.
+    "q111_weighted_sample" -> { (s, dir) =>
+      Sampling.weightedSample(TestData.orders(s, dir)).orderBy("stratum", "o_orderkey")
+    },
     "q62_asof_join" -> { (s, dir) =>
       Events.asOfLastSignup(TestData.events(s, dir)).orderBy("event_id")
     },
@@ -1104,6 +1121,13 @@ object SparkEntry {
     "q53_ann_ivf_assign" ->
       s"""WITH ${Similarity.ivfAssignSql}
           SELECT vec_id, cell, score FROM ivf_assign ORDER BY vec_id""",
+
+    "q110_semantic_dedup" ->
+      s"""WITH ${Similarity.semanticDedupSql(0.35)}
+          SELECT s.vec_id, s.cell,
+                 CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS dropped
+          FROM sd s LEFT JOIN sem_dom d ON s.vec_id = d.vec_id
+          ORDER BY s.vec_id""",
 
     "q58_label_centroids" ->
       s"""WITH qv AS (
@@ -1432,6 +1456,18 @@ object SparkEntry {
     "q61_sessionize" ->
       s"""${Events.sessionizeSql()}
           ORDER BY user_id, session_seq""",
+
+    "q108_funnel" ->
+      s"""${Funnel.funnelSql()}
+          ORDER BY stage_idx""",
+
+    "q109_retention" ->
+      s"""${Funnel.retentionSql}
+          ORDER BY cohort_week, week_offset""",
+
+    "q111_weighted_sample" ->
+      s"""${Sampling.weightedSampleSql()}
+          ORDER BY stratum, o_orderkey""",
 
     "q62_asof_join" ->
       s"""${Events.asOfLastSignupSql}

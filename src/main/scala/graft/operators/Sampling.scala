@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.OracleSafe
+
 /** Training-mix curation operators: deterministic sampling over document
   * corpora. A training pipeline doesn't sample with RNG state — it needs
   * the SAME subset on every run, on any cluster layout, under retries.
@@ -89,5 +91,48 @@ object Sampling {
     s"""SELECT doc_id, $stratum, n_chars
        |FROM documents
        |WHERE ${coinSql("doc_id")} < ($pctExpr)""".stripMargin
+  }
+
+  /** Deterministic weighted sampling without replacement, k per stratum —
+    * the integer A-Res scheme (Efraimidis & Spirakis 2006, priority
+    * u^(1/w), taken in rank-equivalent integer form u/w: a row with twice
+    * the weight halves its priority and doubles its selection odds). The
+    * "random" u is the stable 48-bit md5 coin, so the sample is a pure
+    * function of row identity — identical across runs, retries, and
+    * cluster layouts, which is what a reproducible training-mix needs.
+    *
+    * Selection runs on the bounded-heap [[graft.plans.TopK]] operator —
+    * one shuffle on the stratum, no global sort, no per-group
+    * row_number window. Weight = o_totalprice quantized to an exact
+    * integer cent grid (clamped ≥ 1 so zero/negative weights can't
+    * divide by zero or invert the ordering).
+    */
+  def weightedSample(orders: DataFrame, k: Int = 5): DataFrame = {
+    val u = conv(substring(md5(col("o_orderkey").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val w = greatest(lit(1L), OracleSafe.quant(col("o_totalprice"), 100))
+    val prioritized = orders.select(
+      col("o_orderpriority").as("stratum"), col("o_orderkey"),
+      OracleSafe.intDiv(u, w).as("priority"))
+    graft.plans.TopK.perKey(prioritized, Seq("stratum"),
+        Seq(graft.plans.TopK.asc("priority"), graft.plans.TopK.asc("o_orderkey")),
+        k, rankName = "rnk")
+      .select("stratum", "o_orderkey", "priority")
+  }
+
+  /** DuckDB twin of [[weightedSample]] — same coin, same integer
+    * priority, ROW_NUMBER in place of the bounded heap.
+    */
+  def weightedSampleSql(k: Int = 5): String = {
+    val u = s"('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT"
+    val w = s"GREATEST(1, ${OracleSafe.quantSql("o_totalprice", 100)})"
+    s"""SELECT stratum, o_orderkey, priority
+       |FROM (
+       |  SELECT o_orderpriority AS stratum, o_orderkey,
+       |         ${OracleSafe.intDivSql(u, w)} AS priority,
+       |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+       |           ORDER BY ${OracleSafe.intDivSql(u, w)}, o_orderkey) AS rnk
+       |  FROM orders)
+       |WHERE rnk <= $k""".stripMargin
   }
 }

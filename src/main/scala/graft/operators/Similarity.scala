@@ -364,6 +364,43 @@ object Similarity {
        |  WHERE list_dot_product(a.q, b.q)
        |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $threshold)""".stripMargin
 
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus, then inside each cluster drop
+    * every vector that has a more-senior (smaller-id) neighbour above the
+    * cosine threshold. Clustering reuses the IVF assignment
+    * ([[ivfAssign]]: √n centroids, broadcast, O(n·√n)); the within-cell
+    * pair generation costs Σ|cell|² ≈ n·√n for balanced cells — the same
+    * complexity class as the assignment itself, never all-pairs across the
+    * corpus. The keep/drop rule is a per-pair domination test (no
+    * transitive closure), so seniority makes it deterministic: the kept
+    * set is exactly the greedy smallest-id-first selection.
+    *
+    * Output: one row per vector — (vec_id, cell, dropped 0/1).
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.92): DataFrame = {
+    val sd = quantized(embeddings)
+      .join(ivfAssign(embeddings).select("vec_id", "cell"), Seq("vec_id"))
+      .cache()
+    val dominated = sd.as("a").join(sd.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(dot(col("a.q"), col("b.q")), col("a.n2"), col("b.n2")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    sd.select("vec_id", "cell")
+      .join(dominated.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dropped"), lit(0)).cast("int").as("dropped"))
+  }
+
+  def semanticDedupSql(threshold: Double = 0.92): String =
+    s"""$ivfAssignSql,
+       |sd AS (SELECT qn.vec_id, qn.q, qn.n2, cell
+       |       FROM qn JOIN ivf_assign USING (vec_id)),
+       |sem_dom AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM sd a JOIN sd b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.q, b.q)
+       |          / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $threshold)""".stripMargin
+
   /** IVF centroid refinement: two Lloyd (k-means) rounds over the seeded
     * sample, in EXACT integer arithmetic so both engines converge to the
     * same centroids bit-for-bit:

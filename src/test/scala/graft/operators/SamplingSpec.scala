@@ -68,4 +68,35 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  private def ordersDf(rows: (Long, String, Double)*): DataFrame =
+    rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+
+  test("weightedSample: exactly k per stratum, deterministic across runs") {
+    val o = ordersDf((1L to 40L).map(k =>
+      (k, if (k % 2 == 0) "HIGH" else "LOW", 100.0 + k)): _*)
+    val a = Sampling.weightedSample(o, k = 3)
+      .select("stratum", "o_orderkey").as[(String, Long)].collect().sorted.toSeq
+    val b = Sampling.weightedSample(o, k = 3)
+      .select("stratum", "o_orderkey").as[(String, Long)].collect().sorted.toSeq
+    assert(a == b)
+    assert(a.count(_._1 == "HIGH") == 3 && a.count(_._1 == "LOW") == 3)
+  }
+
+  test("weightedSample: an overwhelming weight forces selection") {
+    // one row weighs ~10^9 x the others: its priority u/w is ~0 while the
+    // others keep 48-bit-scale priorities — it MUST be in the sample
+    val o = ordersDf(((1L to 200L).map(k => (k, "P", 1.0)) :+
+      (999L, "P", 2e9)): _*)
+    val picked = Sampling.weightedSample(o, k = 1)
+      .select("o_orderkey").as[Long].collect()
+    assert(picked.toSeq == Seq(999L))
+  }
+
+  test("weightedSample: zero/negative prices clamp to weight 1, never crash") {
+    val o = ordersDf((1L, "P", 0.0), (2L, "P", -5.0), (3L, "P", 10.0))
+    val r = Sampling.weightedSample(o, k = 3)
+      .select("o_orderkey").as[Long].collect().sorted
+    assert(r.toSeq == Seq(1L, 2L, 3L))
+  }
 }

@@ -97,6 +97,24 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((0L, 1L)))
   }
 
+  test("semanticDedup keeps the smallest id of a duplicate pair, drops the rest") {
+    // 0 and 7 are exact duplicates; the rest sit >=0.5 rad apart on a
+    // circle (pairwise cosine <= 0.91), far from the 0.999 threshold
+    val emb = (0 until 12).map { i =>
+      val v =
+        if (i == 0 || i == 7) Array(0.3f, -0.2f, 0.9f)
+        else Array(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat, -0.5f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(emb, threshold = 0.999)
+      .orderBy("vec_id").select("vec_id", "dropped")
+      .as[(Long, Int)].collect().toMap
+    assert(r(0L) == 0, "senior duplicate must be kept")
+    assert(r(7L) == 1, "junior duplicate must be dropped")
+    assert(r.count(_._2 == 1) == 1, "only the junior twin drops")
+    assert(r.size == 12, "one row per input vector")
+  }
+
   test("k-means refinement pulls centroids onto the true cluster centers") {
     // two tight, well-separated clusters around +0.8 and -0.8 on every dim;
     // ids interleaved so the modulo seeding draws from both clusters
