@@ -817,6 +817,18 @@ object SparkEntry {
     "q108_funnel" -> { (s, dir) =>
       Funnel.funnel(TestData.events(s, dir)).orderBy("stage_idx")
     },
+    // BPE trainer counting step: adjacent symbol-pair frequencies.
+    "q113_bpe_pairs" -> { (s, dir) =>
+      TextAnalysis.bpePairs(TestData.documents(s, dir))
+    },
+    // Order-independent table checksum over engine-stable renderings.
+    "q114_table_fingerprint" -> { (s, dir) =>
+      DataQuality.fingerprint(TestData.orders(s, dir), Seq(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), quant(col("o_totalprice"), 100),
+        // NTZ → TZ cast is identity under the pinned UTC session zone
+        unix_millis(col("o_orderdate").cast("timestamp"))))
+    },
     // Weekly cohort retention triangle.
     "q109_retention" -> { (s, dir) =>
       Funnel.retention(TestData.events(s, dir)).orderBy("cohort_week", "week_offset")
@@ -870,6 +882,24 @@ object SparkEntry {
       Scd.type2(dim, upd, "k", Seq("nation"),
           lit(java.sql.Date.valueOf("2024-06-01")))
         .orderBy(col("k"), col("effective_from"))
+    },
+    // CDC detection: classify keys across two snapshots as
+    // insert/update/delete via one full-outer join (delta derived in-plan:
+    // every 10th key changes, every 7th is deleted, every 100th is new).
+    "q112_snapshot_diff" -> { (s, dir) =>
+      val cust = TestData.customer(s, dir)
+      val oldSnap = cust.select(col("c_custkey").as("k"),
+        col("c_nationkey").cast("int").as("nation"), col("c_mktsegment").as("seg"))
+      val newSnap = cust.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 10 === 0, (col("c_nationkey") + 1) % 25)
+            .otherwise(col("c_nationkey")).cast("int").as("nation"),
+          col("c_mktsegment").as("seg"))
+        .unionByName(cust.filter(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"),
+            lit(7).cast("int").as("nation"), lit("NEW").as("seg")))
+      Scd.snapshotDiff(oldSnap, newSnap, "k", Seq("nation", "seg"))
+        .orderBy("k", "change_type")
     },
     // Salted two-phase aggregation: the skew-mitigation rewrite must be
     // invisible in the result — the oracle is the PLAIN group-by. Money
@@ -1460,6 +1490,38 @@ object SparkEntry {
     "q108_funnel" ->
       s"""${Funnel.funnelSql()}
           ORDER BY stage_idx""",
+
+    "q113_bpe_pairs" -> TextAnalysis.bpePairsSql(),
+
+    "q114_table_fingerprint" ->
+      DataQuality.fingerprintSql("orders", Seq(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        quantSql("o_totalprice", 100), "epoch_ms(o_orderdate)")),
+
+    "q112_snapshot_diff" ->
+      """WITH oldsnap AS (
+        |  SELECT c_custkey AS k, CAST(c_nationkey AS INT) AS nation,
+        |         c_mktsegment AS seg
+        |  FROM customer),
+        |newsnap AS (
+        |  SELECT c_custkey AS k,
+        |         CAST(CASE WHEN c_custkey % 10 = 0 THEN (c_nationkey + 1) % 25
+        |              ELSE c_nationkey END AS INT) AS nation,
+        |         c_mktsegment AS seg
+        |  FROM customer WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS k, CAST(7 AS INT) AS nation, 'NEW' AS seg
+        |  FROM customer WHERE c_custkey % 100 = 0)
+        |SELECT * FROM (
+        |  SELECT COALESCE(o.k, n.k) AS k,
+        |         CASE WHEN o.k IS NULL THEN 'insert'
+        |              WHEN n.k IS NULL THEN 'delete'
+        |              WHEN (o.nation IS DISTINCT FROM n.nation)
+        |                OR (o.seg IS DISTINCT FROM n.seg) THEN 'update' END AS change_type,
+        |         n.nation, n.seg
+        |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.k = n.k)
+        |WHERE change_type IS NOT NULL
+        |ORDER BY k, change_type""".stripMargin,
 
     "q109_retention" ->
       s"""${Funnel.retentionSql}

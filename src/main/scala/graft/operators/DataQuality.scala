@@ -47,6 +47,36 @@ object DataQuality {
     checksDf(w).collect().toSeq
       .map(r => Violations(r.getString(0), r.getLong(1)))
 
+  /** Order-independent table checksum — the 100 TB answer to "is the
+    * replica byte-identical to the source?" without sorting either side:
+    * per row, a 32-bit integer from md5 over the '|'-joined column values;
+    * the table fingerprint is (row count, SUM of row hashes). Addition is
+    * commutative/associative, so the aggregate map-side-combines and the
+    * result is independent of partitioning, task order, and row order —
+    * two tables match iff their (n, checksum) match. 32-bit row hashes
+    * keep the BIGINT sum overflow-free (ANSI mode would throw) up to
+    * 2×10⁹ rows per fingerprint; beyond that, fingerprint partition-wise
+    * or widen to DECIMAL(38,0) sums.
+    *
+    * Caller contract: pass engine-stable string columns only (integers,
+    * strings, epoch millis, quantized decimals) — raw DOUBLE or TIMESTAMP
+    * rendering differs across engines and would break cross-engine
+    * comparison (the same rule the oracle twins follow everywhere else).
+    * Both engines' concat_ws skip NULL values identically.
+    */
+  def fingerprint(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.select(conv(substring(md5(concat_ws("|", cols: _*)), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+
+  /** DuckDB twin of [[fingerprint]] over the given SQL value expressions
+    * (DuckDB's integer SUM yields HUGEINT — cast back to BIGINT).
+    */
+  def fingerprintSql(table: String, exprs: Seq[String]): String =
+    s"""SELECT COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS checksum
+       |FROM (SELECT ('0x' || substring(md5(concat_ws('|', ${exprs.mkString(", ")})), 1, 8))::BIGINT AS h
+       |      FROM $table)""".stripMargin
+
   def assertClean(w: BankEtl.Warehouse): Unit = {
     val bad = warehouseChecks(w).filter(_.count > 0)
     require(bad.isEmpty, s"constraint violations: ${bad.mkString(", ")}")

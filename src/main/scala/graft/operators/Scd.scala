@@ -53,4 +53,28 @@ object Scd {
 
     closed.unionByName(keep).unionByName(close).unionByName(openNew)
   }
+
+  /** Change-data-capture DETECTION: classify every key across two
+    * snapshots as insert / update / delete (unchanged rows are dropped —
+    * at scale they are the overwhelming majority and downstream consumers
+    * only want the delta). One full-outer join on the key, null-safe
+    * attribute compare — the read side of the merge [[type2]] applies.
+    * Output: (key, change_type) plus the new-side tracked values
+    * (null for deletes).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+      tracked: Seq[String]): DataFrame = {
+    val cols = key +: tracked
+    val o = oldSnap.select(cols.map(col): _*).as("o")
+    val n = newSnap.select(cols.map(col): _*).as("n")
+    val changed = tracked.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
+    o.join(n, col(s"o.$key") === col(s"n.$key"), "full")
+      .withColumn("change_type",
+        when(col(s"o.$key").isNull, lit("insert"))
+          .when(col(s"n.$key").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(coalesce(col(s"o.$key"), col(s"n.$key")).as(key) +:
+        col("change_type") +: tracked.map(c => col(s"n.$c")): _*)
+  }
 }

@@ -249,6 +249,39 @@ object TextAnalysis {
       .orderBy(desc("freq"), asc("token"))
       .limit(k)
 
+  /** The counting step of a BPE (byte-pair-encoding) tokenizer-training
+    * round: frequency of every ADJACENT symbol pair inside alpha-run
+    * words — the pair a BPE trainer would merge next is the head of this
+    * list (Sennrich et al. 2016, arXiv:1508.07909). Scale shape: explode
+    * to one row per adjacent pair (≤ word length, linear in corpus
+    * bytes), map-side-combined count, TakeOrderedAndProject for the
+    * top-k — no shuffle carries document text, only 2-char pairs.
+    */
+  def bpePairs(docs: DataFrame, k: Int = 20): DataFrame = {
+    val words = docs
+      .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("pair"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[bpePairs]]. */
+  def bpePairsSql(k: Int = 20): String =
+    s"""SELECT pair, COUNT(*) AS freq
+       |FROM (
+       |  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+       |           i -> substr(w, i, 2))) AS pair
+       |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w
+       |        FROM documents)
+       |  WHERE length(w) >= 2)
+       |GROUP BY pair
+       |ORDER BY freq DESC, pair
+       |LIMIT $k""".stripMargin
+
   def vocabTopKSql(k: Int = 50): String =
     s"""SELECT token, COUNT(*) AS freq
        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -47,4 +47,25 @@ class ScdSpec extends SparkSpec {
     assert(twice.exceptAll(once).count() == 0)
     assert(once.exceptAll(twice).count() == 0)
   }
+
+  test("snapshotDiff classifies insert/update/delete and drops unchanged") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c"),
+      (4L, null.asInstanceOf[String])).toDF("k", "v")
+    val newSnap = Seq((1L, "a"), (2L, "B"), (5L, "e"),
+      (4L, null.asInstanceOf[String])).toDF("k", "v")
+    val r = Scd.snapshotDiff(oldSnap, newSnap, "k", Seq("v"))
+      .orderBy("k").select("k", "change_type")
+      .as[(Long, String)].collect()
+    // 1 unchanged (dropped), 4 null==null unchanged (dropped)
+    assert(r.toSeq == Seq((2L, "update"), (3L, "delete"), (5L, "insert")))
+  }
+
+  test("snapshotDiff: null to value and value to null are updates") {
+    val oldSnap = Seq((1L, null.asInstanceOf[String]), (2L, "x")).toDF("k", "v")
+    val newSnap = Seq((1L, "y"), (2L, null.asInstanceOf[String])).toDF("k", "v")
+    val r = Scd.snapshotDiff(oldSnap, newSnap, "k", Seq("v"))
+      .orderBy("k").select("k", "change_type", "v")
+      .as[(Long, String, Option[String])].collect()
+    assert(r.toSeq == Seq((1L, "update", Some("y")), (2L, "update", None)))
+  }
 }

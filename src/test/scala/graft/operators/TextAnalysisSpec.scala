@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+
+  test("bpePairs counts adjacent pairs inside alpha runs only") {
+    // "abab" -> ab, ba, ab ; "ab!cd" -> runs "ab","cd" -> ab, cd
+    // (no pair across the punctuation boundary)
+    val d = docs((1L, "abab"), (2L, "ab!cd"))
+    val r = TextAnalysis.bpePairs(d, k = 10)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("ab" -> 3L, "ba" -> 1L, "cd" -> 1L))
+  }
+
+  test("bpePairs: single-char runs contribute nothing; ties break by pair asc") {
+    val d = docs((1L, "a b c xy"), (2L, "zz"))
+    val top = TextAnalysis.bpePairs(d, k = 1)
+      .as[(String, Long)].collect()
+    // xy and zz both freq 1 → 'xy' < 'zz' wins the k=1 cut
+    assert(top.toSeq == Seq(("xy", 1L)))
+  }
+
+  test("fingerprint is row-order and partition independent") {
+    val a = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    val shuffled = a.orderBy(rand(7)).repartition(7)
+    val fa = DataQuality.fingerprint(a, Seq(col("k"), col("v"))).head()
+    val fb = DataQuality.fingerprint(shuffled, Seq(col("k"), col("v"))).head()
+    assert(fa == fb)
+    assert(fa.getLong(0) == 100L)
+  }
+
+  test("fingerprint detects a single-value change") {
+    val a = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    val b = (1L to 100L).map(i => (i, if (i == 42L) "V42" else s"v$i")).toDF("k", "v")
+    val fa = DataQuality.fingerprint(a, Seq(col("k"), col("v"))).head()
+    val fb = DataQuality.fingerprint(b, Seq(col("k"), col("v"))).head()
+    assert(fa.getLong(0) == fb.getLong(0) && fa.getLong(1) != fb.getLong(1))
+  }
+}
