@@ -385,6 +385,11 @@ object SparkEntry {
       Similarity.semanticDedup(TestData.embeddings(s, dir), threshold = 0.35)
         .orderBy("vec_id")
     },
+    // Contrastive-training negatives: hash-probed foreign LSH buckets.
+    "q116_negative_samples" -> { (s, dir) =>
+      Similarity.negativeSamples(TestData.embeddings(s, dir))
+        .orderBy("qid", "rank")
+    },
     // Typed Aggregator (UDAF): per-label embedding centroid.
     "q58_label_centroids" -> { (s, dir) =>
       import s.implicits._
@@ -821,6 +826,13 @@ object SparkEntry {
     "q113_bpe_pairs" -> { (s, dir) =>
       TextAnalysis.bpePairs(TestData.documents(s, dir))
     },
+    // Incremental MV maintenance: merge(agg(base), agg(delta)) must equal
+    // the full recompute (the oracle computes the latter).
+    "q115_incremental_mv" -> { (s, dir) =>
+      graft.operators.Incremental
+        .monthlyOrdersMerged(TestData.orders(s, dir), "1999-01-01")
+        .orderBy("ym")
+    },
     // Order-independent table checksum over engine-stable renderings.
     "q114_table_fingerprint" -> { (s, dir) =>
       DataQuality.fingerprint(TestData.orders(s, dir), Seq(
@@ -1151,6 +1163,10 @@ object SparkEntry {
     "q53_ann_ivf_assign" ->
       s"""WITH ${Similarity.ivfAssignSql}
           SELECT vec_id, cell, score FROM ivf_assign ORDER BY vec_id""",
+
+    "q116_negative_samples" ->
+      s"""WITH ${Similarity.negativeSamplesSql()}
+          SELECT qid, rank, neg_id FROM neg_samples ORDER BY qid, rank""",
 
     "q110_semantic_dedup" ->
       s"""WITH ${Similarity.semanticDedupSql(0.35)}
@@ -1492,6 +1508,10 @@ object SparkEntry {
           ORDER BY stage_idx""",
 
     "q113_bpe_pairs" -> TextAnalysis.bpePairsSql(),
+
+    "q115_incremental_mv" ->
+      s"""${graft.operators.Incremental.monthlyOrdersFullSql}
+          ORDER BY ym""",
 
     "q114_table_fingerprint" ->
       DataQuality.fingerprintSql("orders", Seq(

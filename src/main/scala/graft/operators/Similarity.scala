@@ -256,6 +256,69 @@ object Similarity {
        |  FROM bucket_scores
        |  QUALIFY rank <= $k)""".stripMargin
 
+  /** Deterministic negative sampling for contrastive training: for every
+    * query vector, k "hard-enough" negatives drawn from OTHER LSH buckets
+    * (same-bucket vectors are likely near-duplicates — sampling them as
+    * negatives poisons the loss, the standard false-negative trap).
+    *
+    * Scale shape: per query, `probes` pseudo-random bucket ids are derived
+    * by hashing (qid, probe#) into the corpus-derived `planes`-bit bucket
+    * space, then equi-joined against the bucket index — O(queries · probes
+    * · occupancy), never queries × corpus. Selection within candidates is
+    * by a 48-bit md5 priority of (qid, vid): a pure function of identity,
+    * so the sample set is identical across runs, retries, and layouts.
+    * A probe that lands on the query's own bucket is discarded (that IS
+    * the exclusion rule); queries whose probes all land empty simply
+    * yield fewer than k rows, same as the oracle.
+    */
+  def negativeSamples(embeddings: DataFrame, k: Int = 3, probes: Int = 4,
+      queryMod: Int = 10): DataFrame = {
+    val withB = lshBuckets(embeddings)
+    val queries = withB.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("bucket").as("qbucket"))
+      .crossJoin(broadcast(params(embeddings).select("planes")))
+    val targets = queries
+      .crossJoin(broadcast(
+        embeddings.sparkSession.range(0, probes).select(col("id").as("i"))))
+      .select(col("qid"), col("qbucket"),
+        (conv(substring(md5(concat(col("qid").cast("string"), lit("#"),
+            col("i").cast("string"))), 1, 8), 16, 10).cast("long")
+          % expr("shiftleft(CAST(1 AS BIGINT), planes)")).cast("int").as("tbucket"))
+      .filter(col("tbucket") =!= col("qbucket"))
+    val candidates = targets
+      .join(withB.select(col("vec_id").as("neg_id"), col("bucket")),
+        col("bucket") === col("tbucket") && col("neg_id") =!= col("qid"))
+      .select(col("qid"), col("neg_id"),
+        conv(substring(md5(concat(col("qid").cast("string"), lit(":"),
+          col("neg_id").cast("string"))), 1, 12), 16, 10).cast("long").as("priority"))
+      .distinct() // two probes can derive the same bucket id
+    graft.plans.TopK.perKey(candidates, Seq("qid"),
+        Seq(graft.plans.TopK.asc("priority"), graft.plans.TopK.asc("neg_id")), k)
+      .select("qid", "rank", "neg_id")
+  }
+
+  def negativeSamplesSql(k: Int = 3, probes: Int = 4, queryMod: Int = 10): String =
+    s"""$lshBucketsSql,
+       |neg_q AS (
+       |  SELECT vec_id AS qid, bucket AS qbucket FROM lsh_buckets
+       |  WHERE vec_id % $queryMod = 0),
+       |neg_t AS (
+       |  SELECT qid, qbucket,
+       |         CAST(('0x' || substring(md5(CAST(qid AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+       |              % (CAST(1 AS BIGINT) << planes) AS INT) AS tbucket
+       |  FROM neg_q, (SELECT unnest(generate_series(0, $probes - 1)) AS i) p, params
+       |  ),
+       |neg_c AS (
+       |  SELECT DISTINCT t.qid, b.vec_id AS neg_id,
+       |         ('0x' || substring(md5(CAST(t.qid AS VARCHAR) || ':' || CAST(b.vec_id AS VARCHAR)), 1, 12))::BIGINT AS priority
+       |  FROM neg_t t JOIN lsh_buckets b ON b.bucket = t.tbucket
+       |  WHERE t.tbucket <> t.qbucket AND b.vec_id <> t.qid),
+       |neg_samples AS (
+       |  SELECT qid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY priority, neg_id) AS rank,
+       |         neg_id
+       |  FROM neg_c
+       |  QUALIFY rank <= $k)""".stripMargin
+
   /** IVF-style ANN, deterministic flavor: "centroids" are a fixed
     * 1/cent_mod(n) sample of the corpus (a real build would k-means them —
     * the sampling stands in so assignment stays engine-exact), every vector

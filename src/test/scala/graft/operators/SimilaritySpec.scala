@@ -115,6 +115,24 @@ class SimilaritySpec extends SparkSpec {
     assert(r.size == 12, "one row per input vector")
   }
 
+  test("negativeSamples: negatives come from foreign buckets, deterministically") {
+    val emb = graft.sources.TestData.embeddings(spark, sf)
+    val buckets = Similarity.lshBuckets(emb)
+    val negs = Similarity.negativeSamples(emb, k = 3)
+    val joined = negs
+      .join(buckets.withColumnRenamed("vec_id", "qid")
+        .withColumnRenamed("bucket", "qb"), "qid")
+      .join(buckets.withColumnRenamed("vec_id", "neg_id")
+        .withColumnRenamed("bucket", "nb"), "neg_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("qb") === col("nb")).count() == 0,
+      "a negative shared its query's bucket — false-negative exclusion broken")
+    assert(negs.groupBy("qid").count().filter(col("count") > 3).count() == 0)
+    val a = negs.collect().map(_.toString).sorted.toSeq
+    val b = Similarity.negativeSamples(emb, k = 3).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("k-means refinement pulls centroids onto the true cluster centers") {
     // two tight, well-separated clusters around +0.8 and -0.8 on every dim;
     // ids interleaved so the modulo seeding draws from both clusters
