@@ -34,7 +34,11 @@ object ScaleBench {
     // two-pass BM25 scorer, and the simhash band join — all must grow
     // ~linearly, not with pair count
     "q57_bm25_topk", "q59_dedup_clusters", "q80_simhash_pairs",
-    "q87_ivf_kmeans")
+    "q87_ivf_kmeans",
+    // round 6: SemDeDup (within-cell pair cost Σ|cell|² ≈ n·√n) and the
+    // bucket-probed negative sampler (O(queries·probes·occupancy)) — both
+    // must track the IVF/LSH curves, not pair counts
+    "q110_semantic_dedup", "q116_negative_samples")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

@@ -468,6 +468,19 @@ object SparkEntry {
     },
     // Pairs → clusters: connected components over the LSH candidate graph
     // (iterative min-label propagation; the oracle is a recursive CTE).
+    // In-plan training-mix solver: feasible rates for a 3:1 target mix.
+    "q119_mixture_rates" -> { (s, dir) =>
+      Sampling.mixtureRates(TestData.documents(s, dir), Seq("src0" -> 3))
+        .orderBy("source")
+    },
+    // PMI-ranked adjacent-bigram collocations (log-free lift score).
+    "q117_collocations" -> { (s, dir) =>
+      TextAnalysis.collocations(TestData.documents(s, dir))
+    },
+    // Quality-aware canonical pick: best doc per near-dup cluster.
+    "q118_canonical_pick" -> { (s, dir) =>
+      Dedup.canonicalByQuality(TestData.documents(s, dir)).orderBy("cluster_id")
+    },
     "q59_dedup_clusters" -> { (s, dir) =>
       Dedup.dedupClusters(TestData.documents(s, dir)).orderBy("doc_id")
     },
@@ -1242,6 +1255,17 @@ object SparkEntry {
     "q43_lsh_candidates" ->
       s"""WITH ${Dedup.lshCandidatesSql()}
           SELECT doc_a, doc_b, n_shared_bands FROM lsh_pairs ORDER BY doc_a, doc_b""",
+
+    "q117_collocations" -> TextAnalysis.collocationsSql(),
+
+    "q119_mixture_rates" ->
+      s"""${Sampling.mixtureRatesSql(Seq("src0" -> 3))}
+          ORDER BY source""",
+
+    "q118_canonical_pick" ->
+      s"""WITH RECURSIVE ${Dedup.canonicalByQualitySql()}
+          SELECT cluster_id, n_members, canonical_id, best_n_chars
+          FROM canonical ORDER BY cluster_id""",
 
     "q59_dedup_clusters" ->
       s"""WITH RECURSIVE ${Dedup.dedupClustersSql()}

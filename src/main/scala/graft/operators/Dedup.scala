@@ -414,6 +414,42 @@ object Dedup {
        |         CAST(v = MIN(u) AS INT) AS is_survivor
        |  FROM reach GROUP BY v)""".stripMargin
 
+  /** Quality-aware canonical selection: one representative per near-dup
+    * cluster, chosen by QUALITY (longest text here, standing in for a
+    * learned scorer) instead of the arbitrary min-id — keeping the best
+    * copy of a duplicated page, not a random one, is what a curation
+    * pipeline actually wants. Singleton documents are their own cluster.
+    * The argmax is a `min_by` on a total-order struct (quality desc, id
+    * asc) — partial-aggregatable, no per-cluster sort, no window.
+    */
+  def canonicalByQuality(docs: DataFrame): DataFrame = {
+    val clusters = dedupClusters(docs).select("doc_id", "cluster_id")
+    docs.select("doc_id", "n_chars")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"), col("n_chars"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min_by(col("doc_id"), struct(negate(col("n_chars")), col("doc_id")))
+          .as("canonical_id"),
+        max(col("n_chars")).as("best_n_chars"))
+  }
+
+  /** DuckDB twin of [[canonicalByQuality]] — arg-min via ROW_NUMBER over
+    * the same total order. Must be opened with `WITH RECURSIVE` (the
+    * cluster CTE chain is recursive).
+    */
+  def canonicalByQualitySql(): String =
+    s"""${dedupClustersSql()},
+       |canon_in AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+       |  FROM documents d LEFT JOIN dedup_clusters c ON d.doc_id = c.doc_id),
+       |canonical AS (
+       |  SELECT cluster_id, COUNT(*) AS n_members,
+       |         FIRST(doc_id ORDER BY n_chars DESC, doc_id) AS canonical_id,
+       |         MAX(n_chars) AS best_n_chars
+       |  FROM canon_in GROUP BY cluster_id)""".stripMargin
+
   /** Word n-gram shingles, distinct per document. Memoized per (session,
     * plan, n): the jaccard, minhash, and LSH queries all start from the
     * same shingle set — materialize it once per session like a shared

@@ -93,6 +93,52 @@ object Sampling {
        |WHERE ${coinSql("doc_id")} < ($pctExpr)""".stripMargin
   }
 
+  /** Training-mix arithmetic, in-plan: given target mixture WEIGHTS per
+    * source (relative shares, integers), compute the per-source sampling
+    * RATE that realizes the largest mix the corpus can supply. The
+    * binding constraint is the scarcest source relative to its share:
+    * with avail_s tokens on hand, the feasible mix size maximizes at
+    * min_s(avail_s / w_s) mix-units, so rate_s = min_ratio · w_s /
+    * avail_s — the argmin source samples at exactly 1.0 and everything
+    * else downsamples proportionally. Runs as one aggregate over the
+    * corpus plus a broadcast 1-row min — the mixture solver never touches
+    * the driver, so recomputing it per ingestion batch is free.
+    */
+  def mixtureRates(docs: DataFrame, weights: Seq[(String, Int)],
+      defaultW: Int = 1): DataFrame = {
+    requireDistinctStrata(weights)
+    val w = weights.foldLeft(lit(defaultW)) { case (acc, (s, p)) =>
+      when(col("source") === lit(s), lit(p)).otherwise(acc)
+    }
+    val avail = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("avail"))
+      .withColumn("w", w)
+    val minR = avail.agg(min(col("avail").cast("double") / col("w")).as("min_ratio"))
+    avail.crossJoin(broadcast(minR))
+      .select(col("source"), col("avail"), col("w"),
+        ((col("min_ratio") * col("w")) / col("avail").cast("double")).as("rate"))
+  }
+
+  /** DuckDB twin of [[mixtureRates]] — same integer weights, same
+    * expression shapes (division results are correctly rounded doubles of
+    * exact integer inputs, so the two engines agree bit-for-bit).
+    */
+  def mixtureRatesSql(weights: Seq[(String, Int)], defaultW: Int = 1): String = {
+    requireDistinctStrata(weights)
+    def esc(s: String) = s.replace("'", "''")
+    val wExpr = weights
+      .map { case (s, p) => s"WHEN source = '${esc(s)}' THEN $p" }
+      .mkString("CASE ", " ", s" ELSE $defaultW END")
+    s"""WITH avail AS (
+       |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+       |  FROM documents GROUP BY source),
+       |aw AS (SELECT source, avail, CAST($wExpr AS INT) AS w FROM avail),
+       |mr AS (SELECT MIN(CAST(avail AS DOUBLE) / w) AS min_ratio FROM aw)
+       |SELECT source, avail, w, (min_ratio * w) / CAST(avail AS DOUBLE) AS rate
+       |FROM aw, mr""".stripMargin
+  }
+
   /** Deterministic weighted sampling without replacement, k per stratum —
     * the integer A-Res scheme (Efraimidis & Spirakis 2006, priority
     * u^(1/w), taken in rank-equivalent integer form u/w: a row with twice

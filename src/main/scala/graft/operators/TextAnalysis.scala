@@ -269,6 +269,56 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Statistical collocation mining: adjacent word bigrams ranked by
+    * LIFT = P(a,b) / (P(a)·P(b)) — the log-free core of PMI (same
+    * ranking; PMI = log2(lift), and logs are the one libm surface whose
+    * last ulp the two engines need not share, so the score stays a single
+    * exact-integer-ratio division). Bigram fan-out is linear in corpus
+    * tokens; the unigram join keys are tokens (bounded vocabulary), and
+    * the total-token count rides a broadcast 1-row aggregate. `minPair`
+    * keeps one-off typo pairs from topping the lift ranking.
+    */
+  def collocations(docs: DataFrame, k: Int = 20, minPair: Long = 5): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val n = uni.agg(sum("cnt").cast("long").as("n_tokens"))
+    val pc = toks.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS a, ts[i + 1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minPair)
+    pc.join(uni.select(col("t").as("a"), col("cnt").as("a_n")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("cnt").as("b_n")), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("pair_n"), col("a_n"), col("b_n"),
+        ((col("pair_n") * col("n_tokens")).cast("double")
+          / (col("a_n") * col("b_n")).cast("double")).as("lift"))
+      .orderBy(desc("lift"), asc("a"), asc("b"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[collocations]] (list indexing is 1-based there). */
+  def collocationsSql(k: Int = 20, minPair: Long = 5): String =
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+       |uni AS (SELECT t, COUNT(*) AS cnt
+       |        FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t),
+       |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM uni),
+       |pc AS (
+       |  SELECT a, b, COUNT(*) AS pair_n
+       |  FROM (SELECT ts[i] AS a, ts[i + 1] AS b
+       |        FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       |              FROM toks WHERE len(ts) >= 2) z)
+       |  GROUP BY a, b HAVING COUNT(*) >= $minPair)
+       |SELECT a, b, pair_n, a_n, b_n,
+       |       CAST(pair_n * n_tokens AS DOUBLE) / CAST(a_n * b_n AS DOUBLE) AS lift
+       |FROM pc
+       |JOIN (SELECT t AS a, cnt AS a_n FROM uni) ua USING (a)
+       |JOIN (SELECT t AS b, cnt AS b_n FROM uni) ub USING (b), n
+       |ORDER BY lift DESC, a, b
+       |LIMIT $k""".stripMargin
+
   /** DuckDB twin of [[bpePairs]]. */
   def bpePairsSql(k: Int = 20): String =
     s"""SELECT pair, COUNT(*) AS freq

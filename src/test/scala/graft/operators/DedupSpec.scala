@@ -127,4 +127,28 @@ class DedupSpec extends SparkSpec {
     assert(Seq(3L, 4L).forall(res(_)._1 == 3L))
     assert(res.collect { case (id, (_, 1)) => id }.toSet == Set(0L, 3L))
   }
+
+  test("canonicalByQuality picks the LONGEST cluster member, not the min id") {
+    // 0,1,2 near-identical but 1 is longer (higher quality stand-in);
+    // 5 is a singleton cluster of itself
+    val c = docs(
+      0L -> "the quick brown fox jumps over the lazy dog today",
+      1L -> "the quick brown fox jumps over the lazy dog today extra",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      5L -> "unique text with nothing shared among any other corpus member")
+    val r = Dedup.canonicalByQuality(c)
+      .select("cluster_id", "n_members", "canonical_id")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(0L) == ((3L, 1L)), "longest member (id 1) must be canonical")
+    assert(r(5L) == ((1L, 5L)), "singleton is its own canonical")
+  }
+
+  test("canonicalByQuality ties break to the smaller doc id") {
+    val c = docs(
+      0L -> "the quick brown fox jumps over the lazy dog today",
+      1L -> "the quick brown fox jumps over the lazy dog today")
+    val r = Dedup.canonicalByQuality(c)
+      .select("canonical_id").as[Long].collect()
+    assert(r.toSeq == Seq(0L))
+  }
 }

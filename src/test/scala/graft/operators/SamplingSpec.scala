@@ -93,6 +93,28 @@ class SamplingSpec extends SparkSpec {
     assert(picked.toSeq == Seq(999L))
   }
 
+  test("mixtureRates: scarcest-relative-to-share source rates 1.0, others scale") {
+    // srcA: 2 docs x 4 tokens = 8; srcB: 1 doc x 4 tokens = 4.
+    // weights A:1 B:1 → B is binding (4/1 < 8/1): rate_B = 1.0, rate_A = 0.5
+    val d = Seq(
+      (1L, "w w w w", "srcA"), (2L, "w w w w", "srcA"), (3L, "w w w w", "srcB"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+    val r = Sampling.mixtureRates(d, Seq.empty)
+      .select("source", "rate").as[(String, Double)].collect().toMap
+    assert(r("srcB") == 1.0 && r("srcA") == 0.5)
+    // demand A at 4x B's share: A becomes binding (8/4 = 2 < 4/1), so A
+    // rates 1.0 and B downsamples to 2·1/4 = 0.5
+    val r2 = Sampling.mixtureRates(d, Seq("srcA" -> 4))
+      .select("source", "rate").as[(String, Double)].collect().toMap
+    assert(r2("srcA") == 1.0 && r2("srcB") == 0.5)
+    // B at 2x A's share: B binds harder (4/2 = 2 < 8/1), A keeps only 1/4
+    val r3 = Sampling.mixtureRates(d, Seq("srcB" -> 2))
+      .select("source", "rate").as[(String, Double)].collect().toMap
+    assert(r3("srcB") == 1.0 && r3("srcA") == 0.25)
+  }
+
   test("weightedSample: zero/negative prices clamp to weight 1, never crash") {
     val o = ordersDf((1L, "P", 0.0), (2L, "P", -5.0), (3L, "P", 10.0))
     val r = Sampling.weightedSample(o, k = 3)

@@ -30,6 +30,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top.toSeq == Seq(("xy", 1L)))
   }
 
+  test("collocations rank an always-together pair above an independent one") {
+    // "new york" always adjacent (lift = N/(cnt_a*cnt_b) high); "the cat"
+    // also co-occurs but 'the' appears everywhere → low lift
+    val d = docs(
+      (1L, "new york the cat the dog the fish"),
+      (2L, "new york the cat the bird the cow"),
+      (3L, "new york the dog the cow the fish"),
+      (4L, "new york the bird the fish the cow"),
+      (5L, "new york the cow the cat the dog"))
+    val r = TextAnalysis.collocations(d, k = 5, minPair = 5)
+      .select("a", "b").as[(String, String)].collect()
+    assert(r.head == ("new", "york"))
+  }
+
+  test("collocations: pairs below minPair support are cut") {
+    val d = docs((1L, "a b a b a b"), (2L, "c d"))
+    val r = TextAnalysis.collocations(d, k = 10, minPair = 3)
+      .select("a", "b").as[(String, String)].collect().toSet
+    assert(!r.contains(("c", "d")))
+    // "a b" appears 3x in doc 1 (positions 0-1, 2-3, 4-5)
+    assert(r.contains(("a", "b")))
+  }
+
   test("fingerprint is row-order and partition independent") {
     val a = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
     val shuffled = a.orderBy(rand(7)).repartition(7)
