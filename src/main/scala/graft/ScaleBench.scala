@@ -83,21 +83,40 @@ object ScaleBench {
     }
 
     // a failed query must NOT masquerade as a plausible timing — record
-    // the failure so the scaling artifact can't silently report success
-    def time(dir: String): Seq[(String, (Double, Boolean))] = measured.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, dir).count(); true }
-        catch { case _: Throwable => false }
-      name -> ((System.nanoTime() - t0) / 1e9, ok)
+    // the failure so the scaling artifact can't silently report success.
+    //
+    // COLD vs WARM, separated: the first run of whichever query touches a
+    // corpus first pays the shared shingle/index materialization for the
+    // whole tier — in a single-run harness that cost lands on an
+    // arbitrary query and the per-query "ratios" become a lottery
+    // (observed swings: the same query 15×..120× between identical-code
+    // runs). So each query runs 3×: `cold` = first run (materialization
+    // included, attributed honestly to whoever paid it), `warm` = median
+    // of the remaining runs (steady-state per-query work). The scale
+    // RATIO compares warm against warm — that is the per-query claim the
+    // design makes; the cold columns document the one-time build cost.
+    def time(dir: String): Seq[(String, (Double, Double, Boolean))] = measured.map { name =>
+      val runs = Seq.fill(3) {
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, dir).count(); true }
+          catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      // min, not median: this box shows multi-second noise excursions
+      // under sustained load, and noise is strictly additive — the MIN of
+      // the post-cold runs is the cleanest steady-state observable
+      val warm = runs.tail.map(_._1).min
+      name -> ((runs.head._1, warm, runs.forall(_._2)))
     }
 
     val at1x = time(base).toMap
     val at10x = time(scaledDir).toMap
     val entries = measured.map { name =>
-      val ((s1, ok1), (s10, ok10)) = (at1x(name), at10x(name))
+      val ((c1, s1, ok1), (c10, s10, ok10)) = (at1x(name), at10x(name))
       if (ok1 && ok10) {
         val r = s10 / math.max(s1, 1e-9)
-        f""""$name":{"x1_sec":$s1%.3f,"x$copies%d_sec":$s10%.3f,"ratio":$r%.2f}"""
+        f""""$name":{"x1_cold_sec":$c1%.3f,"x1_sec":$s1%.3f,""" +
+          f""""x$copies%d_cold_sec":$c10%.3f,"x$copies%d_sec":$s10%.3f,"ratio":$r%.2f}"""
       } else
         s""""$name":{"failed":true,"x1_ok":$ok1,"x${copies}_ok":$ok10}"""
     }

@@ -477,6 +477,14 @@ object SparkEntry {
     "q117_collocations" -> { (s, dir) =>
       TextAnalysis.collocations(TestData.documents(s, dir))
     },
+    // Novelty curve: share of a doc's shingles no earlier doc contributed.
+    "q120_ngram_novelty" -> { (s, dir) =>
+      Dedup.ngramNovelty(TestData.documents(s, dir)).orderBy("doc_id")
+    },
+    // Per-source n-gram type/token diversity.
+    "q121_source_diversity" -> { (s, dir) =>
+      TextAnalysis.sourceDiversity(TestData.documents(s, dir)).orderBy("source")
+    },
     // Quality-aware canonical pick: best doc per near-dup cluster.
     "q118_canonical_pick" -> { (s, dir) =>
       Dedup.canonicalByQuality(TestData.documents(s, dir)).orderBy("cluster_id")
@@ -1257,6 +1265,15 @@ object SparkEntry {
           SELECT doc_a, doc_b, n_shared_bands FROM lsh_pairs ORDER BY doc_a, doc_b""",
 
     "q117_collocations" -> TextAnalysis.collocationsSql(),
+
+    "q120_ngram_novelty" ->
+      s"""WITH ${Dedup.ngramNoveltySql()}
+          SELECT doc_id, n_shingles, novel, novelty FROM novelty ORDER BY doc_id""",
+
+    "q121_source_diversity" ->
+      s"""WITH ${TextAnalysis.sourceDiversitySql()}
+          SELECT source, distinct_ngrams, total_postings, n_docs, diversity
+          FROM src_div ORDER BY source""",
 
     "q119_mixture_rates" ->
       s"""${Sampling.mixtureRatesSql(Seq("src0" -> 3))}

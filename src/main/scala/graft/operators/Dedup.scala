@@ -414,6 +414,37 @@ object Dedup {
        |         CAST(v = MIN(u) AS INT) AS is_survivor
        |  FROM reach GROUP BY v)""".stripMargin
 
+  /** Content novelty by ingestion order: the fraction of a document's
+    * n-gram shingles that NO earlier document (smaller doc_id, standing in
+    * for crawl order) already contributed. The novelty curve is how a
+    * crawl pipeline decides when a source is mined out — new pages stop
+    * adding new n-grams long before they stop adding bytes. One aggregate
+    * over the shared shingle frame (min doc per shingle ≡ "first seen"),
+    * joined back shingle-wise: O(postings), no doc×doc comparison.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n)
+    val firstSeen = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    sh.join(firstSeen, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+      .withColumn("novelty",
+        col("novel").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** DuckDB twin of [[ngramNovelty]]. */
+  def ngramNoveltySql(n: Int = 3): String =
+    s"""${shinglesSql(n)},
+       |first_seen AS (SELECT sh, MIN(doc_id) AS first_doc FROM shingles GROUP BY sh),
+       |novelty AS (
+       |  SELECT doc_id, COUNT(*) AS n_shingles,
+       |         CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+       |         CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |           / CAST(COUNT(*) AS DOUBLE) AS novelty
+       |  FROM shingles JOIN first_seen USING (sh)
+       |  GROUP BY doc_id)""".stripMargin
+
   /** Quality-aware canonical selection: one representative per near-dup
     * cluster, chosen by QUALITY (longest text here, standing in for a
     * learned scorer) instead of the arbitrary min-id — keeping the best

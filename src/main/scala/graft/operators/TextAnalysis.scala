@@ -269,6 +269,36 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-source n-gram diversity — the type/token ratio at shingle level:
+    * distinct n-grams over total per-doc-distinct postings. A boilerplate
+    * mill (same template, thousands of pages) scores near 0; genuinely
+    * varied text approaches 1 — the cheap corpus-level complement to the
+    * per-document repetition rule (q91). Cost: one pass over the shared
+    * shingle frame plus a count-distinct shuffle on (source, sh).
+    */
+  def sourceDiversity(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(docs, n)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    sh.groupBy("source")
+      .agg(countDistinct(col("sh")).as("distinct_ngrams"),
+        count(lit(1)).as("total_postings"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("diversity",
+        col("distinct_ngrams").cast("double") / col("total_postings").cast("double"))
+  }
+
+  /** DuckDB twin of [[sourceDiversity]]. */
+  def sourceDiversitySql(n: Int = 3): String =
+    s"""${graft.operators.Dedup.shinglesSql(n)},
+       |src_div AS (
+       |  SELECT source,
+       |         CAST(COUNT(DISTINCT sh) AS BIGINT) AS distinct_ngrams,
+       |         COUNT(*) AS total_postings,
+       |         CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+       |         CAST(COUNT(DISTINCT sh) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS diversity
+       |  FROM shingles s JOIN documents d ON s.doc_id = d.doc_id
+       |  GROUP BY source)""".stripMargin
+
   /** Statistical collocation mining: adjacent word bigrams ranked by
     * LIFT = P(a,b) / (P(a)·P(b)) — the log-free core of PMI (same
     * ranking; PMI = log2(lift), and logs are the one libm surface whose

@@ -128,6 +128,19 @@ class DedupSpec extends SparkSpec {
     assert(res.collect { case (id, (_, 1)) => id }.toSet == Set(0L, 3L))
   }
 
+  test("ngramNovelty: dup scores 0, partially-new doc scores its new fraction") {
+    val c = docs(
+      0L -> "a b c d",          // shingles: "a b c", "b c d" — all first
+      1L -> "a b c d",          // exact dup → nothing novel
+      2L -> "a b c x y z")      // 4 shingles, "a b c" already seen → 3/4
+    val r = Dedup.ngramNovelty(c)
+      .select("doc_id", "n_shingles", "novel")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(0L) == ((2L, 2L)))
+    assert(r(1L) == ((2L, 0L)))
+    assert(r(2L) == ((4L, 3L)))
+  }
+
   test("canonicalByQuality picks the LONGEST cluster member, not the min id") {
     // 0,1,2 near-identical but 1 is longer (higher quality stand-in);
     // 5 is a singleton cluster of itself

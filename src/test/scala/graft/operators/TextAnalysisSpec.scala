@@ -53,6 +53,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.contains(("a", "b")))
   }
 
+  test("sourceDiversity: boilerplate source scores far below a varied one") {
+    val rows = (1 to 10).map(i => (i.toLong, "same old template text here", "mill")) ++
+      (11 to 20).map(i => (i.toLong, s"unique words number $i in this document", "varied"))
+    val d = rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+    val r = TextAnalysis.sourceDiversity(d)
+      .select("source", "diversity").as[(String, Double)].collect().toMap
+    // mill: 10 docs share the same 3 trigrams → 3/30 = 0.1
+    assert(math.abs(r("mill") - 0.1) < 1e-9)
+    assert(r("varied") > 0.5)
+  }
+
   test("fingerprint is row-order and partition independent") {
     val a = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
     val shuffled = a.orderBy(rand(7)).repartition(7)
