@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
-import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Funnel, Multimodal, Packing, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, TextAnalysis, WarehouseSink, ZOrder}
+import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Funnel, Graph, Multimodal, Packing, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, TextAnalysis, WarehouseSink, ZOrder}
 import graft.oracle.BankOracle
 import graft.sources.{BankAdapter, CsvSource, TestData}
 import graft.streaming.EventStream
@@ -488,6 +488,22 @@ object SparkEntry {
     // Quality-aware canonical pick: best doc per near-dup cluster.
     "q118_canonical_pick" -> { (s, dir) =>
       Dedup.canonicalByQuality(TestData.documents(s, dir)).orderBy("cluster_id")
+    },
+    // Fixed-point PageRank over the LSH candidate graph (exact BIGINT).
+    "q122_pagerank" -> { (s, dir) =>
+      Graph.pagerank(TestData.documents(s, dir)).orderBy("doc_id")
+    },
+    // First-touch channel attribution with cent-exact revenue.
+    "q123_attribution" -> { (s, dir) =>
+      Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
+    },
+    // Kneser-Ney continuation/fertility counts (LM training statistics).
+    "q124_kn_continuation" -> { (s, dir) =>
+      TextAnalysis.knContinuation(TestData.documents(s, dir))
+    },
+    // Hashing-trick linear classifier margin (model-inference shape).
+    "q125_classifier_margin" -> { (s, dir) =>
+      TextAnalysis.classifierMargin(TestData.documents(s, dir)).orderBy("doc_id")
     },
     "q59_dedup_clusters" -> { (s, dir) =>
       Dedup.dedupClusters(TestData.documents(s, dir)).orderBy("doc_id")
@@ -1265,6 +1281,23 @@ object SparkEntry {
           SELECT doc_a, doc_b, n_shared_bands FROM lsh_pairs ORDER BY doc_a, doc_b""",
 
     "q117_collocations" -> TextAnalysis.collocationsSql(),
+
+    "q122_pagerank" ->
+      s"""WITH ${Graph.pagerankSql()}
+          SELECT doc_id, rank_fp, score FROM pagerank ORDER BY doc_id""",
+
+    "q123_attribution" ->
+      s"""${Funnel.attributionSql()}
+          ORDER BY channel""",
+
+    "q124_kn_continuation" ->
+      s"""WITH ${TextAnalysis.knContinuationSql()}
+          SELECT word, cnt, continuations, fertility FROM kn_stats
+          ORDER BY continuations DESC, word""",
+
+    "q125_classifier_margin" ->
+      s"""WITH ${TextAnalysis.classifierMarginSql()}
+          SELECT doc_id, n_tokens, margin, keep FROM clf_margin ORDER BY doc_id""",
 
     "q120_ngram_novelty" ->
       s"""WITH ${Dedup.ngramNoveltySql()}

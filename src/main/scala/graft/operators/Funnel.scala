@@ -99,6 +99,55 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** First-touch channel attribution: each user's acquisition channel is
+    * the `event_type` of their earliest event (total order: (ms, event_id)
+    * — event ids are unique, so min_by is deterministic), and every dollar
+    * of their `purchase` spend attributes to that channel. Emits one row
+    * per channel: (channel, n_users, n_buyers, revenue).
+    *
+    * Scale shape: two aggregates hash-partitioned on `user_id` (the join
+    * between them reuses the exchange), then a channel-cardinality
+    * aggregate. The first-touch pick is a `min_by` AGGREGATE, not a
+    * row_number window — no per-user sort materializes. Money runs on the
+    * exact cent grid ([[graft.functions.OracleSafe.money]]).
+    */
+  def attribution(events: DataFrame, purchase: String = "purchase"): DataFrame = {
+    val ms = events.withColumn("ms", msCol)
+    val first = ms.groupBy("user_id")
+      .agg(min_by(col("event_type"), struct(col("ms"), col("event_id")))
+        .as("channel"))
+    val spend = ms.filter(col("event_type") === lit(purchase))
+      .groupBy("user_id")
+      .agg(sum(OracleSafe.money(col("value"))).cast("decimal(18,2)").as("rev"))
+    first.join(spend, Seq("user_id"), "left")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_users"),
+        count(col("rev")).as("n_buyers"),
+        OracleSafe.moneyOut(coalesce(sum(col("rev")).cast("decimal(18,2)"),
+          lit(0).cast("decimal(18,2)"))).as("revenue"))
+  }
+
+  /** DuckDB twin of [[attribution]] — row_number picks the same
+    * (ms, event_id)-minimal event the engine's min_by struct does.
+    */
+  def attributionSql(purchase: String = "purchase"): String = {
+    val p = purchase.replace("'", "''")
+    s"""WITH first_touch AS (
+       |  SELECT user_id, event_type AS channel
+       |  FROM (SELECT user_id, event_type,
+       |               ROW_NUMBER() OVER (PARTITION BY user_id
+       |                                  ORDER BY epoch_ms(ts), event_id) AS rn
+       |        FROM events) r WHERE rn = 1),
+       |spend AS (
+       |  SELECT user_id, CAST(SUM(${OracleSafe.moneySql("value")}) AS DECIMAL(18,2)) AS rev
+       |  FROM events WHERE event_type = '$p' GROUP BY user_id)
+       |SELECT channel, COUNT(*) AS n_users, COUNT(s.rev) AS n_buyers,
+       |       ${OracleSafe.moneyOutSql(
+                  "COALESCE(CAST(SUM(s.rev) AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2)))")} AS revenue
+       |FROM first_touch f LEFT JOIN spend s USING (user_id)
+       |GROUP BY channel""".stripMargin
+  }
+
   /** DuckDB twin of [[retention]]. `count(*)` equals Spark's
     * `count(user_id)` here because the (user, week) frame is distinct
     * before the join.

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.OracleSafe.{intDiv, intDivSql}
+
+/** Iterative graph analytics over the document near-dup candidate graph —
+  * the natural next step after connected components ([[Dedup.dedupClusters]]):
+  * PageRank identifies the CENTER of each near-dup family (the doc most
+  * linked by candidate pairs), which is a better canonical-pick signal than
+  * min-id when clusters are large.
+  *
+  * Exactness: classic PageRank is float iteration, and float accumulation
+  * order differs between engines — so this runs the whole recurrence in
+  * '''fixed-point BIGINT''' (scale 10¹²) with floor division at every step
+  * ([[graft.functions.OracleSafe.intDiv]]). Both engines compute the
+  * identical integers; the cosmetic `score` double is derived once at the
+  * boundary from an exactly-representable BIGINT (< 2⁵³).
+  *
+  * Scale shape: `iters` shuffle rounds over the degree-annotated edge list
+  * (cached once), each a co-partitioned join + map-side-combinable sum —
+  * the same O(iters · |E|) profile as label propagation, with nothing
+  * data-sized on the driver or broadcast. The vertex-count normalizer
+  * rides a broadcast 1-row aggregate, so damping constants are derived
+  * from the corpus '''in-plan''' and hold at any n.
+  */
+object Graph {
+
+  /** Fixed-point scale: ranks are integers in units of 10⁻¹². */
+  val Scale = 1000000000000L
+
+  /** PageRank (damping 0.85, `iters` unrolled rounds) over the symmetric
+    * LSH candidate graph from [[Dedup.lshCandidates]]. Emits one row per
+    * vertex that appears in any candidate pair:
+    * (doc_id, rank_fp BIGINT fixed-point, score DOUBLE = rank_fp/10¹²).
+    *
+    * The recurrence both engines run, all-integer:
+    * {{{
+    *   init    = Scale div N
+    *   base    = (15 * init) div 100
+    *   r₀(v)   = init
+    *   rᵢ₊₁(v) = base + (85 * Σ_{u→v} (rᵢ(u) div deg(u))) div 100
+    * }}}
+    * The symmetric edge list guarantees no dangling vertices, so mass only
+    * leaks through deterministic flooring — identically in both engines.
+    */
+  def pagerank(docs: DataFrame, iters: Int = 5,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    require(iters >= 1, s"pagerank needs at least one iteration, got $iters")
+    val pairs = Dedup.lshCandidates(docs, numHashes, rowsPerBand)
+      .select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (src, dst, deg) — re-read every round, so compute the banding once
+    val edgesW = edges.join(deg, Seq("src")).cache()
+    val nV = deg.agg(count(lit(1)).as("n_v"))
+    val init = intDiv(lit(Scale), col("n_v"))
+    val base = intDiv(lit(15L) * init, lit(100L))
+    val pr0 = deg.crossJoin(broadcast(nV))
+      .select(col("src").as("v"), init.as("r"))
+    val prK = (1 to iters).foldLeft(pr0) { (pr, _) =>
+      edgesW.join(pr.withColumnRenamed("v", "src"), Seq("src"))
+        .groupBy(col("dst").as("v"))
+        .agg(sum(intDiv(col("r"), col("deg"))).as("contrib"))
+        .crossJoin(broadcast(nV))
+        .select(col("v"),
+          (base + intDiv(lit(85L) * col("contrib"), lit(100L))).as("r"))
+    }
+    prK.select(col("v").as("doc_id"), col("r").as("rank_fp"),
+      (col("r").cast("double") / lit(Scale.toDouble)).as("score"))
+  }
+
+  /** DuckDB twin of [[pagerank]] — the same unrolled rounds as chained
+    * CTEs; embed after `WITH ` and select from `pagerank`.
+    */
+  def pagerankSql(iters: Int = 5,
+      numHashes: Int = 16, rowsPerBand: Int = 4): String = {
+    require(iters >= 1, s"pagerank needs at least one iteration, got $iters")
+    val initSql = intDivSql(Scale.toString, "n_v")
+    val baseSql = intDivSql(s"15 * $initSql", "100")
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT v, CAST($baseSql + ${intDivSql("85 * contrib", "100")} AS BIGINT) AS r
+         |  FROM (SELECT e.dst AS v, CAST(SUM(${intDivSql("p.r", "e.deg")}) AS BIGINT) AS contrib
+         |        FROM pr_edges_w e JOIN pr${i - 1} p ON e.src = p.v
+         |        GROUP BY e.dst), pr_nv)""".stripMargin
+    }.mkString(",\n")
+    s"""${Dedup.lshCandidatesSql(numHashes, rowsPerBand)},
+       |pr_edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs),
+       |pr_deg AS (SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY src),
+       |pr_edges_w AS (
+       |  SELECT e.src, e.dst, d.deg FROM pr_edges e JOIN pr_deg d ON e.src = d.src),
+       |pr_nv AS (SELECT COUNT(*) AS n_v FROM pr_deg),
+       |pr0 AS (SELECT src AS v, CAST($initSql AS BIGINT) AS r FROM pr_deg, pr_nv),
+       |$rounds,
+       |pagerank AS (
+       |  SELECT v AS doc_id, r AS rank_fp, CAST(r AS DOUBLE) / 1e12 AS score
+       |  FROM pr$iters)""".stripMargin
+  }
+}

@@ -349,6 +349,96 @@ object TextAnalysis {
        |ORDER BY lift DESC, a, b
        |LIMIT $k""".stripMargin
 
+  /** Kneser–Ney continuation statistics — the integer counts a KN-smoothed
+    * n-gram LM trains on: for each word w, `continuations` = N₁₊(•w)
+    * (distinct left contexts w completes) and `fertility` = N₁₊(w•)
+    * (distinct right contexts w opens), plus the raw unigram count. Top-k
+    * by continuation count (the KN unigram numerator), word tie-break.
+    *
+    * Scale shape: bigram fan-out is linear in corpus tokens; the DISTINCT
+    * collapses to bigram TYPES (bounded by vocab², in practice ≪ tokens)
+    * before the per-word aggregates, and all joins key on single words —
+    * bounded-vocabulary keys, no doc-sized state anywhere.
+    */
+  def knContinuation(docs: DataFrame, k: Int = 30): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val types = toks.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS a, ts[i + 1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    val cont = types.groupBy(col("b").as("word"))
+      .agg(count(lit(1)).as("continuations"))
+    val fert = types.groupBy(col("a").as("word"))
+      .agg(count(lit(1)).as("fertility"))
+    uni.join(cont, Seq("word"), "left").join(fert, Seq("word"), "left")
+      .select(col("word"), col("cnt"),
+        coalesce(col("continuations"), lit(0L)).as("continuations"),
+        coalesce(col("fertility"), lit(0L)).as("fertility"))
+      .orderBy(desc("continuations"), asc("word"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[knContinuation]]; embed after `WITH ` and select
+    * from `kn_stats`.
+    */
+  def knContinuationSql(k: Int = 30): String =
+    s"""kn_toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+       |kn_uni AS (SELECT t AS word, COUNT(*) AS cnt
+       |           FROM (SELECT unnest(ts) AS t FROM kn_toks) GROUP BY t),
+       |kn_types AS (
+       |  SELECT DISTINCT a, b
+       |  FROM (SELECT ts[i] AS a, ts[i + 1] AS b
+       |        FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       |              FROM kn_toks WHERE len(ts) >= 2) z) p),
+       |kn_cont AS (SELECT b AS word, COUNT(*) AS continuations FROM kn_types GROUP BY b),
+       |kn_fert AS (SELECT a AS word, COUNT(*) AS fertility FROM kn_types GROUP BY a),
+       |kn_stats AS (
+       |  SELECT word, cnt, COALESCE(continuations, 0) AS continuations,
+       |         COALESCE(fertility, 0) AS fertility
+       |  FROM kn_uni LEFT JOIN kn_cont USING (word) LEFT JOIN kn_fert USING (word)
+       |  ORDER BY continuations DESC, word LIMIT $k)""".stripMargin
+
+  /** Hashing-trick linear quality classifier — the model-INFERENCE shape a
+    * trained fastText-style filter runs at corpus scale: featurize each
+    * token to one of `dim` buckets (48-bit md5, the cross-engine hash
+    * convention), score with a deterministic integer weight table, keep if
+    * the margin is positive. The weights here are a Knuth-multiplicative
+    * stand-in (production broadcasts the trained table; the pipeline shape
+    * — per-token hash → weight lookup → per-doc sum — is identical).
+    *
+    * All-BIGINT: idx < 2¹⁰, idx·2654435761 < 2⁴², per-token weight ∈
+    * [−500, 500], so margins are exact in both engines. Embarrassingly
+    * parallel: one explode + one map-side-combinable sum on `doc_id`;
+    * fully codegen'd, no UDF.
+    */
+  def classifierMargin(docs: DataFrame, dim: Int = 1024): DataFrame = {
+    val idx = conv(substring(md5(col("t")), 1, 12), 16, 10).cast("long") % dim
+    val w = (idx * lit(2654435761L)) % lit(1001L) - lit(500L)
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), w.as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("margin"))
+      .select(col("doc_id"), col("n_tokens"), col("margin"),
+        (col("margin") > 0).cast("int").as("keep"))
+  }
+
+  /** DuckDB twin of [[classifierMargin]]; embed after `WITH ` and select
+    * from `clf_margin`.
+    */
+  def classifierMarginSql(dim: Int = 1024): String =
+    s"""clf_feat AS (
+       |  SELECT doc_id,
+       |         (((('0x' || substring(md5(t), 1, 12))::BIGINT % $dim)
+       |           * 2654435761) % 1001) - 500 AS w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+       |clf_margin AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS margin,
+       |         CASE WHEN SUM(w) > 0 THEN 1 ELSE 0 END AS keep
+       |  FROM clf_feat GROUP BY doc_id)""".stripMargin
+
   /** DuckDB twin of [[bpePairs]]. */
   def bpePairsSql(k: Int = 20): String =
     s"""SELECT pair, COUNT(*) AS freq

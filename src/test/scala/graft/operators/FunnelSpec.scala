@@ -65,6 +65,38 @@ class FunnelSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
   }
 
+  private def evV(rows: (Long, Long, String, Long, Double)*): DataFrame =
+    // (event_id, user_id, event_type, ts_ms, value)
+    rows.toDF("event_id", "user_id", "event_type", "ms", "value")
+      .selectExpr("event_id", "user_id", "event_type",
+        "ms * 1000000 AS ts_ns", "value")
+
+  test("attribution: earliest event picks the channel; spend follows the user") {
+    val e = evV(
+      // user 1: acquired via view; buys 10.50 + 2.25
+      (1L, 1L, "view", 100L, 0.0), (2L, 1L, "purchase", 200L, 10.50),
+      (3L, 1L, "purchase", 300L, 2.25),
+      // user 2: acquired via click; never buys
+      (4L, 2L, "click", 100L, 0.0),
+      // user 3: first event IS a purchase → attributes to 'purchase'
+      (5L, 3L, "purchase", 100L, 5.0))
+    val r = Funnel.attribution(e).orderBy("channel")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      ("click", 1L, 0L, 0.0),
+      ("purchase", 1L, 1L, 5.0),
+      ("view", 1L, 1L, 12.75)))
+  }
+
+  test("attribution: same-ms first events tie-break by event_id") {
+    val e = evV(
+      (2L, 1L, "click", 100L, 0.0), (1L, 1L, "view", 100L, 0.0),
+      (3L, 1L, "purchase", 200L, 1.0))
+    val r = Funnel.attribution(e)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(("view", 1L, 1L, 1.0)))
+  }
+
   test("funnel on real data: monotone non-increasing stage counts") {
     val events = graft.sources.TestData.events(spark, sf)
     val counts = Funnel.funnel(events).orderBy("stage_idx")

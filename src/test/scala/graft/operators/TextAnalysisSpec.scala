@@ -13,6 +13,42 @@ class TextAnalysisSpec extends SparkSpec {
       .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
         "CAST(length(text) AS BIGINT) AS n_chars")
 
+  test("knContinuation counts distinct contexts, not occurrences") {
+    // bigram TYPES: (a,b) (b,c) (a,b) dedups; (b,d); (b,b)
+    val d = docs((1L, "a b c"), (2L, "a b d"), (3L, "b b"))
+    val r = TextAnalysis.knContinuation(d)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // (word, unigram cnt, continuations N1+(.w), fertility N1+(w.))
+    assert(r == Seq(
+      ("b", 4L, 2L, 3L), // contexts {a,b}; opens {b,c,d}
+      ("c", 1L, 1L, 0L), ("d", 1L, 1L, 0L), ("a", 2L, 0L, 1L)))
+  }
+
+  test("classifierMargin matches an independent md5 weight computation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def weight(t: String): Long = {
+      val idx = java.lang.Long.parseLong(md5hex(t).substring(0, 12), 16) % 1024L
+      (idx * 2654435761L) % 1001L - 500L
+    }
+    val d = docs((1L, "alpha"), (2L, "alpha beta gamma"))
+    val r = TextAnalysis.classifierMargin(d).orderBy("doc_id")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val w1 = weight("alpha")
+    val w2 = weight("alpha") + weight("beta") + weight("gamma")
+    assert(r == Seq(
+      (1L, 1L, w1, if (w1 > 0) 1 else 0),
+      (2L, 3L, w2, if (w2 > 0) 1 else 0)))
+  }
+
+  test("classifierMargin margins are bounded by 500 per token") {
+    val d = TextAnalysis.classifierMargin(
+      graft.sources.TestData.documents(spark, sf))
+    val bad = d.filter(abs(col("margin")) > col("n_tokens") * 500).count()
+    assert(bad == 0)
+  }
+
   test("bpePairs counts adjacent pairs inside alpha runs only") {
     // "abab" -> ab, ba, ab ; "ab!cd" -> runs "ab","cd" -> ab, cd
     // (no pair across the punctuation boundary)
