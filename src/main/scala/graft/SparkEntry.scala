@@ -493,6 +493,19 @@ object SparkEntry {
     "q122_pagerank" -> { (s, dir) =>
       Graph.pagerank(TestData.documents(s, dir)).orderBy("doc_id")
     },
+    // First-order Markov transition matrix over per-user event sequences.
+    "q126_markov_transitions" -> { (s, dir) =>
+      Events.markovTransitions(TestData.events(s, dir))
+        .orderBy("prev_type", "next_type")
+    },
+    // Exact median + MAD per event type (robust location/scale).
+    "q127_robust_spread" -> { (s, dir) =>
+      Profile.robustSpread(TestData.events(s, dir)).orderBy("event_type")
+    },
+    // Overlapping sliding-window chunking of long docs (narrow-only plan).
+    "q128_chunk_docs" -> { (s, dir) =>
+      Packing.chunkDocs(TestData.documents(s, dir)).orderBy("doc_id", "chunk_idx")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -1285,6 +1298,19 @@ object SparkEntry {
     "q122_pagerank" ->
       s"""WITH ${Graph.pagerankSql()}
           SELECT doc_id, rank_fp, score FROM pagerank ORDER BY doc_id""",
+
+    "q126_markov_transitions" ->
+      s"""${Events.markovTransitionsSql}
+          ORDER BY prev_type, next_type""",
+
+    "q127_robust_spread" ->
+      s"""WITH ${Profile.robustSpreadSql}
+          SELECT event_type, median, mad FROM robust_spread ORDER BY event_type""",
+
+    "q128_chunk_docs" ->
+      s"""WITH ${Packing.chunkDocsSql()}
+          SELECT doc_id, chunk_idx, start_tok, chunk_tokens, chunk_fp
+          FROM chunks ORDER BY doc_id, chunk_idx""",
 
     "q123_attribution" ->
       s"""${Funnel.attributionSql()}

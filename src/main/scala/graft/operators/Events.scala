@@ -142,6 +142,46 @@ object Events {
       .orderBy("tier")
   }
 
+  /** First-order Markov transition matrix over each user's event sequence
+    * — the behavioral model behind next-event prediction and anomaly
+    * scoring. For every observed (prev_type → next_type) transition:
+    * its count and P(next|prev) as the exact integer ratio n / n_prev
+    * (single double division of exact BIGINTs — no float accumulation).
+    *
+    * Scale shape: one lag window partitioned by `user_id` (each user's
+    * sequence sorts independently — partition-parallel, no global sort),
+    * then a type²-cardinality aggregate. The conditional denominator is a
+    * window sum over `prev_type` on the ALREADY-aggregated type² frame —
+    * negligible next to the event scan.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val trans = events.withColumn("ms", msCol)
+      .select(col("user_id"), col("ms"), col("event_id"),
+        col("event_type").as("next_type"))
+      .withColumn("prev_type", lag("next_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy("prev_type")
+    trans.withColumn("p",
+        col("n").cast("double") / sum("n").over(byPrev).cast("double"))
+      .select("prev_type", "next_type", "n", "p")
+  }
+
+  /** DuckDB twin of [[markovTransitions]]. */
+  val markovTransitionsSql: String =
+    """SELECT prev_type, next_type, n,
+      |       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+      |FROM (
+      |  SELECT prev_type, next_type, COUNT(*) AS n
+      |  FROM (SELECT event_type AS next_type,
+      |               LAG(event_type, 1) OVER (PARTITION BY user_id
+      |                                        ORDER BY epoch_ms(ts), event_id) AS prev_type
+      |        FROM events) t
+      |  WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, next_type) c""".stripMargin
+
   val tierTotalsSql: String = {
     val rows = valueTiers
       .map { case (t, lo, hi) => s"('$t', CAST($lo AS DOUBLE), CAST($hi AS DOUBLE))" }

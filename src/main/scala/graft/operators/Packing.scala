@@ -39,6 +39,54 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
   }
 
+  /** Sliding-window document chunking — the complement of [[packSequences]]:
+    * packing concatenates SHORT docs up to the context budget; chunking
+    * splits LONG docs into overlapping `window`-token pieces on a `stride`
+    * (overlap = window − stride keeps boundary context in both chunks, the
+    * standard long-document prep for fixed-context training). Emits
+    * (doc_id, chunk_idx, start_tok, chunk_tokens, chunk_fp) — the
+    * fingerprint (48-bit md5 of the chunk text, the cross-engine hash
+    * convention) stands in for shipping chunk text through the compare.
+    *
+    * Scale shape: pure per-row explode — ceil(n/stride) chunks per doc,
+    * linear in corpus tokens, no shuffle at all (narrow-only plan; the
+    * chunker runs at scan speed and parallelizes with input splits).
+    */
+  def chunkDocs(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n_toks", size(col("ts")).cast("long"))
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(0L, (n_toks + ${stride - 1}) DIV $stride - 1)"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        expr(s"slice(ts, CAST(chunk_idx * $stride + 1 AS INT), $window)").as("ct"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("ct")).as("chunk_tokens"),
+        conv(substring(md5(array_join(col("ct"), " ")), 1, 12), 16, 10)
+          .cast("long").as("chunk_fp"))
+  }
+
+  /** DuckDB twin of [[chunkDocs]]; embed after `WITH ` and select from
+    * `chunks`.
+    */
+  def chunkDocsSql(window: Int = 64, stride: Int = 48): String =
+    s"""chunk_t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts,
+       |         len(string_split(text, ' ')) AS n_toks
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, i - 1 AS chunk_idx, (i - 1) * $stride AS start_tok,
+       |         CAST(len(ct) AS INT) AS chunk_tokens,
+       |         ('0x' || substring(md5(array_to_string(ct, ' ')), 1, 12))::BIGINT AS chunk_fp
+       |  FROM (SELECT doc_id, i,
+       |               ts[(i - 1) * $stride + 1 : (i - 1) * $stride + $window] AS ct
+       |        FROM (SELECT doc_id, ts,
+       |                     unnest(generate_series(1, (n_toks + ${stride - 1}) // $stride)) AS i
+       |              FROM chunk_t) g) s)""".stripMargin
+
   /** DuckDB twin of [[packSequences]] — identical window + arithmetic. */
   def packSequencesSql(budget: Int = 256, shardSize: Int = 100): String =
     s"""pt AS (

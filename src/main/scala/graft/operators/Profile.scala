@@ -107,4 +107,65 @@ object Profile {
          |       ${s.sqlFmt(s"MAX(${s.name})")} AS max_s
          |FROM $table""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  /** Robust spread per event type: exact median and exact MAD (median
+    * absolute deviation) — the outlier-resistant location/scale pair that
+    * replaces mean/stddev when a feed contains fat-tailed junk (one 10⁹
+    * mis-keyed amount shifts a mean arbitrarily; it moves a median not at
+    * all and a MAD by at most one rank).
+    *
+    * Exactness: both medians use the q85 lower/upper-middle convention
+    * (row_number over a (value, event_id) total order; midpoint of the two
+    * middle elements) — rank selection plus ONE double average, no float
+    * accumulation. The deviation |value − median| is a single IEEE
+    * subtraction of the same two doubles on both engines.
+    *
+    * Scale shape: two per-type sort windows (partition-parallel; event
+    * types are few but each partition sorts independently — the honest
+    * cost of EXACT medians; at 100 TB you'd swap in q90's
+    * percentile_approx contract) and one co-partitioned join back.
+    */
+  def robustSpread(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy("event_type")
+    def middleOf(df: DataFrame, order: Column, out: String): DataFrame =
+      df.withColumn("rn", row_number().over(byType.orderBy(order, col("event_id"))))
+        .withColumn("n", count(lit(1)).over(byType))
+        .filter((col("rn") * 2 - col("n")).isin(0, 1, 2))
+        .groupBy("event_type")
+        .agg(((min(order) + max(order)) / 2).as(out))
+    val med = middleOf(
+      events.select(col("event_type"), col("value"), col("event_id")),
+      col("value"), "median")
+    val dev = events.join(med, Seq("event_type"))
+      .select(col("event_type"), col("event_id"), col("median"),
+        abs(col("value") - col("median")).as("dev"))
+    middleOf(dev, col("dev"), "mad")
+      .join(med, Seq("event_type"))
+      .select("event_type", "median", "mad")
+  }
+
+  /** DuckDB twin of [[robustSpread]]. */
+  val robustSpreadSql: String =
+    """med AS (
+      |  SELECT event_type, (MIN(value) + MAX(value)) / 2 AS median
+      |  FROM (SELECT event_type, value,
+      |               ROW_NUMBER() OVER (PARTITION BY event_type
+      |                                  ORDER BY value, event_id) AS rn,
+      |               COUNT(*) OVER (PARTITION BY event_type) AS n
+      |        FROM events) t
+      |  WHERE rn * 2 - n IN (0, 1, 2) GROUP BY event_type),
+      |devs AS (
+      |  SELECT e.event_type, ABS(e.value - m.median) AS dev, e.event_id
+      |  FROM events e JOIN med m USING (event_type)),
+      |mads AS (
+      |  SELECT event_type, (MIN(dev) + MAX(dev)) / 2 AS mad
+      |  FROM (SELECT event_type, dev,
+      |               ROW_NUMBER() OVER (PARTITION BY event_type
+      |                                  ORDER BY dev, event_id) AS rn,
+      |               COUNT(*) OVER (PARTITION BY event_type) AS n
+      |        FROM devs) t
+      |  WHERE rn * 2 - n IN (0, 1, 2) GROUP BY event_type),
+      |robust_spread AS (
+      |  SELECT event_type, median, mad FROM mads JOIN med USING (event_type))""".stripMargin
 }

@@ -273,7 +273,9 @@ object Similarity {
     */
   def negativeSamples(embeddings: DataFrame, k: Int = 3, probes: Int = 4,
       queryMod: Int = 10): DataFrame = {
-    val withB = lshBuckets(embeddings)
+    // both the query side and the candidate side read the bucket index;
+    // cache it so the planes-wide projection runs once, not twice
+    val withB = lshBuckets(embeddings).cache()
     val queries = withB.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("bucket").as("qbucket"))
       .crossJoin(broadcast(params(embeddings).select("planes")))

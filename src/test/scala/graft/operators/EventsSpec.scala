@@ -13,6 +13,29 @@ class EventsSpec extends SparkSpec {
       .selectExpr("event_id", "user_id", "event_type",
         "ms * 1000000 AS ts_ns", "CAST(10.0 AS DOUBLE) AS value")
 
+  test("markovTransitions: per-user sequences, exact conditional ratios") {
+    val e = ev(
+      // user 1: a -> b -> a  (transitions a->b, b->a)
+      (1L, 1L, "a", 100L), (2L, 1L, "b", 200L), (3L, 1L, "a", 300L),
+      // user 2: a -> a       (transition a->a)
+      (4L, 2L, "a", 100L), (5L, 2L, "a", 200L),
+      // user 3: single event -> no transition
+      (6L, 3L, "b", 100L))
+    val r = Events.markovTransitions(e).orderBy("prev_type", "next_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      ("a", "a", 1L, 0.5), ("a", "b", 1L, 0.5), ("b", "a", 1L, 1.0)))
+  }
+
+  test("markovTransitions: same-ms events order by event_id (no cross-user leaks)") {
+    val e = ev(
+      (2L, 1L, "y", 100L), (1L, 1L, "x", 100L), // same ms: x (id 1) first
+      (3L, 2L, "z", 100L))
+    val r = Events.markovTransitions(e)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(r == Seq(("x", "y", 1L, 1.0)))
+  }
+
   test("sessionize: gap strictly greater than threshold starts a new session") {
     val gap = 30 * 60000L
     val e = ev(

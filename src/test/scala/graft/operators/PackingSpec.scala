@@ -46,4 +46,41 @@ class PackingSpec extends SparkSpec {
     assert(packedTotals.getLong(0) === docTotals.getLong(0))
     assert(packedTotals.getLong(1) === docTotals.getLong(1))
   }
+
+  test("chunkDocs: stride windows with overlap; tail chunk is short") {
+    // 5 tokens, window 3, stride 2 -> chunks "a b c", "c d e", "e"
+    val docs = Seq((1L, "a b c d e", "s")).toDF("doc_id", "text", "source")
+    val r = Packing.chunkDocs(docs, window = 3, stride = 2)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "chunk_tokens")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(r == Seq((0L, 0L, 3), (1L, 2L, 3), (2L, 4L, 1)))
+  }
+
+  test("chunkDocs: fingerprint matches an independent md5 of the chunk text") {
+    def fp(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    }
+    val docs = Seq((1L, "a b c d e", "s")).toDF("doc_id", "text", "source")
+    val r = Packing.chunkDocs(docs, window = 3, stride = 2)
+      .orderBy("chunk_idx").select("chunk_fp").as[Long].collect().toSeq
+    assert(r == Seq(fp("a b c"), fp("c d e"), fp("e")))
+  }
+
+  test("chunkDocs: a doc at or under the window yields exactly one chunk") {
+    val docs = Seq((1L, "a b c", "s"), (2L, "x", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = Packing.chunkDocs(docs, window = 3, stride = 3)
+      .groupBy("doc_id").count().orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 1L), (2L, 1L)))
+  }
+
+  test("chunkDocs rejects a stride above the window") {
+    val docs = Seq((1L, "a", "s")).toDF("doc_id", "text", "source")
+    intercept[IllegalArgumentException](
+      Packing.chunkDocs(docs, window = 4, stride = 5))
+  }
 }

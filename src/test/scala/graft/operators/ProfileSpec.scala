@@ -43,4 +43,27 @@ class ProfileSpec extends SparkSpec {
     assert(byName("num") == ((1L, 2L, "1", "2")))
     assert(byName("str") == ((1L, 2L, "a", "b")))
   }
+
+  // (event_id, event_type, value); user/ts irrelevant to robustSpread
+  private def evV(rows: (Long, String, Double)*) =
+    rows.toDF("event_id", "event_type", "value")
+
+  test("robustSpread: median and MAD resist a wild outlier") {
+    // type A: [1,2,3,4,100] -> median 3; devs [2,1,0,1,97] -> MAD 1
+    val e = evV((1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0),
+      (4L, "A", 4.0), (5L, "A", 100.0))
+    val r = Profile.robustSpread(e)
+      .select("event_type", "median", "mad")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(r == Seq(("A", 3.0, 1.0)))
+  }
+
+  test("robustSpread: even counts take the midpoint of both middles") {
+    // type B: [1,2] -> median 1.5; devs [0.5, 0.5] -> MAD 0.5
+    val e = evV((1L, "B", 1.0), (2L, "B", 2.0))
+    val r = Profile.robustSpread(e)
+      .select("event_type", "median", "mad")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(r == Seq(("B", 1.5, 0.5)))
+  }
 }
