@@ -506,6 +506,19 @@ object SparkEntry {
     "q128_chunk_docs" -> { (s, dir) =>
       Packing.chunkDocs(TestData.documents(s, dir)).orderBy("doc_id", "chunk_idx")
     },
+    // Per-doc OOV rate vs the in-plan top-V vocabulary (bounded broadcast).
+    "q129_vocab_coverage" -> { (s, dir) =>
+      TextAnalysis.vocabCoverage(TestData.documents(s, dir)).orderBy("doc_id")
+    },
+    // Cross-source near-dup overlap matrix (which feeds mirror which).
+    "q130_source_overlap" -> { (s, dir) =>
+      Dedup.sourceOverlap(TestData.documents(s, dir))
+        .orderBy("source_lo", "source_hi")
+    },
+    // Embedding-quality audit: empty/zero vectors + exact norm stats.
+    "q131_embedding_audit" -> { (s, dir) =>
+      Similarity.embeddingAudit(TestData.embeddings(s, dir)).orderBy("label")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -1311,6 +1324,20 @@ object SparkEntry {
       s"""WITH ${Packing.chunkDocsSql()}
           SELECT doc_id, chunk_idx, start_tok, chunk_tokens, chunk_fp
           FROM chunks ORDER BY doc_id, chunk_idx""",
+
+    "q129_vocab_coverage" ->
+      s"""WITH ${TextAnalysis.vocabCoverageSql()}
+          SELECT doc_id, n_tokens, n_oov, oov_rate FROM vocab_cov ORDER BY doc_id""",
+
+    "q130_source_overlap" ->
+      s"""WITH ${Dedup.sourceOverlapSql()}
+          SELECT source_lo, source_hi, n_pairs FROM source_overlap
+          ORDER BY source_lo, source_hi""",
+
+    "q131_embedding_audit" ->
+      s"""WITH ${Similarity.embeddingAuditSql}
+          SELECT label, n, n_empty, n_zero, min_n2, max_n2, avg_n2
+          FROM emb_audit ORDER BY label""",
 
     "q123_attribution" ->
       s"""${Funnel.attributionSql()}

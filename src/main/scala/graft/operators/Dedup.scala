@@ -759,4 +759,42 @@ object Dedup {
        |LEFT JOIN inter2 i USING (doc_a, doc_b)
        |JOIN sh_counts2 ca ON ca.doc_id = doc_a
        |JOIN sh_counts2 cb ON cb.doc_id = doc_b""".stripMargin
+
+  /** Cross-source duplication matrix: near-dup candidate pairs bucketed by
+    * the (unordered) source pair — the crawl-curation signal for which
+    * feeds mirror which (a high off-diagonal cell means two "independent"
+    * sources are republishing the same text; a high diagonal means a
+    * source self-duplicates). Source pairs are canonicalized with
+    * least/greatest so (a,b) and (b,a) land in one cell.
+    *
+    * Scale shape: the candidate pairs come from banding (never all-pairs);
+    * the two doc_id→source lookups are co-partitioned hash joins on the
+    * pair frame, and the final aggregate's cardinality is bounded by
+    * sources² — tiny at any corpus size.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val pairs = lshCandidates(docs).select("doc_a", "doc_b")
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** DuckDB twin of [[sourceOverlap]]; embed after `WITH ` and select from
+    * `source_overlap`.
+    */
+  def sourceOverlapSql(): String =
+    s"""${lshCandidatesSql()},
+       |source_overlap AS (
+       |  SELECT LEAST(da.source, db.source) AS source_lo,
+       |         GREATEST(da.source, db.source) AS source_hi,
+       |         COUNT(*) AS n_pairs
+       |  FROM lsh_pairs p
+       |  JOIN documents da ON da.doc_id = p.doc_a
+       |  JOIN documents db ON db.doc_id = p.doc_b
+       |  GROUP BY 1, 2)""".stripMargin
 }

@@ -677,4 +677,63 @@ object Similarity {
        |           AS within_bound
        |  FROM qa)""".stripMargin
   }
+
+  /** Embedding-quality audit per label: vector counts, missing/empty and
+    * all-zero vectors (the two degenerate classes that poison cosine math
+    * downstream — [[lshBuckets]] silently drops them; this op is where a
+    * pipeline SEES them), plus the squared-norm range and mean on the
+    * exact quantized grid.
+    *
+    * Exactness: norms are BIGINT on the quant grid; the mean is ONE double
+    * division of two exact integers (the numerator summed as DECIMAL(38,0)
+    * /HUGEINT so per-label totals can't overflow BIGINT at 100 TB vector
+    * counts). A label with no valid vectors yields NULL stats, not NaN —
+    * 0/0 float NaN rendering is not a cross-engine contract.
+    *
+    * Scale shape: one narrow projection + one label-cardinality aggregate;
+    * map-side combinable, no joins, no shuffle beyond the final groupBy.
+    */
+  def embeddingAudit(embeddings: DataFrame): DataFrame = {
+    val valid = col("embedding").isNotNull && size(col("embedding")) > 0
+    val n2 = aggregate(
+      transform(col("embedding"), x => OracleSafe.quant(x)),
+      lit(0L), (acc, q) => acc + q * q)
+    val t = embeddings.select(col("label"), valid.as("valid"),
+      when(valid, n2).as("n2"))
+    val nValid = sum(when(col("valid"), 1L).otherwise(0L))
+    t.groupBy("label").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("valid"), 0L).otherwise(1L)).as("n_empty"),
+        sum(when(col("valid") && col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("n2")).as("min_n2"),
+        max(col("n2")).as("max_n2"),
+        when(nValid > 0,
+          sum(coalesce(col("n2"), lit(0L)).cast("decimal(38,0)")).cast("double")
+            / nValid.cast("double")).as("avg_n2"))
+      .select("label", "n", "n_empty", "n_zero", "min_n2", "max_n2", "avg_n2")
+  }
+
+  /** DuckDB twin of [[embeddingAudit]]; embed after `WITH ` and select
+    * from `emb_audit`.
+    */
+  val embeddingAuditSql: String = {
+    val q = OracleSafe.quantSql("x")
+    s"""ea AS (
+       |  SELECT label,
+       |         (embedding IS NOT NULL AND len(embedding) > 0) AS valid,
+       |         CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+       |              THEN CAST(list_sum(list_transform(embedding, x -> ($q) * ($q))) AS BIGINT)
+       |         END AS n2
+       |  FROM embeddings),
+       |emb_audit AS (
+       |  SELECT label, COUNT(*) AS n,
+       |         CAST(SUM(CASE WHEN valid THEN 0 ELSE 1 END) AS BIGINT) AS n_empty,
+       |         CAST(SUM(CASE WHEN valid AND n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |         MIN(n2) AS min_n2, MAX(n2) AS max_n2,
+       |         CASE WHEN SUM(CASE WHEN valid THEN 1 ELSE 0 END) > 0
+       |              THEN CAST(SUM(COALESCE(n2, 0)) AS DOUBLE)
+       |                   / CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS DOUBLE)
+       |         END AS avg_n2
+       |  FROM ea GROUP BY label)""".stripMargin
+  }
 }

@@ -349,6 +349,44 @@ object TextAnalysis {
        |ORDER BY lift DESC, a, b
        |LIMIT $k""".stripMargin
 
+  /** Tokenizer vocab coverage: per-doc out-of-vocabulary rate against the
+    * corpus top-`vocabSize` vocabulary — the curve that sizes a tokenizer
+    * (how much of each document a V-entry vocab fails to cover). The vocab
+    * is derived IN-PLAN (frequency desc, token asc tie-break — a
+    * deterministic boundary) and broadcast: bounded by the `vocabSize`
+    * constant, so the broadcast is provably small at any corpus size.
+    * The token scan is one explode + one map-side-combinable aggregate.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("t")).limit(vocabSize)
+      .select(col("t"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** DuckDB twin of [[vocabCoverage]]; embed after `WITH ` and select from
+    * `vocab_cov`.
+    */
+  def vocabCoverageSql(vocabSize: Int = 1000): String =
+    s"""vc_toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |vc_vocab AS (
+       |  SELECT t FROM (SELECT t, COUNT(*) AS cnt FROM vc_toks GROUP BY t) f
+       |  ORDER BY cnt DESC, t LIMIT $vocabSize),
+       |vocab_cov AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |         CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |         CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |           / COUNT(*) AS oov_rate
+       |  FROM vc_toks tk LEFT JOIN vc_vocab v ON tk.t = v.t
+       |  GROUP BY doc_id)""".stripMargin
+
   /** Kneser–Ney continuation statistics — the integer counts a KN-smoothed
     * n-gram LM trains on: for each word w, `continuations` = N₁₊(•w)
     * (distinct left contexts w completes) and `fertility` = N₁₊(w•)

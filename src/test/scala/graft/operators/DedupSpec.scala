@@ -164,4 +164,14 @@ class DedupSpec extends SparkSpec {
       .select("canonical_id").as[Long].collect()
     assert(r.toSeq == Seq(0L))
   }
+
+  test("sourceOverlap: canonical source pair; totals equal the candidate pairs") {
+    val d = graft.sources.TestData.documents(spark, sf)
+    val cells = Dedup.sourceOverlap(d)
+      .as[(String, String, Long)].collect().toSeq
+    assert(cells.nonEmpty)
+    assert(cells.forall { case (lo, hi, n) => lo <= hi && n > 0 })
+    val totalPairs = Dedup.lshCandidates(d).count()
+    assert(cells.map(_._3).sum == totalPairs)
+  }
 }

@@ -154,4 +154,21 @@ class SimilaritySpec extends SparkSpec {
         s"centroid $cid dim $d mean $m not on a cluster center")
     }
   }
+
+  test("embeddingAudit: empty, null, and zero vectors are counted per label") {
+    val e = Seq(
+      (1L, Some(Seq(0.5f)), 0),        // valid, n2 = 5000^2
+      (2L, Some(Seq(0.0f)), 0),        // valid but all-zero
+      (3L, None: Option[Seq[Float]], 0), // missing
+      (4L, Some(Seq.empty[Float]), 1)) // empty
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.embeddingAudit(e).orderBy("label").collect()
+    val l0 = r(0)
+    assert((l0.getInt(0), l0.getLong(1), l0.getLong(2), l0.getLong(3)) == ((0, 3L, 1L, 1L)))
+    assert(l0.getLong(4) == 0L && l0.getLong(5) == 25000000L)
+    assert(l0.getDouble(6) == 12500000.0)
+    val l1 = r(1)
+    assert((l1.getInt(0), l1.getLong(1), l1.getLong(2), l1.getLong(3)) == ((1, 1L, 1L, 0L)))
+    assert(l1.isNullAt(4) && l1.isNullAt(5) && l1.isNullAt(6))
+  }
 }

@@ -13,6 +13,19 @@ class TextAnalysisSpec extends SparkSpec {
       .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source",
         "CAST(length(text) AS BIGINT) AS n_chars")
 
+  test("vocabCoverage: OOV against the top-V vocab; boundary ties by token asc") {
+    // counts: a=3, b=2, c=1 -> V=2 vocab {a,b}; doc1 has one oov token (c)
+    val d = docs((1L, "a a b c"), (2L, "a b"))
+    val r = TextAnalysis.vocabCoverage(d, vocabSize = 2).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 4L, 1L, 0.25), (2L, 2L, 0L, 0.0)))
+    // V=1 with a tie at the cut: x and y both count 1 -> 'x' wins (asc)
+    val tied = docs((1L, "x y"))
+    val r1 = TextAnalysis.vocabCoverage(tied, vocabSize = 1)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r1 == Seq((1L, 2L, 1L, 0.5)))
+  }
+
   test("knContinuation counts distinct contexts, not occurrences") {
     // bigram TYPES: (a,b) (b,c) (a,b) dedups; (b,d); (b,b)
     val d = docs((1L, "a b c"), (2L, "a b d"), (3L, "b b"))
