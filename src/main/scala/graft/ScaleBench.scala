@@ -38,7 +38,10 @@ object ScaleBench {
     // round 6: SemDeDup (within-cell pair cost Σ|cell|² ≈ n·√n) and the
     // bucket-probed negative sampler (O(queries·probes·occupancy)) — both
     // must track the IVF/LSH curves, not pair counts
-    "q110_semantic_dedup", "q116_negative_samples")
+    "q110_semantic_dedup", "q116_negative_samples",
+    // fixed-point PageRank: k shuffle rounds over the candidate edge list
+    // — must grow with |E|, not with pair-path counts
+    "q122_pagerank")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

@@ -519,6 +519,14 @@ object SparkEntry {
     "q131_embedding_audit" -> { (s, dir) =>
       Similarity.embeddingAudit(TestData.embeddings(s, dir)).orderBy("label")
     },
+    // DAU + trailing-7-day WAU via bounded-fanout sliding distinct.
+    "q132_active_users" -> { (s, dir) =>
+      Events.activeUsers(TestData.events(s, dir)).orderBy("day")
+    },
+    // Exact OLS spend slope per event type (drift detection, no ML lib).
+    "q133_spend_trend" -> { (s, dir) =>
+      Events.spendTrend(TestData.events(s, dir)).orderBy("event_type")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -1338,6 +1346,15 @@ object SparkEntry {
       s"""WITH ${Similarity.embeddingAuditSql}
           SELECT label, n, n_empty, n_zero, min_n2, max_n2, avg_n2
           FROM emb_audit ORDER BY label""",
+
+    "q132_active_users" ->
+      s"""WITH ${Events.activeUsersSql()}
+          SELECT day, dau, wau FROM active_users ORDER BY day""",
+
+    "q133_spend_trend" ->
+      s"""WITH ${Events.spendTrendSql}
+          SELECT event_type, n, slope_cents_per_day FROM spend_trend
+          ORDER BY event_type""",
 
     "q123_attribution" ->
       s"""${Funnel.attributionSql()}

@@ -182,6 +182,106 @@ object Events {
       |  WHERE prev_type IS NOT NULL
       |  GROUP BY prev_type, next_type) c""".stripMargin
 
+  private val dayMs = 86400000L
+
+  /** Sliding-window active users: DAU and trailing-7-day WAU per observed
+    * day — the engagement pair every product dashboard tracks. Exact
+    * distinct over a sliding window is the classic scale trap (a naive
+    * self-join is 7× the scan); this does it with BOUNDED fan-out: the
+    * (user, day) frame is distincted FIRST (collapsing any per-user event
+    * volume), each row then contributes to at most 7 window days, and the
+    * count per window day is over a re-distincted (user, window_day)
+    * frame. Only observed days are emitted (inner join with the DAU
+    * frame), so trailing windows past the last day don't invent rows.
+    */
+  def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val days = events.select(col("user_id"),
+      graft.functions.OracleSafe.intDiv(msCol, lit(dayMs)).as("day")).distinct()
+    val dau = days.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select(col("user_id"),
+        explode(expr(s"sequence(day, day + ${windowDays - 1})")).as("wday"))
+      .distinct()
+      .groupBy(col("wday").as("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day")).select("day", "dau", "wau")
+  }
+
+  /** DuckDB twin of [[activeUsers]]. */
+  def activeUsersSql(windowDays: Int = 7): String = {
+    val dayDiv = graft.functions.OracleSafe.intDivSql("epoch_ms(ts)", dayMs.toString)
+    s"""au_days AS (SELECT DISTINCT user_id, $dayDiv AS day FROM events),
+       |au_dau AS (SELECT day, COUNT(*) AS dau FROM au_days GROUP BY day),
+       |au_wau AS (
+       |  SELECT wday AS day, COUNT(*) AS wau
+       |  FROM (SELECT DISTINCT user_id,
+       |               unnest(generate_series(day, day + ${windowDays - 1})) AS wday
+       |        FROM au_days) w
+       |  GROUP BY wday),
+       |active_users AS (
+       |  SELECT day, dau, wau FROM au_dau JOIN au_wau USING (day))""".stripMargin
+  }
+
+  /** Per-type spend trend: the exact OLS slope of value (cents) against
+    * the epoch day — drift detection without an ML library. All four
+    * moment sums are BIGINTs on exact grids (cents; days CENTERED on the
+    * per-type minimum so cross products stay far from 2⁶³ — centering
+    * shifts the intercept, never the slope); the classic closed form
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * is then evaluated in DECIMAL(38,0)/HUGEINT (products of two ~2⁶⁰
+    * sums don't fit BIGINT at corpus scale) with ONE double division at
+    * the boundary. A type whose events all land on one day has zero
+    * variance → NULL slope, matching the oracle.
+    *
+    * Scale shape: one pass, one map-side-combinable aggregate per type;
+    * the min-day centering rides the same aggregate via a self-join-free
+    * two-phase (min first, broadcast back) — both frames are
+    * type-cardinality tiny.
+    */
+  def spendTrend(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"),
+      graft.functions.OracleSafe.intDiv(msCol, lit(dayMs)).as("day"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val minDay = base.groupBy("event_type").agg(min("day").as("day0"))
+    val c = base.join(minDay, Seq("event_type"))
+      .select(col("event_type"), (col("day") - col("day0")).as("x"), col("cents").as("y"))
+    val d38 = "decimal(38,0)"
+    val agg = c.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val num = col("n").cast(d38) * col("sxy").cast(d38) -
+      col("sx").cast(d38) * col("sy").cast(d38)
+    val den = col("n").cast(d38) * col("sxx").cast(d38) -
+      col("sx").cast(d38) * col("sx").cast(d38)
+    agg.select(col("event_type"), col("n"),
+      when(den =!= 0, num.cast("double") / den.cast("double")).as("slope_cents_per_day"))
+  }
+
+  /** DuckDB twin of [[spendTrend]] — HUGEINT plays DECIMAL(38,0). */
+  val spendTrendSql: String = {
+    val dayDiv = graft.functions.OracleSafe.intDivSql("epoch_ms(ts)", dayMs.toString)
+    s"""tr_base AS (
+       |  SELECT event_type, $dayDiv AS day,
+       |         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |tr_min AS (SELECT event_type, MIN(day) AS day0 FROM tr_base GROUP BY event_type),
+       |tr_c AS (
+       |  SELECT b.event_type, b.day - m.day0 AS x, b.cents AS y
+       |  FROM tr_base b JOIN tr_min m USING (event_type)),
+       |tr_agg AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+       |  FROM tr_c GROUP BY event_type),
+       |spend_trend AS (
+       |  SELECT event_type, n,
+       |         CASE WHEN n::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT <> 0
+       |              THEN CAST(n::HUGEINT * sxy::HUGEINT - sx::HUGEINT * sy::HUGEINT AS DOUBLE)
+       |                   / CAST(n::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT AS DOUBLE)
+       |         END AS slope_cents_per_day
+       |  FROM tr_agg)""".stripMargin
+  }
+
   val tierTotalsSql: String = {
     val rows = valueTiers
       .map { case (t, lo, hi) => s"('$t', CAST($lo AS DOUBLE), CAST($hi AS DOUBLE))" }

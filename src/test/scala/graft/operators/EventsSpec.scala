@@ -13,6 +13,52 @@ class EventsSpec extends SparkSpec {
       .selectExpr("event_id", "user_id", "event_type",
         "ms * 1000000 AS ts_ns", "CAST(10.0 AS DOUBLE) AS value")
 
+  private val day = 86400000L
+
+  private def evD(rows: (Long, Long, String, Long, Double)*): DataFrame =
+    // (event_id, user_id, event_type, ts_ms, value)
+    rows.toDF("event_id", "user_id", "event_type", "ms", "value")
+      .selectExpr("event_id", "user_id", "event_type",
+        "ms * 1000000 AS ts_ns", "value")
+
+  test("activeUsers: trailing window dedups a user active on several days") {
+    val e = evD(
+      (1L, 1L, "v", 0L, 0.0),           // user 1, day 0
+      (2L, 1L, "v", 3 * day, 0.0),      // user 1, day 3
+      (3L, 1L, "v", 3 * day + 5, 0.0),  // same user+day: no extra weight
+      (4L, 2L, "v", 3 * day, 0.0))      // user 2, day 3
+    val r = Events.activeUsers(e).orderBy("day")
+      .as[(Long, Long, Long)].collect().toSeq
+    // day 0: dau {1}; wau [-6..0] = {1}. day 3: dau {1,2}; wau [-3..3]
+    // = {1,2} with user 1 counted ONCE despite two active days in window
+    assert(r == Seq((0L, 1L, 1L), (3L, 2L, 2L)))
+  }
+
+  test("activeUsers: only observed days are emitted") {
+    val e = evD((1L, 1L, "v", 0L, 0.0))
+    val r = Events.activeUsers(e).as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((0L, 1L, 1L))) // no phantom rows for days 1..6
+  }
+
+  test("spendTrend: exact slope on a clean line; zero-variance type is NULL") {
+    val e = evD(
+      (1L, 1L, "A", 0L, 1.0), (2L, 1L, "A", day, 2.0),
+      (3L, 1L, "A", 2 * day, 3.0),           // 100 cents/day exactly
+      (4L, 1L, "B", 5 * day, 9.99), (5L, 2L, "B", 5 * day, 1.23))
+    val r = Events.spendTrend(e).orderBy("event_type").collect()
+    assert(r(0).getString(0) == "A" && r(0).getLong(1) == 3L
+      && r(0).getDouble(2) == 100.0)
+    assert(r(1).getString(0) == "B" && r(1).isNullAt(2))
+  }
+
+  test("spendTrend: slope is invariant to the absolute day offset") {
+    def mk(off: Long) = evD(
+      (1L, 1L, "A", off, 1.0), (2L, 1L, "A", off + day, 3.0))
+    val a = Events.spendTrend(mk(0L)).collect()(0).getDouble(2)
+    val b = Events.spendTrend(mk(19000L * day)).collect()(0).getDouble(2)
+    assert(a == 200.0 && b == 200.0)
+  }
+
   test("markovTransitions: per-user sequences, exact conditional ratios") {
     val e = ev(
       // user 1: a -> b -> a  (transitions a->b, b->a)
