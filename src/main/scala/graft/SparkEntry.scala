@@ -527,6 +527,15 @@ object SparkEntry {
     "q133_spend_trend" -> { (s, dir) =>
       Events.spendTrend(TestData.events(s, dir)).orderBy("event_type")
     },
+    // Degree + triangles + clustering coefficient on the candidate graph.
+    "q134_triangle_stats" -> { (s, dir) =>
+      Graph.triangleStats(TestData.documents(s, dir)).orderBy("doc_id")
+    },
+    // Source-level TF-IDF top-k via the custom TopKPerKey operator.
+    "q135_source_keywords" -> { (s, dir) =>
+      TextAnalysis.sourceKeywords(TestData.documents(s, dir))
+        .orderBy("source", "rank")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -1355,6 +1364,16 @@ object SparkEntry {
       s"""WITH ${Events.spendTrendSql}
           SELECT event_type, n, slope_cents_per_day FROM spend_trend
           ORDER BY event_type""",
+
+    "q134_triangle_stats" ->
+      s"""WITH ${Graph.triangleStatsSql()}
+          SELECT doc_id, degree, triangles, clustering FROM triangle_stats
+          ORDER BY doc_id""",
+
+    "q135_source_keywords" ->
+      s"""WITH ${TextAnalysis.sourceKeywordsSql()}
+          SELECT source, rank, term, tf, df, score FROM src_kw
+          ORDER BY source, rank""",
 
     "q123_attribution" ->
       s"""${Funnel.attributionSql()}

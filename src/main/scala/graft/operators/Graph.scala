@@ -72,6 +72,70 @@ object Graph {
       (col("r").cast("double") / lit(Scale.toDouble)).as("score"))
   }
 
+  /** Per-vertex triangle statistics over the LSH candidate graph: degree,
+    * triangle count, and the local clustering coefficient
+    * 2T / (d·(d−1)) — how tightly a document's near-dup neighborhood
+    * closes on itself (a high coefficient marks a template FAMILY, a low
+    * one a hub page that grazes many unrelated docs).
+    *
+    * Triangle enumeration uses the canonical-ordering trick: candidate
+    * pairs already satisfy doc_a < doc_b, so joining wedges a<b<c and
+    * closing with the (a,c) edge counts every triangle exactly once — the
+    * standard distributed formulation, cost bounded by Σ deg(v)² (wedge
+    * count), never |V|³. The coefficient is one double division of exact
+    * BIGINTs; vertices with degree < 2 yield NULL, not 0/0.
+    */
+  def triangleStats(docs: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val e = Dedup.lshCandidates(docs, numHashes, rowsPerBand)
+      .select(col("doc_a").as("a"), col("doc_b").as("b")).cache()
+    val wedges = e.as("e1")
+      .join(e.select(col("a").as("wb"), col("b").as("wc")).as("e2"),
+        col("e1.b") === col("e2.wb"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("wc").as("c"))
+    val tri = wedges.join(
+      e.select(col("a").as("ta"), col("b").as("tc")),
+      col("a") === col("ta") && col("c") === col("tc"))
+      .select("a", "b", "c")
+    val triPerV = tri.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("triangles"))
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    deg.join(triPerV, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          (col("triangles") * 2).cast("double")
+            / (col("degree") * (col("degree") - 1)).cast("double")))
+  }
+
+  /** DuckDB twin of [[triangleStats]]; embed after `WITH ` and select from
+    * `triangle_stats`.
+    */
+  def triangleStatsSql(numHashes: Int = 16, rowsPerBand: Int = 4): String =
+    s"""${Dedup.lshCandidatesSql(numHashes, rowsPerBand)},
+       |tri AS (
+       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |  FROM lsh_pairs e1
+       |  JOIN lsh_pairs e2 ON e1.doc_b = e2.doc_a
+       |  JOIN lsh_pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |tri_v AS (
+       |  SELECT v, COUNT(*) AS triangles
+       |  FROM (SELECT unnest([a, b, c]) AS v FROM tri) u GROUP BY v),
+       |deg_v AS (
+       |  SELECT v, COUNT(*) AS degree
+       |  FROM (SELECT doc_a AS v FROM lsh_pairs
+       |        UNION ALL SELECT doc_b FROM lsh_pairs) d GROUP BY v),
+       |triangle_stats AS (
+       |  SELECT d.v AS doc_id, d.degree,
+       |         COALESCE(t.triangles, 0) AS triangles,
+       |         CASE WHEN d.degree >= 2
+       |              THEN CAST(COALESCE(t.triangles, 0) * 2 AS DOUBLE)
+       |                   / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+       |         END AS clustering
+       |  FROM deg_v d LEFT JOIN tri_v t ON t.v = d.v)""".stripMargin
+
   /** DuckDB twin of [[pagerank]] — the same unrolled rounds as chained
     * CTEs; embed after `WITH ` and select from `pagerank`.
     */

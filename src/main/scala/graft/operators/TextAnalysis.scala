@@ -439,6 +439,48 @@ object TextAnalysis {
        |  FROM kn_uni LEFT JOIN kn_cont USING (word) LEFT JOIN kn_fert USING (word)
        |  ORDER BY continuations DESC, word LIMIT $k)""".stripMargin
 
+  /** Contrastive keywords per source: source-level TF-IDF (each source as
+    * one mega-document; score = tf · n_sources / df, the log-free IDF
+    * ranking — same order as tf·log-idf for fixed tf ordering within a
+    * df, and one exact-integer-ratio double instead of a libm log). Top-k
+    * per source through the custom [[graft.plans.TopKPerKey]] physical
+    * operator — a bounded heap per group, never a full per-source sort.
+    *
+    * Scale shape: token fan-out is linear; both aggregates key on terms
+    * (bounded vocabulary); the source-count normalizer is a broadcast
+    * 1-row aggregate; output is sources × k.
+    */
+  def sourceKeywords(docs: DataFrame, k: Int = 10): DataFrame = {
+    val toks = docs.select(col("source"), explode(tokens(col("text"))).as("t"))
+    val tf = toks.groupBy("source", "t").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val nSrc = docs.agg(countDistinct(col("source")).as("n_sources"))
+    val scored = tf.join(df, Seq("t")).crossJoin(broadcast(nSrc))
+      .select(col("source"), col("t").as("term"), col("tf"), col("df"),
+        ((col("tf") * col("n_sources")).cast("double")
+          / col("df").cast("double")).as("score"))
+    graft.plans.TopK.perKey(scored, Seq("source"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("term")), k)
+      .select("source", "rank", "term", "tf", "df", "score")
+  }
+
+  /** DuckDB twin of [[sourceKeywords]]; embed after `WITH ` and select
+    * from `src_kw`.
+    */
+  def sourceKeywordsSql(k: Int = 10): String =
+    s"""kw_toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+       |kw_tf AS (SELECT source, t, COUNT(*) AS tf FROM kw_toks GROUP BY source, t),
+       |kw_df AS (SELECT t, COUNT(*) AS df FROM kw_tf GROUP BY t),
+       |kw_n AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM documents),
+       |src_kw AS (
+       |  SELECT source, ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY CAST(tf * n_sources AS DOUBLE) / CAST(df AS DOUBLE) DESC, t) AS rank,
+       |         t AS term, tf, df,
+       |         CAST(tf * n_sources AS DOUBLE) / CAST(df AS DOUBLE) AS score
+       |  FROM kw_tf JOIN kw_df USING (t), kw_n
+       |  QUALIFY rank <= $k)""".stripMargin
+
   /** Hashing-trick linear quality classifier — the model-INFERENCE shape a
     * trained fastText-style filter runs at corpus scale: featurize each
     * token to one of `dim` buckets (48-bit md5, the cross-engine hash

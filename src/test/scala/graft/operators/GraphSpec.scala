@@ -45,4 +45,27 @@ class GraphSpec extends SparkSpec {
     val docs = TestData.documents(spark, sf)
     intercept[IllegalArgumentException](Graph.pagerank(docs, iters = 0))
   }
+
+  test("triangleStats matches a brute-force triangle count") {
+    val docs = TestData.documents(spark, sf)
+    val pairs = Dedup.lshCandidates(docs).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val verts = pairs.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val deg = verts.map(v => v ->
+      pairs.count { case (a, b) => a == v || b == v }.toLong).toMap
+    // brute force: every unordered triple with all three edges present
+    val triOf = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- pairs; c <- verts if c > b
+      if pairs((b, c)) && pairs((a, c))
+    } { triOf(a) += 1; triOf(b) += 1; triOf(c) += 1 }
+    val got = Graph.triangleStats(docs)
+      .select("doc_id", "degree", "triangles")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).sorted.toSeq == verts)
+    got.foreach { case (v, d, t) =>
+      assert(d == deg(v), s"degree mismatch at $v")
+      assert(t == triOf(v), s"triangle mismatch at $v")
+    }
+  }
 }

@@ -131,4 +131,17 @@ class TextAnalysisSpec extends SparkSpec {
     val fb = DataQuality.fingerprint(b, Seq(col("k"), col("v"))).head()
     assert(fa.getLong(0) == fb.getLong(0) && fa.getLong(1) != fb.getLong(1))
   }
+
+  test("sourceKeywords: rare-in-other-sources terms outrank shared ones") {
+    val d = Seq((1L, "x x common", "s1"), (2L, "y common", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sourceKeywords(d, k = 2).orderBy("source", "rank")
+      .select("source", "rank", "term", "score")
+      .as[(String, Int, String, Double)].collect().toSeq
+    // n_sources=2; s1: x tf=2 df=1 -> 4.0, common tf=1 df=2 -> 1.0
+    //              s2: y tf=1 df=1 -> 2.0, common -> 1.0
+    assert(r == Seq(
+      ("s1", 1, "x", 4.0), ("s1", 2, "common", 1.0),
+      ("s2", 1, "y", 2.0), ("s2", 2, "common", 1.0)))
+  }
 }
