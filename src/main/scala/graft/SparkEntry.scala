@@ -29,6 +29,15 @@ object SparkEntry {
     * so the custom operators plan on a caller-provided session that was
     * built without GraftExtensions.
     */
+  /** FD audit spec shared by the q137 query and its oracle (one list, no
+    * drift): the key FD holds by construction; the other two are expected
+    * to be violated — the audit reports, it does not assert.
+    */
+  private val fdSpecs: Seq[(String, String, String)] = Seq(
+    ("o_custkey_to_priority", "o_custkey", "o_orderpriority"),
+    ("o_orderdate_to_status", "o_orderdate", "o_orderstatus"),
+    ("o_orderkey_to_custkey", "o_orderkey", "o_custkey"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
       name -> { (s: SparkSession, dir: String) =>
@@ -535,6 +544,18 @@ object SparkEntry {
     "q135_source_keywords" -> { (s, dir) =>
       TextAnalysis.sourceKeywords(TestData.documents(s, dir))
         .orderBy("source", "rank")
+    },
+    // Hourly burst score vs trailing 24h window (range window on hours).
+    "q136_hourly_bursts" -> { (s, dir) =>
+      Events.hourlyBursts(TestData.events(s, dir)).orderBy("hour")
+    },
+    // Functional-dependency audit on orders (key FD holds; others don't).
+    "q137_fd_audit" -> { (s, dir) =>
+      DataQuality.fdAudit(TestData.orders(s, dir), fdSpecs).orderBy("fd")
+    },
+    // Exact percentile_disc suite per type, one window pass for all cuts.
+    "q138_quantile_suite" -> { (s, dir) =>
+      Profile.quantileSuite(TestData.events(s, dir)).orderBy("event_type")
     },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
@@ -1374,6 +1395,21 @@ object SparkEntry {
       s"""WITH ${TextAnalysis.sourceKeywordsSql()}
           SELECT source, rank, term, tf, df, score FROM src_kw
           ORDER BY source, rank""",
+
+    "q136_hourly_bursts" ->
+      s"""WITH ${Events.hourlyBurstsSql()}
+          SELECT hour, n, trailing_n, n_window, score FROM hourly_bursts
+          ORDER BY hour""",
+
+    "q137_fd_audit" ->
+      s"""SELECT * FROM (
+          ${DataQuality.fdAuditSql("orders", fdSpecs)}
+          ) ORDER BY fd""",
+
+    "q138_quantile_suite" ->
+      s"""WITH ${Profile.quantileSuiteSql()}
+          SELECT event_type, p25, p50, p75, p90, p99 FROM quantile_suite
+          ORDER BY event_type""",
 
     "q123_attribution" ->
       s"""${Funnel.attributionSql()}

@@ -81,4 +81,34 @@ object DataQuality {
     val bad = warehouseChecks(w).filter(_.count > 0)
     require(bad.isEmpty, s"constraint violations: ${bad.mkString(", ")}")
   }
+
+  /** Functional-dependency audit: for each declared FD lhs → rhs, how many
+    * lhs groups exist, how many VIOLATE the dependency (more than one
+    * distinct rhs), and the worst fan-out. The discovery pass schema
+    * inference and dedup keying both rely on ("is this column a key for
+    * that one?") — run as plain distributed aggregates: one
+    * shuffle per FD on the lhs key, map-side combinable, no row output.
+    */
+  def fdAudit(df: DataFrame, fds: Seq[(String, String, String)]): DataFrame = {
+    require(fds.nonEmpty && fds.map(_._1).distinct.size == fds.size,
+      s"FD names must be non-empty and distinct: ${fds.map(_._1)}")
+    fds.map { case (name, lhs, rhs) =>
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("nd")).as("max_fanout"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+          col("max_fanout"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** DuckDB twin of [[fdAudit]] over a named table. */
+  def fdAuditSql(table: String, fds: Seq[(String, String, String)]): String =
+    fds.map { case (name, lhs, rhs) =>
+      s"""SELECT '$name' AS fd, COUNT(*) AS n_groups,
+         |       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |       MAX(nd) AS max_fanout
+         |FROM (SELECT $lhs, CAST(COUNT(DISTINCT $rhs) AS BIGINT) AS nd
+         |      FROM $table GROUP BY $lhs) g""".stripMargin
+    }.mkString("\nUNION ALL\n")
 }

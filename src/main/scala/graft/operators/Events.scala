@@ -222,6 +222,48 @@ object Events {
        |  SELECT day, dau, wau FROM au_dau JOIN au_wau USING (day))""".stripMargin
   }
 
+  private val hourMs = 3600000L
+
+  /** Hourly burst detection: each hour's event count against its trailing
+    * `windowHours`-hour sum; score = windowHours·n / trailing (an exact
+    * integer ratio — 1.0 means "exactly the trailing average", higher is a
+    * burst). The trailing sum is a RANGE window over the ALREADY-AGGREGATED
+    * hour frame — bounded by the corpus time span (≈ 10⁵ rows per decade),
+    * so the unpartitioned ordered window is NOT the single-partition
+    * killer it would be on raw rows; the event-scale work is one
+    * map-side-combinable aggregate. `n_window` (hours actually present in
+    * the range) is emitted so warm-up hours are interpretable.
+    */
+  def hourlyBursts(events: DataFrame, windowHours: Int = 24): DataFrame = {
+    require(windowHours >= 1, s"windowHours must be >= 1, got $windowHours")
+    import org.apache.spark.sql.expressions.Window
+    val byHour = events
+      .select(graft.functions.OracleSafe.intDiv(msCol, lit(hourMs)).as("hour"))
+      .groupBy("hour").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("hour").rangeBetween(-(windowHours - 1).toLong, 0L)
+    byHour
+      .withColumn("trailing_n", sum("n").over(w))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("score",
+        (col("n") * windowHours).cast("double") / col("trailing_n").cast("double"))
+      .select("hour", "n", "trailing_n", "n_window", "score")
+  }
+
+  /** DuckDB twin of [[hourlyBursts]]. */
+  def hourlyBurstsSql(windowHours: Int = 24): String = {
+    val hourDiv = graft.functions.OracleSafe.intDivSql("epoch_ms(ts)", hourMs.toString)
+    s"""hb AS (SELECT $hourDiv AS hour, COUNT(*) AS n FROM events GROUP BY 1),
+       |hourly_bursts AS (
+       |  SELECT hour, n,
+       |         CAST(SUM(n) OVER tw AS BIGINT) AS trailing_n,
+       |         COUNT(*) OVER tw AS n_window,
+       |         CAST(n * $windowHours AS DOUBLE)
+       |           / CAST(SUM(n) OVER tw AS DOUBLE) AS score
+       |  FROM hb
+       |  WINDOW tw AS (ORDER BY hour
+       |                RANGE BETWEEN ${windowHours - 1} PRECEDING AND CURRENT ROW))""".stripMargin
+  }
+
   /** Per-type spend trend: the exact OLS slope of value (cents) against
     * the epoch day — drift detection without an ML library. All four
     * moment sums are BIGINTs on exact grids (cents; days CENTERED on the

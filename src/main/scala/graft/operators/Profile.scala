@@ -145,6 +145,51 @@ object Profile {
       .select("event_type", "median", "mad")
   }
 
+  /** Exact multi-quantile suite per event type — percentile_disc
+    * semantics, position ceil(p·n/100) in all-integer arithmetic, picking
+    * ACTUAL data elements (no interpolation → no float arithmetic to
+    * disagree on; the convention both engines compute bit-identically).
+    * One sort window per type serves every requested percentile: the
+    * positions are computed from the same (rn, n) pair and folded out as
+    * conditional aggregates — adding a percentile costs zero extra passes.
+    *
+    * Scale: same per-type sort-window profile as [[robustSpread]]; the
+    * approx path for 100 TB is q90's percentile_approx error contract.
+    */
+  def quantileSuite(events: DataFrame,
+      percents: Seq[Int] = Seq(25, 50, 75, 90, 99)): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100)
+        && percents.distinct.size == percents.size,
+      s"percents must be distinct in [1,100]: $percents")
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy("event_type")
+    val ranked = events.select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(byType.orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+    val picks = percents.map { p =>
+      max(when(col("rn") ===
+          OracleSafe.intDiv(col("n") * p + lit(99), lit(100)), col("value")))
+        .as(s"p$p")
+    }
+    ranked.groupBy("event_type").agg(picks.head, picks.tail: _*)
+  }
+
+  /** DuckDB twin of [[quantileSuite]]. */
+  def quantileSuiteSql(percents: Seq[Int] = Seq(25, 50, 75, 90, 99)): String = {
+    val cols = percents.map { p =>
+      s"MAX(CASE WHEN rn = (n * $p + 99) // 100 THEN value END) AS p$p"
+    }.mkString(",\n       |       ")
+    s"""quantile_suite AS (
+       |  SELECT event_type,
+       |       $cols
+       |  FROM (SELECT event_type, value,
+       |               ROW_NUMBER() OVER (PARTITION BY event_type
+       |                                  ORDER BY value, event_id) AS rn,
+       |               COUNT(*) OVER (PARTITION BY event_type) AS n
+       |        FROM events) t
+       |  GROUP BY event_type)""".stripMargin
+  }
+
   /** DuckDB twin of [[robustSpread]]. */
   val robustSpreadSql: String =
     """med AS (

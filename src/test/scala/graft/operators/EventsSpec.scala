@@ -153,4 +153,21 @@ class EventsSpec extends SparkSpec {
       .groupBy("event_type").count().as[(String, Long)].collect().map(_._2 % 2).toSet
     assert(parities.contains(0L), "need at least one even-sized group")
   }
+
+  test("hourlyBursts: trailing range window spans gaps, score is exact") {
+    val h = 3600000L
+    val e = evD(
+      (1L, 1L, "v", 0L, 0.0), (2L, 2L, "v", 5L, 0.0), // hour 0: n=2
+      (3L, 1L, "v", h, 0.0),                          // hour 1: n=1
+      (4L, 1L, "v", 3 * h, 0.0), (5L, 2L, "v", 3 * h + 1, 0.0),
+      (6L, 3L, "v", 3 * h + 2, 0.0))                  // hour 3: n=3
+    val r = Events.hourlyBursts(e, windowHours = 2).orderBy("hour")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // hour 0: trail {h0}=2; hour 1: trail {h0,h1}=3; hour 3: the RANGE
+    // frame [2,3] contains no hour-2 row -> trail {h3}=3
+    assert(r == Seq(
+      (0L, 2L, 2L, 1L, 2.0),
+      (1L, 1L, 3L, 2L, 2.0 / 3.0),
+      (3L, 3L, 3L, 1L, 2.0)))
+  }
 }

@@ -66,4 +66,22 @@ class ProfileSpec extends SparkSpec {
       .as[(String, Double, Double)].collect().toSeq
     assert(r == Seq(("B", 1.5, 0.5)))
   }
+
+  test("quantileSuite: percentile_disc picks exact elements at ceil(p*n/100)") {
+    val big = (1 to 100).map(i => (i.toLong, "A", i.toDouble))
+    val small = Seq((101L, "B", 10.0), (102L, "B", 20.0), (103L, "B", 30.0))
+    val e = evV((big ++ small): _*)
+    val r = Profile.quantileSuite(e).orderBy("event_type")
+      .as[(String, Double, Double, Double, Double, Double)].collect().toSeq
+    assert(r == Seq(
+      ("A", 25.0, 50.0, 75.0, 90.0, 99.0),
+      // n=3: positions ceil(.75)=1, ceil(1.5)=2, ceil(2.25)=3, 3, 3
+      ("B", 10.0, 20.0, 30.0, 30.0, 30.0)))
+  }
+
+  test("quantileSuite rejects out-of-range or duplicate percentiles") {
+    val e = evV((1L, "A", 1.0))
+    intercept[IllegalArgumentException](Profile.quantileSuite(e, Seq(0)))
+    intercept[IllegalArgumentException](Profile.quantileSuite(e, Seq(50, 50)))
+  }
 }
