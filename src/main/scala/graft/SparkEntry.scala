@@ -557,6 +557,58 @@ object SparkEntry {
     "q138_quantile_suite" -> { (s, dir) =>
       Profile.quantileSuite(TestData.events(s, dir)).orderBy("event_type")
     },
+    // TPC-H Q5 shape: six-table star join, local-supplier revenue per
+    // region/nation. region+nation (bounded: 5/25 rows) are broadcast;
+    // the three data-sized joins are left to AQE (broadcast at test
+    // scale, shuffled co-partitioned on the cluster).
+    "q139_local_supplier_volume" -> { (s, dir) =>
+      val rn = TestData.nation(s, dir)
+        .join(broadcast(TestData.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+      TestData.lineitem(s, dir)
+        .join(TestData.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(TestData.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(TestData.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(rn), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          moneyOut(sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+    // Referential-integrity audit across the raw TPC-H feed: FK orphan
+    // counts (anti-joins over pruned key projections) + PK dup counts,
+    // one lazy unioned frame — the q37 shape for the analytics tables.
+    "q140_tpch_integrity" -> { (s, dir) =>
+      def orphans(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame =
+        child.select(col(ck)).join(parent.select(col(pk)),
+            col(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(name).as("check_name"), col("violations"))
+      def dups(name: String, df: DataFrame, keys: String*): DataFrame =
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+          .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("violations"))
+          .select(lit(name).as("check_name"), col("violations"))
+      val (li, o, c, su, na, re) = (TestData.lineitem(s, dir),
+        TestData.orders(s, dir), TestData.customer(s, dir),
+        TestData.supplier(s, dir), TestData.nation(s, dir),
+        TestData.region(s, dir))
+      Seq(
+        orphans("lineitem.l_orderkey orphans", li, "l_orderkey", o, "o_orderkey"),
+        orphans("orders.o_custkey orphans", o, "o_custkey", c, "c_custkey"),
+        orphans("customer.c_nationkey orphans", c, "c_nationkey", na, "n_nationkey"),
+        orphans("supplier.s_nationkey orphans", su, "s_nationkey", na, "n_nationkey"),
+        orphans("nation.n_regionkey orphans", na, "n_regionkey", re, "r_regionkey"),
+        dups("orders pk dups", o, "o_orderkey"),
+        dups("customer pk dups", c, "c_custkey"),
+        dups("supplier pk dups", su, "s_suppkey"),
+        dups("lineitem pk dups", li, "l_orderkey", "l_linenumber"))
+        .reduce(_ unionByName _).orderBy("check_name")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -1410,6 +1462,54 @@ object SparkEntry {
       s"""WITH ${Profile.quantileSuiteSql()}
           SELECT event_type, p25, p50, p75, p90, p99 FROM quantile_suite
           ORDER BY event_type""",
+
+    "q139_local_supplier_volume" ->
+      s"""SELECT r_name, n_name,
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("l_extendedprice * (1 - l_discount)")}) AS DECIMAL(18,2))")} AS revenue,
+                 COUNT(*) AS n_items
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name
+          ORDER BY r_name, n_name""",
+
+    "q140_tpch_integrity" ->
+      """SELECT * FROM (
+           SELECT 'lineitem.l_orderkey orphans' AS check_name, COUNT(*) AS violations
+           FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderkey IS NULL
+         UNION ALL
+           SELECT 'orders.o_custkey orphans', COUNT(*)
+           FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE c.c_custkey IS NULL
+         UNION ALL
+           SELECT 'customer.c_nationkey orphans', COUNT(*)
+           FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+           WHERE n.n_nationkey IS NULL
+         UNION ALL
+           SELECT 'supplier.s_nationkey orphans', COUNT(*)
+           FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+           WHERE n.n_nationkey IS NULL
+         UNION ALL
+           SELECT 'nation.n_regionkey orphans', COUNT(*)
+           FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE r.r_regionkey IS NULL
+         UNION ALL
+           SELECT 'orders pk dups', CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) g
+         UNION ALL
+           SELECT 'customer pk dups', CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey) g
+         UNION ALL
+           SELECT 'supplier pk dups', CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM (SELECT COUNT(*) AS c FROM supplier GROUP BY s_suppkey) g
+         UNION ALL
+           SELECT 'lineitem pk dups', CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber) g
+         ) ORDER BY check_name""",
 
     "q123_attribution" ->
       s"""${Funnel.attributionSql()}
