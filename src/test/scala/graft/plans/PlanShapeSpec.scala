@@ -36,7 +36,11 @@ class PlanShapeSpec extends SparkSpec {
 
   test("dedup/similarity self-joins never degenerate to cartesian products") {
     for (q <- Seq("q41_ngram_jaccard", "q43_lsh_candidates", "q46_ann_lsh",
-        "q47_embedding_near_dups", "q66_fuzzy_match")) {
+        "q47_embedding_near_dups", "q66_fuzzy_match",
+        // round-6 graph/join additions: wedge join, source matrix,
+        // PageRank rounds, 6-table star, TF-IDF keyword join
+        "q134_triangle_stats", "q130_source_overlap", "q122_pagerank",
+        "q139_local_supplier_volume", "q135_source_keywords")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
@@ -83,5 +87,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k must be a bounded heap")
     assert(p.contains("*(") || p.contains("WholeStageCodegen"),
       "the scoring pass must retain whole-stage codegen spans")
+  }
+
+  test("a ym filter on the warehouse fact prunes partitions at the scan") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("wh-prune").toString
+    val w = graft.operators.BankEtl.build(spark, sf, cache = true)
+    graft.operators.WarehouseSink.write(w, out)
+    val fact = spark.read.parquet(s"$out/Fact_Spending")
+    val total = new java.io.File(s"$out/Fact_Spending").listFiles()
+      .count(_.getName.startsWith("ym="))
+    assert(total > 1, "need several ym partitions for the test to mean anything")
+    val oneYm = fact.select("ym").head().get(0)
+    val q = fact.filter(col("ym") === oneYm)
+    q.collect()
+    val selected = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }.sum
+    assert(selected == 1,
+      s"scan must read 1 of $total partitions, read $selected")
   }
 }
