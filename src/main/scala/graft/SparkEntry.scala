@@ -524,6 +524,12 @@ object SparkEntry {
       Dedup.sourceOverlap(TestData.documents(s, dir))
         .orderBy("source_lo", "source_hi")
     },
+    // EXACT Jaccard similarity join with recall-complete prefix filtering
+    // (the deterministic complement of the LSH candidate path).
+    "q141_prefix_join" -> { (s, dir) =>
+      Dedup.prefixJaccardJoin(TestData.documents(s, dir))
+        .orderBy("doc_a", "doc_b")
+    },
     // Embedding-quality audit: empty/zero vectors + exact norm stats.
     "q131_embedding_audit" -> { (s, dir) =>
       Similarity.embeddingAudit(TestData.embeddings(s, dir)).orderBy("label")
@@ -1423,6 +1429,11 @@ object SparkEntry {
       s"""WITH ${Dedup.sourceOverlapSql()}
           SELECT source_lo, source_hi, n_pairs FROM source_overlap
           ORDER BY source_lo, source_hi""",
+
+    "q141_prefix_join" ->
+      s"""WITH ${Dedup.prefixJaccardJoinSql()}
+          SELECT doc_a, doc_b, n_inter, n_union, jaccard FROM prefix_join
+          ORDER BY doc_a, doc_b""",
 
     "q131_embedding_audit" ->
       s"""WITH ${Similarity.embeddingAuditSql}

@@ -760,6 +760,109 @@ object Dedup {
        |JOIN sh_counts2 ca ON ca.doc_id = doc_a
        |JOIN sh_counts2 cb ON cb.doc_id = doc_b""".stripMargin
 
+  /** EXACT set-similarity self-join via prefix filtering (the PPJoin
+    * family's core trick): find every pair of documents whose TOKEN-SET
+    * Jaccard meets `threshold` — with a provably recall-complete candidate
+    * set, unlike the probabilistic LSH path ([[lshCandidates]]).
+    *
+    * Under any single global token order, two sets with J(A,B) ≥ t must
+    * share a token inside both prefixes of length |X| − ceil(t·|X|) + 1
+    * (if the prefixes were disjoint, the overlap could not reach the
+    * required t/(1+t)·(|A|+|B|)). Order tokens rare-first (df asc, token
+    * asc — a total order), index only prefixes, equi-join on the token,
+    * then verify the exact Jaccard with an all-integer cross-multiplied
+    * comparison (no float threshold edge).
+    *
+    * Scale shape: the prefix index is a small slice of the posting list
+    * and rare-first ordering makes its tokens low-df, so the token
+    * equi-join fans out mildly by construction (the hot tokens sit OUTSIDE
+    * every prefix); verification joins full postings only for surviving
+    * candidate pairs. No similarity is ever missed — the trade against
+    * banding is verify cost, not recall.
+    */
+  def prefixJaccardJoin(docs: DataFrame, threshold: Double = 0.6,
+      shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    // integer threshold t = num/den for the exact comparison
+    val (tNum, tDen) = {
+      val den = 100L
+      (math.ceil(threshold * den).toLong, den)
+    }
+    val posts =
+      (if (shingleN == 1)
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t")).distinct()
+      else shingles(docs, shingleN).select(col("doc_id"), col("sh").as("t")))
+        .cache() // read for df, prefix, sizes, and verify
+    val df = posts.groupBy("t").agg(count(lit(1)).as("df"))
+    val sized = posts.join(df, Seq("t"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val ranked = sized
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("t"))))
+      // prefix length n - ceil(t*n) + 1, all-integer ceil
+      .withColumn("plen",
+        col("n") - graft.functions.OracleSafe.intDiv(col("n") * tNum + (tDen - 1), lit(tDen)) + 1)
+    val prefix = ranked.filter(col("rn") <= col("plen"))
+      .select(col("doc_id"), col("t"), col("n"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    val inter = cand
+      .join(posts.select(col("doc_id").as("doc_a"), col("t")), Seq("doc_a"))
+      .join(posts.select(col("doc_id").as("doc_b"), col("t")), Seq("doc_b", "t"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      // J >= t  <=>  den * inter >= num * union (exact integers)
+      .filter(col("n_inter") * tDen >= col("n_union") * tNum)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        (col("n_inter").cast("double") / col("n_union").cast("double")).as("jaccard"))
+  }
+
+  /** DuckDB twin of [[prefixJaccardJoin]]; embed after `WITH ` and
+    * select from `prefix_join`.
+    */
+  def prefixJaccardJoinSql(threshold: Double = 0.6, shingleN: Int = 3): String = {
+    val tNum = math.ceil(threshold * 100).toLong
+    val tDen = 100L
+    val ceilDiv = graft.functions.OracleSafe.intDivSql(s"n * $tNum + ${tDen - 1}", tDen.toString)
+    val postsCte =
+      if (shingleN == 1)
+        "pj_posts AS (\n  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)"
+      else
+        s"${shinglesSql(shingleN)},\npj_posts AS (SELECT doc_id, sh AS t FROM shingles)"
+    s"""$postsCte,
+       |pj_df AS (SELECT t, COUNT(*) AS df FROM pj_posts GROUP BY t),
+       |pj_ranked AS (
+       |  SELECT p.doc_id, p.t,
+       |         COUNT(*) OVER (PARTITION BY p.doc_id) AS n,
+       |         ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.t) AS rn
+       |  FROM pj_posts p JOIN pj_df d USING (t)),
+       |pj_prefix AS (
+       |  SELECT doc_id, t, n FROM pj_ranked
+       |  WHERE rn <= n - ($ceilDiv) + 1),
+       |pj_cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                  a.n AS na, b.n AS nb
+       |  FROM pj_prefix a JOIN pj_prefix b
+       |    ON a.t = b.t AND a.doc_id < b.doc_id),
+       |pj_inter AS (
+       |  SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS n_inter
+       |  FROM pj_cand c
+       |  JOIN pj_posts x ON x.doc_id = c.doc_a
+       |  JOIN pj_posts y ON y.doc_id = c.doc_b AND y.t = x.t
+       |  GROUP BY 1, 2, 3, 4),
+       |prefix_join AS (
+       |  SELECT doc_a, doc_b, n_inter, na + nb - n_inter AS n_union,
+       |         CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
+       |  FROM pj_inter
+       |  WHERE n_inter * $tDen >= (na + nb - n_inter) * $tNum)""".stripMargin
+  }
+
   /** Cross-source duplication matrix: near-dup candidate pairs bucketed by
     * the (unordered) source pair — the crawl-curation signal for which
     * feeds mirror which (a high off-diagonal cell means two "independent"

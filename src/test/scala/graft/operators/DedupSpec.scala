@@ -174,4 +174,22 @@ class DedupSpec extends SparkSpec {
     val totalPairs = Dedup.lshCandidates(d).count()
     assert(cells.map(_._3).sum == totalPairs)
   }
+
+  test("prefixJaccardJoin finds EXACTLY the brute-force pair set (recall-complete)") {
+    val d = graft.sources.TestData.documents(spark, sf)
+    val sh = Dedup.shingles(d, 3).select("doc_id", "sh").as[(Long, String)]
+      .collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val ids = sh.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      inter = (sh(i) & sh(j)).size
+      uni = sh(i).size + sh(j).size - inter
+      if inter * 100 >= uni * 60
+    } yield (i, j, inter.toLong, uni.toLong)).toSet
+    val got = Dedup.prefixJaccardJoin(d)
+      .select("doc_a", "doc_b", "n_inter", "n_union")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "corpus must contain at least one qualifying pair")
+  }
 }
