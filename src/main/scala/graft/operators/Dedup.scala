@@ -806,7 +806,12 @@ object Dedup {
       .select(col("doc_id"), col("t"), col("n"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id")
+          // length filter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so sizes
+          // further apart than t cannot qualify — prune before the
+          // dedup+verify joins (exactness-preserving, standard PPJoin)
+          && least(col("a.n"), col("b.n")) * tDen
+            >= greatest(col("a.n"), col("b.n")) * tNum)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
@@ -849,7 +854,8 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |                  a.n AS na, b.n AS nb
        |  FROM pj_prefix a JOIN pj_prefix b
-       |    ON a.t = b.t AND a.doc_id < b.doc_id),
+       |    ON a.t = b.t AND a.doc_id < b.doc_id
+       |   AND LEAST(a.n, b.n) * $tDen >= GREATEST(a.n, b.n) * $tNum),
        |pj_inter AS (
        |  SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS n_inter
        |  FROM pj_cand c
