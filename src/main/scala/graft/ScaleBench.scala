@@ -41,7 +41,10 @@ object ScaleBench {
     "q110_semantic_dedup", "q116_negative_samples",
     // fixed-point PageRank: k shuffle rounds over the candidate edge list
     // — must grow with |E|, not with pair-path counts
-    "q122_pagerank")
+    "q122_pagerank",
+    // exact prefix-filtered Jaccard join: rare-first prefixes + length
+    // filter must keep candidates ~linear in docs, never all-pairs
+    "q141_prefix_join")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

