@@ -97,7 +97,7 @@ object ScaleBench {
     // arbitrary query and the per-query "ratios" become a lottery
     // (observed swings: the same query 15×..120× between identical-code
     // runs). So each query runs 3×: `cold` = first run (materialization
-    // included, attributed honestly to whoever paid it), `warm` = median
+    // included, attributed honestly to whoever paid it), `warm` = MIN
     // of the remaining runs (steady-state per-query work). The scale
     // RATIO compares warm against warm — that is the per-query claim the
     // design makes; the cold columns document the one-time build cost.

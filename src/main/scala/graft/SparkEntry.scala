@@ -502,6 +502,10 @@ object SparkEntry {
     "q122_pagerank" -> { (s, dir) =>
       Graph.pagerank(TestData.documents(s, dir)).orderBy("doc_id")
     },
+    // PageRank convergence audit: exact integer L1 residual per round.
+    "q142_pagerank_residuals" -> { (s, dir) =>
+      Graph.pagerankResiduals(TestData.documents(s, dir)).orderBy("round")
+    },
     // First-order Markov transition matrix over per-user event sequences.
     "q126_markov_transitions" -> { (s, dir) =>
       Events.markovTransitions(TestData.events(s, dir))
@@ -1407,6 +1411,10 @@ object SparkEntry {
     "q122_pagerank" ->
       s"""WITH ${Graph.pagerankSql()}
           SELECT doc_id, rank_fp, score FROM pagerank ORDER BY doc_id""",
+
+    "q142_pagerank_residuals" ->
+      s"""WITH ${Graph.pagerankResidualsSql()}
+          SELECT round, residual_fp FROM pagerank_residuals ORDER BY round""",
 
     "q126_markov_transitions" ->
       s"""${Events.markovTransitionsSql}

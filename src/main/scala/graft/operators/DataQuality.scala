@@ -52,8 +52,11 @@ object DataQuality {
     * per row, a 32-bit integer from md5 over the '|'-joined column values;
     * the table fingerprint is (row count, SUM of row hashes). Addition is
     * commutative/associative, so the aggregate map-side-combines and the
-    * result is independent of partitioning, task order, and row order —
-    * two tables match iff their (n, checksum) match. 32-bit row hashes
+    * result is independent of partitioning, task order, and row order.
+    * A fingerprint MISMATCH proves the tables differ; a match makes
+    * equality overwhelmingly likely but is not a proof (32-bit row hashes
+    * can collide, and sums of differing hash multisets can coincide) —
+    * the usual checksum contract. 32-bit row hashes
     * keep the BIGINT sum overflow-free (ANSI mode would throw) up to
     * 2×10⁹ rows per fingerprint; beyond that, fingerprint partition-wise
     * or widen to DECIMAL(38,0) sums.

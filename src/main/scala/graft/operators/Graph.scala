@@ -60,16 +60,71 @@ object Graph {
     val base = intDiv(lit(15L) * init, lit(100L))
     val pr0 = deg.crossJoin(broadcast(nV))
       .select(col("src").as("v"), init.as("r"))
-    val prK = (1 to iters).foldLeft(pr0) { (pr, _) =>
+    val s = prSetup(docs, iters, numHashes, rowsPerBand)
+    val prK = (1 to iters).foldLeft(s.pr0)((pr, _) => s.step(pr))
+    prK.select(col("v").as("doc_id"), col("r").as("rank_fp"),
+      (col("r").cast("double") / lit(Scale.toDouble)).as("score"))
+  }
+
+  /** The shared PageRank prelude: cached symmetric edge list (banding runs
+    * ONCE — `deg`, `nV`, and `pr0` all derive from the cached edges, so
+    * each costs one cheap re-aggregation instead of re-running the LSH
+    * banding join), cached degree frame, and the one-round transition.
+    */
+  private case class PrState(edges: DataFrame, deg: DataFrame,
+      pr0: DataFrame, step: DataFrame => DataFrame)
+
+  private def prSetup(docs: DataFrame, iters: Int,
+      numHashes: Int, rowsPerBand: Int): PrState = {
+    require(iters >= 1, s"pagerank needs at least one iteration, got $iters")
+    val pairs = Dedup.lshCandidates(docs, numHashes, rowsPerBand)
+      .select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    // (src, dst, deg) — re-read every round
+    val edgesW = edges.join(deg, Seq("src")).cache()
+    val nV = deg.agg(count(lit(1)).as("n_v"))
+    val init = intDiv(lit(Scale), col("n_v"))
+    val base = intDiv(lit(15L) * init, lit(100L))
+    val pr0 = deg.crossJoin(broadcast(nV))
+      .select(col("src").as("v"), init.as("r"))
+    def step(pr: DataFrame): DataFrame =
       edgesW.join(pr.withColumnRenamed("v", "src"), Seq("src"))
         .groupBy(col("dst").as("v"))
         .agg(sum(intDiv(col("r"), col("deg"))).as("contrib"))
         .crossJoin(broadcast(nV))
         .select(col("v"),
           (base + intDiv(lit(85L) * col("contrib"), lit(100L))).as("r"))
+    PrState(edges, deg, pr0, step)
+  }
+
+  /** Convergence audit for [[pagerank]]: the exact integer L1 residual
+    * Σ_v |rᵢ(v) − rᵢ₋₁(v)| after each round i = 1..iters, as
+    * (round INT, residual_fp BIGINT). Power iteration contracts the L1
+    * error by ~the damping factor (0.85) per round, so residuals must fall
+    * geometrically — the evidence that a FIXED iteration count is a
+    * principled choice at any scale: the contraction rate is a property of
+    * the damping constant, not of the corpus size. All-integer, so both
+    * engines report identical residuals; `GraphSpec` asserts the monotone
+    * decrease and the q142 oracle row pins the exact values.
+    *
+    * Each round is cached before differencing, so the audit costs O(iters)
+    * rounds like [[pagerank]] itself, not O(iters²).
+    */
+  def pagerankResiduals(docs: DataFrame, iters: Int = 5,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val s = prSetup(docs, iters, numHashes, rowsPerBand)
+    val rounds = (1 to iters).scanLeft(s.pr0.cache()) { (pr, _) =>
+      s.step(pr).cache()
     }
-    prK.select(col("v").as("doc_id"), col("r").as("rank_fp"),
-      (col("r").cast("double") / lit(Scale.toDouble)).as("score"))
+    val resids = rounds.sliding(2).zipWithIndex.map { case (pair, i) =>
+      pair(1).join(pair(0).select(col("v"), col("r").as("r_prev")), Seq("v"))
+        .agg(sum(abs(col("r") - col("r_prev"))).as("residual_fp"))
+        .select(lit(i + 1).as("round"), col("residual_fp"))
+    }
+    resids.reduce(_.unionByName(_)).orderBy("round")
   }
 
   /** Per-vertex triangle statistics over the LSH candidate graph: degree,
@@ -84,11 +139,43 @@ object Graph {
     * standard distributed formulation, cost bounded by Σ deg(v)² (wedge
     * count), never |V|³. The coefficient is one double division of exact
     * BIGINTs; vertices with degree < 2 yield NULL, not 0/0.
+    *
+    * '''Hub degree cap (`maxDegree`).''' Σ deg² explodes on hub vertices —
+    * one 10⁶-degree hub alone contributes 10¹² wedges, which no wedge
+    * partitioning survives. So, like the df cap on the n-gram postings
+    * ([[Dedup.cappedShingles]]), hubs are excluded EXPLICITLY rather than
+    * crashed into: edges touching a vertex with degree > maxDegree do not
+    * generate wedges, vertices above the cap report NULL
+    * triangles/clustering (excluded, not fake zeros), and triangle counts
+    * for surviving vertices omit triangles routed through an excluded hub
+    * (their two hub edges are gone). Wedge work is then bounded by
+    * 2·|E|·maxDegree — linear in edges for a fixed cap. The default (4096)
+    * is far above any degree the banded candidate graph produces on the
+    * test corpora (`GraphSpec` pins that the capped and uncapped outputs
+    * coincide there), so the cap only bites where it must at scale.
     */
   def triangleStats(docs: DataFrame, numHashes: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
-    val e = Dedup.lshCandidates(docs, numHashes, rowsPerBand)
-      .select(col("doc_a").as("a"), col("doc_b").as("b")).cache()
+      rowsPerBand: Int = 4, maxDegree: Int = 4096): DataFrame =
+    triangleStatsFromEdges(
+      Dedup.lshCandidates(docs, numHashes, rowsPerBand)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")),
+      maxDegree)
+
+  /** [[triangleStats]] core over an explicit canonical (a < b) edge list —
+    * split out so the hub-cap semantics are unit-testable on synthetic
+    * graphs the banding would never produce.
+    */
+  private[graft] def triangleStatsFromEdges(edges: DataFrame,
+      maxDegree: Int): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val e0 = edges.cache()
+    val deg = e0.select(col("a").as("v")).union(e0.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree")).cache()
+    val hubs = deg.filter(col("degree") > maxDegree).select("v")
+    val e = e0
+      .join(hubs.select(col("v").as("a")), Seq("a"), "left_anti")
+      .join(hubs.select(col("v").as("b")), Seq("b"), "left_anti")
+      .select("a", "b").cache()
     val wedges = e.as("e1")
       .join(e.select(col("a").as("wb"), col("b").as("wc")).as("e2"),
         col("e1.b") === col("e2.wb"))
@@ -99,13 +186,12 @@ object Graph {
       .select("a", "b", "c")
     val triPerV = tri.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("triangles"))
-    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("degree"))
     deg.join(triPerV, Seq("v"), "left")
       .select(col("v").as("doc_id"), col("degree"),
-        coalesce(col("triangles"), lit(0L)).as("triangles"))
+        when(col("degree") <= maxDegree,
+          coalesce(col("triangles"), lit(0L))).as("triangles"))
       .withColumn("clustering",
-        when(col("degree") >= 2,
+        when(col("degree") >= 2 && col("degree") <= maxDegree,
           (col("triangles") * 2).cast("double")
             / (col("degree") * (col("degree") - 1)).cast("double")))
   }
@@ -113,24 +199,31 @@ object Graph {
   /** DuckDB twin of [[triangleStats]]; embed after `WITH ` and select from
     * `triangle_stats`.
     */
-  def triangleStatsSql(numHashes: Int = 16, rowsPerBand: Int = 4): String =
+  def triangleStatsSql(numHashes: Int = 16, rowsPerBand: Int = 4,
+      maxDegree: Int = 4096): String =
     s"""${Dedup.lshCandidatesSql(numHashes, rowsPerBand)},
-       |tri AS (
-       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
-       |  FROM lsh_pairs e1
-       |  JOIN lsh_pairs e2 ON e1.doc_b = e2.doc_a
-       |  JOIN lsh_pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
-       |tri_v AS (
-       |  SELECT v, COUNT(*) AS triangles
-       |  FROM (SELECT unnest([a, b, c]) AS v FROM tri) u GROUP BY v),
        |deg_v AS (
        |  SELECT v, COUNT(*) AS degree
        |  FROM (SELECT doc_a AS v FROM lsh_pairs
        |        UNION ALL SELECT doc_b FROM lsh_pairs) d GROUP BY v),
+       |capped_e AS (
+       |  SELECT p.doc_a AS a, p.doc_b AS b
+       |  FROM lsh_pairs p
+       |  JOIN deg_v da ON da.v = p.doc_a AND da.degree <= $maxDegree
+       |  JOIN deg_v db ON db.v = p.doc_b AND db.degree <= $maxDegree),
+       |tri AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM capped_e e1
+       |  JOIN capped_e e2 ON e1.b = e2.a
+       |  JOIN capped_e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tri_v AS (
+       |  SELECT v, COUNT(*) AS triangles
+       |  FROM (SELECT unnest([a, b, c]) AS v FROM tri) u GROUP BY v),
        |triangle_stats AS (
        |  SELECT d.v AS doc_id, d.degree,
-       |         COALESCE(t.triangles, 0) AS triangles,
-       |         CASE WHEN d.degree >= 2
+       |         CASE WHEN d.degree <= $maxDegree
+       |              THEN COALESCE(t.triangles, 0) END AS triangles,
+       |         CASE WHEN d.degree >= 2 AND d.degree <= $maxDegree
        |              THEN CAST(COALESCE(t.triangles, 0) * 2 AS DOUBLE)
        |                   / CAST(d.degree * (d.degree - 1) AS DOUBLE)
        |         END AS clustering
@@ -140,7 +233,16 @@ object Graph {
     * CTEs; embed after `WITH ` and select from `pagerank`.
     */
   def pagerankSql(iters: Int = 5,
-      numHashes: Int = 16, rowsPerBand: Int = 4): String = {
+      numHashes: Int = 16, rowsPerBand: Int = 4): String =
+    s"""${prSqlPrelude(iters, numHashes, rowsPerBand)},
+       |pagerank AS (
+       |  SELECT v AS doc_id, r AS rank_fp, CAST(r AS DOUBLE) / 1e12 AS score
+       |  FROM pr$iters)""".stripMargin
+
+  /** Everything through `pr<iters>` — shared by [[pagerankSql]] and
+    * [[pagerankResidualsSql]].
+    */
+  private def prSqlPrelude(iters: Int, numHashes: Int, rowsPerBand: Int): String = {
     require(iters >= 1, s"pagerank needs at least one iteration, got $iters")
     val initSql = intDivSql(Scale.toString, "n_v")
     val baseSql = intDivSql(s"15 * $initSql", "100")
@@ -161,9 +263,20 @@ object Graph {
        |  SELECT e.src, e.dst, d.deg FROM pr_edges e JOIN pr_deg d ON e.src = d.src),
        |pr_nv AS (SELECT COUNT(*) AS n_v FROM pr_deg),
        |pr0 AS (SELECT src AS v, CAST($initSql AS BIGINT) AS r FROM pr_deg, pr_nv),
-       |$rounds,
-       |pagerank AS (
-       |  SELECT v AS doc_id, r AS rank_fp, CAST(r AS DOUBLE) / 1e12 AS score
-       |  FROM pr$iters)""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB twin of [[pagerankResiduals]]; embed after `WITH ` and select
+    * from `pagerank_residuals`.
+    */
+  def pagerankResidualsSql(iters: Int = 5,
+      numHashes: Int = 16, rowsPerBand: Int = 4): String = {
+    val resids = (1 to iters).map { i =>
+      s"""  SELECT $i AS round, CAST(SUM(ABS(a.r - b.r)) AS BIGINT) AS residual_fp
+         |  FROM pr$i a JOIN pr${i - 1} b ON a.v = b.v""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""${prSqlPrelude(iters, numHashes, rowsPerBand)},
+       |pagerank_residuals AS (
+       |$resids)""".stripMargin
   }
 }

@@ -437,8 +437,14 @@ object Similarity {
     * pair generation costs Σ|cell|² ≈ n·√n for balanced cells — the same
     * complexity class as the assignment itself, never all-pairs across the
     * corpus. The keep/drop rule is a per-pair domination test (no
-    * transitive closure), so seniority makes it deterministic: the kept
-    * set is exactly the greedy smallest-id-first selection.
+    * transitive closure), so seniority makes it deterministic: a vector is
+    * dropped iff ANY more-senior (smaller-id) cell-mate sits above the
+    * threshold — whether or not that senior vector is itself kept. On
+    * similarity chains this differs from true greedy selection (A~B, B~C,
+    * A≁C: greedy would re-admit C after dropping B; the domination test
+    * drops C too, because B is senior to C regardless of B's own fate).
+    * Both engines implement the same domination rule, so parity holds;
+    * `SimilaritySpec` pins the chain case.
     *
     * Output: one row per vector — (vec_id, cell, dropped 0/1).
     */

@@ -32,6 +32,47 @@ class GraphSpec extends SparkSpec {
     assert(got == r)
   }
 
+  test("pagerankResiduals: exact per-round L1 residuals, monotone geometric decay") {
+    val docs = TestData.documents(spark, sf)
+    // independent reference: same plain-Scala recurrence as above, but
+    // tracking the L1 residual after every round
+    val pairs = Dedup.lshCandidates(docs).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val n = adj.size
+    val init = Graph.Scale / n
+    val base = 15L * init / 100L
+    var r: Map[Long, Long] = adj.keys.map(_ -> init).toMap
+    val expected = (1 to 5).map { _ =>
+      val recv = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      adj.foreach { case (u, vs) =>
+        val share = r(u) / vs.size
+        vs.foreach(v => recv(v) += share)
+      }
+      val next = adj.keys.map(v => v -> (base + 85L * recv(v) / 100L)).toMap
+      // iterator, not .keys.map: a Set would dedup equal per-vertex diffs
+      val resid = adj.keys.iterator.map(v => math.abs(next(v) - r(v))).sum
+      r = next
+      resid
+    }
+    val got = Graph.pagerankResiduals(docs)
+      .select("round", "residual_fp").as[(Int, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1 to 5), "one residual per round")
+    assert(got.map(_._2).toSeq == expected, "residuals must match the reference exactly")
+    // the convergence claim itself: monotone decay at (better than) the
+    // damping rate — this is what justifies a FIXED iters=5 at any scale
+    // (contraction depends on damping, not corpus size). The banded
+    // candidate graph is a union of small near-dup families, so the
+    // residual typically hits EXACTLY 0 within a round or two; once zero
+    // it must stay zero.
+    got.map(_._2).sliding(2).foreach { case Array(a, b) =>
+      if (a == 0L) assert(b == 0L, s"residual rebounded from zero: $b")
+      else assert(b.toDouble / a.toDouble < 0.9,
+        s"contraction slower than damping suggests: $a -> $b")
+    }
+  }
+
   test("pagerank conserves mass up to floor leakage, all ranks positive") {
     val pr = Graph.pagerank(TestData.documents(spark, sf))
       .select("rank_fp").as[Long].collect()
@@ -67,5 +108,43 @@ class GraphSpec extends SparkSpec {
       assert(d == deg(v), s"degree mismatch at $v")
       assert(t == triOf(v), s"triangle mismatch at $v")
     }
+  }
+
+  test("triangleStats: the default degree cap is moot on the test corpus") {
+    val docs = TestData.documents(spark, sf)
+    val maxDeg = Graph.triangleStats(docs)
+      .agg(org.apache.spark.sql.functions.max("degree")).as[Long].head()
+    assert(maxDeg < 4096, s"corpus grew a hub ($maxDeg) — revisit the cap evidence")
+    val capped = Graph.triangleStats(docs)
+      .select("doc_id", "degree", "triangles").as[(Long, Long, Long)].collect().toSet
+    val uncapped = Graph.triangleStats(docs, maxDegree = Int.MaxValue)
+      .select("doc_id", "degree", "triangles").as[(Long, Long, Long)].collect().toSet
+    assert(capped == uncapped, "default cap must not change the banded-graph output here")
+  }
+
+  test("triangleStats hub cap: hubs report NULL, wedge work excludes their edges") {
+    import org.apache.spark.sql.functions.col
+    // star hub 100 with leaves 1..5 (degree 5), plus a separate triangle
+    // 10-11-12 and a triangle 1-2-100 routed through the hub
+    val hubEdges = (1L to 5L).map(l => (l, 100L)) ++
+      Seq((10L, 11L), (10L, 12L), (11L, 12L), (1L, 2L))
+    val e = hubEdges.toDF("a", "b").select(
+      org.apache.spark.sql.functions.least(col("a"), col("b")).as("a"),
+      org.apache.spark.sql.functions.greatest(col("a"), col("b")).as("b"))
+    val byId = Graph.triangleStatsFromEdges(e, maxDegree = 4)
+      .select("doc_id", "degree", "triangles")
+      .collect().map(row => (row.getLong(0), (row.getLong(1),
+        if (row.isNullAt(2)) None else Some(row.getLong(2))))).toMap
+    assert(byId(100L)._1 == 5L, "true degree is still reported for the hub")
+    assert(byId(100L)._2.isEmpty, "hub above the cap is excluded, not zeroed")
+    assert(byId(10L)._2.contains(1L) && byId(11L)._2.contains(1L)
+      && byId(12L)._2.contains(1L), "triangles away from the hub stay exact")
+    assert(byId(1L)._2.contains(0L) && byId(2L)._2.contains(0L),
+      "the hub-routed triangle is not counted once hub edges are excluded")
+    // uncapped control: the hub triangle IS counted when the cap is high
+    val full = Graph.triangleStatsFromEdges(e, maxDegree = 100)
+      .select("doc_id", "triangles")
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toMap
+    assert(full(1L) == 1L && full(100L) == 1L)
   }
 }

@@ -115,6 +115,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r.size == 12, "one row per input vector")
   }
 
+  test("semanticDedup similarity chain: domination drops the whole tail, not greedy re-admission") {
+    // Chain A~B, B~C, A!~C at ids 0<1<2: angles 0 deg / 25 deg / 50 deg in
+    // the xy-plane, threshold 0.8 sits between cos(25 deg)=0.906 and
+    // cos(50 deg)=0.643. True greedy selection would re-admit C after
+    // dropping B; the documented domination rule drops C too (B is senior
+    // to C whether or not B itself survives). n=9 makes cent_mod=3, so id 0
+    // is the only centroid seed near the chain and ids 0,1,2 share a cell;
+    // ids 3..8 sit z-dominant far away (cosine to the chain ~0.3).
+    val emb = ((0 until 3).map { i =>
+      (i.toLong, Array(math.cos(i * 0.4363).toFloat, math.sin(i * 0.4363).toFloat, 0f))
+    } ++ (3 until 9).map { i =>
+      (i.toLong, Array(math.cos(i.toDouble).toFloat, math.sin(i.toDouble).toFloat, -3f))
+    }).toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(emb, threshold = 0.8)
+      .select("vec_id", "dropped").as[(Long, Int)].collect().toMap
+    assert(r(0L) == 0, "chain head is kept")
+    assert(r(1L) == 1, "B is dominated by A")
+    assert(r(2L) == 1,
+      "C must drop under the domination rule (dominated by B) even though greedy would keep it")
+  }
+
   test("negativeSamples: negatives come from foreign buckets, deterministically") {
     val emb = graft.sources.TestData.embeddings(spark, sf)
     val buckets = Similarity.lshBuckets(emb)
