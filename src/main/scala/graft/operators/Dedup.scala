@@ -784,35 +784,33 @@ object Dedup {
     * outgrows the broadcast threshold (measured: 40× wall at 10× corpus;
     * array verify holds the curve linear). No similarity is ever missed —
     * the trade against banding is verify cost, not recall.
+    *
+    * Because verify cost is candidates × document length, candidates are
+    * pruned with the PPJoin '''positional filter''' before any array is
+    * materialized: a shared prefix element at (1-based, rare-first) ranks
+    * (i, j) of docs sized (|A|, |B|) bounds the total overlap by
+    * min(i−1, j−1) + 1 + min(|A|−i, |B|−j) — common elements before it sit
+    * below rank i AND j, common elements after it above both. Every shared
+    * prefix element yields such a bound, the pair-level bound is their MIN,
+    * and a pair survives only if it can still reach the required overlap
+    * α = ⌈t·(|A|+|B|) / (1+t)⌉ (from J ≥ t ⇔ |A∩B|·(1+t) ≥ t·(|A|+|B|)),
+    * compared purely in integers. The filter rides the aggregation that
+    * replaced `distinct()` on candidate pairs — same shuffle, fewer
+    * surviving rows — and is exactness-preserving, so recall stays
+    * complete.
+    *
+    * `threshold` must sit on the 1/100 grid (checked): the exact integer
+    * comparisons use t = num/100, and silently snapping an off-grid
+    * threshold (e.g. 0.615) would miss pairs with Jaccard in
+    * [t, ⌈100t⌉/100) — a correctness contract, not a convenience.
     */
   def prefixJaccardJoin(docs: DataFrame, threshold: Double = 0.6,
       shingleN: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     // integer threshold t = num/den for the exact comparison
-    val (tNum, tDen) = {
-      val den = 100L
-      (math.ceil(threshold * den).toLong, den)
-    }
+    val (tNum, tDen) = prefixThresholdFraction(threshold)
     val posts = docShingles(docs, shingleN).cache() // df, prefix, and sets
-    val df = posts.groupBy("sid").agg(count(lit(1)).as("df"))
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val ranked = posts.join(df, Seq("sid"))
-      .withColumn("n", count(lit(1)).over(wDoc))
-      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("sid"))))
-      // prefix length n - ceil(t*n) + 1, all-integer ceil
-      .withColumn("plen",
-        col("n") - graft.functions.OracleSafe.intDiv(col("n") * tNum + (tDen - 1), lit(tDen)) + 1)
-    val prefix = ranked.filter(col("rn") <= col("plen"))
-      .select(col("doc_id"), col("sid"), col("n"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id")
-          // length filter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so sizes
-          // further apart than t cannot qualify (exactness-preserving)
-          && least(col("a.n"), col("b.n")) * tDen
-            >= greatest(col("a.n"), col("b.n")) * tNum)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = prefixCandidatesFromPosts(posts, tNum, tDen, positional = true)
     val sets = posts.groupBy("doc_id")
       .agg(collect_set(col("sid")).as("sids"), count(lit(1)).as("n"))
     cand
@@ -828,12 +826,80 @@ object Dedup {
         (col("n_inter").cast("double") / col("n_union").cast("double")).as("jaccard"))
   }
 
+  /** The candidate stage of [[prefixJaccardJoin]]: prefix-index equi-join
+    * with the length filter, deduped per pair, and (when `positional`)
+    * pruned by the PPJoin positional filter. Split out and toggleable so
+    * the filter's exactness (same final pairs) and its pruning power
+    * (candidate cardinality) are independently testable and reportable by
+    * `ScaleBench`.
+    */
+  private[graft] def prefixCandidatesFromPosts(posts: DataFrame,
+      tNum: Long, tDen: Long, positional: Boolean): DataFrame = {
+    val df = posts.groupBy("sid").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val ranked = posts.join(df, Seq("sid"))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("sid"))))
+      // prefix length n - ceil(t*n) + 1, all-integer ceil
+      .withColumn("plen",
+        col("n") - graft.functions.OracleSafe.intDiv(col("n") * tNum + (tDen - 1), lit(tDen)) + 1)
+    val prefix = ranked.filter(col("rn") <= col("plen"))
+      .select(col("doc_id"), col("sid"), col("n"), col("rn"))
+    // positional filter: per shared prefix element, the overlap upper
+    // bound from its ranks in both docs (see the contract above); MIN over
+    // shared elements per pair, kept only if it can still reach
+    // α = ceil(tNum·(na+nb) / (tNum+tDen)). Rides the same shuffle the
+    // old distinct() paid — strictly fewer rows reach the array verify.
+    val ub = least(col("a.rn") - 1, col("b.rn") - 1) + 1 +
+      least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))
+    val grouped = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id")
+          // length filter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so sizes
+          // further apart than t cannot qualify (exactness-preserving)
+          && least(col("a.n"), col("b.n")) * tDen
+            >= greatest(col("a.n"), col("b.n")) * tNum)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("pna"), col("b.n").as("pnb"), ub.as("ub"))
+      .groupBy("doc_a", "doc_b", "pna", "pnb")
+      .agg(min(col("ub")).as("ub"))
+    val kept =
+      if (positional)
+        // ub >= ceil(p/q)  <=>  ub*q >= p for positive integers
+        grouped.filter(col("ub") * (tNum + tDen) >= lit(tNum) * (col("pna") + col("pnb")))
+      else grouped
+    kept.select("doc_a", "doc_b")
+  }
+
+  /** [[prefixCandidatesFromPosts]] from raw documents — the ScaleBench /
+    * spec entry point for candidate-cardinality evidence.
+    */
+  private[graft] def prefixJaccardCandidates(docs: DataFrame,
+      threshold: Double = 0.6, shingleN: Int = 3,
+      positional: Boolean = true): DataFrame = {
+    val (tNum, tDen) = prefixThresholdFraction(threshold)
+    prefixCandidatesFromPosts(docShingles(docs, shingleN).cache(),
+      tNum, tDen, positional)
+  }
+
+  /** Exact integer fraction num/100 for a prefix-join threshold; rejects
+    * thresholds off the 1/100 grid instead of silently snapping them (an
+    * off-grid snap would miss pairs — see [[prefixJaccardJoin]]).
+    */
+  private def prefixThresholdFraction(threshold: Double): (Long, Long) = {
+    val den = 100L
+    val num = math.rint(threshold * den).toLong
+    require(math.abs(threshold * den - num) < 1e-9 && num >= 1,
+      s"threshold must be a positive multiple of 0.01, got $threshold: " +
+        "the exact integer comparison is defined on the 1/100 grid only")
+    (num, den)
+  }
+
   /** DuckDB twin of [[prefixJaccardJoin]]; embed after `WITH ` and
     * select from `prefix_join`.
     */
   def prefixJaccardJoinSql(threshold: Double = 0.6, shingleN: Int = 3): String = {
-    val tNum = math.ceil(threshold * 100).toLong
-    val tDen = 100L
+    val (tNum, tDen) = prefixThresholdFraction(threshold)
     val ceilDiv = graft.functions.OracleSafe.intDivSql(s"n * $tNum + ${tDen - 1}", tDen.toString)
     s"""${docShinglesSql(shingleN)},
        |pj_df AS (SELECT sid, COUNT(*) AS df FROM doc_shingles GROUP BY sid),
@@ -843,15 +909,21 @@ object Dedup {
        |         ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.sid) AS rn
        |  FROM doc_shingles p JOIN pj_df d USING (sid)),
        |pj_prefix AS (
-       |  SELECT doc_id, sid, n FROM pj_ranked
+       |  SELECT doc_id, sid, n, rn FROM pj_ranked
        |  WHERE rn <= n - ($ceilDiv) + 1),
        |pj_cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM pj_prefix a JOIN pj_prefix b
-       |    ON a.sid = b.sid AND a.doc_id < b.doc_id
-       |   AND LEAST(a.n, b.n) * $tDen >= GREATEST(a.n, b.n) * $tNum),
+       |  SELECT doc_a, doc_b
+       |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |               a.n AS pna, b.n AS pnb,
+       |               LEAST(a.rn - 1, b.rn - 1) + 1
+       |                 + LEAST(a.n - a.rn, b.n - b.rn) AS ub
+       |        FROM pj_prefix a JOIN pj_prefix b
+       |          ON a.sid = b.sid AND a.doc_id < b.doc_id
+       |         AND LEAST(a.n, b.n) * $tDen >= GREATEST(a.n, b.n) * $tNum) m
+       |  GROUP BY doc_a, doc_b, pna, pnb
+       |  HAVING MIN(ub) * ${tNum + tDen} >= $tNum * (pna + pnb)),
        |pj_sets AS (
-       |  SELECT doc_id, array_agg(sid) AS sids, COUNT(*) AS n
+       |  SELECT doc_id, array_agg(DISTINCT sid) AS sids, COUNT(*) AS n
        |  FROM doc_shingles GROUP BY doc_id),
        |pj_scored AS (
        |  SELECT c.doc_a, c.doc_b,

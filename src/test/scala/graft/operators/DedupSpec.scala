@@ -193,6 +193,30 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "corpus must contain at least one qualifying pair")
   }
 
+  test("prefixJaccardJoin positional filter: prunes candidates, never results") {
+    val d = graft.sources.TestData.documents(spark, sf)
+    val loose = Dedup.prefixJaccardCandidates(d, positional = false)
+      .as[(Long, Long)].collect().toSet
+    val tight = Dedup.prefixJaccardCandidates(d, positional = true)
+      .as[(Long, Long)].collect().toSet
+    assert(tight.subsetOf(loose), "positional filter may only REMOVE candidates")
+    info(s"candidates ${loose.size} -> ${tight.size} after the positional filter")
+    // every final pair must still be among the filtered candidates —
+    // with the brute-force equality test above, this proves the filter
+    // is exactness-preserving
+    val results = Dedup.prefixJaccardJoin(d).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(results.subsetOf(tight))
+  }
+
+  test("prefixJaccardJoin rejects thresholds off the 1/100 grid") {
+    val d = graft.sources.TestData.documents(spark, sf)
+    intercept[IllegalArgumentException](Dedup.prefixJaccardJoin(d, threshold = 0.615))
+    intercept[IllegalArgumentException](Dedup.prefixJaccardJoinSql(threshold = 0.615))
+    // on-grid thresholds are accepted
+    Dedup.prefixJaccardJoinSql(threshold = 0.85)
+  }
+
   test("LSH banding recall against the exact prefix-join ground truth") {
     val d = graft.sources.TestData.documents(spark, sf)
     val exact = Dedup.prefixJaccardJoin(d).select("doc_a", "doc_b")
