@@ -16,9 +16,64 @@ package graft
   * round-over-round comparison can actually trust.
   */
 object Bench {
+
+  /** Committed reference for [[calibrationProbeSec]] on an IDLE instance of
+    * the build/judge box (32 cores; repeated idle runs sat at 0.33–0.46 s,
+    * re-measurable any time with `SPARK_GRAFT_PROBE_ONLY=1`). The probe is
+    * pure JVM work — no Spark, no disk — so on the same hardware it moves
+    * only with external CPU contention; the 2× flag threshold sits well
+    * above the observed idle spread.
+    */
+  val ProbeRefSec = 0.40
+
+  /** Fixed-cost calibration probe: every core sorts a deterministic
+    * LCG-filled 4M-long array, wall time of the slowest; min of 3 reps.
+    * Saturating ALL cores is deliberate — an external multi-threaded load
+    * shows up here at roughly its fair-share factor, exactly like it does
+    * in the local[32] query times, whereas a single-thread probe could be
+    * scheduled around. If the probe runs >2× its committed idle reference
+    * the artifact flags itself `"contended": true` — the round-6 driver
+    * bench was uniformly ~1.65× (tail 8–30×) an identical-code clean run,
+    * and nothing in the artifact let a reader tell contention from
+    * regression.
+    */
+  def calibrationProbeSec(): Double = {
+    val threads = Runtime.getRuntime.availableProcessors
+    val n = 4 << 20
+    def one(seed: Long): Unit = {
+      val a = new Array[Long](n)
+      var x = seed * 0x9E3779B97F4A7C15L + 1L
+      var i = 0
+      while (i < n) { x = x * 6364136223846793005L + 1442695040888963407L; a(i) = x; i += 1 }
+      java.util.Arrays.sort(a)
+    }
+    (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map(i => new Thread(() => one(i.toLong + 1)))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  /** (1m, 5m, 15m) system load averages from /proc/loadavg. */
+  private def loadAvg(): Seq[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split(" ").take(3).map(_.toDouble).toSeq
+      finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => Seq(-1.0, -1.0, -1.0) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    if (sys.env.contains("SPARK_GRAFT_PROBE_ONLY")) {
+      // calibration mode: print the probe and exit (no Spark session) —
+      // used to (re)establish ProbeRefSec on new hardware
+      println(f"""{"probe_sec":${calibrationProbeSec()}%.4f,"load_avg":[${loadAvg().mkString(",")}]}""")
+      return
+    }
+    val loadBefore = loadAvg()
+    val probeBefore = calibrationProbeSec()
     val spark = GraftSession.local("graft-bench")
 
     // Warm-up: JIT + codegen cache on the smallest SF.
@@ -61,8 +116,31 @@ object Bench {
     // failed queries' (fast-throw) medians are excluded from the headline,
     // so the total itself can't improve when a query breaks
     val total = results.collect { case (_, v, true) => v }.sum
+
+    // routine convergence evidence: the component-loop round count at this
+    // SF (the O(log diameter) claim), emitted with every bench instead of
+    // bespoke per-round runs
+    val (ccVertices, ccRounds) =
+      try {
+        val (labels, rounds) = graft.operators.Dedup.dedupClustersWithRounds(
+          graft.sources.TestData.documents(spark, sfDir))
+        (labels.count(), rounds)
+      } catch { case _: Throwable => (-1L, -1) }
+
+    // load sentinel: probe + load-avg AFTER the suite too (contention that
+    // arrives mid-run must also flag), compared against the committed idle
+    // reference — a dirty run marks its own artifact
+    val probeAfter = calibrationProbeSec()
+    val loadAfter = loadAvg()
+    val contended = probeBefore > 2 * ProbeRefSec || probeAfter > 2 * ProbeRefSec
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""warehouse_fill_sec":$fillSec,"failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s""""warehouse_fill_sec":$fillSec,"failed":$failed,""" +
+      f""""probe_ref_sec":$ProbeRefSec,"probe_sec_before":$probeBefore%.4f,""" +
+      f""""probe_sec_after":$probeAfter%.4f,"contended":$contended,""" +
+      s""""load_avg_before":[${loadBefore.mkString(",")}],""" +
+      s""""load_avg_after":[${loadAfter.mkString(",")}],""" +
+      s""""component_rounds":$ccRounds,"component_vertices":$ccVertices,""" +
+      s""""queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: the line on stdout (bare — build.sbt sets
     // StdoutOutput for forked runs) AND a file copy, in case the caller's
     // stdout is decorated by a build tool.
