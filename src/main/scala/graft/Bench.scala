@@ -100,7 +100,16 @@ object Bench {
     // A failed query must NOT masquerade as a (tiny, plausible) timing —
     // record failures in their own field so a regression that makes a
     // query throw fast can't read as a speedup.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for targeted iteration; a filtered
+    // run writes BENCH_SELF_PARTIAL.json so it can never impersonate the
+    // full-suite artifact
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = Seq.fill(reps) {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -144,7 +153,8 @@ object Bench {
     // Belt and braces: the line on stdout (bare — build.sbt sets
     // StdoutOutput for forked runs) AND a file copy, in case the caller's
     // stdout is decorated by a build tool.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+    val outName = if (only.isEmpty) "BENCH_SELF.json" else "BENCH_SELF_PARTIAL.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       (json + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()

@@ -110,21 +110,34 @@ object Graph {
     * engines report identical residuals; `GraphSpec` asserts the monotone
     * decrease and the q142 oracle row pins the exact values.
     *
-    * Each round is cached before differencing, so the audit costs O(iters)
-    * rounds like [[pagerank]] itself, not O(iters²).
+    * Plan shape: every round's ranks ride along as COLUMNS of one vertex
+    * frame — after each edge-join round the earlier columns are
+    * re-attached with a vertex-sized join — so the audit runs the
+    * `iters` edge rounds ONCE (plus `iters` cheap vertex joins), not the
+    * O(iters²) triangular recomputation that differencing independent
+    * round frames would cost. Each round's frame is localCheckpoint'd
+    * (vertex-sized, like the component loop's — `propagateLabels`):
+    * the fold consumes `acc` twice per level, so without the lineage cut
+    * the plan re-executes early rounds 2^i times (measured: 16.6 s vs
+    * 2–3 s warm at sf0.1). All residuals then fall out of a single
+    * aggregate, unpivoted with `stack`.
     */
   def pagerankResiduals(docs: DataFrame, iters: Int = 5,
       numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val s = prSetup(docs, iters, numHashes, rowsPerBand)
-    val rounds = (1 to iters).scanLeft(s.pr0.cache()) { (pr, _) =>
-      s.step(pr).cache()
+    val withAll = (1 to iters).foldLeft(
+      s.pr0.withColumnRenamed("r", "r0").localCheckpoint()) { (acc, i) =>
+        val stepIn = acc.select(col("v"), col(s"r${i - 1}").as("r"))
+        s.step(stepIn).withColumnRenamed("r", s"r$i").join(acc, Seq("v"))
+          .localCheckpoint()
     }
-    val resids = rounds.sliding(2).zipWithIndex.map { case (pair, i) =>
-      pair(1).join(pair(0).select(col("v"), col("r").as("r_prev")), Seq("v"))
-        .agg(sum(abs(col("r") - col("r_prev"))).as("residual_fp"))
-        .select(lit(i + 1).as("round"), col("residual_fp"))
-    }
-    resids.reduce(_.unionByName(_)).orderBy("round")
+    val aggs = (1 to iters).map(i =>
+      sum(abs(col(s"r$i") - col(s"r${i - 1}"))).as(s"res$i"))
+    val stackExpr = (1 to iters).map(i => s"$i, res$i")
+      .mkString(s"stack($iters, ", ", ", ") AS (round, residual_fp)")
+    withAll.agg(aggs.head, aggs.tail: _*)
+      .select(expr(stackExpr))
+      .orderBy("round")
   }
 
   /** Per-vertex triangle statistics over the LSH candidate graph: degree,
