@@ -40,7 +40,10 @@ class PlanShapeSpec extends SparkSpec {
         // round-6 graph/join additions: wedge join, source matrix,
         // PageRank rounds, 6-table star, TF-IDF keyword join
         "q134_triangle_stats", "q130_source_overlap", "q122_pagerank",
-        "q139_local_supplier_volume", "q135_source_keywords")) {
+        "q139_local_supplier_volume", "q135_source_keywords",
+        // round-7: the residual audit (edge rounds + vertex re-joins) and
+        // the positional-filtered prefix join
+        "q142_pagerank_residuals", "q141_prefix_join")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
