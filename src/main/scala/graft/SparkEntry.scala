@@ -534,6 +534,17 @@ object SparkEntry {
       Dedup.prefixJaccardJoin(TestData.documents(s, dir))
         .orderBy("doc_a", "doc_b")
     },
+    // EXACT containment join: which benchmark item leaked into which doc
+    // (query-side prefix filter, full-posting probe — never a broadcast).
+    "q143_containment_join" -> { (s, dir) =>
+      Dedup.containmentJoin(TestData.documents(s, dir))
+        .orderBy("bench_id", "corpus_id")
+    },
+    // Token-budget corpus mixing: exact integer water-filling level, small
+    // sources kept whole, large ones coin-sampled to the level.
+    "q144_corpus_mix" -> { (s, dir) =>
+      Sampling.corpusMix(TestData.documents(s, dir)).orderBy("source")
+    },
     // Embedding-quality audit: empty/zero vectors + exact norm stats.
     "q131_embedding_audit" -> { (s, dir) =>
       Similarity.embeddingAudit(TestData.embeddings(s, dir)).orderBy("label")
@@ -1442,6 +1453,16 @@ object SparkEntry {
       s"""WITH ${Dedup.prefixJaccardJoinSql()}
           SELECT doc_a, doc_b, n_inter, n_union, jaccard FROM prefix_join
           ORDER BY doc_a, doc_b""",
+
+    "q143_containment_join" ->
+      s"""WITH ${Dedup.containmentJoinSql()}
+          SELECT bench_id, corpus_id, n_inter, n_q, containment
+          FROM containment_join ORDER BY bench_id, corpus_id""",
+
+    "q144_corpus_mix" ->
+      s"""WITH ${Sampling.corpusMixSql()}
+          SELECT source, n_docs, total_tokens, kept_docs, kept_tokens, fully_kept
+          FROM corpus_mix ORDER BY source""",
 
     "q131_embedding_audit" ->
       s"""WITH ${Similarity.embeddingAuditSql}

@@ -940,6 +940,106 @@ object Dedup {
        |  WHERE n_inter * $tDen >= (na + nb - n_inter) * $tNum)""".stripMargin
   }
 
+  /** EXACT containment join for benchmark-contamination forensics: every
+    * pair (q, d) where q is a benchmark doc (`source = benchmarkSource`),
+    * d is a corpus doc from any other source, and the containment
+    * |Sh(q) ∩ Sh(d)| / |Sh(q)| ≥ `threshold` — i.e. at least that fraction
+    * of the benchmark item's shingles appear in the training doc. The
+    * doc-level sweep ([[TextAnalysis.contamination]], q55) scores each doc
+    * against the POOLED benchmark shingle set; this is the PAIR form the
+    * leak investigation needs ("which eval item is inside which doc"),
+    * and it never broadcasts — the benchmark tier can itself be huge.
+    *
+    * Containment is asymmetric, so the prefix filter applies to the QUERY
+    * side only: with α = ⌈t·|Q|⌉ required common elements, a qualifying d
+    * must share one of Q's first |Q| − α + 1 rare-first elements (if it
+    * misses all of them, at most α − 1 of Q's elements remain). There is
+    * deliberately NO length filter — a huge d can fully contain a tiny q —
+    * and no d-side prefix: d's elements are probed via the full postings
+    * on 8-byte shingle ids (co-partitioned equi-join). Candidate count is
+    * Σ over benchmark prefix elements of their document frequency —
+    * linear in the postings touched by the (rare-first, so low-df) prefix
+    * vocabulary, never |benchmark| × |corpus|. Verification is the same
+    * per-pair `array_intersect` as [[prefixJaccardJoin]]. `threshold` must
+    * sit on the 1/100 grid (same exactness contract).
+    */
+  def containmentJoin(docs: DataFrame, threshold: Double = 0.8,
+      benchmarkSource: String = "src0", shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val (tNum, tDen) = prefixThresholdFraction(threshold)
+    val posts = docShingles(docs, shingleN).cache()
+    val benchIds = docs.filter(col("source") === benchmarkSource).select("doc_id")
+    val corpusIds = docs.filter(col("source") =!= benchmarkSource).select("doc_id")
+    val df = posts.groupBy("sid").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val qRanked = posts.join(benchIds, Seq("doc_id"), "left_semi")
+      .join(df, Seq("sid"))
+      .withColumn("nq", count(lit(1)).over(wDoc))
+      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("sid"))))
+      // prefix length |Q| - ceil(t*|Q|) + 1, all-integer ceil
+      .withColumn("plen",
+        col("nq") - graft.functions.OracleSafe.intDiv(col("nq") * tNum + (tDen - 1), lit(tDen)) + 1)
+    val qPrefix = qRanked.filter(col("rn") <= col("plen"))
+      .select(col("doc_id").as("bench_id"), col("sid"))
+    val dPosts = posts.join(corpusIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("corpus_id"), col("sid"))
+    val cand = qPrefix.join(dPosts, Seq("sid"))
+      .select("bench_id", "corpus_id").distinct()
+    val sets = posts.groupBy("doc_id")
+      .agg(collect_set(col("sid")).as("sids"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("bench_id"), col("sids").as("sq"),
+        col("n").as("n_q")), Seq("bench_id"))
+      .join(sets.select(col("doc_id").as("corpus_id"), col("sids").as("sd")),
+        Seq("corpus_id"))
+      .withColumn("n_inter", size(array_intersect(col("sq"), col("sd"))).cast("long"))
+      // containment >= t  <=>  den * inter >= num * |Q| (exact integers)
+      .filter(col("n_inter") * tDen >= col("n_q") * tNum)
+      .select(col("bench_id"), col("corpus_id"), col("n_inter"), col("n_q"),
+        (col("n_inter").cast("double") / col("n_q").cast("double")).as("containment"))
+  }
+
+  /** DuckDB twin of [[containmentJoin]]; embed after `WITH ` and select
+    * from `containment_join`.
+    */
+  def containmentJoinSql(threshold: Double = 0.8,
+      benchmarkSource: String = "src0", shingleN: Int = 3): String = {
+    val (tNum, tDen) = prefixThresholdFraction(threshold)
+    val ceilDiv = graft.functions.OracleSafe.intDivSql(s"nq * $tNum + ${tDen - 1}", tDen.toString)
+    s"""${docShinglesSql(shingleN)},
+       |cj_df AS (SELECT sid, COUNT(*) AS df FROM doc_shingles GROUP BY sid),
+       |cj_qranked AS (
+       |  SELECT p.doc_id, p.sid,
+       |         COUNT(*) OVER (PARTITION BY p.doc_id) AS nq,
+       |         ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.sid) AS rn
+       |  FROM doc_shingles p JOIN cj_df d USING (sid)
+       |  WHERE p.doc_id IN (SELECT doc_id FROM documents WHERE source = '$benchmarkSource')),
+       |cj_qprefix AS (
+       |  SELECT doc_id AS bench_id, sid FROM cj_qranked
+       |  WHERE rn <= nq - ($ceilDiv) + 1),
+       |cj_dposts AS (
+       |  SELECT doc_id AS corpus_id, sid FROM doc_shingles
+       |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE source <> '$benchmarkSource')),
+       |cj_cand AS (
+       |  SELECT DISTINCT bench_id, corpus_id
+       |  FROM cj_qprefix q JOIN cj_dposts d USING (sid)),
+       |cj_sets AS (
+       |  SELECT doc_id, array_agg(DISTINCT sid) AS sids, COUNT(*) AS n
+       |  FROM doc_shingles GROUP BY doc_id),
+       |containment_join AS (
+       |  SELECT c.bench_id, c.corpus_id,
+       |         CAST(len(list_filter(sq.sids, x -> list_contains(sd.sids, x))) AS BIGINT)
+       |           AS n_inter,
+       |         sq.n AS n_q,
+       |         CAST(len(list_filter(sq.sids, x -> list_contains(sd.sids, x))) AS DOUBLE)
+       |           / CAST(sq.n AS DOUBLE) AS containment
+       |  FROM cj_cand c
+       |  JOIN cj_sets sq ON sq.doc_id = c.bench_id
+       |  JOIN cj_sets sd ON sd.doc_id = c.corpus_id
+       |  WHERE CAST(len(list_filter(sq.sids, x -> list_contains(sd.sids, x))) AS BIGINT)
+       |          * $tDen >= sq.n * $tNum)""".stripMargin
+  }
+
   /** Cross-source duplication matrix: near-dup candidate pairs bucketed by
     * the (unordered) source pair — the crawl-curation signal for which
     * feeds mirror which (a high off-diagonal cell means two "independent"

@@ -66,6 +66,120 @@ object Sampling {
        |              THEN 'train' ELSE 'test' END AS split
        |  FROM documents d LEFT JOIN dedup_clusters c ON d.doc_id = c.doc_id)""".stripMargin
 
+  /** Token-budget corpus mixing by exact integer water-filling: choose the
+    * maximal integer token level λ with Σ_s min(tokens_s, λ) ≤ budget
+    * (budget = `budgetPct`% of total corpus tokens), keep every document
+    * of sources at or below the level, and downsample each larger source
+    * to ≈λ tokens with the stable per-doc md5 coin (P[keep] = λ/tokens_s,
+    * decided as the exact integer comparison coin32·tokens_s < λ·2³²).
+    * This is the standard training-mix curation move — small curated
+    * sources survive whole, the crawl shrinks to the water level — with
+    * zero RNG state: the same subset on every run, any layout, under
+    * retries.
+    *
+    * λ is derived IN-PLAN by the closed form: with sources ordered by
+    * (tokens, source) and P_{i−1} the prefix sum, row i's candidate is
+    * λ_i = ⌊(budget − P_{i−1}) / (m − i + 1)⌋, valid iff λ_i < tokens_i
+    * and tokens_{i−1} ≤ λ_i (the unique row where sources 1..i−1 saturate
+    * and the rest split the remainder); if no row is valid the budget
+    * covers everything and λ = max tokens. The one global window runs
+    * over the per-SOURCE frame — bounded by the number of feeds, the same
+    * dims-sized exception as the 3-row range table (q72), never over
+    * documents. Per-document work is a scan-side filter against the
+    * broadcast 1-row level.
+    *
+    * Output: one row per source — (source, n_docs, total_tokens,
+    * kept_docs, kept_tokens, fully_kept).
+    *
+    * Overflow bound: coin32·tokens_s stays inside BIGINT while a single
+    * source holds < 2³¹ tokens; past that (trillion-token feeds) switch
+    * the comparison to the 16-bit coin prefix (same md5 construction,
+    * 2^-16 acceptance granularity) — a documented knob, not a rewrite.
+    */
+  def corpusMix(docs: DataFrame, budgetPct: Int = 50): DataFrame = {
+    require(budgetPct > 0 && budgetPct <= 100, s"budgetPct in (0,100]: $budgetPct")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+    val src = tok.groupBy("source")
+      .agg(sum("toks").as("t"), count(lit(1)).as("n_docs"))
+    val tot = src.agg(sum("t").as("total"), count(lit(1)).as("m"))
+    val w = Window.orderBy(col("t"), col("source"))
+    val ranked = src.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(w))
+      .withColumn("p_prev", coalesce(
+        sum(col("t")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("t_prev", lag(col("t"), 1).over(w))
+      .withColumn("budget", OracleSafe.intDiv(col("total") * budgetPct, lit(100L)))
+      .withColumn("lam",
+        OracleSafe.intDiv(col("budget") - col("p_prev"), col("m") - col("i") + 1))
+      .withColumn("valid", col("lam") < col("t")
+        && (col("i") === 1 || col("t_prev") <= col("lam")))
+    val level = ranked
+      .agg(coalesce(min(when(col("valid"), col("lam"))), max(col("t"))).as("level"))
+    val coin32 =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    tok.join(src.select("source", "t"), Seq("source"))
+      .crossJoin(broadcast(level))
+      .withColumn("keep",
+        col("t") <= col("level") || coin32 * col("t") < col("level") * lit(4294967296L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("total_tokens"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("kept_docs"),
+        sum(when(col("keep"), col("toks")).otherwise(lit(0L))).as("kept_tokens"),
+        max(when(col("t") <= col("level"), lit(1)).otherwise(lit(0))).as("fully_kept"))
+  }
+
+  /** DuckDB twin of [[corpusMix]]; embed after `WITH ` and select from
+    * `corpus_mix`.
+    */
+  def corpusMixSql(budgetPct: Int = 50): String = {
+    require(budgetPct > 0 && budgetPct <= 100, s"budgetPct in (0,100]: $budgetPct")
+    s"""cm_tok AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents),
+       |cm_src AS (
+       |  SELECT source, CAST(SUM(toks) AS BIGINT) AS t, COUNT(*) AS n_docs
+       |  FROM cm_tok GROUP BY source),
+       |cm_tot AS (SELECT CAST(SUM(t) AS BIGINT) AS total, COUNT(*) AS m FROM cm_src),
+       |cm_ranked AS (
+       |  SELECT source, t,
+       |         ROW_NUMBER() OVER (ORDER BY t, source) AS i,
+       |         COALESCE(CAST(SUM(t) OVER (ORDER BY t, source
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS p_prev,
+       |         LAG(t) OVER (ORDER BY t, source) AS t_prev,
+       |         total, m
+       |  FROM cm_src, cm_tot),
+       |cm_cand AS (
+       |  SELECT *,
+       |         CAST(${graft.functions.OracleSafe.intDivSql(s"total * $budgetPct", "100")} AS BIGINT) AS budget,
+       |         CAST(${graft.functions.OracleSafe.intDivSql(
+                   s"(${graft.functions.OracleSafe.intDivSql(s"total * $budgetPct", "100")}) - p_prev",
+                   "m - i + 1")} AS BIGINT) AS lam
+       |  FROM cm_ranked),
+       |cm_level AS (
+       |  SELECT COALESCE(
+       |           MIN(CASE WHEN lam < t AND (i = 1 OR t_prev <= lam) THEN lam END),
+       |           MAX(t)) AS level
+       |  FROM cm_cand),
+       |cm_keep AS (
+       |  SELECT k.source, k.toks, s.t, l.level,
+       |         CASE WHEN s.t <= l.level
+       |                OR ('0x' || substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |                   * s.t < l.level * 4294967296
+       |              THEN 1 ELSE 0 END AS keep
+       |  FROM cm_tok k JOIN cm_src s USING (source), cm_level l),
+       |corpus_mix AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |         CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       |         CAST(SUM(keep) AS BIGINT) AS kept_docs,
+       |         CAST(SUM(CASE WHEN keep = 1 THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |         MAX(CASE WHEN t <= level THEN 1 ELSE 0 END) AS fully_kept
+       |  FROM cm_keep GROUP BY source)""".stripMargin
+  }
+
   /** The engine's foldLeft makes the LAST duplicate rate win while the SQL
     * twin's CASE makes the FIRST win — the two only agree because strata
     * are distinct, so enforce that instead of assuming it.

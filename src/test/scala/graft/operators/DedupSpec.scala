@@ -209,6 +209,26 @@ class DedupSpec extends SparkSpec {
     assert(results.subsetOf(tight))
   }
 
+  test("containmentJoin finds EXACTLY the brute-force containment pairs") {
+    val d = graft.sources.TestData.documents(spark, sf)
+    val sh = Dedup.shingles(d, 3).select("doc_id", "sh").as[(Long, String)]
+      .collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val srcOf = d.select("doc_id", "source").as[(Long, String)].collect().toMap
+    val bench = srcOf.collect { case (id, s) if s == "src0" => id }.toSet
+    val corpus = srcOf.keySet -- bench
+    val expected = (for {
+      q <- bench.toSeq; c <- corpus.toSeq
+      if sh.contains(q) && sh.contains(c)
+      inter = (sh(q) & sh(c)).size
+      if inter * 100 >= sh(q).size * 80
+    } yield (q, c, inter.toLong, sh(q).size.toLong)).toSet
+    val got = Dedup.containmentJoin(d)
+      .select("bench_id", "corpus_id", "n_inter", "n_q")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "corpus must contain at least one contaminated pair")
+  }
+
   test("prefixJaccardJoin rejects thresholds off the 1/100 grid") {
     val d = graft.sources.TestData.documents(spark, sf)
     intercept[IllegalArgumentException](Dedup.prefixJaccardJoin(d, threshold = 0.615))

@@ -115,6 +115,58 @@ class SamplingSpec extends SparkSpec {
     assert(r3("srcB") == 1.0 && r3("srcA") == 0.25)
   }
 
+  test("corpusMix matches an independent water-filling + coin reference exactly") {
+    val docs = graft.sources.TestData.documents(spark, sf)
+    // independent reference: per-doc whitespace tokens, binary-search the
+    // maximal integer level, then re-decide every doc with the md5 coin
+    val rows = docs.select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+      .map { case (id, src, text) => (id, src, text.split(" ", -1).length.toLong) }
+    val perSrc = rows.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val total = perSrc.values.sum
+    val budget = total * 50 / 100
+    def keptAt(lam: Long) = perSrc.values.map(t => math.min(t, lam)).sum
+    var (lo, hi) = (0L, perSrc.values.max)
+    while (lo < hi) { // max lam with keptAt(lam) <= budget
+      val mid = (lo + hi + 1) / 2
+      if (keptAt(mid) <= budget) lo = mid else hi = mid - 1
+    }
+    val level = if (keptAt(perSrc.values.max) <= budget) perSrc.values.max else lo
+    assert(keptAt(level) <= budget, "reference level respects the budget")
+    assert(level == perSrc.values.max || keptAt(level + 1) > budget,
+      "reference level is maximal")
+    def coin32(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = rows.groupBy(_._2).map { case (s, rs) =>
+      val t = perSrc(s)
+      val kept = rs.filter { case (id, _, _) =>
+        t <= level || coin32(id) * t < level * 4294967296L
+      }
+      s -> (rs.length.toLong, rs.map(_._3).sum, kept.length.toLong,
+        kept.map(_._3).sum, if (t <= level) 1 else 0)
+    }
+    val got = Sampling.corpusMix(docs)
+      .select("source", "n_docs", "total_tokens", "kept_docs", "kept_tokens", "fully_kept")
+      .as[(String, Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got == expected)
+    // at a 50% budget at least one source must sit above the water level —
+    // if every source were fully kept the total would exceed the budget
+    assert(got.values.exists(_._5 == 0))
+  }
+
+  test("corpusMix: budget 100 keeps every document of every source") {
+    val docs = graft.sources.TestData.documents(spark, sf)
+    val r = Sampling.corpusMix(docs, budgetPct = 100)
+      .select("n_docs", "kept_docs", "fully_kept").as[(Long, Long, Int)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (n, k, f) => assert(n == k && f == 1) }
+  }
+
   test("weightedSample: zero/negative prices clamp to weight 1, never crash") {
     val o = ordersDf((1L, "P", 0.0), (2L, "P", -5.0), (3L, "P", 10.0))
     val r = Sampling.weightedSample(o, k = 3)
