@@ -545,6 +545,11 @@ object SparkEntry {
     "q144_corpus_mix" -> { (s, dir) =>
       Sampling.corpusMix(TestData.documents(s, dir)).orderBy("source")
     },
+    // KMV bottom-k distinct sketch per source, estimate hash-checked
+    // (not just the error contract — the sketch is engine-exact).
+    "q145_kmv_distinct" -> { (s, dir) =>
+      Dedup.kmvDistinct(TestData.documents(s, dir)).orderBy("source")
+    },
     // Embedding-quality audit: empty/zero vectors + exact norm stats.
     "q131_embedding_audit" -> { (s, dir) =>
       Similarity.embeddingAudit(TestData.embeddings(s, dir)).orderBy("label")
@@ -1463,6 +1468,11 @@ object SparkEntry {
       s"""WITH ${Sampling.corpusMixSql()}
           SELECT source, n_docs, total_tokens, kept_docs, kept_tokens, fully_kept
           FROM corpus_mix ORDER BY source""",
+
+    "q145_kmv_distinct" ->
+      s"""WITH ${Dedup.kmvDistinctSql()}
+          SELECT source, n_exact, kmv_estimate, rel_err FROM kmv_distinct
+          ORDER BY source""",
 
     "q131_embedding_audit" ->
       s"""WITH ${Similarity.embeddingAuditSql}

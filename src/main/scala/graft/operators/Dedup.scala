@@ -1040,6 +1040,81 @@ object Dedup {
        |          * $tDen >= sq.n * $tNum)""".stripMargin
   }
 
+  /** KMV (bottom-k / k-minimum-values) distinct-shingle sketch per source,
+    * audited against the exact count. The sketch is the k smallest 48-bit
+    * shingle ids a source contains; since the ids are uniform on [0, 2⁴⁸),
+    * the kth minimum h_k estimates the distinct count as
+    * (k−1)·2⁴⁸ / h_k (Bar-Yossef et al. 2002). A source with fewer than k
+    * distinct ids IS its own sketch — the "estimate" is exact there.
+    *
+    * Unlike HLL++ (q75), where only the error CONTRACT can be
+    * oracle-checked because DuckDB cannot reproduce Spark's sketch, the
+    * KMV estimate itself is cross-engine EXACT: the k minima are
+    * integers both engines agree on, (k−1)·2⁴⁸ is exactly representable
+    * (8-bit mantissa × 2⁴⁸), and the one double division is correctly
+    * rounded on identical inputs — so the estimate, the exact count, and
+    * the relative error are all hash-checked, not just a boolean.
+    *
+    * Scale shape: the per-source bottom-k rides the bounded-heap
+    * [[graft.plans.TopK.perKey]] custom operator (map-side partial heaps,
+    * no global sort); sketch size is k·8 bytes per source regardless of
+    * corpus size, and sketches of shards/sources MERGE by taking the
+    * bottom-k of the union — the property that makes KMV the right
+    * distinct-counter for a 100 TB corpus profile.
+    */
+  def kmvDistinct(docs: DataFrame, k: Int = 256, shingleN: Int = 3): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val posts = docShingles(docs, shingleN)
+    val bySrc = posts.join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"), col("sid")).distinct()
+    val exact = bySrc.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val kmin = graft.plans.TopK.perKey(bySrc, Seq("source"),
+      Seq(graft.plans.TopK.asc("sid")), k = k, rankName = "rk")
+    val kth = kmin.groupBy("source")
+      .agg(count(lit(1)).as("n_in_sketch"), max(col("sid")).as("h_k"))
+    exact.join(kth, Seq("source"))
+      .select(col("source"), col("n_exact"),
+        when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
+          .otherwise(lit((k - 1).toLong << 48).cast("double")
+            / col("h_k").cast("double")).as("kmv_estimate"))
+      .withColumn("rel_err",
+        abs(col("kmv_estimate") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"))
+  }
+
+  /** DuckDB twin of [[kmvDistinct]]; embed after `WITH ` and select from
+    * `kmv_distinct`.
+    */
+  def kmvDistinctSql(k: Int = 256, shingleN: Int = 3): String = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    s"""${docShinglesSql(shingleN)},
+       |kmv_src AS (
+       |  SELECT DISTINCT d.source, p.sid
+       |  FROM doc_shingles p JOIN documents d USING (doc_id)),
+       |kmv_exact AS (SELECT source, COUNT(*) AS n_exact FROM kmv_src GROUP BY source),
+       |kmv_kmin AS (
+       |  SELECT source, sid FROM (
+       |    SELECT source, sid,
+       |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY sid) AS rk
+       |    FROM kmv_src) r
+       |  WHERE rk <= $k),
+       |kmv_kth AS (
+       |  SELECT source, COUNT(*) AS n_in_sketch, MAX(sid) AS h_k
+       |  FROM kmv_kmin GROUP BY source),
+       |kmv_distinct AS (
+       |  SELECT e.source, e.n_exact,
+       |         CASE WHEN t.n_in_sketch < $k
+       |              THEN CAST(t.n_in_sketch AS DOUBLE)
+       |              ELSE CAST(${(k - 1).toLong << 48} AS DOUBLE)
+       |                   / CAST(t.h_k AS DOUBLE) END AS kmv_estimate,
+       |         ABS((CASE WHEN t.n_in_sketch < $k
+       |              THEN CAST(t.n_in_sketch AS DOUBLE)
+       |              ELSE CAST(${(k - 1).toLong << 48} AS DOUBLE)
+       |                   / CAST(t.h_k AS DOUBLE) END) - CAST(e.n_exact AS DOUBLE))
+       |           / CAST(e.n_exact AS DOUBLE) AS rel_err
+       |  FROM kmv_exact e JOIN kmv_kth t USING (source))""".stripMargin
+  }
+
   /** Cross-source duplication matrix: near-dup candidate pairs bucketed by
     * the (unordered) source pair — the crawl-curation signal for which
     * feeds mirror which (a high off-diagonal cell means two "independent"

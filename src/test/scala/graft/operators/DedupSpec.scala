@@ -237,6 +237,31 @@ class DedupSpec extends SparkSpec {
     Dedup.prefixJaccardJoinSql(threshold = 0.85)
   }
 
+  test("kmvDistinct: exact below k, matches the bottom-k formula above, bounded error") {
+    // synthetic saturated source: 300 docs x 3 distinct trigrams >> k=256
+    val big = (0 until 300).map(i => (i.toLong, s"a$i b$i c$i d$i e$i", "en", "srcbig", 20))
+    val small = Seq((9000L, "tiny doc text here now", "en", "srcsmall", 22))
+    val d = (big ++ small).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.kmvDistinct(d)
+      .select("source", "n_exact", "kmv_estimate", "rel_err")
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // brute-force reference from the engine's own shingle ids
+    val sids = Dedup.docShingles(d, 3)
+      .join(d.select("doc_id", "source"), Seq("doc_id"))
+      .select("source", "sid").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (s, v) => s -> v.map(_._2).distinct.sorted }
+    val (sBig, sSmall) = (sids("srcbig"), sids("srcsmall"))
+    assert(sBig.length > 256 && sSmall.length < 256, "test premise: one saturated, one small")
+    assert(got("srcsmall")._2 == sSmall.length
+      && got("srcsmall")._3 == sSmall.length.toDouble
+      && got("srcsmall")._4 == 0.0, "small source must be exact")
+    val hK = sBig(255) // kth smallest, k = 256
+    val expected = (255L << 48).toDouble / hK.toDouble
+    assert(got("srcbig")._3 == expected, "estimate must equal the bottom-k formula")
+    assert(got("srcbig")._4 < 0.2,
+      s"KMV error out of bounds: ${got("srcbig")._4} (k=256, rsd ~6.3%, 3 sigma ~19%)")
+  }
+
   test("LSH banding recall against the exact prefix-join ground truth") {
     val d = graft.sources.TestData.documents(spark, sf)
     val exact = Dedup.prefixJaccardJoin(d).select("doc_a", "doc_b")
