@@ -550,6 +550,16 @@ object SparkEntry {
     "q145_kmv_distinct" -> { (s, dir) =>
       Dedup.kmvDistinct(TestData.documents(s, dir)).orderBy("source")
     },
+    // Deterministic global shuffle + sharding: md5-coin permutation,
+    // map-side shard placement, order-sensitive per-shard checksums.
+    "q146_shard_shuffle" -> { (s, dir) =>
+      Sampling.shardShuffle(TestData.documents(s, dir)).orderBy("shard")
+    },
+    // Per-source token budget after exact and near-dup deduplication,
+    // consistent by construction with q40/q59's survivor rules.
+    "q147_dedup_savings" -> { (s, dir) =>
+      Dedup.dedupSavings(TestData.documents(s, dir)).orderBy("source")
+    },
     // Embedding-quality audit: empty/zero vectors + exact norm stats.
     "q131_embedding_audit" -> { (s, dir) =>
       Similarity.embeddingAudit(TestData.embeddings(s, dir)).orderBy("label")
@@ -1473,6 +1483,17 @@ object SparkEntry {
       s"""WITH ${Dedup.kmvDistinctSql()}
           SELECT source, n_exact, kmv_estimate, rel_err FROM kmv_distinct
           ORDER BY source""",
+
+    "q146_shard_shuffle" ->
+      s"""WITH ${Sampling.shardShuffleSql()}
+          SELECT shard, n_docs, n_tokens, first_coin, last_coin, order_checksum
+          FROM shard_shuffle ORDER BY shard""",
+
+    "q147_dedup_savings" ->
+      s"""WITH RECURSIVE ${Dedup.dedupSavingsSql()}
+          SELECT source, n_docs, total_tokens, exact_kept_docs, exact_kept_tokens,
+                 neardup_kept_docs, neardup_kept_tokens
+          FROM dedup_savings ORDER BY source""",
 
     "q131_embedding_audit" ->
       s"""WITH ${Similarity.embeddingAuditSql}

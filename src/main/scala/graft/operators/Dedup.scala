@@ -1152,4 +1152,74 @@ object Dedup {
        |  JOIN documents da ON da.doc_id = p.doc_a
        |  JOIN documents db ON db.doc_id = p.doc_b
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** Dedup savings report — the number every curation decision actually
+    * turns on: per source, how many documents/tokens survive (a) exact
+    * content dedup and (b) near-dup cluster dedup, i.e. how much of the
+    * token budget each source REALLY contributes once duplicates are
+    * collapsed. Survivorship is the same deterministic rule the dedup
+    * operators themselves use (smallest doc_id per content hash / per
+    * cluster), so this report is exactly consistent with [[exact]] (q40)
+    * and [[dedupClusters]] (q59) rather than a parallel estimate.
+    *
+    * Shape at scale: the exact tier is one hash aggregate keyed on
+    * md5(text) plus an equi-join back on that key — the q40 shuffle with
+    * a second co-partitioned pass; the near-dup tier joins the
+    * (vertices-only) cluster labels back to the corpus, with docs outside
+    * the candidate graph defaulting to survivor (they ARE their own
+    * cluster; no row needed). The final aggregate has one row per source.
+    * Nothing here is pairwise and nothing is a window.
+    *
+    * Output: (source, n_docs, total_tokens, exact_kept_docs,
+    * exact_kept_tokens, neardup_kept_docs, neardup_kept_tokens), exact
+    * integers throughout.
+    */
+  def dedupSavings(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"),
+      md5(col("text")).as("h"))
+    val keepers = toks.groupBy("h").agg(min("doc_id").as("keep_id"))
+    val clusters = dedupClusters(docs).select("doc_id", "is_survivor")
+    toks
+      .join(keepers, Seq("h"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("source"), col("n_toks"),
+        (col("doc_id") === col("keep_id")).cast("long").as("exact_kept"),
+        coalesce(col("is_survivor").cast("long"), lit(1L)).as("neardup_kept"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("total_tokens"),
+        sum("exact_kept").as("exact_kept_docs"),
+        sum(col("exact_kept") * col("n_toks")).as("exact_kept_tokens"),
+        sum("neardup_kept").as("neardup_kept_docs"),
+        sum(col("neardup_kept") * col("n_toks")).as("neardup_kept_tokens"))
+  }
+
+  /** DuckDB twin of [[dedupSavings]] — same survivor rules. Must be opened
+    * with `WITH RECURSIVE` (it embeds [[dedupClustersSql]]).
+    */
+  def dedupSavingsSql(): String =
+    s"""${dedupClustersSql()},
+       |ds_toks AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |         md5(text) AS h
+       |  FROM documents),
+       |ds_keepers AS (SELECT h, MIN(doc_id) AS keep_id FROM ds_toks GROUP BY h),
+       |dedup_savings AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |         CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       |         CAST(SUM(exact_kept) AS BIGINT) AS exact_kept_docs,
+       |         CAST(SUM(exact_kept * n_toks) AS BIGINT) AS exact_kept_tokens,
+       |         CAST(SUM(neardup_kept) AS BIGINT) AS neardup_kept_docs,
+       |         CAST(SUM(neardup_kept * n_toks) AS BIGINT) AS neardup_kept_tokens
+       |  FROM (
+       |    SELECT t.source, t.n_toks,
+       |           CAST(t.doc_id = k.keep_id AS BIGINT) AS exact_kept,
+       |           COALESCE(CAST(c.is_survivor AS BIGINT), 1) AS neardup_kept
+       |    FROM ds_toks t
+       |    JOIN ds_keepers k USING (h)
+       |    LEFT JOIN dedup_clusters c USING (doc_id)) f
+       |  GROUP BY source)""".stripMargin
 }

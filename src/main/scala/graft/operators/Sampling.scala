@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe
@@ -23,6 +24,15 @@ object Sampling {
 
   private def coinSql(id: String): String =
     s"('0x' || substring(md5(CAST($id AS VARCHAR)), 1, 12))::BIGINT % 100"
+
+  /** The full 48-bit coin (un-reduced): the deterministic "random" key the
+    * shuffle/shard manifest sorts by.
+    */
+  private def coin48(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long")
+
+  private def coin48Sql(id: String): String =
+    s"('0x' || substring(md5(CAST($id AS VARCHAR)), 1, 12))::BIGINT"
 
   /** Per-stratum sampling rates (percent, 0-100) with a default for
     * strata not listed — the "training mix": keep all of a curated
@@ -295,4 +305,73 @@ object Sampling {
        |  FROM orders)
        |WHERE rnk <= $k""".stripMargin
   }
+
+  /** Deterministic global shuffle + sharding — the last step of a training
+    * pipeline: the corpus must be read in a reproducible pseudo-random
+    * order, split into shards a training job streams sequentially.
+    *
+    * Permutation = sort by the stable 48-bit md5 coin (a pure function of
+    * doc identity: identical across runs, retries, and cluster layouts —
+    * no RNG state, the same property as every sampler above). Shard
+    * assignment = `coin mod shards`, so placement needs NO global sort and
+    * no rank: it is a map-side expression riding the scan, and the
+    * training order within a shard is just the coin ordering, established
+    * by a per-shard local sort at write time.
+    *
+    * At 100 TB, `shards` is the real knob: a shard is the unit one reader
+    * consumes, so it must fit a worker ANYWAY — pick shards ≈ corpus /
+    * target-shard-size and the per-shard window below stays bounded by
+    * construction (it is the one place a PARTITION BY shard window is the
+    * honest plan, not a hazard: its partition count IS the output file
+    * count).
+    *
+    * The emitted manifest proves the permutation without shipping it:
+    * per shard, doc/token counts, the coin span, and an ORDER-SENSITIVE
+    * checksum Σ rank·(coin mod 1000003) mod 2³¹−1 — any reorder, drop, or
+    * duplicate moves it. All terms are exact integers (< 2³¹ each, summed
+    * over per-shard rows — no BIGINT overflow until ~2³² rows per shard),
+    * so the engine/oracle comparison is bit-stable.
+    *
+    * Output: (shard, n_docs, n_tokens, first_coin, last_coin,
+    * order_checksum), one row per shard.
+    */
+  def shardShuffle(docs: DataFrame, shards: Int = 16): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val base = docs.select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        coin48(col("doc_id")).as("coin"))
+      .withColumn("shard", (col("coin") % shards).cast("int"))
+    val ranked = base.withColumn("r", row_number().over(
+      Window.partitionBy("shard").orderBy("coin", "doc_id")))
+    ranked.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_toks").as("n_tokens"),
+      min("coin").as("first_coin"),
+      max("coin").as("last_coin"),
+      sum((col("r").cast("long") * (col("coin") % 1000003L)) % 2147483647L)
+        .as("order_checksum"))
+  }
+
+  /** DuckDB twin of [[shardShuffle]] — same coin, same shard arithmetic,
+    * same order-sensitive checksum.
+    */
+  def shardShuffleSql(shards: Int = 16): String =
+    s"""shard_shuffle AS (
+       |  SELECT shard, COUNT(*) AS n_docs,
+       |         CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |         MIN(coin) AS first_coin, MAX(coin) AS last_coin,
+       |         CAST(SUM((r * (coin % 1000003)) % 2147483647) AS BIGINT)
+       |           AS order_checksum
+       |  FROM (
+       |    SELECT shard, coin, n_toks,
+       |           ROW_NUMBER() OVER (PARTITION BY shard
+       |             ORDER BY coin, doc_id) AS r
+       |    FROM (
+       |      SELECT doc_id,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |             ${coin48Sql("doc_id")} AS coin,
+       |             CAST(${coin48Sql("doc_id")} % $shards AS INT) AS shard
+       |      FROM documents) b) rk
+       |  GROUP BY shard)""".stripMargin
 }

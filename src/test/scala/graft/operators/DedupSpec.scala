@@ -277,4 +277,40 @@ class DedupSpec extends SparkSpec {
     assert(hit.toDouble / exact.size >= 0.9,
       s"LSH recall degraded: $hit/${exact.size}")
   }
+
+  test("dedupSavings agrees with the q40/q59 survivor rules it reports on") {
+    val d = graft.sources.TestData.documents(spark, sf)
+    val r = Dedup.dedupSavings(d)
+      .select("n_docs", "total_tokens", "exact_kept_docs", "exact_kept_tokens",
+        "neardup_kept_docs", "neardup_kept_tokens")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (n, tot, ekd, ekt, nkd, nkt) =>
+      assert(ekd <= n && nkd <= n)
+      assert(ekt <= tot && nkt <= tot)
+    }
+    // summed over sources, exact survivors are exactly q40's groups
+    assert(r.map(_._3).sum == Dedup.exact(d).count())
+    // ... and near-dup survivors are q59's survivors plus the singletons
+    // that never entered the candidate graph (their own clusters)
+    val clusters = Dedup.dedupClusters(d).select("doc_id", "is_survivor").cache()
+    val survivors = clusters.filter("is_survivor = 1").count()
+    val singletons = d.count() - clusters.count()
+    assert(r.map(_._5).sum == survivors + singletons)
+  }
+
+  test("dedupSavings: exact duplicates keep one copy's tokens, per the min-id rule") {
+    val texts = Seq(
+      (10L, "alpha beta gamma delta", "s1"),
+      (11L, "alpha beta gamma delta", "s2"), // exact dup, loses to 10
+      (12L, "wholly distinct content here", "s2"))
+    val corpus = texts.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+    val r = Dedup.dedupSavings(corpus)
+      .select("source", "n_docs", "total_tokens", "exact_kept_docs", "exact_kept_tokens")
+      .as[(String, Long, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r("s1") == (("s1", 1L, 4L, 1L, 4L)))        // the survivor copy
+    assert(r("s2") == (("s2", 2L, 8L, 1L, 4L)))        // dup dropped, distinct kept
+  }
 }

@@ -173,4 +173,53 @@ class SamplingSpec extends SparkSpec {
       .select("o_orderkey").as[Long].collect().sorted
     assert(r.toSeq == Seq(1L, 2L, 3L))
   }
+
+  // local reference for the 48-bit md5 coin (first 12 hex chars of
+  // md5(doc_id) as a long), independent of both engines
+  private def refCoin(id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("shardShuffle: manifest matches an independent local reference exactly") {
+    val n = 300
+    val corpus = (0 until n).map(i => (i.toLong, "a b c d e"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+    val got = Sampling.shardShuffle(corpus, shards = 8)
+      .select("shard", "n_docs", "n_tokens", "first_coin", "last_coin", "order_checksum")
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+    val byShard = (0 until n).map { i =>
+      val c = refCoin(i.toLong); ((c % 8).toInt, c, i.toLong)
+    }.groupBy(_._1)
+    val want = byShard.map { case (s, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val checksum = ordered.zipWithIndex
+        .map { case ((_, c, _), idx) => ((idx + 1).toLong * (c % 1000003L)) % 2147483647L }
+        .sum
+      s -> ((s, rows.size.toLong, rows.size.toLong * 5,
+        ordered.head._2, ordered.last._2, checksum))
+    }
+    assert(got == want)
+    // every document landed in exactly one shard
+    assert(got.values.map(_._2).sum == n.toLong)
+  }
+
+  test("shardShuffle checksum is order-sensitive: reversing a shard's order moves it") {
+    val n = 300
+    val byShard = (0 until n).map { i =>
+      val c = refCoin(i.toLong); ((c % 8).toInt, c, i.toLong)
+    }.groupBy(_._1).filter(_._2.size > 1)
+    assert(byShard.nonEmpty)
+    byShard.foreach { case (_, rows) =>
+      def sum(o: Seq[(Int, Long, Long)]) = o.zipWithIndex
+        .map { case ((_, c, _), idx) => ((idx + 1).toLong * (c % 1000003L)) % 2147483647L }.sum
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      assert(sum(ordered) != sum(ordered.reverse))
+    }
+  }
 }
