@@ -52,7 +52,14 @@ object ScaleBench {
     // self-join (fan-out bounded by basket size), and BPE adjacent-pair
     // counting (linear fan-out, vocab-bounded keys)
     "q123_attribution", "q124_kn_continuation", "q96_rfm_decile",
-    "q100_basket_pairs", "q113_bpe_pairs")
+    "q100_basket_pairs", "q113_bpe_pairs",
+    // round-7 additions: the containment join (query-side prefix index —
+    // must stay linear in corpus postings), the KMV sketch (bottom-k per
+    // source, a bounded aggregate), the shard-shuffle manifest (per-shard
+    // window — shard count is the parallelism knob), and the dedup
+    // savings report (rides the q40 hash shuffle + the q59 cluster loop)
+    "q143_containment_join", "q145_kmv_distinct", "q146_shard_shuffle",
+    "q147_dedup_savings")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)
