@@ -645,6 +645,49 @@ object SparkEntry {
         dups("lineitem pk dups", li, "l_orderkey", "l_linenumber"))
         .reduce(_ unionByName _).orderBy("check_name")
     },
+    // TPC-H Q3 shape: segment filter + a date window split across two
+    // tables, revenue per order, global top 10. Both date predicates are
+    // scan-pushed; the two data-sized joins go to AQE; the top-k is
+    // TakeOrderedAndProject (never a global sort). Ties on revenue break
+    // by l_orderkey so the kept set is a total order on any engine.
+    "q148_shipping_priority" -> { (s, dir) =>
+      val cut = lit("1998-06-01 00:00:00").cast("timestamp_ntz")
+      TestData.lineitem(s, dir).filter(col("l_shipdate") > cut)
+        .join(TestData.orders(s, dir).filter(col("o_orderdate") < cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(TestData.customer(s, dir)
+            .filter(col("c_mktsegment") === "BUILDING").select("c_custkey"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100
+            + dayofmonth(col("o_orderdate"))).cast("int").as("order_ymd"),
+          col("o_orderpriority"))
+        .agg(moneyOut(sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("decimal(18,2)")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    // Correlated-subquery shape, decorrelated by hand: customers whose
+    // lifetime spend exceeds 2x their nation's per-customer average. The
+    // per-row subquery becomes one customer-grain aggregate reused on
+    // both sides (nation totals are a 25-row broadcast), and the
+    // comparison is cross-multiplied in exact BIGINT cents so no average
+    // is ever materialized as a float.
+    "q149_above_nation_avg" -> { (s, dir) =>
+      val spend = TestData.customer(s, dir)
+        .join(TestData.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(coalesce(sum(quant(col("o_totalprice"), 100)), lit(0L)).as("cents"))
+      val nat = spend.groupBy("c_nationkey")
+        .agg(sum("cents").as("nation_cents"), count(lit(1)).as("n_cust"))
+      spend.join(broadcast(nat), Seq("c_nationkey"))
+        .filter(col("cents") * col("n_cust") > lit(2L) * col("nation_cents"))
+        .join(broadcast(TestData.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"),
+          (col("cents").cast("double") / lit(100.0)).as("spend"))
+        .orderBy("c_custkey")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -1494,6 +1537,39 @@ object SparkEntry {
           SELECT source, n_docs, total_tokens, exact_kept_docs, exact_kept_tokens,
                  neardup_kept_docs, neardup_kept_tokens
           FROM dedup_savings ORDER BY source""",
+
+    "q148_shipping_priority" ->
+      s"""SELECT l_orderkey,
+                 CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                      + day(o_orderdate) AS INT) AS order_ymd,
+                 o_orderpriority,
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("l_extendedprice * (1 - l_discount)")}) AS DECIMAL(18,2))")} AS revenue
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-06-01'
+            AND l_shipdate > TIMESTAMP '1998-06-01'
+          GROUP BY 1, 2, 3
+          ORDER BY revenue DESC, l_orderkey
+          LIMIT 10""",
+
+    "q149_above_nation_avg" ->
+      s"""WITH spend AS (
+            SELECT c_custkey, c_nationkey,
+                   COALESCE(SUM(${quantSql("o_totalprice", 100)}), 0) AS cents
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey, c_nationkey),
+          nat AS (
+            SELECT c_nationkey, CAST(SUM(cents) AS BIGINT) AS nation_cents,
+                   COUNT(*) AS n_cust
+            FROM spend GROUP BY c_nationkey)
+          SELECT s.c_custkey, n.n_name, CAST(s.cents AS DOUBLE) / 100.0 AS spend
+          FROM spend s
+          JOIN nat a ON s.c_nationkey = a.c_nationkey
+          JOIN nation n ON s.c_nationkey = n.n_nationkey
+          WHERE s.cents * a.n_cust > 2 * a.nation_cents
+          ORDER BY s.c_custkey""",
 
     "q131_embedding_audit" ->
       s"""WITH ${Similarity.embeddingAuditSql}

@@ -41,4 +41,35 @@ class EntrySpec extends SparkSpec {
       assert(n > 0 || allowedEmpty(name), s"$name returned 0 rows")
     }
   }
+
+  test("q148: the limit(10) keeps exactly the 10 best of the full ranking") {
+    val top = SparkEntry.queries("q148_shipping_priority")(spark, sf)
+      .select("l_orderkey", "revenue")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.length == 10)
+    // revenue non-increasing, ties broken by orderkey ascending
+    top.sliding(2).foreach { case Array((k1, r1), (k2, r2)) =>
+      assert(r1 > r2 || (r1 == r2 && k1 < k2), s"order violated: ($k1,$r1) ($k2,$r2)")
+    }
+  }
+
+  test("q149 matches a brute-force correlated evaluation on exact cents") {
+    import spark.implicits._
+    val spend = graft.sources.TestData.customer(spark, sf)
+      .join(graft.sources.TestData.orders(spark, sf),
+        col("c_custkey") === col("o_custkey"), "left")
+      .selectExpr("c_custkey", "c_nationkey",
+        "COALESCE(CAST(FLOOR(o_totalprice * 100) AS BIGINT), 0) AS cents")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    val byNation = spend.groupBy(_._1._2).view
+      .mapValues(v => (v.values.sum, v.size.toLong)).toMap
+    val want = spend.filter { case ((_, nk), cents) =>
+      val (tot, n) = byNation(nk); cents * n > 2 * tot
+    }.keys.map(_._1).toSeq.sorted
+    val got = SparkEntry.queries("q149_above_nation_avg")(spark, sf)
+      .select("c_custkey").as[Long].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
