@@ -688,6 +688,35 @@ object SparkEntry {
           (col("cents").cast("double") / lit(100.0)).as("spend"))
         .orderBy("c_custkey")
     },
+    // Watermark-lateness audit: the measured out-of-orderness distribution
+    // a streaming deployment sizes its watermark from (q64/q68/q84's knob).
+    "q150_lateness_audit" -> { (s, dir) =>
+      Events.latenessAudit(TestData.events(s, dir)).orderBy("event_type", "band")
+    },
+    // Exact weighted median (lower-median rule: first grid point where
+    // 2*cum >= total). The q85 trick generalized: collapse rows onto the
+    // (group, price-cent) grid FIRST — the cumulative window then runs
+    // over the bounded grid (distinct price points, domain-bounded at any
+    // corpus size), never over raw rows.
+    "q151_weighted_median" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val grid = TestData.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          quant(col("l_extendedprice"), 100).as("cents"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      val cum = Window.partitionBy("flag").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid
+        .withColumn("cum", sum("w").over(cum))
+        .withColumn("tot", sum("w").over(Window.partitionBy("flag")))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("flag")
+        .agg(min("cents").as("mc"), min("tot").as("total_qty"))
+        .select(col("flag"),
+          (col("mc").cast("double") / lit(100.0)).as("weighted_median"),
+          col("total_qty"))
+        .orderBy("flag")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -1570,6 +1599,27 @@ object SparkEntry {
           JOIN nation n ON s.c_nationkey = n.n_nationkey
           WHERE s.cents * a.n_cust > 2 * a.nation_cents
           ORDER BY s.c_custkey""",
+
+    "q150_lateness_audit" ->
+      s"""WITH ${Events.latenessAuditSql}
+          SELECT event_type, band, n, max_late_ms FROM lateness_audit
+          ORDER BY event_type, band""",
+
+    "q151_weighted_median" ->
+      s"""WITH wm_grid AS (
+            SELECT l_returnflag AS flag, ${quantSql("l_extendedprice", 100)} AS cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1, 2),
+          wm_cum AS (
+            SELECT flag, cents, w,
+                   SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(w) OVER (PARTITION BY flag) AS tot
+            FROM wm_grid)
+          SELECT flag, CAST(MIN(cents) AS DOUBLE) / 100.0 AS weighted_median,
+                 CAST(MIN(tot) AS BIGINT) AS total_qty
+          FROM wm_cum WHERE cum * 2 >= tot
+          GROUP BY flag ORDER BY flag""",
 
     "q131_embedding_audit" ->
       s"""WITH ${Similarity.embeddingAuditSql}

@@ -335,4 +335,60 @@ object Events {
        |GROUP BY tier
        |ORDER BY tier""".stripMargin
   }
+
+  /** Watermark-lateness audit: how out-of-order does each user's event
+    * stream actually arrive? `event_id` stands in for arrival order (the
+    * generator assigns ids in ingest sequence); an event's lateness is
+    * how far its event time trails the running maximum event time its own
+    * user had already produced. This is THE distribution a streaming
+    * deployment reads before choosing `withWatermark()` — a delay that
+    * covers the p-max bucket keeps every row, a shorter one quantifies
+    * exactly what `dropDuplicatesWithinWatermark`/windowed aggs would
+    * drop (q64/q68/q84's knob, measured instead of guessed).
+    *
+    * Shape at scale: one shuffle on user_id for the per-user running-max
+    * window (users are numerous → partitions stay balanced; never a
+    * global window), then a hash aggregate onto the tiny
+    * band × event_type grid. All arithmetic is integer epoch-ms.
+    *
+    * Output: (event_type, band, n, max_late_ms) — bands: on_time,
+    * under_1s, under_1m, under_1h, over_1h.
+    */
+  def latenessAudit(events: DataFrame): DataFrame = {
+    val byArrival = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("ms", msCol)
+      .withColumn("late_ms",
+        greatest(lit(0L), max("ms").over(byArrival) - col("ms")))
+      .withColumn("late_ms", coalesce(col("late_ms"), lit(0L)))
+      .withColumn("band",
+        when(col("late_ms") === 0L, "on_time")
+          .when(col("late_ms") < 1000L, "under_1s")
+          .when(col("late_ms") < 60000L, "under_1m")
+          .when(col("late_ms") < 3600000L, "under_1h")
+          .otherwise("over_1h"))
+      .groupBy("event_type", "band")
+      .agg(count(lit(1)).as("n"), max("late_ms").as("max_late_ms"))
+  }
+
+  /** DuckDB twin of [[latenessAudit]] — same window frame, same bands. */
+  val latenessAuditSql: String =
+    s"""lateness AS (
+       |  SELECT event_type,
+       |         COALESCE(GREATEST(0,
+       |           MAX(ms) OVER (PARTITION BY user_id ORDER BY event_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ms),
+       |           0) AS late_ms
+       |  FROM (SELECT user_id, event_id, event_type,
+       |               epoch_ms(ts) AS ms FROM events) e),
+       |lateness_audit AS (
+       |  SELECT event_type,
+       |         CASE WHEN late_ms = 0 THEN 'on_time'
+       |              WHEN late_ms < 1000 THEN 'under_1s'
+       |              WHEN late_ms < 60000 THEN 'under_1m'
+       |              WHEN late_ms < 3600000 THEN 'under_1h'
+       |              ELSE 'over_1h' END AS band,
+       |         COUNT(*) AS n, CAST(MAX(late_ms) AS BIGINT) AS max_late_ms
+       |  FROM lateness GROUP BY 1, 2)""".stripMargin
 }

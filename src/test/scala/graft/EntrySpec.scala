@@ -72,4 +72,24 @@ class EntrySpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("q151: grid-based weighted median equals the brute-force unit expansion") {
+    import spark.implicits._
+    val rows = graft.sources.TestData.lineitem(spark, sf)
+      .selectExpr("l_returnflag",
+        "CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents",
+        "CAST(l_quantity AS INT) AS q")
+      .as[(String, Long, Int)].collect()
+    // expanding each row into q unit rows reduces the weighted median to
+    // the plain lower median of the expanded multiset
+    val want = rows.groupBy(_._1).view.mapValues { rs =>
+      val expanded = rs.flatMap(r => Seq.fill(r._3)(r._2)).sorted
+      expanded((expanded.length + 1) / 2 - 1)
+    }.toMap
+    val got = SparkEntry.queries("q151_weighted_median")(spark, sf)
+      .select("flag", "weighted_median").as[(String, Double)].collect()
+      .map { case (f, m) => f -> math.round(m * 100) }.toMap
+    assert(got == want)
+    assert(got.size == 3)
+  }
 }

@@ -170,4 +170,29 @@ class EventsSpec extends SparkSpec {
       (1L, 1L, 3L, 2L, 2.0 / 3.0),
       (3L, 3L, 3L, 1L, 2.0)))
   }
+
+  test("latenessAudit: exact bands on a constructed out-of-order stream") {
+    // user 1 arrival order (by event_id): t=1000, 5000, 4500 (500ms late),
+    // 5000 (on time, ties at max), 4999999 ... then one > 1h late;
+    // user 2 strictly ordered -> all on_time; first events are on_time
+    val e = ev(
+      (1L, 1L, "a", 1000L), (2L, 1L, "a", 5000L), (3L, 1L, "a", 4500L),
+      (4L, 1L, "a", 5000L), (5L, 1L, "b", 4000000L), (6L, 1L, "b", 1000L),
+      (7L, 2L, "a", 10L), (8L, 2L, "a", 20L))
+    val r = Events.latenessAudit(e)
+      .select("event_type", "band", "n", "max_late_ms")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(r == Set(
+      ("a", "on_time", 5L, 0L),     // ids 1,2,4 (tie), 7, 8
+      ("a", "under_1s", 1L, 500L),  // id 3: 5000-4500
+      ("b", "on_time", 1L, 0L),     // id 5 advances the max
+      ("b", "over_1h", 1L, 3999000L))) // id 6: 4000000-1000 > 1h
+  }
+
+  test("latenessAudit: fully ordered stream reports 100% on_time (the real feed)") {
+    val r = Events.latenessAudit(graft.sources.TestData.events(spark, sf))
+      .select("band", "max_late_ms").as[(String, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (b, m) => assert(b == "on_time" && m == 0L) }
+  }
 }
