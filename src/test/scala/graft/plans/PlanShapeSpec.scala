@@ -43,10 +43,31 @@ class PlanShapeSpec extends SparkSpec {
         "q139_local_supplier_volume", "q135_source_keywords",
         // round-7: the residual audit (edge rounds + vertex re-joins) and
         // the positional-filtered prefix join
-        "q142_pagerank_residuals", "q141_prefix_join")) {
+        "q142_pagerank_residuals", "q141_prefix_join",
+        // round-7 late additions: containment join, dedup savings (hash-key
+        // join + cluster-label join), Q3 star, decorrelated subquery
+        "q143_containment_join", "q147_dedup_savings",
+        "q148_shipping_priority", "q149_above_nation_avg")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
+  }
+
+  test("q148: date predicates reach both scans; top-10 is a bounded heap") {
+    val p = finalPlan("q148_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"),
+      "LIMIT after ORDER BY must be a bounded heap, not a global sort")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    // both the o_orderdate and l_shipdate cutoffs must be scan-pushed
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(finalSection).isDefined,
+      "o_orderdate cutoff must reach the orders scan")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(finalSection).isDefined,
+      "l_shipdate cutoff must reach the lineitem scan")
+  }
+
+  test("q149: the 25-row nation totals broadcast, never shuffle-join") {
+    val p = finalPlan("q149_above_nation_avg")
+    assert(p.contains("BroadcastHashJoin"), "nation frames must broadcast")
   }
 
   test("dashboard joins: the dim side broadcasts over the cached fact") {
