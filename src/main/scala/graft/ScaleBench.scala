@@ -91,9 +91,10 @@ object ScaleBench {
     * structure — attribution paths, RFM recency profiles, and basket
     * compositions are preserved per copy rather than stacked onto the
     * same keys (which would measure hot-key skew, not scan scaling).
-    * `events.parquet` is TIMESTAMP(NANOS), so it is copied RAW (the ts
-    * column stays int64 nanos under `nanosAsLong`) — `TestData.events`
-    * re-derives ts/ts_ns from either encoding on read.
+    * `events.parquet`'s ts column passes through unchanged whatever its
+    * disk encoding (nanos-long / TIMESTAMP / TIMESTAMP_NTZ) —
+    * `TestData.events` re-derives ts/ts_ns from the written file's actual
+    * type via `EventEncoding`.
     */
   private def scaleKeyed(spark: SparkSession, base: String, copies: Int,
       table: String, keyCols: Seq[String]): DataFrame = {

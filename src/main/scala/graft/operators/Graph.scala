@@ -48,18 +48,6 @@ object Graph {
   def pagerank(docs: DataFrame, iters: Int = 5,
       numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     require(iters >= 1, s"pagerank needs at least one iteration, got $iters")
-    val pairs = Dedup.lshCandidates(docs, numHashes, rowsPerBand)
-      .select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) — re-read every round, so compute the banding once
-    val edgesW = edges.join(deg, Seq("src")).cache()
-    val nV = deg.agg(count(lit(1)).as("n_v"))
-    val init = intDiv(lit(Scale), col("n_v"))
-    val base = intDiv(lit(15L) * init, lit(100L))
-    val pr0 = deg.crossJoin(broadcast(nV))
-      .select(col("src").as("v"), init.as("r"))
     val s = prSetup(docs, iters, numHashes, rowsPerBand)
     val prK = (1 to iters).foldLeft(s.pr0)((pr, _) => s.step(pr))
     prK.select(col("v").as("doc_id"), col("r").as("rank_fp"),

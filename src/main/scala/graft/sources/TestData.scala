@@ -21,21 +21,14 @@ object TestData {
   def part(spark: SparkSession, dir: String): DataFrame       = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
-  /** `ts` is TIMESTAMP(NANOS) in the file; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as LongType
-    * nanos. Expose both a microsecond `ts` (Spark's native precision) and
-    * the exact `ts_ns` for integer time arithmetic that must match an
-    * oracle reading full nanos.
+  /** The driver has shipped `ts` as nanos-long, TIMESTAMP, and (currently)
+    * TIMESTAMP_NTZ across testdata regenerations — [[EventEncoding]] owns
+    * the per-encoding arithmetic. Exposes a microsecond `ts` (Spark's
+    * native precision) plus the exact `ts_ns` for integer time arithmetic
+    * that must match an oracle reading full nanos.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    val raw = read(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
-    else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    EventEncoding.normalize(read(spark, dir, "events"))
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.functions.OracleSafe.money
+import graft.sources.EventEncoding
 
 /** Structured Streaming over the events table.
   *
@@ -39,14 +40,15 @@ object EventStream {
     */
   def tumblingHourly(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 8) {
     val path = s"$dir/events.parquet"
-    // Explicit schema (file sources cannot infer): the nanos column arrives
-    // as LongType under spark.sql.legacy.parquet.nanosAsLong. The source
-    // takes a glob (its basePath must be the directory, not a bare file).
+    // Explicit schema (file sources cannot infer); EventEncoding derives
+    // the event-time column from whatever `ts` type that schema carries.
+    // The source takes a glob (its basePath must be the directory, not a
+    // bare file).
     val rawSchema = spark.read.parquet(path).schema
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
 
     val agg = spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
-      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("tstamp", EventEncoding.tsMicros(rawSchema("ts").dataType))
       .withWatermark("tstamp", "1 hour")
       .groupBy(window(col("tstamp"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -76,7 +78,7 @@ object EventStream {
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
 
     val agg = spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
-      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("tstamp", EventEncoding.tsMicros(rawSchema("ts").dataType))
       .withWatermark("tstamp", "2 hours")
       .groupBy(window(col("tstamp"), "2 hours", "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -105,7 +107,7 @@ object EventStream {
     val sample = spark.read.parquet(dir)
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
     val q = spark.readStream.schema(sample.schema).parquet(s"$dir/$glob")
-      .withColumn("tstamp", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("tstamp", EventEncoding.tsMicros(sample.schema("ts").dataType))
       .withWatermark("tstamp", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy()
@@ -193,7 +195,8 @@ object EventStream {
     }
 
     val q = spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
-      .selectExpr("event_id", "user_id", "ts DIV 1000000 AS ts_ms", "value")
+      .select(col("event_id"), col("user_id"),
+        EventEncoding.tsMillis(rawSchema("ts").dataType).as("ts_ms"), col("value"))
       .as[RawEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(close)
@@ -229,7 +232,7 @@ object EventStream {
       spark.readStream.schema(rawSchema).parquet(s"$dir/events*.parquet")
         .filter(col("event_type") === eventType)
         .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
-          timestamp_micros(expr("ts DIV 1000")).as(s"${prefix}_ts"))
+          EventEncoding.tsMicros(rawSchema("ts").dataType).as(s"${prefix}_ts"))
         .withWatermark(s"${prefix}_ts", s"$windowMinutes minutes")
     val q = side("click", "click").join(side("view", "view"),
         col("click_user") === col("view_user") &&
@@ -250,8 +253,8 @@ object EventStream {
   }
 
   /** DuckDB twin of [[clickViewPairs]] — the batch self-join the streaming
-    * plan must agree with (DuckDB's parquet reader truncates the nanos
-    * timestamps to micros exactly like the `ts DIV 1000` above).
+    * plan must agree with (DuckDB reads the file's timestamps at micros
+    * precision, exactly the precision [[EventEncoding.tsMicros]] yields).
     */
   def clickViewPairsSql(windowMinutes: Int = 10): String =
     s"""SELECT c.user_id, COUNT(*) AS n_pairs
