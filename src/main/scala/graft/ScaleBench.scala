@@ -59,7 +59,15 @@ object ScaleBench {
     // window — shard count is the parallelism knob), and the dedup
     // savings report (rides the q40 hash shuffle + the q59 cluster loop)
     "q143_containment_join", "q145_kmv_distinct", "q146_shard_shuffle",
-    "q147_dedup_savings")
+    "q147_dedup_savings",
+    // round-8 additions (the round-7 queries that lacked scale rows):
+    // TPC-H Q3 shape (scan-pushed date windows + AQE joins + bounded
+    // top-10 — output fixed while inputs grow), the decorrelated
+    // nation-average subquery (customer-grain aggregate + 25-row
+    // broadcast — output grows with customers, compute with orders), and
+    // the weighted median (cumulative window over the domain-bounded
+    // price-cent grid, never raw rows)
+    "q148_shipping_priority", "q149_above_nation_avg", "q151_weighted_median")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)
@@ -128,6 +136,15 @@ object ScaleBench {
     scaleKeyed(spark, base, copies, "lineitem", Seq("l_orderkey", "l_suppkey"))
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$scaledDir/lineitem.parquet")
+    // customer scales with the SAME key delta as orders.o_custkey, so each
+    // order copy still belongs to its customer copy (per-customer order
+    // history preserved at 10×); nation is a fixed dimension — copied
+    // through unscaled so q149's 25-row broadcast claim is what's measured
+    scaleKeyed(spark, base, copies, "customer", Seq("c_custkey"))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$scaledDir/customer.parquet")
+    spark.read.parquet(s"$base/nation.parquet")
+      .write.mode(SaveMode.Overwrite).parquet(s"$scaledDir/nation.parquet")
 
     // JIT/codegen warm-up on the smallest SF, same as Bench
     measured.foreach { name =>

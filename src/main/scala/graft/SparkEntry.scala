@@ -693,6 +693,12 @@ object SparkEntry {
     "q150_lateness_audit" -> { (s, dir) =>
       Events.latenessAudit(TestData.events(s, dir)).orderBy("event_type", "band")
     },
+    // Same audit under an md5-permuted (worst-case disordered) arrival
+    // order, so every lateness band is exercised against the oracle —
+    // q150 on the ingest-ordered feed legitimately reports all on_time.
+    "q152_lateness_disordered" -> { (s, dir) =>
+      Events.latenessDisordered(TestData.events(s, dir)).orderBy("event_type", "band")
+    },
     // Exact weighted median (lower-median rule: first grid point where
     // 2*cum >= total). The q85 trick generalized: collapse rows onto the
     // (group, price-cent) grid FIRST — the cumulative window then runs
@@ -1602,6 +1608,11 @@ object SparkEntry {
 
     "q150_lateness_audit" ->
       s"""WITH ${Events.latenessAuditSql}
+          SELECT event_type, band, n, max_late_ms FROM lateness_audit
+          ORDER BY event_type, band""",
+
+    "q152_lateness_disordered" ->
+      s"""WITH ${Events.latenessDisorderedSql}
           SELECT event_type, band, n, max_late_ms FROM lateness_audit
           ORDER BY event_type, band""",
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -354,10 +354,26 @@ object Events {
     * Output: (event_type, band, n, max_late_ms) — bands: on_time,
     * under_1s, under_1m, under_1h, over_1h.
     */
-  def latenessAudit(events: DataFrame): DataFrame = {
-    val byArrival = Window.partitionBy("user_id").orderBy("event_id")
+  def latenessAudit(events: DataFrame): DataFrame =
+    latenessAuditBy(events, col("event_id"))
+
+  /** [[latenessAudit]] under an adversarially DISORDERED arrival order:
+    * the generator's feed is ingest-ordered (event_id tracks ts), so the
+    * plain audit lands every row in `on_time` and the banding branches go
+    * unexercised. Arrival order here is the md5 of the event id — a
+    * deterministic pseudo-random permutation both engines compute
+    * identically — so event time genuinely trails the running max and
+    * every lateness band fills. This is the worst-case disorder bound for
+    * the watermark knob, alongside q150's observed bound.
+    */
+  def latenessDisordered(events: DataFrame): DataFrame =
+    latenessAuditBy(events, md5(col("event_id").cast("string")))
+
+  private def latenessAuditBy(events: DataFrame, arrival: Column): DataFrame = {
+    val withArr = events.withColumn("arr", arrival)
+    val byArrival = Window.partitionBy("user_id").orderBy("arr")
       .rowsBetween(Window.unboundedPreceding, -1)
-    events
+    withArr
       .withColumn("ms", msCol)
       .withColumn("late_ms",
         greatest(lit(0L), max("ms").over(byArrival) - col("ms")))
@@ -372,15 +388,18 @@ object Events {
       .agg(count(lit(1)).as("n"), max("late_ms").as("max_late_ms"))
   }
 
-  /** DuckDB twin of [[latenessAudit]] — same window frame, same bands. */
-  val latenessAuditSql: String =
+  /** DuckDB twin of [[latenessAudit]] — same window frame, same bands.
+    * Parameterized on the arrival-order expression so the disordered
+    * variant (md5 permutation, [[latenessDisordered]]) shares the CTE.
+    */
+  def latenessSqlBy(arrivalSql: String): String =
     s"""lateness AS (
        |  SELECT event_type,
        |         COALESCE(GREATEST(0,
-       |           MAX(ms) OVER (PARTITION BY user_id ORDER BY event_id
+       |           MAX(ms) OVER (PARTITION BY user_id ORDER BY arr
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ms),
        |           0) AS late_ms
-       |  FROM (SELECT user_id, event_id, event_type,
+       |  FROM (SELECT user_id, $arrivalSql AS arr, event_type,
        |               epoch_ms(ts) AS ms FROM events) e),
        |lateness_audit AS (
        |  SELECT event_type,
@@ -391,4 +410,9 @@ object Events {
        |              ELSE 'over_1h' END AS band,
        |         COUNT(*) AS n, CAST(MAX(late_ms) AS BIGINT) AS max_late_ms
        |  FROM lateness GROUP BY 1, 2)""".stripMargin
+
+  val latenessAuditSql: String = latenessSqlBy("event_id")
+
+  val latenessDisorderedSql: String =
+    latenessSqlBy("md5(CAST(event_id AS VARCHAR))")
 }

@@ -195,4 +195,16 @@ class EventsSpec extends SparkSpec {
     assert(r.nonEmpty)
     r.foreach { case (b, m) => assert(b == "on_time" && m == 0L) }
   }
+
+  test("latenessDisordered: md5 permutation exercises the late bands on the real feed") {
+    val r = Events.latenessDisordered(graft.sources.TestData.events(spark, sf))
+      .select("band", "n").as[(String, Long)].collect()
+    val bands = r.map(_._1).toSet
+    // a pseudo-random arrival order over a multi-day feed must produce
+    // genuinely late rows, not just on_time — and late rows must dominate
+    assert(bands.size >= 2, s"expected several lateness bands, got $bands")
+    val late = r.filter(_._1 != "on_time").map(_._2).sum
+    val onTime = r.filter(_._1 == "on_time").map(_._2).sum
+    assert(late > onTime, s"md5 disorder should make most rows late (late=$late on_time=$onTime)")
+  }
 }
