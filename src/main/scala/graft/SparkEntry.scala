@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
-import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Funnel, Graph, Multimodal, Packing, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, TextAnalysis, WarehouseSink, ZOrder}
+import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Funnel, Graph, Multimodal, Packing, Planning, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, TextAnalysis, WarehouseSink, ZOrder}
 import graft.oracle.BankOracle
 import graft.sources.{BankAdapter, CsvSource, TestData}
 import graft.streaming.EventStream
@@ -698,6 +698,22 @@ object SparkEntry {
     // q150 on the ingest-ordered feed legitimately reports all on_time.
     "q152_lateness_disordered" -> { (s, dir) =>
       Events.latenessDisordered(TestData.events(s, dir)).orderBy("event_type", "band")
+    },
+    // Data-driven salting plan: per-key counts -> capped ceil-division salt
+    // fan-out (q70's manual salting turned into a measured decision).
+    "q153_skew_plan" -> { (s, dir) =>
+      Planning.skewPlan(TestData.events(s, dir), "event_type", 1500L)
+        .orderBy("event_type")
+    },
+    // Join-cardinality estimate from two constant-size KMV sketches over
+    // the click/view user-day key sets (q101's join, sized without running
+    // it), audited against the exact overlap.
+    "q154_kmv_join_estimate" -> { (s, dir) =>
+      val ev = TestData.events(s, dir)
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select((col("user_id") * 1000000L
+          + expr("ts_ns DIV 86400000000000")).as("key"))
+      Planning.kmvJoinOverlap(side("click"), side("view"), "key")
     },
     // Exact weighted median (lower-median rule: first grid point where
     // 2*cum >= total). The q85 trick generalized: collapse rows onto the
@@ -1615,6 +1631,18 @@ object SparkEntry {
       s"""WITH ${Events.latenessDisorderedSql}
           SELECT event_type, band, n, max_late_ms FROM lateness_audit
           ORDER BY event_type, band""",
+
+    "q153_skew_plan" ->
+      s"""WITH ${Planning.skewPlanSql("events", "event_type", 1500L)}
+          SELECT event_type, n, salt_factor FROM skew_plan
+          ORDER BY event_type""",
+
+    "q154_kmv_join_estimate" ->
+      s"""WITH ${Planning.kmvJoinOverlapSql(
+              "SELECT CAST(user_id * 1000000 + epoch_ms(ts)//86400000 AS VARCHAR) AS key FROM events WHERE event_type = 'click'",
+              "SELECT CAST(user_id * 1000000 + epoch_ms(ts)//86400000 AS VARCHAR) AS key FROM events WHERE event_type = 'view'")}
+          SELECT n_a, n_b, n_inter, union_estimate, inter_estimate, rel_err
+          FROM kmv_overlap""",
 
     "q151_weighted_median" ->
       s"""WITH wm_grid AS (

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PlanningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("skewPlan: exact ceil-division fan-out, capped at maxSalt") {
+    val df = (Seq.fill(10)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold")).toDF("k")
+    val plan = Planning.skewPlan(df, "k", targetRowsPerSalt = 3, maxSalt = 3)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, s) => k -> ((n, s)) }.toMap
+    // hot: ceil(10/3)=4 capped to 3; warm: ceil(3/3)=1; cold: 1
+    assert(plan == Map("hot" -> ((10L, 3L)), "warm" -> ((3L, 1L)), "cold" -> ((1L, 1L))))
+  }
+
+  test("skewPlan feeds a salted repartition that actually balances the hot key") {
+    val df = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")
+    val plan = Planning.skewPlan(df, "k", targetRowsPerSalt = 100, maxSalt = 8)
+    val salted = df.join(broadcast(plan), Seq("k"))
+      .withColumn("salt", pmod(hash(col("v")), col("salt_factor")))
+    val buckets = salted.groupBy("k", "salt").count()
+      .select("count").as[Long].collect()
+    assert(buckets.length == 8) // ceil(1000/100)=10 capped to 8
+    // hash-uniform values spread within 2x of each other
+    assert(buckets.max < 2 * buckets.min)
+  }
+
+  test("kmvJoinOverlap: union below k is the exact path") {
+    val a = (1 to 30).toDF("key")
+    val b = (21 to 60).toDF("key")
+    val r = Planning.kmvJoinOverlap(a, b, "key", k = 256).collect().head
+    assert(r.getAs[Long]("n_a") == 30 && r.getAs[Long]("n_b") == 40)
+    assert(r.getAs[Long]("n_inter") == 10)
+    // sketch covers the whole union -> estimate IS the exact overlap
+    assert(r.getAs[Double]("union_estimate") == 60.0)
+    assert(r.getAs[Double]("inter_estimate") == 10.0)
+    assert(r.getAs[Double]("rel_err") == 0.0)
+  }
+
+  test("kmvJoinOverlap: estimator path lands within the k=256 error regime") {
+    val a = (1 to 3000).toDF("key")
+    val b = (1001 to 4000).toDF("key")
+    val r = Planning.kmvJoinOverlap(a, b, "key", k = 256).collect().head
+    assert(r.getAs[Long]("n_inter") == 2000)
+    val est = r.getAs[Double]("inter_estimate")
+    // KMV with k=256 has ~1/sqrt(k) ≈ 6% typical error; allow a wide belt
+    assert(est > 1000 && est < 3000, s"estimate $est far from 2000")
+    assert(r.getAs[Double]("rel_err") < 0.5)
+  }
+
+  test("kmvJoinOverlap: disjoint sides report NULL rel_err, zero-ish estimate") {
+    val a = (1 to 500).toDF("key")
+    val b = (10001 to 10500).toDF("key")
+    val r = Planning.kmvJoinOverlap(a, b, "key", k = 64).collect().head
+    assert(r.getAs[Long]("n_inter") == 0)
+    assert(r.isNullAt(r.fieldIndex("rel_err")))
+  }
+
+  test("kmvJoinOverlap rejects a non-power-of-two k") {
+    val a = (1 to 5).toDF("key")
+    intercept[IllegalArgumentException](Planning.kmvJoinOverlap(a, a, "key", k = 100))
+  }
+}

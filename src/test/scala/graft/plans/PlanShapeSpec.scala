@@ -47,7 +47,9 @@ class PlanShapeSpec extends SparkSpec {
         // round-7 late additions: containment join, dedup savings (hash-key
         // join + cluster-label join), Q3 star, decorrelated subquery
         "q143_containment_join", "q147_dedup_savings",
-        "q148_shipping_priority", "q149_above_nation_avg")) {
+        "q148_shipping_priority", "q149_above_nation_avg",
+        // round-8: the KMV overlap (sketch joins + 1-row stats broadcast)
+        "q154_kmv_join_estimate")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
@@ -111,6 +113,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k must be a bounded heap")
     assert(p.contains("*(") || p.contains("WholeStageCodegen"),
       "the scoring pass must retain whole-stage codegen spans")
+  }
+
+  test("q153 skew plan: one map-side-combined aggregate, no extra shuffle") {
+    val p = finalPlan("q153_skew_plan")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val aggExchanges = "Exchange".r.findAllIn(finalSection).size
+    assert(aggExchanges <= 2, // one for the groupBy, one for the orderBy range
+      s"skew plan must cost one aggregate shuffle (plus the output sort), found $aggExchanges:\n$p")
+    assert(p.contains("HashAggregate"), "per-key counts must partial-aggregate map-side")
+  }
+
+  test("q154 kmv estimate: sketch flags and stats join as broadcasts") {
+    val p = finalPlan("q154_kmv_join_estimate")
+    assert(p.contains("TopKPerKey"), "bottom-k must be the bounded-heap operator")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "k-row sketches and the 1-row stats frame must broadcast")
   }
 
   test("a ym filter on the warehouse fact prunes partitions at the scan") {
