@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
-import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Funnel, Graph, Multimodal, Packing, Planning, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, TextAnalysis, WarehouseSink, ZOrder}
+import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Funnel, Graph, Multimodal, Packing, Planning, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, Snapshot, TextAnalysis, WarehouseSink, ZOrder}
 import graft.oracle.BankOracle
 import graft.sources.{BankAdapter, CsvSource, TestData}
 import graft.streaming.EventStream
@@ -714,6 +714,17 @@ object SparkEntry {
         .select((col("user_id") * 1000000L
           + expr("ts_ns DIV 86400000000000")).as("key"))
       Planning.kmvJoinOverlap(side("click"), side("view"), "key")
+    },
+    // Accuracy-vs-cost curve for the IVF index: recall@5 at probe depths
+    // 1/2/4, one candidate pass shared across depths.
+    "q155_ivf_recall_curve" -> { (s, dir) =>
+      Similarity.ivfRecallCurve(TestData.embeddings(s, dir))
+    },
+    // Content-addressed snapshot diff: per-(source, status) counts from a
+    // fingerprint-manifest full join over two derived pseudo-snapshots.
+    "q156_snapshot_diff" -> { (s, dir) =>
+      val (a, b) = Snapshot.snapshots(TestData.documents(s, dir))
+      Snapshot.diff(a, b).orderBy("source", "status")
     },
     // Exact weighted median (lower-median rule: first grid point where
     // 2*cum >= total). The q85 trick generalized: collapse rows onto the
@@ -1643,6 +1654,16 @@ object SparkEntry {
               "SELECT CAST(user_id * 1000000 + epoch_ms(ts)//86400000 AS VARCHAR) AS key FROM events WHERE event_type = 'view'")}
           SELECT n_a, n_b, n_inter, union_estimate, inter_estimate, rel_err
           FROM kmv_overlap""",
+
+    "q155_ivf_recall_curve" ->
+      s"""WITH ${Similarity.ivfRecallCurveSql()}
+          SELECT nprobe, hits, recall FROM ivf_recall_curve
+          ORDER BY nprobe""",
+
+    "q156_snapshot_diff" ->
+      s"""WITH ${Snapshot.diffSql}
+          SELECT source, status, n FROM snapshot_diff
+          ORDER BY source, status""",
 
     "q151_weighted_median" ->
       s"""WITH wm_grid AS (

@@ -620,6 +620,102 @@ object Similarity {
        |  LEFT JOIN lsh_topk l ON b.qid = l.qid AND b.nid = l.nid
        |  GROUP BY b.qid)""".stripMargin
 
+  /** Recall@k as a FUNCTION of probe depth — the accuracy-vs-cost curve an
+    * IVF deployment actually tunes (q54 fixes nprobe=1; q77 evaluates the
+    * LSH index): for each query, cells are ranked by centroid cosine, and
+    * candidates are data vectors assigned to the query's top-p cells, for
+    * every p in `probes`. One row per probe depth: (nprobe, hits, recall)
+    * against the exact brute-force top-k.
+    *
+    * Scale shape: cell scoring is one broadcast join (centroids are the
+    * √n-capped frame); the candidate score frame is computed ONCE at the
+    * deepest probe level and each shallower level is a filter on
+    * `cellrank` — so the curve costs one candidate pass plus `|probes|`
+    * bounded-heap top-k's, not `|probes|` index probes. Since every data
+    * vector lives in exactly one cell, (query, candidate) pairs are unique
+    * by construction — no dedup stage.
+    */
+  def ivfRecallCurve(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10,
+      probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1), s"bad probe depths: $probes")
+    val maxP = probes.max
+    val qv = quantized(embeddings).cache()
+    val cents = seedCentroids(embeddings, qv)
+    val cellScores = qv.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        cosine(dot(col("q"), col("cq")), col("n2"), col("cn2")).as("score"))
+    val assign = graft.plans.TopK.perKey(cellScores, Seq("vec_id"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("cid")), k = 1, rankName = "rnk")
+      .select(col("vec_id"), col("cid").as("cell"))
+    val qcells = graft.plans.TopK.perKey(
+        cellScores.filter(col("vec_id") % queryMod === 0), Seq("vec_id"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("cid")),
+        k = maxP, rankName = "cellrank")
+      .select(col("vec_id").as("qid"), col("cid").as("cell"), col("cellrank"))
+    val queries = qcells.join(
+      qv.filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("n2a")), Seq("qid"))
+    val cand = qv.join(assign, Seq("vec_id"))
+      .select(col("vec_id").as("nid"), col("q").as("qb"), col("n2").as("n2b"), col("cell"))
+      .join(queries, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("cellrank"),
+        cosine(dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("score"))
+      .cache()
+    val exact = bruteForceTopK(embeddings, k, queryMod).select("qid", "nid").cache()
+    val nq = exact.agg(countDistinct(col("qid")).as("nq"))
+    probes.map { p =>
+      val topk = graft.plans.TopK.perKey(cand.filter(col("cellrank") <= p),
+          Seq("qid"), Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("nid")), k)
+        .select(col("qid"), col("nid")).withColumn("hit", lit(1))
+      exact.join(topk, Seq("qid", "nid"), "left")
+        .agg(count(col("hit")).as("hits"))
+        .crossJoin(broadcast(nq))
+        .select(lit(p).as("nprobe"), col("hits"),
+          (col("hits").cast("double") / (col("nq") * k).cast("double")).as("recall"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
+  /** DuckDB twin of [[ivfRecallCurve]]; embed after `WITH` and select from
+    * `ivf_recall_curve`.
+    */
+  def ivfRecallCurveSql(k: Int = 5, queryMod: Int = 10,
+      probes: Seq[Int] = Seq(1, 2, 4)): String = {
+    val maxP = probes.max
+    val perProbe = probes.map { p =>
+      s"""  SELECT $p AS nprobe, CAST(COUNT(l.nid) AS BIGINT) AS hits,
+         |         CAST(COUNT(l.nid) AS DOUBLE)
+         |           / (CAST((SELECT COUNT(DISTINCT qid) FROM brute_topk) AS DOUBLE) * $k)
+         |           AS recall
+         |  FROM brute_topk b LEFT JOIN
+         |    (SELECT qid, nid FROM (
+         |       SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+         |                ORDER BY score DESC, nid) AS rnk
+         |       FROM rc_cand WHERE cellrank <= $p) t WHERE rnk <= $k) l
+         |    ON b.qid = l.qid AND b.nid = l.nid""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$ivfAssignSql,
+       |rc_q AS (
+       |  SELECT vec_id, cid, cellrank FROM (
+       |    SELECT vec_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid)
+       |             AS cellrank
+       |    FROM cell_scores WHERE vec_id % $queryMod = 0) t
+       |  WHERE cellrank <= $maxP),
+       |rc_cand AS (
+       |  SELECT q.vec_id AS qid, d.vec_id AS nid, q.cellrank,
+       |         list_dot_product(qa.q, da.q)
+       |           / (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(da.n2 AS DOUBLE))) AS score
+       |  FROM rc_q q
+       |  JOIN qn qa ON qa.vec_id = q.vec_id
+       |  JOIN ivf_assign d ON d.cell = q.cid
+       |  JOIN qn da ON da.vec_id = d.vec_id
+       |  WHERE d.vec_id <> q.vec_id),
+       |${bruteCoreSql(k, queryMod)},
+       |ivf_recall_curve AS (
+       |$perProbe)""".stripMargin
+  }
+
   // ------------------------------------------------------ int8 quantization
 
   /** Per-vector symmetric int8 quantization with a VERIFIED error contract

@@ -176,6 +176,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfRecallCurve: recall is monotone in probe depth, bounded, and consistent") {
+    val rows = Similarity.ivfRecallCurve(graft.sources.TestData.embeddings(spark, sf))
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4))
+    rows.foreach { case (_, hits, recall) =>
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(hits >= 0L)
+    }
+    // a candidate pool that only grows with nprobe can only gain hits
+    // (candidates ranked above an exact-top-k member are themselves in the
+    // exact top-k under the shared total order)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq,
+      s"hits must be non-decreasing in nprobe: $rows")
+    // probing deeper than one cell must help or tie, never regress to zero
+    assert(rows.last._3 >= rows.head._3)
+  }
+
   test("embeddingAudit: empty, null, and zero vectors are counted per label") {
     val e = Seq(
       (1L, Some(Seq(0.5f)), 0),        // valid, n2 = 5000^2

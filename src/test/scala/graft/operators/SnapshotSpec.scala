@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = graft.sources.TestData.documents(spark, sf)
+
+  test("diff classifies constructed snapshots exactly") {
+    val a = Seq(
+      (1L, "same text", "web"),
+      (2L, "old text", "web"),
+      (3L, "dropped", "book")).toDF("doc_id", "text", "source")
+    val b = Seq(
+      (1L, "same text", "web"),
+      (2L, "new text", "web"),
+      (4L, "fresh", "book")).toDF("doc_id", "text", "source")
+    val r = Snapshot.diff(a, b).as[(String, String, Long)].collect().toSet
+    assert(r == Set(
+      ("web", "unchanged", 1L),
+      ("web", "changed", 1L),
+      ("book", "removed", 1L),
+      ("book", "added", 1L)))
+  }
+
+  test("derived pseudo-snapshots produce all four statuses and conserve doc counts") {
+    val (a, b) = Snapshot.snapshots(docs)
+    val byStatus = Snapshot.diff(a, b)
+      .groupBy("status").sum("n").as[(String, Long)].collect().toMap
+    assert(byStatus.keySet == Set("added", "removed", "changed", "unchanged"),
+      s"got $byStatus")
+    // every diff row came from exactly one of the two snapshots' doc sets
+    assert(byStatus.values.sum ==
+      a.select("doc_id").union(b.select("doc_id")).distinct().count())
+    // the coin thresholds make unchanged the dominant class (~77% of docs)
+    assert(byStatus("unchanged") > byStatus.values.sum / 2)
+  }
+
+  test("changed docs are exactly the edited intersection") {
+    val (a, b) = Snapshot.snapshots(docs)
+    val changed = Snapshot.diff(a, b)
+      .filter($"status" === "changed").groupBy().sum("n")
+      .as[Long].collect().headOption.getOrElse(0L)
+    val expected = a.select("doc_id")
+      .join(b.filter($"text".endsWith(" [rev2]")).select("doc_id"), "doc_id")
+      .count()
+    assert(changed == expected)
+  }
+}
