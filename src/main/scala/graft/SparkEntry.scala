@@ -726,6 +726,23 @@ object SparkEntry {
       val (a, b) = Snapshot.snapshots(TestData.documents(s, dir))
       Snapshot.diff(a, b).orderBy("source", "status")
     },
+    // Bloom-filter semi-join pruning audit: events on purchase user-days,
+    // pruned by an in-plan-sized bloom over the purchase key set; the
+    // audit row measures exactly what the filter saved and what its false
+    // positives cost.
+    "q157_bloom_semi_audit" -> { (s, dir) =>
+      val ev = TestData.events(s, dir)
+      def ud = (col("user_id") * 1000000L
+        + expr("ts_ns DIV 86400000000000")).as("key")
+      Planning.bloomSemiAudit(
+        ev.filter(col("event_type") === "purchase").select(ud),
+        ev.select(ud), "key")
+    },
+    // Gaps-and-islands: per-user maximal consecutive-active-day streaks.
+    "q158_activity_islands" -> { (s, dir) =>
+      Events.activityIslands(TestData.events(s, dir))
+        .orderBy("user_id", "start_day")
+    },
     // Exact weighted median (lower-median rule: first grid point where
     // 2*cum >= total). The q85 trick generalized: collapse rows onto the
     // (group, price-cent) grid FIRST — the cumulative window then runs
@@ -1664,6 +1681,19 @@ object SparkEntry {
       s"""WITH ${Snapshot.diffSql}
           SELECT source, status, n FROM snapshot_diff
           ORDER BY source, status""",
+
+    "q157_bloom_semi_audit" ->
+      s"""WITH ${Planning.bloomSemiAuditSql(
+              "SELECT CAST(user_id * 1000000 + epoch_ms(ts)//86400000 AS VARCHAR) AS key FROM events WHERE event_type = 'purchase'",
+              "SELECT CAST(user_id * 1000000 + epoch_ms(ts)//86400000 AS VARCHAR) AS key FROM events")}
+          SELECT n_probe_rows, n_pass_rows, n_true_rows, n_fp_rows,
+                 neg_keys, fp_keys, fp_key_rate
+          FROM bloom_audit""",
+
+    "q158_activity_islands" ->
+      s"""WITH ${Events.activityIslandsSql}
+          SELECT user_id, start_day, end_day, len_days FROM activity_islands
+          ORDER BY user_id, start_day""",
 
     "q151_weighted_median" ->
       s"""WITH wm_grid AS (

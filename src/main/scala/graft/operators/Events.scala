@@ -415,4 +415,42 @@ object Events {
 
   val latenessDisorderedSql: String =
     latenessSqlBy("md5(CAST(event_id AS VARCHAR))")
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per user —
+    * the canonical streak/churn shape (active streaks, lapse detection,
+    * engagement-window features) built on the classic `day − row_number`
+    * grouping trick, which is all-integer and engine-exact.
+    *
+    * Scale shape: the day-grain distinct collapses events to at most
+    * (users × days) rows BEFORE the window — the window then runs over
+    * per-user day sets (bounded by the calendar, not event volume), and
+    * the one wide shuffle is on user_id, never a global window.
+    */
+  def activityIslands(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr("ts_ns DIV 86400000000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min("day").as("start_day"), max("day").as("end_day"),
+        count(lit(1)).as("len_days"))
+      .select("user_id", "start_day", "end_day", "len_days")
+  }
+
+  /** DuckDB twin of [[activityIslands]]; embed after `WITH` and select
+    * from `activity_islands`.
+    */
+  val activityIslandsSql: String =
+    s"""gi_days AS (
+       |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+       |gi AS (
+       |  SELECT user_id, day,
+       |         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+       |  FROM gi_days),
+       |activity_islands AS (
+       |  SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+       |         CAST(COUNT(*) AS BIGINT) AS len_days
+       |  FROM gi GROUP BY user_id, grp)""".stripMargin
 }

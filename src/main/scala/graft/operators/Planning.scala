@@ -120,6 +120,125 @@ object Planning {
             / col("n_inter").cast("double")))
   }
 
+  /** Bloom-filter semi-join pruning, with its false-positive cost measured
+    * (the third planning primitive: q153 sizes a shuffle, q154 sizes a
+    * join, this one decides whether a probe side needs to shuffle AT ALL).
+    * A Bloom filter over the build side's distinct keys — `bitsPerKey·n`
+    * bits, `kHash` set positions per key — is the compact structure a
+    * 100 TB deployment broadcasts to prune the probe side at the scan
+    * before any shuffle (Spark's AQE injects exactly this for shuffle
+    * joins via `spark.sql.optimizer.runtime.bloomFilter.enabled`; this
+    * operator makes the decision explicit and AUDITABLE). Output is the
+    * audit row: probe rows, rows passing the filter, true semi-join rows,
+    * false-positive rows (pass − true — the shuffle volume the filter
+    * failed to save), and the key-level false-positive rate against the
+    * expected `(1 − e^(−kHash/bitsPerKey))^kHash` ≈ 3.1% at the defaults.
+    *
+    * Cross-engine exactness: bit positions are 48-bit md5 hashes mod
+    * `m = bitsPerKey·n` (m derived in-plan from the build side, all
+    * integer); membership is evaluated by joins over the distinct
+    * (position) set, so both engines classify identical keys identically —
+    * no approximate structure leaks into the result. The ONE double
+    * division (fp_rate) divides integers both engines agree on.
+    *
+    * Scale shape: the bit set is `distinct pos` of the build side —
+    * `kHash·n` values that at deployment pack into an m-bit bitmap
+    * (`bloom_filter_agg`); the probe side is touched once, key-grain, and
+    * rows never shuffle on the join key. The audit's exact semi-join is
+    * the verification harness, not the production path.
+    */
+  def bloomSemiAudit(build: DataFrame, probe: DataFrame, key: String,
+      bitsPerKey: Int = 8, kHash: Int = 3): DataFrame = {
+    require(bitsPerKey >= 1 && kHash >= 1, s"bad bloom params: $bitsPerKey/$kHash")
+    val keysA = build.select(h48(col(key)).as("hk")).distinct().cache()
+    val m = keysA.agg((count(lit(1)) * bitsPerKey).as("m"))
+    def positions(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(m))
+        .select(col("hk"), explode(sequence(lit(0), lit(kHash - 1))).as("i"), col("m"))
+        .select(col("hk"),
+          (h48(concat(col("hk").cast("string"), lit(":"), col("i").cast("string")))
+            % col("m")).as("pos"))
+    val bits = positions(keysA).select("pos").distinct()
+    val keysB = probe.select(h48(col(key)).as("hk")).distinct()
+    val passKeys = positions(keysB)
+      .join(bits.withColumn("hit", lit(1)), Seq("pos"), "left")
+      .groupBy("hk")
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .filter(col("hits") === kHash)
+      .select("hk")
+    val probeKeyed = probe.select(h48(col(key)).as("hk"))
+    val trueKeys = keysB.join(keysA.withColumn("in_a", lit(1)), Seq("hk"), "left")
+    val keyStats = trueKeys
+      .join(passKeys.withColumn("pass", lit(1)), Seq("hk"), "left")
+      .agg(
+        sum(when(col("in_a").isNull, 1L).otherwise(0L)).as("neg_keys"),
+        sum(when(col("in_a").isNull && col("pass").isNotNull, 1L).otherwise(0L))
+          .as("fp_keys"))
+    val rowStats = probeKeyed
+      .join(keysA.withColumn("in_a", lit(1)), Seq("hk"), "left")
+      .join(passKeys.withColumn("pass", lit(1)), Seq("hk"), "left")
+      .agg(count(lit(1)).as("n_probe_rows"),
+        sum(when(col("pass").isNotNull, 1L).otherwise(0L)).as("n_pass_rows"),
+        sum(when(col("in_a").isNotNull, 1L).otherwise(0L)).as("n_true_rows"))
+    rowStats.crossJoin(broadcast(keyStats))
+      .select(col("n_probe_rows"), col("n_pass_rows"), col("n_true_rows"),
+        (col("n_pass_rows") - col("n_true_rows")).as("n_fp_rows"),
+        col("neg_keys"), col("fp_keys"),
+        when(col("neg_keys") === 0L, lit(null).cast("double"))
+          .otherwise(col("fp_keys").cast("double") / col("neg_keys").cast("double"))
+          .as("fp_key_rate"))
+  }
+
+  /** DuckDB twin of [[bloomSemiAudit]]: `buildSql`/`probeSql` each yield
+    * one column `key` (stringified like the Spark side); embed after
+    * `WITH` and select from `bloom_audit`.
+    */
+  def bloomSemiAuditSql(buildSql: String, probeSql: String,
+      bitsPerKey: Int = 8, kHash: Int = 3): String =
+    s"""bl_a AS (
+       |  SELECT DISTINCT ('0x' || substring(md5(key), 1, 12))::BIGINT AS hk
+       |  FROM ($buildSql) ba),
+       |bl_m AS (SELECT COUNT(*) * $bitsPerKey AS m FROM bl_a),
+       |bl_bits AS (
+       |  SELECT DISTINCT ('0x' || substring(md5(CAST(hk AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 12))::BIGINT % m AS pos
+       |  FROM bl_a, bl_m, (SELECT unnest(generate_series(0, ${kHash - 1})) AS i) s),
+       |bl_probe_rows AS (
+       |  SELECT ('0x' || substring(md5(key), 1, 12))::BIGINT AS hk
+       |  FROM ($probeSql) bp),
+       |bl_b AS (SELECT DISTINCT hk FROM bl_probe_rows),
+       |bl_pass AS (
+       |  SELECT hk FROM (
+       |    SELECT b.hk,
+       |           SUM(CASE WHEN ('0x' || substring(md5(CAST(b.hk AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)), 1, 12))::BIGINT % m
+       |                    IN (SELECT pos FROM bl_bits) THEN 1 ELSE 0 END) AS hits
+       |    FROM bl_b b, bl_m, (SELECT unnest(generate_series(0, ${kHash - 1})) AS i) s
+       |    GROUP BY b.hk) t
+       |  WHERE hits = $kHash),
+       |bl_keystats AS (
+       |  SELECT SUM(CASE WHEN a.hk IS NULL THEN 1 ELSE 0 END) AS neg_keys,
+       |         SUM(CASE WHEN a.hk IS NULL AND p.hk IS NOT NULL THEN 1 ELSE 0 END) AS fp_keys
+       |  FROM bl_b b
+       |  LEFT JOIN bl_a a ON a.hk = b.hk
+       |  LEFT JOIN bl_pass p ON p.hk = b.hk),
+       |bl_rowstats AS (
+       |  SELECT COUNT(*) AS n_probe_rows,
+       |         SUM(CASE WHEN p.hk IS NOT NULL THEN 1 ELSE 0 END) AS n_pass_rows,
+       |         SUM(CASE WHEN a.hk IS NOT NULL THEN 1 ELSE 0 END) AS n_true_rows
+       |  FROM bl_probe_rows r
+       |  LEFT JOIN bl_a a ON a.hk = r.hk
+       |  LEFT JOIN bl_pass p ON p.hk = r.hk),
+       |bloom_audit AS (
+       |  SELECT CAST(r.n_probe_rows AS BIGINT) AS n_probe_rows,
+       |         CAST(r.n_pass_rows AS BIGINT) AS n_pass_rows,
+       |         CAST(r.n_true_rows AS BIGINT) AS n_true_rows,
+       |         CAST(r.n_pass_rows - r.n_true_rows AS BIGINT) AS n_fp_rows,
+       |         CAST(k.neg_keys AS BIGINT) AS neg_keys,
+       |         CAST(k.fp_keys AS BIGINT) AS fp_keys,
+       |         CASE WHEN k.neg_keys = 0 THEN NULL
+       |              ELSE CAST(k.fp_keys AS DOUBLE) / CAST(k.neg_keys AS DOUBLE) END
+       |           AS fp_key_rate
+       |  FROM bl_rowstats r, bl_keystats k)""".stripMargin
+
   /** DuckDB twin of [[kmvJoinOverlap]]: `sideASql`/`sideBSql` are queries
     * each yielding one column `key` (stringified identically to the Spark
     * side's `cast("string")`); embed after `WITH` and select from

@@ -196,6 +196,22 @@ class EventsSpec extends SparkSpec {
     r.foreach { case (b, m) => assert(b == "on_time" && m == 0L) }
   }
 
+  test("activityIslands: exact islands on constructed day patterns") {
+    // user 1 active days 0,1,2, 5, 10,11 -> islands (0-2), (5), (10-11)
+    // user 2 active day -3 only          -> island (-3)
+    val e = ev(
+      (1L, 1L, "a", 0L), (2L, 1L, "a", 1L), // two events on day 0: dedups
+      (3L, 1L, "a", day), (4L, 1L, "a", 2 * day),
+      (5L, 1L, "a", 5 * day),
+      (6L, 1L, "a", 10 * day), (7L, 1L, "a", 11 * day),
+      (8L, 2L, "a", -3 * day))
+    val r = Events.activityIslands(e)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(r == Set(
+      (1L, 0L, 2L, 3L), (1L, 5L, 5L, 1L), (1L, 10L, 11L, 2L),
+      (2L, -3L, -3L, 1L)))
+  }
+
   test("latenessDisordered: md5 permutation exercises the late bands on the real feed") {
     val r = Events.latenessDisordered(graft.sources.TestData.events(spark, sf))
       .select("band", "n").as[(String, Long)].collect()

@@ -63,4 +63,33 @@ class PlanningSpec extends SparkSpec {
     val a = (1 to 5).toDF("key")
     intercept[IllegalArgumentException](Planning.kmvJoinOverlap(a, a, "key", k = 100))
   }
+
+  test("bloomSemiAudit: zero false negatives — every true row passes the filter") {
+    val build = (1 to 300).toDF("key")
+    val probe = (1 to 1000).toDF("key") // 300 true keys, 700 negatives
+    val r = Planning.bloomSemiAudit(build, probe, "key").collect().head
+    assert(r.getAs[Long]("n_probe_rows") == 1000)
+    assert(r.getAs[Long]("n_true_rows") == 300)
+    // the bloom guarantee: pass ⊇ true (false positives only, never negatives)
+    assert(r.getAs[Long]("n_pass_rows") >= 300)
+    assert(r.getAs[Long]("n_fp_rows") == r.getAs[Long]("n_pass_rows") - 300)
+    assert(r.getAs[Long]("neg_keys") == 700)
+  }
+
+  test("bloomSemiAudit: fp rate tracks the (1-e^-k/b)^k design point") {
+    val build = (1 to 2000).toDF("key")
+    val probe = (1001 to 9000).toDF("key") // 7000 negative keys
+    val r = Planning.bloomSemiAudit(build, probe, "key").collect().head
+    val fp = r.getAs[Double]("fp_key_rate")
+    // theory at 8 bits/key, 3 hashes: ~3.06%; allow generous sampling belt
+    assert(fp > 0.005 && fp < 0.10, s"fp_key_rate $fp far from ~0.03")
+  }
+
+  test("bloomSemiAudit: disjoint probe with no negatives is the degenerate NULL-rate case") {
+    val build = (1 to 50).toDF("key")
+    val r = Planning.bloomSemiAudit(build, build, "key").collect().head
+    assert(r.getAs[Long]("neg_keys") == 0)
+    assert(r.isNullAt(r.fieldIndex("fp_key_rate")))
+    assert(r.getAs[Long]("n_pass_rows") == 50) // all true rows pass
+  }
 }
