@@ -743,6 +743,22 @@ object SparkEntry {
       Events.activityIslands(TestData.events(s, dir))
         .orderBy("user_id", "start_day")
     },
+    // Count-Min sketch with audited overestimate for the exact top-20
+    // tokens — completes the sketch family (MG/KMV/HLL/KLL/Bloom/CM).
+    "q159_cm_sketch_audit" -> { (s, dir) =>
+      TextAnalysis.cmSketchAudit(TestData.documents(s, dir))
+        .orderBy(col("exact_cnt").desc, col("token"))
+    },
+    // Exact-quota uniform sample: the 25 smallest md5 coins per source.
+    "q160_quota_sample" -> { (s, dir) =>
+      Sampling.quotaSample(TestData.documents(s, dir), quota = 25)
+        .orderBy("source", "pick_rank")
+    },
+    // Snapshot-to-snapshot length-distribution drift, integer-exact L1.
+    "q161_histogram_drift" -> { (s, dir) =>
+      val (a, b) = Snapshot.snapshots(TestData.documents(s, dir))
+      Snapshot.histogramDrift(a, b).orderBy("source")
+    },
     // Exact weighted median (lower-median rule: first grid point where
     // 2*cum >= total). The q85 trick generalized: collapse rows onto the
     // (group, price-cent) grid FIRST — the cumulative window then runs
@@ -1694,6 +1710,21 @@ object SparkEntry {
       s"""WITH ${Events.activityIslandsSql}
           SELECT user_id, start_day, end_day, len_days FROM activity_islands
           ORDER BY user_id, start_day""",
+
+    "q159_cm_sketch_audit" ->
+      s"""WITH ${TextAnalysis.cmSketchAuditSql()}
+          SELECT token, exact_cnt, cm_estimate, overestimate FROM cm_audit
+          ORDER BY exact_cnt DESC, token""",
+
+    "q160_quota_sample" ->
+      s"""WITH ${Sampling.quotaSampleSql(quota = 25)}
+          SELECT source, pick_rank, doc_id FROM quota_sample
+          ORDER BY source, pick_rank""",
+
+    "q161_histogram_drift" ->
+      s"""WITH ${Snapshot.driftSql()}
+          SELECT source, n_buckets, tot_a, tot_b, drift_l1 FROM histogram_drift
+          ORDER BY source""",
 
     "q151_weighted_median" ->
       s"""WITH wm_grid AS (

@@ -34,6 +34,37 @@ object Sampling {
   private def coin48Sql(id: String): String =
     s"('0x' || substring(md5(CAST($id AS VARCHAR)), 1, 12))::BIGINT"
 
+  /** EXACT-quota per-group sample: the `quota` docs with the smallest
+    * md5 coins per source — deterministic, order-free, and exactly
+    * min(quota, |group|) rows per group, where [[stratifiedSample]]'s
+    * percentage coin only hits its rate in expectation. This is the
+    * "exactly 10k eval docs per source" contract an eval-set build needs;
+    * selection by hash coin (not by any data attribute) keeps it an
+    * unbiased uniform draw. Runs on the bounded-heap
+    * [[graft.plans.TopK.perKey]] operator — per-partition quota-sized
+    * heaps, one source-keyed shuffle, never a per-group full sort.
+    */
+  def quotaSample(docs: DataFrame, quota: Int): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    graft.plans.TopK.perKey(
+        docs.select(col("doc_id"), col("source"), coin48(col("doc_id")).as("coin")),
+        Seq("source"), Seq(graft.plans.TopK.asc("coin"), graft.plans.TopK.asc("doc_id")),
+        k = quota, rankName = "pick_rank")
+      .select(col("source"), col("pick_rank"), col("doc_id"))
+  }
+
+  /** DuckDB twin of [[quotaSample]]; embed after `WITH` and select from
+    * `quota_sample`.
+    */
+  def quotaSampleSql(quota: Int): String =
+    s"""quota_sample AS (
+       |  SELECT source, pick_rank, doc_id FROM (
+       |    SELECT source, doc_id,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |             ORDER BY ${coin48Sql("doc_id")}, doc_id) AS INT) AS pick_rank
+       |    FROM documents) t
+       |  WHERE pick_rank <= $quota)""".stripMargin
+
   /** Per-stratum sampling rates (percent, 0-100) with a default for
     * strata not listed — the "training mix": keep all of a curated
     * source, downsample the crawl.

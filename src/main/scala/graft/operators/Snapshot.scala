@@ -56,6 +56,73 @@ object Snapshot {
       .groupBy("source", "status").agg(count(lit(1)).as("n"))
   }
 
+  /** Distribution drift between two snapshots, per source — the "did the
+    * new crawl change what the data LOOKS like" check that gates a
+    * retrain, beyond q156's "which rows changed". Documents bucket by
+    * length (`n_chars DIV bucketWidth`); the per-source drift is the L1
+    * distance between the two bucket distributions, computed as
+    * Σ_buckets |na·Nb − nb·Na| in exact BIGINTs with ONE double division
+    * by Na·Nb at the end — no per-bucket float ratios whose summation
+    * order could differ across engines, and no log() (libm last-ulp
+    * differences), which is why this is L1 and not PSI/KL. Range [0, 2]:
+    * 0 = identical shape, 2 = disjoint support.
+    *
+    * Scale shape: two bucket-grain aggregates (map-side combinable, keys
+    * bounded by source × bucket domain) and a bucket-grain full join —
+    * corpus rows are touched once each, everything downstream is
+    * histogram-sized.
+    */
+  def histogramDrift(a: DataFrame, b: DataFrame, bucketWidth: Int = 100): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    def hist(df: DataFrame, n: String) = df
+      .groupBy(col("source"), expr(s"n_chars DIV $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as(n))
+    def tot(h: DataFrame, n: String, out: String) =
+      h.groupBy("source").agg(sum(n).as(out))
+    val ha = hist(a, "na"); val hb = hist(b, "nb")
+    val joined = ha.join(hb, Seq("source", "bucket"), "full")
+      .select(col("source"), col("bucket"),
+        coalesce(col("na"), lit(0L)).as("na"), coalesce(col("nb"), lit(0L)).as("nb"))
+    joined
+      .join(broadcast(tot(ha, "na", "tot_a")), Seq("source"))
+      .join(broadcast(tot(hb, "nb", "tot_b")), Seq("source"))
+      .groupBy(col("source"), col("tot_a"), col("tot_b"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(abs(col("na") * col("tot_b") - col("nb") * col("tot_a"))).as("l1_num"))
+      .select(col("source"), col("n_buckets"), col("tot_a"), col("tot_b"),
+        (col("l1_num").cast("double")
+          / (col("tot_a") * col("tot_b")).cast("double")).as("drift_l1"))
+  }
+
+  /** DuckDB twin of [[histogramDrift]] over [[snapshots]]; embed after
+    * `WITH` (requires `sd_full_a`/`sd_full_b` — see [[driftSql]]).
+    */
+  def driftSql(bucketWidth: Int = 100): String =
+    s"""dr_a AS (
+       |  SELECT source, n_chars // $bucketWidth AS bucket, COUNT(*) AS na
+       |  FROM documents WHERE ${coinSql("doc_id", "snapA")} < 95
+       |  GROUP BY 1, 2),
+       |dr_b AS (
+       |  SELECT source, n_chars // $bucketWidth AS bucket, COUNT(*) AS nb
+       |  FROM documents WHERE ${coinSql("doc_id", "snapB")} < 95
+       |  GROUP BY 1, 2),
+       |dr_ta AS (SELECT source, CAST(SUM(na) AS BIGINT) AS tot_a FROM dr_a GROUP BY source),
+       |dr_tb AS (SELECT source, CAST(SUM(nb) AS BIGINT) AS tot_b FROM dr_b GROUP BY source),
+       |dr_j AS (
+       |  SELECT COALESCE(a.source, b.source) AS source,
+       |         COALESCE(a.bucket, b.bucket) AS bucket,
+       |         COALESCE(a.na, 0) AS na, COALESCE(b.nb, 0) AS nb
+       |  FROM dr_a a FULL JOIN dr_b b
+       |    ON a.source = b.source AND a.bucket = b.bucket),
+       |histogram_drift AS (
+       |  SELECT j.source, CAST(COUNT(*) AS BIGINT) AS n_buckets, ta.tot_a, tb.tot_b,
+       |         CAST(SUM(ABS(j.na * tb.tot_b - j.nb * ta.tot_a)) AS DOUBLE)
+       |           / CAST(ta.tot_a * tb.tot_b AS DOUBLE) AS drift_l1
+       |  FROM dr_j j
+       |  JOIN dr_ta ta ON ta.source = j.source
+       |  JOIN dr_tb tb ON tb.source = j.source
+       |  GROUP BY j.source, ta.tot_a, tb.tot_b)""".stripMargin
+
   /** DuckDB twin of [[diff]] over [[snapshots]]; embed after `WITH` and
     * select from `snapshot_diff`.
     */

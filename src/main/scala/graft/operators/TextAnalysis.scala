@@ -771,4 +771,80 @@ object TextAnalysis {
        |  SELECT token, COUNT(*) AS cnt, (SELECT n FROM tot) AS n
        |  FROM toks GROUP BY token
        |  HAVING COUNT(*) * $k > (SELECT n FROM tot))""".stripMargin
+
+  /** Count-Min sketch token counts with the overestimate AUDITED — the
+    * last member of the engine's sketch family (Misra-Gries q99, KMV
+    * q145/q154, HLL q75, KLL/GK q90, Bloom q157): a depth×width integer
+    * cell table counts every token through `depth` independent hashes;
+    * a token's estimate is the MIN of its cells, which can only
+    * OVERcount (collisions add, never subtract). For the exact top-`topK`
+    * tokens the audit emits (token, exact, estimate, overestimate ≥ 0).
+    *
+    * All arithmetic is integer — cells are sums of exact token counts,
+    * the probe is a min over `depth` BIGINTs — so the sketch itself is
+    * cross-engine reproducible, not just its contract.
+    *
+    * Scale shape: cells build from the token-count frame with ONE
+    * (depth·width)-key aggregate — constant-size output regardless of
+    * vocabulary, mergeable across shards by cell-wise add (the property
+    * a 100 TB corpus profile needs); the probe joins a `topK`-row frame
+    * against the cell table. The exact counts exist here only as the
+    * audit's ground truth.
+    */
+  def cmSketchAudit(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+      topK: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CM dims: $depth x $width")
+    val counts = docs.select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .cache()
+    def bucket(tok: Column, i: Column): Column =
+      conv(substring(md5(concat(tok, lit(":"), i.cast("string"))), 1, 12), 16, 10)
+        .cast("long") % width
+    val cells = counts
+      .select(col("cnt"), explode(sequence(lit(0), lit(depth - 1))).as("i"),
+        col("token"))
+      .groupBy(col("i"), bucket(col("token"), col("i")).as("b"))
+      .agg(sum("cnt").as("cell"))
+    val top = graft.plans.TopK.perKey(counts.withColumn("g", lit(1)), Seq("g"),
+        Seq(graft.plans.TopK.desc("cnt"), graft.plans.TopK.asc("token")), k = topK)
+      .select(col("token"), col("cnt").as("exact_cnt"))
+    top
+      .select(col("token"), col("exact_cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .withColumn("b", bucket(col("token"), col("i")))
+      .join(cells, Seq("i", "b"))
+      .groupBy("token", "exact_cnt")
+      .agg(min("cell").as("cm_estimate"))
+      .select(col("token"), col("exact_cnt"), col("cm_estimate"),
+        (col("cm_estimate") - col("exact_cnt")).as("overestimate"))
+  }
+
+  /** DuckDB twin of [[cmSketchAudit]]; embed after `WITH` and select from
+    * `cm_audit`.
+    */
+  def cmSketchAuditSql(depth: Int = 4, width: Int = 1024, topK: Int = 20): String =
+    s"""cm_counts AS (
+       |  SELECT token, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) u
+       |  WHERE len(token) > 0 GROUP BY token),
+       |cm_is AS (SELECT unnest(generate_series(0, ${depth - 1})) AS i),
+       |cm_cells AS (
+       |  SELECT i, ('0x' || substring(md5(token || ':' || CAST(i AS VARCHAR)), 1, 12))::BIGINT % $width AS b,
+       |         CAST(SUM(cnt) AS BIGINT) AS cell
+       |  FROM cm_counts, cm_is GROUP BY 1, 2),
+       |cm_top AS (
+       |  SELECT token, cnt AS exact_cnt FROM (
+       |    SELECT token, cnt,
+       |           ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
+       |    FROM cm_counts) t WHERE rk <= $topK),
+       |cm_probe AS (
+       |  SELECT t.token, t.exact_cnt, s.i,
+       |         ('0x' || substring(md5(t.token || ':' || CAST(s.i AS VARCHAR)), 1, 12))::BIGINT % $width AS b
+       |  FROM cm_top t, cm_is s),
+       |cm_audit AS (
+       |  SELECT p.token, p.exact_cnt, MIN(c.cell) AS cm_estimate,
+       |         MIN(c.cell) - p.exact_cnt AS overestimate
+       |  FROM cm_probe p JOIN cm_cells c ON c.i = p.i AND c.b = p.b
+       |  GROUP BY p.token, p.exact_cnt)""".stripMargin
 }

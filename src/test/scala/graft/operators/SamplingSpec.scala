@@ -222,4 +222,30 @@ class SamplingSpec extends SparkSpec {
       assert(sum(ordered) != sum(ordered.reverse))
     }
   }
+
+  test("quotaSample: exactly min(quota, group size) rows per source, deterministic") {
+    val docs = graft.sources.TestData.documents(spark, sf)
+    val sizes = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val picked = Sampling.quotaSample(docs, quota = 7)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(picked.keySet == sizes.keySet)
+    picked.foreach { case (src, n) => assert(n == math.min(7L, sizes(src))) }
+    // same coins, same picks: a second run selects the identical id set
+    val run1 = Sampling.quotaSample(docs, quota = 7).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val run2 = Sampling.quotaSample(docs, quota = 7).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(run1 == run2)
+  }
+
+  test("quotaSample quotas nest: the 3-quota picks are a prefix of the 7-quota picks") {
+    val docs = graft.sources.TestData.documents(spark, sf)
+    val small = Sampling.quotaSample(docs, quota = 3)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    val big = Sampling.quotaSample(docs, quota = 7)
+      .filter($"pick_rank" <= 3)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(small == big)
+  }
 }

@@ -37,6 +37,25 @@ class SnapshotSpec extends SparkSpec {
     assert(byStatus("unchanged") > byStatus.values.sum / 2)
   }
 
+  test("histogramDrift: identical snapshots score 0, disjoint supports score 2") {
+    val a = Seq((1L, "web", 10L), (2L, "web", 250L), (3L, "web", 250L))
+      .toDF("doc_id", "source", "n_chars")
+    val same = Snapshot.histogramDrift(a, a).select("drift_l1").as[Double].collect()
+    assert(same.toSeq == Seq(0.0))
+    val b = Seq((4L, "web", 900L), (5L, "web", 1200L))
+      .toDF("doc_id", "source", "n_chars")
+    val far = Snapshot.histogramDrift(a, b).select("drift_l1").as[Double].collect()
+    assert(far.toSeq == Seq(2.0), s"disjoint buckets must give L1 = 2, got ${far.toSeq}")
+  }
+
+  test("histogramDrift on derived snapshots: small membership shift, small drift") {
+    val (a, b) = Snapshot.snapshots(docs)
+    val drifts = Snapshot.histogramDrift(a, b).select("drift_l1").as[Double].collect()
+    assert(drifts.nonEmpty)
+    // ~5% membership change per side can move an L1 of distributions only so far
+    drifts.foreach(d => assert(d >= 0.0 && d < 0.5, s"drift $d out of expected band"))
+  }
+
   test("changed docs are exactly the edited intersection") {
     val (a, b) = Snapshot.snapshots(docs)
     val changed = Snapshot.diff(a, b)

@@ -144,4 +144,31 @@ class TextAnalysisSpec extends SparkSpec {
       ("s1", 1, "x", 4.0), ("s1", 2, "common", 1.0),
       ("s2", 1, "y", 2.0), ("s2", 2, "common", 1.0)))
   }
+
+  test("cmSketchAudit: estimates only overcount, and a wide sketch is collision-free exact") {
+    val docs = graft.sources.TestData.documents(spark, sf)
+    val audit = TextAnalysis.cmSketchAudit(docs)
+      .as[(String, Long, Long, Long)].collect()
+    assert(audit.length == 20)
+    audit.foreach { case (tok, exact, est, over) =>
+      assert(est >= exact, s"CM must never undercount ($tok: $est < $exact)")
+      assert(over == est - exact)
+    }
+    // width >> vocabulary: every token gets its own cells in at least one
+    // row of the sketch, so the min-estimate collapses to the exact count
+    val wide = TextAnalysis.cmSketchAudit(docs, depth = 6, width = 1 << 20)
+      .as[(String, Long, Long, Long)].collect()
+    wide.foreach { case (tok, exact, est, _) =>
+      assert(est == exact, s"collision-free sketch must be exact ($tok: $est != $exact)")
+    }
+  }
+
+  test("cmSketchAudit: exact counts on a constructed corpus") {
+    val docs = Seq(
+      (1L, "a a a b"), (2L, "a b c"), (3L, "c c d")).toDF("doc_id", "text")
+    val audit = TextAnalysis.cmSketchAudit(docs, depth = 4, width = 4096, topK = 4)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (t, e, _, _) => t -> e }.toMap
+    assert(audit == Map("a" -> 4L, "b" -> 2L, "c" -> 3L, "d" -> 1L))
+  }
 }
