@@ -48,8 +48,12 @@ class PlanShapeSpec extends SparkSpec {
         // join + cluster-label join), Q3 star, decorrelated subquery
         "q143_containment_join", "q147_dedup_savings",
         "q148_shipping_priority", "q149_above_nation_avg",
-        // round-8: the KMV overlap (sketch joins + 1-row stats broadcast)
-        "q154_kmv_join_estimate")) {
+        // round-8: the KMV overlap (sketch joins + 1-row stats broadcast),
+        // the bloom audit (positions joins), the CM probe join, and the
+        // snapshot fingerprint/drift full joins
+        "q154_kmv_join_estimate", "q157_bloom_semi_audit",
+        "q159_cm_sketch_audit", "q156_snapshot_diff",
+        "q161_histogram_drift")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
@@ -85,7 +89,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("per-key top-k queries plan on the custom bounded-heap operator") {
-    for (q <- Seq("q86_tfidf_terms", "q45_ann_brute")) {
+    for (q <- Seq("q86_tfidf_terms", "q45_ann_brute", "q160_quota_sample",
+        "q159_cm_sketch_audit")) {
       val p = finalPlan(q)
       assert(p.contains("TopKPerKey"),
         s"$q must use TopKPerKeyExec, not a row_number window")
