@@ -783,6 +783,51 @@ object SparkEntry {
           col("total_qty"))
         .orderBy("flag")
     },
+    // Join-strategy advisor: measured (rows, bytes) per table -> the
+    // broadcast / shuffle_bloom / shuffle decision a planner wants.
+    "q163_join_advisor" -> { (s, dir) =>
+      Planning.joinAdvisor(Seq(
+        "region" -> TestData.region(s, dir),
+        "nation" -> TestData.nation(s, dir),
+        "customer" -> TestData.customer(s, dir),
+        "supplier" -> TestData.supplier(s, dir),
+        "part" -> TestData.part(s, dir),
+        "orders" -> TestData.orders(s, dir),
+        "lineitem" -> TestData.lineitem(s, dir),
+        "events" -> TestData.events(s, dir),
+        "documents" -> TestData.documents(s, dir),
+        "embeddings" -> TestData.embeddings(s, dir)))
+        .orderBy("table_name")
+    },
+    // Winsorized (p05/p95-clipped) mean price per returnflag — robust
+    // feature cleaning on the q151 grid: clip points come from the same
+    // cumulative window over the domain-bounded cent grid, the clipped
+    // sum is all-integer, and ONE division yields the mean.
+    "q162_winsorized_mean" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val grid = TestData.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          quant(col("l_extendedprice"), 100).as("cents"))
+        .agg(count(lit(1)).as("w"))
+      val cum = Window.partitionBy("flag").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val g = grid
+        .withColumn("cum", sum("w").over(cum))
+        .withColumn("tot", sum("w").over(Window.partitionBy("flag")))
+      val lo = g.filter(col("cum") * 20 >= col("tot"))
+        .groupBy("flag").agg(min("cents").as("lo_cents"))
+      val hi = g.filter(col("cum") * 20 >= col("tot") * 19)
+        .groupBy("flag").agg(min("cents").as("hi_cents"))
+      grid.join(broadcast(lo), Seq("flag")).join(broadcast(hi), Seq("flag"))
+        .groupBy(col("flag"), col("lo_cents"), col("hi_cents"))
+        .agg(sum(col("w")
+            * greatest(col("lo_cents"), least(col("hi_cents"), col("cents"))))
+          .as("clipped_cents"), sum("w").as("n"))
+        .select(col("flag"), col("lo_cents"), col("hi_cents"), col("n"),
+          (col("clipped_cents").cast("double")
+            / (col("n") * 100L).cast("double")).as("winsorized_mean"))
+        .orderBy("flag")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -1725,6 +1770,55 @@ object SparkEntry {
       s"""WITH ${Snapshot.driftSql()}
           SELECT source, n_buckets, tot_a, tot_b, drift_l1 FROM histogram_drift
           ORDER BY source""",
+
+    "q163_join_advisor" ->
+      s"""WITH ${Planning.joinAdvisorSql(Seq(
+            "region" -> "4 + COALESCE(len(r_name), 0) + 4",
+            "nation" -> "4 + COALESCE(len(n_name), 0) + 4 + 4",
+            "customer" -> ("8 + COALESCE(len(c_name), 0) + 4 + 4 + 8"
+              + " + COALESCE(len(c_mktsegment), 0) + 4"),
+            "supplier" -> "8 + COALESCE(len(s_name), 0) + 4 + 4 + 8",
+            "part" -> ("8 + COALESCE(len(p_name), 0) + 4 + COALESCE(len(p_brand), 0) + 4"
+              + " + COALESCE(len(p_type), 0) + 4 + 4 + 8"),
+            "orders" -> ("8 + 8 + COALESCE(len(o_orderstatus), 0) + 4 + 8 + 8"
+              + " + COALESCE(len(o_orderpriority), 0) + 4"),
+            "lineitem" -> ("8 + 8 + 8 + 4 + 8 + 8 + 8 + 8"
+              + " + COALESCE(len(l_returnflag), 0) + 4"
+              + " + COALESCE(len(l_linestatus), 0) + 4 + 8"),
+            // the engine's normalized events frame carries BOTH the micros
+            // ts (8) and the derived ts_ns (8) — mirror that width
+            "events" -> ("8 + 8 + 8 + COALESCE(len(event_type), 0) + 4 + 8"
+              + " + COALESCE(len(props), 0) + 4 + 8"),
+            "documents" -> ("8 + COALESCE(len(text), 0) + 4 + COALESCE(len(lang), 0) + 4"
+              + " + COALESCE(len(source), 0) + 4 + 8"),
+            "embeddings" -> "8 + COALESCE(len(embedding), 0) * 4 + 8 + 4"))}
+          SELECT table_name, n_rows, est_bytes, strategy FROM join_advisor
+          ORDER BY table_name""",
+
+    "q162_winsorized_mean" ->
+      s"""WITH wz_grid AS (
+            SELECT l_returnflag AS flag, ${quantSql("l_extendedprice", 100)} AS cents,
+                   COUNT(*) AS w
+            FROM lineitem GROUP BY 1, 2),
+          wz_cum AS (
+            SELECT flag, cents, w,
+                   SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   SUM(w) OVER (PARTITION BY flag) AS tot
+            FROM wz_grid),
+          wz_lo AS (SELECT flag, MIN(cents) AS lo_cents FROM wz_cum
+                    WHERE cum * 20 >= tot GROUP BY flag),
+          wz_hi AS (SELECT flag, MIN(cents) AS hi_cents FROM wz_cum
+                    WHERE cum * 20 >= tot * 19 GROUP BY flag)
+          SELECT g.flag, l.lo_cents, h.hi_cents,
+                 CAST(SUM(g.w) AS BIGINT) AS n,
+                 CAST(SUM(g.w * GREATEST(l.lo_cents, LEAST(h.hi_cents, g.cents))) AS DOUBLE)
+                   / CAST(SUM(g.w) * 100 AS DOUBLE) AS winsorized_mean
+          FROM wz_grid g
+          JOIN wz_lo l ON l.flag = g.flag
+          JOIN wz_hi h ON h.flag = g.flag
+          GROUP BY g.flag, l.lo_cents, h.hi_cents
+          ORDER BY g.flag""",
 
     "q151_weighted_median" ->
       s"""WITH wm_grid AS (

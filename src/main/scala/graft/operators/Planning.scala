@@ -120,6 +120,62 @@ object Planning {
             / col("n_inter").cast("double")))
   }
 
+  /** Join-strategy advisor: MEASURED per-table size stats (row count and
+    * an estimated in-memory byte size from the actual schema — fixed
+    * widths for numerics/timestamps, `length+4` for strings, `4·len+8`
+    * for float arrays) mapped to the strategy a planner would pick:
+    * `broadcast` under the broadcast threshold (the explicit form of
+    * `spark.sql.autoBroadcastJoinThreshold`), `shuffle_bloom` up to
+    * 100× it (big enough to shuffle, small enough that a q157-style bloom
+    * on its keys pays for itself), `shuffle` beyond. The closing member
+    * of the planning tier: q153 decides HOW to shuffle, q154 how BIG the
+    * join is, q157 whether the probe side can skip the shuffle, this one
+    * which strategy each relation gets — all from measurement.
+    *
+    * Scale shape: one map-side-combinable aggregate per table (count +
+    * integer byte sum over the scan, no shuffle beyond the 1-row
+    * partials); decisions are a |tables|-row frame.
+    */
+  def joinAdvisor(tables: Seq[(String, DataFrame)],
+      broadcastBytes: Long = 1L << 20): DataFrame = {
+    require(tables.nonEmpty, "joinAdvisor needs at least one table")
+    import org.apache.spark.sql.types._
+    tables.map { case (name, df) =>
+      val rowBytes = df.schema.fields.map { f =>
+        f.dataType match {
+          case StringType => coalesce(length(col(f.name)), lit(0)).cast("long") + 4L
+          case ArrayType(FloatType, _) =>
+            coalesce(size(col(f.name)).cast("long"), lit(0L)) * 4L + 8L
+          case IntegerType => lit(4L)
+          case _ => lit(8L) // long / double / timestamp(_ntz)
+        }
+      }.reduce(_ + _)
+      df.agg(count(lit(1)).as("n_rows"), sum(rowBytes).as("est_bytes"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"),
+          when(col("est_bytes") <= broadcastBytes, "broadcast")
+            .when(col("est_bytes") <= broadcastBytes * 100, "shuffle_bloom")
+            .otherwise("shuffle").as("strategy"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** DuckDB twin of [[joinAdvisor]]: per-table (name, row-bytes SQL expr)
+    * pairs mirroring the Spark byte model; embed after `WITH` and select
+    * from `join_advisor`.
+    */
+  def joinAdvisorSql(tables: Seq[(String, String)],
+      broadcastBytes: Long = 1L << 20): String = {
+    val branches = tables.map { case (name, bytesExpr) =>
+      s"""  SELECT '$name' AS table_name, COUNT(*) AS n_rows,
+         |         CAST(SUM($bytesExpr) AS BIGINT) AS est_bytes,
+         |         CASE WHEN SUM($bytesExpr) <= $broadcastBytes THEN 'broadcast'
+         |              WHEN SUM($bytesExpr) <= ${broadcastBytes * 100} THEN 'shuffle_bloom'
+         |              ELSE 'shuffle' END AS strategy
+         |  FROM $name""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""join_advisor AS (
+       |$branches)""".stripMargin
+  }
+
   /** Bloom-filter semi-join pruning, with its false-positive cost measured
     * (the third planning primitive: q153 sizes a shuffle, q154 sizes a
     * join, this one decides whether a probe side needs to shuffle AT ALL).

@@ -92,4 +92,15 @@ class PlanningSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("fp_key_rate")))
     assert(r.getAs[Long]("n_pass_rows") == 50) // all true rows pass
   }
+
+  test("joinAdvisor: thresholds split strategies exactly; byte model counts strings by length") {
+    val tiny = Seq(("aa", 1), ("bbbb", 2)).toDF("s", "i") // (2+4+4) + (4+4+4) = 22
+    val r = Planning.joinAdvisor(Seq("tiny" -> tiny), broadcastBytes = 22).collect().head
+    assert(r.getAs[Long]("est_bytes") == 22L)
+    assert(r.getAs[String]("strategy") == "broadcast")
+    val r2 = Planning.joinAdvisor(Seq("tiny" -> tiny), broadcastBytes = 21).collect().head
+    assert(r2.getAs[String]("strategy") == "shuffle_bloom") // 22 <= 21*100
+    val r3 = Planning.joinAdvisor(Seq("tiny" -> tiny), broadcastBytes = 0).collect().head
+    assert(r3.getAs[String]("strategy") == "shuffle")
+  }
 }
