@@ -720,6 +720,11 @@ object SparkEntry {
     "q155_ivf_recall_curve" -> { (s, dir) =>
       Similarity.ivfRecallCurve(TestData.embeddings(s, dir))
     },
+    // Truncated-embedding rank stability: Spearman rho between full and
+    // first-16-dim neighbor orders over each query's exact top-20.
+    "q165_matryoshka_audit" -> { (s, dir) =>
+      Similarity.matryoshkaRankAudit(TestData.embeddings(s, dir)).orderBy("qid")
+    },
     // Content-addressed snapshot diff: per-(source, status) counts from a
     // fingerprint-manifest full join over two derived pseudo-snapshots.
     "q156_snapshot_diff" -> { (s, dir) =>
@@ -758,6 +763,12 @@ object SparkEntry {
     "q161_histogram_drift" -> { (s, dir) =>
       val (a, b) = Snapshot.snapshots(TestData.documents(s, dir))
       Snapshot.histogramDrift(a, b).orderBy("source")
+    },
+    // Incremental view maintenance: snapshot A's aggregate + the row-level
+    // delta must equal the direct aggregate of snapshot B (the oracle).
+    "q164_incremental_refresh" -> { (s, dir) =>
+      val (a, b) = Snapshot.snapshots(TestData.documents(s, dir))
+      Snapshot.incrementalRefresh(a, b).orderBy("source")
     },
     // Exact weighted median (lower-median rule: first grid point where
     // 2*cum >= total). The q85 trick generalized: collapse rows onto the
@@ -1794,6 +1805,16 @@ object SparkEntry {
             "embeddings" -> "8 + COALESCE(len(embedding), 0) * 4 + 8 + 4"))}
           SELECT table_name, n_rows, est_bytes, strategy FROM join_advisor
           ORDER BY table_name""",
+
+    "q164_incremental_refresh" ->
+      s"""WITH ${Snapshot.incrementalRefreshSql}
+          SELECT source, n_docs, sum_chars FROM refresh_direct
+          ORDER BY source""",
+
+    "q165_matryoshka_audit" ->
+      s"""WITH ${Similarity.matryoshkaRankAuditSql()}
+          SELECT qid, n_cand, sum_d2, spearman_rho FROM matryoshka_audit
+          ORDER BY qid""",
 
     "q162_winsorized_mean" ->
       s"""WITH wz_grid AS (

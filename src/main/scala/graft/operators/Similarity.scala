@@ -716,6 +716,84 @@ object Similarity {
        |$perProbe)""".stripMargin
   }
 
+  /** Matryoshka/truncation rank audit: if embeddings were stored at only
+    * their first `dims` dimensions (4× − 8× cheaper storage and dot
+    * products), how much would NEIGHBOR ORDER change? For each query's
+    * exact full-dimension top-k, both rankings (full vs truncated cosine)
+    * are compared by Spearman's ρ = 1 − 6Σd²/(n(n²−1)) — rank arithmetic
+    * is all-integer (ties broken by nid in both engines), so only the
+    * final division is floating point. This is the measurement behind a
+    * truncation/quantization decision, the dimensional analog of q155's
+    * probe-depth curve.
+    *
+    * Scale shape: piggybacks on the exact top-k (k rows per query); the
+    * truncated rescoring joins k-row partitions and windows within them —
+    * per-query cost is O(k log k) regardless of corpus size. Zero
+    * truncated norms (a vector whose first `dims` dims are all zero)
+    * score 0 rather than NaN, keeping the sort total and identical in
+    * both engines.
+    */
+  def matryoshkaRankAudit(embeddings: DataFrame, k: Int = 20, queryMod: Int = 50,
+      dims: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = quantized(embeddings).cache()
+    val exact = bruteForceTopK(embeddings, k, queryMod)
+      .select(col("qid"), col("nid"), col("rank").as("rank_full"))
+    val qa = qv.select(col("vec_id").as("qid"), slice(col("q"), 1, dims).as("ta"))
+    val qb = qv.select(col("vec_id").as("nid"), slice(col("q"), 1, dims).as("tb"))
+    val na = dot(col("ta"), col("ta"))
+    val nb = dot(col("tb"), col("tb"))
+    val scored = exact.join(qa, Seq("qid")).join(qb, Seq("nid"))
+      .select(col("qid"), col("nid"), col("rank_full"),
+        when(na === 0L || nb === 0L, lit(0.0))
+          .otherwise(dot(col("ta"), col("tb")).cast("double")
+            / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+          .as("t_score"))
+    val w = Window.partitionBy("qid").orderBy(col("t_score").desc, col("nid"))
+    scored.withColumn("rank_trunc", row_number().over(w))
+      .withColumn("d", (col("rank_full") - col("rank_trunc")).cast("long"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_cand"), sum(col("d") * col("d")).as("sum_d2"))
+      .select(col("qid"), col("n_cand"), col("sum_d2"),
+        when(col("n_cand") < 2, lit(null).cast("double"))
+          .otherwise(lit(1.0) - (lit(6L) * col("sum_d2")).cast("double")
+            / (col("n_cand") * (col("n_cand") * col("n_cand") - 1L)).cast("double"))
+          .as("spearman_rho"))
+  }
+
+  /** DuckDB twin of [[matryoshkaRankAudit]]; embed after `WITH` and select
+    * from `matryoshka_audit`.
+    */
+  def matryoshkaRankAuditSql(k: Int = 20, queryMod: Int = 50, dims: Int = 16): String =
+    s"""$quantizedSql,
+       |${bruteCoreSql(k, queryMod)},
+       |mr_t AS (SELECT vec_id, q[1:$dims] AS qt FROM qn),
+       |mr_scored AS (
+       |  SELECT b.qid, b.nid, b.rank AS rank_full,
+       |         CASE WHEN list_dot_product(a.qt, a.qt) = 0
+       |                OR list_dot_product(c.qt, c.qt) = 0 THEN 0.0
+       |              ELSE list_dot_product(a.qt, c.qt)
+       |                   / (sqrt(CAST(list_dot_product(a.qt, a.qt) AS DOUBLE))
+       |                      * sqrt(CAST(list_dot_product(c.qt, c.qt) AS DOUBLE))) END
+       |           AS t_score
+       |  FROM brute_topk b
+       |  JOIN mr_t a ON a.vec_id = b.qid
+       |  JOIN mr_t c ON c.vec_id = b.nid),
+       |mr_rank AS (
+       |  SELECT qid, rank_full,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY t_score DESC, nid)
+       |           AS rank_trunc
+       |  FROM mr_scored),
+       |matryoshka_audit AS (
+       |  SELECT qid, COUNT(*) AS n_cand,
+       |         CAST(SUM((rank_full - rank_trunc) * (rank_full - rank_trunc)) AS BIGINT)
+       |           AS sum_d2,
+       |         CASE WHEN COUNT(*) < 2 THEN NULL
+       |              ELSE 1.0 - CAST(6 * SUM((rank_full - rank_trunc) * (rank_full - rank_trunc)) AS DOUBLE)
+       |                   / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE) END
+       |           AS spearman_rho
+       |  FROM mr_rank GROUP BY qid)""".stripMargin
+
   // ------------------------------------------------------ int8 quantization
 
   /** Per-vector symmetric int8 quantization with a VERIFIED error contract

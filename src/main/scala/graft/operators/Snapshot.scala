@@ -123,6 +123,58 @@ object Snapshot {
        |  JOIN dr_tb tb ON tb.source = j.source
        |  GROUP BY j.source, ta.tot_a, tb.tot_b)""".stripMargin
 
+  /** Incremental view maintenance: refresh a per-source aggregate
+    * (doc count, total text chars) from snapshot A's aggregate plus the
+    * ROW-LEVEL DELTA between snapshots — never rescanning the unchanged
+    * bulk. The delta frame keeps only docs whose presence or content
+    * changed (q156's added/removed/changed classes); `unchanged` rows
+    * contribute nothing and are filtered before the aggregate, which is
+    * the entire point at 100 TB: the refresh costs O(|delta|), not
+    * O(|corpus|). The DuckDB oracle computes the refreshed aggregate
+    * DIRECTLY from snapshot B — equality of the two is the IVM
+    * correctness proof, checked per source in exact integers.
+    */
+  def incrementalRefresh(a: DataFrame, b: DataFrame): DataFrame = {
+    def manifest(df: DataFrame) = df.select(col("doc_id"), col("source"),
+      length(col("text")).cast("long").as("chars"))
+    val ma = manifest(a); val mb = manifest(b)
+    val base = ma.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("sum_chars"))
+    val delta = ma.withColumnRenamed("chars", "chars_a")
+      .join(mb.withColumnRenamed("chars", "chars_b")
+          .withColumnRenamed("source", "source_b"), Seq("doc_id"), "full")
+      .filter(col("chars_a").isNull || col("chars_b").isNull
+        || col("chars_a") =!= col("chars_b"))
+      .select(coalesce(col("source"), col("source_b")).as("source"),
+        (when(col("chars_b").isNotNull, 1L).otherwise(0L)
+          - when(col("chars_a").isNotNull, 1L).otherwise(0L)).as("dn"),
+        (coalesce(col("chars_b"), lit(0L)) - coalesce(col("chars_a"), lit(0L)))
+          .as("dchars"))
+      .groupBy("source")
+      .agg(sum("dn").as("dn"), sum("dchars").as("dchars"))
+    base.join(delta, Seq("source"), "full")
+      .select(col("source"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_docs"),
+        (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("dchars"), lit(0L)))
+          .as("sum_chars"))
+      .filter(col("n_docs") > 0)
+  }
+
+  /** DuckDB oracle for [[incrementalRefresh]] over [[snapshots]]: the
+    * DIRECT aggregate of snapshot B (what the incremental path must
+    * equal). Embed after `WITH` and select from `refresh_direct`.
+    */
+  val incrementalRefreshSql: String =
+    s"""rf_b AS (
+       |  SELECT doc_id, source,
+       |         len(CASE WHEN ${coinSql("doc_id", "edit")} < 10
+       |                  THEN text || ' [rev2]' ELSE text END) AS chars
+       |  FROM documents
+       |  WHERE ${coinSql("doc_id", "snapB")} < 95),
+       |refresh_direct AS (
+       |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(chars) AS BIGINT) AS sum_chars
+       |  FROM rf_b GROUP BY source)""".stripMargin
+
   /** DuckDB twin of [[diff]] over [[snapshots]]; embed after `WITH` and
     * select from `snapshot_diff`.
     */

@@ -193,6 +193,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.last._3 >= rows.head._3)
   }
 
+  test("matryoshkaRankAudit: untruncated dims give rho = 1; results stay in [-1, 1]") {
+    val emb = graft.sources.TestData.embeddings(spark, sf)
+    // truncating to the full width changes nothing -> both rankings agree
+    val dim = emb.selectExpr("max(size(embedding)) d").as[Int].head()
+    val same = Similarity.matryoshkaRankAudit(emb, dims = dim)
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(same.nonEmpty)
+    same.foreach { case (qid, _, d2, rho) =>
+      assert(d2 == 0L && rho.contains(1.0), s"full-width audit must be perfect for $qid")
+    }
+    val cut = Similarity.matryoshkaRankAudit(emb, dims = 16)
+      .as[(Long, Long, Long, Option[Double])].collect()
+    cut.foreach { case (qid, n, _, rho) =>
+      assert(n >= 2 && rho.isDefined)
+      assert(rho.get >= -1.0 && rho.get <= 1.0, s"rho out of range for $qid: $rho")
+    }
+  }
+
   test("embeddingAudit: empty, null, and zero vectors are counted per label") {
     val e = Seq(
       (1L, Some(Seq(0.5f)), 0),        // valid, n2 = 5000^2

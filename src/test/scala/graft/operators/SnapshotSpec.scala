@@ -56,6 +56,29 @@ class SnapshotSpec extends SparkSpec {
     drifts.foreach(d => assert(d >= 0.0 && d < 0.5, s"drift $d out of expected band"))
   }
 
+  test("incrementalRefresh equals the direct aggregate of snapshot B") {
+    import org.apache.spark.sql.functions._
+    val (a, b) = Snapshot.snapshots(docs)
+    val incremental = Snapshot.incrementalRefresh(a, b)
+      .as[(String, Long, Long)].collect().toSet
+    val direct = b.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(incremental == direct)
+  }
+
+  test("incrementalRefresh delta covers adds, removes, and edits exactly") {
+    val a = Seq((1L, "keep", "w"), (2L, "edit me", "w"), (3L, "drop", "w"))
+      .toDF("doc_id", "text", "source")
+    val b = Seq((1L, "keep", "w"), (2L, "edited!", "w"), (4L, "new doc", "w"))
+      .toDF("doc_id", "text", "source")
+    val r = Snapshot.incrementalRefresh(a, b)
+      .as[(String, Long, Long)].collect().toSeq
+    // direct over b: 3 docs, chars 4 + 7 + 7 = 18
+    assert(r == Seq(("w", 3L, 18L)))
+  }
+
   test("changed docs are exactly the edited intersection") {
     val (a, b) = Snapshot.snapshots(docs)
     val changed = Snapshot.diff(a, b)
