@@ -67,7 +67,16 @@ object ScaleBench {
     // broadcast — output grows with customers, compute with orders), and
     // the weighted median (cumulative window over the domain-bounded
     // price-cent grid, never raw rows)
-    "q148_shipping_priority", "q149_above_nation_avg", "q151_weighted_median")
+    "q148_shipping_priority", "q149_above_nation_avg", "q151_weighted_median",
+    // round-8 queries, measured the round they ship: the planning tier
+    // (constant-size sketches / bounded plan frames), the snapshot tier
+    // (fingerprint-grain joins), the index-quality tier (top-k-bounded
+    // rescoring), and the grid/window shapes
+    "q152_lateness_disordered", "q153_skew_plan", "q154_kmv_join_estimate",
+    "q155_ivf_recall_curve", "q156_snapshot_diff", "q157_bloom_semi_audit",
+    "q158_activity_islands", "q159_cm_sketch_audit", "q160_quota_sample",
+    "q161_histogram_drift", "q162_winsorized_mean", "q163_join_advisor",
+    "q164_incremental_refresh", "q165_matryoshka_audit")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)
@@ -143,8 +152,10 @@ object ScaleBench {
     scaleKeyed(spark, base, copies, "customer", Seq("c_custkey"))
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$scaledDir/customer.parquet")
-    spark.read.parquet(s"$base/nation.parquet")
-      .write.mode(SaveMode.Overwrite).parquet(s"$scaledDir/nation.parquet")
+    // fixed dimensions copied through unscaled (q163 reads all 10 tables)
+    for (dim <- Seq("nation", "region", "supplier", "part"))
+      spark.read.parquet(s"$base/$dim.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$scaledDir/$dim.parquet")
 
     // JIT/codegen warm-up on the smallest SF, same as Bench
     measured.foreach { name =>
