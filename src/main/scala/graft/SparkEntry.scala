@@ -810,6 +810,40 @@ object SparkEntry {
         "embeddings" -> TestData.embeddings(s, dir)))
         .orderBy("table_name")
     },
+    // Ratio-to-total window: each returnflag's share of its ship-month's
+    // revenue. Cent sums are exact; the ONE division per row divides
+    // integers both engines agree on. The share window reads the
+    // month-grain aggregate (bounded by the calendar), never raw rows.
+    "q166_revenue_share" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val monthly = TestData.lineitem(s, dir)
+        .groupBy(
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ym"),
+          col("l_returnflag").as("flag"))
+        .agg(sum(quant(col("l_extendedprice"), 100)).as("cents"))
+      monthly
+        .withColumn("month_cents", sum("cents").over(Window.partitionBy("ym")))
+        .select(col("ym"), col("flag"), col("cents"),
+          (col("cents").cast("double") / col("month_cents").cast("double"))
+            .as("share"))
+        .orderBy("ym", "flag")
+    },
+    // Cumulative-distinct growth curve: users are counted on their FIRST
+    // active day only (a per-user min), so the running total is an exact
+    // cumulative COUNT(DISTINCT) without distinct-state in the window —
+    // which runs over the day-grain frame (calendar-bounded, like q151's
+    // grid), never over events.
+    "q167_user_growth" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val firstDay = TestData.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(expr("ts_ns DIV 86400000000000")).as("day"))
+      firstDay.groupBy("day").agg(count(lit(1)).as("new_users"))
+        .withColumn("cum_users",
+          sum("new_users").over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy("day")
+    },
     // Winsorized (p05/p95-clipped) mean price per returnflag — robust
     // feature cleaning on the q151 grid: clip points come from the same
     // cumulative window over the domain-bounded cent grid, the clipped
@@ -1815,6 +1849,28 @@ object SparkEntry {
       s"""WITH ${Similarity.matryoshkaRankAuditSql()}
           SELECT qid, n_cand, sum_d2, spearman_rho FROM matryoshka_audit
           ORDER BY qid""",
+
+    "q166_revenue_share" ->
+      s"""WITH rs_m AS (
+            SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS ym,
+                   l_returnflag AS flag,
+                   CAST(SUM(${quantSql("l_extendedprice", 100)}) AS BIGINT) AS cents
+            FROM lineitem GROUP BY 1, 2)
+          SELECT ym, flag, cents,
+                 CAST(cents AS DOUBLE)
+                   / CAST(SUM(cents) OVER (PARTITION BY ym) AS DOUBLE) AS share
+          FROM rs_m ORDER BY ym, flag""",
+
+    "q167_user_growth" ->
+      s"""WITH ug_f AS (
+            SELECT user_id, MIN(epoch_ms(ts) // 86400000) AS day
+            FROM events GROUP BY user_id),
+          ug_d AS (SELECT day, COUNT(*) AS new_users FROM ug_f GROUP BY day)
+          SELECT day, new_users,
+                 CAST(SUM(new_users) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_users
+          FROM ug_d ORDER BY day""",
 
     "q162_winsorized_mean" ->
       s"""WITH wz_grid AS (
