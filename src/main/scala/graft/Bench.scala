@@ -26,6 +26,25 @@ object Bench {
     */
   val ProbeRefSec = 0.40
 
+  /** Contention tiers against [[ProbeRefSec]]. Round 8 showed the single 2×
+    * `contended` flag misses mid-grade load: a box floored at 1.5–1.6× the
+    * idle probe still distorted per-query tails (q139 0.68 → 3.36 s) while
+    * staying under the flag. `degraded` (> 1.25×) marks that band: the
+    * artifact is recorded but must not be compared raw round-over-round —
+    * use `probe_normalized_total_sec` or re-record idle.
+    */
+  val DegradedFactor = 1.25
+  val ContendedFactor = 2.0
+
+  /** Pure tier classification so specs can exercise the thresholds with
+    * synthetic probe values (idle / half-load / saturated) without actually
+    * loading the box: "clean" | "degraded" | "contended".
+    */
+  def contentionTier(probeSec: Double, refSec: Double = ProbeRefSec): String =
+    if (probeSec > ContendedFactor * refSec) "contended"
+    else if (probeSec > DegradedFactor * refSec) "degraded"
+    else "clean"
+
   /** Fixed-cost calibration probe: every core sorts a deterministic
     * LCG-filled 4M-long array, wall time of the slowest; min of 3 reps.
     * Saturating ALL cores is deliberate — an external multi-threaded load
@@ -141,11 +160,21 @@ object Bench {
     // reference — a dirty run marks its own artifact
     val probeAfter = calibrationProbeSec()
     val loadAfter = loadAvg()
-    val contended = probeBefore > 2 * ProbeRefSec || probeAfter > 2 * ProbeRefSec
+    val worstProbe = math.max(probeBefore, probeAfter)
+    val tier = contentionTier(worstProbe)
+    val contended = tier == "contended"
+    val degraded = tier != "clean"
+    // raw total scaled by the box's measured slowdown (mean probe / idle
+    // reference) — the number a round-over-round comparison should use
+    // when the tier is not "clean"; on a clean box it ≈ the raw total
+    val meanProbe = (probeBefore + probeAfter) / 2
+    val normalizedTotal = total * (ProbeRefSec / math.max(meanProbe, ProbeRefSec))
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""warehouse_fill_sec":$fillSec,"failed":$failed,""" +
       f""""probe_ref_sec":$ProbeRefSec,"probe_sec_before":$probeBefore%.4f,""" +
       f""""probe_sec_after":$probeAfter%.4f,"contended":$contended,""" +
+      f""""degraded":$degraded,"contention_tier":"$tier",""" +
+      f""""probe_normalized_total_sec":$normalizedTotal%.3f,""" +
       s""""load_avg_before":[${loadBefore.mkString(",")}],""" +
       s""""load_avg_after":[${loadAfter.mkString(",")}],""" +
       s""""component_rounds":$ccRounds,"component_vertices":$ccVertices,""" +

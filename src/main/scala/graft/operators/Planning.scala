@@ -89,10 +89,18 @@ object Planning {
       k: Int = 256): DataFrame = {
     require(k >= 2 && (k & (k - 1)) == 0,
       s"k must be a power of two >= 2 for exact rho division, got $k")
+    // (k-1) << 48 must stay within Long: k > 32768 would overflow silently
+    // and poison union_estimate with a negative numerator
+    require(k <= 32768, s"k must be <= 32768 (numerator (k-1)*2^48 fits Long), got $k")
     val ha = a.select(h48(col(key)).as("h")).distinct()
     val hb = b.select(h48(col(key)).as("h")).distinct()
-    val ka = bottomK(ha, k).cache()
-    val kb = bottomK(hb, k).cache()
+    // k-row sketches are read twice each (merge + flag joins). Materialize
+    // via localCheckpoint, NOT .cache(): catalog-pinned cache entries are
+    // never GC-cleaned, so a long-lived session running many planning
+    // pre-passes would accumulate sketch frames; checkpoint blocks are
+    // released by the ContextCleaner once the result frame is dropped.
+    val ka = bottomK(ha, k).localCheckpoint()
+    val kb = bottomK(hb, k).localCheckpoint()
     val merged = bottomK(ka.union(kb).distinct(), k)
     val flagged = merged
       .join(broadcast(ka.withColumn("in_a", lit(1L))), Seq("h"), "left")
@@ -150,7 +158,11 @@ object Planning {
           case _ => lit(8L) // long / double / timestamp(_ntz)
         }
       }.reduce(_ + _)
-      df.agg(count(lit(1)).as("n_rows"), sum(rowBytes).as("est_bytes"))
+      // coalesce: SUM over zero rows is NULL, which would null every
+      // `when` below and fall through to 'shuffle' — the opposite of the
+      // right answer for an empty (0-byte, trivially broadcastable) table
+      df.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(rowBytes), lit(0L)).as("est_bytes"))
         .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"),
           when(col("est_bytes") <= broadcastBytes, "broadcast")
             .when(col("est_bytes") <= broadcastBytes * 100, "shuffle_bloom")
@@ -166,9 +178,9 @@ object Planning {
       broadcastBytes: Long = 1L << 20): String = {
     val branches = tables.map { case (name, bytesExpr) =>
       s"""  SELECT '$name' AS table_name, COUNT(*) AS n_rows,
-         |         CAST(SUM($bytesExpr) AS BIGINT) AS est_bytes,
-         |         CASE WHEN SUM($bytesExpr) <= $broadcastBytes THEN 'broadcast'
-         |              WHEN SUM($bytesExpr) <= ${broadcastBytes * 100} THEN 'shuffle_bloom'
+         |         CAST(COALESCE(SUM($bytesExpr), 0) AS BIGINT) AS est_bytes,
+         |         CASE WHEN COALESCE(SUM($bytesExpr), 0) <= $broadcastBytes THEN 'broadcast'
+         |              WHEN COALESCE(SUM($bytesExpr), 0) <= ${broadcastBytes * 100} THEN 'shuffle_bloom'
          |              ELSE 'shuffle' END AS strategy
          |  FROM $name""".stripMargin
     }.mkString("\nUNION ALL\n")
@@ -206,8 +218,14 @@ object Planning {
   def bloomSemiAudit(build: DataFrame, probe: DataFrame, key: String,
       bitsPerKey: Int = 8, kHash: Int = 3): DataFrame = {
     require(bitsPerKey >= 1 && kHash >= 1, s"bad bloom params: $bitsPerKey/$kHash")
-    val keysA = build.select(h48(col(key)).as("hk")).distinct().cache()
-    val m = keysA.agg((count(lit(1)) * bitsPerKey).as("m"))
+    // localCheckpoint, not .cache(): see kmvJoinOverlap — keysA is read
+    // three times (bit set, key audit, row audit) but must not pin a
+    // session-lifetime cache entry per planning call
+    val keysA = build.select(h48(col(key)).as("hk")).distinct().localCheckpoint()
+    // greatest(..., 1): an empty build side gives m = 0, and `h % 0` is
+    // NULL in Spark but an error in DuckDB — the engines would diverge.
+    // With m = 1 the bit set is empty either way, so nothing passes.
+    val m = keysA.agg(greatest(count(lit(1)) * bitsPerKey, lit(1L)).as("m"))
     def positions(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(m))
         .select(col("hk"), explode(sequence(lit(0), lit(kHash - 1))).as("i"), col("m"))
@@ -254,7 +272,7 @@ object Planning {
     s"""bl_a AS (
        |  SELECT DISTINCT ('0x' || substring(md5(key), 1, 12))::BIGINT AS hk
        |  FROM ($buildSql) ba),
-       |bl_m AS (SELECT COUNT(*) * $bitsPerKey AS m FROM bl_a),
+       |bl_m AS (SELECT GREATEST(COUNT(*) * $bitsPerKey, 1) AS m FROM bl_a),
        |bl_bits AS (
        |  SELECT DISTINCT ('0x' || substring(md5(CAST(hk AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 12))::BIGINT % m AS pos
        |  FROM bl_a, bl_m, (SELECT unnest(generate_series(0, ${kHash - 1})) AS i) s),
@@ -302,6 +320,7 @@ object Planning {
     */
   def kmvJoinOverlapSql(sideASql: String, sideBSql: String, k: Int = 256): String = {
     require(k >= 2 && (k & (k - 1)) == 0, s"k must be a power of two, got $k")
+    require(k <= 32768, s"k must be <= 32768 ((k-1)*2^48 fits Long), got $k")
     val max48 = (k - 1).toLong << 48
     s"""ov_a AS (
        |  SELECT DISTINCT ('0x' || substring(md5(key), 1, 12))::BIGINT AS h

@@ -639,7 +639,10 @@ object Similarity {
       probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     require(probes.nonEmpty && probes.forall(_ >= 1), s"bad probe depths: $probes")
     val maxP = probes.max
-    val qv = quantized(embeddings).cache()
+    // localCheckpoint, not .cache(), for the frames re-read per probe
+    // depth: cache entries are catalog-pinned for the session's lifetime,
+    // checkpoint blocks are GC-released with the result (see Planning)
+    val qv = quantized(embeddings).localCheckpoint()
     val cents = seedCentroids(embeddings, qv)
     val cellScores = qv.join(broadcast(cents))
       .select(col("vec_id"), col("cid"),
@@ -661,8 +664,9 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), col("cellrank"),
         cosine(dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("score"))
-      .cache()
-    val exact = bruteForceTopK(embeddings, k, queryMod).select("qid", "nid").cache()
+      .localCheckpoint()
+    val exact = bruteForceTopK(embeddings, k, queryMod).select("qid", "nid")
+      .localCheckpoint()
     val nq = exact.agg(countDistinct(col("qid")).as("nq"))
     probes.map { p =>
       val topk = graft.plans.TopK.perKey(cand.filter(col("cellrank") <= p),

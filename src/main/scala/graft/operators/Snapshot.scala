@@ -126,8 +126,13 @@ object Snapshot {
   /** Incremental view maintenance: refresh a per-source aggregate
     * (doc count, total text chars) from snapshot A's aggregate plus the
     * ROW-LEVEL DELTA between snapshots — never rescanning the unchanged
-    * bulk. The delta frame keeps only docs whose presence or content
-    * changed (q156's added/removed/changed classes); `unchanged` rows
+    * bulk. The delta here is LENGTH-BASED: it keeps docs whose presence or
+    * char-length changed, which is exactly sufficient for the maintained
+    * (n_docs, sum_chars) view (an equal-length content edit cannot alter
+    * either measure) but is NOT q156's content-level added/removed/changed
+    * classification — an equal-length edit is invisible to this delta. To
+    * maintain any fingerprint- or content-dependent view, diff on md5
+    * fingerprints as [[diff]] does, not on length. Unchanged rows
     * contribute nothing and are filtered before the aggregate, which is
     * the entire point at 100 TB: the refresh costs O(|delta|), not
     * O(|corpus|). The DuckDB oracle computes the refreshed aggregate

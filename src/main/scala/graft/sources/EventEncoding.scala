@@ -35,9 +35,18 @@ object EventEncoding {
       s"events.ts has unhandled type $dt — add a branch in EventEncoding " +
         "(known: LongType epoch-nanos, TIMESTAMP, TIMESTAMP_NTZ)")
 
+  /** Exact integer division (Catalyst `IntegralDivide`, SQL `DIV`).
+    * Spark's `Column./` is DOUBLE division; at epoch-nano magnitude
+    * (~1.7e18) doubles space 256 ns apart, so `(c / 1000L).cast("long")`
+    * silently truncates ~half of whole-microsecond values 1 µs low. The
+    * long branches below must stay on integer arithmetic.
+    */
+  private def intDiv(c: Column, d: Long): Column =
+    call_function("div", c, lit(d))
+
   /** `ts` as TimestampType (Spark's native micros precision). */
   def tsMicros(dt: DataType, c: Column = col("ts")): Column = dt match {
-    case LongType          => timestamp_micros((c / 1000L).cast("long"))
+    case LongType          => timestamp_micros(intDiv(c, 1000L))
     case TimestampType     => c
     case TimestampNTZType  => c.cast(TimestampType)
     case other             => unsupported(other)
@@ -56,7 +65,7 @@ object EventEncoding {
 
   /** `ts` as LongType epoch-millis (sessionization state machines). */
   def tsMillis(dt: DataType, c: Column = col("ts")): Column = dt match {
-    case LongType          => (c / 1000000L).cast("long")
+    case LongType          => intDiv(c, 1000000L)
     case TimestampType     => unix_millis(c)
     case TimestampNTZType  => unix_millis(c.cast(TimestampType))
     case other             => unsupported(other)

@@ -53,7 +53,14 @@ class PlanShapeSpec extends SparkSpec {
         // snapshot fingerprint/drift full joins
         "q154_kmv_join_estimate", "q157_bloom_semi_audit",
         "q159_cm_sketch_audit", "q156_snapshot_diff",
-        "q161_histogram_drift")) {
+        "q161_histogram_drift",
+        // round-8 late additions: winsorized mean + weighted median (clip
+        // points / percentile frames join back as broadcasts), advisor,
+        // incremental refresh (manifest full join), matryoshka rank join,
+        // revenue share and user growth (grain frames + window)
+        "q162_winsorized_mean", "q151_weighted_median", "q163_join_advisor",
+        "q164_incremental_refresh", "q165_matryoshka_audit",
+        "q166_revenue_share", "q167_user_growth")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }

@@ -13,8 +13,12 @@ import graft.SparkSpec
   */
 class EventEncodingSpec extends SparkSpec {
 
-  // two instants a second apart, exact at micros precision
-  private val micros = Seq(1700000000000000L, 1700000001500000L)
+  // two instants a second apart, exact at micros precision — plus one whose
+  // epoch-NANOS value (us·1000 = ...001000, divisible by 8 but not 256) is
+  // NOT representable as a double: doubles at ~1.7e18 magnitude space 256 ns
+  // apart, so a double-division nanos→micros path truncates this value 1 µs
+  // low. Catches any regression from exact `DIV` back to `Column./`.
+  private val micros = Seq(1700000000000000L, 1700000001500000L, 1700000000000001L)
 
   private def writeFixture(encode: org.apache.spark.sql.Column): String = {
     import spark.implicits._
