@@ -873,6 +873,41 @@ object SparkEntry {
             / (col("n") * 100L).cast("double")).as("winsorized_mean"))
         .orderBy("flag")
     },
+    // TPC-H Q18 shape ("big customers"): a fact-scale groupBy whose
+    // HAVING-filtered output becomes the build side that prunes the same
+    // fact's orders — aggregate, then semi-join-like prune, then top-k.
+    // The build side is left to AQE deliberately: at this selectivity it
+    // converts to a runtime broadcast; at a scale where the filtered set
+    // outgrows the threshold it stays a shuffle join — exactly the
+    // decision q163's advisor measures. Top-100 is TakeOrderedAndProject
+    // (bounded heap), tie-broken by o_orderkey for a total order.
+    "q168_big_customer_orders" -> { (s, dir) =>
+      val big = TestData.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 250L)
+      TestData.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(TestData.customer(s, dir).select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100
+            + dayofmonth(col("o_orderdate"))).cast("int").as("order_ymd"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    // The q153 plan EXECUTED: the measured per-key salt fan-out drives a
+    // two-phase salted aggregate whose result must hash-match the plain
+    // groupBy (the oracle) — the salt only rewrites where rows meet.
+    "q169_salted_plan_exec" -> { (s, dir) =>
+      Planning.executeSkewPlan(TestData.events(s, dir), "event_type",
+          money(col("value")), saltFrom = col("event_id"),
+          targetRowsPerSalt = 1500L)
+        .select(col("event_type"), col("n"),
+          col("total").cast("decimal(18,2)").cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -1871,6 +1906,27 @@ object SparkEntry {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                    AS cum_users
           FROM ug_d ORDER BY day""",
+
+    "q168_big_customer_orders" ->
+      s"""WITH big AS (
+            SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY 1
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+          SELECT c_name, c_custkey, o_orderkey,
+                 CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                      + day(o_orderdate) AS INT) AS order_ymd,
+                 o_totalprice, sum_qty
+          FROM orders
+          JOIN big ON o_orderkey = big.l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 100""",
+
+    "q169_salted_plan_exec" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 CAST(CAST(SUM(${moneySql("value")}) AS DECIMAL(18,2)) AS DOUBLE)
+                   AS total_value
+          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q162_winsorized_mean" ->
       s"""WITH wz_grid AS (

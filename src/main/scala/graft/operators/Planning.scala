@@ -34,6 +34,33 @@ object Planning {
           expr(s"(n + ${targetRowsPerSalt - 1}) DIV $targetRowsPerSalt")))
   }
 
+  /** Execute the aggregate a [[skewPlan]] measured — the plan consumed,
+    * not just emitted: the per-key `salt_factor` frame joins back onto the
+    * rows as a broadcast (one row per distinct key — broadcastable
+    * whenever salting is relevant, since skew means FEW hot keys), each
+    * row lands in a deterministic salt bucket `pmod(hash(saltFrom),
+    * salt_factor)`, partials aggregate on (key, salt), and the final
+    * aggregate on key recombines them. A hot key now spreads over up to
+    * `maxSalt` tasks sized by the MEASURED `targetRowsPerSalt`, instead of
+    * one task taking the whole key (q70's fixed 16-bucket salting with the
+    * fan-out decided by data).
+    *
+    * Correctness: salting only rewrites WHERE rows meet — counts and
+    * integer-cent sums recombine exactly, so the output hash-matches the
+    * plain groupBy, which IS the oracle.
+    */
+  def executeSkewPlan(df: DataFrame, key: String, value: Column,
+      saltFrom: Column, targetRowsPerSalt: Long, maxSalt: Int = 32): DataFrame = {
+    val plan = skewPlan(df, key, targetRowsPerSalt, maxSalt)
+      .select(col(key), col("salt_factor"))
+    df.join(broadcast(plan), Seq(key))
+      .withColumn("_salt", pmod(hash(saltFrom), col("salt_factor")))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_pn"), sum(value).as("_pv"))
+      .groupBy(col(key))
+      .agg(sum("_pn").as("n"), sum("_pv").as("total"))
+  }
+
   /** DuckDB twin of [[skewPlan]]; embed after `WITH` and select from
     * `skew_plan`.
     */

@@ -60,7 +60,9 @@ class PlanShapeSpec extends SparkSpec {
         // revenue share and user growth (grain frames + window)
         "q162_winsorized_mean", "q151_weighted_median", "q163_join_advisor",
         "q164_incremental_refresh", "q165_matryoshka_audit",
-        "q166_revenue_share", "q167_user_growth")) {
+        "q166_revenue_share", "q167_user_growth",
+        // round-9: Q18 shape and the executed salt plan
+        "q168_big_customer_orders", "q169_salted_plan_exec")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
@@ -141,6 +143,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), "bottom-k must be the bounded-heap operator")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       "k-row sketches and the 1-row stats frame must broadcast")
+  }
+
+  test("q168: the having-filtered build side broadcasts at runtime; top-100 is a bounded heap") {
+    val p = finalPlan("q168_big_customer_orders")
+    assert(p.contains("TakeOrderedAndProject"),
+      "LIMIT after ORDER BY must be a bounded heap, not a global sort")
+    // no broadcast() hint in the query — at this selectivity AQE must
+    // convert the shuffle join against the ~200-row aggregate to a
+    // runtime broadcast (the data-dependent decision the query leaves to
+    // the planner on purpose)
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "AQE must broadcast the having-filtered aggregate at this scale")
+  }
+
+  test("q169: the measured salt plan joins back as a broadcast; partials aggregate map-side") {
+    val p = finalPlan("q169_salted_plan_exec")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-key salt-factor plan frame must broadcast, never shuffle the fact")
+    assert(p.contains("HashAggregate"),
+      "the (key, salt) partials must hash-aggregate map-side")
   }
 
   test("a ym filter on the warehouse fact prunes partitions at the scan") {
