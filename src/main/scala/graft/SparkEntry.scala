@@ -1228,6 +1228,16 @@ object SparkEntry {
       import s.implicits._
       Seq(n).toDF("n_distinct")
     },
+    // Measured-watermark closure: the q150/q152 lateness methodology
+    // consumed end-to-end — a doubled, bounded-jitter-disordered feed is
+    // replayed in arrival-ordered micro-batches; the watermark is DERIVED
+    // from the measured max global-frontier lateness; the streamed
+    // dropDuplicatesWithinWatermark must then be exact (per-type distinct
+    // counts + the derived delay, both oracle-checked) with state bounded
+    // behind the watermark (asserted from progress metrics in the spec).
+    "q170_watermark_closure" -> { (s, dir) =>
+      EventStream.watermarkClosure(s, dir)
+    },
     // Semi-structured: JSON property extraction from the events payload.
     "q65_json_extract" -> { (s, dir) =>
       TestData.events(s, dir)
@@ -2307,6 +2317,13 @@ object SparkEntry {
     "q84_stream_dedup" ->
       """SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
         |FROM events""".stripMargin,
+
+    // the derived watermark (from the measured doubled-feed lateness) and
+    // the streamed dedup's exact per-type distinct counts
+    "q170_watermark_closure" ->
+      s"""WITH ${EventStream.watermarkClosureSql()}
+          SELECT event_type, n_unique, wm_sec FROM watermark_closure
+          ORDER BY event_type""",
 
     // the bucketed layout must be invisible in the values
     "q83_bucketed_join" ->

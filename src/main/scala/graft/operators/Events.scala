@@ -416,6 +416,47 @@ object Events {
   val latenessDisorderedSql: String =
     latenessSqlBy("md5(CAST(event_id AS VARCHAR))")
 
+  /** Max GLOBAL-frontier lateness in ms over an arrival-ordered feed — the
+    * number `withWatermark` actually needs. [[latenessAudit]] measures
+    * per-USER disorder (how a user's own stream interleaves); the
+    * watermark, though, is a single global event-time frontier, so the
+    * delay that guarantees zero drops is the max of
+    * `frontier_before_arrival − event_time` over the whole feed.
+    *
+    * Input contract: columns `arr` (numeric arrival position), `copy` and
+    * `event_id` (arrival tie-breaks, in that order), `ms` (event time,
+    * epoch millis). Output: ONE row `(max_late_ms)`.
+    *
+    * Scale shape: the naive formulation is a running max over ONE global
+    * ordered window — the single-partition killer. This computes the same
+    * exact number in two grains: per-arrival-minute maxima (map-side
+    * combinable aggregate), a running max over that calendar-bounded grid
+    * (the only unpartitioned window, sized by the time span), and a
+    * WITHIN-bucket running max partitioned by bucket (balanced). An
+    * event's frontier is the greater of the previous buckets' prefix max
+    * and its own bucket's strictly-earlier max — exactly the global
+    * running max, never a global sort of raw rows.
+    */
+  def globalMaxLatenessMs(feed: DataFrame, bucketMs: Long = 60000L): DataFrame = {
+    require(bucketMs >= 1, s"bucketMs must be >= 1, got $bucketMs")
+    val b = feed.select(col("arr"), col("copy"), col("event_id"), col("ms"))
+      .withColumn("bucket", graft.functions.OracleSafe.intDiv(col("arr"), lit(bucketMs)))
+    val grid = b.groupBy("bucket").agg(max("ms").as("bmax"))
+    val prefix = grid.withColumn("pmax",
+        max("bmax").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("bucket", "pmax")
+    val inBucket = Window.partitionBy("bucket")
+      .orderBy("arr", "copy", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(prefix), Seq("bucket"))
+      .withColumn("imax", max("ms").over(inBucket))
+      .withColumn("late",
+        greatest(lit(0L),
+          coalesce(greatest(col("pmax"), col("imax")) - col("ms"), lit(0L))))
+      .agg(max("late").as("max_late_ms"))
+  }
+
   /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per user —
     * the canonical streak/churn shape (active streaks, lapse detection,
     * engagement-window features) built on the classic `day − row_number`

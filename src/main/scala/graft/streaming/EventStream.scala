@@ -252,6 +252,131 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** Measured-watermark closure: the q150/q152 methodology CONSUMED. The
+    * lateness audits measure disorder; this derives the watermark from the
+    * measurement and proves, end-to-end, that the derived delay keeps
+    * `dropDuplicatesWithinWatermark` both EXACT (zero drops, zero dup
+    * leaks — the oracle equality) and BOUNDED (state evicted behind the
+    * watermark — asserted from the run's own progress metrics in
+    * `EventStreamSpec`).
+    *
+    * The feed: every event twice (an at-least-once source), each copy's
+    * arrival time jittered by an independent deterministic md5 draw in
+    * `[0, jitterMaxMs)` — bounded disorder, the realistic regime (q152's
+    * full-table permutation is the adversarial bound; a real pipeline's
+    * disorder is bounded by its buffering horizon). The feed is split into
+    * arrival-ordered chunk files replayed one per micro-batch
+    * (`maxFilesPerTrigger=1`), so event time genuinely runs backwards
+    * within and across batches.
+    *
+    * The measurement: [[graft.operators.Events.globalMaxLatenessMs]] over
+    * the DOUBLED feed (the delay must cover duplicate arrivals too). With
+    * `W = max_late + 1s`: an arriving row's event time is always ≥
+    * frontier − W ≥ watermark, so nothing is late-dropped; a duplicate
+    * arrives while the first copy's state entry (expiring at `ts + W`) is
+    * still live, so every dup is caught. Chunk-grain replay only weakens
+    * effective disorder (a chunk's frontier ≤ the per-event frontier), so
+    * the per-event measurement is a valid bound for the replayed feed.
+    *
+    * The ONE driver-side scalar (`max_late_ms`) is a planning pre-pass
+    * configuring the stream — the q153/q163 pattern, not a data path.
+    */
+  def watermarkClosure(spark: SparkSession, dir: String,
+      jitterMaxMs: Long = 1800000L, chunks: Int = 24): DataFrame =
+    watermarkClosureWithMetrics(spark, dir, jitterMaxMs, chunks)._1
+
+  def watermarkClosureWithMetrics(spark: SparkSession, dir: String,
+      jitterMaxMs: Long = 1800000L, chunks: Int = 24)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+      withStatePartitions(spark, 8) {
+    require(jitterMaxMs >= 1, s"jitterMaxMs must be >= 1, got $jitterMaxMs")
+    require(chunks >= 2, s"need >= 2 chunks for a multi-batch replay, got $chunks")
+    val ev = graft.sources.TestData.events(spark, dir)
+
+    def jit(seed: org.apache.spark.sql.Column) =
+      conv(substring(md5(seed), 1, 12), 16, 10).cast("long") % jitterMaxMs
+    def side(copyId: Int, seedSuffix: String) = ev.select(
+      col("event_id"), col("event_type"), col("ts").as("tstamp"),
+      expr("ts_ns DIV 1000000").as("ms"), lit(copyId).as("copy"),
+      (expr("ts_ns DIV 1000000")
+        + jit(concat(col("event_id").cast("string"), lit(seedSuffix)))).as("arr"))
+    val feed = side(0, "").unionByName(side(1, ":dup"))
+
+    val maxLateMs = graft.operators.Events.globalMaxLatenessMs(feed)
+      .head().getLong(0)
+    val delaySec = maxLateMs / 1000L + 1L
+
+    // Arrival-ordered chunk replay: range-partition on arr (chunk bounds
+    // from a 1-row broadcast), one file per chunk, mtimes forced into
+    // chunk order so the file source replays arrival order.
+    val mm = feed.agg(min("arr").as("amin"), max("arr").as("amax"))
+    val chunked = feed.crossJoin(broadcast(mm))
+      .withColumn("chunk", least(lit(chunks - 1),
+        ((col("arr") - col("amin")) * chunks
+          / (col("amax") - col("amin") + 1)).cast("int")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wmclose").toString
+    for (i <- 0 until chunks)
+      chunked.filter(col("chunk") === i)
+        .select("event_id", "event_type", "tstamp")
+        .coalesce(1).write.parquet(f"$tmp/chunk_$i%03d")
+    val t0 = (System.currentTimeMillis() / 60000L) * 60000L
+    for (i <- 0 until chunks) {
+      val d = new java.io.File(f"$tmp/chunk_$i%03d")
+      d.listFiles().foreach(f => { f.setLastModified(t0 + i * 1000L); () })
+      d.setLastModified(t0 + i * 1000L)
+    }
+
+    val schema = spark.read.parquet(s"$tmp/chunk_000").schema
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/chunk_*")
+      .withWatermark("tstamp", s"$delaySec seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val result = spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique"))
+      .withColumn("wm_sec", lit(delaySec))
+      .orderBy("event_type")
+    (result, q.recentProgress.toSeq)
+  }
+
+  /** DuckDB twin of [[watermarkClosure]]: the derived delay re-computed
+    * with a direct global window (the oracle corpus is small enough; the
+    * engine's two-grain form is the scale path), and the streamed dedup's
+    * exact answer — per-type distinct ids. Embed after `WITH` and select
+    * from `watermark_closure`.
+    */
+  def watermarkClosureSql(jitterMaxMs: Long = 1800000L): String =
+    s"""wc_feed AS (
+       |  SELECT event_id, event_type, epoch_ms(ts) AS ms, 0 AS copy,
+       |         epoch_ms(ts) + ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+       |           % $jitterMaxMs AS arr
+       |  FROM events
+       |  UNION ALL
+       |  SELECT event_id, event_type, epoch_ms(ts), 1,
+       |         epoch_ms(ts) + ('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':dup'), 1, 12))::BIGINT
+       |           % $jitterMaxMs
+       |  FROM events),
+       |wc_late AS (
+       |  SELECT GREATEST(0, COALESCE(
+       |           MAX(ms) OVER (ORDER BY arr, copy, event_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ms, 0)) AS late
+       |  FROM wc_feed),
+       |wc_delay AS (SELECT MAX(late) // 1000 + 1 AS wm_sec FROM wc_late),
+       |watermark_closure AS (
+       |  SELECT event_type, COUNT(DISTINCT event_id) AS n_unique,
+       |         (SELECT wm_sec FROM wc_delay) AS wm_sec
+       |  FROM events GROUP BY event_type)""".stripMargin
+
   /** DuckDB twin of [[clickViewPairs]] — the batch self-join the streaming
     * plan must agree with (DuckDB reads the file's timestamps at micros
     * precision, exactly the precision [[EventEncoding.tsMicros]] yields).

@@ -64,4 +64,41 @@ class EventStreamSpec extends SparkSpec {
     val distinctIds = spark.read.parquet(s"$sf/events.parquet").count()
     assert(EventStream.dedupedCount(spark, dir.toString) == distinctIds)
   }
+
+  test("watermark closure: derived delay is exact AND state stays behind the watermark") {
+    import org.apache.spark.sql.functions._
+    val (result, progress) = EventStream.watermarkClosureWithMetrics(spark, sf)
+
+    // exactness: the streamed dedup equals the batch distinct counts
+    val batch = graft.sources.TestData.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("event_id")).as("n_unique"))
+    val streamed = result.select("event_type", "n_unique")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+
+    // the replay really was multi-batch (one chunk file per micro-batch)
+    val dataBatches = progress.count(_.numInputRows > 0)
+    assert(dataBatches > 1, s"expected a multi-batch replay, got $dataBatches")
+
+    // state bound, from the run's own semantics: a key's state expires at
+    // ts + delay, evicted once the watermark passes it — so after any
+    // batch, state rows <= |{ids : ts_ms >= watermark_ms - delay_ms}| for
+    // THAT batch's watermark. Check the final progress with a reported
+    // watermark (AvailableNow appends an empty finalize batch).
+    val delayMs = result.select(max("wm_sec")).head().getLong(0) * 1000L
+    val last = progress.reverse
+      .find(p => p.stateOperators.nonEmpty &&
+        Option(p.eventTime.get("watermark")).exists(_ != "1970-01-01T00:00:00.000Z"))
+      .get
+    val wmMs = java.time.Instant.parse(last.eventTime.get("watermark")).toEpochMilli
+    val bound = graft.sources.TestData.events(spark, sf)
+      .filter(expr("ts_ns DIV 1000000") >= wmMs - delayMs).count()
+    val total = graft.sources.TestData.events(spark, sf).count()
+    val stateRows = last.stateOperators.map(_.numRowsTotal).max
+    assert(stateRows <= bound,
+      s"state ($stateRows) must sit behind the watermark bound ($bound)")
+    assert(stateRows < total,
+      s"state ($stateRows of $total ids) must show eviction, not full retention")
+  }
 }
