@@ -76,7 +76,20 @@ object ScaleBench {
     "q155_ivf_recall_curve", "q156_snapshot_diff", "q157_bloom_semi_audit",
     "q158_activity_islands", "q159_cm_sketch_audit", "q160_quota_sample",
     "q161_histogram_drift", "q162_winsorized_mean", "q163_join_advisor",
-    "q164_incremental_refresh", "q165_matryoshka_audit")
+    "q164_incremental_refresh", "q165_matryoshka_audit",
+    // round-9 additions: the two round-8 post-recording queries (both
+    // calendar/day-grain window shapes — the ratio-≈1 claim, proven) and
+    // the three new round-9 queries: Q18 shape (AQE runtime broadcast of
+    // the having-filtered build side), the executed salt plan (broadcast
+    // plan frame + two-phase aggregate), and the watermark closure (the
+    // measurement pass + a ~24-micro-batch replay — floor-bound, the
+    // streaming analog of q101)
+    "q166_revenue_share", "q167_user_growth", "q168_big_customer_orders",
+    "q169_salted_plan_exec", "q170_watermark_closure",
+    // the anti-join tier (broadcast build side must stay bounded), the
+    // outer stream join (micro-batch floor-bound like q101/q170), and the
+    // temperature mix (bounded-heap picks + |strata|-row plan)
+    "q171_quiet_parts", "q172_stream_outer_join", "q173_temperature_mix")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

@@ -908,6 +908,40 @@ object SparkEntry {
           col("total").cast("decimal(18,2)").cast("double").as("total_value"))
         .orderBy("event_type")
     },
+    // TPC-H Q22/Q16 hybrid shape (anti-join tier): a measured scalar
+    // threshold (1.8x the average line quantity, cross-multiplied so no
+    // average is ever a float), an ANTI join against the parts that DO
+    // have a near-capacity line, and a brand rollup of the quiet rest.
+    // The dense-FK testdata makes the textbook "customers with no orders"
+    // empty, so the anti-join semantics are exercised where the data has
+    // real negatives. The threshold stats are a 1-row broadcast; the anti
+    // join's build side is the DISTINCT qualifying part-key set.
+    "q171_quiet_parts" -> { (s, dir) =>
+      val li = TestData.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+      val stats = li.agg(sum("qty").as("sq"), count(lit(1)).as("cnt"))
+      val big = li.crossJoin(broadcast(stats))
+        .filter(col("qty") * 10L * col("cnt") > lit(18L) * col("sq"))
+        .select("l_partkey").distinct()
+      TestData.part(s, dir)
+        .join(big, col("p_partkey") === col("l_partkey"), "left_anti")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("p_brand")
+    },
+    // Stream-stream LEFT OUTER interval join with sentinel-driven
+    // watermark finalization (the state semantics q101's inner join never
+    // exercises: null-padded rows emit only when the watermark proves no
+    // match can come).
+    "q172_stream_outer_join" -> { (s, dir) =>
+      EventStream.clickViewOuter(s, dir)
+    },
+    // Temperature-flattened (alpha = 1/2) training mix over languages:
+    // integer quotas from measured counts, filled by deterministic
+    // smallest-coin picks.
+    "q173_temperature_mix" -> { (s, dir) =>
+      Sampling.temperatureMix(TestData.documents(s, dir)).orderBy("lang")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -1937,6 +1971,30 @@ object SparkEntry {
                  CAST(CAST(SUM(${moneySql("value")}) AS DECIMAL(18,2)) AS DOUBLE)
                    AS total_value
           FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q171_quiet_parts" ->
+      s"""WITH qp_s AS (
+            SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+                   COUNT(*) AS cnt
+            FROM lineitem),
+          qp_big AS (
+            SELECT DISTINCT l_partkey FROM lineitem, qp_s
+            WHERE CAST(l_quantity AS BIGINT) * 10 * cnt > 18 * sq)
+          SELECT p_brand, COUNT(*) AS n_parts
+          FROM part p
+          WHERE NOT EXISTS (SELECT 1 FROM qp_big b WHERE b.l_partkey = p.p_partkey)
+          GROUP BY p_brand
+          ORDER BY p_brand""",
+
+    "q172_stream_outer_join" ->
+      s"""WITH ${EventStream.clickViewOuterSql()}
+          SELECT user_id, n_pairs, n_unmatched FROM click_view_outer
+          ORDER BY user_id""",
+
+    "q173_temperature_mix" ->
+      s"""WITH ${Sampling.temperatureMixSql()}
+          SELECT lang, n_docs, quota, weight, n_sampled, sampled_chars
+          FROM temperature_mix ORDER BY lang""",
 
     "q162_winsorized_mean" ->
       s"""WITH wz_grid AS (

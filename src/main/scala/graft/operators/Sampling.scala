@@ -65,6 +65,85 @@ object Sampling {
        |    FROM documents) t
        |  WHERE pick_rank <= $quota)""".stripMargin
 
+  /** Temperature-flattened corpus mix — the multilingual-LM sampling
+    * scheme (sample stratum s with probability ∝ n_s^α, α < 1, so
+    * high-resource strata are downweighted and low-resource ones
+    * upweighted; α = 1/2 here). Published practice for multilingual
+    * pretraining mixes (e.g. the exponent-smoothed language sampling of
+    * the XLM/mBERT lineage); this makes the mix EXACT and deterministic:
+    * integer quotas from the measured counts, filled by the smallest md5
+    * coins per stratum (the [[quotaSample]] contract).
+    *
+    * Cross-engine exactness: α = 1/2 is computed as `floor(sqrt(n))` —
+    * IEEE sqrt is correctly rounded and our counts sit far below the
+    * magnitude where floor(sqrt) could straddle a ulp, so `si` is the
+    * exact integer square root in both engines. The quota
+    * `budget·si DIV Σsi` and every aggregate are integers; `weight` is
+    * ONE division of agreed integers.
+    *
+    * Scale shape: counts are a map-side-combinable aggregate; the plan is
+    * a |strata|-row broadcast; picking is the bounded-heap top-k per
+    * stratum (budget-sized heaps); no row-level shuffle beyond the one
+    * stratum-keyed exchange the top-k needs.
+    */
+  def temperatureMix(docs: DataFrame, budget: Long = 200L,
+      stratum: String = "lang"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val counts = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("si", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val tot = counts.agg(sum("si").as("s_tot"))
+    val plan = counts.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"($budget * si) DIV s_tot"))
+      .withColumn("weight",
+        col("si").cast("double") / col("s_tot").cast("double"))
+    val ranked = graft.plans.TopK.perKey(
+      docs.select(col(stratum), col("doc_id"), col("n_chars"),
+        coin48(col("doc_id")).as("coin")),
+      Seq(stratum),
+      Seq(graft.plans.TopK.asc("coin"), graft.plans.TopK.asc("doc_id")),
+      k = budget.toInt, rankName = "rk")
+    val picked = ranked
+      .join(broadcast(plan.select(col(stratum), col("quota"))), Seq(stratum))
+      .filter(col("rk") <= col("quota"))
+      .groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars").cast("long")).as("sampled_chars"))
+    plan.join(picked, Seq(stratum), "left")
+      .select(col(stratum), col("n_docs"), col("quota"), col("weight"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sampled_chars"), lit(0L)).as("sampled_chars"))
+  }
+
+  /** DuckDB twin of [[temperatureMix]]; embed after `WITH` and select
+    * from `temperature_mix`.
+    */
+  def temperatureMixSql(budget: Long = 200L, stratum: String = "lang"): String =
+    s"""tm_counts AS (
+       |  SELECT $stratum, COUNT(*) AS n_docs,
+       |         CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS si
+       |  FROM documents GROUP BY 1),
+       |tm_tot AS (SELECT CAST(SUM(si) AS BIGINT) AS s_tot FROM tm_counts),
+       |tm_plan AS (
+       |  SELECT $stratum, n_docs, si, ($budget * si) // s_tot AS quota,
+       |         CAST(si AS DOUBLE) / CAST(s_tot AS DOUBLE) AS weight
+       |  FROM tm_counts, tm_tot),
+       |tm_rk AS (
+       |  SELECT $stratum, doc_id, n_chars,
+       |         ROW_NUMBER() OVER (PARTITION BY $stratum
+       |           ORDER BY ${coin48Sql("doc_id")}, doc_id) AS rk
+       |  FROM documents),
+       |tm_picked AS (
+       |  SELECT r.$stratum, COUNT(*) AS n_sampled,
+       |         CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+       |  FROM tm_rk r JOIN tm_plan p USING ($stratum)
+       |  WHERE r.rk <= p.quota
+       |  GROUP BY r.$stratum),
+       |temperature_mix AS (
+       |  SELECT p.$stratum, p.n_docs, p.quota, p.weight,
+       |         COALESCE(k.n_sampled, 0) AS n_sampled,
+       |         COALESCE(k.sampled_chars, 0) AS sampled_chars
+       |  FROM tm_plan p LEFT JOIN tm_picked k USING ($stratum))""".stripMargin
+
   /** Per-stratum sampling rates (percent, 0-100) with a default for
     * strata not listed — the "training mix": keep all of a curated
     * source, downsample the crawl.

@@ -349,6 +349,100 @@ object EventStream {
     (result, q.recentProgress.toSeq)
   }
 
+  /** Stream-stream LEFT OUTER interval join — the state semantics
+    * [[clickViewPairs]] (inner) doesn't exercise: an unmatched left row
+    * is held in state and emitted null-padded only once the watermark
+    * proves no future match can arrive. That finalization is the
+    * operational trap this operator demonstrates and solves: a bounded
+    * replay ends with the watermark still `delay` behind the frontier, so
+    * the last clicks' outer results would never emit. The fix is the
+    * standard one — a source-level PUNCTUATION: two far-future sentinel
+    * rows per side (filtered out of the result by their reserved
+    * user_id = −1), replayed as their own micro-batches
+    * (`maxFilesPerTrigger=1`), the first advancing the watermark past
+    * every real click's horizon and the second driving the eviction
+    * batch that emits the outer rows.
+    *
+    * Output: per real user, matched (click, view) pair count and the
+    * count of clicks with NO view in the preceding `windowMinutes` —
+    * exactly the batch left-join the oracle computes.
+    */
+  def clickViewOuter(spark: SparkSession, dir: String,
+      windowMinutes: Int = 10): DataFrame = withStatePartitions(spark, 8) {
+    val ev = graft.sources.TestData.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").as("tstamp"))
+    val maxUs = ev.agg(max(unix_micros(col("tstamp")))).head().getLong(0)
+    def sentinels(offsetH: Int) = {
+      import spark.implicits._
+      Seq(
+        (-1L, -1L, "click", maxUs + offsetH * 3600000000L),
+        // the sentinel view sits AFTER its click and outside every real
+        // click's window: it matches nothing, it only moves the frontier
+        (-2L, -1L, "view", maxUs + offsetH * 3600000000L + 1800000000L))
+        .toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).as("tstamp"))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-outer").toString
+    ev.coalesce(1).write.parquet(s"$tmp/chunk_000")
+    sentinels(24).coalesce(1).write.parquet(s"$tmp/chunk_001")
+    sentinels(48).coalesce(1).write.parquet(s"$tmp/chunk_002")
+    val t0 = (System.currentTimeMillis() / 60000L) * 60000L
+    for (i <- 0 until 3) {
+      val d = new java.io.File(f"$tmp/chunk_$i%03d")
+      d.listFiles().foreach(f => { f.setLastModified(t0 + i * 1000L); () })
+      d.setLastModified(t0 + i * 1000L)
+    }
+    val schema = spark.read.parquet(s"$tmp/chunk_000").schema
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    def side(eventType: String, prefix: String) =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/chunk_*")
+        .filter(col("event_type") === eventType)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          col("tstamp").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", s"$windowMinutes minutes")
+    val q = side("click", "click").join(side("view", "view"),
+        col("click_user") === col("view_user") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+          col("view_ts") <= col("click_ts"),
+        "left_outer")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .filter(col("click_user") >= 0L)
+      .groupBy(col("click_user").as("user_id"))
+      .agg(sum(when(col("view_id").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(col("view_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB twin of [[clickViewOuter]] — the batch left join per click,
+    * then per-user rollup.
+    */
+  def clickViewOuterSql(windowMinutes: Int = 10): String =
+    s"""cvo AS (
+       |  SELECT c.event_id AS cid, c.user_id, COUNT(v.event_id) AS m
+       |  FROM events c LEFT JOIN events v
+       |    ON v.user_id = c.user_id AND v.event_type = 'view'
+       |   AND v.ts >= c.ts - INTERVAL $windowMinutes MINUTES AND v.ts <= c.ts
+       |  WHERE c.event_type = 'click'
+       |  GROUP BY 1, 2),
+       |click_view_outer AS (
+       |  SELECT user_id, CAST(SUM(m) AS BIGINT) AS n_pairs,
+       |         CAST(COUNT(*) FILTER (WHERE m = 0) AS BIGINT) AS n_unmatched
+       |  FROM cvo GROUP BY user_id)""".stripMargin
+
   /** DuckDB twin of [[watermarkClosure]]: the derived delay re-computed
     * with a direct global window (the oracle corpus is small enough; the
     * engine's two-grain form is the scale path), and the streamed dedup's

@@ -61,8 +61,12 @@ class PlanShapeSpec extends SparkSpec {
         "q162_winsorized_mean", "q151_weighted_median", "q163_join_advisor",
         "q164_incremental_refresh", "q165_matryoshka_audit",
         "q166_revenue_share", "q167_user_growth",
-        // round-9: Q18 shape and the executed salt plan
-        "q168_big_customer_orders", "q169_salted_plan_exec")) {
+        // round-9: Q18 shape, the executed salt plan, the anti-join tier,
+        // and the temperature mix (streaming q170/q172 excluded like the
+        // rest of the streaming tier — their returned frame reads a
+        // memory sink, not the streaming plan)
+        "q168_big_customer_orders", "q169_salted_plan_exec",
+        "q171_quiet_parts", "q173_temperature_mix")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
@@ -164,6 +168,14 @@ class PlanShapeSpec extends SparkSpec {
       "the per-key salt-factor plan frame must broadcast, never shuffle the fact")
     assert(p.contains("HashAggregate"),
       "the (key, salt) partials must hash-aggregate map-side")
+  }
+
+  test("q171: the qualifying-part set broadcasts into the anti join") {
+    val p = finalPlan("q171_quiet_parts")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("BroadcastHashJoin") &&
+      finalSection.contains("LeftAnti"),
+      "the distinct qualifying-part keys must broadcast as an anti-join build side")
   }
 
   test("a ym filter on the warehouse fact prunes partitions at the scan") {

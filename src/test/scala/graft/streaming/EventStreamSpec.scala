@@ -65,6 +65,20 @@ class EventStreamSpec extends SparkSpec {
     assert(EventStream.dedupedCount(spark, dir.toString) == distinctIds)
   }
 
+  test("stream-stream LEFT OUTER join emits the null-padded rows the inner join drops") {
+    import org.apache.spark.sql.functions._
+    val result = EventStream.clickViewOuter(spark, sf)
+    // the outer rows really emitted: without sentinel finalization the
+    // unmatched clicks near the stream end would be missing entirely
+    assert(result.agg(sum("n_unmatched")).head().getLong(0) > 0,
+      "expected some clicks with no view in the window")
+    // and the matched half agrees with the inner-join streaming query
+    val inner = EventStream.clickViewPairs(spark, sf)
+    val outerPairs = result.filter(col("n_pairs") > 0).select("user_id", "n_pairs")
+    assert(outerPairs.exceptAll(inner).count() == 0)
+    assert(inner.exceptAll(outerPairs).count() == 0)
+  }
+
   test("watermark closure: derived delay is exact AND state stays behind the watermark") {
     import org.apache.spark.sql.functions._
     val (result, progress) = EventStream.watermarkClosureWithMetrics(spark, sf)
