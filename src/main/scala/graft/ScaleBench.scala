@@ -89,7 +89,9 @@ object ScaleBench {
     // the anti-join tier (broadcast build side must stay bounded), the
     // outer stream join (micro-batch floor-bound like q101/q170), and the
     // temperature mix (bounded-heap picks + |strata|-row plan)
-    "q171_quiet_parts", "q172_stream_outer_join", "q173_temperature_mix")
+    "q171_quiet_parts", "q172_stream_outer_join", "q173_temperature_mix",
+    // Q15 argmax: scan-pushed quarter window, 1-row max broadcast
+    "q174_top_supplier")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

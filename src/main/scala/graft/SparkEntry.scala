@@ -942,6 +942,28 @@ object SparkEntry {
     "q173_temperature_mix" -> { (s, dir) =>
       Sampling.temperatureMix(TestData.documents(s, dir)).orderBy("lang")
     },
+    // TPC-H Q15 shape (argmax with ties): quarterly revenue per supplier,
+    // then the supplier(s) AT the maximum — the "top view" pattern where
+    // the max is a 1-row broadcast back over the aggregate (never a global
+    // sort), and ties survive by construction (equality join on the exact
+    // decimal, no LIMIT 1 that would drop a tied supplier).
+    "q174_top_supplier" -> { (s, dir) =>
+      val lo = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1998-04-01 00:00:00").cast("timestamp_ntz")
+      val rev = TestData.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy("l_suppkey")
+        .agg(sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("decimal(18,2)").as("rev"))
+      val mx = rev.agg(max("rev").as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev") === col("mx"))
+        .join(broadcast(TestData.supplier(s, dir).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          moneyOut(col("rev")).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -1971,6 +1993,19 @@ object SparkEntry {
                  CAST(CAST(SUM(${moneySql("value")}) AS DECIMAL(18,2)) AS DOUBLE)
                    AS total_value
           FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q174_top_supplier" ->
+      s"""WITH ts_rev AS (
+            SELECT l_suppkey,
+                   CAST(SUM(${moneySql("l_extendedprice * (1 - l_discount)")}) AS DECIMAL(18,2)) AS rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l_shipdate < TIMESTAMP '1998-04-01'
+            GROUP BY 1)
+          SELECT s_suppkey, s_name, ${moneyOutSql("rev")} AS total_revenue
+          FROM ts_rev JOIN supplier ON l_suppkey = s_suppkey
+          WHERE rev = (SELECT MAX(rev) FROM ts_rev)
+          ORDER BY s_suppkey""",
 
     "q171_quiet_parts" ->
       s"""WITH qp_s AS (

@@ -66,7 +66,7 @@ class PlanShapeSpec extends SparkSpec {
         // rest of the streaming tier — their returned frame reads a
         // memory sink, not the streaming plan)
         "q168_big_customer_orders", "q169_salted_plan_exec",
-        "q171_quiet_parts", "q173_temperature_mix")) {
+        "q171_quiet_parts", "q173_temperature_mix", "q174_top_supplier")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
