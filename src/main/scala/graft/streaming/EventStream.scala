@@ -282,11 +282,11 @@ object EventStream {
     * configuring the stream — the q153/q163 pattern, not a data path.
     */
   def watermarkClosure(spark: SparkSession, dir: String,
-      jitterMaxMs: Long = 1800000L, chunks: Int = 24): DataFrame =
+      jitterMaxMs: Long = 1800000L, chunks: Int = 12): DataFrame =
     watermarkClosureWithMetrics(spark, dir, jitterMaxMs, chunks)._1
 
   def watermarkClosureWithMetrics(spark: SparkSession, dir: String,
-      jitterMaxMs: Long = 1800000L, chunks: Int = 24)
+      jitterMaxMs: Long = 1800000L, chunks: Int = 12)
       : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
       withStatePartitions(spark, 8) {
     require(jitterMaxMs >= 1, s"jitterMaxMs must be >= 1, got $jitterMaxMs")
@@ -307,30 +307,31 @@ object EventStream {
     val delaySec = maxLateMs / 1000L + 1L
 
     // Arrival-ordered chunk replay: range-partition on arr (chunk bounds
-    // from a 1-row broadcast), one file per chunk, mtimes forced into
-    // chunk order so the file source replays arrival order.
+    // from a 1-row broadcast), ONE partitioned write (repartition on the
+    // chunk key → exactly one file per chunk dir, one Spark job instead
+    // of `chunks` sequential jobs), mtimes forced into chunk order so the
+    // file source replays arrival order one file per micro-batch.
     val mm = feed.agg(min("arr").as("amin"), max("arr").as("amax"))
     val chunked = feed.crossJoin(broadcast(mm))
       .withColumn("chunk", least(lit(chunks - 1),
         ((col("arr") - col("amin")) * chunks
           / (col("amax") - col("amin") + 1)).cast("int")))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-wmclose").toString
-    for (i <- 0 until chunks)
-      chunked.filter(col("chunk") === i)
-        .select("event_id", "event_type", "tstamp")
-        .coalesce(1).write.parquet(f"$tmp/chunk_$i%03d")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wmclose").toString + "/feed"
+    chunked.select("event_id", "event_type", "tstamp", "chunk")
+      .repartition(chunks, col("chunk"))
+      .write.partitionBy("chunk").parquet(tmp)
     val t0 = (System.currentTimeMillis() / 60000L) * 60000L
     for (i <- 0 until chunks) {
-      val d = new java.io.File(f"$tmp/chunk_$i%03d")
-      d.listFiles().foreach(f => { f.setLastModified(t0 + i * 1000L); () })
-      d.setLastModified(t0 + i * 1000L)
+      val d = new java.io.File(s"$tmp/chunk=$i")
+      if (d.isDirectory)
+        d.listFiles().foreach(f => { f.setLastModified(t0 + i * 1000L); () })
     }
 
-    val schema = spark.read.parquet(s"$tmp/chunk_000").schema
+    val schema = spark.read.parquet(tmp).schema // includes the chunk partition col
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$tmp/chunk_*")
+      .parquet(tmp)
       .withWatermark("tstamp", s"$delaySec seconds")
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream
