@@ -964,6 +964,123 @@ object SparkEntry {
           moneyOut(col("rev")).as("total_revenue"))
         .orderBy("s_suppkey")
     },
+    // TPC-H Q13 shape (count-of-counts): LEFT OUTER join with the filter
+    // INSIDE the join condition (customers keep their row even when every
+    // order is filtered away — a WHERE would silently turn the outer join
+    // inner), then a double aggregation: orders-per-customer, then
+    // customers-per-order-count. The second groupBy runs over one row per
+    // customer — tiny — so the plan cost is one fact shuffle + one
+    // broadcast-sized re-group.
+    "q175_order_count_distribution" -> { (s, dir) =>
+      TestData.customer(s, dir)
+        .join(TestData.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    // TPC-H Q17 shape (aggregate-join-back on the same fact): per-part
+    // average line quantity feeds a filter on individual lines of that
+    // part (qty < 0.2 * avg, cross-multiplied to exact integers:
+    // 5*qty*cnt < sum). The per-part aggregate is orders of magnitude
+    // smaller than the fact, so its join back is broadcast-able; the brand
+    // dim filter broadcasts into both sides. One output row — Q17's
+    // "avg_yearly" with the division performed exactly once at the edge.
+    "q176_small_quantity_revenue" -> { (s, dir) =>
+      val parts = TestData.part(s, dir)
+        .filter(col("p_brand") === "Brand#13").select("p_partkey")
+      val li = TestData.lineitem(s, dir)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          money(col("l_extendedprice")).as("price"))
+      val perPart = li.groupBy("l_partkey")
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt_p"))
+      li.join(broadcast(perPart), Seq("l_partkey"))
+        .filter(col("qty") * 5L * col("cnt_p") < col("sum_qty"))
+        .agg(
+          (sum(col("price")).cast("decimal(18,2)").cast("double") / 7.0)
+            .as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
+    // TPC-H Q21 shape (semi + anti self-joins on the fact): the supplier
+    // whose line shipped LAST in a multi-supplier order, with no other
+    // supplier tying that max — EXISTS(other supplier in order) AND NOT
+    // EXISTS(other supplier shipping >= me). Both self-joins are equi on
+    // l_orderkey with residual θ-conditions, so they shuffle once on the
+    // order key and never cartesian. Top-10 is a bounded heap.
+    "q177_blocking_supplier" -> { (s, dir) =>
+      val li = TestData.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val other = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"),
+        col("l_shipdate").as("d2"))
+      val last = li
+        .join(other, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(other,
+          col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2")
+            && col("d2") >= col("l_shipdate"), "left_anti")
+      last.groupBy("l_suppkey")
+        .agg(countDistinct(col("l_orderkey")).as("numwait"))
+        .join(broadcast(TestData.supplier(s, dir).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    },
+    // TPC-H Q11 shape (HAVING over a global scalar): per-part revenue from
+    // one region's suppliers, kept only when it exceeds 1/2000 of the
+    // regional total. The total is a 1-row broadcast; the comparison is
+    // cross-multiplied on exact decimal cents so no engine ever divides.
+    "q178_important_parts" -> { (s, dir) =>
+      val asia = TestData.supplier(s, dir)
+        .join(broadcast(TestData.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(TestData.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey")
+      val value = TestData.lineitem(s, dir)
+        .join(broadcast(asia), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(money(col("l_extendedprice"))).cast("decimal(18,2)").as("v"))
+      val total = value.agg(sum(col("v")).cast("decimal(20,2)").as("tot"))
+      value.crossJoin(broadcast(total))
+        .filter(col("v") * 2000 > col("tot"))
+        .select(col("partkey"), moneyOut(col("v")).as("value"))
+        .orderBy(col("value").desc, col("partkey"))
+    },
+    // TPC-H Q8 shape (market share): per order-year, the revenue fraction
+    // contributed by one nation's suppliers among orders placed by one
+    // region's customers. Conditional cent-exact sums; the share is ONE
+    // double division per year at the output boundary. Dims broadcast;
+    // the fact shuffles only for the orders and customer equi-joins.
+    "q179_market_share" -> { (s, dir) =>
+      val amerCust = TestData.customer(s, dir)
+        .join(broadcast(TestData.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(TestData.region(s, dir).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      val suppNation = TestData.supplier(s, dir)
+        .join(broadcast(TestData.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      TestData.lineitem(s, dir)
+        .join(TestData.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(amerCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .select(year(col("o_orderdate")).as("o_year"),
+          money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("vol"),
+          col("supp_nation"))
+        .groupBy("o_year")
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("vol")).otherwise(lit(0)))
+            .cast("decimal(18,2)").as("nat"),
+          sum(col("vol")).cast("decimal(18,2)").as("tot"))
+        .select(col("o_year"),
+          (col("nat").cast("double") / col("tot").cast("double")).as("mkt_share"),
+          moneyOut(col("tot")).as("total_volume"))
+        .orderBy("o_year")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2006,6 +2123,89 @@ object SparkEntry {
           FROM ts_rev JOIN supplier ON l_suppkey = s_suppkey
           WHERE rev = (SELECT MAX(rev) FROM ts_rev)
           ORDER BY s_suppkey""",
+
+    "q175_order_count_distribution" ->
+      s"""SELECT c_count, custdist FROM (
+            SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) ocd_pc
+            GROUP BY c_count) ocd_d
+          ORDER BY custdist DESC, c_count DESC""",
+
+    "q176_small_quantity_revenue" ->
+      s"""WITH sq_li AS (
+            SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                   ${moneySql("l_extendedprice")} AS price
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#13'),
+          sq_pp AS (
+            SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                   COUNT(*) AS cnt_p
+            FROM sq_li GROUP BY 1)
+          SELECT CAST(CAST(SUM(price) AS DECIMAL(18,2)) AS DOUBLE) / 7.0
+                   AS avg_yearly,
+                 COUNT(*) AS n_lines
+          FROM sq_li JOIN sq_pp USING (l_partkey)
+          WHERE qty * 5 * cnt_p < sum_qty""",
+
+    "q177_blocking_supplier" ->
+      s"""WITH bs_li AS (
+            SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem)
+          SELECT s_name, COUNT(DISTINCT l_orderkey) AS numwait
+          FROM bs_li l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+          WHERE EXISTS (
+              SELECT 1 FROM bs_li l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (
+              SELECT 1 FROM bs_li l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate >= l1.l_shipdate)
+          GROUP BY s_name
+          ORDER BY numwait DESC, s_name LIMIT 10""",
+
+    "q178_important_parts" ->
+      s"""WITH ip_asia AS (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'),
+          ip_val AS (
+            SELECT l_partkey AS partkey,
+                   CAST(SUM(${moneySql("l_extendedprice")}) AS DECIMAL(18,2)) AS v
+            FROM lineitem JOIN ip_asia ON l_suppkey = s_suppkey
+            GROUP BY 1),
+          ip_tot AS (SELECT CAST(SUM(v) AS DECIMAL(20,2)) AS tot FROM ip_val)
+          SELECT partkey, ${moneyOutSql("v")} AS value
+          FROM ip_val, ip_tot
+          WHERE v * 2000 > tot
+          ORDER BY value DESC, partkey""",
+
+    "q179_market_share" ->
+      s"""WITH ms_cust AS (
+            SELECT c_custkey FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA'),
+          ms_agg AS (
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(SUM(CASE WHEN n_name = 'NATION_3'
+                     THEN ${moneySql("l_extendedprice * (1 - l_discount)")}
+                     ELSE 0 END) AS DECIMAL(18,2)) AS nat,
+                   CAST(SUM(${moneySql("l_extendedprice * (1 - l_discount)")})
+                     AS DECIMAL(18,2)) AS tot
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE o_custkey IN (SELECT c_custkey FROM ms_cust)
+            GROUP BY 1)
+          SELECT o_year, CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE) AS mkt_share,
+                 ${moneyOutSql("tot")} AS total_volume
+          FROM ms_agg ORDER BY o_year""",
 
     "q171_quiet_parts" ->
       s"""WITH qp_s AS (

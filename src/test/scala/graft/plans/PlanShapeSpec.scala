@@ -66,7 +66,13 @@ class PlanShapeSpec extends SparkSpec {
         // rest of the streaming tier — their returned frame reads a
         // memory sink, not the streaming plan)
         "q168_big_customer_orders", "q169_salted_plan_exec",
-        "q171_quiet_parts", "q173_temperature_mix", "q174_top_supplier")) {
+        "q171_quiet_parts", "q173_temperature_mix", "q174_top_supplier",
+        // round-9 TPC-H plan shapes: Q13 outer count-of-counts, Q17
+        // aggregate-join-back, Q21 semi+anti self-joins, Q11 having-over-
+        // global-scalar, Q8 market share
+        "q175_order_count_distribution", "q176_small_quantity_revenue",
+        "q177_blocking_supplier", "q178_important_parts",
+        "q179_market_share")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
@@ -176,6 +182,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(finalSection.contains("BroadcastHashJoin") &&
       finalSection.contains("LeftAnti"),
       "the distinct qualifying-part keys must broadcast as an anti-join build side")
+  }
+
+  test("q175: the order-count distribution keeps the outer join outer") {
+    val p = finalPlan("q175_order_count_distribution")
+    assert(p.contains("LeftOuter"),
+      "the priority filter must live in the join condition, not demote the outer join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q176: the brand dim and the per-part aggregate both broadcast") {
+    val p = finalPlan("q176_small_quantity_revenue")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(finalSection).size >= 2,
+      "both the filtered part keys and the per-part stats must broadcast")
+    assert(!finalSection.contains("SortMergeJoin"),
+      "nothing in this plan should shuffle-join")
+  }
+
+  test("q177: both self-joins are keyed on l_orderkey with residual conditions") {
+    val p = finalPlan("q177_blocking_supplier")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("LeftSemi") && finalSection.contains("LeftAnti"),
+      "the EXISTS/NOT-EXISTS pair must plan as semi + anti joins")
+    assert(!p.contains("CartesianProduct"),
+      "the θ-conditions must ride the l_orderkey equi key, never a cartesian")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must be a bounded heap")
+  }
+
+  test("q178: the regional supplier set and the 1-row total broadcast") {
+    val p = finalPlan("q178_important_parts")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "the supplier-key semi side must broadcast into the fact")
+    assert(finalSection.contains("BroadcastNestedLoopJoin"),
+      "the global total is a 1-row broadcast, never a shuffle")
+  }
+
+  test("q179: dims broadcast; the fact shuffles only on its equi keys") {
+    val p = finalPlan("q179_market_share")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "supplier-nation and the regional customer set must broadcast")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("a ym filter on the warehouse fact prunes partitions at the scan") {
