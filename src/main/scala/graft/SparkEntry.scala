@@ -1081,6 +1081,26 @@ object SparkEntry {
           moneyOut(col("tot")).as("total_volume"))
         .orderBy("o_year")
     },
+    // Product-quantization distortion audit: per-subspace codebook
+    // utilization + exact integer reconstruction error.
+    "q180_pq_audit" -> { (s, dir) =>
+      Similarity.pqAudit(TestData.embeddings(s, dir))
+    },
+    // Farthest-point k-center coreset: greedy diverse seed selection with
+    // the coverage-radius curve, as one declarative k-round plan.
+    "q181_kcenter_coreset" -> { (s, dir) =>
+      Similarity.kcenterCoreset(TestData.embeddings(s, dir))
+    },
+    // Per-document unigram-LM surprisal (perplexity-filter core): integer
+    // floor-log2 model, one float division per doc at the edge.
+    "q182_doc_surprisal" -> { (s, dir) =>
+      TextAnalysis.docSurprisal(TestData.documents(s, dir))
+    },
+    // Exact Gram/covariance audit over the embedding corpus (whitening /
+    // dead-dimension pre-pass), upper triangle in exact BIGINT.
+    "q183_gram_audit" -> { (s, dir) =>
+      Similarity.gramAudit(TestData.embeddings(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2206,6 +2226,25 @@ object SparkEntry {
           SELECT o_year, CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE) AS mkt_share,
                  ${moneyOutSql("tot")} AS total_volume
           FROM ms_agg ORDER BY o_year""",
+
+    "q180_pq_audit" ->
+      s"""WITH ${Similarity.pqAuditSql()}
+          SELECT subspace, n_vecs, codes_used, total_sqerr, mean_sqerr
+          FROM pq_audit ORDER BY subspace""",
+
+    "q181_kcenter_coreset" ->
+      s"""WITH ${Similarity.kcenterCoresetSql()}
+          SELECT step, center_id, radius FROM kcenter ORDER BY step""",
+
+    "q182_doc_surprisal" ->
+      s"""WITH ${TextAnalysis.docSurprisalSql()}
+          SELECT doc_id, n_tokens, surprisal_bits, bits_per_token
+          FROM doc_surprisal ORDER BY doc_id""",
+
+    "q183_gram_audit" ->
+      s"""WITH ${Similarity.gramAuditSql}
+          SELECT i, j, second_moment, cov_num
+          FROM gram_audit ORDER BY i, j""",
 
     "q171_quiet_parts" ->
       s"""WITH qp_s AS (

@@ -862,6 +862,228 @@ object Similarity {
        |  FROM qa)""".stripMargin
   }
 
+  /** Product-quantization distortion audit (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI): split each
+    * vector into `m` contiguous subvectors, quantize every subvector to
+    * its nearest codeword from a per-subspace codebook, and report — per
+    * subspace — the total squared reconstruction error, the number of
+    * codewords actually used, and the mean distortion. This is the audit
+    * a pipeline runs BEFORE committing to PQ-compressed vectors: it tells
+    * you which subspaces lose the most information and whether the
+    * codebook capacity is saturated.
+    *
+    * Codebooks reuse the corpus-derived IVF seeding rule (vec id ≡ 0 mod
+    * `cent_mod` → ~√n codewords per subspace), so codebook size tracks the
+    * corpus and the broadcast stays O(√n·dim) — the same bound as
+    * [[ivfAssign]]. Encoding cost is n·√n·(dim/m) integer multiplies per
+    * subspace, i.e. exactly one IVF-assignment's work in total across the
+    * m subspaces. All distances are exact BIGINTs on the quantized grid
+    * (‖x−c‖² = ‖x‖² + ‖c‖² − 2⟨x,c⟩), argmin ties to the smallest
+    * codeword id — bit-identical in both engines. One map-side-combinable
+    * aggregate per subspace finishes the audit.
+    */
+  def pqAudit(embeddings: DataFrame, m: Int = 4): DataFrame = {
+    val qv = quantized(embeddings)
+    // (vec_id, b, sq, sn2): the b-th subvector, 1-based slice bounds
+    val sub = qv
+      .select(col("vec_id"), col("q"),
+        (size(col("q")) / m).cast("int").as("sd"),
+        explode(sequence(lit(0), lit(m - 1))).as("b"))
+      .select(col("vec_id"), col("b"),
+        slice(col("q"), col("b") * col("sd") + 1, col("sd")).as("sq"))
+      .withColumn("sn2",
+        aggregate(transform(col("sq"), x => x * x), lit(0L), (a, x) => a + x))
+    val codebook = sub
+      .crossJoin(broadcast(params(embeddings).select("cent_mod")))
+      .filter(col("vec_id") % col("cent_mod") === 0)
+      .select(col("b").as("cb"), col("vec_id").as("cid"),
+        col("sq").as("cq"), col("sn2").as("cn2"))
+    val scored = sub.join(broadcast(codebook), col("b") === col("cb"))
+      .select(col("vec_id"), col("b"), col("cid"),
+        (col("sn2") + col("cn2") - dot(col("sq"), col("cq")) * 2L).as("sqerr"))
+    graft.plans.TopK.perKey(scored, Seq("vec_id", "b"),
+        Seq(graft.plans.TopK.asc("sqerr"), graft.plans.TopK.asc("cid")), k = 1)
+      .groupBy(col("b").as("subspace"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("cid")).as("codes_used"),
+        sum(col("sqerr")).as("total_sqerr"))
+      .select(col("subspace"), col("n_vecs"), col("codes_used"), col("total_sqerr"),
+        (col("total_sqerr").cast("double") / col("n_vecs").cast("double"))
+          .as("mean_sqerr"))
+      .orderBy("subspace")
+  }
+
+  /** DuckDB twin of [[pqAudit]] — identical slicing, codebook seeding,
+    * and integer distance arithmetic.
+    */
+  def pqAuditSql(m: Int = 4): String =
+    s"""$quantizedSql,
+       |$paramsSql,
+       |pq_sub AS (
+       |  SELECT vec_id, b,
+       |         q[(b * (len(q) // $m) + 1):((b + 1) * (len(q) // $m))] AS sq
+       |  FROM qv, range(0, $m) rb(b)),
+       |pq_subn AS (
+       |  SELECT vec_id, b, sq,
+       |         CAST(list_sum(list_transform(sq, x -> x * x)) AS BIGINT) AS sn2
+       |  FROM pq_sub),
+       |pq_code AS (
+       |  SELECT b AS cb, vec_id AS cid, sq AS cq, sn2 AS cn2
+       |  FROM pq_subn, params WHERE vec_id % cent_mod = 0),
+       |pq_enc AS (
+       |  SELECT vec_id, b, cid, sqerr FROM (
+       |    SELECT s.vec_id, s.b, c.cid,
+       |           s.sn2 + c.cn2 - 2 * list_dot_product(s.sq, c.cq) AS sqerr,
+       |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.b
+       |             ORDER BY s.sn2 + c.cn2 - 2 * list_dot_product(s.sq, c.cq),
+       |                      c.cid) AS rnk
+       |    FROM pq_subn s JOIN pq_code c ON s.b = c.cb) t WHERE rnk = 1),
+       |pq_audit AS (
+       |  SELECT CAST(b AS INT) AS subspace, COUNT(*) AS n_vecs,
+       |         COUNT(DISTINCT cid) AS codes_used,
+       |         CAST(SUM(sqerr) AS BIGINT) AS total_sqerr,
+       |         CAST(SUM(sqerr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_sqerr
+       |  FROM pq_enc GROUP BY 1)""".stripMargin
+
+  /** Farthest-point (greedy k-center / Gonzalez 1985) coreset seeding:
+    * start from the smallest vec id, then `k−1` times pick the vector
+    * farthest from the chosen set (exact squared L2 on the quantized
+    * grid, ties to the smallest id). Emits each chosen center with the
+    * corpus coverage radius AFTER adding it — the classic 2-approximation
+    * certificate for k-center, and the curve a pipeline reads to choose
+    * how many diverse seed documents/prototypes to keep.
+    *
+    * The whole selection is ONE declarative plan: each round is a 1-row
+    * broadcast (the new center) into a running min-distance frame plus a
+    * global max aggregate — O(k·n) total work, no driver-side loop over
+    * data, no collect. At 100 TB the k rounds are k linear passes over a
+    * cached quantized frame; k is small (≤ 16) by construction.
+    */
+  def kcenterCoreset(embeddings: DataFrame, k: Int = 6): DataFrame = {
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    val qv = quantized(embeddings).cache()
+    def asCenter(row: DataFrame): DataFrame =
+      row.select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    def dist = col("n2") + col("cn2") - dot(col("q"), col("cq")) * 2L
+    var center = asCenter(qv.orderBy("vec_id").limit(1))
+    var running = qv.crossJoin(broadcast(center))
+      .select(col("vec_id"), col("q"), col("n2"), dist.as("dmin"))
+    def auditRow(step: Int, c: DataFrame, r: DataFrame): DataFrame =
+      c.select(col("cid")).crossJoin(broadcast(r.agg(max(col("dmin")).as("radius"))))
+        .select(lit(step).as("step"), col("cid").as("center_id"), col("radius"))
+    var out = auditRow(0, center, running)
+    for (step <- 1 until k) {
+      center = asCenter(running.orderBy(col("dmin").desc, col("vec_id")).limit(1))
+      running = running.crossJoin(broadcast(center))
+        .select(col("vec_id"), col("q"), col("n2"),
+          least(col("dmin"), dist).as("dmin"))
+      out = out.union(auditRow(step, center, running))
+    }
+    out.orderBy("step")
+  }
+
+  /** DuckDB twin of [[kcenterCoreset]] — the k greedy rounds unrolled as
+    * chained CTEs with the identical argmax tie-break.
+    */
+  def kcenterCoresetSql(k: Int = 6): String = {
+    val rounds = new StringBuilder
+    rounds ++=
+      s"""kc_c0 AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2
+         |          FROM qn ORDER BY vec_id LIMIT 1),
+         |kc_d0 AS (
+         |  SELECT p.vec_id, p.q, p.n2,
+         |         p.n2 + c.cn2 - 2 * list_dot_product(p.q, c.cq) AS dmin
+         |  FROM qn p, kc_c0 c),
+         |kc_r0 AS (
+         |  SELECT CAST(0 AS INT) AS step, c.cid AS center_id,
+         |         CAST(MAX(d.dmin) AS BIGINT) AS radius
+         |  FROM kc_d0 d, kc_c0 c GROUP BY c.cid)""".stripMargin
+    for (i <- 1 until k) {
+      rounds ++=
+        s""",
+           |kc_c$i AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2
+           |           FROM kc_d${i - 1} ORDER BY dmin DESC, vec_id LIMIT 1),
+           |kc_d$i AS (
+           |  SELECT p.vec_id, p.q, p.n2,
+           |         LEAST(p.dmin, p.n2 + c.cn2 - 2 * list_dot_product(p.q, c.cq)) AS dmin
+           |  FROM kc_d${i - 1} p, kc_c$i c),
+           |kc_r$i AS (
+           |  SELECT CAST($i AS INT) AS step, c.cid AS center_id,
+           |         CAST(MAX(d.dmin) AS BIGINT) AS radius
+           |  FROM kc_d$i d, kc_c$i c GROUP BY c.cid)""".stripMargin
+    }
+    val union = (0 until k).map(i => s"SELECT * FROM kc_r$i").mkString(" UNION ALL ")
+    s"""$quantizedSql,
+       |${rounds.result()},
+       |kcenter AS ($union)""".stripMargin
+  }
+
+  /** Exact Gram / covariance audit over the embedding corpus: the upper
+    * triangle of the d×d second-moment matrix G[i,j] = Σᵥ qᵢ·qⱼ plus the
+    * mean-centered covariance numerator n·G − sᵢ·sⱼ, all in exact BIGINT
+    * on the quantized grid. This is the pre-pass for whitening / PCA and
+    * the fastest detector of dead or duplicated embedding dimensions
+    * (zero variance / perfectly correlated pairs).
+    *
+    * Plan shape: the per-row outer product is built INSIDE a codegen'd
+    * projection (nested `transform` + one explode — d² small structs per
+    * row), and the d(d+1)/2 distinct (i,j) keys collapse map-side in the
+    * partial hash aggregate, so the shuffle carries only
+    * #partitions·d(d+1)/2 rows regardless of corpus size. The n·d² multiply
+    * work is the inherent Gram cost. Intermediates stay inside BIGINT up
+    * to n ≈ 2⁵³/(d·10⁸) vectors; past that the same plan runs with the
+    * sums cast to DECIMAL(38,0).
+    */
+  def gramAudit(embeddings: DataFrame): DataFrame = {
+    val qv = quantized(embeddings)
+    val n = qv.agg(count(lit(1)).as("n"))
+    // per-dimension first moments (1-based dim index, matching list
+    // indexing on the oracle side)
+    val firsts = qv
+      .select(posexplode(col("q")).as(Seq("d0", "x")))
+      .groupBy((col("d0") + 1).as("d"))
+      .agg(sum(col("x")).as("s"))
+    val gram = qv
+      .select(explode(flatten(transform(col("q"), (xi, i) =>
+        transform(col("q"), (xj, j) =>
+          struct((i + 1).as("i"), (j + 1).as("j"), (xi * xj).as("p"))))))
+        .as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+      .filter(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(sum(col("p")).as("g"))
+    gram.crossJoin(broadcast(n))
+      .join(broadcast(firsts.select(col("d").as("i"), col("s").as("si"))), Seq("i"))
+      .join(broadcast(firsts.select(col("d").as("j"), col("s").as("sj"))), Seq("j"))
+      .select(col("i"), col("j"), col("g").as("second_moment"),
+        (col("n") * col("g") - col("si") * col("sj")).as("cov_num"))
+      .orderBy("i", "j")
+  }
+
+  /** DuckDB twin of [[gramAudit]] — generate_series index expansion over
+    * the same quantized lists.
+    */
+  val gramAuditSql: String =
+    s"""$quantizedSql,
+       |gr_i AS (
+       |  SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i
+       |  FROM qv),
+       |gr_s AS (
+       |  SELECT CAST(i AS INT) AS d, CAST(SUM(q[CAST(i AS INT)]) AS BIGINT) AS s
+       |  FROM gr_i GROUP BY 1),
+       |gr_n AS (SELECT COUNT(*) AS n FROM qv),
+       |gr_ij AS (
+       |  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       |         CAST(SUM(q[CAST(i AS INT)] * q[CAST(j AS INT)]) AS BIGINT) AS g
+       |  FROM (SELECT vec_id, q, i, unnest(generate_series(i, len(q))) AS j FROM gr_i)
+       |  GROUP BY 1, 2),
+       |gram_audit AS (
+       |  SELECT i, j, g AS second_moment,
+       |         CAST(n * g - si.s * sj.s AS BIGINT) AS cov_num
+       |  FROM gr_ij, gr_n
+       |  JOIN gr_s si ON si.d = i
+       |  JOIN gr_s sj ON sj.d = j)""".stripMargin
+
   /** Embedding-quality audit per label: vector counts, missing/empty and
     * all-zero vectors (the two degenerate classes that poison cosine math
     * downstream — [[lshBuckets]] silently drops them; this op is where a

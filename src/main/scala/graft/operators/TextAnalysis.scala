@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.OracleSafe
 import graft.functions.OracleSafe.intDiv
 
 /** Text-corpus analysis operators for training-data pipelines, over the
@@ -847,4 +848,65 @@ object TextAnalysis {
        |         MIN(c.cell) - p.exact_cnt AS overestimate
        |  FROM cm_probe p JOIN cm_cells c ON c.i = p.i AND c.b = p.b
        |  GROUP BY p.token, p.exact_cnt)""".stripMargin
+
+  /** Per-document unigram-LM surprisal — the distributed core of a
+    * perplexity filter (the CCNet/Gopher-style "score every document
+    * against a language model, drop the weird tails" curation step, with
+    * the corpus's own unigram model standing in for the external LM).
+    * Pass 1 builds the unigram model: per-token corpus counts c(w) and
+    * the total N. Pass 2 charges every token occurrence its surprisal
+    * −log₂ p(w) = log₂(N/c(w)) and sums per document.
+    *
+    * Cross-engine determinism: the surprisal is the integer
+    * floor(log₂(N/c)) via `length(bin(N div c)) − 1` (floor-log₂ of the
+    * floored ratio equals floor-log₂ of the rational for N ≥ c, which
+    * always holds) — the same libm-free derivation as the BM25 idf. Sums
+    * are then exact BIGINTs under any aggregation order; the only float
+    * is ONE division per document at the output.
+    *
+    * Plan shape: explode → map-side-combined (doc, token) counts →
+    * shuffle on token to join the model (the model is vocabulary-sized,
+    * so it is NEVER broadcast — at 100 TB the vocab alone outgrows an
+    * executor) → re-group on doc_id. Three shuffles, each keyed on a
+    * high-cardinality column; no driver-side state.
+    */
+  def docSurprisal(docs: DataFrame): DataFrame = {
+    val docTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("k"))
+    val vocab = docTok.groupBy("w").agg(sum(col("k")).as("c"))
+    val n = vocab.agg(sum(col("c")).as("n"))
+    val model = vocab.crossJoin(broadcast(n))
+      .select(col("w"),
+        (length(bin(intDiv(col("n"), col("c")))) - 1).cast("long").as("s"))
+    docTok.join(model, Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("k") * col("s")).as("surprisal_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_bits"),
+        (col("surprisal_bits").cast("double") / col("n_tokens").cast("double"))
+          .as("bits_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[docSurprisal]] — identical integer floor-log₂
+    * model and per-document sums.
+    */
+  def docSurprisalSql(): String =
+    s"""su_dt AS (
+       |  SELECT doc_id, w, COUNT(*) AS k
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1, 2),
+       |su_v AS (SELECT w, CAST(SUM(k) AS BIGINT) AS c FROM su_dt GROUP BY 1),
+       |su_n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM su_v),
+       |su_model AS (
+       |  SELECT w, CAST(length(bin(${OracleSafe.intDivSql("n", "c")})) - 1 AS BIGINT) AS s
+       |  FROM su_v, su_n),
+       |doc_surprisal AS (
+       |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(k * s) AS BIGINT) AS surprisal_bits,
+       |         CAST(SUM(k * s) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS bits_per_token
+       |  FROM su_dt JOIN su_model USING (w)
+       |  GROUP BY doc_id)""".stripMargin
 }

@@ -227,4 +227,66 @@ class SimilaritySpec extends SparkSpec {
     assert((l1.getInt(0), l1.getLong(1), l1.getLong(2), l1.getLong(3)) == ((1, 1L, 1L, 0L)))
     assert(l1.isNullAt(4) && l1.isNullAt(5) && l1.isNullAt(6))
   }
+
+  test("pqAudit: an all-identical corpus has zero distortion and one code per subspace") {
+    val v = Array(0.1f, 0.2f, 0.3f, 0.4f, -0.1f, -0.2f, -0.3f, -0.4f)
+    val emb = (0L to 3L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val r = Similarity.pqAudit(emb, m = 4)
+      .select("subspace", "n_vecs", "codes_used", "total_sqerr")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(r.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(r.forall { case (_, n, used, err) => n == 4L && used == 1L && err == 0L })
+  }
+
+  test("pqAudit: distortion is bounded by assigning to ANY seed (audit never inflates)") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    // n = 4 -> cent_mod = 2 -> seeds {0, 2}; with m = 2 each subspace has
+    // 2 codewords; every vector's sqerr must be <= its distance to seed 0
+    val total = Similarity.pqAudit(emb, m = 2)
+      .agg(sum("total_sqerr")).as[Long].head()
+    // distance of each vector to seed 0 summed over both subspaces
+    // (vec 0: 0; vec 1: 2e8; vec 2: 0; vec 3: 0.5e8 * ... ) — the audit's
+    // argmin can only be tighter than this fixed assignment
+    assert(total >= 0L)
+    val q = 10000L
+    val worst = // sum over vecs of ||x - seed0||^2, exact on the grid
+      (0L + // vec 0 is seed 0
+        (q * q * 2) + // vec 1 vs seed 0: two dims differ by 1.0
+        0L + // vec 2 is seed 2 (exact)
+        4 * (q / 2) * (q / 2)) // vec 3: four dims differ by 0.5
+    assert(total <= worst)
+  }
+
+  test("kcenterCoreset: greedy picks the farthest point; radii never increase") {
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(1.0f, 1.0f)),
+      (2L, Array(0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.kcenterCoreset(emb, k = 3)
+      .select("step", "center_id", "radius").as[(Int, Long, Long)].collect()
+    assert(r.map(_._2).toSeq == Seq(0L, 1L, 2L),
+      "start at min id, then the far corner, then the leftover")
+    assert(r.map(_._3).toSeq == r.map(_._3).sorted.reverse.toSeq,
+      "coverage radius must be non-increasing")
+    assert(r.last._3 == 0L, "after k = n centers every point is covered exactly")
+  }
+
+  test("gramAudit: exact second moments and covariance numerators on a known frame") {
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f)),
+      (1L, Array(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.gramAudit(emb)
+      .select("i", "j", "second_moment", "cov_num")
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    // q = [10000, 20000], [30000, 40000]
+    val e8 = 100000000L
+    assert(r == Seq(
+      (1, 1, 10 * e8, 2 * 10 * e8 - 40000L * 40000L),
+      (1, 2, 14 * e8, 2 * 14 * e8 - 40000L * 60000L),
+      (2, 2, 20 * e8, 2 * 20 * e8 - 60000L * 60000L)))
+  }
 }

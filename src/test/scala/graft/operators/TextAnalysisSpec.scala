@@ -171,4 +171,22 @@ class TextAnalysisSpec extends SparkSpec {
       .map { case (t, e, _, _) => t -> e }.toMap
     assert(audit == Map("a" -> 4L, "b" -> 2L, "c" -> 3L, "d" -> 1L))
   }
+
+  test("docSurprisal: integer floor-log2 unigram bits on a hand-computed corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // N = 5; c(a) = 3 -> floor(log2(5 div 3 = 1)) = 0 bits;
+    // c(b) = c(c) = 1 -> floor(log2(5)) = 2 bits
+    val r = TextAnalysis.docSurprisal(docs)
+      .select("doc_id", "n_tokens", "surprisal_bits", "bits_per_token")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 3L, 2L, 2.0 / 3.0), (2L, 2L, 2L, 1.0)))
+  }
+
+  test("docSurprisal: rarer tokens always cost at least as many bits") {
+    val docs = graft.sources.TestData.documents(spark, sf).limit(50)
+    val r = TextAnalysis.docSurprisal(docs)
+      .agg(min("bits_per_token"), max("bits_per_token"))
+      .as[(Double, Double)].head()
+    assert(r._1 >= 0.0 && r._2 >= r._1)
+  }
 }

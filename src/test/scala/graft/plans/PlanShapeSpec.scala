@@ -72,7 +72,11 @@ class PlanShapeSpec extends SparkSpec {
         // global-scalar, Q8 market share
         "q175_order_count_distribution", "q176_small_quantity_revenue",
         "q177_blocking_supplier", "q178_important_parts",
-        "q179_market_share")) {
+        "q179_market_share",
+        // round-9 pipeline ops: PQ codebook join, k-center 1-row rounds,
+        // surprisal model join, gram moment joins
+        "q180_pq_audit", "q181_kcenter_coreset", "q182_doc_surprisal",
+        "q183_gram_audit")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
@@ -226,6 +230,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(finalSection.contains("BroadcastHashJoin"),
       "supplier-nation and the regional customer set must broadcast")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q180: the PQ codebook broadcasts; encoding argmin is the bounded-heap operator") {
+    val p = finalPlan("q180_pq_audit")
+    assert(p.contains("BroadcastHashJoin"),
+      "the O(sqrt n) per-subspace codebook must broadcast into the encode pass")
+    assert(p.contains("TopKPerKey"),
+      "the per-(vector, subspace) argmin must be the bounded-heap operator")
+  }
+
+  test("q182: the unigram model joins on the token key, never a cartesian") {
+    val p = finalPlan("q182_doc_surprisal")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"),
+      "(doc, token) counts must combine map-side before the model join")
   }
 
   test("a ym filter on the warehouse fact prunes partitions at the scan") {
