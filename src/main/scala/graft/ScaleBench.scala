@@ -91,7 +91,20 @@ object ScaleBench {
     // temperature mix (bounded-heap picks + |strata|-row plan)
     "q171_quiet_parts", "q172_stream_outer_join", "q173_temperature_mix",
     // Q15 argmax: scan-pushed quarter window, 1-row max broadcast
-    "q174_top_supplier")
+    "q174_top_supplier",
+    // round-9 TPC-H shapes: outer count-of-counts (output is the
+    // order-count histogram — fixed-size while inputs grow), the
+    // aggregate-join-back (per-part stats grow with parts, not lines),
+    // the semi+anti self-join pair (keyed on order — per-order groups
+    // stay constant-size per copy), the having-over-total (value table
+    // per part), and the market share (year-grain output)
+    "q175_order_count_distribution", "q176_small_quantity_revenue",
+    "q177_blocking_supplier", "q178_important_parts", "q179_market_share",
+    // round-9 pipeline ops: PQ (n·√n·(dim/m) encode), k-center (k linear
+    // passes), surprisal (vocab-keyed model join — vocab ×10 under the
+    // salted corpus), gram (n·d² with map-side collapse to d(d+1)/2 keys)
+    "q180_pq_audit", "q181_kcenter_coreset", "q182_doc_surprisal",
+    "q183_gram_audit")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

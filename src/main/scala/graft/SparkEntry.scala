@@ -1101,6 +1101,42 @@ object SparkEntry {
     "q183_gram_audit" -> { (s, dir) =>
       Similarity.gramAudit(TestData.embeddings(s, dir))
     },
+    // TPC-H Q20 shape (nested aggregate → semi-join chain): suppliers
+    // holding more than 1/8 of a promo part's total flow (the fraction is
+    // chosen to make the predicate selective-but-nonempty at every SF). Two-level
+    // aggregation on the same fact (pair grain, then part grain), the
+    // part-grain frame broadcast back onto the pair grain, and the
+    // distinct qualifying suppliers semi-join into the supplier dim.
+    "q184_excess_stock_suppliers" -> { (s, dir) =>
+      val promo = TestData.part(s, dir)
+        .filter(col("p_type") === "PROMO").select("p_partkey")
+      val li = TestData.lineitem(s, dir)
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"))
+      val perPair = li.groupBy("l_partkey", "l_suppkey")
+        .agg(sum("qty").as("qty_sp"))
+      val perPart = perPair.groupBy("l_partkey").agg(sum("qty_sp").as("qty_p"))
+      val excess = perPair.join(broadcast(perPart), Seq("l_partkey"))
+        .filter(col("qty_sp") * 8L > col("qty_p"))
+        .select("l_suppkey").distinct()
+      TestData.supplier(s, dir)
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(TestData.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy("s_suppkey")
+    },
+    // Zone-map pruning audit: measured data-skipping benefit of the
+    // natural key-range layout vs a date-clustered layout, per predicate.
+    "q185_zonemap_audit" -> { (s, dir) =>
+      Planning.zoneMapAudit(TestData.lineitem(s, dir))
+    },
+    // CDC apply: insert/update/delete log folded to final state by ONE
+    // struct-max aggregate (no window, no sort) with tombstone semantics.
+    "q186_cdc_apply" -> { (s, dir) =>
+      Scd.cdcApply(TestData.events(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2245,6 +2281,36 @@ object SparkEntry {
       s"""WITH ${Similarity.gramAuditSql}
           SELECT i, j, second_moment, cov_num
           FROM gram_audit ORDER BY i, j""",
+
+    "q184_excess_stock_suppliers" ->
+      s"""WITH es_li AS (
+            SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type = 'PROMO'),
+          es_sp AS (
+            SELECT l_partkey, l_suppkey, CAST(SUM(qty) AS BIGINT) AS qty_sp
+            FROM es_li GROUP BY 1, 2),
+          es_p AS (
+            SELECT l_partkey, CAST(SUM(qty_sp) AS BIGINT) AS qty_p
+            FROM es_sp GROUP BY 1),
+          es_s AS (
+            SELECT DISTINCT l_suppkey
+            FROM es_sp JOIN es_p USING (l_partkey)
+            WHERE qty_sp * 8 > qty_p)
+          SELECT s_suppkey, s_name, n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          WHERE s_suppkey IN (SELECT l_suppkey FROM es_s)
+          ORDER BY s_suppkey""",
+
+    "q185_zonemap_audit" ->
+      s"""WITH ${Planning.zoneMapAuditSql()}
+          SELECT layout, pred_id, n_zones, zones_skipped, rows_skipped, skip_ratio
+          FROM zone_map_audit ORDER BY layout, pred_id""",
+
+    "q186_cdc_apply" ->
+      s"""WITH ${Scd.cdcApplySql()}
+          SELECT user_id, n_ops, last_op, deleted, final_value
+          FROM cdc_apply ORDER BY user_id""",
 
     "q171_quiet_parts" ->
       s"""WITH qp_s AS (

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.OracleSafe
+
 /** Execution-planning operators: profiles and sketches whose OUTPUT is a
   * planning decision (how to salt a shuffle, how big a join will be), not
   * an analytics answer. At 100 TB these run as cheap pre-passes — a
@@ -389,5 +391,91 @@ object Planning {
        |                       - CAST(e.n_inter AS DOUBLE)) / CAST(e.n_inter AS DOUBLE) END
        |           AS rel_err
        |  FROM ov_exact e, ov_stats s)""".stripMargin
+  }
+
+  /** Shared predicate set for the zone-map audit — one definition, both
+    * engines (id, half-open [lo, hi) shipdate window).
+    */
+  private val zonePreds: Seq[(String, String, String)] = Seq(
+    ("p1996", "1996-01-01", "1997-01-01"),
+    ("p1998h1", "1998-01-01", "1998-07-01"),
+    ("p2001h2", "2001-06-01", "2002-01-01"))
+
+  /** Zone-map (min/max statistics) pruning audit — the "should this table
+    * be date-clustered?" planning measurement. Parquet/ORC row groups,
+    * Delta/Iceberg file stats, and Spark's own dynamic file pruning all
+    * skip a block when its [min, max] misses the predicate; how much that
+    * buys depends entirely on whether the LAYOUT correlates with the
+    * predicate column. This audit computes the zone maps for two layouts
+    * of the same fact — `key_range` (blocks of `zoneKeys` consecutive
+    * order keys: the natural insert order) and `date_cluster` (blocks by
+    * ship month: what a z-order/cluster-by rewrite would produce) — and
+    * reports, per canonical date predicate, how many zones and rows each
+    * layout would skip. The gap between the two skip ratios is the
+    * measured value of re-clustering (cf. [[ZOrder]], which performs it).
+    *
+    * Cost: two map-side-combinable aggregates over the fact (zone counts
+    * are bounded: keys/zoneKeys and #months), a broadcast of the 3-row
+    * predicate frame, and a zones×preds aggregate — nothing scales with
+    * row count past the first pass. Min/max/counts are exact; the only
+    * float is the final skip ratio (one division per output row).
+    */
+  def zoneMapAudit(lineitem: DataFrame, zoneKeys: Long = 1000L): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val rows = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    def zones(tag: String, zone: Column): DataFrame =
+      rows.groupBy(zone.cast("long").as("zone"))
+        .agg(min(col("l_shipdate")).as("zmin"), max(col("l_shipdate")).as("zmax"),
+          count(lit(1)).as("zn"))
+        .select(lit(tag).as("layout"), col("zone"), col("zmin"), col("zmax"), col("zn"))
+    val zmaps = zones("key_range", OracleSafe.intDiv(col("l_orderkey"), lit(zoneKeys)))
+      .unionByName(zones("date_cluster",
+        year(col("l_shipdate")) * 12 + month(col("l_shipdate"))))
+    val preds = zonePreds.toDF("pred_id", "lo_s", "hi_s")
+      .select(col("pred_id"), col("lo_s").cast("timestamp_ntz").as("lo"),
+        col("hi_s").cast("timestamp_ntz").as("hi"))
+    val skip = col("zmax") < col("lo") || col("zmin") >= col("hi")
+    zmaps.crossJoin(broadcast(preds))
+      .groupBy("layout", "pred_id")
+      .agg(count(lit(1)).as("n_zones"),
+        sum(when(skip, 1L).otherwise(0L)).as("zones_skipped"),
+        sum(when(skip, col("zn")).otherwise(0L)).as("rows_skipped"),
+        sum(col("zn")).as("n_rows"))
+      .select(col("layout"), col("pred_id"), col("n_zones"), col("zones_skipped"),
+        col("rows_skipped"),
+        (col("rows_skipped").cast("double") / col("n_rows").cast("double"))
+          .as("skip_ratio"))
+      .orderBy("layout", "pred_id")
+  }
+
+  /** DuckDB twin of [[zoneMapAudit]] — identical zone derivations and
+    * skip predicate.
+    */
+  def zoneMapAuditSql(zoneKeys: Long = 1000L): String = {
+    val predRows = zonePreds.map { case (id, lo, hi) =>
+      s"('$id', TIMESTAMP '$lo', TIMESTAMP '$hi')"
+    }.mkString(", ")
+    s"""zm_a AS (
+       |  SELECT 'key_range' AS layout,
+       |         ${OracleSafe.intDivSql("l_orderkey", zoneKeys.toString)} AS zone,
+       |         MIN(l_shipdate) AS zmin, MAX(l_shipdate) AS zmax, COUNT(*) AS zn
+       |  FROM lineitem GROUP BY 2),
+       |zm_b AS (
+       |  SELECT 'date_cluster' AS layout,
+       |         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS zone,
+       |         MIN(l_shipdate) AS zmin, MAX(l_shipdate) AS zmax, COUNT(*) AS zn
+       |  FROM lineitem GROUP BY 2),
+       |zm AS (SELECT * FROM zm_a UNION ALL SELECT * FROM zm_b),
+       |zm_p(pred_id, lo, hi) AS (VALUES $predRows),
+       |zone_map_audit AS (
+       |  SELECT layout, pred_id, COUNT(*) AS n_zones,
+       |         CAST(SUM(CASE WHEN zmax < lo OR zmin >= hi THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS zones_skipped,
+       |         CAST(SUM(CASE WHEN zmax < lo OR zmin >= hi THEN zn ELSE 0 END)
+       |           AS BIGINT) AS rows_skipped,
+       |         CAST(SUM(CASE WHEN zmax < lo OR zmin >= hi THEN zn ELSE 0 END)
+       |           AS DOUBLE) / CAST(SUM(zn) AS DOUBLE) AS skip_ratio
+       |  FROM zm, zm_p GROUP BY 1, 2)""".stripMargin
   }
 }

@@ -103,4 +103,26 @@ class PlanningSpec extends SparkSpec {
     val r3 = Planning.joinAdvisor(Seq("tiny" -> tiny), broadcastBytes = 0).collect().head
     assert(r3.getAs[String]("strategy") == "shuffle")
   }
+
+  test("zoneMapAudit: date clustering skips what an uncorrelated key layout cannot") {
+    // 24 rows over months 1996-01..1997-12, permuted so each key-range
+    // zone (12 keys) spans BOTH years — the natural-layout zone maps can
+    // prune nothing for the 1996 predicate, while month zones prune 1997
+    val rows = (0 until 24).map(i => (i.toLong, (i * 7) % 24))
+      .toDF("l_orderkey", "m")
+      .select(col("l_orderkey"),
+        add_months(lit("1996-01-01").cast("date"), col("m"))
+          .cast("timestamp_ntz").as("l_shipdate"))
+    val r = Planning.zoneMapAudit(rows, zoneKeys = 12L)
+      .filter(col("pred_id") === "p1996")
+      .select("layout", "n_zones", "zones_skipped", "rows_skipped", "skip_ratio")
+      .as[(String, Long, Long, Long, Double)].collect().toMap2
+    assert(r("key_range") == ((2L, 0L, 0L, 0.0)))
+    assert(r("date_cluster") == ((24L, 12L, 12L, 0.5)))
+  }
+
+  private implicit class Tup5Map(rows: Array[(String, Long, Long, Long, Double)]) {
+    def toMap2: Map[String, (Long, Long, Long, Double)] =
+      rows.map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+  }
 }

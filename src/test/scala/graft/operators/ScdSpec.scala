@@ -68,4 +68,34 @@ class ScdSpec extends SparkSpec {
       .as[(Long, String, Option[String])].collect()
     assert(r.toSeq == Seq((1L, "update", Some("y")), (2L, "update", None)))
   }
+
+  private def cdcLog(rows: (Long, String, Long, String, Double)*) =
+    rows.toSeq.toDF("user_id", "ts_s", "event_id", "event_type", "value")
+      .select(col("user_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+
+  test("cdcApply: a trailing tombstone deletes; a later upsert resurrects") {
+    val log = cdcLog(
+      (1L, "2026-01-01 10:00:00", 1L, "signup", 10.0),
+      (1L, "2026-01-01 11:00:00", 2L, "purchase", 20.0),
+      (1L, "2026-01-01 12:00:00", 3L, "error", 0.0),     // dies deleted
+      (2L, "2026-01-01 10:00:00", 4L, "signup", 5.0),
+      (2L, "2026-01-01 11:00:00", 5L, "error", 0.0),
+      (2L, "2026-01-01 12:00:00", 6L, "purchase", 30.0)) // resurrected
+    val r = Scd.cdcApply(log)
+      .select("user_id", "n_ops", "last_op", "deleted", "final_value")
+      .as[(Long, Long, String, Int, Option[Double])].collect().toSeq
+    assert(r == Seq(
+      (1L, 3L, "D", 1, None),
+      (2L, 3L, "U", 0, Some(30.0))))
+  }
+
+  test("cdcApply: timestamp ties break on event_id — the higher id wins") {
+    val log = cdcLog(
+      (7L, "2026-01-01 10:00:00", 5L, "view", 1.0),
+      (7L, "2026-01-01 10:00:00", 9L, "view", 2.0))
+    val r = Scd.cdcApply(log)
+      .select("last_op", "final_value").as[(String, Option[Double])].head()
+    assert(r == (("U", Some(2.0))))
+  }
 }

@@ -76,7 +76,11 @@ class PlanShapeSpec extends SparkSpec {
         // round-9 pipeline ops: PQ codebook join, k-center 1-row rounds,
         // surprisal model join, gram moment joins
         "q180_pq_audit", "q181_kcenter_coreset", "q182_doc_surprisal",
-        "q183_gram_audit")) {
+        "q183_gram_audit",
+        // round-9 late additions: Q20 nested-aggregate semi chain, the
+        // zone-map audit (3-row predicate broadcast), CDC struct-max fold
+        "q184_excess_stock_suppliers", "q185_zonemap_audit",
+        "q186_cdc_apply")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
@@ -245,6 +249,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("HashAggregate"),
       "(doc, token) counts must combine map-side before the model join")
+  }
+
+  test("q186: CDC apply folds in one aggregate — no window, no sort before the fold") {
+    val p = finalPlan("q186_cdc_apply")
+    assert(!p.contains("Window"),
+      "last-write-wins must be the struct-max aggregate, not a row_number window")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      "the fold must be an aggregate with map-side partials")
   }
 
   test("a ym filter on the warehouse fact prunes partitions at the scan") {
