@@ -104,7 +104,14 @@ object ScaleBench {
     // passes), surprisal (vocab-keyed model join — vocab ×10 under the
     // salted corpus), gram (n·d² with map-side collapse to d(d+1)/2 keys)
     "q180_pq_audit", "q181_kcenter_coreset", "q182_doc_surprisal",
-    "q183_gram_audit")
+    "q183_gram_audit",
+    // late round-9: Q20 nested-aggregate semi chain, the zone-map audit
+    // (bounded zone tables), the CDC struct-max fold (one aggregate),
+    // the checkpoint-resume stream (two-run micro-batch floor), Q19
+    // disjunctive residual, Q2 argmin-per-key, assortativity moments
+    "q184_excess_stock_suppliers", "q185_zonemap_audit", "q186_cdc_apply",
+    "q187_stream_checkpoint_resume", "q188_disjunctive_bands",
+    "q189_cheapest_supplier", "q190_degree_assortativity")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

@@ -1137,6 +1137,59 @@ object SparkEntry {
     "q186_cdc_apply" -> { (s, dir) =>
       Scd.cdcApply(TestData.events(s, dir))
     },
+    // Exactly-once checkpoint resume: two streaming runs, one checkpoint,
+    // one durable sink — hash-equality with the batch aggregate IS the
+    // restart-safety proof (any re-ingested file would double-count).
+    "q187_stream_checkpoint_resume" -> { (s, dir) =>
+      EventStream.checkpointResume(s, dir)
+    },
+    // TPC-H Q19 shape (disjunctive residual on an equi join): three
+    // OR'd brand/size/quantity bands — the join must stay a hash join on
+    // l_partkey with the OR evaluated as a residual, never a nested loop.
+    "q188_disjunctive_bands" -> { (s, dir) =>
+      val li = TestData.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val pt = TestData.part(s, dir).select("p_partkey", "p_brand", "p_size")
+      def band(brand: String, sizeHi: Int, qLo: Long, qHi: Long) =
+        col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+          col("qty").between(qLo, qHi)
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey") &&
+          (band("Brand#12", 15, 1L, 11L) || band("Brand#23", 25, 10L, 20L)
+            || band("Brand#34", 35, 20L, 30L)))
+        .agg(moneyOut(sum(col("rev")).cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    // TPC-H Q2 shape (argmin-per-key join-back): the cheapest EUROPE
+    // supplier per part by exact micro-cent unit price, picked by ONE
+    // struct-min aggregate (no window), ties to the smallest suppkey.
+    "q189_cheapest_supplier" -> { (s, dir) =>
+      val eur = TestData.supplier(s, dir)
+        .join(broadcast(TestData.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(TestData.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+      val li = TestData.lineitem(s, dir)
+        .join(broadcast(eur.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("l_partkey"),
+          intDiv(quant(col("l_extendedprice"), 100) * lit(1000000L),
+            col("l_quantity").cast("long")).as("unit"),
+          col("l_suppkey"))
+      li.groupBy("l_partkey")
+        .agg(min(struct(col("unit"), col("l_suppkey"))).as("best"))
+        .select(col("l_partkey").as("partkey"),
+          col("best.l_suppkey").as("suppkey"),
+          col("best.unit").as("unit_microcents"))
+        .join(broadcast(eur), col("suppkey") === col("s_suppkey"))
+        .select("partkey", "suppkey", "s_name", "unit_microcents")
+        .orderBy("partkey")
+    },
+    // Degree assortativity of the near-dup candidate graph: one exact
+    // integer-moment aggregate, one float correlation at the edge.
+    "q190_degree_assortativity" -> { (s, dir) =>
+      Graph.degreeAssortativity(TestData.documents(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2312,6 +2365,49 @@ object SparkEntry {
           SELECT user_id, n_ops, last_op, deleted, final_value
           FROM cdc_apply ORDER BY user_id""",
 
+    "q188_disjunctive_bands" ->
+      s"""SELECT ${moneyOutSql("CAST(SUM(rev) AS DECIMAL(18,2))")} AS revenue,
+                 COUNT(*) AS n_lines
+          FROM (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                       ${moneySql("l_extendedprice * (1 - l_discount)")} AS rev
+                FROM lineitem) db_li
+          JOIN part ON l_partkey = p_partkey AND (
+               (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                  AND qty BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                  AND qty BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                  AND qty BETWEEN 20 AND 30))""",
+
+    "q189_cheapest_supplier" ->
+      s"""WITH ch_eur AS (
+            SELECT s_suppkey, s_name FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+          ch_li AS (
+            SELECT l_partkey,
+                   ${intDivSql(
+                     s"${quantSql("l_extendedprice", 100)} * 1000000",
+                     "CAST(l_quantity AS BIGINT)")} AS unit,
+                   l_suppkey
+            FROM lineitem
+            WHERE l_suppkey IN (SELECT s_suppkey FROM ch_eur)),
+          ch_best AS (
+            SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                   unit AS unit_microcents
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                    ORDER BY unit, l_suppkey) AS rn FROM ch_li) t
+            WHERE rn = 1)
+          SELECT partkey, suppkey, s_name, unit_microcents
+          FROM ch_best JOIN ch_eur ON suppkey = s_suppkey
+          ORDER BY partkey""",
+
+    "q190_degree_assortativity" ->
+      s"""WITH ${Graph.degreeAssortativitySql()}
+          SELECT m, sx, sy, sxy, sxx, syy, assortativity
+          FROM degree_assortativity""",
+
     "q171_quiet_parts" ->
       s"""WITH qp_s AS (
             SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
@@ -2819,6 +2915,9 @@ object SparkEntry {
           ORDER BY user_id""",
 
     "q64_stream_tumbling" -> EventStream.tumblingHourlySql,
+
+    // the resumed two-run stream must equal the one-shot batch aggregate
+    "q187_stream_checkpoint_resume" -> EventStream.tumblingHourlySql,
 
     "q67_stream_static_join" ->
       """SELECT 'c' || CAST(user_id % 4 AS VARCHAR) AS cohort, event_type,

@@ -233,6 +233,88 @@ object Graph {
   /** DuckDB twin of [[pagerank]] — the same unrolled rounds as chained
     * CTEs; embed after `WITH ` and select from `pagerank`.
     */
+  /** Degree assortativity of the LSH candidate graph — the Pearson
+    * correlation of endpoint degrees over edges (Newman 2002, "Assortative
+    * mixing in networks", PRL 89). Positive: hubs link hubs (a clique-y
+    * near-dup family structure); negative: hubs link leaves (template-and-
+    * variants). A pipeline reads this one number to know whether breaking
+    * up dup families will shatter the graph or just trim leaves.
+    *
+    * Exactness: all six moments (m, Σx, Σy, Σxy, Σx², Σy²) are BIGINT
+    * sums of integer degrees — order-independent — and the correlation is
+    * assembled from them with two IEEE sqrt's and one division on
+    * identical inputs, so both engines emit the identical double. The
+    * symmetric edge list makes x/y moments equal by construction; both are
+    * still computed and emitted as a self-check. Degenerate zero-variance
+    * graphs yield NULL identically. Intermediates stay in BIGINT while
+    * m·deg⁴ < 2⁶³ — beyond that the same plan runs on DECIMAL(38,0).
+    *
+    * Plan: the edge list and per-vertex degrees are the q122 frames; two
+    * vertex-keyed joins attach endpoint degrees and ONE map-side-
+    * combinable aggregate produces the single output row.
+    */
+  def degreeAssortativity(docs: DataFrame,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    assortativityFromPairs(Dedup.lshCandidates(docs, numHashes, rowsPerBand)
+      .select("doc_a", "doc_b"))
+
+  /** [[degreeAssortativity]] from an explicit undirected pair list
+    * (doc_a, doc_b) — split out so specs can pin the moments on
+    * constructed graphs.
+    */
+  private[graft] def assortativityFromPairs(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ends = edges
+      .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .select("dx", "dy")
+    val mom = ends.agg(count(lit(1)).as("m"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val varx = col("m") * col("sxx") - col("sx") * col("sx")
+    val vary = col("m") * col("syy") - col("sy") * col("sy")
+    mom.select(col("m"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+      when(varx > 0 && vary > 0,
+        (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt(varx.cast("double")) * sqrt(vary.cast("double"))))
+        .as("assortativity"))
+  }
+
+  /** DuckDB twin of [[degreeAssortativity]] — identical integer moments
+    * and float assembly.
+    */
+  def degreeAssortativitySql(numHashes: Int = 16, rowsPerBand: Int = 4): String =
+    s"""${Dedup.lshCandidatesSql(numHashes, rowsPerBand)},
+       |da_edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs),
+       |da_deg AS (SELECT src, COUNT(*) AS deg FROM da_edges GROUP BY src),
+       |da_ends AS (
+       |  SELECT a.deg AS dx, b.deg AS dy
+       |  FROM da_edges e
+       |  JOIN da_deg a ON e.src = a.src
+       |  JOIN da_deg b ON e.dst = b.src),
+       |da_mom AS (
+       |  SELECT COUNT(*) AS m,
+       |         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+       |         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+       |         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+       |         CAST(SUM(dy * dy) AS BIGINT) AS syy
+       |  FROM da_ends),
+       |degree_assortativity AS (
+       |  SELECT m, sx, sy, sxy, sxx, syy,
+       |         CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+       |              THEN CAST(m * sxy - sx * sy AS DOUBLE)
+       |                   / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+       |                      * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+       |         END AS assortativity
+       |  FROM da_mom)""".stripMargin
+
   def pagerankSql(iters: Int = 5,
       numHashes: Int = 16, rowsPerBand: Int = 4): String =
     s"""${prSqlPrelude(iters, numHashes, rowsPerBand)},

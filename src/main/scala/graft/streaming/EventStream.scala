@@ -485,6 +485,108 @@ object EventStream {
        |GROUP BY c.user_id
        |ORDER BY c.user_id""".stripMargin
 
+  /** Exactly-once CHECKPOINT RESUME: the same windowed aggregation run as
+    * TWO separate streaming queries against one checkpoint — the first
+    * over the early half of the stream, stopped, then a brand-new query
+    * (same plan, same checkpoint, same durable parquet sink) over the
+    * directory after the late half lands. The file source's offset log
+    * makes the second run ingest ONLY the new files; re-processing any
+    * chunk-1 file would double-count its windows and break the batch
+    * oracle equality — so hash-matching the plain GROUP BY is the
+    * restart-safety proof. This is the operational core of every
+    * production stream: processes die, and the checkpoint is what makes
+    * the restart invisible.
+    *
+    * Mechanics: the split point is the stream's time midpoint, so run 2's
+    * restored watermark (chunk-1 max − 1 h) never classifies a chunk-2
+    * row late. Each chunk is ONE file (`maxFilesPerTrigger=1`, mtime
+    * order) so the watermark can't outrun unprocessed same-run files.
+    * Two far-future sentinel rows (reserved event_id −1, filtered after
+    * the watermark node) ride at the end of run 2: the first advances the
+    * watermark past every real window, the second drives the eviction
+    * micro-batch that append-emits them — the [[clickViewOuter]]
+    * punctuation pattern.
+    */
+  def checkpointResume(spark: SparkSession, dir: String): DataFrame =
+    checkpointResumeWithMetrics(spark, dir)._1
+
+  def checkpointResumeWithMetrics(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+      withStatePartitions(spark, 8) {
+    val ev = graft.sources.TestData.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts").as("tstamp"),
+        col("ts_ns"), col("value"))
+    val mm = ev.agg(min("ts_ns").as("lo"), max("ts_ns").as("hi")).head()
+    val midNs = mm.getLong(0) / 2 + mm.getLong(1) / 2
+    val base = java.nio.file.Files.createTempDirectory("graft-ckresume").toString
+    val (src, sink, ck) = (s"$base/src", s"$base/sink", s"$base/ck")
+
+    // one file per write, mtimes strictly increasing → deterministic
+    // single-file micro-batches in arrival order
+    var mtime = (System.currentTimeMillis() / 60000L) * 60000L
+    def writeChunk(df: DataFrame): Unit = {
+      val before = Option(new java.io.File(src).listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+      df.coalesce(1).write.mode("append").parquet(src)
+      mtime += 1000L
+      new java.io.File(src).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(f => { f.setLastModified(mtime); () })
+    }
+
+    val allProgress = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      // no pre-aggregation filter: a predicate on a non-event-time column
+      // would be PUSHED BELOW the EventTimeWatermark node by Catalyst, and
+      // filtered sentinels would never advance the watermark (observed:
+      // watermark stuck at real-max − 1 h). The sentinels therefore flow
+      // into the aggregation as their own far-future 'sentinel' groups and
+      // are dropped batch-side when the sink is read.
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("tstamp", "1 hour")
+        .groupBy(window(col("tstamp"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast("decimal(18,2)").cast("double")
+            .as("total_value"))
+        .select(col("w.start").as("hour"), col("event_type"), col("n"),
+          col("total_value"))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      allProgress ++= q.recentProgress
+    }
+
+    writeChunk(ev.filter(col("ts_ns") <= midNs))
+    runOnce() // run 1: early half only, then the "process dies"
+
+    writeChunk(ev.filter(col("ts_ns") > midNs))
+    // the sentinel's tstamp must carry the SAME parquet type as the real
+    // rows (TIMESTAMP vs TIMESTAMP_NTZ differ at the file level, and a
+    // mixed directory breaks the stream's schema resolution)
+    def sentinel(tsLit: String) = ev.limit(1).select(
+      lit(-1L).as("event_id"), lit("sentinel").as("event_type"),
+      lit(tsLit).cast(ev.schema("tstamp").dataType).as("tstamp"),
+      lit(Long.MaxValue).as("ts_ns"), lit(0.0).as("value"))
+    writeChunk(sentinel("2030-01-01 00:00:00"))
+    writeChunk(sentinel("2030-01-02 00:00:00"))
+    runOnce() // run 2: resumed from the checkpoint, new files only
+
+    (spark.read.parquet(sink)
+      .filter(col("event_type") =!= "sentinel")
+      .orderBy("hour", "event_type"),
+      allProgress.toSeq)
+  }
+
   val tumblingHourlySql: String =
     s"""SELECT date_trunc('hour', ts) AS hour, event_type,
        |       COUNT(*) AS n,

@@ -147,4 +147,16 @@ class GraphSpec extends SparkSpec {
       .collect().map(row => (row.getLong(0), row.getLong(1))).toMap
     assert(full(1L) == 1L && full(100L) == 1L)
   }
+
+  test("assortativity: a perfect star is exactly -1; a clique has no variance (NULL)") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val r = Graph.assortativityFromPairs(star)
+      .select("m", "sx", "sxy", "sxx", "assortativity").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 12L)
+    assert(r.getLong(2) == 18L && r.getLong(3) == 30L)
+    assert(r.getDouble(4) == -1.0)
+    // triangle: all degrees 2 -> zero variance -> NULL, not NaN
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    assert(Graph.assortativityFromPairs(tri).head().isNullAt(6))
+  }
 }

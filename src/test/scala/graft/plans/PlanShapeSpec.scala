@@ -80,7 +80,11 @@ class PlanShapeSpec extends SparkSpec {
         // round-9 late additions: Q20 nested-aggregate semi chain, the
         // zone-map audit (3-row predicate broadcast), CDC struct-max fold
         "q184_excess_stock_suppliers", "q185_zonemap_audit",
-        "q186_cdc_apply")) {
+        "q186_cdc_apply",
+        // Q19 disjunctive residual, Q2 argmin join-back, assortativity
+        // (q187 streaming excluded like the rest of the streaming tier)
+        "q188_disjunctive_bands", "q189_cheapest_supplier",
+        "q190_degree_assortativity")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
@@ -257,6 +261,24 @@ class PlanShapeSpec extends SparkSpec {
       "last-write-wins must be the struct-max aggregate, not a row_number window")
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
       "the fold must be an aggregate with map-side partials")
+  }
+
+  test("q188: the OR bands stay a residual on the hash join, never a nested loop") {
+    val p = finalPlan("q188_disjunctive_bands")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "the part dim must broadcast with the disjunction as a join residual")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the equi key must survive the OR bands")
+  }
+
+  test("q189: argmin-per-part is one aggregate — no window over the fact") {
+    val p = finalPlan("q189_cheapest_supplier")
+    assert(!p.contains("Window"),
+      "the per-part minimum must be the struct-min aggregate, not row_number")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "the regional supplier set must broadcast into the fact")
   }
 
   test("a ym filter on the warehouse fact prunes partitions at the scan") {

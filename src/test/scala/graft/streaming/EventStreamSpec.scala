@@ -115,4 +115,25 @@ class EventStreamSpec extends SparkSpec {
     assert(stateRows < total,
       s"state ($stateRows of $total ids) must show eviction, not full retention")
   }
+
+  test("checkpoint resume: two runs ingest every row exactly once and equal the batch agg") {
+    import org.apache.spark.sql.functions._
+    val (result, progress) = EventStream.checkpointResumeWithMetrics(spark, sf)
+
+    // exactly-once ingestion across the restart: total source rows over
+    // BOTH runs = real events + the two sentinels; any chunk re-read after
+    // the resume would show up here before it even corrupted the result
+    val total = graft.sources.TestData.events(spark, sf).count()
+    val ingested = progress.map(_.numInputRows).sum
+    assert(ingested == total + 2,
+      s"expected ${total + 2} rows ingested across both runs, got $ingested")
+
+    // and the resumed result equals the one-shot batch aggregate
+    val batch = graft.sources.TestData.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val streamed = result.select("hour", "event_type", "n")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch.select("hour", "event_type", "n")).count() == 0)
+  }
 }
