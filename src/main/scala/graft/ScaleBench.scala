@@ -111,7 +111,15 @@ object ScaleBench {
     // disjunctive residual, Q2 argmin-per-key, assortativity moments
     "q184_excess_stock_suppliers", "q185_zonemap_audit", "q186_cdc_apply",
     "q187_stream_checkpoint_resume", "q188_disjunctive_bands",
-    "q189_cheapest_supplier", "q190_degree_assortativity")
+    "q189_cheapest_supplier", "q190_degree_assortativity",
+    // round-9 TPC-H shapes, second batch: the Q4 semi (output fixed at 5
+    // priority rows), Q7/Q9 year-grain aggregates (output fixed while
+    // inputs grow), Q10 bounded top-20, Q12 2-row conditional counts,
+    // Q14 1-row ratio, and Q16 (grows with the part dim, not the fact —
+    // the DISTINCT pair collapse is the scale claim)
+    "q191_priority_pipeline", "q192_trade_volume", "q193_product_profit",
+    "q194_returned_items", "q195_priority_linestatus", "q196_promo_revenue",
+    "q197_supplier_diversity")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

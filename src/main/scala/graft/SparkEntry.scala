@@ -1190,6 +1190,159 @@ object SparkEntry {
     "q190_degree_assortativity" -> { (s, dir) =>
       Graph.degreeAssortativity(TestData.documents(s, dir))
     },
+    // TPC-H Q4 shape (EXISTS → left-semi): order counts per priority for
+    // one quarter, kept only when at least one line of the order was
+    // returned (the testdata ships no commit/receipt dates — returnflag
+    // is the late-line stand-in). The date window pushes to the orders
+    // scan and the flag filter to the lineitem scan; the semi join
+    // carries only l_orderkey, so the shuffle moves one long column.
+    // Output is the 5-row priority histogram.
+    "q191_priority_pipeline" -> { (s, dir) =>
+      val lo = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1997-04-01 00:00:00").cast("timestamp_ntz")
+      TestData.orders(s, dir)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .join(TestData.lineitem(s, dir).filter(col("l_returnflag") === "R")
+            .select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    // TPC-H Q7 shape (two-nation trade volume): revenue flowing either
+    // direction between one nation pair, by ship year. The supplier and
+    // customer maps pre-filter to the pair and broadcast into the fact,
+    // so the "(s=A and c=B) or (s=B and c=A)" disjunction collapses to a
+    // residual supp≠cust check on two broadcast-carried strings. The only
+    // fact-scale shuffle is the orders equi-join. Output 2×|years| rows.
+    "q192_trade_volume" -> { (s, dir) =>
+      val nat = TestData.nation(s, dir)
+        .filter(col("n_name").isin("NATION_3", "NATION_7"))
+      val supp = TestData.supplier(s, dir)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = TestData.customer(s, dir)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      TestData.lineitem(s, dir)
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(TestData.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(moneyOut(sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("decimal(18,2)")).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    // TPC-H Q9 shape (product-type profit): per supplier nation per ship
+    // year, revenue minus a per-unit cost carried from the part dim (the
+    // testdata ships no partsupp — retailprice at a fixed 10% cost ratio
+    // stands in for ps_supplycost). Both cost and revenue stay cent-exact
+    // decimal until the output boundary; part and supplier-nation maps
+    // broadcast; the single fact shuffle is the (nation, year) aggregate.
+    "q193_product_profit" -> { (s, dir) =>
+      val parts = TestData.part(s, dir).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"), money(col("p_retailprice") * lit(0.1)).as("unit_cost"))
+      val suppNat = TestData.supplier(s, dir)
+        .join(broadcast(TestData.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      TestData.lineitem(s, dir)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nation"), year(col("l_shipdate")).as("o_year"))
+        .agg(moneyOut(
+          (sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            - sum(col("unit_cost") * col("l_quantity").cast("long")))
+            .cast("decimal(18,2)")).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    // TPC-H Q10 shape (returned-item reporting): per-customer revenue
+    // from returned lines in one quarter's orders, top 20. The quarter
+    // filter pushes to the orders scan and the returnflag filter to the
+    // lineitem scan; the customer dim joins AFTER the aggregate collapses
+    // the fact to customer grain. Top-20 is a bounded heap with a unique
+    // key tie-break.
+    "q194_returned_items" -> { (s, dir) =>
+      val lo = lit("1996-10-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+      val rev = TestData.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(TestData.orders(s, dir)
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+            .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("decimal(18,2)").as("rev"))
+      rev.join(TestData.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(TestData.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          moneyOut(col("rev")).as("revenue"), col("c_acctbal"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    // TPC-H Q12 shape (conditional two-way counts): per linestatus (the
+    // shipmode stand-in), how many lines shipped in one year belong to
+    // urgent/high-priority orders vs the rest. The orders side joins
+    // projected to (key, priority) only; the CASE sums are map-side
+    // combinable into a 2-row output.
+    "q195_priority_linestatus" -> { (s, dir) =>
+      val lo = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      TestData.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(TestData.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(high, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+          sum(when(high, lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+    // TPC-H Q14 shape (promo revenue ratio): one month of lines, the part
+    // type broadcast in, conditional cent-exact sums, and ONE double
+    // division at the 1-row output boundary.
+    "q196_promo_revenue" -> { (s, dir) =>
+      val lo = lit("1997-03-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1997-04-01 00:00:00").cast("timestamp_ntz")
+      TestData.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(broadcast(TestData.part(s, dir).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+              money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .otherwise(lit(0).cast("decimal(18,2)")))
+            .cast("decimal(18,2)").as("p"),
+          sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("decimal(18,2)").as("t"))
+        .select(
+          ((col("p").cast("double") * lit(100.0)) / col("t").cast("double"))
+            .as("promo_pct"),
+          moneyOut(col("p")).as("promo_revenue"),
+          moneyOut(col("t")).as("total_revenue"))
+    },
+    // TPC-H Q16 shape (supplier diversity with NOT IN): distinct suppliers
+    // per (brand, type, size) over the observed lineitem part–supplier
+    // pairs (no partsupp ships — the fact's DISTINCT pair set IS the
+    // relation), excluding one brand, one type, and a "complaint" supplier
+    // list via broadcast anti-join. The DISTINCT collapses the fact to
+    // relation grain BEFORE any dim work, so the expensive COUNT(DISTINCT)
+    // runs over pairs, not lines.
+    "q197_supplier_diversity" -> { (s, dir) =>
+      val complaints = TestData.supplier(s, dir)
+        .filter(col("s_name").like("%7")).select("s_suppkey")
+      val ps = TestData.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      ps.join(broadcast(TestData.part(s, dir)
+            .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2407,6 +2560,96 @@ object SparkEntry {
       s"""WITH ${Graph.degreeAssortativitySql()}
           SELECT m, sx, sy, sxy, sxx, syy, assortativity
           FROM degree_assortativity""",
+
+    "q191_priority_pipeline" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS order_count
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1997-04-01'
+            AND EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          GROUP BY 1 ORDER BY 1""",
+
+    "q192_trade_volume" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INT) AS l_year,
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("l_extendedprice * (1 - l_discount)")}) AS DECIMAL(18,2))")} AS revenue
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+            AND cn.n_name IN ('NATION_3', 'NATION_7')
+            AND sn.n_name <> cn.n_name
+          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q193_product_profit" ->
+      s"""WITH pp_part AS (
+            SELECT p_partkey, ${moneySql("p_retailprice * 0.1")} AS unit_cost
+            FROM part WHERE p_type = 'ECONOMY')
+          SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("l_extendedprice * (1 - l_discount)")}) - SUM(unit_cost * CAST(l_quantity AS BIGINT)) AS DECIMAL(18,2))")} AS sum_profit
+          FROM lineitem
+          JOIN pp_part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+
+    "q194_returned_items" ->
+      s"""WITH ri_rev AS (
+            SELECT o_custkey,
+                   CAST(SUM(${moneySql("l_extendedprice * (1 - l_discount)")}) AS DECIMAL(18,2)) AS rev
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1)
+          SELECT c_custkey, c_name, n_name, ${moneyOutSql("rev")} AS revenue,
+                 c_acctbal
+          FROM ri_rev
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q195_priority_linestatus" ->
+      s"""SELECT l_linestatus,
+                 CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                 CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1 ORDER BY 1""",
+
+    "q196_promo_revenue" ->
+      s"""WITH pr AS (
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN ${moneySql("l_extendedprice * (1 - l_discount)")}
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS p,
+                   CAST(SUM(${moneySql("l_extendedprice * (1 - l_discount)")})
+                     AS DECIMAL(18,2)) AS t
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01')
+          SELECT (CAST(p AS DOUBLE) * 100.0) / CAST(t AS DOUBLE) AS promo_pct,
+                 ${moneyOutSql("p")} AS promo_revenue,
+                 ${moneyOutSql("t")} AS total_revenue
+          FROM pr""",
+
+    "q197_supplier_diversity" ->
+      s"""WITH sd_ps AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            WHERE l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'))
+          SELECT p_brand, p_type, p_size,
+                 COUNT(DISTINCT l_suppkey) AS supplier_cnt
+          FROM sd_ps JOIN part ON l_partkey = p_partkey
+          WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+          GROUP BY 1, 2, 3
+          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
 
     "q171_quiet_parts" ->
       s"""WITH qp_s AS (

@@ -84,7 +84,13 @@ class PlanShapeSpec extends SparkSpec {
         // Q19 disjunctive residual, Q2 argmin join-back, assortativity
         // (q187 streaming excluded like the rest of the streaming tier)
         "q188_disjunctive_bands", "q189_cheapest_supplier",
-        "q190_degree_assortativity")) {
+        "q190_degree_assortativity",
+        // round-9 TPC-H shapes, second batch: Q4 semi, Q7 trade volume,
+        // Q9 profit, Q10 returned items, Q12 conditional counts, Q14
+        // promo ratio, Q16 supplier diversity
+        "q191_priority_pipeline", "q192_trade_volume", "q193_product_profit",
+        "q194_returned_items", "q195_priority_linestatus",
+        "q196_promo_revenue", "q197_supplier_diversity")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
@@ -279,6 +285,55 @@ class PlanShapeSpec extends SparkSpec {
     val finalSection = p.split("== Initial Plan ==")(0)
     assert(finalSection.contains("BroadcastHashJoin"),
       "the regional supplier set must broadcast into the fact")
+  }
+
+  test("q191: the date window reaches the orders scan; EXISTS plans as a semi join") {
+    val p = finalPlan("q191_priority_pipeline")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("LeftSemi"),
+      "EXISTS must plan as a left-semi join, never a full join + distinct")
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(finalSection).isDefined,
+      "the quarter window must reach the orders scan")
+    assert("PushedFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(finalSection).isDefined,
+      "the returnflag filter must reach the lineitem scan")
+  }
+
+  test("q192: the pair-filtered nation maps broadcast; one fact shuffle for orders") {
+    val p = finalPlan("q192_trade_volume")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(finalSection).size >= 2,
+      "the supplier and customer nation maps must broadcast into the fact")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q193/q196: the part dim broadcasts into the fact scan pass") {
+    for (q <- Seq("q193_product_profit", "q196_promo_revenue")) {
+      val p = finalPlan(q)
+      val finalSection = p.split("== Initial Plan ==")(0)
+      assert(finalSection.contains("BroadcastHashJoin"),
+        s"$q: the part columns must broadcast, never shuffle the fact")
+      assert(!finalSection.contains("SortMergeJoin"),
+        s"$q: no shuffle join for broadcastable dims")
+    }
+  }
+
+  test("q194: scans pre-filtered, customer joins at aggregate grain, top-20 bounded") {
+    val p = finalPlan("q194_returned_items")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must be a bounded heap")
+    assert("PushedFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(finalSection).isDefined,
+      "the returnflag filter must reach the lineitem scan")
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(finalSection).isDefined,
+      "the quarter window must reach the orders scan")
+  }
+
+  test("q197: the pair DISTINCT collapses before the dim join; anti side broadcasts") {
+    val p = finalPlan("q197_supplier_diversity")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("LeftAnti"),
+      "NOT IN must plan as an anti join, not a filter subquery per row")
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "the complaint-supplier keys and the part dim must broadcast")
   }
 
   test("a ym filter on the warehouse fact prunes partitions at the scan") {
