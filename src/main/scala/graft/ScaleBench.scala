@@ -119,7 +119,10 @@ object ScaleBench {
     // the DISTINCT pair collapse is the scale claim)
     "q191_priority_pipeline", "q192_trade_volume", "q193_product_profit",
     "q194_returned_items", "q195_priority_linestatus", "q196_promo_revenue",
-    "q197_supplier_diversity")
+    "q197_supplier_diversity",
+    // Q1 multi-measure scan aggregate and Q6 scan-filter aggregate: both
+    // single-pass map-side-combinable shapes — ratio ≈ scan ratio
+    "q198_pricing_summary", "q199_forecast_revenue")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

@@ -1343,6 +1343,54 @@ object SparkEntry {
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
     },
+    // TPC-H Q1 shape (pricing summary): the full multi-measure scan
+    // aggregate — exact-integer quantity sums, cent-exact decimal money
+    // sums, and averages performed as ONE double division each at the
+    // 4-row output boundary (discounts ride the exact 1/10000 grid so
+    // their average is integer arithmetic until the division). One scan,
+    // map-side partials, no joins — the canonical whole-stage-codegen
+    // aggregate. Completes the 22/22 classic TPC-H plan-shape set
+    // together with q199.
+    "q198_pricing_summary" -> { (s, dir) =>
+      val cut = lit("2001-09-01 00:00:00").cast("timestamp_ntz")
+      val n = count(lit(1))
+      TestData.lineitem(s, dir).filter(col("l_shipdate") <= cut)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          moneyOut(sum(money(col("l_extendedprice")))
+            .cast("decimal(18,2)")).as("sum_base_price"),
+          moneyOut(sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("decimal(18,2)")).as("sum_disc_price"),
+          moneyOut(sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax"))))
+            .cast("decimal(18,2)")).as("sum_charge"),
+          (sum(col("l_quantity").cast("long")).cast("double") / n.cast("double"))
+            .as("avg_qty"),
+          (sum(money(col("l_extendedprice"))).cast("decimal(18,2)").cast("double")
+            / n.cast("double")).as("avg_price"),
+          (sum(quant(col("l_discount"), 10000)).cast("double")
+            / (n * lit(10000L)).cast("double")).as("avg_disc"),
+          n.as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    // TPC-H Q6 shape (forecast revenue change): pure scan-filter
+    // aggregate. The year window pushes to the parquet scan; the
+    // discount-band filter rides the exact 1/100 grid (a double BETWEEN
+    // on 0.05..0.07 is engine-dependent at the edges — the integer grid
+    // is not). 1-row output, zero shuffles past the final partial merge.
+    "q199_forecast_revenue" -> { (s, dir) =>
+      val lo = lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+      val hi = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+      TestData.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi
+          && quant(col("l_discount"), 100).between(5, 7)
+          && col("l_quantity").cast("long") < 24)
+        .agg(
+          moneyOut(sum(money(col("l_extendedprice") * col("l_discount")))
+            .cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2638,6 +2686,32 @@ object SparkEntry {
                  ${moneyOutSql("p")} AS promo_revenue,
                  ${moneyOutSql("t")} AS total_revenue
           FROM pr""",
+
+    "q198_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("l_extendedprice")}) AS DECIMAL(18,2))")} AS sum_base_price,
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("l_extendedprice * (1 - l_discount)")}) AS DECIMAL(18,2))")} AS sum_disc_price,
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}) AS DECIMAL(18,2))")} AS sum_charge,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+                 CAST(CAST(SUM(${moneySql("l_extendedprice")}) AS DECIMAL(18,2)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+                 CAST(SUM(${quantSql("l_discount", 10000)}) AS DOUBLE)
+                   / CAST(COUNT(*) * 10000 AS DOUBLE) AS avg_disc,
+                 COUNT(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q199_forecast_revenue" ->
+      s"""SELECT ${moneyOutSql(s"CAST(SUM(${moneySql("l_extendedprice * l_discount")}) AS DECIMAL(18,2))")} AS revenue,
+                 COUNT(*) AS n_lines
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND ${quantSql("l_discount", 100)} BETWEEN 5 AND 7
+            AND CAST(l_quantity AS BIGINT) < 24""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

@@ -336,6 +336,29 @@ class PlanShapeSpec extends SparkSpec {
       "the complaint-supplier keys and the part dim must broadcast")
   }
 
+  test("q198: one scan, one aggregate shuffle, map-side partials, codegen spans") {
+    val p = finalPlan("q198_pricing_summary")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val aggExchanges = "Exchange".r.findAllIn(finalSection).size
+    assert(aggExchanges <= 2, // the groupBy merge + the 4-row output sort
+      s"the pricing summary must cost one aggregate shuffle, found $aggExchanges")
+    assert(finalSection.contains("HashAggregate"),
+      "all eight measures must partial-aggregate map-side")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(finalSection).isDefined,
+      "the shipdate cutoff must reach the lineitem scan")
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"),
+      "the measure expressions must stay inside whole-stage codegen")
+  }
+
+  test("q199: the year window is scan-pushed; the residual grid filter doesn't block it") {
+    val p = finalPlan("q199_forecast_revenue")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(finalSection).isDefined,
+      "the shipdate window must reach the scan even though the grid filter cannot")
+    assert(!finalSection.contains("Exchange hashpartitioning"),
+      "a global 1-row aggregate needs no hash shuffle")
+  }
+
   test("a ym filter on the warehouse fact prunes partitions at the scan") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("wh-prune").toString
