@@ -122,7 +122,10 @@ object ScaleBench {
     "q197_supplier_diversity",
     // Q1 multi-measure scan aggregate and Q6 scan-filter aggregate: both
     // single-pass map-side-combinable shapes — ratio ≈ scan ratio
-    "q198_pricing_summary", "q199_forecast_revenue")
+    "q198_pricing_summary", "q199_forecast_revenue",
+    // shard plan rides one IVF assignment + a √n-bounded ranking window;
+    // context-length plan is a pure scan × |grid| broadcast
+    "q200_index_shard_plan", "q201_context_length_plan")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

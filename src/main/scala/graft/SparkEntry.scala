@@ -1391,6 +1391,16 @@ object SparkEntry {
             .cast("decimal(18,2)")).as("revenue"),
           count(lit(1)).as("n_lines"))
     },
+    // Balanced shard plan for serving the IVF index: √n-bounded cell
+    // table, sorted round-robin dealing, per-shard load audit.
+    "q200_index_shard_plan" -> { (s, dir) =>
+      Similarity.indexShardPlan(TestData.embeddings(s, dir))
+    },
+    // Context-length padding cost across a candidate grid — the sizing
+    // decision before sequence packing, all-integer until the rate.
+    "q201_context_length_plan" -> { (s, dir) =>
+      Packing.contextLengthPlan(TestData.documents(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2712,6 +2722,16 @@ object SparkEntry {
             AND l_shipdate < TIMESTAMP '1998-01-01'
             AND ${quantSql("l_discount", 100)} BETWEEN 5 AND 7
             AND CAST(l_quantity AS BIGINT) < 24""",
+
+    "q200_index_shard_plan" ->
+      s"""WITH ${Similarity.indexShardPlanSql()}
+          SELECT shard, n_cells, n_vecs, load_x_shards
+          FROM index_shard_plan ORDER BY shard""",
+
+    "q201_context_length_plan" ->
+      s"""WITH ${Packing.contextLengthPlanSql()}
+          SELECT seq_len, n_docs, total_tokens, n_seqs, pad_tokens, pad_frac
+          FROM context_length_plan ORDER BY seq_len""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

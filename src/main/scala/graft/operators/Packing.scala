@@ -102,4 +102,61 @@ object Packing {
        |  SELECT source, shard, CAST(prev_cum // $budget AS BIGINT) AS seq_id,
        |         COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
        |  FROM pc GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Context-length planning: for each candidate sequence length, the
+    * padding cost of document-boundary chunking (every doc split into
+    * ceil(n/L) sequences, the last one padded to L). This is the sizing
+    * decision made BEFORE [[packSequences]]: a grid small enough to
+    * broadcast (|grid| rows) crossed against a 1-column token-count
+    * projection, all-integer sums, ONE double division per grid row.
+    * Pure scan + broadcast + aggregate — no shuffle grows with the corpus.
+    */
+  def contextLengthPlan(docs: DataFrame,
+      grid: Seq[Int] = Seq(32, 64, 128, 256)): DataFrame = {
+    require(grid.nonEmpty && grid.forall(_ >= 1), s"bad grid: $grid")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val g = grid.toDF("seq_len")
+    toks.crossJoin(broadcast(g))
+      .groupBy("seq_len")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum(OracleSafe.intDiv(col("n_tokens") + col("seq_len") - 1, col("seq_len")))
+          .as("n_seqs"),
+        sum((col("seq_len") - col("n_tokens") % col("seq_len")) % col("seq_len"))
+          .as("pad_tokens"))
+      .select(col("seq_len"), col("n_docs"), col("total_tokens"), col("n_seqs"),
+        col("pad_tokens"),
+        (col("pad_tokens").cast("double")
+          / (col("n_seqs") * col("seq_len").cast("long")).cast("double"))
+          .as("pad_frac"))
+      .orderBy("seq_len")
+  }
+
+  /** DuckDB twin of [[contextLengthPlan]]; embed after `WITH ` and select
+    * from `context_length_plan`.
+    */
+  def contextLengthPlanSql(grid: Seq[Int] = Seq(32, 64, 128, 256)): String = {
+    val values = grid.map(l => s"($l)").mkString(", ")
+    val dv = OracleSafe.intDivSql("n_tokens + seq_len - 1", "seq_len")
+    s"""clp_toks AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |clp_grid AS (SELECT seq_len FROM (VALUES $values) AS g(seq_len)),
+       |clp AS (
+       |  SELECT seq_len, COUNT(*) AS n_docs,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |         CAST(SUM($dv) AS BIGINT) AS n_seqs,
+       |         CAST(SUM((seq_len - n_tokens % seq_len) % seq_len) AS BIGINT)
+       |           AS pad_tokens
+       |  FROM clp_toks CROSS JOIN clp_grid GROUP BY 1),
+       |context_length_plan AS (
+       |  SELECT seq_len, n_docs, total_tokens, n_seqs, pad_tokens,
+       |         CAST(pad_tokens AS DOUBLE)
+       |           / CAST(n_seqs * CAST(seq_len AS BIGINT) AS DOUBLE) AS pad_frac
+       |  FROM clp)""".stripMargin
+  }
 }

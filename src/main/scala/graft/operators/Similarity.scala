@@ -1142,4 +1142,53 @@ object Similarity {
        |         END AS avg_n2
        |  FROM ea GROUP BY label)""".stripMargin
   }
+
+  /** Balanced shard assignment for serving the IVF index: cells ranked by
+    * size and dealt round-robin across `shards` (sorted round-robin — the
+    * longest-processing-time heuristic's streaming form, within 4/3 of
+    * optimal makespan for this dealing order). The cell table is
+    * √n-bounded by the centroid sizing rule, so the global ranking window
+    * is a deliberately tiny single-partition sort — never over vectors.
+    * `load_x_shards` is each shard's load relative to perfect balance
+    * (1.0 = exactly total/shards), ONE double division per output row.
+    */
+  def indexShardPlan(embeddings: DataFrame, shards: Int = 8): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val cells = ivfAssign(embeddings)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val ranked = cells.withColumn("rk",
+      row_number().over(Window.orderBy(col("n_vecs").desc, col("cell"))))
+    val perShard = ranked
+      .select(((col("rk") - 1) % shards).cast("int").as("shard"), col("n_vecs"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_cells"), sum("n_vecs").as("n_vecs"))
+    val total = perShard.agg(sum("n_vecs").as("total_vecs"))
+    perShard.crossJoin(broadcast(total))
+      .select(col("shard"), col("n_cells"), col("n_vecs"),
+        ((col("n_vecs").cast("double") * lit(shards).cast("double"))
+          / col("total_vecs").cast("double")).as("load_x_shards"))
+      .orderBy("shard")
+  }
+
+  /** DuckDB twin of [[indexShardPlan]]; embed after `WITH ` and select
+    * from `index_shard_plan`.
+    */
+  def indexShardPlanSql(shards: Int = 8): String =
+    s"""$ivfAssignSql,
+       |isp_cells AS (SELECT cell, COUNT(*) AS n_vecs FROM ivf_assign GROUP BY 1),
+       |isp_rk AS (
+       |  SELECT n_vecs,
+       |         ROW_NUMBER() OVER (ORDER BY n_vecs DESC, cell) AS rk
+       |  FROM isp_cells),
+       |isp_per AS (
+       |  SELECT CAST((rk - 1) % $shards AS INT) AS shard,
+       |         COUNT(*) AS n_cells, CAST(SUM(n_vecs) AS BIGINT) AS n_vecs
+       |  FROM isp_rk GROUP BY 1),
+       |isp_tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total_vecs FROM isp_per),
+       |index_shard_plan AS (
+       |  SELECT shard, n_cells, n_vecs,
+       |         (CAST(n_vecs AS DOUBLE) * CAST($shards AS DOUBLE))
+       |           / CAST(total_vecs AS DOUBLE) AS load_x_shards
+       |  FROM isp_per, isp_tot)""".stripMargin
 }

@@ -83,4 +83,31 @@ class PackingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Packing.chunkDocs(docs, window = 4, stride = 5))
   }
+
+  test("contextLengthPlan: exact ceil/pad arithmetic on a hand-checked grid") {
+    // docs of 3, 5, 8 tokens on grid (4, 8):
+    //  L=4: seqs ceil(3/4)+ceil(5/4)+ceil(8/4) = 1+2+2 = 5;
+    //       pad (4-3)+(4-5%4)+0 = 1+3+0 = 4
+    //  L=8: seqs 1+1+1 = 3; pad 5+3+0 = 8
+    val docs = Seq(doc(1, 3), doc(2, 5), doc(3, 8)).toDF("doc_id", "text", "source")
+    val out = Packing.contextLengthPlan(docs, grid = Seq(4, 8))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      (4, 3L, 16L, 5L, 4L, 4.0 / 20.0),
+      (8, 3L, 16L, 3L, 8L, 8.0 / 24.0)))
+  }
+
+  test("contextLengthPlan: token totals are grid-invariant; pad+tokens = seqs*L") {
+    val docs = Seq(doc(1, 7), doc(2, 13), doc(3, 29), doc(4, 1))
+      .toDF("doc_id", "text", "source")
+    val rows = Packing.contextLengthPlan(docs, grid = Seq(2, 16, 64)).collect()
+    val totals = rows.map(_.getLong(2)).distinct
+    assert(totals.toSeq === Seq(50L), "total_tokens must not depend on the grid")
+    rows.foreach { r =>
+      val (l, seqs, pad) = (r.getInt(0).toLong, r.getLong(3), r.getLong(4))
+      assert(r.getLong(2) + pad === seqs * l,
+        s"L=$l: tokens + pad must exactly fill the padded sequences")
+    }
+  }
 }

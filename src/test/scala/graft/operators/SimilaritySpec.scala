@@ -289,4 +289,22 @@ class SimilaritySpec extends SparkSpec {
       (1, 2, 14 * e8, 2 * 14 * e8 - 40000L * 60000L),
       (2, 2, 20 * e8, 2 * 20 * e8 - 60000L * 60000L)))
   }
+
+  test("indexShardPlan: loads sum to the corpus; cells deal out within one of even") {
+    val emb = graft.sources.TestData.embeddings(spark, sf)
+    val valid = emb.filter(
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")) > 0).count()
+    val rows = Similarity.indexShardPlan(emb, shards = 4).collect()
+    assert(rows.length == 4, "every shard must appear")
+    assert(rows.map(_.getLong(2)).sum == valid,
+      "shard loads must partition the assignable vectors exactly")
+    val cellCounts = rows.map(_.getLong(1))
+    assert(cellCounts.max - cellCounts.min <= 1,
+      "round-robin dealing must spread cells within one of even")
+    val loads = rows.map(_.getDouble(3))
+    assert(loads.forall(l => l > 0.0), "no shard may be empty at this sf")
+    assert(math.abs(loads.sum - 4.0) < 1e-9,
+      "load_x_shards must average exactly 1 across shards")
+  }
 }

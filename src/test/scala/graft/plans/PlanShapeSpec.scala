@@ -90,7 +90,11 @@ class PlanShapeSpec extends SparkSpec {
         // promo ratio, Q16 supplier diversity
         "q191_priority_pipeline", "q192_trade_volume", "q193_product_profit",
         "q194_returned_items", "q195_priority_linestatus",
-        "q196_promo_revenue", "q197_supplier_diversity")) {
+        "q196_promo_revenue", "q197_supplier_diversity",
+        // the IVF shard planner (cell joins + 1-row total broadcast) and
+        // the |grid|-row context-length cross join (intentional broadcast
+        // cross, never a row-by-row cartesian)
+        "q200_index_shard_plan", "q201_context_length_plan")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
@@ -357,6 +361,26 @@ class PlanShapeSpec extends SparkSpec {
       "the shipdate window must reach the scan even though the grid filter cannot")
     assert(!finalSection.contains("Exchange hashpartitioning"),
       "a global 1-row aggregate needs no hash shuffle")
+  }
+
+  test("q200: assignment argmax is the bounded-heap operator; the total broadcasts") {
+    val p = finalPlan("q200_index_shard_plan")
+    assert(p.contains("TopKPerKey"),
+      "the per-vector cell argmax must be the bounded-heap operator")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the centroid set and the 1-row total must broadcast")
+  }
+
+  test("q201: the grid rides a broadcast; the only hash shuffle is the |grid|-key aggregate") {
+    val p = finalPlan("q201_context_length_plan")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("BroadcastNestedLoopJoin"),
+      "the |grid|-row frame must broadcast into the scan pass")
+    val aggExchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(aggExchanges <= 1,
+      s"one |grid|-key aggregate shuffle expected, found $aggExchanges")
+    assert(finalSection.contains("HashAggregate"),
+      "the pad sums must partial-aggregate map-side")
   }
 
   test("a ym filter on the warehouse fact prunes partitions at the scan") {
