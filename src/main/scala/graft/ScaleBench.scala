@@ -124,8 +124,11 @@ object ScaleBench {
     // single-pass map-side-combinable shapes — ratio ≈ scan ratio
     "q198_pricing_summary", "q199_forecast_revenue",
     // shard plan rides one IVF assignment + a √n-bounded ranking window;
-    // context-length plan is a pure scan × |grid| broadcast
-    "q200_index_shard_plan", "q201_context_length_plan")
+    // context-length plan is a pure scan × |grid| broadcast; the join-order
+    // advisor is per-table aggregates + per-key count joins — compute
+    // grows with inputs, output stays 4 rows
+    "q200_index_shard_plan", "q201_context_length_plan",
+    "q202_join_order_advisor")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

@@ -1401,6 +1401,11 @@ object SparkEntry {
     "q201_context_length_plan" -> { (s, dir) =>
       Packing.contextLengthPlan(TestData.documents(s, dir))
     },
+    // Selinger join-order enumeration with estimate-vs-actual q-error.
+    "q202_join_order_advisor" -> { (s, dir) =>
+      Planning.joinOrderAdvisor(TestData.customer(s, dir),
+        TestData.orders(s, dir), TestData.lineitem(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2732,6 +2737,12 @@ object SparkEntry {
       s"""WITH ${Packing.contextLengthPlanSql()}
           SELECT seq_len, n_docs, total_tokens, n_seqs, pad_tokens, pad_frac
           FROM context_length_plan ORDER BY seq_len""",
+
+    "q202_join_order_advisor" ->
+      s"""WITH ${Planning.joinOrderAdvisorSql()}
+          SELECT join_order, first_join_est, first_join_actual, q_error,
+                 final_est, rk
+          FROM join_order_advisor ORDER BY rk""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

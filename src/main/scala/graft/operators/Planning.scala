@@ -478,4 +478,120 @@ object Planning {
        |           AS DOUBLE) / CAST(SUM(zn) AS DOUBLE) AS skip_ratio
        |  FROM zm, zm_p GROUP BY 1, 2)""".stripMargin
   }
+
+  /** Join-order enumeration for the customer–orders–lineitem chain, with
+    * the estimates CALIBRATED against exact truth. For each cross-
+    * product-free left-deep order, the System-R equi-join estimate
+    * |A⋈B| = |A|·|B| / max(d_A(k), d_B(k)) (Selinger 1979) of the FIRST
+    * join's cardinality — the quantity that separates good orders from
+    * bad — next to its exact value (Σ_k cnt_A(k)·cnt_B(k), a per-key
+    * count join that never materializes the join itself), and the
+    * q-error max(est/act, act/est) the optimizer literature grades
+    * estimators by. All counts are one map-side-combinable aggregate per
+    * table; the plan frame is 4 literal rows; estimates stay exact
+    * integers (floor division) at test scale — at true 100 TB scale the
+    * same arithmetic runs in doubles, which only widens q-error, never
+    * the ranking logic. `rk` = 1 marks the advisor's pick (smallest
+    * first-join intermediate, ties by name).
+    */
+  def joinOrderAdvisor(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val spark = customer.sparkSession
+    import spark.implicits._
+    val cStats = customer.agg(count(lit(1)).as("nc"),
+      countDistinct(col("c_custkey")).as("dc"))
+    val oStats = orders.agg(count(lit(1)).as("no"),
+      countDistinct(col("o_custkey")).as("dok"),
+      countDistinct(col("o_orderkey")).as("doo"))
+    val lStats = lineitem.agg(count(lit(1)).as("nl"),
+      countDistinct(col("l_orderkey")).as("dlo"))
+    def actual(a: DataFrame, ka: String, b: DataFrame, kb: String, out: String) =
+      a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("cb")), Seq("k"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as(out))
+    val actCO = actual(customer, "c_custkey", orders, "o_custkey", "act_co")
+    val actOL = actual(orders, "o_orderkey", lineitem, "l_orderkey", "act_ol")
+    val stats = cStats.crossJoin(broadcast(oStats)).crossJoin(broadcast(lStats))
+      .crossJoin(broadcast(actCO)).crossJoin(broadcast(actOL))
+    val orderings = Seq(
+      ("customer*orders*lineitem", "co"),
+      ("orders*customer*lineitem", "co"),
+      ("orders*lineitem*customer", "ol"),
+      ("lineitem*orders*customer", "ol")).toDF("join_order", "first_pair")
+    val estCO = OracleSafe.intDiv(col("nc") * col("no"),
+      greatest(col("dc"), col("dok")))
+    val estOL = OracleSafe.intDiv(col("no") * col("nl"),
+      greatest(col("doo"), col("dlo")))
+    val firstEst = when(col("first_pair") === "co", estCO).otherwise(estOL)
+    val firstAct = when(col("first_pair") === "co", col("act_co"))
+      .otherwise(col("act_ol"))
+    val finalEst = when(col("first_pair") === "co",
+        OracleSafe.intDiv(estCO * col("nl"), greatest(col("doo"), col("dlo"))))
+      .otherwise(
+        OracleSafe.intDiv(estOL * col("nc"), greatest(col("dc"), col("dok"))))
+    val e = greatest(firstEst, lit(1L)).cast("double")
+    val a = greatest(firstAct, lit(1L)).cast("double")
+    val ranked = broadcast(orderings).crossJoin(stats)
+      .select(col("join_order"),
+        firstEst.as("first_join_est"), firstAct.as("first_join_actual"),
+        greatest(e / a, a / e).as("q_error"),
+        finalEst.as("final_est"))
+    import org.apache.spark.sql.expressions.Window
+    // 4-row frame: the single-partition ranking window is trivially safe
+    ranked.withColumn("rk", row_number().over(
+        Window.orderBy(col("first_join_est"), col("join_order"))))
+      .orderBy("rk")
+  }
+
+  /** DuckDB twin of [[joinOrderAdvisor]]; embed after `WITH ` and select
+    * from `join_order_advisor`.
+    */
+  def joinOrderAdvisorSql(): String = {
+    val estCO = OracleSafe.intDivSql("nc * no_", "GREATEST(dc, dok)")
+    val estOL = OracleSafe.intDivSql("no_ * nl", "GREATEST(doo, dlo)")
+    s"""joa_c AS (SELECT COUNT(*) AS nc, COUNT(DISTINCT c_custkey) AS dc
+       |          FROM customer),
+       |joa_o AS (SELECT COUNT(*) AS no_, COUNT(DISTINCT o_custkey) AS dok,
+       |                 COUNT(DISTINCT o_orderkey) AS doo
+       |          FROM orders),
+       |joa_l AS (SELECT COUNT(*) AS nl, COUNT(DISTINCT l_orderkey) AS dlo
+       |          FROM lineitem),
+       |joa_aco AS (
+       |  SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS act_co
+       |  FROM (SELECT c_custkey AS k, COUNT(*) AS ca FROM customer GROUP BY 1) a
+       |  JOIN (SELECT o_custkey AS k, COUNT(*) AS cb FROM orders GROUP BY 1) b
+       |    USING (k)),
+       |joa_aol AS (
+       |  SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS act_ol
+       |  FROM (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1) a
+       |  JOIN (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1) b
+       |    USING (k)),
+       |joa_ord AS (SELECT * FROM (VALUES
+       |  ('customer*orders*lineitem', 'co'),
+       |  ('orders*customer*lineitem', 'co'),
+       |  ('orders*lineitem*customer', 'ol'),
+       |  ('lineitem*orders*customer', 'ol')) AS v(join_order, first_pair)),
+       |joa_est AS (
+       |  SELECT join_order,
+       |         CAST(CASE WHEN first_pair = 'co' THEN $estCO
+       |                   ELSE $estOL END AS BIGINT) AS first_join_est,
+       |         CAST(CASE WHEN first_pair = 'co' THEN act_co
+       |                   ELSE act_ol END AS BIGINT) AS first_join_actual,
+       |         CAST(CASE WHEN first_pair = 'co'
+       |              THEN ${OracleSafe.intDivSql(s"($estCO) * nl", "GREATEST(doo, dlo)")}
+       |              ELSE ${OracleSafe.intDivSql(s"($estOL) * nc", "GREATEST(dc, dok)")}
+       |              END AS BIGINT) AS final_est
+       |  FROM joa_ord, joa_c, joa_o, joa_l, joa_aco, joa_aol),
+       |join_order_advisor AS (
+       |  SELECT join_order, first_join_est, first_join_actual,
+       |         GREATEST(
+       |           CAST(GREATEST(first_join_est, 1) AS DOUBLE)
+       |             / CAST(GREATEST(first_join_actual, 1) AS DOUBLE),
+       |           CAST(GREATEST(first_join_actual, 1) AS DOUBLE)
+       |             / CAST(GREATEST(first_join_est, 1) AS DOUBLE)) AS q_error,
+       |         final_est,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY first_join_est, join_order)
+       |           AS INT) AS rk
+       |  FROM joa_est)""".stripMargin
+  }
 }

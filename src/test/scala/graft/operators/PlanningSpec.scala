@@ -121,6 +121,28 @@ class PlanningSpec extends SparkSpec {
     assert(r("date_cluster") == ((24L, 12L, 12L, 0.5)))
   }
 
+  test("joinOrderAdvisor: hand-checked Selinger estimates, exact actuals, q-error 1") {
+    // customer: 4 distinct custkeys; orders: 6 rows over custkeys 1,2,3
+    // (2 each), orderkeys 1..6; lineitem: each orderkey twice.
+    //   est(c⋈o)  = 4*6  / max(4,3) = 6;  actual = 3*2       = 6
+    //   est(o⋈l)  = 6*12 / max(6,6) = 12; actual = 6*2       = 12
+    // -> the advisor must rank a co-first order as rk 1, with q_error 1.
+    val c = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val o = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 3L), (6L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val l = (1L to 6L).flatMap(k => Seq(k, k)).toDF("l_orderkey")
+    val rows = Planning.joinOrderAdvisor(c, o, l).collect()
+    assert(rows.length == 4)
+    val byOrder = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(byOrder("customer*orders*lineitem") === ((6L, 6L, 1.0, 12L, 1)))
+    assert(byOrder("orders*customer*lineitem") === ((6L, 6L, 1.0, 12L, 2)))
+    assert(byOrder("lineitem*orders*customer")._1 === 12L)
+    assert(byOrder("orders*lineitem*customer")._1 === 12L)
+    // final estimate is order-independent for a chain: both classes land on 12
+    assert(rows.forall(_.getLong(4) == 12L))
+  }
+
   private implicit class Tup5Map(rows: Array[(String, Long, Long, Long, Double)]) {
     def toMap2: Map[String, (Long, Long, Long, Double)] =
       rows.map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap

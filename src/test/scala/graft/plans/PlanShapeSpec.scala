@@ -94,7 +94,8 @@ class PlanShapeSpec extends SparkSpec {
         // the IVF shard planner (cell joins + 1-row total broadcast) and
         // the |grid|-row context-length cross join (intentional broadcast
         // cross, never a row-by-row cartesian)
-        "q200_index_shard_plan", "q201_context_length_plan")) {
+        "q200_index_shard_plan", "q201_context_length_plan",
+        "q202_join_order_advisor")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
