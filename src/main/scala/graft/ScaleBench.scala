@@ -128,7 +128,13 @@ object ScaleBench {
     // advisor is per-table aggregates + per-key count joins — compute
     // grows with inputs, output stays 4 rows
     "q200_index_shard_plan", "q201_context_length_plan",
-    "q202_join_order_advisor")
+    "q202_join_order_advisor",
+    // incremental ingest probe (delta-bounded band lookups), the salted
+    // join execution (fact shuffle + 8x-replicated dim), the two-level
+    // prefix-sum histogram (grid-bounded windows), and the sampling
+    // certificate (two scan aggregates)
+    "q203_incremental_near_dup", "q204_salted_join_exec",
+    "q205_equi_depth_hist", "q206_sample_estimate_audit")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

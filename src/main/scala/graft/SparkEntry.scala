@@ -1406,6 +1406,38 @@ object SparkEntry {
       Planning.joinOrderAdvisor(TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // Incremental ingest dedup: the delta probes the corpus's exact-
+    // fingerprint and LSH band indexes — no corpus self-join.
+    "q203_incremental_near_dup" -> { (s, dir) =>
+      Dedup.incrementalNearDup(TestData.documents(s, dir))
+    },
+    // Salted JOIN execution (the join analog of q169's salted aggregate):
+    // the fact side carries a deterministic salt, the dim side replicates
+    // once per salt value, and the (key, salt) equi-join provably equals
+    // the plain join — the oracle below IS the unsalted join, so equality
+    // is the correctness proof that salting only moves where rows meet.
+    "q204_salted_join_exec" -> { (s, dir) =>
+      val li = TestData.lineitem(s, dir).select(col("l_suppkey"),
+        col("l_orderkey"), money(col("l_extendedprice")).as("price"))
+      val sup = TestData.supplier(s, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      Skew.saltedJoin(li, sup, "l_suppkey", saltFrom = col("l_orderkey"),
+          buckets = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_lines"),
+          moneyOut(sum(col("price")).cast("decimal(18,2)")).as("revenue"))
+        .orderBy("s_name")
+    },
+    // Equi-depth histogram: optimizer statistics built with a two-level
+    // (shardable) prefix sum over the cent grid.
+    "q205_equi_depth_hist" -> { (s, dir) =>
+      Planning.equiDepthHistogram(TestData.lineitem(s, dir))
+    },
+    // Sample-estimate audit: 5% hash-coin estimate vs exact total, with
+    // a measured Hoeffding 95% certificate.
+    "q206_sample_estimate_audit" -> { (s, dir) =>
+      Sampling.estimateAudit(TestData.orders(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2737,6 +2769,29 @@ object SparkEntry {
       s"""WITH ${Packing.contextLengthPlanSql()}
           SELECT seq_len, n_docs, total_tokens, n_seqs, pad_tokens, pad_frac
           FROM context_length_plan ORDER BY seq_len""",
+
+    // the UNSALTED join on purpose — equality proves the salted execution
+    "q204_salted_join_exec" ->
+      s"""SELECT s_name, COUNT(*) AS n_lines,
+                 ${moneyOutSql(s"CAST(SUM(${moneySql("l_extendedprice")}) AS DECIMAL(18,2))")} AS revenue
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY 1 ORDER BY 1""",
+
+    "q205_equi_depth_hist" ->
+      s"""WITH ${Planning.equiDepthHistogramSql()}
+          SELECT bucket, lo_cents, hi_cents, n_rows, depth_x_buckets
+          FROM equi_depth ORDER BY bucket""",
+
+    "q206_sample_estimate_audit" ->
+      s"""WITH ${Sampling.estimateAuditSql()}
+          SELECT n_pop, n_sample, est_cents, exact_cents, abs_err_cents,
+                 hoeffding_bound_cents, within_bound
+          FROM estimate_audit""",
+
+    "q203_incremental_near_dup" ->
+      s"""WITH ${Dedup.incrementalNearDupSql()}
+          SELECT doc_id, n_exact, n_near, status
+          FROM incremental_near_dup ORDER BY doc_id""",
 
     "q202_join_order_advisor" ->
       s"""WITH ${Planning.joinOrderAdvisorSql()}

@@ -1222,4 +1222,99 @@ object Dedup {
        |    JOIN ds_keepers k USING (h)
        |    LEFT JOIN dedup_clusters c USING (doc_id)) f
        |  GROUP BY source)""".stripMargin
+
+  /** Incremental ingest dedup: classify each NEW document (the delta —
+    * doc_id ≡ 0 mod `mod`, the deterministic stand-in for today's crawl
+    * batch) against the already-indexed corpus (every other doc) WITHOUT
+    * a corpus-side pair join. Exact duplicates come from a fingerprint
+    * equi-join (same normalized-token-set md5 as [[incrementalDedup]]);
+    * near-duplicates from probing the corpus's LSH (band, band-hash)
+    * index with the delta's bands — exactly how a production ingest
+    * probes a PRECOMPUTED index, so the incremental cost is
+    * O(|delta| bands + matched buckets) and the full-corpus self-join of
+    * the batch path (q43) never happens. A delta doc that fingerprint-
+    * matches a corpus doc is `exact_dup`; one that only band-collides
+    * with a fingerprint-DIFFERENT corpus doc is `near_dup`; else `new`.
+    */
+  def incrementalNearDup(docs: DataFrame, mod: Long = 7, numHashes: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+        .as("fp"),
+      (col("doc_id") % mod === 0).as("is_delta"))
+    val bands = minhashSignatures(docs, numHashes)
+      .withColumn("band", (col("h") / lit(rowsPerBand)).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(collect_list(struct(col("h"), col("mh"))).as("hs"))
+      .select(col("doc_id"), col("band"),
+        md5(array_join(transform(array_sort(col("hs")),
+          s => s.getField("mh").cast("string")), ",")).as("bh"))
+      .join(fps, Seq("doc_id"))
+    val deltaB = bands.filter(col("is_delta"))
+      .select(col("doc_id"), col("band"), col("bh"), col("fp"))
+    val corpusB = bands.filter(!col("is_delta"))
+      .select(col("band"), col("bh"), col("doc_id").as("corpus_doc"),
+        col("fp").as("cfp"))
+    val near = deltaB.join(corpusB, Seq("band", "bh"))
+      .filter(col("fp") =!= col("cfp"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("corpus_doc")).as("n_near"))
+    val exact = fps.filter(col("is_delta")).select("doc_id", "fp")
+      .join(fps.filter(!col("is_delta"))
+          .select(col("fp"), col("doc_id").as("cd")), Seq("fp"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("cd")).as("n_exact"))
+    fps.filter(col("is_delta")).select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        when(coalesce(col("n_exact"), lit(0L)) > 0, "exact_dup")
+          .when(coalesce(col("n_near"), lit(0L)) > 0, "near_dup")
+          .otherwise("new").as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[incrementalNearDup]]; embed after `WITH ` and
+    * select from `incremental_near_dup`.
+    */
+  def incrementalNearDupSql(mod: Long = 7, numHashes: Int = 16,
+      rowsPerBand: Int = 4): String =
+    s"""${minhashSignaturesSql(numHashes)},
+       |ind_fps AS (
+       |  SELECT doc_id,
+       |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+       |           AS fp,
+       |         doc_id % $mod = 0 AS is_delta
+       |  FROM documents),
+       |ind_bands AS (
+       |  SELECT doc_id, h // $rowsPerBand AS band,
+       |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY h)) AS bh
+       |  FROM minhash GROUP BY doc_id, h // $rowsPerBand),
+       |ind_b AS (
+       |  SELECT b.doc_id, band, bh, fp, is_delta
+       |  FROM ind_bands b JOIN ind_fps USING (doc_id)),
+       |ind_near AS (
+       |  SELECT d.doc_id, COUNT(DISTINCT c.doc_id) AS n_near
+       |  FROM ind_b d JOIN ind_b c
+       |    ON d.band = c.band AND d.bh = c.bh
+       |   AND d.is_delta AND NOT c.is_delta AND d.fp <> c.fp
+       |  GROUP BY 1),
+       |ind_exact AS (
+       |  SELECT d.doc_id, COUNT(DISTINCT c.doc_id) AS n_exact
+       |  FROM ind_fps d JOIN ind_fps c
+       |    ON d.fp = c.fp AND d.is_delta AND NOT c.is_delta
+       |  GROUP BY 1),
+       |incremental_near_dup AS (
+       |  SELECT f.doc_id,
+       |         COALESCE(n_exact, 0) AS n_exact,
+       |         COALESCE(n_near, 0) AS n_near,
+       |         CASE WHEN COALESCE(n_exact, 0) > 0 THEN 'exact_dup'
+       |              WHEN COALESCE(n_near, 0) > 0 THEN 'near_dup'
+       |              ELSE 'new' END AS status
+       |  FROM ind_fps f
+       |  LEFT JOIN ind_exact ON f.doc_id = ind_exact.doc_id
+       |  LEFT JOIN ind_near ON f.doc_id = ind_near.doc_id
+       |  WHERE f.is_delta)""".stripMargin
 }

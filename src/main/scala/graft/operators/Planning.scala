@@ -594,4 +594,68 @@ object Planning {
        |           AS INT) AS rk
        |  FROM joa_est)""".stripMargin
   }
+
+  /** Equi-depth histogram construction — the optimizer-statistics pass
+    * (ANALYZE TABLE ... FOR COLUMNS) made explicit and exact. Depth
+    * boundaries come from the cumulative count over the CENT GRID (one
+    * row per distinct cent value — bounded by the price domain, not the
+    * corpus), and the cumulative sum is computed HIERARCHICALLY: a
+    * window over coarse blocks plus a window partitioned BY block, so no
+    * single partition ever sees the whole grid — the two-level prefix-sum
+    * pattern that keeps windows shardable at 100 TB. A heavy value is
+    * never split: its bucket is decided by its last row's index, the
+    * standard equi-depth convention. `depth_x_buckets` audits each
+    * bucket's depth against perfect n/B (1.0 = exact).
+    */
+  def equiDepthHistogram(lineitem: DataFrame, buckets: Int = 8,
+      coarseCents: Long = 100000L): DataFrame = {
+    require(buckets >= 1 && coarseCents >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val grid = lineitem
+      .groupBy(OracleSafe.quant(col("l_extendedprice"), 100).as("cents"))
+      .agg(count(lit(1)).as("w"))
+      .withColumn("coarse", OracleSafe.intDiv(col("cents"), lit(coarseCents)))
+    val coarseCum = grid.groupBy("coarse").agg(sum("w").as("cw"))
+      .withColumn("cbefore", coalesce(
+        sum("cw").over(Window.orderBy("coarse")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("coarse", "cbefore")
+    val cum = grid.join(broadcast(coarseCum), Seq("coarse"))
+      .withColumn("cum", col("cbefore") + sum("w")
+        .over(Window.partitionBy("coarse").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = grid.agg(sum("w").as("tot"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(OracleSafe.intDiv((col("cum") - 1) * buckets, col("tot"))
+        .as("bucket"))
+      .agg(min("cents").as("lo_cents"), max("cents").as("hi_cents"),
+        sum("w").as("n_rows"), max("tot").as("tot"))
+      .select(col("bucket"), col("lo_cents"), col("hi_cents"), col("n_rows"),
+        ((col("n_rows") * buckets).cast("double") / col("tot").cast("double"))
+          .as("depth_x_buckets"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB twin of [[equiDepthHistogram]] (a flat window — cumulative
+    * sums are method-independent); embed after `WITH ` and select from
+    * `equi_depth`.
+    */
+  def equiDepthHistogramSql(buckets: Int = 8): String =
+    s"""edh_grid AS (
+       |  SELECT ${OracleSafe.quantSql("l_extendedprice", 100)} AS cents,
+       |         COUNT(*) AS w
+       |  FROM lineitem GROUP BY 1),
+       |edh_cum AS (
+       |  SELECT cents, w,
+       |         SUM(w) OVER (ORDER BY cents
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM edh_grid),
+       |edh_tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM edh_grid),
+       |equi_depth AS (
+       |  SELECT CAST(${OracleSafe.intDivSql(s"(CAST(cum AS BIGINT) - 1) * $buckets", "tot")} AS BIGINT) AS bucket,
+       |         MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+       |         CAST(SUM(w) AS BIGINT) AS n_rows,
+       |         CAST(SUM(w) * $buckets AS DOUBLE) / CAST(MAX(tot) AS DOUBLE)
+       |           AS depth_x_buckets
+       |  FROM edh_cum, edh_tot GROUP BY 1)""".stripMargin
 }

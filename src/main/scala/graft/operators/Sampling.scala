@@ -484,4 +484,72 @@ object Sampling {
        |             CAST(${coin48Sql("doc_id")} % $shards AS INT) AS shard
        |      FROM documents) b) rk
        |  GROUP BY shard)""".stripMargin
+
+  /** Sample-based estimate with a distribution-free error certificate:
+    * estimate the corpus's total order value from a deterministic p%
+    * hash-coin sample, then audit the estimate against BOTH the exact
+    * total and the Hoeffding 95% bound N·R·sqrt(ln(2/δ)/(2·n_s)) — the
+    * "can I trust the cheap estimate" decision a planner makes before
+    * paying for the exact scan. R (the value range) is MEASURED, not
+    * assumed; ln(2/0.05) is a literal so no libm call differs between
+    * engines; everything else is exact cents until the audit columns.
+    */
+  def estimateAudit(orders: DataFrame, pct: Int = 5): DataFrame = {
+    require(pct >= 1 && pct <= 99, s"pct must be in [1,99], got $pct")
+    val cents = OracleSafe.quant(col("o_totalprice"), 100)
+    val base = orders.select(cents.as("cents"),
+      (coin(col("o_orderkey")) < pct).as("in_sample"))
+    val ln2d = 3.6888794541139363 // ln(2/0.05), fixed literal on both engines
+    base.agg(
+        count(lit(1)).as("n_pop"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sample"),
+        sum(when(col("in_sample"), col("cents")).otherwise(0L)).as("sample_cents"),
+        sum(col("cents")).as("exact_cents"),
+        max(col("cents")).as("max_cents"))
+      .select(col("n_pop"), col("n_sample"),
+        (col("sample_cents") * lit(100L / pct)).as("est_cents"),
+        col("exact_cents"),
+        abs(col("sample_cents") * lit(100L / pct) - col("exact_cents"))
+          .as("abs_err_cents"),
+        (col("n_pop").cast("double") * col("max_cents").cast("double")
+          * sqrt(lit(ln2d) / (lit(2.0) * col("n_sample").cast("double"))))
+          .as("hoeffding_bound_cents"))
+      .withColumn("within_bound",
+        col("abs_err_cents").cast("double") <= col("hoeffding_bound_cents"))
+  }
+
+  /** DuckDB twin of [[estimateAudit]]; embed after `WITH ` and select
+    * from `estimate_audit`.
+    */
+  def estimateAuditSql(pct: Int = 5): String = {
+    val c = OracleSafe.quantSql("o_totalprice", 100)
+    s"""ea_base AS (
+       |  SELECT $c AS cents,
+       |         ${coinSql("o_orderkey")} < $pct AS in_sample
+       |  FROM orders),
+       |ea_agg AS (
+       |  SELECT COUNT(*) AS n_pop,
+       |         CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_sample,
+       |         CAST(SUM(CASE WHEN in_sample THEN cents ELSE 0 END) AS BIGINT)
+       |           AS sample_cents,
+       |         CAST(SUM(cents) AS BIGINT) AS exact_cents,
+       |         MAX(cents) AS max_cents
+       |  FROM ea_base),
+       |estimate_audit AS (
+       |  SELECT n_pop, n_sample,
+       |         sample_cents * ${100 / pct} AS est_cents,
+       |         exact_cents,
+       |         abs(sample_cents * ${100 / pct} - exact_cents) AS abs_err_cents,
+       |         CAST(n_pop AS DOUBLE) * CAST(max_cents AS DOUBLE)
+       |           * sqrt(3.6888794541139363
+       |                  / (2.0 * CAST(n_sample AS DOUBLE)))
+       |           AS hoeffding_bound_cents,
+       |         CAST(abs(sample_cents * ${100 / pct} - exact_cents) AS DOUBLE)
+       |           <= CAST(n_pop AS DOUBLE) * CAST(max_cents AS DOUBLE)
+       |              * sqrt(3.6888794541139363
+       |                     / (2.0 * CAST(n_sample AS DOUBLE)))
+       |           AS within_bound
+       |  FROM ea_agg)""".stripMargin
+  }
 }

@@ -313,4 +313,21 @@ class DedupSpec extends SparkSpec {
     assert(r("s1") == (("s1", 1L, 4L, 1L, 4L)))        // the survivor copy
     assert(r("s2") == (("s2", 2L, 8L, 1L, 4L)))        // dup dropped, distinct kept
   }
+
+  test("incrementalNearDup: exact twin, banded near-dup, and unique classify correctly") {
+    // mod=7: doc_ids 0,7,14 are the delta; 1..6 etc. the corpus.
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val d = docs(
+      0L -> base,                        // delta: exact twin of corpus doc 1
+      7L -> (base + " extra"),           // delta: near-dup of corpus doc 1
+      14L -> "x1 x2 x3 x4 x5 x6 x7 x8",  // delta: nothing like it
+      1L -> base,
+      2L -> "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10")
+    val r = Dedup.incrementalNearDup(d, mod = 7)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(0L)._1 == 1L && r(0L)._3 == "exact_dup")
+    assert(r(7L)._1 == 0L && r(7L)._2 >= 1L && r(7L)._3 == "near_dup",
+      s"doc 7 must band-collide with its 12/13-shingle superset: ${r(7L)}")
+    assert(r(14L) == ((0L, 0L, "new")))
+  }
 }

@@ -143,6 +143,24 @@ class PlanningSpec extends SparkSpec {
     assert(rows.forall(_.getLong(4) == 12L))
   }
 
+  test("equiDepthHistogram: depths partition the rows; uniform grid gives exact depth 1") {
+    // 80 distinct prices, one row each -> 8 buckets of exactly 10 rows
+    val li = (1L to 80L).map(v => v.toDouble).toDF("l_extendedprice")
+    val rows = Planning.equiDepthHistogram(li, buckets = 8).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(3)).sum == 80L)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 10L && r.getDouble(4) == 1.0,
+        s"uniform data must give exact equi-depth: $r")
+      assert(r.getLong(1) <= r.getLong(2), "bucket bounds must be ordered")
+    }
+    // buckets tile the value range in order
+    val sorted = rows.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) < b.getLong(1), "bucket ranges must not overlap")
+    }
+  }
+
   private implicit class Tup5Map(rows: Array[(String, Long, Long, Long, Double)]) {
     def toMap2: Map[String, (Long, Long, Long, Double)] =
       rows.map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap

@@ -248,4 +248,17 @@ class SamplingSpec extends SparkSpec {
       .select("source", "doc_id").as[(String, Long)].collect().toSet
     assert(small == big)
   }
+
+  test("estimateAudit: inverse-probability arithmetic and the bound hold exactly") {
+    val orders = (1L to 400L).map(k => (k, (k % 97).toDouble + 10.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val r = Sampling.estimateAudit(orders, pct = 5).collect().head
+    val (nPop, nSample) = (r.getLong(0), r.getLong(1))
+    assert(nPop == 400L)
+    assert(nSample > 0L && nSample < 400L, s"5% coin must sample strictly between: $nSample")
+    assert(r.getLong(2) % 20L == 0L, "estimate must be the sample total x 20")
+    assert(r.getLong(4) == math.abs(r.getLong(2) - r.getLong(3)),
+      "abs_err must be |est - exact|")
+    assert(r.getDouble(5) > 0.0)
+  }
 }

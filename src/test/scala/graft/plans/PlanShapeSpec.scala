@@ -95,7 +95,12 @@ class PlanShapeSpec extends SparkSpec {
         // the |grid|-row context-length cross join (intentional broadcast
         // cross, never a row-by-row cartesian)
         "q200_index_shard_plan", "q201_context_length_plan",
-        "q202_join_order_advisor")) {
+        "q202_join_order_advisor",
+        // incremental band probe, salted join (salt replication is an
+        // intentional |salts|-row broadcast, never a cartesian), the
+        // two-level histogram, and the sampling certificate
+        "q203_incremental_near_dup", "q204_salted_join_exec",
+        "q205_equi_depth_hist", "q206_sample_estimate_audit")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
@@ -382,6 +387,23 @@ class PlanShapeSpec extends SparkSpec {
       s"one |grid|-key aggregate shuffle expected, found $aggExchanges")
     assert(finalSection.contains("HashAggregate"),
       "the pad sums must partial-aggregate map-side")
+  }
+
+  test("q203: delta and corpus meet only through (band, bh) hash joins") {
+    val p = finalPlan("q203_incremental_near_dup")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !finalSection.contains("BroadcastNestedLoopJoin"),
+      "the incremental probe must stay on equi keys — no pairwise scan")
+    assert(finalSection.contains("HashAggregate"),
+      "partner counts must aggregate with map-side partials")
+  }
+
+  test("q205: the fine cumulative window is partitioned by the coarse block") {
+    val p = finalPlan("q205_equi_depth_hist")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert("windowspecdefinition\\(coarse".r.findFirstIn(finalSection).isDefined,
+      "the per-cent cumulative sum must run under a coarse-block partition key, " +
+        "never one global window over the grid")
   }
 
   test("a ym filter on the warehouse fact prunes partitions at the scan") {
