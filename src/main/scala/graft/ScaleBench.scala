@@ -134,7 +134,9 @@ object ScaleBench {
     // prefix-sum histogram (grid-bounded windows), and the sampling
     // certificate (two scan aggregates)
     "q203_incremental_near_dup", "q204_salted_join_exec",
-    "q205_equi_depth_hist", "q206_sample_estimate_audit")
+    "q205_equi_depth_hist", "q206_sample_estimate_audit",
+    // gap-fill: output bounded by users x calendar span, windows at day grain
+    "q207_gap_fill_daily")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

@@ -1438,6 +1438,10 @@ object SparkEntry {
     "q206_sample_estimate_audit" -> { (s, dir) =>
       Sampling.estimateAudit(TestData.orders(s, dir))
     },
+    // Calendar densification + LOCF: the user-day feature frame.
+    "q207_gap_fill_daily" -> { (s, dir) =>
+      Events.gapFillDaily(TestData.events(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2769,6 +2773,12 @@ object SparkEntry {
       s"""WITH ${Packing.contextLengthPlanSql()}
           SELECT seq_len, n_docs, total_tokens, n_seqs, pad_tokens, pad_frac
           FROM context_length_plan ORDER BY seq_len""",
+
+    "q207_gap_fill_daily" ->
+      s"""WITH ${Events.gapFillDailySql()}
+          SELECT user_id, day, day_cents, n_events, carried_type,
+                 days_since_active
+          FROM gap_fill ORDER BY user_id, day""",
 
     // the UNSALTED join on purpose — equality proves the salted execution
     "q204_salted_join_exec" ->

@@ -494,4 +494,78 @@ object Events {
        |  SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
        |         CAST(COUNT(*) AS BIGINT) AS len_days
        |  FROM gi GROUP BY user_id, grp)""".stripMargin
+
+  /** Calendar densification + last-observation-carried-forward: each
+    * user's CONTINUOUS epoch-day grid between their first and last active
+    * day, with quiet days 0-filled for flows (spend, event count) and
+    * LOCF-filled for levels (the last event type seen), plus the
+    * days-since-active staleness counter — the user-day feature frame a
+    * churn/engagement model trains on. The grid explode is bounded by the
+    * CALENDAR SPAN, never the event count; the fill is one window per
+    * user ordered by day (day grain, so partition size = span days); day
+    * arithmetic stays on exact integer epoch-days like every Events op.
+    */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val day = graft.functions.OracleSafe.intDiv(msCol, lit(dayMs))
+    val daily = events
+      .select(col("user_id"), day.as("day"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        col("ts_ns"), col("event_id"), col("event_type"))
+      .groupBy("user_id", "day")
+      .agg(sum("cents").as("day_cents"), count(lit(1)).as("n_events"),
+        max(struct(col("ts_ns"), col("event_id"), col("event_type"))).as("l"))
+      .select(col("user_id"), col("day"), col("day_cents"), col("n_events"),
+        col("l.event_type").as("day_type"))
+    val grid = daily.groupBy("user_id").agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("carried_type", last(col("day_type"), ignoreNulls = true).over(w))
+      .withColumn("last_active_day",
+        last(when(col("n_events").isNotNull, col("day")), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day"),
+        coalesce(col("day_cents"), lit(0L)).as("day_cents"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("carried_type"),
+        (col("day") - col("last_active_day")).cast("int").as("days_since_active"))
+      .orderBy("user_id", "day")
+  }
+
+  /** DuckDB twin of [[gapFillDaily]] (struct-max mirrored as the
+    * ROW_NUMBER pick, like [[Scd.cdcApplySql]]); embed after `WITH ` and
+    * select from `gap_fill`.
+    */
+  def gapFillDailySql(): String = {
+    val dayDiv = graft.functions.OracleSafe.intDivSql("epoch_ms(ts)", dayMs.toString)
+    s"""gf_ev AS (
+       |  SELECT user_id, $dayDiv AS day,
+       |         CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+       |         ts, event_id, event_type
+       |  FROM events),
+       |gf_daily AS (
+       |  SELECT user_id, day,
+       |         CAST(SUM(cents) AS BIGINT) AS day_cents,
+       |         COUNT(*) AS n_events,
+       |         MAX(day_type) AS day_type
+       |  FROM (SELECT *, CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, day
+       |                    ORDER BY ts DESC, event_id DESC) = 1
+       |               THEN event_type END AS day_type
+       |        FROM gf_ev) t
+       |  GROUP BY 1, 2),
+       |gf_grid AS (
+       |  SELECT user_id, unnest(generate_series(MIN(day), MAX(day))) AS day
+       |  FROM gf_daily GROUP BY user_id),
+       |gap_fill AS (
+       |  SELECT user_id, day,
+       |         COALESCE(day_cents, 0) AS day_cents,
+       |         COALESCE(n_events, 0) AS n_events,
+       |         LAST_VALUE(day_type IGNORE NULLS) OVER w AS carried_type,
+       |         CAST(day - LAST_VALUE(CASE WHEN n_events IS NOT NULL THEN day END
+       |                               IGNORE NULLS) OVER w AS INT)
+       |           AS days_since_active
+       |  FROM gf_grid LEFT JOIN gf_daily USING (user_id, day)
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
+  }
 }

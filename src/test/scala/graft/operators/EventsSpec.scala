@@ -223,4 +223,20 @@ class EventsSpec extends SparkSpec {
     val onTime = r.filter(_._1 == "on_time").map(_._2).sum
     assert(late > onTime, s"md5 disorder should make most rows late (late=$late on_time=$onTime)")
   }
+
+  test("gapFillDaily: quiet days 0-fill flows, LOCF the type, count staleness") {
+    val e = evD(
+      (1L, 1L, "signup", 0L, 5.0),          // day 0
+      (2L, 1L, "click", 10L, 7.0),          // day 0 (later -> day's type)
+      (3L, 1L, "purchase", 3 * day + 1L, 9.0)) // day 3; days 1,2 quiet
+    val rows = Events.gapFillDaily(e).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getString(4), r.getInt(5))))
+      .toMap
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L), "the grid must densify the gap")
+    assert(rows(0L) === ((1200L, 2L, "click", 0)),
+      "day 0: cents sum, count, LAST event's type, fresh")
+    assert(rows(1L) === ((0L, 0L, "click", 1)), "quiet day: 0-filled + LOCF + stale 1")
+    assert(rows(2L) === ((0L, 0L, "click", 2)))
+    assert(rows(3L) === ((900L, 1L, "purchase", 0)), "activity resets staleness")
+  }
 }

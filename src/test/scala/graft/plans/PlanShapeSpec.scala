@@ -100,7 +100,8 @@ class PlanShapeSpec extends SparkSpec {
         // intentional |salts|-row broadcast, never a cartesian), the
         // two-level histogram, and the sampling certificate
         "q203_incremental_near_dup", "q204_salted_join_exec",
-        "q205_equi_depth_hist", "q206_sample_estimate_audit")) {
+        "q205_equi_depth_hist", "q206_sample_estimate_audit",
+        "q207_gap_fill_daily")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
