@@ -407,6 +407,27 @@ class PlanShapeSpec extends SparkSpec {
         "never one global window over the grid")
   }
 
+  test("q204: the dim replicates via a broadcast; the salted join stays an equi hash join") {
+    val p = finalPlan("q204_salted_join_exec")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("BroadcastNestedLoopJoin")
+        || finalSection.contains("BroadcastHashJoin"),
+      "the |salts|-row replication frame must broadcast into the dim side")
+    assert(!p.contains("CartesianProduct"),
+      "the (key, salt) join must remain an equi join")
+    assert(finalSection.contains("HashAggregate"),
+      "the per-supplier rollup must partial-aggregate map-side")
+  }
+
+  test("q206: the certificate is scan aggregates only — no join, no window, no extra shuffle") {
+    val p = finalPlan("q206_sample_estimate_audit")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(!finalSection.contains("Join") && !finalSection.contains("Window"),
+      "estimate + exact + bound must come from ONE aggregation pass")
+    assert(!finalSection.contains("Exchange hashpartitioning"),
+      "a global 1-row aggregate needs no hash shuffle")
+  }
+
   test("a ym filter on the warehouse fact prunes partitions at the scan") {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("wh-prune").toString
