@@ -1210,11 +1210,14 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     },
     // TPC-H Q7 shape (two-nation trade volume): revenue flowing either
-    // direction between one nation pair, by ship year. The supplier and
-    // customer maps pre-filter to the pair and broadcast into the fact,
+    // direction between one nation pair, by ship year. The nation and
+    // supplier maps pre-filter to the pair and broadcast into the fact,
     // so the "(s=A and c=B) or (s=B and c=A)" disjunction collapses to a
-    // residual supp≠cust check on two broadcast-carried strings. The only
-    // fact-scale shuffle is the orders equi-join. Output 2×|years| rows.
+    // residual supp≠cust check on two broadcast-carried strings. The
+    // customer map gets NO broadcast hint: unlike nation/supplier it
+    // grows with the customer dimension (~2/N of all customers), so Q7
+    // conventionally shuffles it at warehouse scale — AQE broadcasts it
+    // at bench scale where its measured size allows. Output 2×|years|.
     "q192_trade_volume" -> { (s, dir) =>
       val nat = TestData.nation(s, dir)
         .filter(col("n_name").isin("NATION_3", "NATION_7"))
@@ -1228,7 +1231,7 @@ object SparkEntry {
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(TestData.orders(s, dir).select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))

@@ -488,11 +488,13 @@ object Planning {
     * count join that never materializes the join itself), and the
     * q-error max(est/act, act/est) the optimizer literature grades
     * estimators by. All counts are one map-side-combinable aggregate per
-    * table; the plan frame is 4 literal rows; estimates stay exact
-    * integers (floor division) at test scale — at true 100 TB scale the
-    * same arithmetic runs in doubles, which only widens q-error, never
-    * the ranking logic. `rk` = 1 marks the advisor's pick (smallest
-    * first-join intermediate, ties by name).
+    * table; the plan frame is 4 literal rows; the ESTIMATES run in
+    * doubles at every scale — |A|·|B| products overflow BIGINT at the
+    * row counts a 100 TB table carries (~1e9 × 1e10), and an estimate
+    * needs magnitude, not exactness (each double op is IEEE-exact in
+    * both engines, so the oracle twin still hash-matches) — while the
+    * ACTUALS stay exact BIGINT counts. `rk` = 1 marks the advisor's
+    * pick (smallest first-join intermediate, ties by name).
     */
   def joinOrderAdvisor(customer: DataFrame, orders: DataFrame,
       lineitem: DataFrame): DataFrame = {
@@ -518,18 +520,20 @@ object Planning {
       ("orders*customer*lineitem", "co"),
       ("orders*lineitem*customer", "ol"),
       ("lineitem*orders*customer", "ol")).toDF("join_order", "first_pair")
-    val estCO = OracleSafe.intDiv(col("nc") * col("no"),
-      greatest(col("dc"), col("dok")))
-    val estOL = OracleSafe.intDiv(col("no") * col("nl"),
-      greatest(col("doo"), col("dlo")))
+    val estCO = col("nc").cast("double") * col("no").cast("double") /
+      greatest(col("dc"), col("dok")).cast("double")
+    val estOL = col("no").cast("double") * col("nl").cast("double") /
+      greatest(col("doo"), col("dlo")).cast("double")
     val firstEst = when(col("first_pair") === "co", estCO).otherwise(estOL)
     val firstAct = when(col("first_pair") === "co", col("act_co"))
       .otherwise(col("act_ol"))
     val finalEst = when(col("first_pair") === "co",
-        OracleSafe.intDiv(estCO * col("nl"), greatest(col("doo"), col("dlo"))))
+        estCO * col("nl").cast("double") /
+          greatest(col("doo"), col("dlo")).cast("double"))
       .otherwise(
-        OracleSafe.intDiv(estOL * col("nc"), greatest(col("dc"), col("dok"))))
-    val e = greatest(firstEst, lit(1L)).cast("double")
+        estOL * col("nc").cast("double") /
+          greatest(col("dc"), col("dok")).cast("double"))
+    val e = greatest(firstEst, lit(1.0))
     val a = greatest(firstAct, lit(1L)).cast("double")
     val ranked = broadcast(orderings).crossJoin(stats)
       .select(col("join_order"),
@@ -547,8 +551,10 @@ object Planning {
     * from `join_order_advisor`.
     */
   def joinOrderAdvisorSql(): String = {
-    val estCO = OracleSafe.intDivSql("nc * no_", "GREATEST(dc, dok)")
-    val estOL = OracleSafe.intDivSql("no_ * nl", "GREATEST(doo, dlo)")
+    val estCO =
+      "CAST(nc AS DOUBLE) * CAST(no_ AS DOUBLE) / CAST(GREATEST(dc, dok) AS DOUBLE)"
+    val estOL =
+      "CAST(no_ AS DOUBLE) * CAST(nl AS DOUBLE) / CAST(GREATEST(doo, dlo) AS DOUBLE)"
     s"""joa_c AS (SELECT COUNT(*) AS nc, COUNT(DISTINCT c_custkey) AS dc
        |          FROM customer),
        |joa_o AS (SELECT COUNT(*) AS no_, COUNT(DISTINCT o_custkey) AS dok,
@@ -573,22 +579,24 @@ object Planning {
        |  ('lineitem*orders*customer', 'ol')) AS v(join_order, first_pair)),
        |joa_est AS (
        |  SELECT join_order,
-       |         CAST(CASE WHEN first_pair = 'co' THEN $estCO
-       |                   ELSE $estOL END AS BIGINT) AS first_join_est,
+       |         CASE WHEN first_pair = 'co' THEN $estCO
+       |              ELSE $estOL END AS first_join_est,
        |         CAST(CASE WHEN first_pair = 'co' THEN act_co
        |                   ELSE act_ol END AS BIGINT) AS first_join_actual,
-       |         CAST(CASE WHEN first_pair = 'co'
-       |              THEN ${OracleSafe.intDivSql(s"($estCO) * nl", "GREATEST(doo, dlo)")}
-       |              ELSE ${OracleSafe.intDivSql(s"($estOL) * nc", "GREATEST(dc, dok)")}
-       |              END AS BIGINT) AS final_est
+       |         CASE WHEN first_pair = 'co'
+       |              THEN ($estCO) * CAST(nl AS DOUBLE)
+       |                   / CAST(GREATEST(doo, dlo) AS DOUBLE)
+       |              ELSE ($estOL) * CAST(nc AS DOUBLE)
+       |                   / CAST(GREATEST(dc, dok) AS DOUBLE)
+       |              END AS final_est
        |  FROM joa_ord, joa_c, joa_o, joa_l, joa_aco, joa_aol),
        |join_order_advisor AS (
        |  SELECT join_order, first_join_est, first_join_actual,
        |         GREATEST(
-       |           CAST(GREATEST(first_join_est, 1) AS DOUBLE)
+       |           GREATEST(first_join_est, 1.0)
        |             / CAST(GREATEST(first_join_actual, 1) AS DOUBLE),
        |           CAST(GREATEST(first_join_actual, 1) AS DOUBLE)
-       |             / CAST(GREATEST(first_join_est, 1) AS DOUBLE)) AS q_error,
+       |             / GREATEST(first_join_est, 1.0)) AS q_error,
        |         final_est,
        |         CAST(ROW_NUMBER() OVER (ORDER BY first_join_est, join_order)
        |           AS INT) AS rk

@@ -487,12 +487,18 @@ object Sampling {
 
   /** Sample-based estimate with a distribution-free error certificate:
     * estimate the corpus's total order value from a deterministic p%
-    * hash-coin sample, then audit the estimate against BOTH the exact
-    * total and the Hoeffding 95% bound N·R·sqrt(ln(2/δ)/(2·n_s)) — the
-    * "can I trust the cheap estimate" decision a planner makes before
-    * paying for the exact scan. R (the value range) is MEASURED, not
-    * assumed; ln(2/0.05) is a literal so no libm call differs between
-    * engines; everything else is exact cents until the audit columns.
+    * hash-coin sample via N·(sample mean) — the estimator the Hoeffding
+    * 95% bound N·R·sqrt(ln(2/δ)/(2·n_s)) actually covers. Under the
+    * Bernoulli hash coin the realized sample size n_s differs from the
+    * nominal N·p/100, so the scale factor is MEASURED (n_pop/n_sample),
+    * never the fixed 100/p an inverse-probability form would use (which
+    * is also biased for any p not dividing 100). The audit compares the
+    * estimate against BOTH the exact total and the bound — the "can I
+    * trust the cheap estimate" decision a planner makes before paying
+    * for the exact scan. R (the value range) is MEASURED, not assumed;
+    * ln(2/0.05) is a literal so no libm call differs between engines;
+    * sums stay exact cents, with one double divide+multiply at the end
+    * (both engines IEEE-exact per op, so the twin hash-matches).
     */
   def estimateAudit(orders: DataFrame, pct: Int = 5): DataFrame = {
     require(pct >= 1 && pct <= 99, s"pct must be in [1,99], got $pct")
@@ -500,6 +506,9 @@ object Sampling {
     val base = orders.select(cents.as("cents"),
       (coin(col("o_orderkey")) < pct).as("in_sample"))
     val ln2d = 3.6888794541139363 // ln(2/0.05), fixed literal on both engines
+    val nS = greatest(col("n_sample"), lit(1L)).cast("double")
+    val est = col("n_pop").cast("double") *
+      (col("sample_cents").cast("double") / nS)
     base.agg(
         count(lit(1)).as("n_pop"),
         sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sample"),
@@ -507,15 +516,14 @@ object Sampling {
         sum(col("cents")).as("exact_cents"),
         max(col("cents")).as("max_cents"))
       .select(col("n_pop"), col("n_sample"),
-        (col("sample_cents") * lit(100L / pct)).as("est_cents"),
+        est.as("est_cents"),
         col("exact_cents"),
-        abs(col("sample_cents") * lit(100L / pct) - col("exact_cents"))
-          .as("abs_err_cents"),
+        abs(est - col("exact_cents").cast("double")).as("abs_err_cents"),
         (col("n_pop").cast("double") * col("max_cents").cast("double")
-          * sqrt(lit(ln2d) / (lit(2.0) * col("n_sample").cast("double"))))
+          * sqrt(lit(ln2d) / (lit(2.0) * nS)))
           .as("hoeffding_bound_cents"))
       .withColumn("within_bound",
-        col("abs_err_cents").cast("double") <= col("hoeffding_bound_cents"))
+        col("abs_err_cents") <= col("hoeffding_bound_cents"))
   }
 
   /** DuckDB twin of [[estimateAudit]]; embed after `WITH ` and select
@@ -536,20 +544,22 @@ object Sampling {
        |         CAST(SUM(cents) AS BIGINT) AS exact_cents,
        |         MAX(cents) AS max_cents
        |  FROM ea_base),
-       |estimate_audit AS (
-       |  SELECT n_pop, n_sample,
-       |         sample_cents * ${100 / pct} AS est_cents,
-       |         exact_cents,
-       |         abs(sample_cents * ${100 / pct} - exact_cents) AS abs_err_cents,
+       |ea_est AS (
+       |  SELECT n_pop, n_sample, exact_cents,
+       |         CAST(n_pop AS DOUBLE)
+       |           * (CAST(sample_cents AS DOUBLE)
+       |              / CAST(GREATEST(n_sample, 1) AS DOUBLE)) AS est_cents,
        |         CAST(n_pop AS DOUBLE) * CAST(max_cents AS DOUBLE)
        |           * sqrt(3.6888794541139363
-       |                  / (2.0 * CAST(n_sample AS DOUBLE)))
-       |           AS hoeffding_bound_cents,
-       |         CAST(abs(sample_cents * ${100 / pct} - exact_cents) AS DOUBLE)
-       |           <= CAST(n_pop AS DOUBLE) * CAST(max_cents AS DOUBLE)
-       |              * sqrt(3.6888794541139363
-       |                     / (2.0 * CAST(n_sample AS DOUBLE)))
-       |           AS within_bound
-       |  FROM ea_agg)""".stripMargin
+       |                  / (2.0 * CAST(GREATEST(n_sample, 1) AS DOUBLE)))
+       |           AS hoeffding_bound_cents
+       |  FROM ea_agg),
+       |estimate_audit AS (
+       |  SELECT n_pop, n_sample, est_cents, exact_cents,
+       |         abs(est_cents - CAST(exact_cents AS DOUBLE)) AS abs_err_cents,
+       |         hoeffding_bound_cents,
+       |         abs(est_cents - CAST(exact_cents AS DOUBLE))
+       |           <= hoeffding_bound_cents AS within_bound
+       |  FROM ea_est)""".stripMargin
   }
 }

@@ -131,16 +131,23 @@ class PlanningSpec extends SparkSpec {
     val o = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 3L), (6L, 3L))
       .toDF("o_orderkey", "o_custkey")
     val l = (1L to 6L).flatMap(k => Seq(k, k)).toDF("l_orderkey")
-    val rows = Planning.joinOrderAdvisor(c, o, l).collect()
+    val advised = Planning.joinOrderAdvisor(c, o, l)
+    // estimates run in doubles at every scale: BIGINT |A|*|B| products
+    // overflow at 100 TB row counts (the actuals stay exact BIGINT)
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    assert(advised.schema("first_join_est").dataType == DoubleType)
+    assert(advised.schema("final_est").dataType == DoubleType)
+    assert(advised.schema("first_join_actual").dataType == LongType)
+    val rows = advised.collect()
     assert(rows.length == 4)
     val byOrder = rows.map(r => r.getString(0) ->
-      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getInt(5)))).toMap
-    assert(byOrder("customer*orders*lineitem") === ((6L, 6L, 1.0, 12L, 1)))
-    assert(byOrder("orders*customer*lineitem") === ((6L, 6L, 1.0, 12L, 2)))
-    assert(byOrder("lineitem*orders*customer")._1 === 12L)
-    assert(byOrder("orders*lineitem*customer")._1 === 12L)
+      ((r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getInt(5)))).toMap
+    assert(byOrder("customer*orders*lineitem") === ((6.0, 6L, 1.0, 12.0, 1)))
+    assert(byOrder("orders*customer*lineitem") === ((6.0, 6L, 1.0, 12.0, 2)))
+    assert(byOrder("lineitem*orders*customer")._1 === 12.0)
+    assert(byOrder("orders*lineitem*customer")._1 === 12.0)
     // final estimate is order-independent for a chain: both classes land on 12
-    assert(rows.forall(_.getLong(4) == 12L))
+    assert(rows.forall(_.getDouble(4) == 12.0))
   }
 
   test("equiDepthHistogram: depths partition the rows; uniform grid gives exact depth 1") {

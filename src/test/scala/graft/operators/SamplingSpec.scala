@@ -249,16 +249,28 @@ class SamplingSpec extends SparkSpec {
     assert(small == big)
   }
 
-  test("estimateAudit: inverse-probability arithmetic and the bound hold exactly") {
+  test("estimateAudit: N x sample-mean estimator matches the bound it is audited by") {
+    // constant values: the sample mean is exact regardless of the realized
+    // sample size, so N*(sample mean) must hit the total exactly -- the
+    // property the earlier sum*(100/pct) inverse-probability form lacked
+    // whenever the hash coin landed n_sample != N*pct/100 (and for any pct
+    // not dividing 100, here pct=7).
+    val const = (1L to 400L).map(k => (k, 42.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val c = Sampling.estimateAudit(const, pct = 7).collect().head
+    assert(c.getLong(0) == 400L && c.getLong(1) > 0L)
+    assert(c.getDouble(2) == 400.0 * 4200.0, "constant data: estimate is exact")
+    assert(c.getDouble(4) == 0.0 && c.getBoolean(6))
+    // varying values: err/bound wiring
     val orders = (1L to 400L).map(k => (k, (k % 97).toDouble + 10.0))
       .toDF("o_orderkey", "o_totalprice")
     val r = Sampling.estimateAudit(orders, pct = 5).collect().head
     val (nPop, nSample) = (r.getLong(0), r.getLong(1))
     assert(nPop == 400L)
     assert(nSample > 0L && nSample < 400L, s"5% coin must sample strictly between: $nSample")
-    assert(r.getLong(2) % 20L == 0L, "estimate must be the sample total x 20")
-    assert(r.getLong(4) == math.abs(r.getLong(2) - r.getLong(3)),
+    assert(r.getDouble(4) == math.abs(r.getDouble(2) - r.getLong(3).toDouble),
       "abs_err must be |est - exact|")
     assert(r.getDouble(5) > 0.0)
+    assert(r.getBoolean(6) == (r.getDouble(4) <= r.getDouble(5)))
   }
 }
