@@ -136,7 +136,9 @@ object ScaleBench {
     "q203_incremental_near_dup", "q204_salted_join_exec",
     "q205_equi_depth_hist", "q206_sample_estimate_audit",
     // gap-fill: output bounded by users x calendar span, windows at day grain
-    "q207_gap_fill_daily")
+    "q207_gap_fill_daily",
+    // round-10: executed join orders, range-shard audit
+    "q208_join_order_exec", "q209_range_balanced_shards")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

@@ -1445,6 +1445,20 @@ object SparkEntry {
     "q207_gap_fill_daily" -> { (s, dir) =>
       Events.gapFillDaily(TestData.events(s, dir))
     },
+    // The q202 join-order plan EXECUTED: best- and worst-ranked orders
+    // both run as real join chains; measured first-join cardinality sits
+    // next to the Selinger estimate; identical totals prove the order
+    // only moves cost, never results (the q169/q204 consumed-plan pattern).
+    "q208_join_order_exec" -> { (s, dir) =>
+      Planning.executeJoinOrder(TestData.customer(s, dir),
+        TestData.orders(s, dir), TestData.lineitem(s, dir))
+    },
+    // The q205 equi-depth statistics CONSUMED: measured bucket bounds
+    // route rows in a broadcast range join; the audit proves the routing
+    // reproduces the histogram depths exactly and stays balanced.
+    "q209_range_balanced_shards" -> { (s, dir) =>
+      Planning.rangeBalancedShards(TestData.lineitem(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2811,6 +2825,20 @@ object SparkEntry {
           SELECT join_order, first_join_est, first_join_actual, q_error,
                  final_est, rk
           FROM join_order_advisor ORDER BY rk""",
+
+    // totals from ONE fixed order on purpose: equality across the two
+    // executed orders is the proof the ranking only moves cost
+    "q208_join_order_exec" ->
+      s"""WITH ${Planning.executeJoinOrderSql()}
+          SELECT order_rank, join_order, est_first_rows, first_join_rows,
+                 n_rows, total_cents
+          FROM join_order_exec ORDER BY order_rank""",
+
+    "q209_range_balanced_shards" ->
+      s"""WITH ${Planning.rangeBalancedShardsSql()}
+          SELECT bucket, lo_cents, hi_cents, assigned_rows, hist_rows,
+                 depth_match, depth_x_buckets
+          FROM range_balanced ORDER BY bucket""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

@@ -644,6 +644,136 @@ object Planning {
       .orderBy("bucket")
   }
 
+  /** Execute the join orders a [[joinOrderAdvisor]] ranked — the plan
+    * CONSUMED, not just emitted (the q169/q204 salting pattern applied to
+    * join ordering): the best-ranked (rk 1) and worst-ranked (rk 4)
+    * cross-product-free orders each run as an actual left-deep join
+    * chain built in exactly that syntactic order (Catalyst preserves
+    * user join order without CBO), the first join's cardinality is
+    * MEASURED from that executed pair join and recorded next to the
+    * advisor's Selinger estimate, and both orders aggregate the full
+    * three-way join down to the same count + cent-exact total. The
+    * oracle computes that total once from a fixed order, so the
+    * hash-match proves the advisor's decision only moves cost — where
+    * the intermediate materializes — never results.
+    *
+    * Scale shape: the advisor frame is 4 rows (collected as the plan
+    * decision, like [[executeSkewPlan]]'s fan-out frame); each executed
+    * chain is two equi-join shuffles plus one map-side-combinable
+    * aggregate; nothing driver-side grows with the data.
+    */
+  def executeJoinOrder(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val spark = customer.sparkSession
+    import spark.implicits._
+    val picks = joinOrderAdvisor(customer, orders, lineitem)
+      .filter(col("rk").isin(1, 4))
+      .select("rk", "join_order", "first_join_est")
+      .collect() // 2-row plan frame: the planner's decision, not data
+    val cust = customer.select(col("c_custkey"))
+    val ord = orders.select(col("o_orderkey"), col("o_custkey"))
+    val li = lineitem.select(col("l_orderkey"),
+      OracleSafe.quant(col("l_extendedprice"), 100).as("cents"))
+    def tbl(n: String): DataFrame = n match {
+      case "customer" => cust
+      case "orders" => ord
+      case "lineitem" => li
+    }
+    // the chain's two equi-join predicates; orders touches both ends
+    def cond(joined: Set[String], next: String): Column = next match {
+      case "customer" => col("o_custkey") === col("c_custkey")
+      case "lineitem" => col("o_orderkey") === col("l_orderkey")
+      case "orders" =>
+        if (joined("customer")) col("c_custkey") === col("o_custkey")
+        else col("l_orderkey") === col("o_orderkey")
+    }
+    val runs = picks.toSeq.map { r =>
+      val (rk, order, est) = (r.getInt(0), r.getString(1), r.getDouble(2))
+      val names = order.split("\\*").toSeq
+      val first = tbl(names(0)).join(tbl(names(1)), cond(Set(names(0)), names(1)))
+      val full = first.join(tbl(names(2)), cond(names.take(2).toSet, names(2)))
+      val firstCnt = first.agg(count(lit(1)).as("first_join_rows"))
+      val fullAgg = full.agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("total_cents"))
+      broadcast(Seq((if (rk == 1) "best" else "worst", order, est))
+          .toDF("order_rank", "join_order", "est_first_rows"))
+        .crossJoin(firstCnt).crossJoin(fullAgg)
+    }
+    runs.reduce(_.unionByName(_)).orderBy("order_rank")
+  }
+
+  /** DuckDB twin of [[executeJoinOrder]]; embed after `WITH ` and select
+    * from `join_order_exec`. The totals come from ONE fixed join order on
+    * purpose — result-equality across the executed orders is the proof.
+    */
+  def executeJoinOrderSql(): String =
+    s"""${joinOrderAdvisorSql()},
+       |ejo_tot AS (
+       |  SELECT COUNT(*) AS n_rows,
+       |         CAST(SUM(${OracleSafe.quantSql("l_extendedprice", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM customer
+       |  JOIN orders ON c_custkey = o_custkey
+       |  JOIN lineitem ON o_orderkey = l_orderkey),
+       |join_order_exec AS (
+       |  SELECT CASE WHEN rk = 1 THEN 'best' ELSE 'worst' END AS order_rank,
+       |         join_order, first_join_est AS est_first_rows,
+       |         first_join_actual AS first_join_rows, n_rows, total_cents
+       |  FROM join_order_advisor, ejo_tot
+       |  WHERE rk IN (1, 4))""".stripMargin
+
+  /** Consume [[equiDepthHistogram]]'s measured bounds in a balanced
+    * range-shard assignment — the ANALYZE → plan → execute loop closed:
+    * the B-row bounds frame (the PLAN) broadcasts into a range join that
+    * routes every row to its bucket, and the audit proves (a) the routing
+    * reproduces the histogram's depths EXACTLY (`assigned_rows` =
+    * `hist_rows`, so `depth_match` is the correctness bit) and (b) each
+    * shard's `depth_x_buckets` stays within the histogram's own balance
+    * tolerance. This is `repartitionByRange` with measured bounds made
+    * auditable: at 100 TB the same bounds frame drives the
+    * range-partitioned write and this audit is the cheap post-write
+    * row-count check. The range join is a broadcast nested-loop against
+    * a B-row frame — each probe row checks ≤B intervals, constant work
+    * per row independent of corpus size.
+    */
+  def rangeBalancedShards(lineitem: DataFrame, buckets: Int = 8,
+      coarseCents: Long = 100000L): DataFrame = {
+    val hist = equiDepthHistogram(lineitem, buckets, coarseCents)
+      .select(col("bucket"), col("lo_cents"), col("hi_cents"),
+        col("n_rows").as("hist_rows"), col("depth_x_buckets"))
+    val cents = OracleSafe.quant(col("l_extendedprice"), 100)
+    lineitem.select(cents.as("cents"))
+      .join(broadcast(hist),
+        col("cents") >= col("lo_cents") && col("cents") <= col("hi_cents"))
+      .groupBy(col("bucket"), col("lo_cents"), col("hi_cents"),
+        col("hist_rows"), col("depth_x_buckets"))
+      .agg(count(lit(1)).as("assigned_rows"))
+      .select(col("bucket"), col("lo_cents"), col("hi_cents"),
+        col("assigned_rows"), col("hist_rows"),
+        (col("assigned_rows") === col("hist_rows")).as("depth_match"),
+        col("depth_x_buckets"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB twin of [[rangeBalancedShards]]; embed after `WITH ` and
+    * select from `range_balanced`.
+    */
+  def rangeBalancedShardsSql(buckets: Int = 8): String =
+    s"""${equiDepthHistogramSql(buckets)},
+       |rbs_assign AS (
+       |  SELECT h.bucket, h.lo_cents, h.hi_cents, h.n_rows AS hist_rows,
+       |         h.depth_x_buckets, COUNT(*) AS assigned_rows
+       |  FROM (SELECT ${OracleSafe.quantSql("l_extendedprice", 100)} AS cents
+       |        FROM lineitem) r
+       |  JOIN equi_depth h
+       |    ON r.cents >= h.lo_cents AND r.cents <= h.hi_cents
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |range_balanced AS (
+       |  SELECT bucket, lo_cents, hi_cents,
+       |         CAST(assigned_rows AS BIGINT) AS assigned_rows, hist_rows,
+       |         assigned_rows = hist_rows AS depth_match, depth_x_buckets
+       |  FROM rbs_assign)""".stripMargin
+
   /** DuckDB twin of [[equiDepthHistogram]] (a flat window — cumulative
     * sums are method-independent); embed after `WITH ` and select from
     * `equi_depth`.

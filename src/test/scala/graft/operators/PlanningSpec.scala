@@ -150,6 +150,47 @@ class PlanningSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(4) == 12.0))
   }
 
+  test("executeJoinOrder: best and worst orders execute, measure, and agree on results") {
+    // same fixture as the advisor test, with prices so totals are checkable:
+    // best = customer*orders*lineitem (first join c⋈o = 6 rows), worst =
+    // orders*lineitem*customer (first join o⋈l = 12 rows); the full chain
+    // is 12 rows of 100 cents either way.
+    val c = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val o = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 3L), (6L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val l = (1L to 6L).flatMap(k => Seq(k, k))
+      .map(k => (k, 1.0)).toDF("l_orderkey", "l_extendedprice")
+    val rows = Planning.executeJoinOrder(c, o, l).collect()
+    assert(rows.length == 2)
+    val byRank = rows.map(r => r.getString(0) ->
+      ((r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(byRank("best") === (("customer*orders*lineitem", 6.0, 6L, 12L, 1200L)))
+    assert(byRank("worst") === (("orders*lineitem*customer", 12.0, 12L, 12L, 1200L)))
+    // the decision moved cost (different measured first joins), not results
+    assert(byRank("best")._4 == byRank("worst")._4
+      && byRank("best")._5 == byRank("worst")._5)
+  }
+
+  test("rangeBalancedShards: routing reproduces histogram depths; heavy value unsplit") {
+    // uniform: 80 distinct prices -> 8 shards of exactly 10 rows, all matched
+    val uni = (1L to 80L).map(v => v.toDouble).toDF("l_extendedprice")
+    val u = Planning.rangeBalancedShards(uni, buckets = 8).collect()
+    assert(u.length == 8)
+    assert(u.map(_.getLong(3)).sum == 80L)
+    u.foreach { r =>
+      assert(r.getBoolean(5), s"assigned must equal histogram depth: $r")
+      assert(r.getLong(3) == 10L && r.getDouble(6) == 1.0)
+    }
+    // one heavy value (50 copies of the same price) must land whole in one
+    // shard — the routing must agree with the histogram's never-split rule
+    val heavy = ((1L to 30L).map(_.toDouble) ++ Seq.fill(50)(100.0))
+      .toDF("l_extendedprice")
+    val h = Planning.rangeBalancedShards(heavy, buckets = 4).collect()
+    assert(h.map(_.getLong(3)).sum == 80L)
+    h.foreach(r => assert(r.getBoolean(5), s"heavy-value shard must match: $r"))
+    assert(h.exists(_.getLong(3) >= 50L), "the heavy value stays in one shard")
+  }
+
   test("equiDepthHistogram: depths partition the rows; uniform grid gives exact depth 1") {
     // 80 distinct prices, one row each -> 8 buckets of exactly 10 rows
     val li = (1L to 80L).map(v => v.toDouble).toDF("l_extendedprice")

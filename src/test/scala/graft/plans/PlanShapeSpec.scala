@@ -101,7 +101,11 @@ class PlanShapeSpec extends SparkSpec {
         // two-level histogram, and the sampling certificate
         "q203_incremental_near_dup", "q204_salted_join_exec",
         "q205_equi_depth_hist", "q206_sample_estimate_audit",
-        "q207_gap_fill_daily")) {
+        "q207_gap_fill_daily",
+        // round-10: the executed join orders (1-row stat frames cross as
+        // broadcasts) and the range-shard audit (B-row bounds broadcast
+        // into an interval nested-loop, never a cartesian)
+        "q208_join_order_exec", "q209_range_balanced_shards")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
@@ -426,6 +430,29 @@ class PlanShapeSpec extends SparkSpec {
       "estimate + exact + bound must come from ONE aggregation pass")
     assert(!finalSection.contains("Exchange hashpartitioning"),
       "a global 1-row aggregate needs no hash shuffle")
+  }
+
+  test("q208: both executed orders join on equi keys; stat frames cross as broadcasts") {
+    val p = finalPlan("q208_join_order_exec")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"),
+      "the join chains and the 1-row stat crosses must never plan a cartesian")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+        .findFirstIn(finalSection).isDefined,
+      "the executed chains must run as hash/merge equi joins")
+    assert(finalSection.contains("Union"),
+      "best and worst runs must union into one frame")
+  }
+
+  test("q209: the measured bounds broadcast into the interval routing join") {
+    val p = finalPlan("q209_range_balanced_shards")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("BroadcastNestedLoopJoin"),
+      "the B-row bounds frame must broadcast; each probe row checks <= B intervals")
+    assert(!p.contains("CartesianProduct"),
+      "interval routing must never degrade to a row-by-row cartesian")
+    assert(finalSection.contains("HashAggregate"),
+      "the per-bucket audit must partial-aggregate map-side")
   }
 
   test("a ym filter on the warehouse fact prunes partitions at the scan") {
