@@ -1459,6 +1459,12 @@ object SparkEntry {
     "q209_range_balanced_shards" -> { (s, dir) =>
       Planning.rangeBalancedShards(TestData.lineitem(s, dir))
     },
+    // MERGE INTO-style transactional upsert: two concurrent writers,
+    // key-level conflict detection, version-based resolution; the oracle
+    // is the SERIAL replay, so the hash-match is the serializability proof.
+    "q210_merge_upsert" -> { (s, dir) =>
+      Scd.mergeUpsert(TestData.customer(s, dir), TestData.orders(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2839,6 +2845,14 @@ object SparkEntry {
           SELECT bucket, lo_cents, hi_cents, assigned_rows, hist_rows,
                  depth_match, depth_x_buckets
           FROM range_balanced ORDER BY bucket""",
+
+    // the serial replay on purpose: equality with the concurrent
+    // set-based merge is the serializability certificate
+    "q210_merge_upsert" ->
+      s"""WITH ${Scd.mergeUpsertSql()}
+          SELECT key, n_writes_a, n_writes_b, conflict, winner_version,
+                 final_state, final_cents
+          FROM merge_upsert ORDER BY key""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

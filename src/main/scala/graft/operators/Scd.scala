@@ -116,6 +116,112 @@ object Scd {
       .orderBy("user_id")
   }
 
+  /** MERGE INTO-style transactional upsert with write-write conflict
+    * detection — the lakehouse commit step on top of [[cdcApply]]'s
+    * last-write-wins fold: two writers ('A', 'B') each submit a batch of
+    * row-level writes (absolute-value upserts and delete tombstones,
+    * every write stamped with a unique commit version) against the SAME
+    * target snapshot. The merge (a) DETECTS conflicts at key granularity
+    * — a key both writers touched, the check an optimistic-concurrency
+    * committer runs before accepting the second writer — and (b)
+    * RESOLVES every key deterministically by the highest commit version,
+    * so the concurrent set-based apply is provably equivalent to
+    * replaying all writes serially in version order. The oracle IS that
+    * serial replay (row_number over version), making the hash-match a
+    * serializability certificate.
+    *
+    * Plan shape: the per-key fold is ONE map-side-combinable aggregate
+    * (`max(struct(version, op, cents))` — no window ever sorts the write
+    * log, [[cdcApply]]'s scale argument) with the per-writer conditional
+    * counts riding the same groupBy; the merge itself is one outer
+    * equi-join between target and the folded writes. Writes derive
+    * deterministically from orders: writer = orderkey parity, tombstones
+    * every 7th orderkey, version = the unique orderkey.
+    *
+    * Output: one row per key in target ∪ writes — (key, n_writes_a,
+    * n_writes_b, conflict, winner_version, final_state ∈
+    * kept/updated/inserted/deleted, final_cents null when deleted).
+    */
+  def mergeUpsert(customer: DataFrame, orders: DataFrame): DataFrame = {
+    import graft.functions.OracleSafe.quant
+    val target = customer.select(col("c_custkey").as("key"),
+      quant(col("c_acctbal"), 100).as("tcents"), lit(1).as("in_t"))
+    val writes = orders.select(col("o_custkey").as("key"),
+      when(col("o_orderkey") % 2 === 0, lit("A")).otherwise(lit("B")).as("writer"),
+      when(col("o_orderkey") % 7 === 0, lit("D")).otherwise(lit("U")).as("op"),
+      quant(col("o_totalprice"), 100).as("wcents"),
+      col("o_orderkey").as("version"))
+    val folded = writes.groupBy("key").agg(
+      sum(when(col("writer") === "A", 1L).otherwise(0L)).as("n_writes_a"),
+      sum(when(col("writer") === "B", 1L).otherwise(0L)).as("n_writes_b"),
+      max(struct(col("version"), col("op"), col("wcents"))).as("w"))
+    target.join(folded, Seq("key"), "full")
+      .select(col("key"),
+        coalesce(col("n_writes_a"), lit(0L)).as("n_writes_a"),
+        coalesce(col("n_writes_b"), lit(0L)).as("n_writes_b"),
+        (coalesce(col("n_writes_a"), lit(0L)) > 0 &&
+          coalesce(col("n_writes_b"), lit(0L)) > 0).as("conflict"),
+        col("w.version").as("winner_version"),
+        when(col("w").isNull, lit("kept"))
+          .when(col("w.op") === "D", lit("deleted"))
+          .when(col("in_t").isNotNull, lit("updated"))
+          .otherwise(lit("inserted")).as("final_state"),
+        when(col("w").isNull, col("tcents"))
+          .when(col("w.op") === "D", lit(null).cast("long"))
+          .otherwise(col("w.wcents")).as("final_cents"))
+      .orderBy("key")
+  }
+
+  /** DuckDB twin of [[mergeUpsert]] — the SERIAL replay on purpose: all
+    * writes ordered by commit version, each key's last write applied on
+    * top of the target (row_number formulation; the oracle need not
+    * scale). Equality with the concurrent set-based merge is the
+    * serializability proof. Embed after `WITH ` and select from
+    * `merge_upsert`.
+    */
+  def mergeUpsertSql(): String = {
+    import graft.functions.OracleSafe.quantSql
+    s"""mu_target AS (
+       |  SELECT c_custkey AS key, ${quantSql("c_acctbal", 100)} AS tcents
+       |  FROM customer),
+       |mu_writes AS (
+       |  SELECT o_custkey AS key,
+       |         CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS writer,
+       |         CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+       |         ${quantSql("o_totalprice", 100)} AS wcents,
+       |         o_orderkey AS version
+       |  FROM orders),
+       |mu_serial AS (
+       |  SELECT key, op, wcents, version FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+       |      ORDER BY version DESC) AS rn
+       |    FROM mu_writes) t WHERE rn = 1),
+       |mu_counts AS (
+       |  SELECT key,
+       |         CAST(SUM(CASE WHEN writer = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_writes_a,
+       |         CAST(SUM(CASE WHEN writer = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_writes_b
+       |  FROM mu_writes GROUP BY 1),
+       |merge_upsert AS (
+       |  SELECT COALESCE(t.key, s.key) AS key,
+       |         COALESCE(s.n_writes_a, 0) AS n_writes_a,
+       |         COALESCE(s.n_writes_b, 0) AS n_writes_b,
+       |         COALESCE(s.n_writes_a, 0) > 0
+       |           AND COALESCE(s.n_writes_b, 0) > 0 AS conflict,
+       |         s.version AS winner_version,
+       |         CASE WHEN s.key IS NULL THEN 'kept'
+       |              WHEN s.op = 'D' THEN 'deleted'
+       |              WHEN t.key IS NOT NULL THEN 'updated'
+       |              ELSE 'inserted' END AS final_state,
+       |         CASE WHEN s.key IS NULL THEN t.tcents
+       |              WHEN s.op = 'D' THEN NULL
+       |              ELSE s.wcents END AS final_cents
+       |  FROM mu_target t
+       |  FULL JOIN (SELECT * FROM mu_serial JOIN mu_counts USING (key)) s
+       |    ON t.key = s.key)""".stripMargin
+  }
+
   /** DuckDB twin of [[cdcApply]] — row_number formulation (the oracle
     * need not scale) with the identical (ts, event_id) write order.
     */

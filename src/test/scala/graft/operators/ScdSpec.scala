@@ -98,4 +98,55 @@ class ScdSpec extends SparkSpec {
       .select("last_op", "final_value").as[(String, Option[Double])].head()
     assert(r == (("U", Some(2.0))))
   }
+
+  test("mergeUpsert: conflicts detected per key, resolved by version, serial-equivalent") {
+    // target keys 1..4 at 1.00; writes derive from the fixture orders:
+    //   key 1: A(v2 U 2.00), B(v7 D)      -> conflict, delete wins (v7)
+    //   key 2: A(v4 U 4.00)                -> updated, no conflict
+    //   key 3: B(v3 U 3.00), A(v6 U 6.00)  -> conflict, v6 wins
+    //   key 5: B(v5 U 5.00)                -> inserted (not in target)
+    //   key 4: untouched                   -> kept
+    val customer = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 1.0))
+      .toDF("c_custkey", "c_acctbal")
+    val orders = Seq(
+      (2L, 1L, 2.0), (7L, 1L, 7.0), (4L, 2L, 4.0),
+      (3L, 3L, 3.0), (6L, 3L, 6.0), (5L, 5L, 5.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val r = Scd.mergeUpsert(customer, orders)
+      .select("key", "n_writes_a", "n_writes_b", "conflict", "winner_version",
+        "final_state", "final_cents")
+      .as[(Long, Long, Long, Boolean, Option[Long], String, Option[Long])]
+      .collect().toSeq
+    assert(r == Seq(
+      (1L, 1L, 1L, true, Some(7L), "deleted", None),
+      (2L, 1L, 0L, false, Some(4L), "updated", Some(400L)),
+      (3L, 1L, 1L, true, Some(6L), "updated", Some(600L)),
+      (4L, 0L, 0L, false, None, "kept", Some(100L)),
+      (5L, 0L, 1L, false, Some(5L), "inserted", Some(500L))))
+  }
+
+  test("mergeUpsert equals the serial replay of all writes in version order") {
+    // replay the same writes one at a time in version order into a map;
+    // the set-based concurrent merge must land on the identical state
+    val customer = (1L to 20L).map(k => (k, k.toDouble))
+      .toDF("c_custkey", "c_acctbal")
+    val orders = (1L to 60L).map(v => (v, (v * 13 % 25) + 1, v.toDouble))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    var state = (1L to 20L).map(k => k -> Option(k * 100)).toMap
+    (1L to 60L).foreach { v =>
+      val key = (v * 13 % 25) + 1
+      if (v % 7 == 0) state += key -> None              // tombstone
+      else state += key -> Some(v * 100)                // absolute upsert
+    }
+    val merged = Scd.mergeUpsert(customer, orders)
+      .select("key", "final_state", "final_cents")
+      .as[(Long, String, Option[Long])].collect()
+    merged.foreach { case (k, st, cents) =>
+      val expected = state.getOrElse(k, None)
+      if (st == "deleted") assert(expected.isEmpty, s"key $k: serial replay kept a value")
+      else assert(cents == expected, s"key $k: $st $cents vs serial $expected")
+    }
+    assert(merged.map(_._1).toSet == state.keySet,
+      "merge must cover exactly target ∪ written keys")
+  }
 }

@@ -105,7 +105,8 @@ class PlanShapeSpec extends SparkSpec {
         // round-10: the executed join orders (1-row stat frames cross as
         // broadcasts) and the range-shard audit (B-row bounds broadcast
         // into an interval nested-loop, never a cartesian)
-        "q208_join_order_exec", "q209_range_balanced_shards")) {
+        "q208_join_order_exec", "q209_range_balanced_shards",
+        "q210_merge_upsert")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
@@ -453,6 +454,18 @@ class PlanShapeSpec extends SparkSpec {
       "interval routing must never degrade to a row-by-row cartesian")
     assert(finalSection.contains("HashAggregate"),
       "the per-bucket audit must partial-aggregate map-side")
+  }
+
+  test("q210: the write log folds in one struct-max aggregate — no window sort") {
+    val p = finalPlan("q210_merge_upsert")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(!finalSection.contains("Window"),
+      "the winning write must come from a map-side-combinable struct-max, " +
+        "never a row_number window over the write log")
+    assert(finalSection.contains("partial_max(struct("),
+      "the per-key fold must combine map-side (partial struct-max before the shuffle)")
+    assert(finalSection.contains("FullOuter") || finalSection.contains("full_outer"),
+      "target and folded writes must meet in one outer equi-join")
   }
 
   test("a ym filter on the warehouse fact prunes partitions at the scan") {
