@@ -137,9 +137,10 @@ object ScaleBench {
     "q205_equi_depth_hist", "q206_sample_estimate_audit",
     // gap-fill: output bounded by users x calendar span, windows at day grain
     "q207_gap_fill_daily",
-    // round-10: executed join orders, range-shard audit, merge upsert
+    // round-10: executed join orders, range-shard audit, merge upsert,
+    // multi-source watermark (micro-batch floor-bound like q170)
     "q208_join_order_exec", "q209_range_balanced_shards",
-    "q210_merge_upsert")
+    "q210_merge_upsert", "q211_multi_source_watermark")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

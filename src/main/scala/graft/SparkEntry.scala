@@ -1465,6 +1465,12 @@ object SparkEntry {
     "q210_merge_upsert" -> { (s, dir) =>
       Scd.mergeUpsert(TestData.customer(s, dir), TestData.orders(s, dir))
     },
+    // Multi-source min-frontier watermark: a fast and a lagging stream
+    // union into one windowed aggregate; batch equality certifies the
+    // lagging source held the global watermark back (nothing dropped).
+    "q211_multi_source_watermark" -> { (s, dir) =>
+      EventStream.multiSourceWatermark(s, dir)
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2853,6 +2859,13 @@ object SparkEntry {
           SELECT key, n_writes_a, n_writes_b, conflict, winner_version,
                  final_state, final_cents
           FROM merge_upsert ORDER BY key""",
+
+    // batch equality certifies the min-frontier watermark rule: had the
+    // global watermark followed the fast source, the lag rows would drop
+    "q211_multi_source_watermark" ->
+      s"""WITH ${EventStream.multiSourceWatermarkSql()}
+          SELECT event_type, src, n_windows, n_events
+          FROM multi_source_watermark ORDER BY event_type, src""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

@@ -350,6 +350,118 @@ object EventStream {
     (result, q.recentProgress.toSeq)
   }
 
+  /** Multi-source watermark coordination — the MIN-frontier rule none of
+    * the single-source queries exercise: two file sources with wildly
+    * SKEWED event-time frontiers union into one windowed aggregate. The
+    * 'fast' source (even event ids) replays its entire time range in its
+    * first micro-batch, so its frontier jumps to the global max
+    * immediately; the 'lag' source (odd ids) advances one time-slice per
+    * micro-batch. Spark's default `multipleWatermarkPolicy = min` must
+    * hold the GLOBAL watermark at the lagging source's frontier — if the
+    * watermark followed the leading source, every later lag chunk would
+    * land beneath it, its day-windows would already be closed, and the
+    * append output would lose those rows. The batch-oracle hash-match is
+    * therefore itself the certificate that the min-frontier rule held;
+    * [[multiSourceWatermarkWithMetrics]] additionally exposes the
+    * progress rows where max-event-time races ~30 days ahead of the
+    * reported watermark while zero rows are dropped.
+    *
+    * Bounded-replay closure uses the established sentinel punctuation
+    * (one far-future row per source, filtered by its reserved type) so
+    * BOTH frontiers — and with them the min — pass every real window.
+    *
+    * Output: per (event_type, src): distinct day-windows emitted and
+    * event count, equal to the batch day-grain aggregate.
+    */
+  def multiSourceWatermark(spark: SparkSession, dir: String,
+      lagChunks: Int = 6): DataFrame =
+    multiSourceWatermarkWithMetrics(spark, dir, lagChunks)._1
+
+  def multiSourceWatermarkWithMetrics(spark: SparkSession, dir: String,
+      lagChunks: Int = 6)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+      withStatePartitions(spark, 8) {
+    require(lagChunks >= 2, s"need >= 2 lag chunks for a skewed replay, got $lagChunks")
+    val ev = graft.sources.TestData.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts").as("tstamp"))
+    val maxUs = ev.agg(max(unix_micros(col("tstamp")))).head().getLong(0)
+    def sentinel(id: Long) = {
+      import spark.implicits._
+      Seq((id, "zz_sentinel", maxUs + 30L * 86400000000L))
+        .toDF("event_id", "event_type", "us")
+        .select(col("event_id"), col("event_type"),
+          timestamp_micros(col("us")).as("tstamp"))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-multiwm").toString
+    val fastDir = s"$tmp/fast"
+    val lagDir = s"$tmp/lag"
+    // fast: the whole range in one file, sentinel second — frontier leaps
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$fastDir/chunk_000")
+    sentinel(-2L).coalesce(1).write.parquet(s"$fastDir/chunk_001")
+    // lag: event-time-range slices, one per micro-batch — frontier crawls
+    val lag = ev.filter(col("event_id") % 2 =!= 0)
+    val mm = lag.agg(min(unix_micros(col("tstamp"))).as("tmin"),
+      max(unix_micros(col("tstamp"))).as("tmax"))
+    val chunked = lag.crossJoin(broadcast(mm))
+      .withColumn("chunk", least(lit(lagChunks - 1),
+        ((unix_micros(col("tstamp")) - col("tmin")) * lagChunks
+          / (col("tmax") - col("tmin") + 1)).cast("int")))
+    for (i <- 0 until lagChunks)
+      chunked.filter(col("chunk") === i).drop("chunk", "tmin", "tmax")
+        .coalesce(1).write.parquet(f"$lagDir/chunk_$i%03d")
+    sentinel(-1L).coalesce(1)
+      .write.parquet(f"$lagDir/chunk_$lagChunks%03d")
+    val t0 = (System.currentTimeMillis() / 60000L) * 60000L
+    for (d <- new java.io.File(fastDir).listFiles() ++
+        new java.io.File(lagDir).listFiles(); if d.isDirectory) {
+      val i = d.getName.stripPrefix("chunk_").toInt
+      d.listFiles().foreach(f => { f.setLastModified(t0 + i * 1000L); () })
+      d.setLastModified(t0 + i * 1000L)
+    }
+    val schema = spark.read.parquet(s"$fastDir/chunk_000").schema
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    def side(path: String, src: String) =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$path/chunk_*")
+        .withColumn("src", lit(src))
+        .withWatermark("tstamp", "1 minute") // per-source: union takes the MIN
+    val q = side(fastDir, "fast").unionByName(side(lagDir, "lag"))
+      .groupBy(window(col("tstamp"), "1 day").as("w"),
+        col("event_type"), col("src"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val result = spark.table(name)
+      .filter(col("event_type") =!= "zz_sentinel")
+      .groupBy("event_type", "src")
+      .agg(count(lit(1)).as("n_windows"), sum(col("n")).as("n_events"))
+      .orderBy("event_type", "src")
+    (result, q.recentProgress.toSeq)
+  }
+
+  /** DuckDB twin of [[multiSourceWatermark]] — the batch day-grain
+    * aggregate with the same parity split. Equality certifies that the
+    * lagging source's rows survived the leading source's frontier (the
+    * min-watermark rule). Embed after `WITH ` and select from
+    * `multi_source_watermark`.
+    */
+  def multiSourceWatermarkSql(): String =
+    s"""multi_source_watermark AS (
+       |  SELECT event_type,
+       |         CASE WHEN event_id % 2 = 0 THEN 'fast' ELSE 'lag' END AS src,
+       |         CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+       |           AS n_windows,
+       |         CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1, 2)""".stripMargin
+
   /** Stream-stream LEFT OUTER interval join — the state semantics
     * [[clickViewPairs]] (inner) doesn't exercise: an unmatched left row
     * is held in state and emitted null-padded only once the watermark

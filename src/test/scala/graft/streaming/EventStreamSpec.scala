@@ -116,6 +116,48 @@ class EventStreamSpec extends SparkSpec {
       s"state ($stateRows of $total ids) must show eviction, not full retention")
   }
 
+  test("multi-source union: the lagging source holds the watermark back; nothing drops") {
+    import org.apache.spark.sql.functions._
+    val (result, progress) = EventStream.multiSourceWatermarkWithMetrics(spark, sf)
+
+    // equality with the batch day-grain aggregate — the completeness half
+    // of the certificate (a max-frontier watermark would drop lag rows)
+    val batch = graft.sources.TestData.events(spark, sf)
+      .groupBy(col("event_type"),
+        when(col("event_id") % 2 === 0, "fast").otherwise("lag").as("src"))
+      .agg(countDistinct(date_trunc("day", col("ts"))).as("n_windows"),
+        count(lit(1)).as("n_events"))
+    val streamed = result.select("event_type", "src", "n_windows", "n_events")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+
+    // the replay really interleaved several micro-batches
+    assert(progress.count(_.numInputRows > 0) > 2)
+
+    def ms(p: org.apache.spark.sql.streaming.StreamingQueryProgress, k: String) =
+      Option(p.eventTime.get(k)).filter(_ != "1970-01-01T00:00:00.000Z")
+        .map(java.time.Instant.parse(_).toEpochMilli)
+
+    // the min rule, observed: once the fast source's sentinel lands, that
+    // batch's max event time sits ~30 days out while the global watermark
+    // is still pinned at the lag source's crawling frontier
+    val gaps = progress.flatMap(p =>
+      for (m <- ms(p, "max"); w <- ms(p, "watermark")) yield m - w)
+    assert(gaps.exists(_ > 25L * 86400000L),
+      s"expected the leading frontier >25 days ahead of the held-back watermark; gaps=$gaps")
+
+    // and BECAUSE the watermark was held back, no batch dropped a row
+    val dropped = progress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    assert(dropped == 0, s"min-frontier rule must drop nothing, dropped $dropped")
+
+    // closure: both sentinels eventually carry the min past every real window
+    val lastWm = progress.reverse.flatMap(ms(_, "watermark")).head
+    val maxReal = graft.sources.TestData.events(spark, sf)
+      .agg(max(unix_millis(col("ts")))).head().getLong(0)
+    assert(lastWm > maxReal, "sentinels must close every real window")
+  }
+
   test("checkpoint resume: two runs ingest every row exactly once and equal the batch agg") {
     import org.apache.spark.sql.functions._
     val (result, progress) = EventStream.checkpointResumeWithMetrics(spark, sf)
