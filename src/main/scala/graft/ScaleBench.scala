@@ -140,7 +140,8 @@ object ScaleBench {
     // round-10: executed join orders, range-shard audit, merge upsert,
     // multi-source watermark (micro-batch floor-bound like q170)
     "q208_join_order_exec", "q209_range_balanced_shards",
-    "q210_merge_upsert", "q211_multi_source_watermark")
+    "q210_merge_upsert", "q211_multi_source_watermark",
+    "q212_join_strategy_exec")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

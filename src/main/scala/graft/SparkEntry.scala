@@ -1471,6 +1471,13 @@ object SparkEntry {
     "q211_multi_source_watermark" -> { (s, dir) =>
       EventStream.multiSourceWatermark(s, dir)
     },
+    // The q163 strategy advice EXECUTED: the broadcast-sized dim joins
+    // with an explicit broadcast, the shuffle-sized one with sort-merge;
+    // plain-join totals prove the strategy moves bytes, never results.
+    "q212_join_strategy_exec" -> { (s, dir) =>
+      Planning.executeJoinStrategy(TestData.lineitem(s, dir),
+        TestData.supplier(s, dir), TestData.orders(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2866,6 +2873,16 @@ object SparkEntry {
       s"""WITH ${EventStream.multiSourceWatermarkSql()}
           SELECT event_type, src, n_windows, n_events
           FROM multi_source_watermark ORDER BY event_type, src""",
+
+    // plain joins on purpose: equality across the two advised executions
+    // is the proof the strategy choice moves bytes, never results
+    "q212_join_strategy_exec" ->
+      s"""WITH ${Planning.executeJoinStrategySql(
+            supplierBytes = "8 + COALESCE(len(s_name), 0) + 4 + 4 + 8",
+            ordersBytes = "8 + 8 + COALESCE(len(o_orderstatus), 0) + 4 + 8 + 8"
+              + " + COALESCE(len(o_orderpriority), 0) + 4")}
+          SELECT table_name, strategy, n_rows, total_cents
+          FROM join_strategy_exec ORDER BY table_name""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

@@ -217,6 +217,73 @@ object Planning {
        |$branches)""".stripMargin
   }
 
+  /** Execute the joins a [[joinAdvisor]] sized — the last emit-only
+    * advisor CONSUMED (completing the measured-plan family: q153→q169
+    * salting, q202→q208 ordering, q205→q209 range bounds): the advisor
+    * measures the two dimension tables, and each advised strategy is
+    * then USED — a 'broadcast' verdict runs the fact join with an
+    * explicit broadcast build side; anything bigger runs as a shuffle
+    * (sort-merge hint, the strategy a planner falls back to past the
+    * threshold). Both advised executions aggregate to the totals the
+    * plain-join oracle computes, proving the strategy choice moves
+    * bytes, never results. `broadcastBytes` defaults to 64 KiB here so
+    * the two dims genuinely land on DIFFERENT strategies at every test
+    * scale (supplier under it, orders over it).
+    *
+    * Scale shape: the decision pass is one map-side-combinable (count,
+    * byte-sum) aggregate per table; the decision frame is 2 rows
+    * (collected, like [[executeSkewPlan]]'s plan); each execution is the
+    * join the advisor sized, nothing more.
+    */
+  def executeJoinStrategy(lineitem: DataFrame, supplier: DataFrame,
+      orders: DataFrame, broadcastBytes: Long = 1L << 16): DataFrame = {
+    val advice = joinAdvisor(Seq("supplier" -> supplier, "orders" -> orders),
+        broadcastBytes)
+      .select("table_name", "strategy").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val li = lineitem.select(col("l_suppkey"), col("l_orderkey"),
+      OracleSafe.quant(col("l_extendedprice"), 100).as("cents"))
+    def run(name: String, dim: DataFrame, joinCond: Column): DataFrame = {
+      val sized =
+        if (advice(name) == "broadcast") broadcast(dim) else dim.hint("merge")
+      li.join(sized, joinCond)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(name).as("table_name"), lit(advice(name)).as("strategy"),
+          col("n_rows"), col("total_cents"))
+    }
+    run("supplier", supplier.select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .unionByName(run("orders", orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey")))
+      .orderBy("table_name")
+  }
+
+  /** DuckDB twin of [[executeJoinStrategy]] — plain joins for the totals
+    * (equality across strategies is the proof) plus the advisor's
+    * strategy labels from the same byte model. Embed after `WITH ` and
+    * select from `join_strategy_exec`.
+    */
+  def executeJoinStrategySql(supplierBytes: String, ordersBytes: String,
+      broadcastBytes: Long = 1L << 16): String =
+    s"""${joinAdvisorSql(Seq("supplier" -> supplierBytes,
+          "orders" -> ordersBytes), broadcastBytes)},
+       |jse_sup AS (
+       |  SELECT COUNT(*) AS n_rows,
+       |         CAST(SUM(${OracleSafe.quantSql("l_extendedprice", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+       |jse_ord AS (
+       |  SELECT COUNT(*) AS n_rows,
+       |         CAST(SUM(${OracleSafe.quantSql("l_extendedprice", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |join_strategy_exec AS (
+       |  SELECT a.table_name, a.strategy, s.n_rows, s.total_cents
+       |  FROM join_advisor a, jse_sup s WHERE a.table_name = 'supplier'
+       |  UNION ALL
+       |  SELECT a.table_name, a.strategy, o.n_rows, o.total_cents
+       |  FROM join_advisor a, jse_ord o WHERE a.table_name = 'orders')""".stripMargin
+
   /** Bloom-filter semi-join pruning, with its false-positive cost measured
     * (the third planning primitive: q153 sizes a shuffle, q154 sizes a
     * join, this one decides whether a probe side needs to shuffle AT ALL).

@@ -171,6 +171,24 @@ class PlanningSpec extends SparkSpec {
       && byRank("best")._5 == byRank("worst")._5)
   }
 
+  test("executeJoinStrategy: advised strategies differ and both land the same totals") {
+    val li = graft.sources.TestData.lineitem(spark, sf)
+    val sup = graft.sources.TestData.supplier(spark, sf)
+    val ord = graft.sources.TestData.orders(spark, sf)
+    val rows = Planning.executeJoinStrategy(li, sup, ord).collect()
+    assert(rows.length == 2)
+    val byTable = rows.map(r => r.getString(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byTable("supplier")._1 == "broadcast",
+      "supplier must size under the 64 KiB broadcast threshold")
+    assert(byTable("orders")._1 != "broadcast",
+      "orders must size over the threshold — the two strategies must differ")
+    // the strategy choice moved bytes, never results: both joins are the
+    // same lineitem row set (every line has a supplier and an order)
+    assert(byTable("supplier")._2 == byTable("orders")._2)
+    assert(byTable("supplier")._3 == byTable("orders")._3)
+  }
+
   test("rangeBalancedShards: routing reproduces histogram depths; heavy value unsplit") {
     // uniform: 80 distinct prices -> 8 shards of exactly 10 rows, all matched
     val uni = (1L to 80L).map(v => v.toDouble).toDF("l_extendedprice")

@@ -106,7 +106,7 @@ class PlanShapeSpec extends SparkSpec {
         // broadcasts) and the range-shard audit (B-row bounds broadcast
         // into an interval nested-loop, never a cartesian)
         "q208_join_order_exec", "q209_range_balanced_shards",
-        "q210_merge_upsert")) {
+        "q210_merge_upsert", "q212_join_strategy_exec")) {
       val p = finalPlan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian product")
     }
@@ -466,6 +466,16 @@ class PlanShapeSpec extends SparkSpec {
       "the per-key fold must combine map-side (partial struct-max before the shuffle)")
     assert(finalSection.contains("FullOuter") || finalSection.contains("full_outer"),
       "target and folded writes must meet in one outer equi-join")
+  }
+
+  test("q212: the advised strategies execute as DIFFERENT physical joins") {
+    val p = finalPlan("q212_join_strategy_exec")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.contains("BroadcastHashJoin"),
+      "the broadcast-advised dim must execute as a broadcast hash join")
+    assert(finalSection.contains("SortMergeJoin"),
+      "the shuffle-advised dim must execute as a sort-merge join")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("a ym filter on the warehouse fact prunes partitions at the scan") {
