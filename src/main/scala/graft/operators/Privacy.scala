@@ -63,4 +63,80 @@ object Privacy {
        |       $redacted AS redacted
        |FROM $from""".stripMargin
   }
+
+  /** k-anonymity audit over a generalization lattice (Sweeney 2002) — the
+    * re-identification-risk gate a curation pipeline runs before customer
+    * attributes enter a training set. Quasi-identifiers here: nation,
+    * market segment, and the $1000 account-balance band; each lattice
+    * level suppresses one more QI (band → segment → nation → everything).
+    * Per level: group count, the SMALLEST group (the k the level actually
+    * achieves), rows sitting in groups below `k` (the re-identifiable
+    * population the level would leak), and whether the level satisfies
+    * k-anonymity. Coarsening only merges groups, so `rows_at_risk` is
+    * monotonically non-increasing up the lattice and the first satisfying
+    * level is the minimal safe generalization.
+    *
+    * Scale shape: one map-side-combinable two-stage aggregate per level
+    * (QI-grain then 1-row), lattice depth fixed at 4 regardless of data;
+    * the QI grid is bounded by attribute domains, never row count. The
+    * balance band is exact integer cents ÷ 100000 (floor), identical on
+    * both engines.
+    */
+  def kAnonymityAudit(customer: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.functions.OracleSafe
+    val base = customer.select(
+      col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"),
+      OracleSafe.intDiv(OracleSafe.quant(col("c_acctbal"), 100), lit(100000L))
+        .as("band"))
+    def level(lv: Int, qi: String, keys: Seq[Column]): DataFrame = {
+      val grouped =
+        if (keys.isEmpty) base.agg(count(lit(1)).as("cnt"))
+        else base.groupBy(keys: _*).agg(count(lit(1)).as("cnt"))
+      grouped.agg(count(lit(1)).as("n_groups"),
+          min("cnt").as("min_group_size"),
+          coalesce(sum(when(col("cnt") < k, col("cnt"))), lit(0L))
+            .as("rows_at_risk"))
+        .select(lit(lv).as("level"), lit(qi).as("qi"), col("n_groups"),
+          col("min_group_size"), col("rows_at_risk"),
+          (col("min_group_size") >= k).as("satisfies_k"))
+    }
+    level(0, "nation,segment,band", Seq(col("nat"), col("seg"), col("band")))
+      .unionByName(level(1, "nation,segment", Seq(col("nat"), col("seg"))))
+      .unionByName(level(2, "nation", Seq(col("nat"))))
+      .unionByName(level(3, "*", Seq.empty))
+      .orderBy("level")
+  }
+
+  /** DuckDB twin of [[kAnonymityAudit]]; embed after `WITH ` and select
+    * from `k_anonymity`.
+    */
+  def kAnonymityAuditSql(k: Int = 5): String = {
+    import graft.functions.OracleSafe
+    val band = OracleSafe.intDivSql(OracleSafe.quantSql("c_acctbal", 100), "100000")
+    def lvl(lv: Int, qi: String, cte: String) =
+      s"""  SELECT $lv AS level, '$qi' AS qi, COUNT(*) AS n_groups,
+         |         MIN(cnt) AS min_group_size,
+         |         CAST(COALESCE(SUM(CASE WHEN cnt < $k THEN cnt END), 0) AS BIGINT)
+         |           AS rows_at_risk,
+         |         MIN(cnt) >= $k AS satisfies_k
+         |  FROM $cte""".stripMargin
+    s"""ka_base AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+       |         $band AS band
+       |  FROM customer),
+       |ka_l0 AS (SELECT COUNT(*) AS cnt FROM ka_base GROUP BY nat, seg, band),
+       |ka_l1 AS (SELECT COUNT(*) AS cnt FROM ka_base GROUP BY nat, seg),
+       |ka_l2 AS (SELECT COUNT(*) AS cnt FROM ka_base GROUP BY nat),
+       |ka_l3 AS (SELECT COUNT(*) AS cnt FROM ka_base),
+       |k_anonymity AS (
+       |${lvl(0, "nation,segment,band", "ka_l0")}
+       |  UNION ALL
+       |${lvl(1, "nation,segment", "ka_l1")}
+       |  UNION ALL
+       |${lvl(2, "nation", "ka_l2")}
+       |  UNION ALL
+       |${lvl(3, "*", "ka_l3")})""".stripMargin
+  }
 }
