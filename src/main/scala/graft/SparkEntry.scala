@@ -1478,6 +1478,19 @@ object SparkEntry {
       Planning.executeJoinStrategy(TestData.lineitem(s, dir),
         TestData.supplier(s, dir), TestData.orders(s, dir))
     },
+    // k-anonymity audit over a 4-level generalization lattice: per level,
+    // the k the QI grouping actually achieves and the re-identifiable
+    // population; coarsening only merges groups, so rows_at_risk is
+    // provably non-increasing up the lattice (PrivacySpec pins it).
+    "q213_k_anonymity" -> { (s, dir) =>
+      Privacy.kAnonymityAudit(TestData.customer(s, dir))
+    },
+    // l-diversity on the SAME lattice: k-anonymity's complement — a group
+    // can be large (k-safe) yet homogeneous in the sensitive attribute
+    // (the balance band); per level, the diversity each grouping achieves.
+    "q214_l_diversity" -> { (s, dir) =>
+      Privacy.lDiversityAudit(TestData.customer(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2883,6 +2896,18 @@ object SparkEntry {
               + " + COALESCE(len(o_orderpriority), 0) + 4")}
           SELECT table_name, strategy, n_rows, total_cents
           FROM join_strategy_exec ORDER BY table_name""",
+
+    "q213_k_anonymity" ->
+      s"""WITH ${Privacy.kAnonymityAuditSql()}
+          SELECT level, qi, n_groups, min_group_size, rows_at_risk,
+                 satisfies_k
+          FROM k_anonymity ORDER BY level""",
+
+    "q214_l_diversity" ->
+      s"""WITH ${Privacy.lDiversityAuditSql()}
+          SELECT level, qi, n_groups, min_diversity, rows_at_risk,
+                 satisfies_l
+          FROM l_diversity ORDER BY level""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

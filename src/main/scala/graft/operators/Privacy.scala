@@ -109,6 +109,95 @@ object Privacy {
       .orderBy("level")
   }
 
+  /** l-diversity audit on the SAME generalization lattice as
+    * [[kAnonymityAudit]] (Machanavajjhala et al. 2007) — k-anonymity's
+    * necessary complement: a QI group can be large (k-safe) yet
+    * HOMOGENEOUS in the sensitive attribute, so membership alone reveals
+    * the secret. Sensitive attribute here: the $1000 balance band.
+    * Per level: group count, the smallest number of DISTINCT sensitive
+    * values any group achieves (the l the level actually delivers), rows
+    * sitting in groups below `l` distinct values (the homogeneity-attack
+    * population), and whether the level satisfies distinct-l-diversity.
+    * Level 0 keeps the band IN the quasi-identifier, so every group is
+    * trivially 1-diverse — the lattice's own demonstration that maximal
+    * k-anonymity granularity and l-diversity pull in opposite directions.
+    * Unlike k-anonymity, diversity is NOT monotone up the lattice in
+    * general (merging groups unions their value sets, so per-group
+    * diversity only grows when the merged groups differ) — except from
+    * level 0, whose single-band groups always merge upward; the spec pins
+    * exactly the monotone edges.
+    *
+    * Scale shape: one map-side two-stage aggregate per level — QI-grain
+    * `(count, count distinct sensitive)` then a 1-row rollup; the
+    * distinct is over a domain-bounded band, so the per-group state is
+    * bounded by the band domain, never row count.
+    */
+  def lDiversityAudit(customer: DataFrame, l: Int = 3): DataFrame = {
+    require(l >= 1, s"l must be >= 1, got $l")
+    import graft.functions.OracleSafe
+    val base = customer.select(
+      col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"),
+      OracleSafe.intDiv(OracleSafe.quant(col("c_acctbal"), 100), lit(100000L))
+        .as("band"))
+    def level(lv: Int, qi: String, keys: Seq[Column]): DataFrame = {
+      val grouped =
+        if (keys.isEmpty)
+          base.agg(count(lit(1)).as("cnt"),
+            countDistinct(col("band")).as("div"))
+        else
+          base.groupBy(keys: _*).agg(count(lit(1)).as("cnt"),
+            countDistinct(col("band")).as("div"))
+      grouped.agg(count(lit(1)).as("n_groups"),
+          min("div").as("min_diversity"),
+          coalesce(sum(when(col("div") < l, col("cnt"))), lit(0L))
+            .as("rows_at_risk"))
+        .select(lit(lv).as("level"), lit(qi).as("qi"), col("n_groups"),
+          col("min_diversity"), col("rows_at_risk"),
+          (col("min_diversity") >= l).as("satisfies_l"))
+    }
+    level(0, "nation,segment,band", Seq(col("nat"), col("seg"), col("band")))
+      .unionByName(level(1, "nation,segment", Seq(col("nat"), col("seg"))))
+      .unionByName(level(2, "nation", Seq(col("nat"))))
+      .unionByName(level(3, "*", Seq.empty))
+      .orderBy("level")
+  }
+
+  /** DuckDB twin of [[lDiversityAudit]]; embed after `WITH ` and select
+    * from `l_diversity`.
+    */
+  def lDiversityAuditSql(l: Int = 3): String = {
+    import graft.functions.OracleSafe
+    val band = OracleSafe.intDivSql(OracleSafe.quantSql("c_acctbal", 100), "100000")
+    def lvl(lv: Int, qi: String, cte: String) =
+      s"""  SELECT $lv AS level, '$qi' AS qi, COUNT(*) AS n_groups,
+         |         MIN(div) AS min_diversity,
+         |         CAST(COALESCE(SUM(CASE WHEN div < $l THEN cnt END), 0) AS BIGINT)
+         |           AS rows_at_risk,
+         |         MIN(div) >= $l AS satisfies_l
+         |  FROM $cte""".stripMargin
+    s"""ld_base AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+       |         $band AS band
+       |  FROM customer),
+       |ld_l0 AS (SELECT COUNT(*) AS cnt, CAST(COUNT(DISTINCT band) AS BIGINT) AS div
+       |          FROM ld_base GROUP BY nat, seg, band),
+       |ld_l1 AS (SELECT COUNT(*) AS cnt, CAST(COUNT(DISTINCT band) AS BIGINT) AS div
+       |          FROM ld_base GROUP BY nat, seg),
+       |ld_l2 AS (SELECT COUNT(*) AS cnt, CAST(COUNT(DISTINCT band) AS BIGINT) AS div
+       |          FROM ld_base GROUP BY nat),
+       |ld_l3 AS (SELECT COUNT(*) AS cnt, CAST(COUNT(DISTINCT band) AS BIGINT) AS div
+       |          FROM ld_base),
+       |l_diversity AS (
+       |${lvl(0, "nation,segment,band", "ld_l0")}
+       |  UNION ALL
+       |${lvl(1, "nation,segment", "ld_l1")}
+       |  UNION ALL
+       |${lvl(2, "nation", "ld_l2")}
+       |  UNION ALL
+       |${lvl(3, "*", "ld_l3")})""".stripMargin
+  }
+
   /** DuckDB twin of [[kAnonymityAudit]]; embed after `WITH ` and select
     * from `k_anonymity`.
     */

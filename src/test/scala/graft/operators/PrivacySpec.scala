@@ -44,4 +44,82 @@ class PrivacySpec extends SparkSpec {
     assert(r.getAs[Long]("id") == 7L && r.getAs[String]("g") == "grp")
     assert(r.getAs[String]("redacted") == "<EMAIL>")
   }
+
+  // --- k-anonymity / l-diversity lattice -----------------------------
+
+  private def cust(rows: (Long, String, Double)*) =
+    rows.toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+
+  test("k-anonymity: rows_at_risk non-increasing up the lattice, first " +
+      "satisfying level minimal") {
+    // nation 1 / AUTO: 5 rows in one band (k=5 safe at level 0 already);
+    // nation 2: 2 AUTO + 2 HOME rows, each sub-k at levels 0-1, merged
+    // safe only at level 2 (nation grain: 4 rows still < 5 → only level 3)
+    val df = cust(
+      (Seq.fill(5)((1L, "AUTO", 100.0)) ++
+        Seq((2L, "AUTO", 100.0), (2L, "AUTO", 100.0),
+          (2L, "HOME", 2100.0), (2L, "HOME", 2100.0))): _*)
+    val r = Privacy.kAnonymityAudit(df, k = 5).collect()
+    assert(r.map(_.getAs[Int]("level")).toSeq == Seq(0, 1, 2, 3))
+    val risk = r.map(_.getAs[Long]("rows_at_risk")).toSeq
+    assert(risk == Seq(4L, 4L, 4L, 0L))
+    assert(risk.zip(risk.tail).forall { case (a, b) => a >= b },
+      "coarsening must never increase the at-risk population")
+    val sat = r.map(_.getAs[Boolean]("satisfies_k")).toSeq
+    assert(sat == Seq(false, false, false, true))
+    assert(r(3).getAs[Long]("min_group_size") == 9L)
+  }
+
+  test("k-anonymity: negative balances band with floor semantics") {
+    // quant(x,100)/100000 floors: -0.01 -> cents -1 -> band -1, not 0;
+    // 0.0 and 999.99 share band 0; 1000.00 opens band 1
+    val df = cust((1L, "AUTO", -0.01), (1L, "AUTO", 0.0),
+      (1L, "AUTO", 999.99), (1L, "AUTO", 1000.0))
+    val l0 = Privacy.kAnonymityAudit(df, k = 1).collect()(0)
+    assert(l0.getAs[Long]("n_groups") == 3L,
+      "bands must split as {-1}, {0}, {1}")
+    // k=1 is always satisfied (every non-empty group has >= 1 row)
+    assert(l0.getAs[Boolean]("satisfies_k"))
+    assert(l0.getAs[Long]("rows_at_risk") == 0L)
+  }
+
+  test("k-anonymity rejects k < 1") {
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityAudit(cust((1L, "AUTO", 1.0)), k = 0)
+    }
+  }
+
+  test("l-diversity: level 0 is trivially 1-diverse; merging from level 0 " +
+      "only grows diversity") {
+    // nation 1 spans 3 bands, nation 2 is homogeneous (1 band)
+    val df = cust(
+      (1L, "AUTO", 100.0), (1L, "AUTO", 1100.0), (1L, "HOME", 2100.0),
+      (2L, "AUTO", 100.0), (2L, "AUTO", 100.0))
+    val r = Privacy.lDiversityAudit(df, l = 2).collect()
+    // level 0: band is part of the QI, so every group has exactly 1 value
+    assert(r(0).getAs[Long]("min_diversity") == 1L)
+    assert(!r(0).getAs[Boolean]("satisfies_l"))
+    assert(r(0).getAs[Long]("rows_at_risk") == 5L)
+    // level-0 groups are single-band, so diversity is monotone from there
+    val mins = r.map(_.getAs[Long]("min_diversity"))
+    assert(mins(1) >= mins(0) && mins(3) >= mins(2))
+    // nation 2 stays homogeneous through level 2 (its only band is 0)
+    assert(r(2).getAs[Long]("min_diversity") == 1L)
+    assert(r(2).getAs[Long]("rows_at_risk") == 2L)
+    // level 3: one global group spanning bands {0, 1, 2} -> 3-diverse
+    assert(r(3).getAs[Long]("min_diversity") == 3L)
+    assert(r(3).getAs[Boolean]("satisfies_l"))
+    assert(r(3).getAs[Long]("rows_at_risk") == 0L)
+  }
+
+  test("l-diversity: a k-safe group can still fail diversity") {
+    // one big homogeneous group: k=5 satisfied at every level, yet
+    // 1-diverse everywhere — the homogeneity attack k-anonymity misses
+    val df = cust(Seq.fill(8)((3L, "AUTO", 500.0)): _*)
+    val k = Privacy.kAnonymityAudit(df, k = 5).collect()
+    assert(k.forall(_.getAs[Boolean]("satisfies_k")))
+    val l = Privacy.lDiversityAudit(df, l = 2).collect()
+    assert(l.forall(!_.getAs[Boolean]("satisfies_l")))
+    assert(l.forall(_.getAs[Long]("rows_at_risk") == 8L))
+  }
 }
