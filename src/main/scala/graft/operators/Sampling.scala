@@ -488,10 +488,17 @@ object Sampling {
   /** Sample-based estimate with a distribution-free error certificate:
     * estimate the corpus's total order value from a deterministic p%
     * hash-coin sample via N·(sample mean) — the estimator the Hoeffding
-    * 95% bound N·R·sqrt(ln(2/δ)/(2·n_s)) actually covers. Under the
-    * Bernoulli hash coin the realized sample size n_s differs from the
-    * nominal N·p/100, so the scale factor is MEASURED (n_pop/n_sample),
-    * never the fixed 100/p an inverse-probability form would use (which
+    * 95% bound N·R·sqrt(ln(2/δ)/(2·n_s)) actually covers. The bound is
+    * stated for a fixed-size i.i.d. sample; here n_s is the RANDOM
+    * realized size of a Bernoulli coin, so the 95% coverage is
+    * approximate — valid conditionally on n_s under exchangeability of
+    * the hash coin (a Serfling-style correction would make it exact for
+    * sampling without replacement; the gap is second-order for the n_s
+    * this audit sees, and `within_bound` measures the claim anyway).
+    * Under the Bernoulli hash coin the realized sample size n_s differs
+    * from the nominal N·p/100, so the scale factor is MEASURED
+    * (n_pop/n_sample), never the fixed 100/p an inverse-probability
+    * form would use (which
     * is also biased for any p not dividing 100). The audit compares the
     * estimate against BOTH the exact total and the bound — the "can I
     * trust the cheap estimate" decision a planner makes before paying

@@ -392,59 +392,97 @@ object EventStream {
         .select(col("event_id"), col("event_type"),
           timestamp_micros(col("us")).as("tstamp"))
     }
-    val tmp = java.nio.file.Files.createTempDirectory("graft-multiwm").toString
-    val fastDir = s"$tmp/fast"
-    val lagDir = s"$tmp/lag"
-    // fast: the whole range in one file, sentinel second — frontier leaps
-    ev.filter(col("event_id") % 2 === 0).coalesce(1)
-      .write.parquet(s"$fastDir/chunk_000")
-    sentinel(-2L).coalesce(1).write.parquet(s"$fastDir/chunk_001")
-    // lag: event-time-range slices, one per micro-batch — frontier crawls
-    val lag = ev.filter(col("event_id") % 2 =!= 0)
-    val mm = lag.agg(min(unix_micros(col("tstamp"))).as("tmin"),
-      max(unix_micros(col("tstamp"))).as("tmax"))
-    val chunked = lag.crossJoin(broadcast(mm))
-      .withColumn("chunk", least(lit(lagChunks - 1),
-        ((unix_micros(col("tstamp")) - col("tmin")) * lagChunks
-          / (col("tmax") - col("tmin") + 1)).cast("int")))
-    for (i <- 0 until lagChunks)
-      chunked.filter(col("chunk") === i).drop("chunk", "tmin", "tmax")
-        .coalesce(1).write.parquet(f"$lagDir/chunk_$i%03d")
-    sentinel(-1L).coalesce(1)
-      .write.parquet(f"$lagDir/chunk_$lagChunks%03d")
-    val t0 = (System.currentTimeMillis() / 60000L) * 60000L
-    for (d <- new java.io.File(fastDir).listFiles() ++
-        new java.io.File(lagDir).listFiles(); if d.isDirectory) {
-      val i = d.getName.stripPrefix("chunk_").toInt
-      d.listFiles().foreach(f => { f.setLastModified(t0 + i * 1000L); () })
-      d.setLastModified(t0 + i * 1000L)
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft-multiwm")
+    val tmp = tmpPath.toString
+    // the memory sink owns the result rows once the stream drains, so the
+    // staged chunk files are pure scratch — delete them on EVERY exit path
+    // (bench reps + scale runs would otherwise accumulate event-table
+    // copies in /tmp for the life of the box)
+    try {
+      val fastDir = s"$tmp/fast"
+      val lagDir = s"$tmp/lag"
+      // fast: the whole range in one file, sentinel second — frontier leaps
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$fastDir/chunk_000")
+      sentinel(-2L).coalesce(1).write.parquet(s"$fastDir/chunk_001")
+      // lag: event-time-range slices, one per micro-batch — frontier
+      // crawls. ONE pass over the events (dynamic partition write keyed by
+      // the chunk column), then the `chunk=i` dirs move to the glob-stable
+      // `chunk_%03d` names the reader and the mtime stamping expect — the
+      // rename keeps Spark's partition discovery from resurrecting `chunk`
+      // as a column the explicit stream schema doesn't carry.
+      val lag = ev.filter(col("event_id") % 2 =!= 0)
+      val mm = lag.agg(min(unix_micros(col("tstamp"))).as("tmin"),
+        max(unix_micros(col("tstamp"))).as("tmax"))
+      val staging = s"$tmp/lag_staging"
+      lag.crossJoin(broadcast(mm))
+        .withColumn("chunk", least(lit(lagChunks - 1),
+          ((unix_micros(col("tstamp")) - col("tmin")) * lagChunks
+            / (col("tmax") - col("tmin") + 1)).cast("int")))
+        .drop("tmin", "tmax")
+        .repartition(col("chunk"))
+        .write.partitionBy("chunk").parquet(staging)
+      val lagRoot = new java.io.File(lagDir)
+      require(lagRoot.mkdirs(), s"cannot create $lagDir")
+      for (i <- 0 until lagChunks) {
+        val src = new java.io.File(staging, s"chunk=$i")
+        val dst = new java.io.File(lagRoot, f"chunk_$i%03d")
+        // a chunk can be empty only if tmax==tmin collapses the range;
+        // materialize an empty dir so the replay length stays fixed
+        if (!src.isDirectory) require(dst.mkdirs(), s"cannot create $dst")
+        else require(src.renameTo(dst), s"cannot move $src to $dst")
+      }
+      sentinel(-1L).coalesce(1)
+        .write.parquet(f"$lagDir/chunk_$lagChunks%03d")
+      val t0 = (System.currentTimeMillis() / 60000L) * 60000L
+      for (d <- new java.io.File(fastDir).listFiles() ++
+          new java.io.File(lagDir).listFiles(); if d.isDirectory) {
+        val i = d.getName.stripPrefix("chunk_").toInt
+        // the chunk-ordered mtimes ARE the replay order (the file source
+        // sorts by modification time under maxFilesPerTrigger); a silently
+        // failed setLastModified would leave the order undefined — results
+        // stay correct under the min-watermark rule, but the spec's
+        // batch-interleaving assertions would flake, so fail loudly here
+        d.listFiles().foreach { f =>
+          require(f.setLastModified(t0 + i * 1000L),
+            s"setLastModified failed for $f — replay order would be undefined")
+        }
+        require(d.setLastModified(t0 + i * 1000L),
+          s"setLastModified failed for $d — replay order would be undefined")
+      }
+      val schema = spark.read.parquet(s"$fastDir/chunk_000").schema
+      val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+      def side(path: String, src: String) =
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$path/chunk_*")
+          .withColumn("src", lit(src))
+          .withWatermark("tstamp", "1 minute") // per-source: union takes the MIN
+      val q = side(fastDir, "fast").unionByName(side(lagDir, "lag"))
+        .groupBy(window(col("tstamp"), "1 day").as("w"),
+          col("event_type"), col("src"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val result = spark.table(name)
+        .filter(col("event_type") =!= "zz_sentinel")
+        .groupBy("event_type", "src")
+        .agg(count(lit(1)).as("n_windows"), sum(col("n")).as("n_events"))
+        .orderBy("event_type", "src")
+      (result, q.recentProgress.toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(tmpPath.toFile)
     }
-    val schema = spark.read.parquet(s"$fastDir/chunk_000").schema
-    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
-    def side(path: String, src: String) =
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(s"$path/chunk_*")
-        .withColumn("src", lit(src))
-        .withWatermark("tstamp", "1 minute") // per-source: union takes the MIN
-    val q = side(fastDir, "fast").unionByName(side(lagDir, "lag"))
-      .groupBy(window(col("tstamp"), "1 day").as("w"),
-        col("event_type"), col("src"))
-      .agg(count(lit(1)).as("n"))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    val result = spark.table(name)
-      .filter(col("event_type") =!= "zz_sentinel")
-      .groupBy("event_type", "src")
-      .agg(count(lit(1)).as("n_windows"), sum(col("n")).as("n_events"))
-      .orderBy("event_type", "src")
-    (result, q.recentProgress.toSeq)
   }
 
   /** DuckDB twin of [[multiSourceWatermark]] — the batch day-grain

@@ -156,6 +156,26 @@ class EventStreamSpec extends SparkSpec {
     val maxReal = graft.sources.TestData.events(spark, sf)
       .agg(max(unix_millis(col("ts")))).head().getLong(0)
     assert(lastWm > maxReal, "sentinels must close every real window")
+
+    // the MEMORY half of the min-frontier story: windowed-agg state is one
+    // row per open (day-window, type, src) group, so even with the held-back
+    // watermark keeping fast-source windows open for the whole replay, peak
+    // state is bounded by the GROUP count (calendar span × types × sources,
+    // +2 sentinel groups) — never by event count — and the sentinels' final
+    // frontier then evicts every real window
+    val nGroups = graft.sources.TestData.events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("d"), col("event_type"),
+        when(col("event_id") % 2 === 0, "fast").otherwise("lag").as("src"))
+      .distinct().count()
+    val statePerBatch = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+    assert(statePerBatch.nonEmpty)
+    val peak = statePerBatch.max
+    assert(peak <= nGroups + 2,
+      s"peak state ($peak) must stay within the open-group bound ($nGroups + 2 sentinels)")
+    val finalState = progress.reverse.find(_.stateOperators.nonEmpty)
+      .get.stateOperators.map(_.numRowsTotal).max
+    assert(finalState < peak,
+      s"closing sentinels must evict real-window state (final $finalState vs peak $peak)")
   }
 
   test("checkpoint resume: two runs ingest every row exactly once and equal the batch agg") {
