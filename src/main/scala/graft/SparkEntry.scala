@@ -1491,6 +1491,13 @@ object SparkEntry {
     "q214_l_diversity" -> { (s, dir) =>
       Privacy.lDiversityAudit(TestData.customer(s, dir))
     },
+    // The q205 histogram's bounds driving an ACTUAL range-partitioned
+    // parquet write — the physical half of the q209 loop; the audit rows
+    // are read back off disk, so depth/bounds matches certify the layout.
+    "q215_range_partitioned_write" -> { (s, dir) =>
+      Planning.rangePartitionedWrite(TestData.lineitem(s, dir),
+        scratchDir("graft-q215").resolve("fact").toString)
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2908,6 +2915,14 @@ object SparkEntry {
           SELECT level, qi, n_groups, min_diversity, rows_at_risk,
                  satisfies_l
           FROM l_diversity ORDER BY level""",
+
+    // the oracle models the write round trip as the identity it must
+    // be — a hash match certifies the files carry exactly the planned rows
+    "q215_range_partitioned_write" ->
+      s"""WITH ${Planning.rangePartitionedWriteSql()}
+          SELECT bucket, lo_cents, hi_cents, rows_on_disk, hist_rows,
+                 depth_match, bounds_match, depth_x_buckets
+          FROM range_write_audit ORDER BY bucket""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

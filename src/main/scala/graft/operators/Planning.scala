@@ -822,6 +822,85 @@ object Planning {
       .orderBy("bucket")
   }
 
+  /** The PHYSICAL half of the ANALYZE → plan → execute loop that
+    * [[rangeBalancedShards]] audits logically: the measured equi-depth
+    * bounds drive an actual range-partitioned parquet WRITE, and the
+    * audit row set comes from reading the files BACK off disk. This is
+    * `repartitionByRange` with measured bounds instead of Spark's sampled
+    * ones — the layout a 100 TB fact wants before range-predicate scans
+    * (each bucket dir carries ~1/B of the rows, so a range scan lists and
+    * reads only the overlapping dirs). Per bucket, read back from disk:
+    * row count vs the histogram's depth (`depth_match` — the write lost
+    * or duplicated nothing), and on-disk min/max vs the planned bounds
+    * (`bounds_match` — no row leaked across a boundary). PlanningSpec
+    * additionally audits the files themselves: every bucket dir exists,
+    * file counts stay at the one-writer-per-bucket target, and dir byte
+    * sizes are balanced within the histogram's own depth tolerance.
+    *
+    * Scale shape: the bounds frame is B rows broadcast into the range
+    * join (≤B interval checks per row); `repartitionByRange` on the
+    * bucket id gives one shuffle where every writer task owns whole
+    * buckets, so the dynamic-partition write emits one file per bucket
+    * instead of `tasks × buckets` fragments — at 1000 executors that is
+    * the difference between B files and a small-file explosion.
+    */
+  def rangePartitionedWrite(lineitem: DataFrame, outDir: String,
+      buckets: Int = 8, coarseCents: Long = 100000L): DataFrame = {
+    val spark = lineitem.sparkSession
+    val hist = equiDepthHistogram(lineitem, buckets, coarseCents)
+      .select(col("bucket"), col("lo_cents"), col("hi_cents"),
+        col("n_rows").as("hist_rows"), col("depth_x_buckets"))
+      .localCheckpoint() // B rows, read twice: route the write + audit read-back
+    val cents = OracleSafe.quant(col("l_extendedprice"), 100)
+    lineitem.select(cents.as("cents"))
+      .join(broadcast(hist.select("bucket", "lo_cents", "hi_cents")),
+        col("cents") >= col("lo_cents") && col("cents") <= col("hi_cents"))
+      .select(col("cents"), col("bucket"))
+      .repartitionByRange(buckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+    spark.read.parquet(outDir)
+      // partition discovery re-infers the dir value as INT; restore the
+      // histogram's BIGINT so the audit join and the oracle dtypes agree
+      .select(col("cents"), col("bucket").cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("rows_on_disk"),
+        min("cents").as("disk_lo"), max("cents").as("disk_hi"))
+      .join(broadcast(hist), Seq("bucket"))
+      .select(col("bucket"), col("lo_cents"), col("hi_cents"),
+        col("rows_on_disk"), col("hist_rows"),
+        (col("rows_on_disk") === col("hist_rows")).as("depth_match"),
+        (col("disk_lo") === col("lo_cents") &&
+          col("disk_hi") === col("hi_cents")).as("bounds_match"),
+        col("depth_x_buckets"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB twin of [[rangePartitionedWrite]] — the oracle models the
+    * round trip as the identity it must be: the same bucket assignment,
+    * grouped, with min/max standing in for the read-back's on-disk
+    * bounds. A hash match therefore certifies the files carry exactly
+    * the planned rows. Embed after `WITH ` and select from
+    * `range_write_audit`.
+    */
+  def rangePartitionedWriteSql(buckets: Int = 8): String =
+    s"""${equiDepthHistogramSql(buckets)},
+       |rpw_assign AS (
+       |  SELECT h.bucket, h.lo_cents, h.hi_cents, h.n_rows AS hist_rows,
+       |         h.depth_x_buckets, COUNT(*) AS rows_on_disk,
+       |         MIN(r.cents) AS disk_lo, MAX(r.cents) AS disk_hi
+       |  FROM (SELECT ${OracleSafe.quantSql("l_extendedprice", 100)} AS cents
+       |        FROM lineitem) r
+       |  JOIN equi_depth h
+       |    ON r.cents >= h.lo_cents AND r.cents <= h.hi_cents
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |range_write_audit AS (
+       |  SELECT bucket, lo_cents, hi_cents,
+       |         CAST(rows_on_disk AS BIGINT) AS rows_on_disk, hist_rows,
+       |         rows_on_disk = hist_rows AS depth_match,
+       |         (disk_lo = lo_cents AND disk_hi = hi_cents) AS bounds_match,
+       |         depth_x_buckets
+       |  FROM rpw_assign)""".stripMargin
+
   /** DuckDB twin of [[rangeBalancedShards]]; embed after `WITH ` and
     * select from `range_balanced`.
     */

@@ -209,6 +209,40 @@ class PlanningSpec extends SparkSpec {
     assert(h.exists(_.getLong(3) >= 50L), "the heavy value stays in one shard")
   }
 
+  test("rangePartitionedWrite: files land per bucket, balanced, and carry " +
+      "exactly the planned rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft-rpw-spec")
+    try {
+      val buckets = 4
+      // 400 uniform rows -> 4 buckets of exactly 100
+      val li = (1L to 400L).map(v => (v % 80 + 1).toDouble).toDF("l_extendedprice")
+      val audit = Planning.rangePartitionedWrite(li, out.toString, buckets)
+        .collect()
+      assert(audit.length == buckets)
+      audit.foreach { r =>
+        assert(r.getAs[Boolean]("depth_match"), s"row count must survive the disk round trip: $r")
+        assert(r.getAs[Boolean]("bounds_match"), s"no row may cross a planned boundary: $r")
+      }
+      assert(audit.map(_.getAs[Long]("rows_on_disk")).sum == 400L)
+      // the files themselves: every bucket dir exists with the
+      // one-writer-per-bucket file count, and dir bytes stay balanced
+      // within the histogram's own depth tolerance
+      val dirs = (0 until buckets).map(b => new java.io.File(out.toFile, s"bucket=$b"))
+      dirs.foreach(d => assert(d.isDirectory, s"missing partition dir $d"))
+      val files = dirs.map(_.listFiles().filter(_.getName.endsWith(".parquet")))
+      files.foreach(fs => assert(fs.length == 1,
+        s"repartitionByRange on the bucket id must give one file per dir, got ${fs.length}"))
+      val bytes = files.map(_.map(_.length()).sum)
+      assert(bytes.max <= 3 * bytes.min,
+        s"equi-depth buckets must give balanced files, got ${bytes.toList}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
   test("equiDepthHistogram: depths partition the rows; uniform grid gives exact depth 1") {
     // 80 distinct prices, one row each -> 8 buckets of exactly 10 rows
     val li = (1L to 80L).map(v => v.toDouble).toDF("l_extendedprice")
