@@ -1498,6 +1498,22 @@ object SparkEntry {
       Planning.rangePartitionedWrite(TestData.lineitem(s, dir),
         scratchDir("graft-q215").resolve("fact").toString)
     },
+    // The q163 strategy decision made from CONSTANT-SIZE sketches (KMV
+    // row count × hash-sampled row width) instead of exact full scans —
+    // the 100 TB CBO path — with sketch-vs-exact labels and q-errors
+    // audited side by side.
+    "q216_sketch_strategy_advisor" -> { (s, dir) =>
+      Planning.sketchStrategyAdvisor(Seq(
+        ("customer", TestData.customer(s, dir), col("c_custkey")),
+        // (orderkey, linenumber) alone is NOT unique in the synthetic
+        // data — widen the row identifier until it is, or the KMV would
+        // correctly estimate distinct KEYS and miss duplicated rows
+        ("lineitem", TestData.lineitem(s, dir),
+          concat_ws("#", col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"))),
+        ("orders", TestData.orders(s, dir), col("o_orderkey")),
+        ("supplier", TestData.supplier(s, dir), col("s_suppkey"))))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2923,6 +2939,27 @@ object SparkEntry {
           SELECT bucket, lo_cents, hi_cents, rows_on_disk, hist_rows,
                  depth_match, bounds_match, depth_x_buckets
           FROM range_write_audit ORDER BY bucket""",
+
+    "q216_sketch_strategy_advisor" ->
+      s"""WITH ${Planning.sketchStrategyAdvisorSql(Seq(
+            ("customer", "c_custkey",
+              "8 + COALESCE(len(c_name), 0) + 4 + 4 + 8"
+                + " + COALESCE(len(c_mktsegment), 0) + 4"),
+            ("lineitem",
+              "CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)"
+                + " || '#' || CAST(l_partkey AS VARCHAR)"
+                + " || '#' || CAST(l_suppkey AS VARCHAR)",
+              "8 + 8 + 8 + 4 + 8 + 8 + 8 + 8"
+                + " + COALESCE(len(l_returnflag), 0) + 4"
+                + " + COALESCE(len(l_linestatus), 0) + 4 + 8"),
+            ("orders", "o_orderkey",
+              "8 + 8 + COALESCE(len(o_orderstatus), 0) + 4 + 8 + 8"
+                + " + COALESCE(len(o_orderpriority), 0) + 4"),
+            ("supplier", "s_suppkey",
+              "8 + COALESCE(len(s_name), 0) + 4 + 4 + 8")))}
+          SELECT table_name, n_rows, kmv_rows, q_error_rows, est_bytes,
+                 sketch_bytes, strategy_exact, strategy_sketch, agree
+          FROM sketch_strategy ORDER BY table_name""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

@@ -217,6 +217,145 @@ object Planning {
        |$branches)""".stripMargin
   }
 
+  /** The 100 TB CBO story: the [[joinAdvisor]] strategy decision made
+    * from CONSTANT-SIZE sketches instead of exact full-scan statistics,
+    * with the divergence audited. At warehouse scale a planner cannot
+    * afford an exact (count, byte-sum) scan of every relation before
+    * every query — it keeps per-table sketches and decides from those.
+    * Per table, this advisor derives:
+    *   - `kmv_rows`: row count from a k-minimum-values sketch of the
+    *     primary key (the q145/q154 bottom-k estimator, (k−1)·2⁴⁸/h_k,
+    *     exact below k) — k·8 bytes of state per table, mergeable
+    *     across shards;
+    *   - `sketch_bytes`: `kmv_rows` × average row width measured on a
+    *     deterministic 1/`sampleMod` hash-coin sample of the rows (for
+    *     a tiny table whose sample is empty the average falls back to
+    *     the exact mean — at scale the sample is never empty);
+    * and then the SAME threshold model as the exact path labels both:
+    * `strategy_exact` from the measured bytes, `strategy_sketch` from
+    * the sketch bytes, `agree` marking where the cheap stats would have
+    * picked a different plan, plus the q-errors max(est/act, act/est)
+    * the estimation literature grades by. The decision-boundary audit:
+    * a disagreement means the true size sits within the sketch's error
+    * belt of a threshold — exactly the rows a deployment would route to
+    * an exact re-check.
+    *
+    * Cross-engine exactness: the KMV estimate is the q154 argument
+    * verbatim; the sample average is one IEEE division of exact integer
+    * operands; `sketch_bytes` one further multiply — every double op is
+    * correctly rounded on identical inputs, so labels, estimates, and
+    * q-errors all hash-match the oracle.
+    *
+    * Scale shape: per table one bounded-heap bottom-k over the hashed
+    * key, one map-side-combinable (count, byte-sum) over the hash
+    * sample, and the exact audit scan (which a deployment would DROP —
+    * it exists here to measure the sketch against truth); the decision
+    * frame is |tables| rows.
+    */
+  def sketchStrategyAdvisor(tables: Seq[(String, DataFrame, Column)],
+      broadcastBytes: Long = 1L << 16, k: Int = 256,
+      sampleMod: Long = 8L): DataFrame = {
+    require(tables.nonEmpty, "sketchStrategyAdvisor needs at least one table")
+    require(k >= 2 && (k & (k - 1)) == 0 && k <= 32768,
+      s"k must be a power of two in [2, 32768], got $k")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    import org.apache.spark.sql.types._
+    val max48 = (k - 1).toLong << 48
+    tables.map { case (name, df, pk) =>
+      val rowBytes = df.schema.fields.map { f =>
+        f.dataType match {
+          case StringType => coalesce(length(col(f.name)), lit(0)).cast("long") + 4L
+          case ArrayType(FloatType, _) =>
+            coalesce(size(col(f.name)).cast("long"), lit(0L)) * 4L + 8L
+          case IntegerType => lit(4L)
+          case _ => lit(8L) // long / double / timestamp(_ntz)
+        }
+      }.reduce(_ + _)
+      val h = h48(pk)
+      val exact = df.agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(rowBytes), lit(0L)).as("est_bytes"))
+      val sk = bottomK(df.select(h.as("h")).distinct(), k)
+        .agg(count(lit(1)).as("n_m"), max("h").as("h_k"))
+      val samp = df.filter(h % sampleMod === 0L)
+        .agg(count(lit(1)).as("s_n"),
+          coalesce(sum(rowBytes), lit(0L)).as("s_bytes"))
+      val kmvRows = when(col("n_m") < k, col("n_m").cast("double"))
+        .otherwise(lit(max48).cast("double") / col("h_k").cast("double"))
+      val avgB = when(col("s_n") > 0,
+          col("s_bytes").cast("double") / col("s_n").cast("double"))
+        .otherwise(col("est_bytes").cast("double") / col("n_rows").cast("double"))
+      val sketchBytes = kmvRows * avgB
+      exact.crossJoin(broadcast(sk)).crossJoin(broadcast(samp))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          kmvRows.as("kmv_rows"),
+          greatest(kmvRows / col("n_rows").cast("double"),
+            col("n_rows").cast("double") / kmvRows).as("q_error_rows"),
+          col("est_bytes"), sketchBytes.as("sketch_bytes"),
+          // exact label: integer compare, verbatim the joinAdvisor model
+          when(col("est_bytes") <= broadcastBytes, "broadcast")
+            .when(col("est_bytes") <= broadcastBytes * 100, "shuffle_bloom")
+            .otherwise("shuffle").as("strategy_exact"),
+          when(sketchBytes <= lit(broadcastBytes.toDouble), "broadcast")
+            .when(sketchBytes <= lit((broadcastBytes * 100).toDouble),
+              "shuffle_bloom")
+            .otherwise("shuffle").as("strategy_sketch"))
+        .withColumn("agree", col("strategy_exact") === col("strategy_sketch"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+  }
+
+  /** DuckDB twin of [[sketchStrategyAdvisor]]: per-table
+    * (name, pk expr, row-bytes expr) triples mirroring the Spark models;
+    * embed after `WITH ` and select from `sketch_strategy`.
+    */
+  def sketchStrategyAdvisorSql(tables: Seq[(String, String, String)],
+      broadcastBytes: Long = 1L << 16, k: Int = 256,
+      sampleMod: Long = 8L): String = {
+    val max48 = (k - 1).toLong << 48
+    def h48Sql(pk: String) =
+      s"('0x' || substring(md5(CAST($pk AS VARCHAR)), 1, 12))::BIGINT"
+    val perTable = tables.map { case (name, pk, bytesExpr) =>
+      val kmvRows = s"CASE WHEN n_m < $k THEN CAST(n_m AS DOUBLE) " +
+        s"ELSE CAST($max48 AS DOUBLE) / CAST(h_k AS DOUBLE) END"
+      val avgB = "CASE WHEN s_n > 0 THEN CAST(s_bytes AS DOUBLE) / CAST(s_n AS DOUBLE) " +
+        "ELSE CAST(est_bytes AS DOUBLE) / CAST(n_rows AS DOUBLE) END"
+      val sketchBytes = s"(($kmvRows) * ($avgB))"
+      s"""ssa_${name}_ex AS (
+         |  SELECT COUNT(*) AS n_rows,
+         |         CAST(COALESCE(SUM($bytesExpr), 0) AS BIGINT) AS est_bytes
+         |  FROM $name),
+         |ssa_${name}_h AS (
+         |  SELECT DISTINCT ${h48Sql(pk)} AS h FROM $name),
+         |ssa_${name}_k AS (
+         |  SELECT COUNT(*) AS n_m, MAX(h) AS h_k FROM (
+         |    SELECT h FROM (
+         |      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk
+         |      FROM ssa_${name}_h) rr WHERE rk <= $k) kk),
+         |ssa_${name}_s AS (
+         |  SELECT COUNT(*) AS s_n,
+         |         CAST(COALESCE(SUM($bytesExpr), 0) AS BIGINT) AS s_bytes
+         |  FROM $name WHERE (${h48Sql(pk)}) % $sampleMod = 0),
+         |ssa_$name AS (
+         |  SELECT '$name' AS table_name, n_rows,
+         |         $kmvRows AS kmv_rows,
+         |         GREATEST(($kmvRows) / CAST(n_rows AS DOUBLE),
+         |                  CAST(n_rows AS DOUBLE) / ($kmvRows)) AS q_error_rows,
+         |         est_bytes, $sketchBytes AS sketch_bytes,
+         |         CASE WHEN est_bytes <= $broadcastBytes THEN 'broadcast'
+         |              WHEN est_bytes <= ${broadcastBytes * 100} THEN 'shuffle_bloom'
+         |              ELSE 'shuffle' END AS strategy_exact,
+         |         CASE WHEN $sketchBytes <= ${broadcastBytes.toDouble} THEN 'broadcast'
+         |              WHEN $sketchBytes <= ${(broadcastBytes * 100).toDouble} THEN 'shuffle_bloom'
+         |              ELSE 'shuffle' END AS strategy_sketch
+         |  FROM ssa_${name}_ex, ssa_${name}_k, ssa_${name}_s)""".stripMargin
+    }
+    val union = tables.map { case (name, _, _) =>
+      s"  SELECT *, strategy_exact = strategy_sketch AS agree FROM ssa_$name"
+    }.mkString("\n  UNION ALL\n")
+    s"""${perTable.mkString(",\n")},
+       |sketch_strategy AS (
+       |$union)""".stripMargin
+  }
+
   /** Execute the joins a [[joinAdvisor]] sized — the last emit-only
     * advisor CONSUMED (completing the measured-plan family: q153→q169
     * salting, q202→q208 ordering, q205→q209 range bounds): the advisor
