@@ -1514,6 +1514,13 @@ object SparkEntry {
         ("orders", TestData.orders(s, dir), col("o_orderkey")),
         ("supplier", TestData.supplier(s, dir), col("s_suppkey"))))
     },
+    // The q185 zone maps CONSUMED: the fact written date-clustered, and
+    // each predicate scans only the surviving month partitions — totals
+    // from the pruned scan hash-match the oracle's full-table filter.
+    "q217_zone_pruned_scan" -> { (s, dir) =>
+      Planning.zonePrunedScan(TestData.lineitem(s, dir),
+        scratchDir("graft-q217").resolve("fact").toString)
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2960,6 +2967,14 @@ object SparkEntry {
           SELECT table_name, n_rows, kmv_rows, q_error_rows, est_bytes,
                  sketch_bytes, strategy_exact, strategy_sketch, agree
           FROM sketch_strategy ORDER BY table_name""",
+
+    // totals from a plain full filter on purpose: equality with the
+    // engine's partition-pruned scan proves skipping zones lost nothing
+    "q217_zone_pruned_scan" ->
+      s"""WITH ${Planning.zonePrunedScanSql()}
+          SELECT pred_id, n_zones, zones_scanned, zones_skipped, rows_read,
+                 n_rows, total_cents
+          FROM zone_pruned_scan ORDER BY pred_id""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

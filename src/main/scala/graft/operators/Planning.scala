@@ -685,6 +685,113 @@ object Planning {
        |  FROM zm, zm_p GROUP BY 1, 2)""".stripMargin
   }
 
+  /** The q185 zone maps CONSUMED — storage pruning executed, not just
+    * audited: the fact is WRITTEN in the `date_cluster` layout the zone
+    * audit measured as prunable (one partition dir per ship-month), the
+    * zone map (per-zone min/max/count) is computed from the files on
+    * disk, and each canonical predicate then scans ONLY the surviving
+    * zones — a partition-pruned read whose `zone IN (...)` filter Spark
+    * resolves at file-listing time, so skipped months are never opened.
+    * Per predicate: total/scanned/skipped zone counts, the rows the
+    * pruned scan reads, and the predicate's count + cent-exact total
+    * computed FROM the pruned scan. The oracle computes the same totals
+    * from a plain full-table filter, so the hash match is the proof that
+    * skipping zones lost nothing (the q208/q209 consumed-plan pattern
+    * applied to storage). A predicate missing every zone takes the
+    * everything-skipped path — zero zones scanned, zero rows, NULL
+    * total — which PlanningSpec pins (the canonical predicates all land
+    * inside the synthetic data's date range).
+    *
+    * Scale shape: the zone map is ≤ #months rows (localCheckpoint'd,
+    * read once per predicate); the surviving-zone id list is a bounded
+    * plan frame (collected like [[executeSkewPlan]]'s decision); each
+    * pruned scan reads only the listed partition dirs — at 100 TB that
+    * is the difference between scanning a month and scanning the lake,
+    * and it composes with the parquet row-group min/max pruning inside
+    * each surviving file.
+    */
+  def zonePrunedScan(lineitem: DataFrame, outDir: String): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val zone = (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+      .cast("long")
+    lineitem.select(col("l_shipdate"),
+        OracleSafe.quant(col("l_extendedprice"), 100).as("cents"),
+        zone.as("zone"))
+      .repartitionByRange(col("zone"))
+      .write.mode("overwrite").partitionBy("zone").parquet(outDir)
+    val zm = spark.read.parquet(outDir)
+      .select(col("l_shipdate"), col("zone").cast("long").as("zone"))
+      .groupBy("zone")
+      .agg(min("l_shipdate").as("zmin"), max("l_shipdate").as("zmax"),
+        count(lit(1)).as("zn"))
+      .localCheckpoint() // the zone map: <= #months rows, read per predicate
+    val runs = zonePreds.map { case (id, loS, hiS) =>
+      val lo = lit(loS).cast("timestamp_ntz")
+      val hi = lit(hiS).cast("timestamp_ntz")
+      val skip = col("zmax") < lo || col("zmin") >= hi
+      val audit = zm.agg(count(lit(1)).as("n_zones"),
+        sum(when(skip, 1L).otherwise(0L)).as("zones_skipped"),
+        coalesce(sum(when(!skip, col("zn"))), lit(0L)).as("rows_read"))
+      // bounded plan frame: the surviving month ids, like executeSkewPlan's
+      val surviving = zm.filter(!skip).select("zone").as[Long].collect()
+      val zoneFilter =
+        if (surviving.isEmpty) lit(false)
+        else col("zone").isin(surviving.map(Long.box): _*)
+      val res = spark.read.parquet(outDir)
+        .filter(zoneFilter) // partition filter -> skipped dirs never open
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("total_cents"))
+      broadcast(Seq(id).toDF("pred_id"))
+        .crossJoin(broadcast(audit))
+        .crossJoin(res)
+        .select(col("pred_id"), col("n_zones"),
+          (col("n_zones") - col("zones_skipped")).as("zones_scanned"),
+          col("zones_skipped"), col("rows_read"), col("n_rows"),
+          col("total_cents"))
+    }
+    runs.reduce(_ unionByName _).orderBy("pred_id")
+  }
+
+  /** DuckDB twin of [[zonePrunedScan]] — zone counts from the same zone
+    * model, totals from a PLAIN full-table filter on purpose: equality
+    * with the engine's pruned-scan totals is the proof pruning lost
+    * nothing. Embed after `WITH ` and select from `zone_pruned_scan`.
+    */
+  def zonePrunedScanSql(): String = {
+    val predRows = zonePreds.map { case (id, lo, hi) =>
+      s"('$id', TIMESTAMP '$lo', TIMESTAMP '$hi')"
+    }.mkString(", ")
+    s"""zps_rows AS (
+       |  SELECT l_shipdate,
+       |         ${OracleSafe.quantSql("l_extendedprice", 100)} AS cents,
+       |         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS zone
+       |  FROM lineitem),
+       |zps_zm AS (
+       |  SELECT zone, MIN(l_shipdate) AS zmin, MAX(l_shipdate) AS zmax,
+       |         COUNT(*) AS zn
+       |  FROM zps_rows GROUP BY 1),
+       |zps_p(pred_id, lo, hi) AS (VALUES $predRows),
+       |zps_audit AS (
+       |  SELECT pred_id, COUNT(*) AS n_zones,
+       |         CAST(SUM(CASE WHEN zmax < lo OR zmin >= hi THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS zones_skipped,
+       |         CAST(COALESCE(SUM(CASE WHEN NOT (zmax < lo OR zmin >= hi)
+       |                                THEN zn END), 0) AS BIGINT) AS rows_read
+       |  FROM zps_zm, zps_p GROUP BY 1),
+       |zps_res AS (
+       |  SELECT p.pred_id, COUNT(r.l_shipdate) AS n_rows,
+       |         CAST(SUM(r.cents) AS BIGINT) AS total_cents
+       |  FROM zps_p p LEFT JOIN zps_rows r
+       |    ON r.l_shipdate >= p.lo AND r.l_shipdate < p.hi
+       |  GROUP BY 1),
+       |zone_pruned_scan AS (
+       |  SELECT a.pred_id, a.n_zones,
+       |         a.n_zones - a.zones_skipped AS zones_scanned,
+       |         a.zones_skipped, a.rows_read, e.n_rows, e.total_cents
+       |  FROM zps_audit a JOIN zps_res e USING (pred_id))""".stripMargin
+  }
+
   /** Join-order enumeration for the customer–orders–lineitem chain, with
     * the estimates CALIBRATED against exact truth. For each cross-
     * product-free left-deep order, the System-R equi-join estimate

@@ -299,6 +299,53 @@ class PlanningSpec extends SparkSpec {
     }
   }
 
+  test("zonePrunedScan: month partitions prune at the file listing; a " +
+      "predicate missing every zone lands zero") {
+    val out = java.nio.file.Files.createTempDirectory("graft-zps-spec")
+    try {
+      val fact = s"$out/fact"
+      def rows(ym: String, n: Int, price: Double) =
+        Seq.fill(n)((s"$ym-15 00:00:00", price))
+      val df = (rows("1996-03", 10, 10.0) ++ rows("1996-07", 5, 20.0) ++
+          rows("1997-05", 8, 30.0))
+        .toDF("ship_s", "l_extendedprice")
+        .select(col("ship_s").cast("timestamp_ntz").as("l_shipdate"),
+          col("l_extendedprice"))
+      val r = Planning.zonePrunedScan(df, fact).collect()
+        .map(x => x.getAs[String]("pred_id") -> x).toMap
+      // p1996 covers two of the three month zones
+      val p96 = r("p1996")
+      assert(p96.getAs[Long]("n_zones") == 3L)
+      assert(p96.getAs[Long]("zones_scanned") == 2L)
+      assert(p96.getAs[Long]("rows_read") == 15L)
+      assert(p96.getAs[Long]("n_rows") == 15L)
+      assert(p96.getAs[Long]("total_cents") == 10L * 1000L + 5L * 2000L)
+      // the 1998 and 2001 predicates miss every zone: nothing scanned,
+      // nothing read, NULL total — the everything-skipped path
+      for (id <- Seq("p1998h1", "p2001h2")) {
+        val p = r(id)
+        assert(p.getAs[Long]("zones_scanned") == 0L, s"$id must skip all zones")
+        assert(p.getAs[Long]("rows_read") == 0L && p.getAs[Long]("n_rows") == 0L)
+        assert(p.isNullAt(p.fieldIndex("total_cents")), s"$id sum over nothing is NULL")
+      }
+      // the pruning is PHYSICAL: a surviving-zone filter lists only those
+      // partition dirs (1996*12+3, 1996*12+7), never the 1997 one
+      val pruned = spark.read.parquet(fact)
+        .filter(col("zone").isin(1996 * 12 + 3, 1996 * 12 + 7))
+      pruned.collect()
+      val selected = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.sum
+      assert(selected == 2, s"scan must list 2 of 3 month dirs, listed $selected")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(out.toFile)
+    }
+  }
+
   test("equiDepthHistogram: depths partition the rows; uniform grid gives exact depth 1") {
     // 80 distinct prices, one row each -> 8 buckets of exactly 10 rows
     val li = (1L to 80L).map(v => v.toDouble).toDF("l_extendedprice")
