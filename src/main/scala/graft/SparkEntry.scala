@@ -1521,6 +1521,12 @@ object SparkEntry {
       Planning.zonePrunedScan(TestData.lineitem(s, dir),
         scratchDir("graft-q217").resolve("fact").toString)
     },
+    // t-closeness completes the privacy trio on the same lattice: EMD
+    // between each group's sensitive distribution and the global one,
+    // compared in exact integers (only the reported max_emd is a double).
+    "q218_t_closeness" -> { (s, dir) =>
+      Privacy.tClosenessAudit(TestData.customer(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2975,6 +2981,11 @@ object SparkEntry {
           SELECT pred_id, n_zones, zones_scanned, zones_skipped, rows_read,
                  n_rows, total_cents
           FROM zone_pruned_scan ORDER BY pred_id""",
+
+    "q218_t_closeness" ->
+      s"""WITH ${Privacy.tClosenessAuditSql()}
+          SELECT level, qi, n_groups, max_emd, rows_at_risk, satisfies_t
+          FROM t_closeness ORDER BY level""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

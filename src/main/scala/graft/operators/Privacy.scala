@@ -198,6 +198,140 @@ object Privacy {
        |${lvl(3, "*", "ld_l3")})""".stripMargin
   }
 
+  /** t-closeness audit on the SAME generalization lattice (Li, Li &
+    * Venkatasubramanian 2007) — the third member of the privacy trio:
+    * l-diversity counts distinct sensitive values but ignores HOW they
+    * are distributed, so a group whose balance bands are all clustered
+    * at the top still leaks "this person is rich". t-closeness bounds,
+    * per QI group, the Earth-Mover's Distance between the group's
+    * sensitive distribution and the GLOBAL one; for the ordered band
+    * attribute EMD is the normalized sum of absolute cumulative
+    * differences, (1/(m−1))·Σ_i |Σ_{j≤i}(p_j − q_j)|. Per level: group
+    * count, the worst (max) EMD any group shows, rows in groups whose
+    * EMD exceeds `t = tNum/tDen`, and whether the level satisfies
+    * t-closeness. Level 0's point-mass groups (band IS the QI) show the
+    * largest distances; the all-merged level 3 is the global
+    * distribution itself, EMD exactly 0.
+    *
+    * Cross-engine exactness: EMD comparisons run in EXACT integers —
+    * p_j − q_j = (cnt_gj·N − C_j·n_g)/(n_g·N), so the scaled score
+    * S_g = Σ_i |Σ_{j≤i}(cnt_gj·N − C_j·n_g)| is a BIGINT and
+    * "EMD > t" is S_g·tDen > tNum·(m−1)·n_g·N with no floats anywhere
+    * (overflow headroom: terms are ≤ B·N², ~2·10¹⁵ at N = 6·10⁶);
+    * only the reported `max_emd` is a double — one division of exact
+    * operands per group, then an order-independent max.
+    *
+    * Scale shape: per level one (group × band) aggregate plus a window
+    * over the domain-bounded grid (groups × bands, never rows); the
+    * global distribution is a B-row broadcast; the level rollup is
+    * 1 row.
+    */
+  def tClosenessAudit(customer: DataFrame, tNum: Long = 1,
+      tDen: Long = 4): DataFrame = {
+    require(tNum >= 0 && tDen >= 1, s"need t = tNum/tDen >= 0, got $tNum/$tDen")
+    import graft.functions.OracleSafe
+    import org.apache.spark.sql.expressions.Window
+    val base = customer.select(
+      col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"),
+      OracleSafe.intDiv(OracleSafe.quant(col("c_acctbal"), 100), lit(100000L))
+        .as("band"))
+    val glob = base.groupBy("band").agg(count(lit(1)).as("c_j"))
+    val tot = base.agg(count(lit(1)).as("n_tot"),
+      countDistinct(col("band")).as("m"))
+    def level(lv: Int, qi: String, gkey: Column): DataFrame = {
+      val b = base.withColumn("g", gkey)
+      val gsize = b.groupBy("g").agg(count(lit(1)).as("n_g"))
+      val gcnt = b.groupBy("g", "band").agg(count(lit(1)).as("cnt"))
+      val grid = gsize.crossJoin(broadcast(glob))
+        .join(gcnt, Seq("g", "band"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("d", col("cnt") * col("n_tot") - col("c_j") * col("n_g"))
+      val cum = grid.withColumn("cum",
+        sum("d").over(Window.partitionBy("g").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      val sg = cum.groupBy("g").agg(
+        max("n_g").as("n_g"), max("n_tot").as("n_tot"), max("m").as("m"),
+        sum(abs(col("cum"))).as("s_g"))
+      val den = (col("m") - 1) * col("n_g") * col("n_tot")
+      val emd = when(col("m") === 1, lit(0.0))
+        .otherwise(col("s_g").cast("double") / den.cast("double"))
+      val exceeds = col("m") > 1 && col("s_g") * tDen > lit(tNum) * den
+      sg.agg(count(lit(1)).as("n_groups"), max(emd).as("max_emd"),
+          coalesce(sum(when(exceeds, col("n_g"))), lit(0L)).as("rows_at_risk"))
+        .select(lit(lv).as("level"), lit(qi).as("qi"), col("n_groups"),
+          col("max_emd"), col("rows_at_risk"),
+          (col("rows_at_risk") === 0L).as("satisfies_t"))
+    }
+    val sep = "\u0001" // unambiguous group-key separator (chr(1) in the twin)
+    level(0, "nation,segment,band",
+        concat_ws(sep, col("nat"), col("seg"), col("band")))
+      .unionByName(level(1, "nation,segment",
+        concat_ws(sep, col("nat"), col("seg"))))
+      .unionByName(level(2, "nation", col("nat").cast("string")))
+      .unionByName(level(3, "*", lit("*")))
+      .orderBy("level")
+  }
+
+  /** DuckDB twin of [[tClosenessAudit]]; embed after `WITH ` and select
+    * from `t_closeness`.
+    */
+  def tClosenessAuditSql(tNum: Long = 1, tDen: Long = 4): String = {
+    import graft.functions.OracleSafe
+    val band = OracleSafe.intDivSql(OracleSafe.quantSql("c_acctbal", 100), "100000")
+    def lvl(lv: Int, qi: String, gexpr: String) =
+      s"""tc_g$lv AS (
+         |  SELECT $gexpr AS g, band FROM tc_base),
+         |tc_gs$lv AS (SELECT g, COUNT(*) AS n_g FROM tc_g$lv GROUP BY g),
+         |tc_gc$lv AS (SELECT g, band, COUNT(*) AS cnt FROM tc_g$lv GROUP BY g, band),
+         |tc_cum$lv AS (
+         |  SELECT s.g, s.n_g,
+         |         SUM(COALESCE(c.cnt, 0) * t.n_tot - gl.c_j * s.n_g)
+         |           OVER (PARTITION BY s.g ORDER BY gl.band
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         t.n_tot, t.m
+         |  FROM tc_gs$lv s CROSS JOIN tc_glob gl
+         |  LEFT JOIN tc_gc$lv c ON c.g = s.g AND c.band = gl.band
+         |  CROSS JOIN tc_tot t),
+         |tc_sg$lv AS (
+         |  SELECT g, MAX(n_g) AS n_g, MAX(n_tot) AS n_tot, MAX(m) AS m,
+         |         CAST(SUM(ABS(cum)) AS BIGINT) AS s_g
+         |  FROM tc_cum$lv GROUP BY g),
+         |tc_lv$lv AS (
+         |  SELECT $lv AS level, '$qi' AS qi, COUNT(*) AS n_groups,
+         |         MAX(CASE WHEN m = 1 THEN 0.0
+         |             ELSE CAST(s_g AS DOUBLE)
+         |                  / CAST((m - 1) * n_g * n_tot AS DOUBLE) END) AS max_emd,
+         |         CAST(COALESCE(SUM(CASE WHEN m > 1
+         |                AND s_g * $tDen > $tNum * (m - 1) * n_g * n_tot
+         |                THEN n_g END), 0) AS BIGINT) AS rows_at_risk,
+         |         COALESCE(SUM(CASE WHEN m > 1
+         |                AND s_g * $tDen > $tNum * (m - 1) * n_g * n_tot
+         |                THEN n_g END), 0) = 0 AS satisfies_t
+         |  FROM tc_sg$lv)""".stripMargin
+    val g0 = "CAST(nat AS VARCHAR) || chr(1) || seg || chr(1) || CAST(band AS VARCHAR)"
+    val g1 = "CAST(nat AS VARCHAR) || chr(1) || seg"
+    val g2 = "CAST(nat AS VARCHAR)"
+    val g3 = "'*'"
+    s"""tc_base AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+       |         $band AS band
+       |  FROM customer),
+       |tc_glob AS (SELECT band, COUNT(*) AS c_j FROM tc_base GROUP BY band),
+       |tc_tot AS (SELECT COUNT(*) AS n_tot,
+       |                  CAST(COUNT(DISTINCT band) AS BIGINT) AS m FROM tc_base),
+       |${lvl(0, "nation,segment,band", g0)},
+       |${lvl(1, "nation,segment", g1)},
+       |${lvl(2, "nation", g2)},
+       |${lvl(3, "*", g3)},
+       |t_closeness AS (
+       |  SELECT * FROM tc_lv0
+       |  UNION ALL SELECT * FROM tc_lv1
+       |  UNION ALL SELECT * FROM tc_lv2
+       |  UNION ALL SELECT * FROM tc_lv3)""".stripMargin
+  }
+
   /** DuckDB twin of [[kAnonymityAudit]]; embed after `WITH ` and select
     * from `k_anonymity`.
     */

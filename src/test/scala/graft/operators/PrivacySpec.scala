@@ -112,6 +112,42 @@ class PrivacySpec extends SparkSpec {
     assert(r(3).getAs[Long]("rows_at_risk") == 0L)
   }
 
+  test("t-closeness: hand-checked EMD for point-mass groups; the merged " +
+      "level is exactly the global distribution") {
+    // two bands, 50/50 globally; each nation is a point mass on one band
+    // -> ordered EMD = 0.5 per nation group at level 2
+    val df = cust((Seq.fill(4)((1L, "AUTO", 100.0)) ++
+      Seq.fill(4)((2L, "AUTO", 1100.0))): _*)
+    val r = Privacy.tClosenessAudit(df, tNum = 1, tDen = 4).collect()
+    assert(r.map(_.getAs[Int]("level")).toSeq == Seq(0, 1, 2, 3))
+    // level 2 (nation): both groups at EMD 0.5 > 1/4 -> all 8 rows at risk
+    assert(r(2).getAs[Double]("max_emd") == 0.5)
+    assert(r(2).getAs[Long]("rows_at_risk") == 8L)
+    assert(!r(2).getAs[Boolean]("satisfies_t"))
+    // level 3: the single merged group IS the global distribution
+    assert(r(3).getAs[Double]("max_emd") == 0.0)
+    assert(r(3).getAs[Long]("rows_at_risk") == 0L)
+    assert(r(3).getAs[Boolean]("satisfies_t"))
+  }
+
+  test("t-closeness: a single global band is 0-distant everywhere (m=1 " +
+      "degenerate); a tolerant t accepts skew") {
+    val mono = cust(Seq.fill(6)((1L, "AUTO", 500.0)) :+ ((2L, "HOME", 700.0)): _*)
+    val r = Privacy.tClosenessAudit(mono).collect()
+    r.foreach { x =>
+      assert(x.getAs[Double]("max_emd") == 0.0)
+      assert(x.getAs[Boolean]("satisfies_t"))
+    }
+    // 3:1 band skew between two nations: EMD = |3/4 - 1/2| ... hand value:
+    // nation 1 all band 0, nation 2 all band 1, global 3/4 vs 1/4
+    // -> EMD(n1) = 1/4, EMD(n2) = 3/4; t = 1/2 accepts n1, rejects n2
+    val skew = cust((Seq.fill(3)((1L, "AUTO", 100.0)) :+ ((2L, "AUTO", 1100.0))): _*)
+    val half = Privacy.tClosenessAudit(skew, tNum = 1, tDen = 2).collect()
+    assert(half(2).getAs[Double]("max_emd") == 0.75)
+    assert(half(2).getAs[Long]("rows_at_risk") == 1L,
+      "only nation 2's single row exceeds t = 1/2")
+  }
+
   test("l-diversity: a k-safe group can still fail diversity") {
     // one big homogeneous group: k=5 satisfied at every level, yet
     // 1-diverse everywhere — the homogeneity attack k-anonymity misses
