@@ -1527,6 +1527,13 @@ object SparkEntry {
     "q218_t_closeness" -> { (s, dir) =>
       Privacy.tClosenessAudit(TestData.customer(s, dir))
     },
+    // The q202 Selinger ranking made from five KMV sketches instead of
+    // exact stats — join ORDERING from constant-size statistics, with
+    // both rankings audited side by side (the q216 story's other half).
+    "q219_sketch_join_order" -> { (s, dir) =>
+      Planning.sketchJoinOrderAdvisor(TestData.customer(s, dir),
+        TestData.orders(s, dir), TestData.lineitem(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2986,6 +2993,12 @@ object SparkEntry {
       s"""WITH ${Privacy.tClosenessAuditSql()}
           SELECT level, qi, n_groups, max_emd, rows_at_risk, satisfies_t
           FROM t_closeness ORDER BY level""",
+
+    "q219_sketch_join_order" ->
+      s"""WITH ${Planning.sketchJoinOrderAdvisorSql()}
+          SELECT join_order, est_exact, est_sketch, rk_exact, rk_sketch,
+                 rank_match
+          FROM sketch_join_order ORDER BY rk_exact""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

@@ -957,6 +957,149 @@ object Planning {
       .orderBy("bucket")
   }
 
+  /** The [[joinOrderAdvisor]]'s Selinger ranking made from CONSTANT-SIZE
+    * sketches — the q216 sketch-statistics story applied to join
+    * ORDERING, the other half of what a 100 TB CBO decides without
+    * scanning. Every statistic the System-R estimate needs (row counts
+    * and per-key distinct counts) is replaced by a KMV bottom-k
+    * estimate: |customer| and d(c_custkey) share one sketch (the key is
+    * unique), |orders|/d(o_orderkey) likewise, plus sketches for
+    * d(o_custkey), |lineitem| (the 4-column unique row id), and
+    * d(l_orderkey) — five k·8-byte sketches total, mergeable across
+    * shards. Both stat sources run through the IDENTICAL estimate
+    * formula and the identical (estimate, name) ranking; per order the
+    * audit reports both estimates, both ranks, and `rank_match` — a
+    * rank flip means the sketch error belt crossed an order boundary,
+    * exactly the case a deployment would escalate to exact stats.
+    *
+    * Cross-engine exactness: each KMV estimate is the q154 argument;
+    * the Selinger products/divisions are IEEE-exact on identical
+    * doubles, and the ranking is a deterministic (double, string) sort.
+    *
+    * Scale shape: five bounded-heap bottom-k passes (the exact-stat
+    * pass stays as the audit truth a deployment would drop); the
+    * decision frame is 4 literal rows.
+    */
+  def sketchJoinOrderAdvisor(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, k: Int = 256): DataFrame = {
+    require(k >= 2 && (k & (k - 1)) == 0 && k <= 32768,
+      s"k must be a power of two in [2, 32768], got $k")
+    val spark = customer.sparkSession
+    import spark.implicits._
+    val max48 = (k - 1).toLong << 48
+    val cStats = customer.agg(count(lit(1)).as("nc"),
+      countDistinct(col("c_custkey")).as("dc"))
+    val oStats = orders.agg(count(lit(1)).as("no"),
+      countDistinct(col("o_custkey")).as("dok"),
+      countDistinct(col("o_orderkey")).as("doo"))
+    val lStats = lineitem.agg(count(lit(1)).as("nl"),
+      countDistinct(col("l_orderkey")).as("dlo"))
+    def kmvEst(df: DataFrame, c: Column, name: String): DataFrame =
+      bottomK(df.select(h48(c).as("h")).distinct(), k)
+        .agg(count(lit(1)).as("n_m"), max("h").as("h_k"))
+        .select(when(col("n_m") < k, col("n_m").cast("double"))
+          .otherwise(lit(max48).cast("double") / col("h_k").cast("double"))
+          .as(name))
+    val liRowId = concat_ws("#", col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"))
+    val stats = cStats
+      .crossJoin(broadcast(oStats)).crossJoin(broadcast(lStats))
+      .crossJoin(broadcast(kmvEst(customer, col("c_custkey"), "s_nc")))
+      .crossJoin(broadcast(kmvEst(orders, col("o_orderkey"), "s_no")))
+      .crossJoin(broadcast(kmvEst(orders, col("o_custkey"), "s_dok")))
+      .crossJoin(broadcast(kmvEst(lineitem, liRowId, "s_nl")))
+      .crossJoin(broadcast(kmvEst(lineitem, col("l_orderkey"), "s_dlo")))
+    val orderings = Seq(
+      ("customer*orders*lineitem", "co"),
+      ("orders*customer*lineitem", "co"),
+      ("orders*lineitem*customer", "ol"),
+      ("lineitem*orders*customer", "ol")).toDF("join_order", "first_pair")
+    def estExact = when(col("first_pair") === "co",
+        col("nc").cast("double") * col("no").cast("double") /
+          greatest(col("dc"), col("dok")).cast("double"))
+      .otherwise(col("no").cast("double") * col("nl").cast("double") /
+        greatest(col("doo"), col("dlo")).cast("double"))
+    // the sketch path: unique-key sketches double as the distinct counts
+    def estSketch = when(col("first_pair") === "co",
+        col("s_nc") * col("s_no") / greatest(col("s_nc"), col("s_dok")))
+      .otherwise(col("s_no") * col("s_nl") / greatest(col("s_no"), col("s_dlo")))
+    import org.apache.spark.sql.expressions.Window
+    // 4-row frame: single-partition ranking windows are trivially safe
+    broadcast(orderings).crossJoin(stats)
+      .select(col("join_order"), estExact.as("est_exact"),
+        estSketch.as("est_sketch"))
+      .withColumn("rk_exact", row_number().over(
+        Window.orderBy(col("est_exact"), col("join_order"))))
+      .withColumn("rk_sketch", row_number().over(
+        Window.orderBy(col("est_sketch"), col("join_order"))))
+      .withColumn("rank_match", col("rk_exact") === col("rk_sketch"))
+      .orderBy("rk_exact")
+  }
+
+  /** DuckDB twin of [[sketchJoinOrderAdvisor]]; embed after `WITH ` and
+    * select from `sketch_join_order`.
+    */
+  def sketchJoinOrderAdvisorSql(k: Int = 256): String = {
+    val max48 = (k - 1).toLong << 48
+    def h48Sql(pk: String) =
+      s"('0x' || substring(md5(CAST($pk AS VARCHAR)), 1, 12))::BIGINT"
+    def kmv(name: String, table: String, pk: String) =
+      s"""sjo_${name}_h AS (
+         |  SELECT DISTINCT ${h48Sql(pk)} AS h FROM $table),
+         |sjo_$name AS (
+         |  SELECT CASE WHEN COUNT(*) < $k THEN CAST(COUNT(*) AS DOUBLE)
+         |              ELSE CAST($max48 AS DOUBLE) / CAST(MAX(h) AS DOUBLE) END
+         |           AS $name
+         |  FROM (SELECT h FROM (
+         |    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk
+         |    FROM sjo_${name}_h) rr WHERE rk <= $k) kk)""".stripMargin
+    val liRowId = "CAST(l_orderkey AS VARCHAR) || '#' ||" +
+      " CAST(l_linenumber AS VARCHAR) || '#' || CAST(l_partkey AS VARCHAR)" +
+      " || '#' || CAST(l_suppkey AS VARCHAR)"
+    val estExact = """CASE WHEN first_pair = 'co'
+      THEN CAST(nc AS DOUBLE) * CAST(n_o AS DOUBLE)
+           / CAST(GREATEST(dc, dok) AS DOUBLE)
+      ELSE CAST(n_o AS DOUBLE) * CAST(nl AS DOUBLE)
+           / CAST(GREATEST(doo, dlo) AS DOUBLE) END"""
+    val estSketch = """CASE WHEN first_pair = 'co'
+      THEN s_nc * s_no / GREATEST(s_nc, s_dok)
+      ELSE s_no * s_nl / GREATEST(s_no, s_dlo) END"""
+    s"""sjo_c AS (SELECT COUNT(*) AS nc,
+       |                 CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS dc
+       |          FROM customer),
+       |sjo_o AS (SELECT COUNT(*) AS n_o,
+       |                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS dok,
+       |                 CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS doo
+       |          FROM orders),
+       |sjo_l AS (SELECT COUNT(*) AS nl,
+       |                 CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS dlo
+       |          FROM lineitem),
+       |${kmv("s_nc", "customer", "c_custkey")},
+       |${kmv("s_no", "orders", "o_orderkey")},
+       |${kmv("s_dok", "orders", "o_custkey")},
+       |${kmv("s_nl", "lineitem", liRowId)},
+       |${kmv("s_dlo", "lineitem", "l_orderkey")},
+       |sjo_ord(join_order, first_pair) AS (VALUES
+       |  ('customer*orders*lineitem', 'co'),
+       |  ('orders*customer*lineitem', 'co'),
+       |  ('orders*lineitem*customer', 'ol'),
+       |  ('lineitem*orders*customer', 'ol')),
+       |sjo_est AS (
+       |  SELECT join_order, $estExact AS est_exact, $estSketch AS est_sketch
+       |  FROM sjo_ord, sjo_c, sjo_o, sjo_l,
+       |       sjo_s_nc, sjo_s_no, sjo_s_dok, sjo_s_nl, sjo_s_dlo),
+       |sketch_join_order AS (
+       |  SELECT join_order, est_exact, est_sketch,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY est_exact, join_order)
+       |           AS INT) AS rk_exact,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY est_sketch, join_order)
+       |           AS INT) AS rk_sketch,
+       |         ROW_NUMBER() OVER (ORDER BY est_exact, join_order)
+       |           = ROW_NUMBER() OVER (ORDER BY est_sketch, join_order)
+       |           AS rank_match
+       |  FROM sjo_est)""".stripMargin
+  }
+
   /** Execute the join orders a [[joinOrderAdvisor]] ranked — the plan
     * CONSUMED, not just emitted (the q169/q204 salting pattern applied to
     * join ordering): the best-ranked (rk 1) and worst-ranked (rk 4)

@@ -265,6 +265,29 @@ class PlanningSpec extends SparkSpec {
       s"empty sample must fall back to exact mean, got $sb")
   }
 
+  test("sketchJoinOrderAdvisor: below k the sketches ARE the exact stats, " +
+      "so estimates and ranks coincide") {
+    // unique keys, all under k=256: every KMV sketch holds the whole key
+    // set, so the sketch-Selinger estimate equals the exact-stat one
+    val cust = (1L to 40L).toDF("c_custkey")
+    val ords = (1L to 80L).map(i => (i, i % 40 + 1)).toDF("o_orderkey", "o_custkey")
+    val li = (1L to 160L).map(i =>
+      (i % 80 + 1, i, i % 7, i % 5)).toDF("l_orderkey", "l_linenumber",
+      "l_partkey", "l_suppkey")
+    val r = Planning.sketchJoinOrderAdvisor(cust, ords, li).collect()
+    assert(r.length == 4)
+    r.foreach { x =>
+      assert(x.getAs[Double]("est_sketch") == x.getAs[Double]("est_exact"),
+        s"below-k sketches must reproduce exact estimates: $x")
+      assert(x.getAs[Boolean]("rank_match"))
+    }
+    // Selinger: co = 40*80/max(40,40) = 80; ol = 80*160/max(80,80) = 160
+    // -> the customer-first pair ranks 1-2, the lineitem pair 3-4
+    assert(r(0).getAs[Double]("est_exact") == 80.0)
+    assert(r(0).getAs[String]("join_order") == "customer*orders*lineitem")
+    assert(r(2).getAs[Double]("est_exact") == 160.0)
+  }
+
   test("rangePartitionedWrite: files land per bucket, balanced, and carry " +
       "exactly the planned rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-rpw-spec")
