@@ -141,7 +141,14 @@ object ScaleBench {
     // multi-source watermark (micro-batch floor-bound like q170)
     "q208_join_order_exec", "q209_range_balanced_shards",
     "q210_merge_upsert", "q211_multi_source_watermark",
-    "q212_join_strategy_exec")
+    "q212_join_strategy_exec",
+    // round-11: the privacy lattice trio (domain-bounded grids), the
+    // physical range write + zone-pruned scan (scan + bounded dir
+    // writes), and the two sketch-driven advisors (bottom-k heaps +
+    // scan aggregates — compute grows with input, output stays fixed)
+    "q213_k_anonymity", "q214_l_diversity", "q215_range_partitioned_write",
+    "q216_sketch_strategy_advisor", "q217_zone_pruned_scan",
+    "q218_t_closeness", "q219_sketch_join_order")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)
