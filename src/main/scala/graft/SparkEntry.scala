@@ -1534,6 +1534,20 @@ object SparkEntry {
       Planning.sketchJoinOrderAdvisor(TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // The q216 sketch verdicts CONSUMED (the q212 execution pattern):
+    // each dim joins under the strategy its sketch bytes earned;
+    // plain-join totals prove the sketch-driven plan moves bytes, never
+    // results — the sketch-CBO loop closed end to end.
+    "q220_sketch_strategy_exec" -> { (s, dir) =>
+      Planning.executeSketchStrategy(TestData.lineitem(s, dir),
+        TestData.supplier(s, dir), TestData.orders(s, dir))
+    },
+    // The q213 audit CONSUMED: the first satisfying lattice level is the
+    // minimal safe generalization, and the release applies exactly that
+    // suppression — every released group carries n >= k by construction.
+    "q221_anonymize_min_level" -> { (s, dir) =>
+      Privacy.anonymizeToK(TestData.customer(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -2999,6 +3013,21 @@ object SparkEntry {
           SELECT join_order, est_exact, est_sketch, rk_exact, rk_sketch,
                  rank_match
           FROM sketch_join_order ORDER BY rk_exact""",
+
+    // plain joins on purpose: equality under the sketch-chosen strategies
+    // is the proof the sketch decision moves bytes, never results
+    "q220_sketch_strategy_exec" ->
+      s"""WITH ${Planning.executeSketchStrategySql(
+            supplierBytes = "8 + COALESCE(len(s_name), 0) + 4 + 4 + 8",
+            ordersBytes = "8 + 8 + COALESCE(len(o_orderstatus), 0) + 4 + 8 + 8"
+              + " + COALESCE(len(o_orderpriority), 0) + 4")}
+          SELECT table_name, strategy, n_rows, total_cents
+          FROM sketch_strategy_exec ORDER BY table_name""",
+
+    "q221_anonymize_min_level" ->
+      s"""WITH ${Privacy.anonymizeToKSql()}
+          SELECT level, nat_g, seg_g, band_g, n
+          FROM anonymized ORDER BY nat_g, seg_g, band_g""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

@@ -423,6 +423,74 @@ object Planning {
        |  SELECT a.table_name, a.strategy, o.n_rows, o.total_cents
        |  FROM join_advisor a, jse_ord o WHERE a.table_name = 'orders')""".stripMargin
 
+  /** The SKETCH advisor's verdicts consumed — the q212 execution pattern
+    * with the decision made by [[sketchStrategyAdvisor]] instead of the
+    * exact-stat [[joinAdvisor]]: each dimension joins the fact under the
+    * strategy its SKETCH bytes earned (explicit broadcast under the
+    * threshold, sort-merge above), and the totals match the plain-join
+    * oracle. Together with q216 this closes the sketch-CBO loop:
+    * constant-size statistics → decision → executed plan → result
+    * equality; a deployment runs exactly this path when exact stats are
+    * too expensive to maintain.
+    *
+    * Scale shape: the decision pass is one bottom-k + one sampled
+    * byte aggregate per dim (never a fact scan); the decision frame is
+    * 2 rows (collected, the [[executeSkewPlan]] pattern); each execution
+    * is the join the sketches sized, nothing more.
+    */
+  def executeSketchStrategy(lineitem: DataFrame, supplier: DataFrame,
+      orders: DataFrame, broadcastBytes: Long = 1L << 16): DataFrame = {
+    val advice = sketchStrategyAdvisor(
+        Seq(("supplier", supplier, col("s_suppkey")),
+          ("orders", orders, col("o_orderkey"))), broadcastBytes)
+      .select("table_name", "strategy_sketch").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val li = lineitem.select(col("l_suppkey"), col("l_orderkey"),
+      OracleSafe.quant(col("l_extendedprice"), 100).as("cents"))
+    def run(name: String, dim: DataFrame, joinCond: Column): DataFrame = {
+      val sized =
+        if (advice(name) == "broadcast") broadcast(dim) else dim.hint("merge")
+      li.join(sized, joinCond)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(name).as("table_name"), lit(advice(name)).as("strategy"),
+          col("n_rows"), col("total_cents"))
+    }
+    run("supplier", supplier.select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .unionByName(run("orders", orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey")))
+      .orderBy("table_name")
+  }
+
+  /** DuckDB twin of [[executeSketchStrategy]] — plain joins for the
+    * totals (equality across strategies is the proof) plus the SKETCH
+    * advisor's labels from the same sketch models. Embed after `WITH `
+    * and select from `sketch_strategy_exec`.
+    */
+  def executeSketchStrategySql(supplierBytes: String, ordersBytes: String,
+      broadcastBytes: Long = 1L << 16): String =
+    s"""${sketchStrategyAdvisorSql(Seq(
+          ("supplier", "s_suppkey", supplierBytes),
+          ("orders", "o_orderkey", ordersBytes)), broadcastBytes)},
+       |ses_sup AS (
+       |  SELECT COUNT(*) AS n_rows,
+       |         CAST(SUM(${OracleSafe.quantSql("l_extendedprice", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+       |ses_ord AS (
+       |  SELECT COUNT(*) AS n_rows,
+       |         CAST(SUM(${OracleSafe.quantSql("l_extendedprice", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |sketch_strategy_exec AS (
+       |  SELECT a.table_name, a.strategy_sketch AS strategy,
+       |         s.n_rows, s.total_cents
+       |  FROM sketch_strategy a, ses_sup s WHERE a.table_name = 'supplier'
+       |  UNION ALL
+       |  SELECT a.table_name, a.strategy_sketch AS strategy,
+       |         o.n_rows, o.total_cents
+       |  FROM sketch_strategy a, ses_ord o WHERE a.table_name = 'orders')""".stripMargin
+
   /** Bloom-filter semi-join pruning, with its false-positive cost measured
     * (the third planning primitive: q153 sizes a shuffle, q154 sizes a
     * join, this one decides whether a probe side needs to shuffle AT ALL).

@@ -198,6 +198,72 @@ object Privacy {
        |${lvl(3, "*", "ld_l3")})""".stripMargin
   }
 
+  /** The [[kAnonymityAudit]] CONSUMED — anonymization executed, not just
+    * audited (the planner tier's q208/q212 pattern applied to privacy):
+    * the 4-row audit is the PLAN frame, the first level that satisfies k
+    * is the minimal safe generalization (monotonicity makes "first"
+    * well-defined), and the release applies exactly that level's
+    * suppression — band first, then segment, then nation — emitting the
+    * generalized QI groups with their sizes. Every released group
+    * carries n ≥ k BY CONSTRUCTION of the chosen level (the audit's
+    * `min_group_size ≥ k` at that level IS the certificate, and the
+    * spec re-checks it on the released rows). If even full suppression
+    * cannot reach k (fewer than k rows in total), NOTHING is released —
+    * the only safe answer.
+    *
+    * Output: one row per released group — the chosen `level`, the
+    * generalized `nat_g`/`seg_g`/`band_g` (suppressed positions show
+    * `*`), and the group size `n`. Rows are bounded by the QI domain at
+    * the chosen level, never by row count.
+    *
+    * Scale shape: the audit pass (4 domain-bounded aggregates), one
+    * 4-row collect for the level pick, then a single map-side-combinable
+    * group-by at the chosen grain.
+    */
+  def anonymizeToK(customer: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.functions.OracleSafe
+    val base = customer.select(
+      col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"),
+      OracleSafe.intDiv(OracleSafe.quant(col("c_acctbal"), 100), lit(100000L))
+        .as("band"))
+    // 4-row plan frame: the audit is the decision input, not data
+    val levels = kAnonymityAudit(customer, k)
+      .filter(col("satisfies_k")).agg(min("level").as("lv")).head()
+    val generalized =
+      if (levels.isNullAt(0)) base.filter(lit(false)).select(
+        lit(-1).as("level"), lit("*").as("nat_g"), lit("*").as("seg_g"),
+        lit("*").as("band_g"))
+      else {
+        val lv = levels.getInt(0)
+        base.select(lit(lv).as("level"),
+          (if (lv <= 2) col("nat").cast("string") else lit("*")).as("nat_g"),
+          (if (lv <= 1) col("seg") else lit("*")).as("seg_g"),
+          (if (lv == 0) col("band").cast("string") else lit("*")).as("band_g"))
+      }
+    generalized.groupBy("level", "nat_g", "seg_g", "band_g")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("nat_g", "seg_g", "band_g")
+  }
+
+  /** DuckDB twin of [[anonymizeToK]]; embed after `WITH ` and select
+    * from `anonymized`.
+    */
+  def anonymizeToKSql(k: Int = 5): String =
+    s"""${kAnonymityAuditSql(k)},
+       |an_lv AS (
+       |  SELECT MIN(level) AS lv FROM k_anonymity WHERE satisfies_k),
+       |anonymized AS (
+       |  SELECT lv AS level,
+       |         CASE WHEN lv <= 2 THEN CAST(nat AS VARCHAR) ELSE '*' END AS nat_g,
+       |         CASE WHEN lv <= 1 THEN seg ELSE '*' END AS seg_g,
+       |         CASE WHEN lv = 0 THEN CAST(band AS VARCHAR) ELSE '*' END AS band_g,
+       |         COUNT(*) AS n
+       |  FROM ka_base, an_lv
+       |  WHERE lv IS NOT NULL
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
   /** t-closeness audit on the SAME generalization lattice (Li, Li &
     * Venkatasubramanian 2007) — the third member of the privacy trio:
     * l-diversity counts distinct sensitive values but ignores HOW they

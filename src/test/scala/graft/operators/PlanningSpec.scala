@@ -288,6 +288,31 @@ class PlanningSpec extends SparkSpec {
     assert(r(2).getAs[Double]("est_exact") == 160.0)
   }
 
+  test("executeSketchStrategy: sketch-sized strategies split and both land " +
+      "the plain-join totals") {
+    val li = (1L to 400L).map(i => (i % 20 + 1, i % 100 + 1, (i % 50 + 1).toDouble))
+      .toDF("l_suppkey", "l_orderkey", "l_extendedprice")
+    val sup = (1L to 20L).toDF("s_suppkey")
+    val ord = (1L to 100L).map(i => (i, s"priority_string_padding_$i"))
+      .toDF("o_orderkey", "o_pad")
+    // threshold between the two sketch sizes: supplier ~160 B, orders ~3 KB
+    val r = Planning.executeSketchStrategy(li, sup, ord, broadcastBytes = 1L << 9)
+      .collect().map(x => x.getAs[String]("table_name") -> x).toMap
+    assert(r("supplier").getAs[String]("strategy") == "broadcast")
+    assert(r("orders").getAs[String]("strategy") != "broadcast")
+    // equality with the plain joins: the strategy moved bytes, not results
+    import graft.functions.OracleSafe
+    def plain(dim: org.apache.spark.sql.DataFrame, cond: org.apache.spark.sql.Column) =
+      li.join(dim, cond).agg(count(lit(1)), sum(OracleSafe.quant(col("l_extendedprice"), 100)))
+        .head()
+    val ps = plain(sup, col("l_suppkey") === col("s_suppkey"))
+    assert(r("supplier").getAs[Long]("n_rows") == ps.getLong(0))
+    assert(r("supplier").getAs[Long]("total_cents") == ps.getLong(1))
+    val po = plain(ord.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+    assert(r("orders").getAs[Long]("n_rows") == po.getLong(0))
+    assert(r("orders").getAs[Long]("total_cents") == po.getLong(1))
+  }
+
   test("rangePartitionedWrite: files land per bucket, balanced, and carry " +
       "exactly the planned rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-rpw-spec")

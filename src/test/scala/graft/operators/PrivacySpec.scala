@@ -112,6 +112,33 @@ class PrivacySpec extends SparkSpec {
     assert(r(3).getAs[Long]("rows_at_risk") == 0L)
   }
 
+  test("anonymizeToK: releases at the MINIMAL satisfying level and every " +
+      "group clears k") {
+    // level 0 fails (singleton bands), level 1 (nation,segment) is the
+    // first level where every group reaches k=2
+    val df = cust(
+      (1L, "AUTO", 100.0), (1L, "AUTO", 1100.0),
+      (2L, "HOME", 100.0), (2L, "HOME", 2100.0))
+    val r = Privacy.anonymizeToK(df, k = 2).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Int]("level") == 1), "level 1 is minimal here")
+    assert(r.forall(_.getAs[String]("band_g") == "*"), "band suppressed at level 1")
+    assert(r.forall(_.getAs[Long]("n") >= 2L), "every released group clears k")
+    assert(r.map(_.getAs[Long]("n")).sum == 4L, "the release partitions all rows")
+  }
+
+  test("anonymizeToK: k=1 releases at level 0 (identity grain); fewer than " +
+      "k rows total releases NOTHING") {
+    val df = cust((1L, "AUTO", 100.0), (2L, "HOME", 2100.0))
+    val id = Privacy.anonymizeToK(df, k = 1).collect()
+    assert(id.forall(_.getAs[Int]("level") == 0))
+    assert(id.length == 2 && id.forall(_.getAs[String]("band_g") != "*"))
+    // 2 rows < k=3 even fully merged: the only safe release is none
+    val none = Privacy.anonymizeToK(df, k = 3)
+    assert(none.count() == 0L,
+      "sub-k populations must release zero rows, not an unsafe group")
+  }
+
   test("t-closeness: hand-checked EMD for point-mass groups; the merged " +
       "level is exactly the global distribution") {
     // two bands, 50/50 globally; each nation is a point mass on one band
