@@ -148,7 +148,8 @@ object ScaleBench {
     // scan aggregates — compute grows with input, output stays fixed)
     "q213_k_anonymity", "q214_l_diversity", "q215_range_partitioned_write",
     "q216_sketch_strategy_advisor", "q217_zone_pruned_scan",
-    "q218_t_closeness", "q219_sketch_join_order")
+    "q218_t_closeness", "q219_sketch_join_order",
+    "q220_sketch_strategy_exec", "q221_anonymize_min_level")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)
