@@ -1548,6 +1548,13 @@ object SparkEntry {
     "q221_anonymize_min_level" -> { (s, dir) =>
       Privacy.anonymizeToK(TestData.customer(s, dir))
     },
+    // The shuffle_bloom verdict EXECUTED: a bloom over the selective dim
+    // prunes the fact BEFORE the join shuffle; plain-join totals prove
+    // no false negatives — the q157→q163 loop closed.
+    "q222_bloom_strategy_exec" -> { (s, dir) =>
+      Planning.executeBloomStrategy(TestData.lineitem(s, dir),
+        TestData.orders(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3028,6 +3035,14 @@ object SparkEntry {
       s"""WITH ${Privacy.anonymizeToKSql()}
           SELECT level, nat_g, seg_g, band_g, n
           FROM anonymized ORDER BY nat_g, seg_g, band_g""",
+
+    // plain unfiltered join on purpose: equality with the bloom-pruned
+    // execution is the no-false-negatives proof
+    "q222_bloom_strategy_exec" ->
+      s"""WITH ${Planning.executeBloomStrategySql()}
+          SELECT strategy, n_fact_rows, n_pass_rows, n_join_rows,
+                 n_fp_rows, total_cents
+          FROM bloom_strategy_exec""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

@@ -616,6 +616,118 @@ object Planning {
        |           AS fp_key_rate
        |  FROM bl_rowstats r, bl_keystats k)""".stripMargin
 
+  /** The `shuffle_bloom` verdict EXECUTED — the one advised strategy
+    * neither q212 nor q220 actually ran as advised (both fall back to
+    * sort-merge above the broadcast threshold): a selective dimension
+    * (the 10%-of-orderkeys subset a dashboard join would use) is sized
+    * by the [[joinAdvisor]] byte model into the bloom belt, a Bloom
+    * filter over its keys then prunes the FACT before the join shuffle
+    * (the q157 position-set model of the bitset a deployment would
+    * broadcast — Spark's AQE injects exactly this via
+    * `runtime.bloomFilter.enabled`), and the pruned fact joins the dim.
+    * The audit row: the advised label, fact rows before/after the
+    * filter, joined rows + cent-exact total, and the false-positive
+    * rows the filter let through for the join to discard. The oracle
+    * computes the totals from the PLAIN unfiltered join — equality is
+    * the no-false-negatives proof, closing the q157→q163 loop
+    * (audit → verdict → executed pruned plan → result equality).
+    *
+    * Scale shape: bloom build is one distinct + kHash position rows per
+    * dim key (bitsPerKey·|dim| bits of real state); the fact is pruned
+    * by a key-level semi-join BEFORE carrying its payload into the dim
+    * join — at 100 TB that is the shuffle the bloom exists to shrink;
+    * the decision frame is 1 row.
+    */
+  def executeBloomStrategy(lineitem: DataFrame, orders: DataFrame,
+      bitsPerKey: Int = 8, kHash: Int = 3,
+      broadcastBytes: Long = 1L << 13): DataFrame = {
+    val dim = orders.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"))
+    // 1-row plan frame: the advisor's label for the dim (the q169 pattern)
+    val label = joinAdvisor(Seq("orders_subset" -> dim), broadcastBytes)
+      .select("strategy").head().getString(0)
+    val keysA = dim.select(h48(col("o_orderkey")).as("hk")).distinct()
+      .localCheckpoint() // read twice: bit set + the audit's key join
+    val m = keysA.agg(greatest(count(lit(1)) * bitsPerKey, lit(1L)).as("m"))
+    def positions(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(m))
+        .select(col("hk"), explode(sequence(lit(0), lit(kHash - 1))).as("i"), col("m"))
+        .select(col("hk"),
+          (h48(concat(col("hk").cast("string"), lit(":"), col("i").cast("string")))
+            % col("m")).as("pos"))
+    val bits = positions(keysA).select("pos").distinct()
+    val li = lineitem.select(col("l_orderkey"),
+      OracleSafe.quant(col("l_extendedprice"), 100).as("cents"))
+    val factKeys = li.select(h48(col("l_orderkey")).as("hk")).distinct()
+    val passKeys = positions(factKeys)
+      .join(bits.withColumn("hit", lit(1)), Seq("pos"), "left")
+      .groupBy("hk")
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .filter(col("hits") === kHash)
+      .select("hk")
+    val factKeyed = li.withColumn("hk", h48(col("l_orderkey")))
+    val passed = factKeyed.join(passKeys, Seq("hk"), "left_semi")
+    val joined = passed.join(dim, col("l_orderkey") === col("o_orderkey"))
+    val sFact = li.agg(count(lit(1)).as("n_fact_rows"))
+    val sPass = passed.agg(count(lit(1)).as("n_pass_rows"))
+    val sJoin = joined.agg(count(lit(1)).as("n_join_rows"),
+      sum(col("cents")).as("total_cents"))
+    sFact.crossJoin(broadcast(sPass)).crossJoin(broadcast(sJoin))
+      .select(lit(label).as("strategy"), col("n_fact_rows"),
+        col("n_pass_rows"), col("n_join_rows"),
+        (col("n_pass_rows") - col("n_join_rows")).as("n_fp_rows"),
+        col("total_cents"))
+  }
+
+  /** DuckDB twin of [[executeBloomStrategy]] — totals from the PLAIN
+    * unfiltered join on purpose (equality is the no-false-negatives
+    * proof), pass counts from the same position-set bloom model, label
+    * from the same byte model. Embed after `WITH ` and select from
+    * `bloom_strategy_exec`.
+    */
+  def executeBloomStrategySql(bitsPerKey: Int = 8, kHash: Int = 3,
+      broadcastBytes: Long = 1L << 13): String =
+    s"""ebs_dim AS (
+       |  SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0),
+       |${joinAdvisorSql(Seq("ebs_dim" -> "8"), broadcastBytes)},
+       |ebs_ka AS (
+       |  SELECT DISTINCT ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS hk
+       |  FROM ebs_dim),
+       |ebs_m AS (SELECT GREATEST(COUNT(*) * $bitsPerKey, 1) AS m FROM ebs_ka),
+       |ebs_bits AS (
+       |  SELECT DISTINCT ('0x' || substring(md5(CAST(hk AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 12))::BIGINT % m AS pos
+       |  FROM ebs_ka, ebs_m, (SELECT unnest(generate_series(0, ${kHash - 1})) AS i) s),
+       |ebs_fact AS (
+       |  SELECT l_orderkey, ${OracleSafe.quantSql("l_extendedprice", 100)} AS cents,
+       |         ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 12))::BIGINT AS hk
+       |  FROM lineitem),
+       |ebs_fk AS (SELECT DISTINCT hk FROM ebs_fact),
+       |ebs_pass AS (
+       |  SELECT hk FROM (
+       |    SELECT f.hk,
+       |           SUM(CASE WHEN ('0x' || substring(md5(CAST(f.hk AS VARCHAR) || ':' || CAST(s.i AS VARCHAR)), 1, 12))::BIGINT % m
+       |                    IN (SELECT pos FROM ebs_bits) THEN 1 ELSE 0 END) AS hits
+       |    FROM ebs_fk f, ebs_m, (SELECT unnest(generate_series(0, ${kHash - 1})) AS i) s
+       |    GROUP BY f.hk) t
+       |  WHERE hits = $kHash),
+       |ebs_stats AS (
+       |  SELECT COUNT(*) AS n_fact_rows,
+       |         SUM(CASE WHEN p.hk IS NOT NULL THEN 1 ELSE 0 END) AS n_pass_rows
+       |  FROM ebs_fact r LEFT JOIN ebs_pass p ON p.hk = r.hk),
+       |ebs_join AS (
+       |  SELECT COUNT(*) AS n_join_rows,
+       |         CAST(SUM(${OracleSafe.quantSql("l_extendedprice", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM lineitem JOIN ebs_dim ON l_orderkey = o_orderkey),
+       |bloom_strategy_exec AS (
+       |  SELECT a.strategy,
+       |         CAST(s.n_fact_rows AS BIGINT) AS n_fact_rows,
+       |         CAST(s.n_pass_rows AS BIGINT) AS n_pass_rows,
+       |         CAST(j.n_join_rows AS BIGINT) AS n_join_rows,
+       |         CAST(s.n_pass_rows - j.n_join_rows AS BIGINT) AS n_fp_rows,
+       |         j.total_cents
+       |  FROM ebs_stats s, ebs_join j, join_advisor a)""".stripMargin
+
   /** DuckDB twin of [[kmvJoinOverlap]]: `sideASql`/`sideBSql` are queries
     * each yielding one column `key` (stringified identically to the Spark
     * side's `cast("string")`); embed after `WITH` and select from

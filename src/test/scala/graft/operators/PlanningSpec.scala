@@ -313,6 +313,35 @@ class PlanningSpec extends SparkSpec {
     assert(r("orders").getAs[Long]("total_cents") == po.getLong(1))
   }
 
+  test("executeBloomStrategy: the pruned join equals the plain join and " +
+      "the filter actually shrinks the shuffle") {
+    // fact keys 1..200; dim keeps multiples of 10 -> 20 of 200 keys true
+    val li = (1L to 1000L).map(i => (i % 200 + 1, (i % 30 + 1).toDouble))
+      .toDF("l_orderkey", "l_extendedprice")
+    val ords = (1L to 200L).toDF("o_orderkey")
+    val r = Planning.executeBloomStrategy(li, ords).collect().head
+    assert(r.getAs[Long]("n_fact_rows") == 1000L)
+    // no false negatives: the pruned join reproduces the plain join
+    import graft.functions.OracleSafe
+    val plain = li.join(ords.filter(col("o_orderkey") % 10 === 0),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)), sum(OracleSafe.quant(col("l_extendedprice"), 100)))
+      .head()
+    assert(r.getAs[Long]("n_join_rows") == plain.getLong(0))
+    assert(r.getAs[Long]("total_cents") == plain.getLong(1))
+    // the bloom admits every true row plus only its fp belt
+    assert(r.getAs[Long]("n_pass_rows") >= r.getAs[Long]("n_join_rows"))
+    assert(r.getAs[Long]("n_pass_rows") < r.getAs[Long]("n_fact_rows"),
+      "a 10% selective dim must prune the fact, not pass it through")
+    assert(r.getAs[Long]("n_fp_rows") ==
+      r.getAs[Long]("n_pass_rows") - r.getAs[Long]("n_join_rows"))
+    // tiny dim under a generous threshold earns the broadcast label instead
+    val b = Planning.executeBloomStrategy(li, ords, broadcastBytes = 1L << 20)
+      .collect().head
+    assert(b.getAs[String]("strategy") == "broadcast")
+    assert(b.getAs[Long]("n_join_rows") == plain.getLong(0))
+  }
+
   test("rangePartitionedWrite: files land per bucket, balanced, and carry " +
       "exactly the planned rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-rpw-spec")
