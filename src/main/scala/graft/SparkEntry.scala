@@ -1555,6 +1555,13 @@ object SparkEntry {
       Planning.executeBloomStrategy(TestData.lineitem(s, dir),
         TestData.orders(s, dir))
     },
+    // Range sharding from the QUANTILE SKETCH (what repartitionByRange
+    // does at scale): sketch bounds route every row; the audit proves
+    // exact coverage and per-bucket depth within 5% of ideal — verdicts
+    // cross the oracle, sketch values stay in-engine (the q90 pattern).
+    "q223_sketch_range_shards" -> { (s, dir) =>
+      Planning.sketchRangeShards(TestData.lineitem(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3043,6 +3050,13 @@ object SparkEntry {
           SELECT strategy, n_fact_rows, n_pass_rows, n_join_rows,
                  n_fp_rows, total_cents
           FROM bloom_strategy_exec""",
+
+    // the q90 contract form: the oracle pins the exact total and the
+    // verdicts the engine's quantile sketch must earn
+    "q223_sketch_range_shards" ->
+      s"""WITH ${Planning.sketchRangeShardsSql()}
+          SELECT n_buckets, n_total, coverage_ok, all_within_tol
+          FROM sketch_range_shards""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

@@ -972,6 +972,66 @@ object Planning {
        |  FROM zps_audit a JOIN zps_res e USING (pred_id))""".stripMargin
   }
 
+  /** Range sharding driven by the QUANTILE SKETCH instead of the exact
+    * histogram — the sketch-statistics story (q216/q219/q220) applied to
+    * PHYSICAL layout, and the exact mirror of what `repartitionByRange`
+    * itself does at scale (sample, estimate bounds, route): bucket
+    * bounds come from `percentile_approx` (Spark's GK-style mergeable
+    * quantile sketch at the given `accuracy`), every row routes against
+    * the broadcast (B−1)-bound frame, and the audit verifies the
+    * CONTRACT — routing covers every row exactly once, and each
+    * bucket's depth sits within `tolNum/tolDen` of the ideal N/B (the
+    * deviation compare runs in exact integers:
+    * |depth·B − N|·tolDen ≤ tolNum·N).
+    *
+    * Cross-engine note (the q90 percentile-contract pattern): the sketch
+    * bounds and per-bucket depths are ENGINE-SPECIFIC, so they never
+    * cross the oracle boundary — what crosses is the exact row count
+    * and the contract verdicts, which the oracle pins as the claim the
+    * engine must earn. PlanningSpec shows the audit is not vacuous: a
+    * point-mass distribution fails the balance contract.
+    *
+    * Scale shape: one sketch aggregate (mergeable partials, constant
+    * state per partition), one value-grid aggregate, a grid × (B−1)
+    * broadcast comparison, and a B-row rollup — no shuffle ever carries
+    * row payloads.
+    */
+  def sketchRangeShards(lineitem: DataFrame, buckets: Int = 8,
+      accuracy: Int = 10000, tolNum: Long = 1, tolDen: Long = 20): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    require(tolNum >= 0 && tolDen >= 1, s"bad tolerance $tolNum/$tolDen")
+    val c = lineitem.select(
+      OracleSafe.quant(col("l_extendedprice"), 100).as("cents"))
+    val qs = (1 until buckets).map(i => s"${i.toDouble / buckets}D")
+    val boundsFrame = c.agg(expr(
+        s"percentile_approx(cents, array(${qs.mkString(",")}), $accuracy)")
+      .as("bs")).select(explode(col("bs")).as("b"))
+    val grid = c.groupBy("cents").agg(count(lit(1)).as("w"))
+    val depths = grid.crossJoin(broadcast(boundsFrame))
+      .groupBy("cents", "w")
+      .agg(sum(when(col("b") < col("cents"), 1L).otherwise(0L)).as("bucket"))
+      .groupBy("bucket").agg(sum("w").as("depth"))
+    val tot = c.agg(count(lit(1)).as("n_total"))
+    depths.crossJoin(broadcast(tot))
+      .agg(sum("depth").as("covered"), max("n_total").as("n_total"),
+        sum(when(abs(col("depth") * buckets - col("n_total")) * tolDen
+          > lit(tolNum) * col("n_total"), 1L).otherwise(0L)).as("n_out_of_tol"))
+      .select(lit(buckets).as("n_buckets"), col("n_total"),
+        (col("covered") === col("n_total")).as("coverage_ok"),
+        (col("n_out_of_tol") === 0L).as("all_within_tol"))
+  }
+
+  /** DuckDB twin of [[sketchRangeShards]] — the q90 contract form: the
+    * oracle pins the exact total and the verdicts the engine's sketch
+    * must earn. Embed after `WITH ` and select from
+    * `sketch_range_shards`.
+    */
+  def sketchRangeShardsSql(buckets: Int = 8): String =
+    s"""sketch_range_shards AS (
+       |  SELECT $buckets AS n_buckets, COUNT(*) AS n_total,
+       |         TRUE AS coverage_ok, TRUE AS all_within_tol
+       |  FROM lineitem)""".stripMargin
+
   /** Join-order enumeration for the customer–orders–lineitem chain, with
     * the estimates CALIBRATED against exact truth. For each cross-
     * product-free left-deep order, the System-R equi-join estimate

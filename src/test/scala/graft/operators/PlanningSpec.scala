@@ -342,6 +342,23 @@ class PlanningSpec extends SparkSpec {
     assert(b.getAs[Long]("n_join_rows") == plain.getLong(0))
   }
 
+  test("sketchRangeShards: sketch bounds balance uniform data; a point " +
+      "mass fails the contract (the audit is not vacuous)") {
+    val uni = (1L to 4000L).map(v => (v % 500 + 1).toDouble).toDF("l_extendedprice")
+    val ok = Planning.sketchRangeShards(uni, buckets = 4).collect().head
+    assert(ok.getAs[Long]("n_total") == 4000L)
+    assert(ok.getAs[Boolean]("coverage_ok"), "every row routed exactly once")
+    assert(ok.getAs[Boolean]("all_within_tol"),
+      "uniform data must satisfy the 5% balance contract")
+    // all rows share one value: every bound collapses onto it, the whole
+    // population lands in bucket 0, and the depth contract must FAIL
+    val mass = Seq.fill(800)(42.0).toDF("l_extendedprice")
+    val bad = Planning.sketchRangeShards(mass, buckets = 4).collect().head
+    assert(bad.getAs[Boolean]("coverage_ok"), "coverage still exact")
+    assert(!bad.getAs[Boolean]("all_within_tol"),
+      "a point mass cannot be range-balanced and the audit must say so")
+  }
+
   test("rangePartitionedWrite: files land per bucket, balanced, and carry " +
       "exactly the planned rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-rpw-spec")
