@@ -20,6 +20,26 @@ import graft.sources.EventEncoding
   */
 object EventStream {
 
+  /** Temp dir removed recursively at JVM exit — for the replay helpers
+    * whose RESULT frames keep reading the staged files after the method
+    * returns (checkpoint sink, schema probes), so an inline delete would
+    * break them; the exit hook still stops bench reps from accumulating
+    * event-table copies in /tmp for the life of the box. Helpers whose
+    * results live in a memory sink (multi-source watermark) delete
+    * inline instead.
+    */
+  private def exitScratch(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   /** Run `body` with the shuffle-partition count temporarily lowered: the
     * state store opens/commits one provider PER shuffle partition PER
     * stateful operator PER micro-batch, a pure fixed cost at small state
@@ -316,7 +336,7 @@ object EventStream {
       .withColumn("chunk", least(lit(chunks - 1),
         ((col("arr") - col("amin")) * chunks
           / (col("amax") - col("amin") + 1)).cast("int")))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-wmclose").toString + "/feed"
+    val tmp = exitScratch("graft-wmclose") + "/feed"
     chunked.select("event_id", "event_type", "tstamp", "chunk")
       .repartition(chunks, col("chunk"))
       .write.partitionBy("chunk").parquet(tmp)
@@ -536,7 +556,7 @@ object EventStream {
         .select(col("event_id"), col("user_id"), col("event_type"),
           timestamp_micros(col("us")).as("tstamp"))
     }
-    val tmp = java.nio.file.Files.createTempDirectory("graft-outer").toString
+    val tmp = exitScratch("graft-outer")
     ev.coalesce(1).write.parquet(s"$tmp/chunk_000")
     sentinels(24).coalesce(1).write.parquet(s"$tmp/chunk_001")
     sentinels(48).coalesce(1).write.parquet(s"$tmp/chunk_002")
@@ -668,7 +688,7 @@ object EventStream {
         col("ts_ns"), col("value"))
     val mm = ev.agg(min("ts_ns").as("lo"), max("ts_ns").as("hi")).head()
     val midNs = mm.getLong(0) / 2 + mm.getLong(1) / 2
-    val base = java.nio.file.Files.createTempDirectory("graft-ckresume").toString
+    val base = exitScratch("graft-ckresume")
     val (src, sink, ck) = (s"$base/src", s"$base/sink", s"$base/ck")
 
     // one file per write, mtimes strictly increasing → deterministic
