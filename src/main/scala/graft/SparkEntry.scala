@@ -2064,21 +2064,14 @@ object SparkEntry {
     */
   val bm25Terms: Seq[String] = Seq("spark", "query", "join")
 
-  /** Temp dir that is recursively removed at JVM exit — the sink/dedup
-    * queries write real files per invocation; without this, every bench
-    * warm-up leaks a warehouse copy into /tmp.
+  /** Temp dir for the sink/dedup queries that write real files per
+    * invocation — see [[graft.Scratch]]: deleted at JVM exit, and each
+    * re-invocation of the same query frees its predecessor's copy, so
+    * bench reps and scale runs keep disk flat instead of accumulating
+    * a warehouse copy per rep.
     */
-  private def scratchDir(prefix: String): java.nio.file.Path = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(dir.toFile)
-    }))
-    dir
-  }
+  private def scratchDir(prefix: String): java.nio.file.Path =
+    graft.Scratch.dir(prefix)
 
   /** q38 training mix: keep all of the curated source, half of the next,
     * a tenth of everything else.
@@ -3055,7 +3048,7 @@ object SparkEntry {
     // verdicts the engine's quantile sketch must earn
     "q223_sketch_range_shards" ->
       s"""WITH ${Planning.sketchRangeShardsSql()}
-          SELECT n_buckets, n_total, coverage_ok, all_within_tol
+          SELECT n_buckets, n_total, all_within_tol
           FROM sketch_range_shards""",
 
     "q197_supplier_diversity" ->

@@ -20,25 +20,17 @@ import graft.sources.EventEncoding
   */
 object EventStream {
 
-  /** Temp dir removed recursively at JVM exit — for the replay helpers
-    * whose RESULT frames keep reading the staged files after the method
-    * returns (checkpoint sink, schema probes), so an inline delete would
-    * break them; the exit hook still stops bench reps from accumulating
-    * event-table copies in /tmp for the life of the box. Helpers whose
-    * results live in a memory sink (multi-source watermark) delete
-    * inline instead.
+  /** Scratch dir for the replay helpers whose RESULT frames keep reading
+    * the staged files after the method returns (checkpoint sink, schema
+    * probes), so an inline delete would break them — [[graft.Scratch]]
+    * removes the dir at JVM exit and frees the PREVIOUS invocation's
+    * copy on re-entry (each bench rep consumes its result before the
+    * next rep stages files), keeping disk flat across reps. Helpers
+    * whose results live in a memory sink (multi-source watermark)
+    * delete inline instead.
     */
-  private def exitScratch(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(dir.toFile)
-    }))
-    dir.toString
-  }
+  private def exitScratch(prefix: String): String =
+    graft.Scratch.dir(prefix).toString
 
   /** Run `body` with the shuffle-partition count temporarily lowered: the
     * state store opens/commits one provider PER shuffle partition PER
@@ -447,9 +439,15 @@ object EventStream {
       for (i <- 0 until lagChunks) {
         val src = new java.io.File(staging, s"chunk=$i")
         val dst = new java.io.File(lagRoot, f"chunk_$i%03d")
-        // a chunk can be empty only if tmax==tmin collapses the range;
-        // materialize an empty dir so the replay length stays fixed
-        if (!src.isDirectory) require(dst.mkdirs(), s"cannot create $dst")
+        // a chunk is empty whenever the lag events' time distribution
+        // leaves its 1/lagChunks slice without rows (clustered
+        // timestamps) — the dynamic partition write emits no dir for
+        // it. Write an EMPTY parquet part file there (schema-carrying,
+        // like the old per-chunk writes), so the file count — and with
+        // it the micro-batch replay length under maxFilesPerTrigger=1 —
+        // stays fixed at lagChunks regardless of the distribution.
+        if (!src.isDirectory)
+          lag.filter(lit(false)).coalesce(1).write.parquet(dst.toString)
         else require(src.renameTo(dst), s"cannot move $src to $dst")
       }
       sentinel(-1L).coalesce(1)
@@ -496,13 +494,7 @@ object EventStream {
         .agg(count(lit(1)).as("n_windows"), sum(col("n")).as("n_events"))
         .orderBy("event_type", "src")
       (result, q.recentProgress.toSeq)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(tmpPath.toFile)
-    }
+    } finally graft.Scratch.rmTree(tmpPath.toFile)
   }
 
   /** DuckDB twin of [[multiSourceWatermark]] — the batch day-grain

@@ -347,16 +347,21 @@ class PlanningSpec extends SparkSpec {
     val uni = (1L to 4000L).map(v => (v % 500 + 1).toDouble).toDF("l_extendedprice")
     val ok = Planning.sketchRangeShards(uni, buckets = 4).collect().head
     assert(ok.getAs[Long]("n_total") == 4000L)
-    assert(ok.getAs[Boolean]("coverage_ok"), "every row routed exactly once")
     assert(ok.getAs[Boolean]("all_within_tol"),
       "uniform data must satisfy the 5% balance contract")
     // all rows share one value: every bound collapses onto it, the whole
     // population lands in bucket 0, and the depth contract must FAIL
     val mass = Seq.fill(800)(42.0).toDF("l_extendedprice")
     val bad = Planning.sketchRangeShards(mass, buckets = 4).collect().head
-    assert(bad.getAs[Boolean]("coverage_ok"), "coverage still exact")
     assert(!bad.getAs[Boolean]("all_within_tol"),
       "a point mass cannot be range-balanced and the audit must say so")
+    // the empty-shard guard specifically: a generous 300% tolerance makes
+    // every NON-EMPTY depth acceptable, so only the missing-bucket check
+    // can catch the collapsed shards — it must
+    val loose = Planning.sketchRangeShards(mass, buckets = 4,
+      tolNum = 3, tolDen = 1).collect().head
+    assert(!loose.getAs[Boolean]("all_within_tol"),
+      "empty shards must fail the contract even when depths are within tolerance")
   }
 
   test("rangePartitionedWrite: files land per bucket, balanced, and carry " +
