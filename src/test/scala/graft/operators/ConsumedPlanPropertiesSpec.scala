@@ -108,12 +108,7 @@ class ConsumedPlanPropertiesSpec extends SparkSpec {
           assert(r.getAs[Boolean]("depth_match"), s"seed $seed: $r")
           assert(r.getAs[Boolean]("bounds_match"), s"seed $seed: $r")
         }
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(out.toFile)
-      }
+      } finally graft.Scratch.rmTree(out.toFile)
     }
   }
 
@@ -152,12 +147,7 @@ class ConsumedPlanPropertiesSpec extends SparkSpec {
           assert(a.getAs[Long]("rows_read") >= a.getAs[Long]("n_rows"),
             s"seed $seed $id: a scan reads at least what it returns")
         }
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(out.toFile)
-      }
+      } finally graft.Scratch.rmTree(out.toFile)
     }
   }
 

@@ -390,12 +390,7 @@ class PlanningSpec extends SparkSpec {
       val bytes = files.map(_.map(_.length()).sum)
       assert(bytes.max <= 3 * bytes.min,
         s"equi-depth buckets must give balanced files, got ${bytes.toList}")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(out.toFile)
-    }
+    } finally graft.Scratch.rmTree(out.toFile)
   }
 
   test("zonePrunedScan: month partitions prune at the file listing; a " +
@@ -437,12 +432,7 @@ class PlanningSpec extends SparkSpec {
           f.selectedPartitions.partitionCount
       }.sum
       assert(selected == 2, s"scan must list 2 of 3 month dirs, listed $selected")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(out.toFile)
-    }
+    } finally graft.Scratch.rmTree(out.toFile)
   }
 
   test("equiDepthHistogram: depths partition the rows; uniform grid gives exact depth 1") {
