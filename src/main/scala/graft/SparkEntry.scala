@@ -1562,6 +1562,15 @@ object SparkEntry {
     "q223_sketch_range_shards" -> { (s, dir) =>
       Planning.sketchRangeShards(TestData.lineitem(s, dir))
     },
+    // JSONL ingest with malformed-row quarantine (the crawl source
+    // format): serialize -> deterministically mangle -> DROPMALFORMED
+    // parse + raw line count; the oracle's parquet-side split proves the
+    // round trip lost exactly the corrupted lines and nothing else.
+    "q224_json_ingest_quarantine" -> { (s, dir) =>
+      val staged = scratchDir("graft-q224").resolve("events_jsonl").toString
+      graft.sources.JsonSource.stageJsonl(TestData.events(s, dir), staged)
+      graft.sources.JsonSource.ingestWithQuarantine(s, staged)
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3050,6 +3059,13 @@ object SparkEntry {
       s"""WITH ${Planning.sketchRangeShardsSql()}
           SELECT n_buckets, n_total, all_within_tol
           FROM sketch_range_shards""",
+
+    // parquet-side split with the same corruption key: equality proves
+    // the JSON round trip lost exactly the corrupted lines
+    "q224_json_ingest_quarantine" ->
+      s"""WITH ${graft.sources.JsonSource.ingestWithQuarantineSql()}
+          SELECT event_type, n, total_cents
+          FROM json_ingest ORDER BY event_type""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (
