@@ -1571,6 +1571,15 @@ object SparkEntry {
       graft.sources.JsonSource.stageJsonl(TestData.events(s, dir), staged)
       graft.sources.JsonSource.ingestWithQuarantine(s, staged)
     },
+    // Schema evolution across ingest batches: v2 adds a column; the
+    // mergeSchema read-back proves old rows null-fill instead of the
+    // reader dropping rows or the new column (the lake-drift reality).
+    "q225_schema_evolution" -> { (s, dir) =>
+      val out = scratchDir("graft-q225").resolve("drift").toString
+      graft.sources.SchemaEvolution.stageDriftedBatches(
+        TestData.events(s, dir), out)
+      graft.sources.SchemaEvolution.evolvedRead(s, out)
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3066,6 +3075,11 @@ object SparkEntry {
       s"""WITH ${graft.sources.JsonSource.ingestWithQuarantineSql()}
           SELECT event_type, n, total_cents
           FROM json_ingest ORDER BY event_type""",
+
+    "q225_schema_evolution" ->
+      s"""WITH ${graft.sources.SchemaEvolution.evolvedReadSql()}
+          SELECT src, n, n_channel_null, n_channels, total_cents
+          FROM schema_evolution ORDER BY src""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (
