@@ -150,7 +150,8 @@ object ScaleBench {
     "q216_sketch_strategy_advisor", "q217_zone_pruned_scan",
     "q218_t_closeness", "q219_sketch_join_order",
     "q220_sketch_strategy_exec", "q221_anonymize_min_level",
-    "q222_bloom_strategy_exec", "q223_sketch_range_shards")
+    "q222_bloom_strategy_exec", "q223_sketch_range_shards",
+    "q224_json_ingest_quarantine", "q225_schema_evolution")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)
