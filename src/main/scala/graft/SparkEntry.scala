@@ -1580,6 +1580,12 @@ object SparkEntry {
         TestData.events(s, dir), out)
       graft.sources.SchemaEvolution.evolvedRead(s, out)
     },
+    // Per-source quota cap (the training-mix "domain cap"): keep the
+    // best k docs per source by vocabulary richness on the bounded-heap
+    // TopKPerKey operator — a per-key top-k, not a rate downsample.
+    "q226_source_cap" -> { (s, dir) =>
+      Sampling.sourceCap(TestData.documents(s, dir)).orderBy("source")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3080,6 +3086,11 @@ object SparkEntry {
       s"""WITH ${graft.sources.SchemaEvolution.evolvedReadSql()}
           SELECT src, n, n_channel_null, n_channels, total_cents
           FROM schema_evolution ORDER BY src""",
+
+    "q226_source_cap" ->
+      s"""WITH ${Sampling.sourceCapSql()}
+          SELECT source, n_docs, n_kept, n_dropped, kept_chars, total_chars
+          FROM source_cap ORDER BY source""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

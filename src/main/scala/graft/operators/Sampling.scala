@@ -569,4 +569,63 @@ object Sampling {
        |           <= hoeffding_bound_cents AS within_bound
        |  FROM ea_est)""".stripMargin
   }
+
+  /** Per-source quota cap — the "domain cap" every large-scale curation
+    * pipeline applies so no single crawl source dominates the training
+    * mix: keep at most `k` documents per source, chosen by QUALITY
+    * (distinct-token count — vocabulary richness — descending, doc_id as
+    * the total-order tie-break), and report what the cap kept and cut
+    * per source. Unlike a rate-based downsample (q38/q144), a cap is a
+    * per-key TOP-K: the selection depends on the in-source ranking, not
+    * on each row alone.
+    *
+    * Scale shape: the ranking runs on the custom
+    * [[graft.plans.TopKPerKey]] physical operator — one hash exchange on
+    * `source`, then a bounded k-element heap per key, never a full
+    * per-source sort (a hot domain with 10⁹ pages costs O(n log k), not
+    * O(n log n)). Both report aggregates are map-side combinable on the
+    * same `source` key; the kept-side aggregate is sources × 1 rows, so
+    * the final join broadcasts.
+    */
+  def sourceCap(docs: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"cap must be >= 1, got $k")
+    val scored = docs.select(col("source"), col("doc_id"), col("n_chars"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("q"))
+    val kept = graft.plans.TopK.perKey(scored, Seq("source"),
+      Seq(graft.plans.TopK.desc("q"), graft.plans.TopK.asc("doc_id")), k)
+    val keptAgg = kept.groupBy("source").agg(
+      count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"))
+    val totals = scored.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    totals.join(broadcast(keptAgg), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("kept_chars"), col("total_chars"))
+  }
+
+  /** DuckDB twin of [[sourceCap]]; embed after `WITH ` and select from
+    * `source_cap`.
+    */
+  def sourceCapSql(k: Int = 10): String =
+    s"""scap_scored AS (
+       |  SELECT source, doc_id, n_chars,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS q
+       |  FROM documents),
+       |scap_kept AS (
+       |  SELECT source, n_chars,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY q DESC, doc_id) AS rk
+       |  FROM scap_scored QUALIFY rk <= $k),
+       |scap_tot AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |  FROM scap_scored GROUP BY source),
+       |scap_ka AS (
+       |  SELECT source, COUNT(*) AS n_kept,
+       |         CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+       |  FROM scap_kept GROUP BY source),
+       |source_cap AS (
+       |  SELECT source, n_docs, n_kept, n_docs - n_kept AS n_dropped,
+       |         kept_chars, total_chars
+       |  FROM scap_tot JOIN scap_ka USING (source))""".stripMargin
 }

@@ -273,4 +273,32 @@ class SamplingSpec extends SparkSpec {
     assert(r.getDouble(5) > 0.0)
     assert(r.getBoolean(6) == (r.getDouble(4) <= r.getDouble(5)))
   }
+
+  test("sourceCap: keeps the k vocab-richest docs per source, doc_id breaks ties") {
+    // source a: distinct-token counts 4,3,3,1 on doc_ids 10,11,12,13 —
+    // cap 2 keeps q=4 (id 10) and the FIRST q=3 (id 11, the tie-break)
+    val corpus = Seq(
+      (10L, "w x y z", "a"), (11L, "p q r", "a"), (12L, "s t u", "a"),
+      (13L, "m m m m m m m m m", "a"),
+      (20L, "only one doc here", "b"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+    val res = Sampling.sourceCap(corpus, k = 2).orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(res.length == 2)
+    val Array(a, b) = res
+    assert(a == (("a", 4L, 2L, 2L, 7L + 5L, 7L + 5L + 5L + 17L)),
+      s"cap=2 keeps ids 10+11 (n_chars 7+5): $a")
+    assert(b == (("b", 1L, 1L, 0L, 17L, 17L)),
+      "a source under the cap keeps everything, drops nothing")
+    // the kept SET is exactly the window formulation's kept set
+    val kept = graft.plans.TopK.perKey(
+        corpus.selectExpr("source", "doc_id",
+          "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS q"),
+        Seq("source"),
+        Seq(graft.plans.TopK.desc("q"), graft.plans.TopK.asc("doc_id")), 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 11L, 20L))
+  }
 }
