@@ -1586,6 +1586,12 @@ object SparkEntry {
     "q226_source_cap" -> { (s, dir) =>
       Sampling.sourceCap(TestData.documents(s, dir)).orderBy("source")
     },
+    // Pareto frontier (the SKYLINE operator): non-dominated docs on the
+    // quality-vs-cost plane via a bounded-grid sweep — O(n) + a window
+    // over the length domain, never the O(n^2) dominance self-join.
+    "q227_pareto_frontier" -> { (s, dir) =>
+      TextAnalysis.paretoFrontier(TestData.documents(s, dir)).orderBy("n_chars")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3091,6 +3097,11 @@ object SparkEntry {
       s"""WITH ${Sampling.sourceCapSql()}
           SELECT source, n_docs, n_kept, n_dropped, kept_chars, total_chars
           FROM source_cap ORDER BY source""",
+
+    "q227_pareto_frontier" ->
+      s"""WITH ${TextAnalysis.paretoFrontierSql()}
+          SELECT doc_id, n_chars, q
+          FROM pareto_frontier ORDER BY n_chars""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

@@ -909,4 +909,59 @@ object TextAnalysis {
        |         CAST(SUM(k * s) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS bits_per_token
        |  FROM su_dt JOIN su_model USING (w)
        |  GROUP BY doc_id)""".stripMargin
+
+  /** Pareto frontier (the SKYLINE operator) of documents on the quality/
+    * cost plane: maximize vocabulary richness `q` (distinct-token count),
+    * minimize character cost `n_chars`. A doc is dominated when another
+    * doc is no worse on both axes and strictly better on one; the
+    * frontier is every non-dominated doc — the "best value per byte"
+    * curve a data-selection pass picks from. Skylines are a classic
+    * relational operator Spark has no native form of (Börzsönyi et al.,
+    * ICDE 2001); the naive formulation is an O(n²) self-join.
+    *
+    * This plan is O(n) + a window over the bounded GRID instead: (1)
+    * collapse docs to (n_chars → max q) — anything below its length's
+    * max is dominated at equal cost; (2) one running-max window over the
+    * grid ordered by n_chars marks grid points beating every cheaper
+    * point — for 2-D skylines the sort-order sweep is exact; (3) join
+    * docs back on (n_chars, q), so ties on BOTH axes all surface (none
+    * dominates the others). The window rides the grid — bounded by the
+    * distinct lengths in the corpus, i.e. the value DOMAIN, not the
+    * corpus (the q151/q162 bounded-grid window pattern) — and the
+    * frontier-points frame broadcasts for the final join.
+    */
+  def paretoFrontier(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("n_chars"),
+      size(array_distinct(tokens(col("text")))).cast("long").as("q"))
+    val grid = scored.groupBy("n_chars").agg(max("q").as("q"))
+    val w = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontierPts = grid
+      .withColumn("prevmax", max("q").over(w))
+      .filter(col("prevmax").isNull || col("q") > col("prevmax"))
+      .select("n_chars", "q")
+    scored.join(broadcast(frontierPts), Seq("n_chars", "q"))
+      .select("doc_id", "n_chars", "q")
+  }
+
+  /** DuckDB twin of [[paretoFrontier]]; embed after `WITH ` and select
+    * from `pareto_frontier`.
+    */
+  def paretoFrontierSql(): String =
+    s"""pf_scored AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS q
+       |  FROM documents),
+       |pf_grid AS (SELECT n_chars, MAX(q) AS q FROM pf_scored GROUP BY n_chars),
+       |pf_front AS (
+       |  SELECT n_chars, q FROM (
+       |    SELECT n_chars, q,
+       |           MAX(q) OVER (ORDER BY n_chars
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+       |    FROM pf_grid) g
+       |  WHERE prevmax IS NULL OR q > prevmax),
+       |pareto_frontier AS (
+       |  SELECT s.doc_id, s.n_chars, s.q
+       |  FROM pf_scored s JOIN pf_front f USING (n_chars, q))""".stripMargin
 }

@@ -189,4 +189,32 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Double, Double)].head()
     assert(r._1 >= 0.0 && r._2 >= r._1)
   }
+
+  test("paretoFrontier: hand-built frontier with both-axes ties kept, dominated cut") {
+    // (n_chars, q): id1 (3,2) frontier; id2 (3,1) dominated at equal cost;
+    // id3 (7,4) frontier; id4 (7,4) both-axes TIE with id3 — also frontier
+    // (neither dominates); id5 (9,3) dominated by id3 (cheaper AND richer);
+    // id6 (11,5) frontier (richest overall)
+    val d = docs(
+      (1L, "a b"), (2L, "c c"),
+      (3L, "a b c d"), (4L, "w x y z"),
+      (5L, "p p q r p"), (6L, "a b c d e f"))
+    val res = TextAnalysis.paretoFrontier(d)
+      .select("doc_id").as[Long].collect().toSet
+    assert(res == Set(1L, 3L, 4L, 6L))
+  }
+
+  test("paretoFrontier: equals the brute-force dominance definition on real docs") {
+    val d = graft.sources.TestData.documents(spark, sf).limit(120)
+    val scored = d.selectExpr("doc_id", "n_chars",
+        "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS q")
+      .as[(Long, Long, Long)].collect()
+    val brute = scored.filter { case (id, c, q) =>
+      !scored.exists { case (id2, c2, q2) =>
+        id2 != id && c2 <= c && q2 >= q && (c2 < c || q2 > q)
+      }
+    }.map(_._1).toSet
+    val res = TextAnalysis.paretoFrontier(d).select("doc_id").as[Long].collect().toSet
+    assert(res == brute, s"engine=${res.size} brute=${brute.size}")
+  }
 }
