@@ -1592,6 +1592,13 @@ object SparkEntry {
     "q227_pareto_frontier" -> { (s, dir) =>
       TextAnalysis.paretoFrontier(TestData.documents(s, dir)).orderBy("n_chars")
     },
+    // Poisson bootstrap (Chamandy et al. 2012): all 64 resamples in ONE
+    // pass via deterministic hash-Poisson multiplicities frozen as CDF
+    // grid literals — no libm, no RNG state; CI = exact order statistics
+    // of the replica means.
+    "q228_bootstrap_ci" -> { (s, dir) =>
+      Sampling.bootstrapCi(TestData.orders(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3102,6 +3109,12 @@ object SparkEntry {
       s"""WITH ${TextAnalysis.paretoFrontierSql()}
           SELECT doc_id, n_chars, q
           FROM pareto_frontier ORDER BY n_chars""",
+
+    "q228_bootstrap_ci" ->
+      s"""WITH ${Sampling.bootstrapCiSql()}
+          SELECT n_pop, n_reps, exact_mean_cents, boot_lo_cents,
+                 boot_hi_cents, covered
+          FROM bootstrap_ci""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

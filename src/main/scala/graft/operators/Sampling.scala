@@ -628,4 +628,111 @@ object Sampling {
        |  SELECT source, n_docs, n_kept, n_docs - n_kept AS n_dropped,
        |         kept_chars, total_chars
        |  FROM scap_tot JOIN scap_ka USING (source))""".stripMargin
+
+  /** Poisson(1) CDF grid on the 48-bit hash scale: `floor(CDF(k)·2⁴⁸)`
+    * for k = 0..5, precomputed ONCE to 50-digit precision and frozen as
+    * BIGINT literals — neither engine ever calls libm, so the "random"
+    * weights are bit-identical everywhere. A 48-bit uniform `u` maps to
+    * weight `w = Σₖ [u ≥ Tₖ]` ∈ [0, 6]; P(w ≥ 7) < 10⁻⁴ is absorbed
+    * into the top bucket (the standard truncation).
+    */
+  private val PoissonT: Seq[Long] = Seq(
+    103548857136060L, 207097714272121L, 258872142840152L,
+    276130285696162L, 280444821410164L, 281307728552965L)
+
+  /** Poisson-bootstrap confidence interval for the mean order value —
+    * the resampling method that actually scales: a classical bootstrap
+    * draws n rows WITH replacement per replica (a global sample, b
+    * passes); the Poisson bootstrap (Chamandy et al., 2012 — built for
+    * exactly this map-reduce setting) gives every (row, replica) an
+    * independent Poisson(1) multiplicity, so all `b` resamples compute
+    * in ONE pass as a per-row explode + one map-side-combinable
+    * aggregate to `b` partial rows. Weights are deterministic: the
+    * 48-bit md5 of (row id, replica) inverted through the frozen
+    * [[PoissonT]] CDF grid — same subset on every run, any cluster
+    * layout, both engines.
+    *
+    * Replica means are exact-BIGINT sums with one IEEE division; the
+    * interval is the (⌈0.025·b⌉, ⌈0.975·b⌉) order statistics of the b
+    * means — exact selection over a b-row frame (no interpolation
+    * parity risk), ranked by (mean, rep) for a total order. `covered`
+    * reports whether the interval caught the exact full-population
+    * mean — the sanity check a pipeline alerts on.
+    *
+    * Scale shape: the explode is ×b CPU but the shuffle carries only
+    * b·partitions partial rows; the rank window rides the b-row frame.
+    */
+  def bootstrapCi(orders: DataFrame, b: Int = 64): DataFrame = {
+    require(b >= 4, s"need >= 4 replicas, got $b")
+    val kLo = math.max(1, math.ceil(0.025 * b).toInt)
+    val kHi = math.ceil(0.975 * b).toInt
+    val base = orders.select(col("o_orderkey"),
+      OracleSafe.quant(col("o_totalprice"), 100).as("cents"))
+    val u = conv(substring(md5(concat_ws("_",
+      col("o_orderkey"), col("rep"))), 1, 12), 16, 10).cast("long")
+    val w = PoissonT.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(u >= t, 1L).otherwise(0L)
+    }
+    val reps = base
+      .select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .select(col("rep"), w.as("w"), col("cents"))
+      .groupBy("rep")
+      .agg(sum(col("w") * col("cents")).as("s"), sum("w").as("n"))
+      .select(col("rep"), (col("s").cast("double")
+        / greatest(col("n"), lit(1L)).cast("double")).as("m"))
+    val rk = org.apache.spark.sql.expressions.Window.orderBy("m", "rep")
+    val ci = reps.withColumn("rk", row_number().over(rk))
+      .agg(min(when(col("rk") === kLo, col("m"))).as("boot_lo_cents"),
+        min(when(col("rk") === kHi, col("m"))).as("boot_hi_cents"))
+    val stats = base.agg(count(lit(1)).as("n_pop"), sum("cents").as("tot"))
+    stats.crossJoin(broadcast(ci))
+      .select(col("n_pop"), lit(b).as("n_reps"),
+        (col("tot").cast("double") / col("n_pop").cast("double"))
+          .as("exact_mean_cents"),
+        col("boot_lo_cents"), col("boot_hi_cents"),
+        (col("boot_lo_cents") <= col("tot").cast("double") / col("n_pop").cast("double")
+          && col("tot").cast("double") / col("n_pop").cast("double")
+             <= col("boot_hi_cents")).as("covered"))
+  }
+
+  /** DuckDB twin of [[bootstrapCi]]; embed after `WITH ` and select from
+    * `bootstrap_ci`.
+    */
+  def bootstrapCiSql(b: Int = 64): String = {
+    val kLo = math.max(1, math.ceil(0.025 * b).toInt)
+    val kHi = math.ceil(0.975 * b).toInt
+    val c = OracleSafe.quantSql("o_totalprice", 100)
+    val uExpr = "('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '_' ||" +
+      " CAST(rep AS VARCHAR)), 1, 12))::BIGINT"
+    val wExpr = PoissonT.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""bci_base AS (SELECT o_orderkey, $c AS cents FROM orders),
+       |bci_reps AS (
+       |  SELECT rep, cents, $uExpr AS u
+       |  FROM bci_base
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${b - 1})) AS rep) g),
+       |bci_m AS (
+       |  SELECT rep,
+       |         CAST(SUM(($wExpr) * cents) AS DOUBLE)
+       |           / CAST(GREATEST(SUM($wExpr), 1) AS DOUBLE) AS m
+       |  FROM bci_reps GROUP BY rep),
+       |bci_rk AS (
+       |  SELECT m, ROW_NUMBER() OVER (ORDER BY m, rep) AS rk FROM bci_m),
+       |bci_ci AS (
+       |  SELECT MIN(CASE WHEN rk = $kLo THEN m END) AS boot_lo_cents,
+       |         MIN(CASE WHEN rk = $kHi THEN m END) AS boot_hi_cents
+       |  FROM bci_rk),
+       |bci_stats AS (
+       |  SELECT COUNT(*) AS n_pop, CAST(SUM(cents) AS BIGINT) AS tot
+       |  FROM bci_base),
+       |bootstrap_ci AS (
+       |  SELECT n_pop, $b AS n_reps,
+       |         CAST(tot AS DOUBLE) / CAST(n_pop AS DOUBLE) AS exact_mean_cents,
+       |         boot_lo_cents, boot_hi_cents,
+       |         boot_lo_cents <= CAST(tot AS DOUBLE) / CAST(n_pop AS DOUBLE)
+       |           AND CAST(tot AS DOUBLE) / CAST(n_pop AS DOUBLE)
+       |               <= boot_hi_cents AS covered
+       |  FROM bci_stats, bci_ci)""".stripMargin
+  }
 }

@@ -301,4 +301,27 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(10L, 11L, 20L))
   }
+
+  test("bootstrapCi: constant data collapses the interval onto the exact mean") {
+    val const = (1L to 300L).map(k => (k, 42.0)).toDF("o_orderkey", "o_totalprice")
+    val r = Sampling.bootstrapCi(const, b = 16).collect().head
+    assert(r.getLong(0) == 300L && r.getInt(1) == 16)
+    assert(r.getDouble(2) == 4200.0, "exact mean in cents")
+    // every Poisson resample of a constant has the same mean (unless empty,
+    // which P ~ e^-300 rules out) -> degenerate interval, trivially covered
+    assert(r.getDouble(3) == 4200.0 && r.getDouble(4) == 4200.0)
+    assert(r.getBoolean(5))
+  }
+
+  test("bootstrapCi: hash-Poisson weights average ~1 and the CI brackets sanely") {
+    val orders = (1L to 400L).map(k => (k, (k % 97).toDouble + 10.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val r = Sampling.bootstrapCi(orders, b = 32).collect().head
+    val (lo, hi, exact) = (r.getDouble(3), r.getDouble(4), r.getDouble(2))
+    assert(lo <= hi, "order statistics must be ordered")
+    // 2.5%..97.5% of 32 replica means around a mean-58ish distribution:
+    // the interval is tight but nonzero for varying data
+    assert(hi - lo > 0.0 && hi - lo < exact, s"sane width: [$lo, $hi]")
+    assert(r.getBoolean(5) == (lo <= exact && exact <= hi))
+  }
 }
