@@ -1599,6 +1599,12 @@ object SparkEntry {
     "q228_bootstrap_ci" -> { (s, dir) =>
       Sampling.bootstrapCi(TestData.orders(s, dir))
     },
+    // Per-group AQP: grouped estimates from the 5% hash-coin sample,
+    // each group earning its OWN Hoeffding certificate from its measured
+    // range and realized sample size — one combinable aggregate pass.
+    "q229_group_estimate" -> { (s, dir) =>
+      Sampling.groupEstimateAudit(TestData.orders(s, dir)).orderBy("priority")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3115,6 +3121,12 @@ object SparkEntry {
           SELECT n_pop, n_reps, exact_mean_cents, boot_lo_cents,
                  boot_hi_cents, covered
           FROM bootstrap_ci""",
+
+    "q229_group_estimate" ->
+      s"""WITH ${Sampling.groupEstimateAuditSql()}
+          SELECT priority, n_pop, n_sample, est_cents, exact_cents,
+                 abs_err_cents, hoeffding_bound_cents, within_bound
+          FROM group_estimate_audit ORDER BY priority""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

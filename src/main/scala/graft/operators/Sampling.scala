@@ -557,7 +557,7 @@ object Sampling {
        |           * (CAST(sample_cents AS DOUBLE)
        |              / CAST(GREATEST(n_sample, 1) AS DOUBLE)) AS est_cents,
        |         CAST(n_pop AS DOUBLE) * CAST(max_cents AS DOUBLE)
-       |           * sqrt(3.6888794541139363
+       |           * sqrt(3.6888794541139363e0
        |                  / (2.0 * CAST(GREATEST(n_sample, 1) AS DOUBLE)))
        |           AS hoeffding_bound_cents
        |  FROM ea_agg),
@@ -734,5 +734,83 @@ object Sampling {
        |           AND CAST(tot AS DOUBLE) / CAST(n_pop AS DOUBLE)
        |               <= boot_hi_cents AS covered
        |  FROM bci_stats, bci_ci)""".stripMargin
+  }
+
+  /** Per-GROUP approximate query processing: the q206 estimate-with-
+    * certificate extended to a grouped aggregate — the AQP shape a
+    * dashboard actually runs ("give me totals per priority from the 5%
+    * sample, and tell me per group whether I can trust them"). Each
+    * group's estimate is n_pop_g·(sample mean)_g from the SAME
+    * deterministic hash-coin sample (one coin per row, not per group —
+    * a stratified recoin would break additivity across groupings), and
+    * each group earns its OWN Hoeffding certificate from its measured
+    * range R_g and realized sample size — small groups honestly report
+    * wide bounds instead of inheriting the population's. Same
+    * conditional-on-n_s caveat as [[estimateAudit]].
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the group key
+    * computes population and sample moments together (the in_sample
+    * flag is a scan-level column, so no second pass and no join);
+    * output is |groups| rows.
+    */
+  def groupEstimateAudit(orders: DataFrame, pct: Int = 5): DataFrame = {
+    require(pct >= 1 && pct <= 99, s"pct must be in [1,99], got $pct")
+    val cents = OracleSafe.quant(col("o_totalprice"), 100)
+    val base = orders.select(col("o_orderpriority").as("priority"),
+      cents.as("cents"), (coin(col("o_orderkey")) < pct).as("in_sample"))
+    val ln2d = 3.6888794541139363 // ln(2/0.05), fixed literal on both engines
+    val nS = greatest(col("n_sample"), lit(1L)).cast("double")
+    val est = col("n_pop").cast("double") *
+      (col("sample_cents").cast("double") / nS)
+    base.groupBy("priority")
+      .agg(count(lit(1)).as("n_pop"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sample"),
+        sum(when(col("in_sample"), col("cents")).otherwise(0L)).as("sample_cents"),
+        sum(col("cents")).as("exact_cents"),
+        max(col("cents")).as("max_cents"))
+      .select(col("priority"), col("n_pop"), col("n_sample"),
+        est.as("est_cents"), col("exact_cents"),
+        abs(est - col("exact_cents").cast("double")).as("abs_err_cents"),
+        (col("n_pop").cast("double") * col("max_cents").cast("double")
+          * sqrt(lit(ln2d) / (lit(2.0) * nS))).as("hoeffding_bound_cents"))
+      .withColumn("within_bound",
+        col("abs_err_cents") <= col("hoeffding_bound_cents"))
+  }
+
+  /** DuckDB twin of [[groupEstimateAudit]]; embed after `WITH ` and
+    * select from `group_estimate_audit`.
+    */
+  def groupEstimateAuditSql(pct: Int = 5): String = {
+    val c = OracleSafe.quantSql("o_totalprice", 100)
+    s"""gea_base AS (
+       |  SELECT o_orderpriority AS priority, $c AS cents,
+       |         ${coinSql("o_orderkey")} < $pct AS in_sample
+       |  FROM orders),
+       |gea_agg AS (
+       |  SELECT priority, COUNT(*) AS n_pop,
+       |         CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_sample,
+       |         CAST(SUM(CASE WHEN in_sample THEN cents ELSE 0 END) AS BIGINT)
+       |           AS sample_cents,
+       |         CAST(SUM(cents) AS BIGINT) AS exact_cents,
+       |         MAX(cents) AS max_cents
+       |  FROM gea_base GROUP BY priority),
+       |gea_est AS (
+       |  SELECT priority, n_pop, n_sample, exact_cents,
+       |         CAST(n_pop AS DOUBLE)
+       |           * (CAST(sample_cents AS DOUBLE)
+       |              / CAST(GREATEST(n_sample, 1) AS DOUBLE)) AS est_cents,
+       |         CAST(n_pop AS DOUBLE) * CAST(max_cents AS DOUBLE)
+       |           * sqrt(3.6888794541139363e0
+       |                  / (2.0 * CAST(GREATEST(n_sample, 1) AS DOUBLE)))
+       |           AS hoeffding_bound_cents
+       |  FROM gea_agg),
+       |group_estimate_audit AS (
+       |  SELECT priority, n_pop, n_sample, est_cents, exact_cents,
+       |         abs(est_cents - CAST(exact_cents AS DOUBLE)) AS abs_err_cents,
+       |         hoeffding_bound_cents,
+       |         abs(est_cents - CAST(exact_cents AS DOUBLE))
+       |           <= hoeffding_bound_cents AS within_bound
+       |  FROM gea_est)""".stripMargin
   }
 }

@@ -324,4 +324,27 @@ class SamplingSpec extends SparkSpec {
     assert(hi - lo > 0.0 && hi - lo < exact, s"sane width: [$lo, $hi]")
     assert(r.getBoolean(5) == (lo <= exact && exact <= hi))
   }
+
+  test("groupEstimateAudit: groups partition the population; each earns its own bound") {
+    val orders = (1L to 900L).map { k =>
+      val pri = if (k <= 430) "A" else if (k <= 860) "B" else "C"
+      (k, (k % 83).toDouble + 5.0, pri)
+    }.toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+    val rows = Sampling.groupEstimateAudit(orders, pct = 10).orderBy("priority")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    assert(rows.map(_.getLong(1)).sum == 900L, "group populations partition")
+    rows.foreach { r =>
+      val (est, exact) = (r.getDouble(3), r.getLong(4).toDouble)
+      assert(r.getDouble(5) == math.abs(est - exact), "abs_err = |est - exact|")
+      assert(r.getDouble(6) > 0.0, "every group carries a positive bound")
+      assert(r.getBoolean(7) == (r.getDouble(5) <= r.getDouble(6)))
+    }
+    // the small group's RELATIVE bound (bound / n_pop) is the widest —
+    // fewer sampled rows must mean a weaker certificate, never a
+    // silently-inherited population-level one
+    val rel = rows.map(r => r.getString(0) -> r.getDouble(6) / r.getLong(1)).toMap
+    assert(rel("C") > rel("A") && rel("C") > rel("B"),
+      s"small group must report the widest per-row bound: $rel")
+  }
 }
