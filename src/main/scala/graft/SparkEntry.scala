@@ -1605,6 +1605,13 @@ object SparkEntry {
     "q229_group_estimate" -> { (s, dir) =>
       Sampling.groupEstimateAudit(TestData.orders(s, dir)).orderBy("priority")
     },
+    // The LSH S-curve MEASURED: per (b, r) banding config, detection
+    // rate over exact-truth pairs per Jaccard decile, beside the
+    // 1-(1-J^r)^b theory at the decile midpoint (frozen as literals) —
+    // the dedup recall-vs-cost tuning evidence.
+    "q230_lsh_s_curve" -> { (s, dir) =>
+      Dedup.sCurveAudit(TestData.documents(s, dir)).orderBy("r", "j_band")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3127,6 +3134,11 @@ object SparkEntry {
           SELECT priority, n_pop, n_sample, est_cents, exact_cents,
                  abs_err_cents, hoeffding_bound_cents, within_bound
           FROM group_estimate_audit ORDER BY priority""",
+
+    "q230_lsh_s_curve" ->
+      s"""WITH ${Dedup.sCurveAuditSql()}
+          SELECT r, b, j_band, n_pairs, n_detected, detect_rate, theory_mid
+          FROM s_curve ORDER BY r, j_band""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

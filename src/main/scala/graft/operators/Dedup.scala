@@ -95,7 +95,13 @@ object Dedup {
 
   def minhashSignaturesSql(numHashes: Int = 16, shingleN: Int = 3): String =
     s"""${docShinglesSql(shingleN)},
-       |minhash AS (
+       |${minhashSqlFromShingles(numHashes)}""".stripMargin
+
+  /** The `minhash` CTE alone (expects `doc_shingles` already defined) —
+    * for twins composing minhash with other shingle consumers.
+    */
+  private[graft] def minhashSqlFromShingles(numHashes: Int = 16): String =
+    s"""minhash AS (
        |  SELECT doc_id, h, min(((2*h + 1) * sid + (h*h + 7)) % $MinhashPrime) AS mh
        |  FROM doc_shingles, (SELECT unnest(generate_series(0, ${numHashes - 1})) AS h) hs
        |  GROUP BY doc_id, h)""".stripMargin
@@ -760,6 +766,123 @@ object Dedup {
        |JOIN sh_counts2 ca ON ca.doc_id = doc_a
        |JOIN sh_counts2 cb ON cb.doc_id = doc_b""".stripMargin
 
+  /** The LSH S-CURVE, measured — the (b, r) banding tuning knob behind
+    * q42/q43/q59: with `b` bands of `r` rows, a pair with Jaccard J is
+    * detected with P = 1 − (1 − Jʳ)ᵇ. This audit measures that curve
+    * against ground truth: exact pairs from the recall-complete prefix
+    * join ([[prefixJaccardJoin]]) at a low `threshold`, bucketed into
+    * J-deciles; for every band config (all `rowsPerBandConfigs` share
+    * ONE signature pass), whether the pair collides in ≥1 band; per
+    * (config, decile) the measured detection rate next to the theory
+    * evaluated at the decile midpoint — the evidence for picking r when
+    * tuning dedup recall vs candidate cost. Scope is honest: the curve
+    * is measured where exact truth is affordable (J ≥ threshold via the
+    * prefix join — which at 100 TB is the only place exact truth ever
+    * comes from); below it there is no certified truth to audit against.
+    *
+    * Cross-engine exactness: J-deciles are integer floor(10·inter/union);
+    * detection is integer band-agreement counts; rates are one division
+    * of agreed integers; the midpoint theory values are computed ONCE in
+    * Scala and embedded as 17-significant-digit literals in BOTH plans
+    * (never recomputed by either engine — no pow/libm crosses the
+    * oracle).
+    *
+    * Scale shape: the truth side is the q141 prefix-join plan; the
+    * signature side is one minhash aggregate; the audit join fans each
+    * truth pair out by numHashes × |configs| rows — bounded by the truth
+    * pair count, which banding keeps near-linear. Config and theory
+    * frames are literal broadcasts.
+    */
+  def sCurveAudit(docs: DataFrame, numHashes: Int = 16,
+      rowsPerBandConfigs: Seq[Int] = Seq(2, 4, 8),
+      threshold: Double = 0.02, shingleN: Int = 3): DataFrame = {
+    require(rowsPerBandConfigs.nonEmpty &&
+      rowsPerBandConfigs.forall(r => r >= 1 && numHashes % r == 0),
+      s"each r must divide numHashes=$numHashes: $rowsPerBandConfigs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val truth = prefixJaccardJoin(docs, threshold, shingleN)
+      .select(col("doc_a"), col("doc_b"),
+        least(graft.functions.OracleSafe.intDiv(col("n_inter") * 10,
+          col("n_union")), lit(9L)).as("j_band"))
+    val sig = minhashSignatures(docs, numHashes, shingleN)
+    val theory = rowsPerBandConfigs.flatMap { r =>
+      val b = numHashes / r
+      (0 to 9).map { jb =>
+        val mid = jb / 10.0 + 0.05
+        (r, b, jb.toLong, 1.0 - math.pow(1.0 - math.pow(mid, r), b))
+      }
+    }.toDF("r", "b", "j_band", "theory_mid")
+    val cfg = rowsPerBandConfigs.toDF("r")
+    val detected = truth
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
+      .select(col("doc_a"), col("doc_b"), col("j_band"), col("sa.h").as("h"),
+        when(col("sa.mh") === col("sb.mh"), 1L).otherwise(0L).as("agree"))
+      .crossJoin(broadcast(cfg))
+      .groupBy(col("doc_a"), col("doc_b"), col("j_band"), col("r"),
+        expr("h DIV r").as("band"))
+      .agg(sum("agree").as("n_agree"))
+      .groupBy("doc_a", "doc_b", "j_band", "r")
+      .agg(max(when(col("n_agree") === col("r").cast("long"), 1L)
+        .otherwise(0L)).as("det"))
+    detected.groupBy("r", "j_band")
+      .agg(count(lit(1)).as("n_pairs"), sum("det").as("n_detected"))
+      .join(broadcast(theory), Seq("r", "j_band"))
+      .select(col("r"), col("b"), col("j_band"), col("n_pairs"),
+        col("n_detected"),
+        (col("n_detected").cast("double") / col("n_pairs").cast("double"))
+          .as("detect_rate"),
+        col("theory_mid"))
+  }
+
+  /** DuckDB twin of [[sCurveAudit]]; embed after `WITH ` and select from
+    * `s_curve`. Shares one `doc_shingles` CTE between the truth and
+    * signature pipelines.
+    */
+  def sCurveAuditSql(numHashes: Int = 16,
+      rowsPerBandConfigs: Seq[Int] = Seq(2, 4, 8),
+      threshold: Double = 0.02, shingleN: Int = 3): String = {
+    val theoryRows = rowsPerBandConfigs.flatMap { r =>
+      val b = numHashes / r
+      (0 to 9).map { jb =>
+        val mid = jb / 10.0 + 0.05
+        val t = 1.0 - math.pow(1.0 - math.pow(mid, r), b)
+        f"($r, $b, CAST($jb AS BIGINT), $t%.17e)"
+      }
+    }.mkString(",\n|             ")
+    val jb = graft.functions.OracleSafe.intDivSql("n_inter * 10", "n_union")
+    s"""${docShinglesSql(shingleN)},
+       |${prefixJaccardJoinSqlFromShingles(threshold)},
+       |${minhashSqlFromShingles(numHashes)},
+       |sc_theory AS (
+       |  SELECT * FROM (VALUES $theoryRows) t(r, b, j_band, theory_mid)),
+       |sc_truth AS (
+       |  SELECT doc_a, doc_b, LEAST($jb, 9) AS j_band FROM prefix_join),
+       |sc_band AS (
+       |  SELECT t.doc_a, t.doc_b, t.j_band, g.r, a.h // g.r AS band,
+       |         CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_agree
+       |  FROM sc_truth t
+       |  JOIN minhash a ON a.doc_id = t.doc_a
+       |  JOIN minhash b ON b.doc_id = t.doc_b AND b.h = a.h
+       |  CROSS JOIN (SELECT unnest([${rowsPerBandConfigs.mkString(", ")}]) AS r) g
+       |  GROUP BY t.doc_a, t.doc_b, t.j_band, g.r, a.h // g.r),
+       |sc_det AS (
+       |  SELECT doc_a, doc_b, j_band, r,
+       |         MAX(CASE WHEN n_agree = r THEN 1 ELSE 0 END) AS det
+       |  FROM sc_band GROUP BY doc_a, doc_b, j_band, r),
+       |s_curve AS (
+       |  SELECT d.r, th.b, d.j_band, COUNT(*) AS n_pairs,
+       |         CAST(SUM(det) AS BIGINT) AS n_detected,
+       |         CAST(SUM(det) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |           AS detect_rate,
+       |         th.theory_mid
+       |  FROM sc_det d JOIN sc_theory th ON th.r = d.r AND th.j_band = d.j_band
+       |  GROUP BY d.r, th.b, d.j_band, th.theory_mid)""".stripMargin
+  }
+
   /** EXACT set-similarity self-join via prefix filtering (the PPJoin
     * family's core trick): find every pair of documents whose shingle-SET
     * Jaccard meets `threshold` — with a provably recall-complete candidate
@@ -899,10 +1022,18 @@ object Dedup {
     * select from `prefix_join`.
     */
   def prefixJaccardJoinSql(threshold: Double = 0.6, shingleN: Int = 3): String = {
+    s"""${docShinglesSql(shingleN)},
+       |${prefixJaccardJoinSqlFromShingles(threshold)}""".stripMargin
+  }
+
+  /** The `pj_*`/`prefix_join` CTEs alone (expects `doc_shingles` already
+    * defined) — for twins composing the exact join with other shingle
+    * consumers.
+    */
+  private[graft] def prefixJaccardJoinSqlFromShingles(threshold: Double): String = {
     val (tNum, tDen) = prefixThresholdFraction(threshold)
     val ceilDiv = graft.functions.OracleSafe.intDivSql(s"n * $tNum + ${tDen - 1}", tDen.toString)
-    s"""${docShinglesSql(shingleN)},
-       |pj_df AS (SELECT sid, COUNT(*) AS df FROM doc_shingles GROUP BY sid),
+    s"""pj_df AS (SELECT sid, COUNT(*) AS df FROM doc_shingles GROUP BY sid),
        |pj_ranked AS (
        |  SELECT p.doc_id, p.sid,
        |         COUNT(*) OVER (PARTITION BY p.doc_id) AS n,

@@ -330,4 +330,42 @@ class DedupSpec extends SparkSpec {
       s"doc 7 must band-collide with its 12/13-shingle superset: ${r(7L)}")
     assert(r(14L) == ((0L, 0L, "new")))
   }
+
+  test("sCurveAudit: identical pairs detected by every config; rates nest across r") {
+    // three identical docs (J = 1, three pairs in decile 9) plus a
+    // half-overlapping pair (w11..w30 vs w1..w20 -> J = 8/28 ~ 0.29,
+    // decile 2) and two unrelated docs sharing nothing
+    val w = (1 to 30).map(i => s"w$i")
+    val d = docs(
+      0L -> w.take(20).mkString(" "),
+      1L -> w.take(20).mkString(" "),
+      2L -> w.take(20).mkString(" "),
+      3L -> w.slice(10, 30).mkString(" "),
+      4L -> (1 to 12).map(i => s"z$i").mkString(" "),
+      5L -> (1 to 12).map(i => s"y$i").mkString(" "))
+    val rows = Dedup.sCurveAudit(d, threshold = 0.02)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(6)))).toMap
+    for (r <- Seq(2, 4, 8)) {
+      val (n9, det9, th9) = rows((r, 9L))
+      assert(n9 == 3L && det9 == 3L,
+        s"identical signatures collide in every band at r=$r")
+      assert(th9 > 0.88 && th9 <= 1.0)
+    }
+    // detection NESTS: a full r=8 band match contains two aligned r=4
+    // matches, which contain aligned r=2 matches — so the measured rate
+    // is monotone non-increasing in r for every populated decile
+    for (jb <- rows.keys.map(_._2).toSeq.distinct) {
+      def rate(r: Int) = {
+        val (n, det, _) = rows((r, jb))
+        det.toDouble / n
+      }
+      assert(rate(2) >= rate(4) && rate(4) >= rate(8),
+        s"decile $jb rates must nest: ${rate(2)} >= ${rate(4)} >= ${rate(8)}")
+    }
+    // the half-overlap pair populates a mid decile (J ~ 0.29)
+    assert(rows.keys.exists { case (_, jb) => jb >= 1L && jb <= 4L },
+      s"mid-J truth pair must surface: ${rows.keys}")
+  }
 }
