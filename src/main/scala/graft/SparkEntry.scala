@@ -1612,6 +1612,14 @@ object SparkEntry {
     "q230_lsh_s_curve" -> { (s, dir) =>
       Dedup.sCurveAudit(TestData.documents(s, dir)).orderBy("r", "j_band")
     },
+    // Exactly-once to an external sink EXECUTED: foreachBatch crashes in
+    // the uncovered window (sink written, checkpoint not committed), the
+    // resumed run replays the batch, and the idempotent batch-keyed
+    // overwrite keeps the read-back equal to the batch oracle — 4
+    // attempts over 3 batches, zero duplicates.
+    "q231_exactly_once_sink" -> { (s, dir) =>
+      graft.streaming.EventStream.exactlyOnceSink(s, dir).orderBy("event_type")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3139,6 +3147,15 @@ object SparkEntry {
       s"""WITH ${Dedup.sCurveAuditSql()}
           SELECT r, b, j_band, n_pairs, n_detected, detect_rate, theory_mid
           FROM s_curve ORDER BY r, j_band""",
+
+    // the plain batch aggregate on purpose: equality is the proof the
+    // replayed foreachBatch write was idempotent (an append sink would
+    // double batch 1's rows and fail this hash-match)
+    "q231_exactly_once_sink" ->
+      s"""WITH ${graft.streaming.EventStream.exactlyOnceSinkSql()}
+          SELECT event_type, n, total_cents, n_batches, n_attempts,
+                 replay_happened
+          FROM exactly_once_sink ORDER BY event_type""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

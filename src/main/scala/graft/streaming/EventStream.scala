@@ -749,6 +749,113 @@ object EventStream {
       allProgress.toSeq)
   }
 
+  /** Exactly-once delivery to an EXTERNAL sink via idempotent
+    * `foreachBatch` — the production pattern for sinks without
+    * transactional integration (JDBC upserts, object stores): Structured
+    * Streaming guarantees each micro-batch is delivered AT LEAST once
+    * (a crash between the sink write and the checkpoint commit replays
+    * the batch), so end-to-end exactly-once is the sink's job — make the
+    * write a pure function of `batchId` (here: overwrite of a
+    * batch-keyed directory) and replays become no-ops.
+    *
+    * This query EXECUTES the failure: the source replays in three
+    * single-file micro-batches; run 1's `foreachBatch` crashes AFTER
+    * batch 1's sink write but BEFORE its checkpoint commit (the
+    * uncovered window); run 2 resumes from the checkpoint and replays
+    * batch 1 — the attempt ledger (one marker per foreachBatch entry)
+    * records 4 attempts over 3 batches, and the read-back totals still
+    * equal the batch oracle. The oracle pins those verdicts: a
+    * naive append-mode sink would double batch 1 and fail the
+    * hash-match.
+    *
+    * Scale shape: pass-through stream (no state, no watermark); the
+    * per-batch overwrite is the idempotence contract, not a size cost;
+    * the final aggregate is the usual map-side-combinable group-by.
+    */
+  def exactlyOnceSink(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.TestData.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts_ns"), col("value"))
+    val mm = ev.agg(min("ts_ns").as("lo"), max("ts_ns").as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * ((hi - lo) / 3)
+    val base = exitScratch("graft-e1sink")
+    val (src, sink, ck, att) =
+      (s"$base/src", s"$base/sink", s"$base/ck", s"$base/attempts")
+    require(new java.io.File(att).mkdirs(), s"cannot create $att")
+
+    var mtime = (System.currentTimeMillis() / 60000L) * 60000L
+    def writeChunk(df: DataFrame): Unit = {
+      val before = Option(new java.io.File(src).listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+      df.coalesce(1).write.mode("append").parquet(src)
+      mtime += 1000L
+      new java.io.File(src).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(f => require(f.setLastModified(mtime),
+          s"setLastModified failed for $f — replay order would be undefined"))
+    }
+    writeChunk(ev.filter(col("ts_ns") <= cut1))
+    writeChunk(ev.filter(col("ts_ns") > cut1 && col("ts_ns") <= cut2))
+    writeChunk(ev.filter(col("ts_ns") > cut2))
+
+    def runOnce(injectCrashAt: Long): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          // attempt marker FIRST: even a crash mid-write counts as an
+          // attempt (at-least-once is about entries, not successes)
+          val marker = new java.io.File(att,
+            s"b$batchId-${UUID.randomUUID().toString}")
+          require(marker.createNewFile(), s"cannot create $marker")
+          // the idempotent write: a pure function of batchId
+          df.write.mode("overwrite").parquet(s"$sink/b$batchId")
+          if (batchId == injectCrashAt)
+            throw new RuntimeException(
+              "injected crash: sink written, checkpoint commit never reached")
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.processAllAvailable(); q.awaitTermination() }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => }
+      finally q.stop()
+    }
+    runOnce(injectCrashAt = 1L) // run 1 dies inside batch 1's uncovered window
+    runOnce(injectCrashAt = -1L) // run 2 replays batch 1, finishes batch 2
+
+    val batchDirs = Option(new java.io.File(sink).listFiles())
+      .map(_.count(d => d.isDirectory && d.getName.startsWith("b"))).getOrElse(0)
+    val attempts = new java.io.File(att).listFiles().length
+    spark.read.parquet(s"$sink/b*")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.OracleSafe.quant(col("value"), 100)).as("total_cents"))
+      .select(col("event_type"), col("n"), col("total_cents"),
+        lit(batchDirs.toLong).as("n_batches"),
+        lit(attempts.toLong).as("n_attempts"),
+        lit(attempts > batchDirs).as("replay_happened"))
+  }
+
+  /** DuckDB twin of [[exactlyOnceSink]] — the batch aggregate plus the
+    * PINNED delivery verdicts the engine must earn: exactly 3 batches, 4
+    * attempts (batch 1 written twice), and totals equal to the plain
+    * batch aggregate — the proof the replayed write was idempotent.
+    * Embed after `WITH ` and select from `exactly_once_sink`.
+    */
+  def exactlyOnceSinkSql(): String =
+    s"""exactly_once_sink AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${graft.functions.OracleSafe.quantSql("value", 100)})
+       |           AS BIGINT) AS total_cents,
+       |         CAST(3 AS BIGINT) AS n_batches,
+       |         CAST(4 AS BIGINT) AS n_attempts,
+       |         TRUE AS replay_happened
+       |  FROM events GROUP BY event_type)""".stripMargin
+
   val tumblingHourlySql: String =
     s"""SELECT date_trunc('hour', ts) AS hour, event_type,
        |       COUNT(*) AS n,

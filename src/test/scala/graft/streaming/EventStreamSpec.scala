@@ -198,4 +198,23 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch.select("hour", "event_type", "n")).count() == 0)
   }
+
+  test("exactly-once sink: the replayed foreachBatch leaves no duplicates") {
+    import org.apache.spark.sql.functions._
+    val res = EventStream.exactlyOnceSink(spark, sf)
+    val head = res.select("n_batches", "n_attempts", "replay_happened").head()
+    assert(head.getLong(0) == 3L, "three single-file micro-batches")
+    assert(head.getLong(1) == 4L,
+      "batch 1 written twice: crashed attempt + checkpoint replay")
+    assert(head.getBoolean(2), "the at-least-once replay must have happened")
+    // idempotent overwrite => read-back equals the plain batch aggregate
+    // (an append-mode sink would carry batch 1's rows twice here)
+    val batch = graft.sources.TestData.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.OracleSafe.quant(col("value"), 100)).as("total_cents"))
+    val got = res.select("event_type", "n", "total_cents")
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).count() == 0)
+  }
 }
