@@ -1620,6 +1620,12 @@ object SparkEntry {
     "q231_exactly_once_sink" -> { (s, dir) =>
       graft.streaming.EventStream.exactlyOnceSink(s, dir).orderBy("event_type")
     },
+    // BPE training EXECUTED: three real merge rounds over the distinct-
+    // word frequency table (pick -> merge everywhere -> recount), with
+    // the corpus symbol count after each merge — the compression curve.
+    "q232_bpe_train" -> { (s, dir) =>
+      TextAnalysis.bpeTrain(TestData.documents(s, dir)).orderBy("round")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3156,6 +3162,11 @@ object SparkEntry {
           SELECT event_type, n, total_cents, n_batches, n_attempts,
                  replay_happened
           FROM exactly_once_sink ORDER BY event_type""",
+
+    "q232_bpe_train" ->
+      s"""WITH ${TextAnalysis.bpeTrainSql()}
+          SELECT round, pair, freq, corpus_symbols
+          FROM bpe_train ORDER BY round""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

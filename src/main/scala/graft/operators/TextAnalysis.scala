@@ -910,6 +910,101 @@ object TextAnalysis {
        |  FROM su_dt JOIN su_model USING (w)
        |  GROUP BY doc_id)""".stripMargin
 
+  /** BPE TRAINING, executed — `rounds` actual merge iterations of the
+    * byte-pair-encoding trainer (Sennrich et al. 2016, arXiv:1508.07909),
+    * not just the pair-count ranking (q113): each round picks the most
+    * frequent adjacent symbol pair (ties by pair asc), merges it
+    * everywhere (leftmost non-overlapping, both engines' literal
+    * `replace` semantics — the reference algorithm's behavior), and
+    * recounts. Output: the merge table with each round's pick, its
+    * pre-merge frequency, and the corpus symbol count AFTER the merge —
+    * the compression curve a tokenizer build monitors.
+    *
+    * Representation: words live as bracket-wrapped symbol strings
+    * (`hello` → `<h><e><l><l><o>`), so a merge is a plain string replace
+    * of `<a><b>` with `<ab>` — no regex in the hot path and no
+    * boundary ambiguity for repeated symbols. Like every published BPE
+    * trainer, work runs on the DISTINCT-word frequency table, not the
+    * corpus: the vocab frame is the working set (bounded by vocabulary,
+    * not corpus bytes — the standard scale story), each round is one
+    * pair aggregate + one broadcast of the 1-row pick, and rounds are
+    * `localCheckpoint`ed so the k-deep chain neither recomputes nor
+    * grows the plan. Pair counts include overlapping occurrences while
+    * the merge is non-overlapping — exactly the reference algorithm's
+    * (documented) asymmetry.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8]: $rounds")
+    val vocab = docs
+      .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("cnt"))
+    val syms = expr("regexp_extract_all(s, '<[^>]*>', 0)")
+    // a fully-merged word is ONE symbol: filter before the pair explode
+    // (Spark's sequence(1, 0) DESCENDS instead of emitting empty, so the
+    // guard is load-bearing, not cosmetic)
+    def pairCounts(cur: DataFrame): DataFrame = cur
+      .filter(size(syms) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(syms) - 1),
+        i => concat(element_at(syms, i), element_at(syms, i + 1)))).as("pair"))
+      .groupBy("pair").agg(sum("cnt").as("freq"))
+    var cur = vocab.localCheckpoint()
+    val roundRows = (1 to rounds).map { k =>
+      val top = pairCounts(cur).orderBy(desc("freq"), asc("pair")).limit(1)
+        .select(col("pair"), col("freq"),
+          expr("replace(pair, '><', '')").as("merged"))
+      cur = cur.crossJoin(broadcast(top))
+        .select(expr("replace(s, pair, merged)").as("s"), col("cnt"))
+        .localCheckpoint()
+      val after = cur.agg(
+        sum(col("cnt") * size(syms).cast("long")).as("corpus_symbols"))
+      top.crossJoin(broadcast(after))
+        .select(lit(k).as("round"), col("pair"), col("freq"),
+          col("corpus_symbols"))
+    }
+    roundRows.reduce(_.unionByName(_))
+  }
+
+  /** DuckDB twin of [[bpeTrain]] — the k rounds unrolled as a CTE chain;
+    * embed after `WITH ` and select from `bpe_train`.
+    */
+  def bpeTrainSql(rounds: Int = 3): String = {
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8]: $rounds")
+    val syms = "regexp_extract_all(s, '<[^>]*>')"
+    val stages = (1 to rounds).map { k =>
+      s"""bpe_p$k AS (
+         |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+         |    SELECT cnt, sy[i] || sy[i + 1] AS pair
+         |    FROM (SELECT cnt, $syms AS sy FROM bpe_s${k - 1}) q,
+         |         UNNEST(generate_series(1, len(sy) - 1)) AS g(i))
+         |  GROUP BY pair),
+         |bpe_t$k AS (
+         |  SELECT pair, freq, replace(pair, '><', '') AS merged
+         |  FROM bpe_p$k ORDER BY freq DESC, pair LIMIT 1),
+         |bpe_s$k AS (
+         |  SELECT replace(s, t.pair, t.merged) AS s, cnt
+         |  FROM bpe_s${k - 1}, bpe_t$k t)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to rounds).map { k =>
+      s"""  SELECT $k AS round, pair, freq,
+         |         (SELECT CAST(SUM(cnt * len($syms)) AS BIGINT)
+         |          FROM bpe_s$k) AS corpus_symbols
+         |  FROM bpe_t$k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""bpe_w AS (
+       |  SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w
+       |    FROM documents) q
+       |  WHERE len(w) >= 2 GROUP BY w),
+       |bpe_s0 AS (
+       |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s, cnt FROM bpe_w),
+       |$stages,
+       |bpe_train AS (
+       |$rows)""".stripMargin
+  }
+
   /** Pareto frontier (the SKYLINE operator) of documents on the quality/
     * cost plane: maximize vocabulary richness `q` (distinct-token count),
     * minimize character cost `n_chars`. A doc is dominated when another

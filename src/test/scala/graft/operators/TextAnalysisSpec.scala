@@ -190,6 +190,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r._1 >= 0.0 && r._2 >= r._1)
   }
 
+  test("bpeTrain: hand-traced rounds — overlap-counted picks, non-overlapping merges") {
+    // vocab: "aa" x2 -> <a><a>, "ab" x1 -> <a><b>
+    // round 1: pair (a,a) freq 2 beats (a,b) freq 1; merge -> <aa>, <a><b>
+    //          corpus symbols after: 2*1 + 1*2 = 4
+    // round 2: only (a,b) freq 1 remains; merge -> symbols 2*1 + 1*1 = 3
+    val d = docs((1L, "aa aa ab"))
+    val r = TextAnalysis.bpeTrain(d, rounds = 2).orderBy("round")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(r == Seq((1, "<a><a>", 2L, 4L), (2, "<a><b>", 1L, 3L)))
+    // "aaa": counts see BOTH overlapping (a,a) pairs, the merge replaces
+    // leftmost non-overlapping -> <aa><a>, 2 symbols (the reference
+    // algorithm's documented asymmetry)
+    val tri = TextAnalysis.bpeTrain(docs((1L, "aaa")), rounds = 1)
+      .as[(Int, String, Long, Long)].collect().head
+    assert(tri == ((1, "<a><a>", 2L, 2L)))
+  }
+
+  test("bpeTrain: compression curve decreases, pick frequency never rises") {
+    val d = graft.sources.TestData.documents(spark, sf).limit(80)
+    val rows = TextAnalysis.bpeTrain(d, rounds = 3).orderBy("round")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(rows.length == 3)
+    assert(rows.map(_._4) == rows.map(_._4).sorted.reverse,
+      s"corpus symbols must fall every merge: ${rows.map(_._4)}")
+    assert(rows.map(_._3) == rows.map(_._3).sorted.reverse,
+      s"merge freq is non-increasing across rounds: ${rows.map(_._3)}")
+  }
+
   test("paretoFrontier: hand-built frontier with both-axes ties kept, dominated cut") {
     // (n_chars, q): id1 (3,2) frontier; id2 (3,1) dominated at equal cost;
     // id3 (7,4) frontier; id4 (7,4) both-axes TIE with id3 — also frontier
