@@ -1626,6 +1626,14 @@ object SparkEntry {
     "q232_bpe_train" -> { (s, dir) =>
       TextAnalysis.bpeTrain(TestData.documents(s, dir)).orderBy("round")
     },
+    // Expectation-suite data contract: every row-wise rule + uniqueness
+    // compiled into ONE aggregate pass (rules declared once, both
+    // engines compile from the same list); relationship as a broadcast
+    // anti-join — the dbt-test shape at one-scan cost.
+    "q233_expectation_suite" -> { (s, dir) =>
+      DataQuality.expectationSuite(TestData.orders(s, dir),
+        TestData.customer(s, dir)).orderBy("expectation", "target")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3167,6 +3175,11 @@ object SparkEntry {
       s"""WITH ${TextAnalysis.bpeTrainSql()}
           SELECT round, pair, freq, corpus_symbols
           FROM bpe_train ORDER BY round""",
+
+    "q233_expectation_suite" ->
+      s"""WITH ${DataQuality.expectationSuiteSql()}
+          SELECT expectation, target, n_rows, n_violations, pass
+          FROM expectation_suite ORDER BY expectation, target""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

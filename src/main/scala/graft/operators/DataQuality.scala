@@ -114,4 +114,94 @@ object DataQuality {
          |FROM (SELECT $lhs, CAST(COUNT(DISTINCT $rhs) AS BIGINT) AS nd
          |      FROM $table GROUP BY $lhs) g""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  /** The row-wise expectation rules over `orders`, declared ONCE as
+    * (rule type, target, Spark violation predicate, SQL violation
+    * predicate) — both engines compile from this list, so the suite
+    * cannot drift (the BankFunctions shared-constants pattern). Each
+    * predicate marks a VIOLATING row.
+    */
+  val orderExpectations: Seq[(String, String, org.apache.spark.sql.Column, String)] = Seq(
+    ("not_null", "o_custkey",
+      col("o_custkey").isNull, "o_custkey IS NULL"),
+    ("accepted_values", "o_orderstatus",
+      !col("o_orderstatus").isin("O", "F", "P"),
+      "o_orderstatus NOT IN ('O', 'F', 'P')"),
+    ("positive", "o_totalprice",
+      col("o_totalprice") <= 0.0, "o_totalprice <= 0.0"),
+    ("pattern", "o_orderpriority",
+      !col("o_orderpriority").rlike("^[1-5]-"),
+      "NOT regexp_matches(o_orderpriority, '^[1-5]-')"))
+
+  /** Expectation-suite data contract (the dbt-test / Great-Expectations
+    * shape) evaluated the way a 100 TB table can afford: every ROW-WISE
+    * rule ([[orderExpectations]]) plus the uniqueness check compile into
+    * ONE map-side-combinable aggregate over one scan — a per-rule pass
+    * (N scans for N rules, the naive test-runner plan) is the difference
+    * between one job and a nightly backlog. The long-form report is
+    * restored AFTER aggregation by exploding a literal struct array over
+    * the 1-row result. The relationship rule (every o_custkey resolves
+    * in customer) is inherently a second plan — a broadcast anti-join
+    * count, the q37 FK pattern.
+    */
+  def expectationSuite(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val rowRules = orderExpectations.zipWithIndex.map { case ((_, _, c, _), i) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"v$i")
+    }
+    val uniq = (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
+      .as("v_uniq")
+    val agg = orders.agg(count(lit(1)).as("n_rows"), rowRules :+ uniq: _*)
+    val entries = orderExpectations.zipWithIndex.map { case ((n, t, _, _), i) =>
+      struct(lit(n).as("expectation"), lit(t).as("target"),
+        col(s"v$i").as("n_violations"))
+    } :+ struct(lit("unique").as("expectation"), lit("o_orderkey").as("target"),
+      col("v_uniq").as("n_violations"))
+    val rowReport = agg
+      .select(col("n_rows"), explode(array(entries: _*)).as("e"))
+      .select(col("e.expectation").as("expectation"), col("e.target").as("target"),
+        col("n_rows"), col("e.n_violations").as("n_violations"))
+    val rel = orders.join(broadcast(customer.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(broadcast(orders.agg(count(lit(1)).as("n_rows"))))
+      .select(lit("relationship").as("expectation"),
+        lit("o_custkey->customer").as("target"), col("n_rows"),
+        col("n_violations"))
+    rowReport.unionByName(rel)
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
+  /** DuckDB twin of [[expectationSuite]] — compiled from the same
+    * [[orderExpectations]] list; embed after `WITH ` and select from
+    * `expectation_suite`.
+    */
+  def expectationSuiteSql(): String = {
+    val rowAgg = orderExpectations.zipWithIndex.map { case ((_, _, _, p), i) =>
+      s"CAST(SUM(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS v$i"
+    }.mkString(",\n|         ")
+    val rowSelects = orderExpectations.zipWithIndex.map { case ((n, t, _, _), i) =>
+      s"""  SELECT '$n' AS expectation, '$t' AS target, n_rows,
+         |         v$i AS n_violations FROM es_agg""".stripMargin
+    }
+    val uniqSelect =
+      s"""  SELECT 'unique' AS expectation, 'o_orderkey' AS target, n_rows,
+         |         v_uniq AS n_violations FROM es_agg""".stripMargin
+    val relSelect =
+      s"""  SELECT 'relationship' AS expectation, 'o_custkey->customer' AS target,
+         |         (SELECT COUNT(*) FROM orders) AS n_rows,
+         |         (SELECT COUNT(*) FROM orders o
+         |          WHERE NOT EXISTS (SELECT 1 FROM customer c
+         |                            WHERE c.c_custkey = o.o_custkey))
+         |           AS n_violations""".stripMargin
+    s"""es_agg AS (
+       |  SELECT COUNT(*) AS n_rows,
+       |         $rowAgg,
+       |         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_uniq
+       |  FROM orders),
+       |expectation_suite AS (
+       |  SELECT expectation, target, n_rows, n_violations,
+       |         n_violations = 0 AS pass
+       |  FROM (
+       |${(rowSelects :+ uniqSelect :+ relSelect).mkString("\n  UNION ALL\n")}) u)""".stripMargin
+  }
 }
