@@ -1634,6 +1634,14 @@ object SparkEntry {
       DataQuality.expectationSuite(TestData.orders(s, dir),
         TestData.customer(s, dir)).orderBy("expectation", "target")
     },
+    // Native session_window in a STREAMING plan: gap-window state that
+    // MERGES across micro-batches (the mid-timeline split exercises it),
+    // closed by the watermark, against the batch lag-formulation oracle
+    // on the same ms grid.
+    "q234_session_window_stream" -> { (s, dir) =>
+      graft.streaming.EventStream.sessionWindowStream(s, dir)
+        .orderBy("user_id", "start_ms")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3180,6 +3188,11 @@ object SparkEntry {
       s"""WITH ${DataQuality.expectationSuiteSql()}
           SELECT expectation, target, n_rows, n_violations, pass
           FROM expectation_suite ORDER BY expectation, target""",
+
+    "q234_session_window_stream" ->
+      s"""WITH ${graft.streaming.EventStream.sessionWindowStreamSql()}
+          SELECT user_id, start_ms, end_ms, n_events, total_cents
+          FROM session_window_stream ORDER BY user_id, start_ms""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

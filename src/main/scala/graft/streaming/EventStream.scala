@@ -749,6 +749,134 @@ object EventStream {
       allProgress.toSeq)
   }
 
+  /** STREAMING sessionization on Spark's native `session_window` — the
+    * gap-window state machine the engine maintains across micro-batches:
+    * unlike a tumbling window, session windows MERGE in the state store
+    * when a later batch's event falls inside an open session's gap, so
+    * splitting the replay mid-timeline genuinely exercises the
+    * cross-batch merge path (the batch q61/q68 formulations never do).
+    * Sessions close when the watermark passes their end; the two
+    * far-future sentinel rows are the usual punctuation (advance, then
+    * evict — the [[clickViewOuter]] pattern).
+    *
+    * Semantics note: `session_window` merges while the gap is STRICTLY
+    * below the threshold, so the oracle's lag formulation breaks on
+    * `diff >= gap` — the boundary differs from q61's `>` convention
+    * (pinned differentially in EventsSpec).
+    *
+    * Span columns aggregate `ts_ns`-derived epoch millis directly (the
+    * integer-time convention) — the window struct only GROUPS; its
+    * boundaries never cross the oracle.
+    */
+  def sessionWindowStream(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame =
+    sessionWindowStreamFromEvents(spark,
+      graft.sources.TestData.events(spark, dir), gapMinutes)
+
+  /** [[sessionWindowStream]] over an explicit events frame — the spec
+    * entry point for crafting a guaranteed cross-batch session merge.
+    */
+  def sessionWindowStreamFromEvents(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): DataFrame = withStatePartitions(spark, 8) {
+    val gapMs = gapMinutes * 60000L
+    val ev = events
+      .select(col("event_id"), col("user_id"), col("ts").as("tstamp"),
+        col("ts_ns"), col("value"))
+    val mm = ev.agg(min("ts_ns").as("lo"), max("ts_ns").as("hi")).head()
+    val midNs = mm.getLong(0) / 2 + mm.getLong(1) / 2
+    val base = exitScratch("graft-sesswin")
+    val (src, sink, ck) = (s"$base/src", s"$base/sink", s"$base/ck")
+
+    var mtime = (System.currentTimeMillis() / 60000L) * 60000L
+    def writeChunk(df: DataFrame): Unit = {
+      val before = Option(new java.io.File(src).listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+      df.coalesce(1).write.mode("append").parquet(src)
+      mtime += 1000L
+      new java.io.File(src).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(f => require(f.setLastModified(mtime),
+          s"setLastModified failed for $f — replay order would be undefined"))
+    }
+    def sentinel(tsLit: String, id: Long) = ev.limit(1).select(
+      lit(id).as("event_id"), lit(-1L).as("user_id"),
+      lit(tsLit).cast(ev.schema("tstamp").dataType).as("tstamp"),
+      lit(Long.MaxValue).as("ts_ns"), lit(0.0).as("value"))
+    // mid-timeline split: users active across the cut get their open
+    // sessions MERGED in state when chunk 2 arrives
+    writeChunk(ev.filter(col("ts_ns") <= midNs))
+    writeChunk(ev.filter(col("ts_ns") > midNs))
+    writeChunk(sentinel("2030-01-01 00:00:00", -1L))
+    writeChunk(sentinel("2030-01-02 00:00:00", -2L))
+
+    val schema = spark.read.parquet(src).schema
+    // the session CLOCK is the ms-truncated time (timestamp_millis of
+    // ts_ns DIV 1e6): the oracle's lag runs on epoch_ms, and a gap
+    // comparison on the micros grid could break a session the ms grid
+    // merges (sub-ms components straddling the boundary) — same grid on
+    // both sides, no edge
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .withColumn("sess_ts", timestamp_millis(expr("ts_ns DIV 1000000")))
+      .withWatermark("sess_ts", "1 hour")
+      .groupBy(session_window(col("sess_ts"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(expr("ts_ns DIV 1000000")).as("start_ms"),
+        max(expr("ts_ns DIV 1000000")).as("max_ms"),
+        sum(graft.functions.OracleSafe.quant(col("value"), 100))
+          .as("total_cents"))
+      .select(col("user_id"), col("n_events"), col("start_ms"),
+        col("max_ms"), col("total_cents"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    spark.read.parquet(sink)
+      .filter(col("user_id") >= 0L)
+      .select(col("user_id"), col("start_ms"),
+        (col("max_ms") + gapMs).as("end_ms"), col("n_events"),
+        col("total_cents"))
+  }
+
+  /** DuckDB twin of [[sessionWindowStream]] — the lag formulation with
+    * the NATIVE boundary (break on `diff >= gap`). Embed after `WITH `
+    * and select from `session_window_stream`.
+    */
+  def sessionWindowStreamSql(gapMinutes: Int = 30): String = {
+    val gapMs = gapMinutes * 60000L
+    s"""sws_lag AS (
+       |  SELECT user_id, event_id,
+       |         ${graft.functions.OracleSafe.quantSql("value", 100)} AS cents,
+       |         epoch_ms(ts) AS ms,
+       |         LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+       |           ORDER BY epoch_ms(ts), event_id) AS prev_ms
+       |  FROM events),
+       |sws_flag AS (
+       |  SELECT user_id, event_id, cents, ms,
+       |         CASE WHEN prev_ms IS NULL OR ms - prev_ms >= $gapMs
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM sws_lag),
+       |sws_seq AS (
+       |  SELECT user_id, cents, ms,
+       |         CAST(SUM(new_session) OVER (PARTITION BY user_id
+       |           ORDER BY ms, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           AS session_seq
+       |  FROM sws_flag),
+       |session_window_stream AS (
+       |  SELECT user_id, MIN(ms) AS start_ms, MAX(ms) + $gapMs AS end_ms,
+       |         COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS total_cents
+       |  FROM sws_seq GROUP BY user_id, session_seq)""".stripMargin
+  }
+
   /** Exactly-once delivery to an EXTERNAL sink via idempotent
     * `foreachBatch` — the production pattern for sinks without
     * transactional integration (JDBC upserts, object stores): Structured

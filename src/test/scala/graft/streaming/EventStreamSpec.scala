@@ -199,6 +199,58 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(batch.select("hour", "event_type", "n")).count() == 0)
   }
 
+  test("session_window stream: equals the batch gap sessions; a session spans the split") {
+    import org.apache.spark.sql.functions._
+    val res = EventStream.sessionWindowStream(spark, sf)
+    val gapMs = 30 * 60000L
+    // batch oracle on the SAME ms grid with the native boundary (>= breaks)
+    val ev = graft.sources.TestData.events(spark, sf)
+      .selectExpr("user_id", "event_id", "ts_ns DIV 1000000 AS ms",
+        s"${"CAST(floor(value * 100) AS BIGINT)"} AS cents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ms", "event_id")
+    val batch = ev
+      .withColumn("prev", lag("ms", 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("ms") - col("prev") >= gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("seq", sum("brk").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "seq")
+      .agg(min("ms").as("start_ms"), (max("ms") + gapMs).as("end_ms"),
+        count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+      .select("user_id", "start_ms", "end_ms", "n_events", "total_cents")
+    assert(res.count() == batch.count())
+    assert(res.exceptAll(batch).count() == 0,
+      "streaming session_window must equal the batch gap formulation")
+  }
+
+  test("session_window stream: state MERGES when a later batch lands in an open gap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // user 1: events at t0 and t0+40min (two sessions); a third at
+    // t0+20min lands ts-wise between them — and ts-midpoint chunking puts
+    // {t0, t0+20} in chunk 1 and {t0+40} in chunk 2, so chunk 2's event
+    // must MERGE into the open session in state (gap 30min: 20 and 20
+    // both below). One emitted session of 3 events proves the merge.
+    val t0us = 1700000000000000L
+    val ev = Seq(
+      (1L, 1L, t0us, 10.0),
+      (2L, 1L, t0us + 20L * 60000000L, 10.0),
+      (3L, 1L, t0us + 40L * 60000000L, 10.0))
+      .toDF("event_id", "user_id", "us", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"),
+        (col("us") * 1000L).as("ts_ns"), col("value"))
+    val res = EventStream.sessionWindowStreamFromEvents(spark, ev)
+      .collect()
+    assert(res.length == 1, s"one merged session expected: ${res.toSeq}")
+    val r = res.head
+    assert(r.getLong(3) == 3L, s"all three events in the merged session: $r")
+    assert(r.getLong(2) - r.getLong(1) == 40L * 60000L + 30L * 60000L,
+      "span = 40 min of events + the 30 min gap tail")
+  }
+
   test("exactly-once sink: the replayed foreachBatch leaves no duplicates") {
     import org.apache.spark.sql.functions._
     val res = EventStream.exactlyOnceSink(spark, sf)
