@@ -1642,6 +1642,16 @@ object SparkEntry {
       graft.streaming.EventStream.sessionWindowStream(s, dir)
         .orderBy("user_id", "start_ms")
     },
+    // The IVF index PERSISTED: centroids + cell-partitioned postings
+    // written to parquet, queries served from the LOADED artifacts only
+    // (cells re-derived against the loaded centroids). The oracle is
+    // q54's single-plan SQL — hash-equality is the round-trip
+    // certificate.
+    "q235_persisted_ivf" -> { (s, dir) =>
+      Similarity.persistedIvfTopK(TestData.embeddings(s, dir),
+        scratchDir("graft-q235").resolve("ivf_index").toString)
+        .orderBy("qid", "rank")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3193,6 +3203,12 @@ object SparkEntry {
       s"""WITH ${graft.streaming.EventStream.sessionWindowStreamSql()}
           SELECT user_id, start_ms, end_ms, n_events, total_cents
           FROM session_window_stream ORDER BY user_id, start_ms""",
+
+    // The persisted round trip must reproduce the in-plan q54 result
+    // exactly — the oracle IS ivfTopKSql.
+    "q235_persisted_ivf" ->
+      s"""WITH ${Similarity.ivfTopKSql()}
+          SELECT qid, rank, nid, score FROM ivf_topk ORDER BY qid, rank""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

@@ -398,6 +398,64 @@ object Similarity {
        |  FROM ivf_scores
        |  QUALIFY rank <= $k)""".stripMargin
 
+  /** The IVF index PERSISTED and SERVED (q235) — the deployment shape the
+    * in-plan [[ivfTopK]] stands in for. Build once: write the √n centroid
+    * table and the CELL-PARTITIONED postings (the inverted lists — one
+    * parquet directory per cell) under `indexDir`. Then serve strictly
+    * from the loaded artifacts: each query re-derives its cell against the
+    * LOADED centroids (the true serving path — a fresh query vector knows
+    * nothing of build-time assignments) and probes only that cell's
+    * postings. Hash-equality with [[ivfTopK]]'s single-plan result — the
+    * DuckDB twin is the SAME [[ivfTopKSql]] — is the round-trip
+    * certificate: quantization, tie-breaks, and scoring all survive
+    * parquet exactly.
+    *
+    * Scale: at 100 TB the postings layout is the point — a query with
+    * nprobe cells lists and reads exactly nprobe directories (partition
+    * pruning; asserted file-for-file in `PersistedIvfSpec`), the
+    * centroid table is the only broadcast (≤ 64 Ki rows by the sizing
+    * cap), and the batch-serving join below shuffles by cell, i.e. by
+    * inverted list — the same data movement a distributed ANN server
+    * performs per probe.
+    */
+  def persistedIvfTopK(embeddings: DataFrame, indexDir: String,
+      k: Int = 5, queryMod: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    // ---- build: quantize once, assign, persist the index layout
+    val qv = quantized(embeddings).localCheckpoint()
+    seedCentroids(embeddings, qv)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    qv.join(ivfAssign(embeddings).select("vec_id", "cell"), Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("q"), col("n2"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/postings")
+    // ---- serve: every input below is a LOADED artifact
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      // partition discovery re-infers the dir value as INT; restore the
+      // build's BIGINT so join/output dtypes agree with the oracle
+      .withColumn("cell", col("cell").cast("long"))
+    val queries = postings.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("n2a"))
+    // re-assignment from the loaded centroids — identical argmax +
+    // tie-break (score desc, cid asc) as the build-time ivfAssign
+    val qScores = queries.join(broadcast(cents))
+      .select(col("qid"), col("qa"), col("n2a"), col("cid"),
+        cosine(dot(col("qa"), col("cq")), col("n2a"), col("cn2")).as("cscore"))
+    val qCells = graft.plans.TopK.perKey(qScores, Seq("qid"),
+        Seq(graft.plans.TopK.desc("cscore"), graft.plans.TopK.asc("cid")),
+        k = 1, rankName = "rnk")
+      .select(col("qid"), col("qa"), col("n2a"), col("cid").as("cell"))
+    val scored = postings
+      .select(col("cell"), col("vec_id").as("nid"), col("q").as("qb"), col("n2").as("n2b"))
+      .join(qCells, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine(dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("score"))
+    graft.plans.TopK.perKey(scored, Seq("qid"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("nid")), k)
+      .select("qid", "rank", "nid", "score")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among pairs whose
     * corpus-derived LSH buckets are within Hamming distance 1 (multi-probe
     * from the smaller id's side, so each unordered pair is generated exactly
