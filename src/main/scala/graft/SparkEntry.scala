@@ -1652,6 +1652,13 @@ object SparkEntry {
         scratchDir("graft-q235").resolve("ivf_index").toString)
         .orderBy("qid", "rank")
     },
+    // Column-encoding advisor: the content statistics a columnar writer's
+    // encoding chooser runs on (distinct ratio, run lengths under the
+    // cluster order) and its verdict per column; the spec proves the
+    // advised encodings shrink real parquet bytes on disk.
+    "q236_encoding_advisor" -> { (s, dir) =>
+      Planning.encodingAdvisor(TestData.lineitem(s, dir)).orderBy("col_name")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3209,6 +3216,11 @@ object SparkEntry {
     "q235_persisted_ivf" ->
       s"""WITH ${Similarity.ivfTopKSql()}
           SELECT qid, rank, nid, score FROM ivf_topk ORDER BY qid, rank""",
+
+    "q236_encoding_advisor" ->
+      s"""WITH ${Planning.encodingAdvisorSql()}
+          SELECT col_name, n, n_distinct, sum_len, runs_clustered, advice
+          FROM encoding_advice ORDER BY col_name""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

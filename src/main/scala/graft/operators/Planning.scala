@@ -1592,4 +1592,110 @@ object Planning {
        |         CAST(SUM(w) * $buckets AS DOUBLE) / CAST(MAX(tot) AS DOUBLE)
        |           AS depth_x_buckets
        |  FROM edh_cum, edh_tot GROUP BY 1)""".stripMargin
+
+  // ------------------------------------------------- encoding advisor
+
+  /** The columns [[encodingAdvisor]] profiles, each rendered to a string
+    * BOTH engines print identically (doubles go through the cents/quant
+    * grid first — a raw double-to-string differs between engines).
+    * (name, Spark rendering, DuckDB rendering).
+    */
+  private val encodingCols: Seq[(String, Column, String)] = Seq(
+    ("l_returnflag", col("l_returnflag"), "l_returnflag"),
+    ("l_linestatus", col("l_linestatus"), "l_linestatus"),
+    ("l_linenumber", col("l_linenumber").cast("string"),
+      "CAST(l_linenumber AS VARCHAR)"),
+    ("l_orderkey", col("l_orderkey").cast("string"),
+      "CAST(l_orderkey AS VARCHAR)"),
+    ("l_partkey", col("l_partkey").cast("string"),
+      "CAST(l_partkey AS VARCHAR)"),
+    ("l_suppkey", col("l_suppkey").cast("string"),
+      "CAST(l_suppkey AS VARCHAR)"),
+    ("l_quantity", OracleSafe.quant(col("l_quantity"), 1).cast("string"),
+      s"CAST(${OracleSafe.quantSql("l_quantity", 1)} AS VARCHAR)"),
+    ("l_extendedprice", OracleSafe.quant(col("l_extendedprice"), 100).cast("string"),
+      s"CAST(${OracleSafe.quantSql("l_extendedprice", 100)} AS VARCHAR)"),
+    ("l_discount", OracleSafe.quant(col("l_discount"), 100).cast("string"),
+      s"CAST(${OracleSafe.quantSql("l_discount", 100)} AS VARCHAR)"),
+    ("l_shipdate", date_format(col("l_shipdate"), "yyyy-MM-dd"),
+      "strftime(l_shipdate, '%Y-%m-%d')"))
+
+  /** Column-encoding advisor (q236): per column, the content statistics a
+    * columnar writer's encoding chooser runs on — row count, exact
+    * distinct count, total rendered width, and the number of value RUNS
+    * the column exhibits under the table's CLUSTER order (sorted by
+    * `l_shipdate`, the layout q217 writes) — plus the verdict an exact
+    * chooser derives: `run_length` when the mean run is ≥ 8 values,
+    * else `dictionary` when each distinct value repeats ≥ 64×, else
+    * `plain`. `EncodingAdvisorSpec` closes the physical loop: the advised
+    * encodings measurably shrink real parquet bytes on disk (dictionary
+    * on/off, clustered vs shuffled row order).
+    *
+    * Scale shape: the columns unpivot into one (col_name, value) frame —
+    * one scan, 10n rows — and runs are counted per (column, cluster-key
+    * group) window, so no global sort exists anywhere: cluster groups are
+    * what a writer sees inside one file. The per-column tie-break appends
+    * the rendered value, making every window order total even when the
+    * physical row id ties (the sf0.001 data has one duplicate row id).
+    * At 100 TB the same plan runs on a row sample; exactness here is what
+    * lets the oracle pin it.
+    */
+  def encodingAdvisor(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stacked = lineitem.select(
+      date_format(col("l_shipdate"), "yyyy-MM-dd").as("g"),
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+      explode(array(encodingCols.map { case (n, c, _) =>
+        struct(lit(n).as("col_name"), c.as("v")) }: _*)).as("e"))
+      .select(col("g"), col("ok"), col("ln"), col("pk"), col("sk"),
+        col("e.col_name").as("col_name"), col("e.v").as("v"))
+    val w = Window.partitionBy("col_name", "g")
+      .orderBy(col("ok"), col("ln"), col("pk"), col("sk"), col("v"))
+    val runs = stacked
+      .withColumn("is_start", !(lag(col("v"), 1).over(w) <=> col("v")))
+    runs.groupBy("col_name")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("v")).as("n_distinct"),
+        sum(length(col("v"))).cast("long").as("sum_len"),
+        sum(when(col("is_start"), 1L).otherwise(0L)).as("runs_clustered"))
+      .select(col("col_name"), col("n"), col("n_distinct"), col("sum_len"),
+        col("runs_clustered"),
+        when(col("runs_clustered") * 8 <= col("n"), "run_length")
+          .when(col("n_distinct") * 64 <= col("n"), "dictionary")
+          .otherwise("plain").as("advice"))
+  }
+
+  /** DuckDB twin of [[encodingAdvisor]] — one branch per column (the
+    * single-node engine needs no unpivot), identical rendering, window,
+    * and thresholds. Embed after `WITH ` and select from `encoding_advice`.
+    */
+  def encodingAdvisorSql(): String = {
+    val branches = encodingCols.map { case (n, _, sqlExpr) =>
+      s"""  SELECT '$n' AS col_name, $sqlExpr AS v,
+         |         strftime(l_shipdate, '%Y-%m-%d') AS g,
+         |         l_orderkey AS ok, l_linenumber AS ln,
+         |         l_partkey AS pk, l_suppkey AS sk
+         |  FROM lineitem""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""enc_stack AS (
+       |$branches),
+       |enc_runs AS (
+       |  SELECT col_name, v,
+       |         CASE WHEN LAG(v) OVER (PARTITION BY col_name, g
+       |                ORDER BY ok, ln, pk, sk, v) IS NOT DISTINCT FROM v
+       |              THEN 0 ELSE 1 END AS is_start
+       |  FROM enc_stack),
+       |enc_stats AS (
+       |  SELECT col_name, COUNT(*) AS n, COUNT(DISTINCT v) AS n_distinct,
+       |         CAST(SUM(length(v)) AS BIGINT) AS sum_len,
+       |         CAST(SUM(is_start) AS BIGINT) AS runs_clustered
+       |  FROM enc_runs GROUP BY 1),
+       |encoding_advice AS (
+       |  SELECT col_name, n, n_distinct, sum_len, runs_clustered,
+       |         CASE WHEN runs_clustered * 8 <= n THEN 'run_length'
+       |              WHEN n_distinct * 64 <= n THEN 'dictionary'
+       |              ELSE 'plain' END AS advice
+       |  FROM enc_stats)""".stripMargin
+  }
 }
