@@ -1659,6 +1659,16 @@ object SparkEntry {
     "q236_encoding_advisor" -> { (s, dir) =>
       Planning.encodingAdvisor(TestData.lineitem(s, dir)).orderBy("col_name")
     },
+    // Point lookups on a NON-cluster key through a persisted per-zone
+    // Bloom index: candidate zones from the loaded bloom only, the fact
+    // scan opens only candidate dirs, and totals hash-match the direct
+    // filter (blooms admit no false negatives); the candidate-vs-matching
+    // gap measures the index's false-positive I/O.
+    "q237_bloom_index_lookup" -> { (s, dir) =>
+      Planning.bloomIndexedLookup(TestData.lineitem(s, dir),
+        scratchDir("graft-q237").resolve("bloom_index").toString)
+        .orderBy("probe_key")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3221,6 +3231,12 @@ object SparkEntry {
       s"""WITH ${Planning.encodingAdvisorSql()}
           SELECT col_name, n, n_distinct, sum_len, runs_clustered, advice
           FROM encoding_advice ORDER BY col_name""",
+
+    "q237_bloom_index_lookup" ->
+      s"""WITH ${Planning.bloomIndexedLookupSql()}
+          SELECT probe_key, zones_total, zones_candidate, zones_matching,
+                 n_rows, total_cents
+          FROM bloom_lookup ORDER BY probe_key""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

@@ -1698,4 +1698,166 @@ object Planning {
        |              ELSE 'plain' END AS advice
        |  FROM enc_stats)""".stripMargin
   }
+
+  // ------------------------------------------------- bloom point-lookup index
+
+  /** Point lookups through a PERSISTED per-zone Bloom index (q237) — the
+    * file-skipping structure q217's zone maps cannot provide: zone maps
+    * prune RANGE predicates on the cluster key, but a point lookup on a
+    * NON-cluster key (`l_orderkey` against the date-clustered layout) sees
+    * every zone's [min,max] straddle it. The index writes, per month zone,
+    * the Bloom bit positions of the zone's order keys (the q157/q222
+    * 48-bit-md5 bloom, `bitsPerKey·n_z` bits, `kHash` probes — at
+    * deployment a bitmap in the file footer, persisted relationally here
+    * so the oracle can reproduce membership bit-for-bit). Serving loads
+    * ONLY the index, routes each probe key to its candidate zones, and
+    * scans just those partition dirs (pruning asserted physically in
+    * `BloomIndexSpec`).
+    *
+    * Probe set: every order key ≡ 0 (mod `probeMod`) — plus each shifted
+    * by +10⁹, keys guaranteed ABSENT, so the audit also measures the
+    * all-miss path where candidates are pure false positives. Output per
+    * probe key: candidate zones, truly-matching zones (their gap = the
+    * index's false-positive I/O), rows and cent-exact total from the
+    * PRUNED scan — which hash-match the oracle's direct full-table filter
+    * because a Bloom filter admits no false negatives.
+    *
+    * Scale shape: the index is O(zones · keys-per-zone · kHash) positions
+    * (a bitmap at deployment); probes touch it key-grain; the fact scan
+    * reads only candidate dirs. The driver-side zone list is bounded by
+    * the calendar, the same decision frame a file-skipping index hands
+    * the scheduler (q217's pattern).
+    */
+  def bloomIndexedLookup(lineitem: DataFrame, outDir: String,
+      bitsPerKey: Int = 8, kHash: Int = 3, probeMod: Int = 997): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    // ---- build: date-clustered fact + per-zone bloom, persisted
+    val zone = (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+      .cast("long")
+    lineitem.select(col("l_orderkey"),
+        OracleSafe.quant(col("l_extendedprice"), 100).as("cents"),
+        zone.as("zone"))
+      .repartitionByRange(col("zone"))
+      .write.mode("overwrite").partitionBy("zone").parquet(s"$outDir/fact")
+    val zoneKeys = spark.read.parquet(s"$outDir/fact")
+      .select(col("zone").cast("long").as("zone"),
+        h48(col("l_orderkey")).as("hk")).distinct()
+    val meta = zoneKeys.groupBy("zone")
+      .agg(greatest(count(lit(1)) * bitsPerKey, lit(1L)).as("m"))
+    meta.write.mode("overwrite").parquet(s"$outDir/meta")
+    zoneKeys.join(broadcast(meta), Seq("zone"))
+      .select(col("zone"), explode(sequence(lit(0), lit(kHash - 1))).as("i"),
+        col("hk"), col("m"))
+      .select(col("zone"),
+        (h48(concat(col("hk").cast("string"), lit(":"), col("i").cast("string")))
+          % col("m")).as("pos"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$outDir/bloom")
+    // ---- serve: route probes through the LOADED index only
+    val bloom = spark.read.parquet(s"$outDir/bloom")
+    val zonesMeta = spark.read.parquet(s"$outDir/meta").localCheckpoint()
+    val present = lineitem.select(col("l_orderkey").as("probe_key")).distinct()
+      .filter(col("probe_key") % probeMod === 0)
+    val probes = present
+      .unionByName(present.select((col("probe_key") + 1000000000L).as("probe_key")))
+      .select(col("probe_key"), h48(col("probe_key")).as("hk"))
+    val candidates = probes.crossJoin(broadcast(zonesMeta))
+      .select(col("probe_key"), col("zone"),
+        explode(sequence(lit(0), lit(kHash - 1))).as("i"), col("hk"), col("m"))
+      .select(col("probe_key"), col("zone"),
+        (h48(concat(col("hk").cast("string"), lit(":"), col("i").cast("string")))
+          % col("m")).as("pos"))
+      .join(bloom.withColumn("hit", lit(1)), Seq("zone", "pos"), "left")
+      .groupBy("probe_key", "zone")
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .filter(col("hits") === kHash)
+      .select("probe_key", "zone")
+      .localCheckpoint() // bounded: probes × candidate months
+    // the file-skipping decision: the union of candidate zone dirs
+    val zoneList = candidates.select("zone").distinct().as[Long].collect()
+    val zoneFilter =
+      if (zoneList.isEmpty) lit(false)
+      else col("zone").isin(zoneList.toIndexedSeq.map(Long.box): _*)
+    val matched = spark.read.parquet(s"$outDir/fact")
+      .filter(zoneFilter) // non-candidate dirs never open
+      .select(col("l_orderkey").as("probe_key"),
+        col("zone").cast("long").as("zone"), col("cents"))
+      .join(candidates, Seq("probe_key", "zone"))
+      .groupBy("probe_key")
+      .agg(countDistinct(col("zone")).as("zones_matching"),
+        count(lit(1)).as("n_rows"), sum("cents").as("total_cents"))
+    val nZones = zonesMeta.agg(count(lit(1)).as("zones_total"))
+    probes.select("probe_key")
+      .join(candidates.groupBy("probe_key")
+        .agg(count(lit(1)).as("zones_candidate")), Seq("probe_key"), "left")
+      .join(matched, Seq("probe_key"), "left")
+      .crossJoin(broadcast(nZones))
+      .select(col("probe_key"), col("zones_total"),
+        coalesce(col("zones_candidate"), lit(0L)).as("zones_candidate"),
+        coalesce(col("zones_matching"), lit(0L)).as("zones_matching"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("total_cents"))
+  }
+
+  /** DuckDB twin of [[bloomIndexedLookup]] — identical zones, bloom
+    * positions, candidate rule, and per-key totals, computed logically
+    * (the oracle has no files to skip). Embed after `WITH ` and select
+    * from `bloom_lookup`.
+    */
+  def bloomIndexedLookupSql(bitsPerKey: Int = 8, kHash: Int = 3,
+      probeMod: Int = 997): String =
+    s"""bil_fact AS (
+       |  SELECT l_orderkey, ${OracleSafe.quantSql("l_extendedprice", 100)} AS cents,
+       |         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS zone
+       |  FROM lineitem),
+       |bil_zone_keys AS (
+       |  SELECT DISTINCT zone, ${h48Sql("l_orderkey")} AS hk FROM bil_fact),
+       |bil_meta AS (
+       |  SELECT zone, GREATEST(COUNT(*) * $bitsPerKey, 1) AS m
+       |  FROM bil_zone_keys GROUP BY 1),
+       |bil_bloom AS (
+       |  SELECT DISTINCT k.zone,
+       |         (${h48Sql("CAST(k.hk AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}) % m.m AS pos
+       |  FROM bil_zone_keys k
+       |  JOIN bil_meta m ON m.zone = k.zone,
+       |       (SELECT unnest(generate_series(0, $kHash - 1)) AS i)),
+       |bil_present AS (
+       |  SELECT DISTINCT l_orderkey AS probe_key FROM lineitem
+       |  WHERE l_orderkey % $probeMod = 0),
+       |bil_probes AS (
+       |  SELECT probe_key, ${h48Sql("probe_key")} AS hk FROM (
+       |    SELECT probe_key FROM bil_present
+       |    UNION ALL
+       |    SELECT probe_key + 1000000000 FROM bil_present)),
+       |bil_cand AS (
+       |  SELECT probe_key, zone FROM (
+       |    SELECT p.probe_key, m.zone,
+       |           SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS hits
+       |    FROM (SELECT p0.probe_key, p0.hk, m0.zone, m0.m,
+       |                 (${h48Sql("CAST(p0.hk AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}) % m0.m AS pos
+       |          FROM bil_probes p0, bil_meta m0,
+       |               (SELECT unnest(generate_series(0, $kHash - 1)) AS i)) p
+       |    JOIN bil_meta m ON m.zone = p.zone
+       |    LEFT JOIN bil_bloom b ON b.zone = p.zone AND b.pos = p.pos
+       |    GROUP BY 1, 2)
+       |  WHERE hits = $kHash),
+       |bil_matched AS (
+       |  SELECT f.l_orderkey AS probe_key,
+       |         COUNT(DISTINCT f.zone) AS zones_matching,
+       |         COUNT(*) AS n_rows, SUM(f.cents) AS total_cents
+       |  FROM bil_fact f JOIN bil_cand c
+       |    ON c.probe_key = f.l_orderkey AND c.zone = f.zone
+       |  GROUP BY 1),
+       |bloom_lookup AS (
+       |  SELECT p.probe_key,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM bil_meta) AS zones_total,
+       |         CAST(COALESCE(c.zones_candidate, 0) AS BIGINT) AS zones_candidate,
+       |         CAST(COALESCE(m.zones_matching, 0) AS BIGINT) AS zones_matching,
+       |         CAST(COALESCE(m.n_rows, 0) AS BIGINT) AS n_rows,
+       |         CAST(m.total_cents AS BIGINT) AS total_cents
+       |  FROM (SELECT DISTINCT probe_key FROM bil_probes) p
+       |  LEFT JOIN (SELECT probe_key, COUNT(*) AS zones_candidate
+       |             FROM bil_cand GROUP BY 1) c ON c.probe_key = p.probe_key
+       |  LEFT JOIN bil_matched m ON m.probe_key = p.probe_key)""".stripMargin
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.TestData
+
+/** q237: the persisted per-zone Bloom index — no false negatives, exact
+  * totals from the pruned scan, physical partition pruning on the layout,
+  * and bounded false-positive fan-out for absent keys.
+  */
+class BloomIndexSpec extends SparkSpec {
+
+  private def run(out: java.nio.file.Path) =
+    Planning.bloomIndexedLookup(TestData.lineitem(spark, sf),
+      s"$out/bloom_index").collect()
+      .map(r => r.getAs[Long]("probe_key") -> r).toMap
+
+  test("no false negatives: every present key's rows and cents survive the pruned scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft-bidx-spec")
+    try {
+      val got = run(out)
+      val expect = TestData.lineitem(spark, sf)
+        .filter(col("l_orderkey") % 997 === 0)
+        .groupBy(col("l_orderkey").as("probe_key"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(graft.functions.OracleSafe.quant(col("l_extendedprice"), 100))
+            .as("total_cents"))
+        .collect()
+        .map(r => r.getAs[Long]("probe_key") ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("total_cents"))).toMap
+      assert(expect.nonEmpty, "probe set must not be empty at this sf")
+      for ((k, (n, cents)) <- expect) {
+        val r = got(k)
+        assert(r.getAs[Long]("n_rows") == n, s"key $k row count")
+        assert(r.getAs[Long]("total_cents") == cents, s"key $k total")
+        assert(r.getAs[Long]("zones_candidate") >= r.getAs[Long]("zones_matching"),
+          s"key $k: candidates must cover every matching zone")
+        assert(r.getAs[Long]("zones_matching") >= 1L)
+      }
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
+  test("absent keys: zero rows, NULL total, and bounded false-positive fan-out") {
+    val out = java.nio.file.Files.createTempDirectory("graft-bidx-spec")
+    try {
+      val got = run(out)
+      val misses = got.filter(_._1 >= 1000000000L).values.toSeq
+      assert(misses.nonEmpty)
+      for (r <- misses) {
+        assert(r.getAs[Long]("n_rows") == 0L && r.getAs[Long]("zones_matching") == 0L)
+        assert(r.isNullAt(r.fieldIndex("total_cents")),
+          "a lookup that matches nothing sums to NULL")
+      }
+      // the index's point: an absent key fans out to a HANDFUL of
+      // false-positive zones, not the whole calendar (expected ~3.1%
+      // of zones at 8 bits / 3 hashes; deterministic md5 arithmetic)
+      val total = misses.head.getAs[Long]("zones_total").toDouble
+      val avgCand = misses.map(_.getAs[Long]("zones_candidate")).sum.toDouble / misses.size
+      assert(avgCand <= 0.15 * total,
+        s"avg false-positive fan-out $avgCand must stay well under $total zones")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
+  test("the layout prunes physically: a one-zone filter opens one partition dir") {
+    val out = java.nio.file.Files.createTempDirectory("graft-bidx-spec")
+    try {
+      run(out)
+      val fact = s"$out/bloom_index/fact"
+      val nZones = new java.io.File(fact).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("zone="))
+      assert(nZones > 1)
+      val someZone = new java.io.File(fact).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("zone="))
+        .map(_.getName.stripPrefix("zone=").toLong).min
+      val probe = spark.read.parquet(fact).filter(col("zone") === someZone)
+      probe.collect()
+      val selected = probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.sum
+      assert(selected == 1, s"one-zone lookup must open 1 of $nZones dirs, opened $selected")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+}
