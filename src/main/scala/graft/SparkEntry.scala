@@ -1669,6 +1669,14 @@ object SparkEntry {
         scratchDir("graft-q237").resolve("bloom_index").toString)
         .orderBy("probe_key")
     },
+    // The q219 sketch ranking EXECUTED beside the exact ranking: both
+    // pickers' first-choice orders run as real left-deep chains with
+    // result-equal totals; same_pick certifies whether constant-size
+    // sketches reproduced the exact-statistics decision.
+    "q238_sketch_order_exec" -> { (s, dir) =>
+      Planning.executeSketchJoinOrder(TestData.customer(s, dir),
+        TestData.orders(s, dir), TestData.lineitem(s, dir))
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3237,6 +3245,12 @@ object SparkEntry {
           SELECT probe_key, zones_total, zones_candidate, zones_matching,
                  n_rows, total_cents
           FROM bloom_lookup ORDER BY probe_key""",
+
+    "q238_sketch_order_exec" ->
+      s"""WITH ${Planning.executeSketchJoinOrderSql()}
+          SELECT picker, join_order, est_rows, first_join_rows, n_rows,
+                 total_cents, same_pick
+          FROM sketch_order_exec ORDER BY picker""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

@@ -1387,6 +1387,24 @@ object Planning {
       .filter(col("rk").isin(1, 4))
       .select("rk", "join_order", "first_join_est")
       .collect() // 2-row plan frame: the planner's decision, not data
+    val runs = picks.toSeq.map { r =>
+      val (rk, order, est) = (r.getInt(0), r.getString(1), r.getDouble(2))
+      val (firstCnt, fullAgg) = leftDeepChainAggs(customer, orders, lineitem, order)
+      broadcast(Seq((if (rk == 1) "best" else "worst", order, est))
+          .toDF("order_rank", "join_order", "est_first_rows"))
+        .crossJoin(firstCnt).crossJoin(fullAgg)
+    }
+    runs.reduce(_.unionByName(_)).orderBy("order_rank")
+  }
+
+  /** The left-deep chain pieces [[executeJoinOrder]] and
+    * [[executeSketchJoinOrder]] share: for a '*'-separated order, the
+    * first pair joined in exactly that syntactic order (Catalyst
+    * preserves user join order without CBO) and the full three-way
+    * chain, each reduced to its audit aggregate.
+    */
+  private def leftDeepChainAggs(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, order: String): (DataFrame, DataFrame) = {
     val cust = customer.select(col("c_custkey"))
     val ord = orders.select(col("o_orderkey"), col("o_custkey"))
     val li = lineitem.select(col("l_orderkey"),
@@ -1404,20 +1422,95 @@ object Planning {
         if (joined("customer")) col("c_custkey") === col("o_custkey")
         else col("l_orderkey") === col("o_orderkey")
     }
-    val runs = picks.toSeq.map { r =>
-      val (rk, order, est) = (r.getInt(0), r.getString(1), r.getDouble(2))
-      val names = order.split("\\*").toSeq
-      val first = tbl(names(0)).join(tbl(names(1)), cond(Set(names(0)), names(1)))
-      val full = first.join(tbl(names(2)), cond(names.take(2).toSet, names(2)))
-      val firstCnt = first.agg(count(lit(1)).as("first_join_rows"))
-      val fullAgg = full.agg(count(lit(1)).as("n_rows"),
-        sum(col("cents")).as("total_cents"))
-      broadcast(Seq((if (rk == 1) "best" else "worst", order, est))
-          .toDF("order_rank", "join_order", "est_first_rows"))
+    val names = order.split("\\*").toSeq
+    val first = tbl(names(0)).join(tbl(names(1)), cond(Set(names(0)), names(1)))
+    val full = first.join(tbl(names(2)), cond(names.take(2).toSet, names(2)))
+    (first.agg(count(lit(1)).as("first_join_rows")),
+      full.agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("total_cents")))
+  }
+
+  /** The SKETCH advisor's verdict EXECUTED (q238) — q208 closed the loop
+    * for exact-stat join ordering; this closes it for the constant-size
+    * statistics a 100 TB CBO actually has: the order the KMV sketches
+    * rank first (`rk_sketch` = 1) and the order exact stats rank first
+    * (`rk_exact` = 1) BOTH run as real left-deep chains, each recording
+    * its picker's estimate beside the measured first-join cardinality,
+    * and both aggregate to the same count + cent-exact total (the oracle
+    * computes that total once from a fixed order — the hash-match proves
+    * plan choice moves cost, never results). `same_pick` is the decision-
+    * equivalence certificate: whether 5 sketches of ≤256 hashes each
+    * reproduced the exact-statistics decision.
+    *
+    * Scale shape: the advisor frame is 4 rows (2 collected — the planner
+    * decision, the [[executeSkewPlan]] pattern); each chain is two
+    * equi-join shuffles plus one map-side-combinable aggregate.
+    */
+  def executeSketchJoinOrder(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val spark = customer.sparkSession
+    import spark.implicits._
+    val ranked = sketchJoinOrderAdvisor(customer, orders, lineitem)
+      .filter(col("rk_exact") === 1 || col("rk_sketch") === 1)
+      .select("join_order", "est_exact", "est_sketch", "rk_exact", "rk_sketch")
+      .collect() // <=2-row plan frame: the two pickers' decisions
+    val exactPick = ranked.find(_.getAs[Int]("rk_exact") == 1).get
+    val sketchPick = ranked.find(_.getAs[Int]("rk_sketch") == 1).get
+    val samePick =
+      exactPick.getAs[String]("join_order") == sketchPick.getAs[String]("join_order")
+    val runs = Seq(
+      ("exact", exactPick.getAs[String]("join_order"),
+        exactPick.getAs[Double]("est_exact")),
+      ("sketch", sketchPick.getAs[String]("join_order"),
+        sketchPick.getAs[Double]("est_sketch"))).map { case (picker, order, est) =>
+      val (firstCnt, fullAgg) = leftDeepChainAggs(customer, orders, lineitem, order)
+      broadcast(Seq((picker, order, est, samePick))
+          .toDF("picker", "join_order", "est_rows", "same_pick"))
         .crossJoin(firstCnt).crossJoin(fullAgg)
     }
-    runs.reduce(_.unionByName(_)).orderBy("order_rank")
+    runs.reduce(_.unionByName(_))
+      .select(col("picker"), col("join_order"), col("est_rows"),
+        col("first_join_rows"), col("n_rows"), col("total_cents"),
+        col("same_pick"))
+      .orderBy("picker")
   }
+
+  /** DuckDB twin of [[executeSketchJoinOrder]]; embed after `WITH ` and
+    * select from `sketch_order_exec`. Totals come from ONE fixed join
+    * order — result-equality across executed orders is the proof — and
+    * the first-pair cardinality is re-derived exactly per picked order.
+    */
+  def executeSketchJoinOrderSql(): String =
+    s"""${sketchJoinOrderAdvisorSql()},
+       |esjo_first_co AS (
+       |  SELECT COUNT(*) AS fr FROM customer JOIN orders ON c_custkey = o_custkey),
+       |esjo_first_ol AS (
+       |  SELECT COUNT(*) AS fr FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |esjo_tot AS (
+       |  SELECT COUNT(*) AS n_rows,
+       |         CAST(SUM(${OracleSafe.quantSql("l_extendedprice", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM customer
+       |  JOIN orders ON c_custkey = o_custkey
+       |  JOIN lineitem ON o_orderkey = l_orderkey),
+       |esjo_same AS (
+       |  SELECT (SELECT join_order FROM sketch_join_order WHERE rk_exact = 1)
+       |       = (SELECT join_order FROM sketch_join_order WHERE rk_sketch = 1)
+       |         AS same_pick),
+       |esjo_picks AS (
+       |  SELECT 'exact' AS picker, join_order, est_exact AS est_rows
+       |  FROM sketch_join_order WHERE rk_exact = 1
+       |  UNION ALL
+       |  SELECT 'sketch', join_order, est_sketch
+       |  FROM sketch_join_order WHERE rk_sketch = 1),
+       |sketch_order_exec AS (
+       |  SELECT picker, join_order, est_rows,
+       |         CASE WHEN join_order IN ('customer*orders*lineitem',
+       |                                  'orders*customer*lineitem')
+       |              THEN (SELECT fr FROM esjo_first_co)
+       |              ELSE (SELECT fr FROM esjo_first_ol) END AS first_join_rows,
+       |         n_rows, total_cents, same_pick
+       |  FROM esjo_picks, esjo_tot, esjo_same)""".stripMargin
 
   /** DuckDB twin of [[executeJoinOrder]]; embed after `WITH ` and select
     * from `join_order_exec`. The totals come from ONE fixed join order on

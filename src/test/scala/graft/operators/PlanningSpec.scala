@@ -171,6 +171,32 @@ class PlanningSpec extends SparkSpec {
       && byRank("best")._5 == byRank("worst")._5)
   }
 
+  test("executeSketchJoinOrder: both pickers execute; sketches below k reproduce the exact pick") {
+    // below k = 256 distinct keys the KMV sketches ARE the exact stats, so
+    // the two pickers must choose the same order and estimate identically
+    val c = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val o = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 3L), (6L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val l = (1L to 6L).flatMap(k => Seq(k, k))
+      .map(k => (k, k, k, k.toInt, 1.0))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_extendedprice")
+    val rows = Planning.executeSketchJoinOrder(c, o, l).collect()
+    assert(rows.length == 2)
+    val byPicker = rows.map(r => r.getString(0) ->
+      ((r.getString(1), r.getDouble(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))).toMap
+    val (exact, sketch) = (byPicker("exact"), byPicker("sketch"))
+    assert(exact._1 == "customer*orders*lineitem" && sketch._1 == exact._1)
+    assert(exact._6 && sketch._6, "same_pick must certify the agreement")
+    assert(exact._2 == 6.0 && sketch._2 == 6.0,
+      "below k the sketch estimate IS the exact estimate")
+    assert(exact._3 == 6L, "measured first join: 6 customer-order pairs")
+    // both chains land the same full-join results
+    assert(exact._4 == sketch._4 && exact._4 == 12L)
+    assert(exact._5 == sketch._5 && exact._5 == 1200L)
+  }
+
   test("executeJoinStrategy: advised strategies differ and both land the same totals") {
     val li = graft.sources.TestData.lineitem(spark, sf)
     val sup = graft.sources.TestData.supplier(spark, sf)
