@@ -1677,6 +1677,14 @@ object SparkEntry {
       Planning.executeSketchJoinOrder(TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // Conjunctive text search through a persisted inverted index: postings
+    // sharded by term hash, dictionary-derived query workload, each query
+    // reads only its terms' bucket dirs; the oracle recomputes the
+    // intersections logically from the raw documents.
+    "q239_inverted_index" -> { (s, dir) =>
+      TextAnalysis.invertedIndexLookup(TestData.documents(s, dir),
+        scratchDir("graft-q239").resolve("text_index").toString)
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3251,6 +3259,12 @@ object SparkEntry {
           SELECT picker, join_order, est_rows, first_join_rows, n_rows,
                  total_cents, same_pick
           FROM sketch_order_exec ORDER BY picker""",
+
+    "q239_inverted_index" ->
+      s"""WITH ${TextAnalysis.invertedIndexLookupSql()}
+          SELECT query_id, n_terms, n_docs, sum_doc_ids, min_doc_id,
+                 max_doc_id
+          FROM inverted_lookup ORDER BY query_id""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

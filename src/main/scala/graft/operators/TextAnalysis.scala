@@ -1059,4 +1059,116 @@ object TextAnalysis {
        |pareto_frontier AS (
        |  SELECT s.doc_id, s.n_chars, s.q
        |  FROM pf_scored s JOIN pf_front f USING (n_chars, q))""".stripMargin
+
+  // ------------------------------------------------- inverted text index
+
+  /** Conjunctive search through a PERSISTED inverted text index (q239) —
+    * the text sibling of the q235 ANN index and q237 bloom index. Build
+    * writes the postings (term, doc_id) partitioned by a 16-bucket term
+    * hash (one directory per bucket — the shard an index server owns) and
+    * the dictionary (term, doc frequency, bucket). Serving uses ONLY the
+    * loaded artifacts: the query workload derives from the loaded
+    * dictionary (the two rarest + the common terms, ties by term — so the
+    * same queries exist at every scale), each query reads just its terms'
+    * bucket dirs (partition pruning, asserted in `InvertedIndexSpec`),
+    * and AND-semantics are a posting intersection: docs matching ALL
+    * terms. The oracle recomputes everything logically from `documents` —
+    * a hash match proves the index round trip is lossless.
+    *
+    * Scale shape: postings are (term, doc_id) distinct — one shuffle at
+    * build; the dictionary is vocabulary-sized (broadcastable); a query
+    * touches |terms| dirs of 16 and its intersection groups only the
+    * touched posting lists, never the corpus. The 6-term driver-side
+    * frame is the query plan, not data.
+    */
+  def invertedIndexLookup(documents: DataFrame, outDir: String,
+      nBuckets: Int = 16): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // ---- build: postings sharded by term hash + the dictionary
+    val bucket = pmod(
+      conv(substring(md5(col("term")), 1, 12), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
+    val postings = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    postings.withColumn("bucket", bucket)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$outDir/postings")
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", bucket)
+      .write.mode("overwrite").parquet(s"$outDir/dict")
+    // ---- serve: everything below reads the LOADED artifacts
+    val dict = spark.read.parquet(s"$outDir/dict")
+    val rare = dict.orderBy(col("df").asc, col("term"))
+      .select("term", "bucket").limit(2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val common = dict.orderBy(col("df").desc, col("term"))
+      .select("term", "bucket").limit(3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val queries = Seq(
+      ("rare_pair", rare.toSeq),
+      ("rare_common", Seq(rare(0), common(0)).distinct),
+      ("common_triple", common.toSeq))
+    val loaded = spark.read.parquet(s"$outDir/postings")
+      .select(col("term"), col("doc_id"), col("bucket").cast("long").as("bucket"))
+    val runs = queries.map { case (qid, terms) =>
+      val termSet = terms.map(_._1)
+      val bucketSet = terms.map(_._2).distinct
+      val matched = loaded
+        .filter(col("bucket").isin(bucketSet.map(Long.box): _*)) // dir pruning
+        .filter(col("term").isin(termSet: _*))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("term")).as("nt"))
+        .filter(col("nt") === termSet.size)
+      val agg = matched.agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").as("sum_doc_ids"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      broadcast(Seq((qid, termSet.size.toLong)).toDF("query_id", "n_terms"))
+        .crossJoin(agg)
+    }
+    runs.reduce(_.unionByName(_)).orderBy("query_id")
+  }
+
+  /** DuckDB twin of [[invertedIndexLookup]] — identical postings, query
+    * derivation, and intersection semantics, computed logically. Embed
+    * after `WITH ` and select from `inverted_lookup`.
+    */
+  def invertedIndexLookupSql(): String =
+    s"""iti_postings AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |iti_df AS (SELECT term, COUNT(*) AS df FROM iti_postings GROUP BY 1),
+       |iti_rare AS (
+       |  SELECT term, ROW_NUMBER() OVER (ORDER BY df ASC, term) AS rk
+       |  FROM iti_df),
+       |iti_comm AS (
+       |  SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rk
+       |  FROM iti_df),
+       |iti_queries AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT 'rare_pair' AS query_id, term FROM iti_rare WHERE rk <= 2
+       |    UNION ALL
+       |    SELECT 'rare_common', term FROM iti_rare WHERE rk = 1
+       |    UNION ALL
+       |    SELECT 'rare_common', term FROM iti_comm WHERE rk = 1
+       |    UNION ALL
+       |    SELECT 'common_triple', term FROM iti_comm WHERE rk <= 3)),
+       |iti_qsize AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+       |  FROM iti_queries GROUP BY 1),
+       |iti_match AS (
+       |  SELECT q.query_id, p.doc_id
+       |  FROM iti_queries q
+       |  JOIN iti_postings p ON p.term = q.term
+       |  JOIN iti_qsize s ON s.query_id = q.query_id
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(DISTINCT q.term) = MAX(s.n_terms)),
+       |inverted_lookup AS (
+       |  SELECT s.query_id, s.n_terms,
+       |         CAST(COUNT(m.doc_id) AS BIGINT) AS n_docs,
+       |         CAST(SUM(m.doc_id) AS BIGINT) AS sum_doc_ids,
+       |         MIN(m.doc_id) AS min_doc_id, MAX(m.doc_id) AS max_doc_id
+       |  FROM iti_qsize s LEFT JOIN iti_match m ON m.query_id = s.query_id
+       |  GROUP BY 1, 2)""".stripMargin
 }
