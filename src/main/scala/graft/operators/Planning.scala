@@ -207,29 +207,41 @@ object Planning {
     * integer byte sum over the scan, no shuffle beyond the 1-row
     * partials); decisions are a |tables|-row frame.
     */
+  /** The advisor byte model shared by [[joinAdvisor]] and
+    * [[statsCatalogPlan]]: fixed widths for numerics/timestamps,
+    * `length+4` for strings, `4·len+8` for float arrays.
+    */
+  private def rowBytesOf(df: DataFrame): Column = {
+    import org.apache.spark.sql.types._
+    df.schema.fields.map { f =>
+      f.dataType match {
+        case StringType => coalesce(length(col(f.name)), lit(0)).cast("long") + 4L
+        case ArrayType(FloatType, _) =>
+          coalesce(size(col(f.name)).cast("long"), lit(0L)) * 4L + 8L
+        case IntegerType => lit(4L)
+        case _ => lit(8L) // long / double / timestamp(_ntz)
+      }
+    }.reduce(_ + _)
+  }
+
+  /** The strategy rule shared by [[joinAdvisor]] and [[statsCatalogPlan]]. */
+  private def strategyOf(estBytes: Column, broadcastBytes: Long): Column =
+    when(estBytes <= broadcastBytes, "broadcast")
+      .when(estBytes <= broadcastBytes * 100, "shuffle_bloom")
+      .otherwise("shuffle")
+
   def joinAdvisor(tables: Seq[(String, DataFrame)],
       broadcastBytes: Long = 1L << 20): DataFrame = {
     require(tables.nonEmpty, "joinAdvisor needs at least one table")
-    import org.apache.spark.sql.types._
     tables.map { case (name, df) =>
-      val rowBytes = df.schema.fields.map { f =>
-        f.dataType match {
-          case StringType => coalesce(length(col(f.name)), lit(0)).cast("long") + 4L
-          case ArrayType(FloatType, _) =>
-            coalesce(size(col(f.name)).cast("long"), lit(0L)) * 4L + 8L
-          case IntegerType => lit(4L)
-          case _ => lit(8L) // long / double / timestamp(_ntz)
-        }
-      }.reduce(_ + _)
+      val rowBytes = rowBytesOf(df)
       // coalesce: SUM over zero rows is NULL, which would null every
       // `when` below and fall through to 'shuffle' — the opposite of the
       // right answer for an empty (0-byte, trivially broadcastable) table
       df.agg(count(lit(1)).as("n_rows"),
           coalesce(sum(rowBytes), lit(0L)).as("est_bytes"))
         .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"),
-          when(col("est_bytes") <= broadcastBytes, "broadcast")
-            .when(col("est_bytes") <= broadcastBytes * 100, "shuffle_bloom")
-            .otherwise("shuffle").as("strategy"))
+          strategyOf(col("est_bytes"), broadcastBytes).as("strategy"))
     }.reduce(_ unionByName _)
   }
 
