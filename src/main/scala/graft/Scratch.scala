@@ -9,19 +9,31 @@ import java.util.concurrent.ConcurrentHashMap
   *
   * Two leak modes are handled:
   *   - JVM lifetime: every live dir is removed by ONE exit hook;
-  *   - within a long-lived JVM (bench reps, scale runs): allocating a
-  *     new dir for a prefix DELETES the previous dir for that prefix —
-  *     callers consume a scratch dir's contents before re-invoking the
-  *     same operator (each rep materializes its result), so only the
-  *     latest dir per prefix is ever live, and disk stays flat across
-  *     any number of reps instead of growing linearly.
+  *   - within a long-lived JVM (bench reps, scale runs): dirs per prefix
+  *     are kept to the most recent [[KeepPerPrefix]] — older ones are
+  *     deleted at allocation time, so disk stays flat across any number
+  *     of reps instead of growing linearly.
+  *
+  * Keep-last-2, not keep-last-1: query builders return LAZY DataFrames
+  * that still read the staged files, so allocating a new dir must not
+  * delete the one an un-materialized previous plan may still reference
+  * (parallel specs, interleaved harness calls). With N=2 the dir being
+  * deleted is two allocations old — its plan has either been consumed
+  * (the bench/verify harnesses materialize each rep before the next
+  * invocation) or abandoned. Only a caller interleaving THREE
+  * un-consumed invocations of the same operator could observe a deleted
+  * file; no harness in this repo does, and the contract is documented
+  * here rather than at every call site.
   */
 object Scratch {
 
-  private val latest = new ConcurrentHashMap[String, Path]()
+  /** Live dirs retained per prefix before the oldest is reclaimed. */
+  val KeepPerPrefix = 2
+
+  private val recent = new ConcurrentHashMap[String, List[Path]]()
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    latest.values.forEach(p => rmTree(p.toFile))
+    recent.values.forEach(_.foreach(p => rmTree(p.toFile)))
   }))
 
   /** Recursive delete; descends into directories, tolerates concurrent
@@ -32,12 +44,19 @@ object Scratch {
     f.delete(); ()
   }
 
-  /** Fresh temp dir for `prefix`; the previous dir for the same prefix
-    * (if any) is deleted now, and the returned one at JVM exit.
+  /** Fresh temp dir for `prefix`; dirs older than the newest
+    * [[KeepPerPrefix]] for the same prefix are deleted now, the rest at
+    * JVM exit.
     */
   def dir(prefix: String): Path = {
     val d = Files.createTempDirectory(prefix)
-    Option(latest.put(prefix, d)).foreach(p => rmTree(p.toFile))
+    var evicted: List[Path] = Nil
+    recent.compute(prefix, (_, old) => {
+      val (keep, drop) = (d :: Option(old).getOrElse(Nil)).splitAt(KeepPerPrefix)
+      evicted = drop
+      keep
+    })
+    evicted.foreach(p => rmTree(p.toFile))
     d
   }
 }

@@ -849,7 +849,10 @@ object Dedup {
       (0 to 9).map { jb =>
         val mid = jb / 10.0 + 0.05
         val t = 1.0 - math.pow(1.0 - math.pow(mid, r), b)
-        f"($r, $b, CAST($jb AS BIGINT), $t%.17e)"
+        // Locale.ROOT: the default-locale f-interpolator would render the
+        // double with a decimal comma under e.g. de_DE and break the SQL
+        val tLit = String.format(java.util.Locale.ROOT, "%.17e", Double.box(t))
+        s"($r, $b, CAST($jb AS BIGINT), $tLit)"
       }
     }.mkString(",\n|             ")
     val jb = graft.functions.OracleSafe.intDivSql("n_inter * 10", "n_union")

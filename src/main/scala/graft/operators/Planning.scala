@@ -207,8 +207,7 @@ object Planning {
     * integer byte sum over the scan, no shuffle beyond the 1-row
     * partials); decisions are a |tables|-row frame.
     */
-  /** The advisor byte model shared by [[joinAdvisor]] and
-    * [[statsCatalogPlan]]: fixed widths for numerics/timestamps,
+  /** The [[joinAdvisor]] byte model: fixed widths for numerics/timestamps,
     * `length+4` for strings, `4·len+8` for float arrays.
     */
   private def rowBytesOf(df: DataFrame): Column = {
@@ -224,7 +223,7 @@ object Planning {
     }.reduce(_ + _)
   }
 
-  /** The strategy rule shared by [[joinAdvisor]] and [[statsCatalogPlan]]. */
+  /** The [[joinAdvisor]] strategy rule (thresholds on estimated bytes). */
   private def strategyOf(estBytes: Column, broadcastBytes: Long): Column =
     when(estBytes <= broadcastBytes, "broadcast")
       .when(estBytes <= broadcastBytes * 100, "shuffle_bloom")

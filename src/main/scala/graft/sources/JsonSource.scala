@@ -43,6 +43,21 @@ object JsonSource {
   def stageJsonl(events: DataFrame, outDir: String,
       corruptMod: Long = 97L): Unit = {
     require(corruptMod >= 1, s"corruptMod must be >= 1, got $corruptMod")
+    // Contract check: the quarantine audit classifies a row as rejected if
+    // any required field is null OR `value` is non-finite (to_json renders
+    // NaN/Infinity as non-JSON tokens), while the oracle twin classifies
+    // purely by `event_id % corruptMod` — a naturally-null/NaN input row
+    // would silently diverge the two counts. Fail the STAGING loudly
+    // instead, so the divergence can never masquerade as an engine bug.
+    val offending = events.filter(
+        col("event_id").isNull || col("event_type").isNull ||
+        col("value").isNull || col("ts").isNull ||
+        isnan(col("value")) || col("value") === Double.PositiveInfinity ||
+        col("value") === Double.NegativeInfinity)
+      .limit(1).count()
+    require(offending == 0L,
+      "stageJsonl input must have non-null fields and finite values — " +
+        "the quarantine oracle classifies rows by corruption key alone")
     events.select(
         to_json(struct(col("event_id"), col("event_type"), col("value"),
           unix_micros(col("ts")).as("us"))).as("line"),
