@@ -1685,6 +1685,15 @@ object SparkEntry {
       TextAnalysis.invertedIndexLookup(TestData.documents(s, dir),
         scratchDir("graft-q239").resolve("text_index").toString)
     },
+    // Incremental maintenance of the persisted inverted index: build from
+    // the base batch, APPEND the delta batch (only its terms' bucket dirs
+    // gain files; dictionary merged to a new version dir), serve the q239
+    // workload from the maintained artifacts. Oracle = the index rebuilt
+    // from scratch over base+delta — hash equality is the IVM proof.
+    "q240_incremental_inverted" -> { (s, dir) =>
+      TextAnalysis.incrementalInvertedIndex(TestData.documents(s, dir),
+        scratchDir("graft-q240").resolve("text_index").toString)
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3261,6 +3270,15 @@ object SparkEntry {
           FROM sketch_order_exec ORDER BY picker""",
 
     "q239_inverted_index" ->
+      s"""WITH ${TextAnalysis.invertedIndexLookupSql()}
+          SELECT query_id, n_terms, n_docs, sum_doc_ids, min_doc_id,
+                 max_doc_id
+          FROM inverted_lookup ORDER BY query_id""",
+
+    // Same logical result as q239 — the oracle IS the rebuilt-from-
+    // scratch index over base+delta; the engine side serves it from the
+    // incrementally maintained artifacts instead.
+    "q240_incremental_inverted" ->
       s"""WITH ${TextAnalysis.invertedIndexLookupSql()}
           SELECT query_id, n_terms, n_docs, sum_doc_ids, min_doc_id,
                  max_doc_id

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe
@@ -1083,23 +1083,79 @@ object TextAnalysis {
     */
   def invertedIndexLookup(documents: DataFrame, outDir: String,
       nBuckets: Int = 16): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    // ---- build: postings sharded by term hash + the dictionary
-    val bucket = pmod(
-      conv(substring(md5(col("term")), 1, 12), 16, 10).cast("long"),
-      lit(nBuckets.toLong))
-    val postings = documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .distinct()
-    postings.withColumn("bucket", bucket)
+    buildInvertedIndex(documents, outDir, nBuckets)
+    serveInvertedIndex(documents.sparkSession, outDir)
+  }
+
+  /** Term → shard-bucket hash shared by build, delta append, and the
+    * oracle-free serve path (bucket is functional on term, so an
+    * append-time recomputation lands delta postings in the same dirs).
+    */
+  private def termBucket(nBuckets: Int): Column = pmod(
+    conv(substring(md5(col("term")), 1, 12), 16, 10).cast("long"),
+    lit(nBuckets.toLong))
+
+  /** Distinct (doc_id, term) postings of a document batch. */
+  private def docPostings(documents: DataFrame): DataFrame = documents
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    .distinct()
+
+  /** Build half of [[invertedIndexLookup]]: writes `postings/bucket=…`
+    * (one dir per term-hash shard) and `dict` (term, df, bucket) under
+    * `outDir`.
+    */
+  def buildInvertedIndex(documents: DataFrame, outDir: String,
+      nBuckets: Int = 16): Unit = {
+    val postings = docPostings(documents)
+    postings.withColumn("bucket", termBucket(nBuckets))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$outDir/postings")
     postings.groupBy("term").agg(count(lit(1)).as("df"))
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", termBucket(nBuckets))
       .write.mode("overwrite").parquet(s"$outDir/dict")
-    // ---- serve: everything below reads the LOADED artifacts
-    val dict = spark.read.parquet(s"$outDir/dict")
+  }
+
+  /** Incremental maintenance of a built inverted index (q240): a delta
+    * batch of NEW documents (ids disjoint from the base — the crawl-
+    * append case) lands as an APPEND into only the bucket dirs its terms
+    * hash to; untouched shards' files are never rewritten (asserted in
+    * `InvertedIndexSpec`). The dictionary is vocabulary-sized, so its
+    * maintenance is a merge-and-rewrite: base df + delta df summed per
+    * term, written to `dictDir` (a NEW version dir — never overwrite a
+    * dir a lazy reader may still hold open).
+    *
+    * Scale shape: the delta pays delta-sized work only — one distinct
+    * shuffle over the delta postings plus a vocab-grain merge join; the
+    * base postings (the 100 TB part) are untouched on disk. This is the
+    * q164 IVM pattern applied to a persisted physical artifact: the
+    * equality proof is that serving from (appended postings, merged
+    * dict) hash-matches the index REBUILT from base+delta.
+    */
+  def appendInvertedIndexDelta(delta: DataFrame, outDir: String,
+      nBuckets: Int = 16, dictDir: String = "dict_v2"): Unit = {
+    val spark = delta.sparkSession
+    val newPostings = docPostings(delta).withColumn("bucket", termBucket(nBuckets))
+    newPostings.write.mode("append").partitionBy("bucket")
+      .parquet(s"$outDir/postings")
+    val deltaDict = newPostings.groupBy("term", "bucket")
+      .agg(count(lit(1)).as("df"))
+    spark.read.parquet(s"$outDir/dict")
+      .unionByName(deltaDict.select("term", "df", "bucket"))
+      .groupBy("term", "bucket").agg(sum("df").as("df"))
+      .select("term", "df", "bucket")
+      .write.mode("overwrite").parquet(s"$outDir/$dictDir")
+  }
+
+  /** Serve half of [[invertedIndexLookup]]: conjunctive queries answered
+    * from the LOADED artifacts only (dictionary-derived workload, bucket
+    * dir pruning, posting intersection). `dictDir` selects the dictionary
+    * version — "dict" for a fresh build, the merged version after
+    * [[appendInvertedIndexDelta]].
+    */
+  def serveInvertedIndex(spark: SparkSession, outDir: String,
+      dictDir: String = "dict"): DataFrame = {
+    import spark.implicits._
+    val dict = spark.read.parquet(s"$outDir/$dictDir")
     val rare = dict.orderBy(col("df").asc, col("term"))
       .select("term", "bucket").limit(2).collect()
       .map(r => (r.getString(0), r.getLong(1)))
@@ -1171,4 +1227,23 @@ object TextAnalysis {
        |         MIN(m.doc_id) AS min_doc_id, MAX(m.doc_id) AS max_doc_id
        |  FROM iti_qsize s LEFT JOIN iti_match m ON m.query_id = s.query_id
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** q240 — incremental index maintenance, end to end: the corpus is
+    * split deterministically into a base batch (`doc_id % deltaMod != 0`)
+    * and a delta batch, the index is BUILT from the base, the delta is
+    * APPLIED with [[appendInvertedIndexDelta]] (append-only postings +
+    * dictionary merge — never a rebuild), and the q239 workload is served
+    * from the maintained artifacts. The oracle is
+    * [[invertedIndexLookupSql]] over base+delta, i.e. the index rebuilt
+    * from scratch — hash equality IS the maintenance proof.
+    */
+  def incrementalInvertedIndex(documents: DataFrame, outDir: String,
+      nBuckets: Int = 16, deltaMod: Long = 10L): DataFrame = {
+    require(deltaMod >= 2, s"deltaMod must leave a non-empty base: $deltaMod")
+    buildInvertedIndex(documents.filter(col("doc_id") % deltaMod =!= 0L),
+      outDir, nBuckets)
+    appendInvertedIndexDelta(
+      documents.filter(col("doc_id") % deltaMod === 0L), outDir, nBuckets)
+    serveInvertedIndex(documents.sparkSession, outDir, dictDir = "dict_v2")
+  }
 }

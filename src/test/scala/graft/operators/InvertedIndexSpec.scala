@@ -58,6 +58,52 @@ class InvertedIndexSpec extends SparkSpec {
     } finally graft.Scratch.rmTree(out.toFile)
   }
 
+  test("q240: delta append touches only its buckets and serves the rebuilt answer") {
+    val docs = TestData.documents(spark, sf)
+    val deltaMod = 10L
+    val out = java.nio.file.Files.createTempDirectory("graft-iti-spec")
+    try {
+      val idx = s"$out/idx"
+      TextAnalysis.buildInvertedIndex(
+        docs.filter(col("doc_id") % deltaMod =!= 0L), idx)
+      def bucketFiles(): Map[String, Set[String]] =
+        new java.io.File(s"$idx/postings").listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+          .map(d => d.getName ->
+            d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+          .toMap
+      val before = bucketFiles()
+      val delta = docs.filter(col("doc_id") % deltaMod === 0L)
+      TextAnalysis.appendInvertedIndexDelta(delta, idx)
+      val after = bucketFiles()
+      // which buckets SHOULD the delta touch? exactly its terms' hashes
+      val touched = delta
+        .select(explode(split(col("text"), " ")).as("term"))
+        .select(pmod(conv(substring(md5(col("term")), 1, 12), 16, 10)
+          .cast("long"), lit(16L)).as("b"))
+        .distinct().as[Long].collect().map(b => s"bucket=$b").toSet
+      assert(touched.nonEmpty && touched.size < 16,
+        s"spec needs a partial touch set to be meaningful, got ${touched.size}")
+      for ((dir, files) <- before) {
+        if (touched(dir))
+          assert(after(dir).size > files.size && files.subsetOf(after(dir)),
+            s"$dir is in the delta's term set — it must GAIN files")
+        else
+          assert(after(dir) == files,
+            s"$dir is outside the delta's term set — its files must be untouched")
+      }
+      // the maintained index serves exactly what a from-scratch rebuild serves
+      val served = TextAnalysis
+        .serveInvertedIndex(spark, idx, dictDir = "dict_v2")
+        .collect().map(_.toSeq).toSeq
+      val rebuilt = TextAnalysis
+        .invertedIndexLookup(docs, s"$out/rebuilt")
+        .collect().map(_.toSeq).toSeq
+      assert(served == rebuilt,
+        "serving from the maintained artifacts must equal the rebuilt index")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
   test("postings prune physically: a one-bucket probe opens one shard dir") {
     val out = java.nio.file.Files.createTempDirectory("graft-iti-spec")
     try {
