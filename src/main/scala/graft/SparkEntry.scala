@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
-import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Funnel, Graph, Multimodal, Packing, Planning, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, Snapshot, TextAnalysis, WarehouseSink, ZOrder}
+import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Funnel, Graph, ManifestTable, Multimodal, Packing, Planning, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, Snapshot, TextAnalysis, WarehouseSink, ZOrder}
 import graft.oracle.BankOracle
 import graft.sources.{BankAdapter, CsvSource, TestData}
 import graft.streaming.EventStream
@@ -1694,6 +1694,15 @@ object SparkEntry {
       TextAnalysis.incrementalInvertedIndex(TestData.documents(s, dir),
         scratchDir("graft-q240").resolve("text_index").toString)
     },
+    // Manifest-pointer atomic publish: the q88 compaction re-run under a
+    // write-audit-publish commit protocol, with a crash injected between
+    // data-write and pointer-swap — the crash window still resolves the
+    // OLD snapshot with exact totals, the re-run commits v2, and totals
+    // are identical at every stage (compaction invisible, now atomically).
+    "q241_atomic_publish" -> { (s, dir) =>
+      ManifestTable.atomicCompactionPublish(TestData.events(s, dir),
+        scratchDir("graft-q241").resolve("events_table").toString)
+    },
     // Incremental maintenance of the persisted IVF index: build from the
     // base batch (centroids frozen), append the delta assigned against
     // the LOADED centroids (only its cells' dirs gain files), serve the
@@ -3298,6 +3307,11 @@ object SparkEntry {
       s"""WITH ${Similarity.incrementalIvfTopKSql()}
           SELECT qid, rank, nid, score FROM ivf_inc_topk
           ORDER BY qid, rank""",
+
+    "q241_atomic_publish" ->
+      s"""WITH ${ManifestTable.atomicCompactionPublishSql()}
+          SELECT stage, version, event_type, n, total_cents
+          FROM atomic_publish ORDER BY stage, event_type""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

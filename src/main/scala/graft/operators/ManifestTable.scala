@@ -1,0 +1,162 @@
+package graft.operators
+
+import java.util.EnumSet
+
+import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
+import org.apache.hadoop.fs.Options.CreateOpts
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.OracleSafe
+
+/** Manifest-pointer table commits (q241) — the write-audit-publish
+  * protocol that closes q88's documented non-atomic swap
+  * (`WarehouseSink.compact`: "front with a table format for that").
+  * This IS the minimal table format: the commit protocol of
+  * Delta/Iceberg reduced to its essential mechanism.
+  *
+  * Layout under `tableDir`:
+  * {{{
+  *   data/v<N>/…parquet   immutable snapshot dirs (write-once, never edited)
+  *   CURRENT              the pointer — one small file naming the live N
+  * }}}
+  *
+  * Protocol: (1) land the new snapshot's data files under `data/v<N>` —
+  * an idempotent overwrite of a dir NO reader resolves yet; (2) commit by
+  * swapping the pointer in ONE atomic rename
+  * (`FileContext.rename(…, Options.Rename.OVERWRITE)` — atomic on HDFS
+  * and on POSIX local filesystems). Readers resolve `CURRENT` first and
+  * then read only the named snapshot dir, so every reader sees exactly
+  * one complete snapshot at every instant: a crash anywhere before the
+  * swap leaves the OLD snapshot fully readable (the half-published data
+  * dir is invisible debris), and recovery is simply re-running the
+  * publish — step 1 overwrites the debris, step 2 commits.
+  *
+  * Scale: the commit cost is one tiny-file write + one metadata rename
+  * regardless of data size — the data move itself is the normal
+  * distributed parquet write. Snapshot reads pin their version at
+  * resolve time (driver-side, once per query), which is snapshot
+  * isolation for free; old versions are reclaimable the moment no
+  * pinned reader remains (not automated here — a deployment would keep
+  * k versions, exactly like table formats' vacuum).
+  */
+object ManifestTable {
+
+  /** Thrown by the fault-injection hook between data-write and pointer
+    * swap — the crash window the protocol must survive.
+    */
+  final class InjectedCrash extends RuntimeException(
+    "injected crash: snapshot data written, pointer never swapped")
+
+  private def fc(spark: SparkSession, dir: String): FileContext =
+    FileContext.getFileContext(new Path(dir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+
+  /** The version the pointer names right now, if any. Resolved eagerly —
+    * a reader that holds the returned version is PINNED to that snapshot
+    * whatever publishes happen after.
+    */
+  def currentVersion(spark: SparkSession, tableDir: String): Option[Long] = {
+    val ctx = fc(spark, tableDir)
+    val ptr = new Path(s"$tableDir/CURRENT")
+    if (!ctx.util.exists(ptr)) None
+    else {
+      val in = ctx.open(ptr)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Publish `df` as snapshot `version`: land the data, then commit with
+    * one atomic pointer rename. Re-running a crashed publish completes
+    * it (the data write is an idempotent overwrite). `crashBeforeSwap`
+    * injects a failure inside the crash window for the q241 proof.
+    */
+  def publish(df: DataFrame, tableDir: String, version: Long,
+      crashBeforeSwap: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/data/v$version")
+    if (crashBeforeSwap) throw new InjectedCrash
+    val ctx = fc(spark, tableDir)
+    val tmp = new Path(s"$tableDir/CURRENT.tmp")
+    val out = ctx.create(tmp,
+      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      CreateOpts.createParent())
+    try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
+    ctx.rename(tmp, new Path(s"$tableDir/CURRENT"), Options.Rename.OVERWRITE)
+  }
+
+  /** Read the live snapshot through the pointer. The version is resolved
+    * NOW; the returned (lazy) frame reads only that snapshot's dir.
+    */
+  def read(spark: SparkSession, tableDir: String): DataFrame = {
+    val v = currentVersion(spark, tableDir).getOrElse(
+      sys.error(s"no published snapshot at $tableDir"))
+    spark.read.parquet(s"$tableDir/data/v$v")
+  }
+
+  /** q241 — the q88 compaction re-run under the manifest protocol, with
+    * the crash injected in its window: publish the fragmented events as
+    * v1, attempt the compacted v2 publish that DIES between data-write
+    * and pointer-swap, prove readers still resolve v1 with exact totals,
+    * then re-run the publish and prove v2 serves the same totals
+    * (compaction invisible in the data — the q88 contract, now atomic).
+    * Output: per-stage, per-type counts and cent totals plus the version
+    * each stage resolved; the oracle pins the versions (1, 1, 2) and
+    * computes the totals from the raw events — equal totals at every
+    * stage IS the atomicity proof.
+    */
+  def atomicCompactionPublish(events: DataFrame, tableDir: String,
+      targetBytes: Long = 1L << 20): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    publish(slim.repartition(64), tableDir, 1L)
+    def stageTotals(stage: String): DataFrame = {
+      val v = currentVersion(spark, tableDir).getOrElse(
+        sys.error("stage read before any publish"))
+      read(spark, tableDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .select(lit(stage).as("stage"), lit(v).as("version"),
+          col("event_type"), col("n"), col("total_cents"))
+    }
+    val s1 = stageTotals("a_v1_published")
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new Path(s"$tableDir/data/v1")).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val compacted = spark.read.parquet(s"$tableDir/data/v1")
+      .repartition(nFiles)
+    val crashed =
+      try { publish(compacted, tableDir, 2L, crashBeforeSwap = true); false }
+      catch { case _: InjectedCrash => true }
+    require(crashed, "the injected crash must fire inside the window")
+    val s2 = stageTotals("b_crash_window") // must still resolve v1
+    publish(compacted, tableDir, 2L) // recovery = re-run the same publish
+    val s3 = stageTotals("c_republished") // resolves v2
+    s1.unionByName(s2).unionByName(s3).orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[atomicCompactionPublish]]: the per-type totals from
+    * the raw events, cross-joined with the PINNED stage→version frame —
+    * the crash window must resolve version 1 and the republish version 2,
+    * with identical totals throughout. Embed after `WITH ` and select
+    * from `atomic_publish`.
+    */
+  def atomicCompactionPublishSql(): String =
+    s"""ap_totals AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM events GROUP BY 1),
+       |atomic_publish AS (
+       |  SELECT s.stage, CAST(s.version AS BIGINT) AS version,
+       |         t.event_type, t.n, t.total_cents
+       |  FROM (VALUES ('a_v1_published', 1), ('b_crash_window', 1),
+       |               ('c_republished', 2)) s(stage, version)
+       |  CROSS JOIN ap_totals t)""".stripMargin
+}

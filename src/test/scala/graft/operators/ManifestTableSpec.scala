@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.TestData
+
+/** q241: the manifest-pointer commit protocol — crash-window isolation,
+  * pointer atomicity debris, recovery-by-rerun, and the compaction
+  * actually shrinking the file count.
+  */
+class ManifestTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def totals(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("a crash between data-write and pointer-swap leaves the old snapshot fully readable") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mt-spec")
+    try {
+      val tbl = s"$out/tbl"
+      val v1 = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+        .toDF("event_id", "event_type", "value")
+      ManifestTable.publish(v1, tbl, 1L)
+      assert(ManifestTable.currentVersion(spark, tbl).contains(1L))
+      val v2 = v1.filter(col("event_id") =!= 2L)
+      intercept[ManifestTable.InjectedCrash] {
+        ManifestTable.publish(v2, tbl, 2L, crashBeforeSwap = true)
+      }
+      // pointer untouched; reader resolves v1 with v1's exact content
+      assert(ManifestTable.currentVersion(spark, tbl).contains(1L))
+      assert(totals(ManifestTable.read(spark, tbl)) == Map("a" -> 2L, "b" -> 1L))
+      // the half-published snapshot exists as debris, invisible to readers
+      assert(new java.io.File(s"$tbl/data/v2").isDirectory,
+        "crash window must leave the landed data dir behind")
+      // recovery = re-run; the pointer flips and v2 serves
+      ManifestTable.publish(v2, tbl, 2L)
+      assert(ManifestTable.currentVersion(spark, tbl).contains(2L))
+      assert(totals(ManifestTable.read(spark, tbl)) == Map("a" -> 2L))
+      // commit leaves no tmp pointer debris
+      assert(!new java.io.File(s"$tbl/CURRENT.tmp").exists())
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
+  test("a pinned reader keeps its snapshot across a later publish (snapshot isolation)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mt-spec")
+    try {
+      val tbl = s"$out/tbl"
+      ManifestTable.publish(
+        Seq((1L, "a", 1.0)).toDF("event_id", "event_type", "value"), tbl, 1L)
+      val pinned = ManifestTable.read(spark, tbl) // resolves v1 NOW
+      ManifestTable.publish(
+        Seq((9L, "z", 9.0)).toDF("event_id", "event_type", "value"), tbl, 2L)
+      assert(totals(pinned) == Map("a" -> 1L),
+        "a frame resolved before the publish must still read its snapshot")
+      assert(totals(ManifestTable.read(spark, tbl)) == Map("z" -> 1L),
+        "a fresh resolve must see the new snapshot")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
+  test("the q241 run compacts physically: v2 has fewer data files than v1") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mt-spec")
+    try {
+      val tbl = s"$out/tbl"
+      val res = ManifestTable
+        .atomicCompactionPublish(TestData.events(spark, sf), tbl)
+      val stages = res.collect()
+        .map(r => (r.getString(0), r.getLong(1))).distinct.sorted
+      assert(stages.map(_._1).toSeq ==
+        Seq("a_v1_published", "b_crash_window", "c_republished"))
+      assert(stages.map(_._2).toSeq == Seq(1L, 1L, 2L),
+        "crash window must resolve v1; republish must resolve v2")
+      def nParquet(d: String): Int =
+        new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(nParquet(s"$tbl/data/v2") < nParquet(s"$tbl/data/v1"),
+        "the compacted snapshot must have fewer files")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+}
