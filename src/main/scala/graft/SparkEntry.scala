@@ -1694,6 +1694,15 @@ object SparkEntry {
       TextAnalysis.incrementalInvertedIndex(TestData.documents(s, dir),
         scratchDir("graft-q240").resolve("text_index").toString)
     },
+    // Streaming CDC upsert: the q186 change feed as a 3-chunk stream,
+    // each micro-batch MERGEd into a durable state table through the
+    // q241 manifest protocol, with a crash injected after batch 1's
+    // commit but before its checkpoint commit; the restart replays the
+    // batch idempotently (merge is a pure function of batchId) and the
+    // final table equals the batch cdcApply fold exactly.
+    "q242_stream_cdc_upsert" -> { (s, dir) =>
+      graft.streaming.EventStream.streamingCdcUpsert(s, dir)
+    },
     // Manifest-pointer atomic publish: the q88 compaction re-run under a
     // write-audit-publish commit protocol, with a crash injected between
     // data-write and pointer-swap — the crash window still resolves the
@@ -3312,6 +3321,18 @@ object SparkEntry {
       s"""WITH ${ManifestTable.atomicCompactionPublishSql()}
           SELECT stage, version, event_type, n, total_cents
           FROM atomic_publish ORDER BY stage, event_type""",
+
+    // The batch cdcApply fold plus the PINNED delivery verdicts the
+    // engine must earn: 3 batches, 4 attempts (batch 1 merged twice),
+    // replay_happened true — totals equal to the batch fold prove the
+    // replayed merge was idempotent.
+    "q242_stream_cdc_upsert" ->
+      s"""WITH ${Scd.cdcApplySql()}
+          SELECT user_id, n_ops, last_op, deleted, final_value,
+                 CAST(3 AS BIGINT) AS n_batches,
+                 CAST(4 AS BIGINT) AS n_attempts,
+                 TRUE AS replay_happened
+          FROM cdc_apply ORDER BY user_id""",
 
     "q197_supplier_diversity" ->
       s"""WITH sd_ps AS (

@@ -269,4 +269,22 @@ class EventStreamSpec extends SparkSpec {
     assert(got.count() == batch.count())
     assert(got.exceptAll(batch).count() == 0)
   }
+
+  test("streaming CDC upsert: final table equals the batch cdcApply fold across the restart") {
+    import org.apache.spark.sql.functions._
+    val res = EventStream.streamingCdcUpsert(spark, sf)
+    val head = res.select("n_batches", "n_attempts", "replay_happened").head()
+    assert(head.getLong(0) == 3L, "three single-file micro-batches")
+    assert(head.getLong(1) == 4L,
+      "batch 1 merged twice: crashed attempt + checkpoint replay")
+    assert(head.getBoolean(2), "the mid-stream restart must have happened")
+    // the maintained warehouse table == the batch fold, column for column
+    // (a non-idempotent merge would double batch 1's n_ops here)
+    val batch = graft.operators.Scd.cdcApply(
+      graft.sources.TestData.events(spark, sf))
+    val got = res.select("user_id", "n_ops", "last_op", "deleted", "final_value")
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).count() == 0,
+      "streamed merge state must equal the batch CDC fold")
+  }
 }
