@@ -164,7 +164,14 @@ object ScaleBench {
     "q229_group_estimate", "q230_lsh_s_curve", "q231_exactly_once_sink",
     "q232_bpe_train", "q233_expectation_suite", "q234_session_window_stream",
     "q235_persisted_ivf", "q236_encoding_advisor", "q237_bloom_index_lookup",
-    "q238_sketch_order_exec", "q239_inverted_index")
+    "q238_sketch_order_exec", "q239_inverted_index",
+    // round-12: the incremental index maintainers (delta-sized append +
+    // vocab/cell-grain merges riding a full build), the manifest-pointer
+    // publish (two full snapshot writes + metadata renames), and the
+    // streaming CDC upsert (micro-batch floor-bound like q231)
+    "q240_incremental_inverted", "q241_atomic_publish",
+    "q242_stream_cdc_upsert", "q243_incremental_ivf",
+    "q244_time_travel_vacuum")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

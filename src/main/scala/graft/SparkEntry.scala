@@ -1712,6 +1712,15 @@ object SparkEntry {
       ManifestTable.atomicCompactionPublish(TestData.events(s, dir),
         scratchDir("graft-q241").resolve("events_table").toString)
     },
+    // Version history under the manifest protocol: publish v1, publish a
+    // DELETE as v2, time-travel v1 (pre-delete totals still served),
+    // read CURRENT (post-delete), then vacuum keep-last-1 — v1
+    // physically reclaimed, CURRENT unharmed. Versions and retention
+    // counts pinned in the oracle.
+    "q244_time_travel_vacuum" -> { (s, dir) =>
+      ManifestTable.timeTravelVacuum(TestData.events(s, dir),
+        scratchDir("graft-q244").resolve("events_table").toString)
+    },
     // Incremental maintenance of the persisted IVF index: build from the
     // base batch (centroids frozen), append the delta assigned against
     // the LOADED centroids (only its cells' dirs gain files), serve the
@@ -3321,6 +3330,11 @@ object SparkEntry {
       s"""WITH ${ManifestTable.atomicCompactionPublishSql()}
           SELECT stage, version, event_type, n, total_cents
           FROM atomic_publish ORDER BY stage, event_type""",
+
+    "q244_time_travel_vacuum" ->
+      s"""WITH ${ManifestTable.timeTravelVacuumSql()}
+          SELECT stage, version, n_versions, event_type, n, total_cents
+          FROM time_travel ORDER BY stage, event_type""",
 
     // The batch cdcApply fold plus the PINNED delivery verdicts the
     // engine must earn: 3 batches, 4 attempts (batch 1 merged twice),

@@ -141,6 +141,102 @@ object ManifestTable {
     s1.unionByName(s2).unionByName(s3).orderBy("stage", "event_type")
   }
 
+  /** Read a specific historical snapshot — time travel. The caller is
+    * responsible for the version still being retained (see [[vacuum]]).
+    */
+  def readVersion(spark: SparkSession, tableDir: String,
+      version: Long): DataFrame =
+    spark.read.parquet(s"$tableDir/data/v$version")
+
+  /** List the snapshot versions physically present under the table. */
+  def versions(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDir = new Path(s"$tableDir/data")
+    if (!fs.exists(dataDir)) Seq.empty
+    else fs.listStatus(dataDir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v").toLong).toOption)
+      .sorted
+  }
+
+  /** Reclaim history: delete every snapshot older than the newest
+    * `keep`, never touching the pointer's target (the live version is
+    * always retained whatever `keep` says). Returns the versions
+    * deleted. The table-format vacuum: safe because publishes only ever
+    * ADD version dirs, so a concurrent reader can lose its snapshot only
+    * if it pinned a version older than the retention window — the same
+    * documented contract as Delta's VACUUM.
+    */
+  def vacuum(spark: SparkSession, tableDir: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, s"must keep at least the live snapshot: $keep")
+    val live = currentVersion(spark, tableDir)
+    val all = versions(spark, tableDir)
+    val retained = all.takeRight(keep).toSet ++ live
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dropped = all.filterNot(retained)
+    dropped.foreach(v => fs.delete(new Path(s"$tableDir/data/v$v"), true))
+    dropped
+  }
+
+  /** q244 — version history end to end: publish the full events as v1,
+    * publish a DELETE (drop every 'error' row) as v2, then (a) time-
+    * travel v1 — the pre-delete totals must still serve; (b) read
+    * CURRENT — the post-delete totals; (c) [[vacuum]] keep-last-1 — v1
+    * physically gone, CURRENT still serves v2 exactly. Output: per-stage
+    * per-type totals with the resolved version and the retained-version
+    * count per stage; the oracle pins versions (1, 2, 2) and retention
+    * (2, 2, 1) and computes both totals from the raw events.
+    */
+  def timeTravelVacuum(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    publish(slim, tableDir, 1L)
+    publish(slim.filter(col("event_type") =!= "error"), tableDir, 2L)
+    def totalsOf(df: DataFrame, stage: String, v: Long): DataFrame = df
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+      .select(lit(stage).as("stage"), lit(v).as("version"),
+        lit(versions(spark, tableDir).size.toLong).as("n_versions"),
+        col("event_type"), col("n"), col("total_cents"))
+    // time travel resolves BEFORE the vacuum; both reads materialize into
+    // their stage frames lazily but pin their snapshot dirs eagerly
+    val s1 = totalsOf(readVersion(spark, tableDir, 1L), "a_time_travel_v1", 1L)
+      .localCheckpoint() // materialize: v1's files are gone after vacuum
+    val s2 = totalsOf(read(spark, tableDir), "b_current_v2", 2L)
+      .localCheckpoint()
+    val dropped = vacuum(spark, tableDir, keep = 1)
+    require(dropped == Seq(1L), s"vacuum must reclaim exactly v1: $dropped")
+    val s3 = totalsOf(read(spark, tableDir), "c_post_vacuum", 2L)
+    s1.unionByName(s2).unionByName(s3).orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[timeTravelVacuum]]: pre-delete totals for the
+    * time-travel stage, post-delete totals for the current and
+    * post-vacuum stages, versions and retention counts pinned. Embed
+    * after `WITH ` and select from `time_travel`.
+    */
+  def timeTravelVacuumSql(): String =
+    s"""tt_all AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM events GROUP BY 1),
+       |tt_live AS (
+       |  SELECT event_type, n, total_cents FROM tt_all
+       |  WHERE event_type <> 'error'),
+       |time_travel AS (
+       |  SELECT 'a_time_travel_v1' AS stage, CAST(1 AS BIGINT) AS version,
+       |         CAST(2 AS BIGINT) AS n_versions, event_type, n, total_cents
+       |  FROM tt_all
+       |  UNION ALL
+       |  SELECT 'b_current_v2', 2, 2, event_type, n, total_cents FROM tt_live
+       |  UNION ALL
+       |  SELECT 'c_post_vacuum', 2, 1, event_type, n, total_cents
+       |  FROM tt_live)""".stripMargin
+
   /** DuckDB twin of [[atomicCompactionPublish]]: the per-type totals from
     * the raw events, cross-joined with the PINNED stage→version frame —
     * the crash window must resolve version 1 and the republish version 2,

@@ -59,6 +59,26 @@ class ManifestTableSpec extends SparkSpec {
     } finally graft.Scratch.rmTree(out.toFile)
   }
 
+  test("vacuum reclaims old versions physically but never the live snapshot") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mt-spec")
+    try {
+      val tbl = s"$out/tbl"
+      for (v <- 1L to 4L)
+        ManifestTable.publish(
+          Seq((v, "a", v.toDouble)).toDF("event_id", "event_type", "value"),
+          tbl, v)
+      assert(ManifestTable.versions(spark, tbl) == Seq(1L, 2L, 3L, 4L))
+      assert(ManifestTable.vacuum(spark, tbl, keep = 2) == Seq(1L, 2L))
+      assert(ManifestTable.versions(spark, tbl) == Seq(3L, 4L))
+      assert(!new java.io.File(s"$tbl/data/v1").exists())
+      // the live snapshot is retained even under keep=1 pointing at it
+      assert(ManifestTable.vacuum(spark, tbl, keep = 1) == Seq(3L))
+      assert(totals(ManifestTable.read(spark, tbl)) == Map("a" -> 1L))
+      // time travel to a retained version still works
+      assert(ManifestTable.readVersion(spark, tbl, 4L).count() == 1L)
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
   test("the q241 run compacts physically: v2 has fewer data files than v1") {
     val out = java.nio.file.Files.createTempDirectory("graft-mt-spec")
     try {
