@@ -1125,18 +1125,30 @@ object Similarity {
     def asCenter(row: DataFrame): DataFrame =
       row.select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
     def dist = col("n2") + col("cn2") - dot(col("q"), col("cq")) * 2L
-    var center = asCenter(qv.orderBy("vec_id").limit(1))
+    // Each round MATERIALIZES (localCheckpoint, eager): `running` is
+    // consumed by three downstream plans per round (argmax, next round's
+    // least(), radius audit) and `center` by two — left lazy, round i
+    // re-executes the whole chain of rounds 1..i−1 inside every consumer
+    // and the k passes cost O(k²) scans instead of O(k) (the VERDICT r11
+    // q181 scale-row finding: 10× ratio 3.9–4.4 from recomputation, not
+    // data). Checkpointing pins each round's n-row distance frame once;
+    // the 1-row center frame is a plan decision frame like the planner
+    // tier's.
+    var center = asCenter(qv.orderBy("vec_id").limit(1)).localCheckpoint()
     var running = qv.crossJoin(broadcast(center))
       .select(col("vec_id"), col("q"), col("n2"), dist.as("dmin"))
+      .localCheckpoint()
     def auditRow(step: Int, c: DataFrame, r: DataFrame): DataFrame =
       c.select(col("cid")).crossJoin(broadcast(r.agg(max(col("dmin")).as("radius"))))
         .select(lit(step).as("step"), col("cid").as("center_id"), col("radius"))
     var out = auditRow(0, center, running)
     for (step <- 1 until k) {
       center = asCenter(running.orderBy(col("dmin").desc, col("vec_id")).limit(1))
+        .localCheckpoint()
       running = running.crossJoin(broadcast(center))
         .select(col("vec_id"), col("q"), col("n2"),
           least(col("dmin"), dist).as("dmin"))
+        .localCheckpoint()
       out = out.union(auditRow(step, center, running))
     }
     out.orderBy("step")
