@@ -1731,6 +1731,19 @@ object SparkEntry {
         scratchDir("graft-q243").resolve("ivf_index").toString)
         .orderBy("qid", "rank")
     },
+    // Incremental maintenance of the persisted per-zone Bloom index —
+    // the maintenance trio's third member: build from the base batch
+    // (per-zone bit sizes frozen), OR the delta's bit positions into its
+    // zones against the frozen sizes (only touched zone dirs gain
+    // files), serve the q237 probe workload from the maintained
+    // artifacts. Oracle = the same frozen-size index computed logically
+    // over base+delta; hash equality carries the no-false-negative
+    // contract across maintenance.
+    "q245_incremental_bloom" -> { (s, dir) =>
+      Planning.incrementalBloomLookup(TestData.lineitem(s, dir),
+        scratchDir("graft-q245").resolve("bloom_index").toString)
+        .orderBy("probe_key")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3299,6 +3312,12 @@ object SparkEntry {
           SELECT probe_key, zones_total, zones_candidate, zones_matching,
                  n_rows, total_cents
           FROM bloom_lookup ORDER BY probe_key""",
+
+    "q245_incremental_bloom" ->
+      s"""WITH ${Planning.incrementalBloomLookupSql()}
+          SELECT probe_key, zones_total, zones_candidate, zones_matching,
+                 n_rows, total_cents
+          FROM inc_bloom_lookup ORDER BY probe_key""",
 
     "q238_sketch_order_exec" ->
       s"""WITH ${Planning.executeSketchJoinOrderSql()}

@@ -1834,14 +1834,28 @@ object Planning {
     */
   def bloomIndexedLookup(lineitem: DataFrame, outDir: String,
       bitsPerKey: Int = 8, kHash: Int = 3, probeMod: Int = 997): DataFrame = {
+    buildBloomIndex(lineitem, outDir, bitsPerKey, kHash)
+    serveBloomIndex(lineitem, outDir, kHash, probeMod)
+  }
+
+  /** The month-zone of a fact row — ONE definition shared by the bloom
+    * index build, append, and both oracles.
+    */
+  private def monthZone: Column =
+    (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long")
+
+  /** Build half of [[bloomIndexedLookup]]: date-clustered fact + per-zone
+    * bit sizes (`meta` — FROZEN at build time, the [[appendBloomIndexDelta]]
+    * contract) + per-zone Bloom bit positions, each zone's positions in
+    * its own partition dir so maintenance appends touch only the zones a
+    * delta lands in.
+    */
+  def buildBloomIndex(lineitem: DataFrame, outDir: String,
+      bitsPerKey: Int = 8, kHash: Int = 3): Unit = {
     val spark = lineitem.sparkSession
-    import spark.implicits._
-    // ---- build: date-clustered fact + per-zone bloom, persisted
-    val zone = (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
-      .cast("long")
     lineitem.select(col("l_orderkey"),
         OracleSafe.quant(col("l_extendedprice"), 100).as("cents"),
-        zone.as("zone"))
+        monthZone.as("zone"))
       .repartitionByRange(col("zone"))
       .write.mode("overwrite").partitionBy("zone").parquet(s"$outDir/fact")
     val zoneKeys = spark.read.parquet(s"$outDir/fact")
@@ -1857,9 +1871,70 @@ object Planning {
         (h48(concat(col("hk").cast("string"), lit(":"), col("i").cast("string")))
           % col("m")).as("pos"))
       .distinct()
-      .write.mode("overwrite").parquet(s"$outDir/bloom")
-    // ---- serve: route probes through the LOADED index only
+      .repartition(col("zone"))
+      .write.mode("overwrite").partitionBy("zone").parquet(s"$outDir/bloom")
+  }
+
+  /** Incremental maintenance of a built Bloom index (q245 — the q240/q243
+    * pattern applied to the third persisted index): a delta batch of fact
+    * rows is appended into its zone dirs, and each delta key's bit
+    * positions are OR'd into its zone's Bloom — computed against the
+    * FROZEN build-time `m` (resizing a Bloom filter is a rebuild, not
+    * maintenance; the false-positive rate degrades gracefully instead,
+    * exactly as a production filter ages). Zones the build never saw get
+    * fresh `m` from their own delta keys and a `meta` append. The OR-in
+    * is a left-anti against the touched zones' existing positions — only
+    * unset bits land as new rows, so the loaded index stays
+    * duplicate-free and serving needs no dedup pass. Delta-sized work:
+    * the base fact and the untouched zones' bloom dirs are never read.
+    */
+  def appendBloomIndexDelta(delta: DataFrame, outDir: String,
+      bitsPerKey: Int = 8, kHash: Int = 3): Unit = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    delta.select(col("l_orderkey"),
+        OracleSafe.quant(col("l_extendedprice"), 100).as("cents"),
+        monthZone.as("zone"))
+      .repartitionByRange(col("zone"))
+      .write.mode("append").partitionBy("zone").parquet(s"$outDir/fact")
+    val meta = spark.read.parquet(s"$outDir/meta")
+    val dKeys = delta.select(monthZone.as("zone"), h48(col("l_orderkey")).as("hk"))
+      .distinct().localCheckpoint() // bounded: delta keys
+    val newMeta = dKeys.join(meta, Seq("zone"), "left_anti")
+      .groupBy("zone")
+      .agg(greatest(count(lit(1)) * bitsPerKey, lit(1L)).as("m"))
+    newMeta.write.mode("append").parquet(s"$outDir/meta")
+    val positions = dKeys
+      .join(broadcast(meta.unionByName(newMeta)), Seq("zone"))
+      .select(col("zone"), explode(sequence(lit(0), lit(kHash - 1))).as("i"),
+        col("hk"), col("m"))
+      .select(col("zone"),
+        (h48(concat(col("hk").cast("string"), lit(":"), col("i").cast("string")))
+          % col("m")).as("pos"))
+      .distinct()
+    // the touched-zone list is bounded by the calendar — the same
+    // driver-side decision frame the serve path uses for dir pruning
+    val touched = dKeys.select("zone").distinct().as[Long].collect()
+    val existing = spark.read.parquet(s"$outDir/bloom")
+      .filter(col("zone").isin(touched.toIndexedSeq.map(Long.box): _*))
+      .select(col("zone").cast("long").as("zone"), col("pos"))
+    positions.join(existing, Seq("zone", "pos"), "left_anti")
+      .repartition(col("zone"))
+      .write.mode("append").partitionBy("zone").parquet(s"$outDir/bloom")
+  }
+
+  /** Serve half of [[bloomIndexedLookup]]: probe keys (drawn from
+    * `keysFrom`'s order keys, plus guaranteed-absent shifts) route through
+    * the LOADED index only, and the fact scan opens only candidate zone
+    * dirs.
+    */
+  def serveBloomIndex(keysFrom: DataFrame, outDir: String,
+      kHash: Int = 3, probeMod: Int = 997): DataFrame = {
+    val spark = keysFrom.sparkSession
+    import spark.implicits._
+    val lineitem = keysFrom
     val bloom = spark.read.parquet(s"$outDir/bloom")
+      .select(col("zone").cast("long").as("zone"), col("pos"))
     val zonesMeta = spark.read.parquet(s"$outDir/meta").localCheckpoint()
     val present = lineitem.select(col("l_orderkey").as("probe_key")).distinct()
       .filter(col("probe_key") % probeMod === 0)
@@ -1964,4 +2039,104 @@ object Planning {
        |  LEFT JOIN (SELECT probe_key, COUNT(*) AS zones_candidate
        |             FROM bil_cand GROUP BY 1) c ON c.probe_key = p.probe_key
        |  LEFT JOIN bil_matched m ON m.probe_key = p.probe_key)""".stripMargin
+
+  /** q245 — incremental Bloom-index maintenance end to end, completing
+    * the persisted-index maintenance trio (q240 inverted postings, q243
+    * IVF cells, and now the per-zone Bloom): build from the base batch
+    * (`l_orderkey % deltaMod != 1` — per-zone bit sizes frozen from the
+    * base), append the delta batch against the frozen sizes
+    * ([[appendBloomIndexDelta]]), then run the q237 probe workload from
+    * the maintained artifacts. The oracle ([[incrementalBloomLookupSql]])
+    * computes the same frozen-size index logically over base+delta — the
+    * comparison a deployment makes (same `m` per zone; re-sizing is a
+    * rebuild, not maintenance). Hash equality proves the delta's bits
+    * landed under exactly the frozen sizes AND that no probe lost a
+    * truly-matching zone — the no-false-negative contract survives
+    * maintenance.
+    */
+  def incrementalBloomLookup(lineitem: DataFrame, outDir: String,
+      bitsPerKey: Int = 8, kHash: Int = 3, probeMod: Int = 997,
+      deltaMod: Long = 7L): DataFrame = {
+    require(deltaMod >= 2, s"deltaMod must leave a non-empty base: $deltaMod")
+    buildBloomIndex(lineitem.filter(col("l_orderkey") % deltaMod =!= 1L),
+      outDir, bitsPerKey, kHash)
+    appendBloomIndexDelta(lineitem.filter(col("l_orderkey") % deltaMod === 1L),
+      outDir, bitsPerKey, kHash)
+    serveBloomIndex(lineitem, outDir, kHash, probeMod)
+  }
+
+  /** DuckDB twin of [[incrementalBloomLookup]]: the frozen-size index
+    * computed logically — per-zone `m` derives from BASE keys only (new
+    * zones, which the base never saw, size from their own delta keys),
+    * the bloom holds base ∪ delta positions under that `m`, and the q237
+    * probe workload runs over the maintained whole. Embed after `WITH `
+    * and select from `inc_bloom_lookup`.
+    */
+  def incrementalBloomLookupSql(bitsPerKey: Int = 8, kHash: Int = 3,
+      probeMod: Int = 997, deltaMod: Long = 7L): String =
+    s"""ibl_fact AS (
+       |  SELECT l_orderkey, ${OracleSafe.quantSql("l_extendedprice", 100)} AS cents,
+       |         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS zone
+       |  FROM lineitem),
+       |ibl_base_keys AS (
+       |  SELECT DISTINCT zone, ${h48Sql("l_orderkey")} AS hk FROM ibl_fact
+       |  WHERE l_orderkey % $deltaMod <> 1),
+       |ibl_delta_keys AS (
+       |  SELECT DISTINCT zone, ${h48Sql("l_orderkey")} AS hk FROM ibl_fact
+       |  WHERE l_orderkey % $deltaMod = 1),
+       |ibl_meta AS (
+       |  SELECT zone, GREATEST(COUNT(*) * $bitsPerKey, 1) AS m
+       |  FROM ibl_base_keys GROUP BY 1
+       |  UNION ALL
+       |  SELECT zone, GREATEST(COUNT(*) * $bitsPerKey, 1) AS m
+       |  FROM ibl_delta_keys
+       |  WHERE zone NOT IN (SELECT zone FROM ibl_base_keys)
+       |  GROUP BY zone),
+       |ibl_all_keys AS (
+       |  SELECT zone, hk FROM ibl_base_keys
+       |  UNION
+       |  SELECT zone, hk FROM ibl_delta_keys),
+       |ibl_bloom AS (
+       |  SELECT DISTINCT k.zone,
+       |         (${h48Sql("CAST(k.hk AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}) % m.m AS pos
+       |  FROM ibl_all_keys k
+       |  JOIN ibl_meta m ON m.zone = k.zone,
+       |       (SELECT unnest(generate_series(0, $kHash - 1)) AS i)),
+       |ibl_present AS (
+       |  SELECT DISTINCT l_orderkey AS probe_key FROM lineitem
+       |  WHERE l_orderkey % $probeMod = 0),
+       |ibl_probes AS (
+       |  SELECT probe_key, ${h48Sql("probe_key")} AS hk FROM (
+       |    SELECT probe_key FROM ibl_present
+       |    UNION ALL
+       |    SELECT probe_key + 1000000000 FROM ibl_present)),
+       |ibl_cand AS (
+       |  SELECT probe_key, zone FROM (
+       |    SELECT p.probe_key, p.zone,
+       |           SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS hits
+       |    FROM (SELECT p0.probe_key, p0.hk, m0.zone, m0.m,
+       |                 (${h48Sql("CAST(p0.hk AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}) % m0.m AS pos
+       |          FROM ibl_probes p0, ibl_meta m0,
+       |               (SELECT unnest(generate_series(0, $kHash - 1)) AS i)) p
+       |    LEFT JOIN ibl_bloom b ON b.zone = p.zone AND b.pos = p.pos
+       |    GROUP BY 1, 2)
+       |  WHERE hits = $kHash),
+       |ibl_matched AS (
+       |  SELECT f.l_orderkey AS probe_key,
+       |         COUNT(DISTINCT f.zone) AS zones_matching,
+       |         COUNT(*) AS n_rows, SUM(f.cents) AS total_cents
+       |  FROM ibl_fact f JOIN ibl_cand c
+       |    ON c.probe_key = f.l_orderkey AND c.zone = f.zone
+       |  GROUP BY 1),
+       |inc_bloom_lookup AS (
+       |  SELECT p.probe_key,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM ibl_meta) AS zones_total,
+       |         CAST(COALESCE(c.zones_candidate, 0) AS BIGINT) AS zones_candidate,
+       |         CAST(COALESCE(m.zones_matching, 0) AS BIGINT) AS zones_matching,
+       |         CAST(COALESCE(m.n_rows, 0) AS BIGINT) AS n_rows,
+       |         CAST(m.total_cents AS BIGINT) AS total_cents
+       |  FROM (SELECT DISTINCT probe_key FROM ibl_probes) p
+       |  LEFT JOIN (SELECT probe_key, COUNT(*) AS zones_candidate
+       |             FROM ibl_cand GROUP BY 1) c ON c.probe_key = p.probe_key
+       |  LEFT JOIN ibl_matched m ON m.probe_key = p.probe_key)""".stripMargin
 }

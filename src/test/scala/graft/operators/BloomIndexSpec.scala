@@ -82,4 +82,57 @@ class BloomIndexSpec extends SparkSpec {
       assert(selected == 1, s"one-zone lookup must open 1 of $nZones dirs, opened $selected")
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q245 maintenance: delta appends touch only its zones, sizes stay frozen, no false negatives") {
+    val out = java.nio.file.Files.createTempDirectory("graft-bidx-spec")
+    try {
+      val idx = s"$out/bloom_index"
+      val li = TestData.lineitem(spark, sf)
+      val base = li.filter(col("l_orderkey") % 7 =!= 1L)
+      val delta = li.filter(col("l_orderkey") % 7 === 1L)
+      Planning.buildBloomIndex(base, idx)
+
+      def bloomFiles(): Map[String, Set[String]] =
+        new java.io.File(s"$idx/bloom").listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("zone="))
+          .map(d => d.getName ->
+            d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+          .toMap
+      val before = bloomFiles()
+      val metaBefore = spark.read.parquet(s"$idx/meta")
+        .collect().map(r => r.getAs[Long]("zone") -> r.getAs[Long]("m")).toMap
+
+      Planning.appendBloomIndexDelta(delta, idx)
+
+      // (a) untouched zones' bloom file sets are byte-identical
+      val touched = delta
+        .select(((year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("long")).as("zone"))
+        .distinct().collect().map(r => s"zone=${r.getLong(0)}").toSet
+      val after = bloomFiles()
+      for ((dir, files) <- before if !touched(dir))
+        assert(after(dir) == files, s"$dir gained files without a delta row")
+      // (b) frozen sizes: every base zone's m is unchanged after the append
+      val metaAfter = spark.read.parquet(s"$idx/meta")
+        .collect().map(r => r.getAs[Long]("zone") -> r.getAs[Long]("m")).toMap
+      for ((z, m) <- metaBefore)
+        assert(metaAfter(z) == m, s"zone $z's bit size must stay frozen")
+      // (c) the loaded bloom stays duplicate-free (the OR-in contract)
+      val bloom = spark.read.parquet(s"$idx/bloom")
+      assert(bloom.count() == bloom.distinct().count(),
+        "maintenance must never write an already-set bit")
+      // (d) no false negatives across maintenance: every probe key drawn
+      // from the delta finds all its rows through the maintained index
+      val served = Planning.serveBloomIndex(li, idx).collect()
+        .map(r => r.getAs[Long]("probe_key") -> r).toMap
+      val expect = li.filter(col("l_orderkey") % 997 === 0)
+        .groupBy(col("l_orderkey").as("probe_key"))
+        .agg(count(lit(1)).as("n_rows"))
+        .collect().map(r => r.getAs[Long]("probe_key") -> r.getAs[Long]("n_rows")).toMap
+      assert(expect.nonEmpty)
+      for ((k, n) <- expect)
+        assert(served(k).getAs[Long]("n_rows") == n,
+          s"key $k must keep all $n rows through the maintained index")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
