@@ -171,7 +171,8 @@ object ScaleBench {
     // streaming CDC upsert (micro-batch floor-bound like q231)
     "q240_incremental_inverted", "q241_atomic_publish",
     "q242_stream_cdc_upsert", "q243_incremental_ivf",
-    "q244_time_travel_vacuum", "q245_incremental_bloom")
+    "q244_time_travel_vacuum", "q245_incremental_bloom",
+    "q246_decontaminate")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

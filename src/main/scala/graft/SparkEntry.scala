@@ -1744,6 +1744,14 @@ object SparkEntry {
         scratchDir("graft-q245").resolve("bloom_index").toString)
         .orderBy("probe_key")
     },
+    // Train/eval decontamination: the n-gram overlap pass an LLM
+    // pipeline runs before training — eval docs (id % 17 == 3) donate a
+    // distinct gram set; a training doc sharing any 8-token window with
+    // it is flagged. Eval side collapses to a set before the join, so
+    // work is O(training grams), never train × eval.
+    "q246_decontaminate" -> { (s, dir) =>
+      Dedup.decontaminate(TestData.documents(s, dir)).orderBy("doc_id")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3318,6 +3326,11 @@ object SparkEntry {
           SELECT probe_key, zones_total, zones_candidate, zones_matching,
                  n_rows, total_cents
           FROM inc_bloom_lookup ORDER BY probe_key""",
+
+    "q246_decontaminate" ->
+      s"""WITH ${Dedup.decontaminateSql()}
+          SELECT doc_id, n_grams, grams_hit, contaminated
+          FROM decontam ORDER BY doc_id""",
 
     "q238_sketch_order_exec" ->
       s"""WITH ${Planning.executeSketchJoinOrderSql()}
