@@ -1752,6 +1752,16 @@ object SparkEntry {
     "q246_decontaminate" -> { (s, dir) =>
       Dedup.decontaminate(TestData.documents(s, dir)).orderBy("doc_id")
     },
+    // The persisted IVF-PQ index (IVFADC): coarse inverted lists +
+    // product-quantized codes built to disk, queries coarse-routed
+    // against the loaded centroids, ADC lookup tables from the loaded
+    // codebooks, and only the query's cell's codes scanned — the
+    // compressed-corpus layout billion-scale ANN serving deploys.
+    "q247_pq_index" -> { (s, dir) =>
+      Similarity.persistedPqTopK(TestData.embeddings(s, dir),
+        scratchDir("graft-q247").resolve("pq_index").toString)
+        .orderBy("qid", "rank")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3331,6 +3341,11 @@ object SparkEntry {
       s"""WITH ${Dedup.decontaminateSql()}
           SELECT doc_id, n_grams, grams_hit, contaminated
           FROM decontam ORDER BY doc_id""",
+
+    "q247_pq_index" ->
+      s"""WITH ${Similarity.persistedPqTopKSql()}
+          SELECT qid, rank, nid, adc_dist
+          FROM pq_serve ORDER BY qid, rank""",
 
     "q238_sketch_order_exec" ->
       s"""WITH ${Planning.executeSketchJoinOrderSql()}

@@ -1060,27 +1060,42 @@ object Similarity {
     * codeword id — bit-identical in both engines. One map-side-combinable
     * aggregate per subspace finishes the audit.
     */
-  def pqAudit(embeddings: DataFrame, m: Int = 4): DataFrame = {
-    val qv = quantized(embeddings)
-    // (vec_id, b, sq, sn2): the b-th subvector, 1-based slice bounds
-    val sub = qv
-      .select(col("vec_id"), col("q"),
+  /** (vec_id, b, sq, sn2): the b-th of `m` contiguous subvectors of a
+    * quantized frame — shared by the PQ audit and the persisted PQ index.
+    */
+  private def subvectors(qv: DataFrame, m: Int): DataFrame =
+    qv.select(col("vec_id"), col("q"),
         (size(col("q")) / m).cast("int").as("sd"),
         explode(sequence(lit(0), lit(m - 1))).as("b"))
       .select(col("vec_id"), col("b"),
         slice(col("q"), col("b") * col("sd") + 1, col("sd")).as("sq"))
       .withColumn("sn2",
         aggregate(transform(col("sq"), x => x * x), lit(0L), (a, x) => a + x))
-    val codebook = sub
-      .crossJoin(broadcast(params(embeddings).select("cent_mod")))
+
+  /** Per-subspace codebooks from the corpus-derived seeding rule
+    * (vec id ≡ 0 mod cent_mod → ~√n codewords per subspace).
+    */
+  private def pqCodebook(sub: DataFrame, embeddings: DataFrame): DataFrame =
+    sub.crossJoin(broadcast(params(embeddings).select("cent_mod")))
       .filter(col("vec_id") % col("cent_mod") === 0)
       .select(col("b").as("cb"), col("vec_id").as("cid"),
         col("sq").as("cq"), col("sn2").as("cn2"))
+
+  /** Nearest codeword per (vector, subspace): exact BIGINT squared
+    * distance on the quantized grid, argmin ties to the smallest codeword
+    * id. Returns (vec_id, b, cid, sqerr) with the top-1 rank column.
+    */
+  private def pqEncode(sub: DataFrame, codebook: DataFrame): DataFrame = {
     val scored = sub.join(broadcast(codebook), col("b") === col("cb"))
       .select(col("vec_id"), col("b"), col("cid"),
         (col("sn2") + col("cn2") - dot(col("sq"), col("cq")) * 2L).as("sqerr"))
     graft.plans.TopK.perKey(scored, Seq("vec_id", "b"),
-        Seq(graft.plans.TopK.asc("sqerr"), graft.plans.TopK.asc("cid")), k = 1)
+      Seq(graft.plans.TopK.asc("sqerr"), graft.plans.TopK.asc("cid")), k = 1)
+  }
+
+  def pqAudit(embeddings: DataFrame, m: Int = 4): DataFrame = {
+    val sub = subvectors(quantized(embeddings), m)
+    pqEncode(sub, pqCodebook(sub, embeddings))
       .groupBy(col("b").as("subspace"))
       .agg(count(lit(1)).as("n_vecs"),
         countDistinct(col("cid")).as("codes_used"),
@@ -1122,6 +1137,135 @@ object Similarity {
        |         CAST(SUM(sqerr) AS BIGINT) AS total_sqerr,
        |         CAST(SUM(sqerr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_sqerr
        |  FROM pq_enc GROUP BY 1)""".stripMargin
+
+  /** q247 — the persisted IVF-PQ index (IVFADC, Jégou et al. 2011 §IV:
+    * coarse inverted lists + product-quantized codes + asymmetric
+    * distance computation), the layout billion-scale ANN services
+    * actually deploy. Build once: coarse centroids (the q235 artifacts),
+    * per-subspace PQ codebooks, and each vector's packed m-byte code in
+    * its coarse cell's partition dir — the corpus compressed from
+    * dim values to m codeword ids per vector, which is what makes a
+    * 100 TB corpus scannable at all. Serve strictly from the loaded
+    * artifacts: a query (a FULL vector — queries are never compressed in
+    * ADC) coarse-routes against the loaded centroids, builds its
+    * per-subspace lookup table of exact BIGINT distances to every
+    * codeword (m·√n entries — the broadcast), and scores ONLY its cell's
+    * codes by summing m table lookups per neighbour. This variant
+    * encodes raw vectors, not residuals (the paper's IVFADC-R
+    * refinement); the oracle mirrors that choice.
+    *
+    * Scale shape: per-query work is O(|cell|·m) lookups against a
+    * broadcast LUT — the n·√n/queryMod class of q54, at a fraction of
+    * its bytes because the scan side reads codes, not vectors. The LUT
+    * broadcast is bounded by queries · m · √n scalar rows.
+    */
+  def persistedPqTopK(embeddings: DataFrame, indexDir: String, k: Int = 5,
+      queryMod: Int = 10, m: Int = 4): DataFrame = {
+    buildPqIndex(embeddings, indexDir, m)
+    servePqIndex(embeddings, indexDir, k, queryMod, m)
+  }
+
+  /** Build half of [[persistedPqTopK]]: centroids + per-subspace
+    * codebooks + cell-partitioned packed codes.
+    */
+  def buildPqIndex(embeddings: DataFrame, indexDir: String, m: Int = 4): Unit = {
+    val qv = quantized(embeddings).localCheckpoint()
+    seedCentroids(embeddings, qv)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val sub = subvectors(qv, m).localCheckpoint()
+    val codebook = pqCodebook(sub, embeddings)
+    codebook.write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    val packed = pqEncode(sub, codebook)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("b"), col("cid")))),
+        s => s.getField("cid")).as("codes"))
+    packed.join(ivfAssign(embeddings).select("vec_id", "cell"), Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("codes"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+  }
+
+  /** Serve half of [[persistedPqTopK]]: coarse-route each query against
+    * the LOADED centroids, build its ADC lookup table from the LOADED
+    * codebooks, and scan only its cell's codes.
+    */
+  def servePqIndex(embeddings: DataFrame, indexDir: String, k: Int = 5,
+      queryMod: Int = 10, m: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val codebooks = spark.read.parquet(s"$indexDir/codebooks")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .withColumn("cell", col("cell").cast("long"))
+    // queries arrive as FULL vectors (the ADC serving contract)
+    val queries = quantized(embeddings.filter(col("vec_id") % queryMod === 0))
+      .localCheckpoint()
+    val qScores = queries.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        cosine(dot(col("q"), col("cq")), col("n2"), col("cn2")).as("cscore"))
+    val qCells = graft.plans.TopK.perKey(qScores, Seq("vec_id"),
+        Seq(graft.plans.TopK.desc("cscore"), graft.plans.TopK.asc("cid")),
+        k = 1, rankName = "rnk")
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    // the ADC lookup table: one exact BIGINT distance per
+    // (query, subspace, codeword)
+    val lut = subvectors(queries.select(col("vec_id"), col("q")), m)
+      .join(broadcast(codebooks), col("b") === col("cb"))
+      .select(col("vec_id").as("qid"), col("b"), col("cid"),
+        (col("sn2") + col("cn2") - dot(col("sq"), col("cq")) * 2L).as("d"))
+    val enc = codes.select(col("cell"), col("vec_id").as("nid"),
+      posexplode(col("codes")).as(Seq("b", "cid")))
+    val scored = enc.join(qCells, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .join(broadcast(lut), Seq("qid", "b", "cid"))
+      .groupBy("qid", "nid")
+      .agg(sum(col("d")).as("adc_dist"))
+    graft.plans.TopK.perKey(scored, Seq("qid"),
+        Seq(graft.plans.TopK.asc("adc_dist"), graft.plans.TopK.asc("nid")), k)
+      .select("qid", "rank", "nid", "adc_dist")
+  }
+
+  /** DuckDB twin of [[persistedPqTopK]] — identical coarse assignment,
+    * codebooks, encoding, and ADC sums, computed logically. Embed after
+    * `WITH ` and select from `pq_serve`.
+    */
+  def persistedPqTopKSql(k: Int = 5, queryMod: Int = 10, m: Int = 4): String =
+    s"""$ivfAssignSql,
+       |pq_sub AS (
+       |  SELECT vec_id, b,
+       |         q[(b * (len(q) // $m) + 1):((b + 1) * (len(q) // $m))] AS sq
+       |  FROM qv, range(0, $m) rb(b)),
+       |pq_subn AS (
+       |  SELECT vec_id, b, sq,
+       |         CAST(list_sum(list_transform(sq, x -> x * x)) AS BIGINT) AS sn2
+       |  FROM pq_sub),
+       |pq_code AS (
+       |  SELECT b AS cb, vec_id AS cid, sq AS cq, sn2 AS cn2
+       |  FROM pq_subn, params WHERE vec_id % cent_mod = 0),
+       |pq_enc AS (
+       |  SELECT vec_id, b, cid FROM (
+       |    SELECT s.vec_id, s.b, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.b
+       |             ORDER BY s.sn2 + c.cn2 - 2 * list_dot_product(s.sq, c.cq),
+       |                      c.cid) AS rnk
+       |    FROM pq_subn s JOIN pq_code c ON s.b = c.cb) t WHERE rnk = 1),
+       |pq_lut AS (
+       |  SELECT s.vec_id AS qid, s.b, c.cid,
+       |         s.sn2 + c.cn2 - 2 * list_dot_product(s.sq, c.cq) AS d
+       |  FROM pq_subn s JOIN pq_code c ON s.b = c.cb
+       |  WHERE s.vec_id % $queryMod = 0),
+       |pq_scores AS (
+       |  SELECT l.qid, e.vec_id AS nid, CAST(SUM(l.d) AS BIGINT) AS adc_dist
+       |  FROM pq_enc e
+       |  JOIN ivf_assign xa ON xa.vec_id = e.vec_id
+       |  JOIN ivf_assign qa ON qa.vec_id % $queryMod = 0 AND qa.cell = xa.cell
+       |  JOIN pq_lut l ON l.qid = qa.vec_id AND l.b = e.b AND l.cid = e.cid
+       |  WHERE qa.vec_id <> e.vec_id
+       |  GROUP BY 1, 2),
+       |pq_serve AS (
+       |  SELECT qid, ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY adc_dist, nid) AS rank, nid, adc_dist
+       |  FROM pq_scores
+       |  QUALIFY rank <= $k)""".stripMargin
 
   /** Farthest-point (greedy k-center / Gonzalez 1985) coreset seeding:
     * start from the smallest vec id, then `k−1` times pick the vector
