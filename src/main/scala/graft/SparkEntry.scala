@@ -1762,6 +1762,15 @@ object SparkEntry {
         scratchDir("graft-q247").resolve("pq_index").toString)
         .orderBy("qid", "rank")
     },
+    // Optimistic concurrency on the manifest table: two writers race
+    // from the same pinned snapshot; the loser's stale commit is REFUSED
+    // by the exclusive-create CAS (its staged files deleted unpublished),
+    // it rebases on the winner's snapshot and commits next. Final state
+    // is the serial application; versions and the conflict are pinned.
+    "q248_concurrent_commits" -> { (s, dir) =>
+      ManifestTable.concurrentCommitters(TestData.events(s, dir),
+        scratchDir("graft-q248").resolve("events_table").toString)
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3346,6 +3355,11 @@ object SparkEntry {
       s"""WITH ${Similarity.persistedPqTopKSql()}
           SELECT qid, rank, nid, adc_dist
           FROM pq_serve ORDER BY qid, rank""",
+
+    "q248_concurrent_commits" ->
+      s"""WITH ${ManifestTable.concurrentCommittersSql()}
+          SELECT stage, version, conflict, event_type, n, total_cents
+          FROM concurrent_commits ORDER BY stage, event_type""",
 
     "q238_sketch_order_exec" ->
       s"""WITH ${Planning.executeSketchJoinOrderSql()}

@@ -237,6 +237,159 @@ object ManifestTable {
        |  SELECT 'c_post_vacuum', 2, 1, event_type, n, total_cents
        |  FROM tt_live)""".stripMargin
 
+  /** Atomically claim commit slot `version`: an EXCLUSIVE create of
+    * `commits/v<version>` naming the writer — the compare-and-swap every
+    * optimistic table-format committer serializes through (Delta's
+    * `N.json` put-if-absent, Iceberg's metadata swap). Exactly one
+    * caller per slot ever returns true, whatever the interleaving: the
+    * filesystem's create-no-overwrite is the arbiter.
+    */
+  def claimCommit(spark: SparkSession, tableDir: String, version: Long,
+      writer: String): Boolean =
+    putIfAbsent(spark, new Path(s"$tableDir/commits/v$version"),
+      s"$writer\n")
+
+  /** Atomic put-if-absent — the one primitive the commit protocol needs
+    * from storage, and (exactly as Delta's LogStore abstraction found)
+    * the one that needs a PER-FILESYSTEM implementation: HDFS's
+    * create-no-overwrite is arbitrated at the NameNode and is atomic,
+    * but Hadoop's LOCAL filesystem implements it as exists-then-create —
+    * two racing threads can both pass the check (observed in this spec's
+    * 8-thread race before this branch existed). Local paths therefore go
+    * through NIO's `CREATE_NEW` (O_CREAT|O_EXCL — atomic on POSIX).
+    */
+  private def putIfAbsent(spark: SparkSession, path: Path,
+      content: String): Boolean = {
+    val uri = path.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      val p = java.nio.file.Paths.get(uri.getPath)
+      java.nio.file.Files.createDirectories(p.getParent)
+      try {
+        java.nio.file.Files.write(p, content.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      val ctx = fc(spark, path.toString)
+      try {
+        val out = ctx.create(path, EnumSet.of(CreateFlag.CREATE),
+          CreateOpts.createParent())
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    }
+  }
+
+  /** One optimistic commit attempt: stage the candidate's data files
+    * (unpublished — no reader resolves the stage dir), CAS the commit
+    * slot, and only the winner promotes its staged dir to `data/v<N>`
+    * and swaps the pointer. A loser's staged files are deleted — debris,
+    * never published. Returns whether the CAS won.
+    */
+  def tryCommit(df: DataFrame, tableDir: String, version: Long,
+      writer: String): Boolean = {
+    val spark = df.sparkSession
+    val staged = s"$tableDir/stage/v$version-$writer"
+    df.write.mode(SaveMode.Overwrite).parquet(staged)
+    val won = claimCommit(spark, tableDir, version, writer)
+    val ctx = fc(spark, tableDir)
+    if (won) {
+      ctx.rename(new Path(staged), new Path(s"$tableDir/data/v$version"),
+        Options.Rename.OVERWRITE)
+      val tmp = new Path(s"$tableDir/CURRENT.tmp")
+      val out = ctx.create(tmp,
+        EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+        CreateOpts.createParent())
+      try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
+      ctx.rename(tmp, new Path(s"$tableDir/CURRENT"), Options.Rename.OVERWRITE)
+    } else {
+      ctx.delete(new Path(staged), true)
+    }
+    won
+  }
+
+  /** q248 — optimistic concurrency on the manifest table: two writers
+    * race from the SAME pinned snapshot. Writer A (doubles every
+    * purchase's value) commits v2; writer B (drops every view) then
+    * attempts v2 with its now-stale candidate and the CAS REFUSES it —
+    * the exclusive-create actually fails, B's staged files are deleted
+    * unpublished; B rebases by re-reading CURRENT and re-applying its
+    * change on A's result, and commits v3. The final table is the SERIAL
+    * application f_B(f_A(base)) — write skew is impossible because every
+    * commit's base is certified by the slot it claims. Output: per-stage
+    * per-type totals with the resolved version and a conflict flag; the
+    * oracle pins versions (1, 2, 2, 3) and the single conflict, and
+    * computes all three table states from the raw events. The refused
+    * stage's totals EQUAL writer A's — the loser's data was never
+    * visible.
+    */
+  def concurrentCommitters(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    publish(slim, tableDir, 1L)
+    def writerA(base: DataFrame): DataFrame =
+      base.withColumn("value",
+        when(col("event_type") === "purchase", col("value") * 2)
+          .otherwise(col("value")))
+    def writerB(base: DataFrame): DataFrame =
+      base.filter(col("event_type") =!= "view")
+    // both writers pin the SAME base snapshot — the race
+    val baseV = currentVersion(spark, tableDir).get
+    val candA = writerA(readVersion(spark, tableDir, baseV))
+    val candB = writerB(readVersion(spark, tableDir, baseV))
+    require(tryCommit(candA, tableDir, baseV + 1, "writer_a"),
+      "writer A races alone for v2 and must win")
+    val bStaleWon = tryCommit(candB, tableDir, baseV + 1, "writer_b")
+    require(!bStaleWon, "writer B's stale v2 attempt must lose the CAS")
+    val refusedStageV = currentVersion(spark, tableDir).get
+    require(tryCommit(writerB(read(spark, tableDir)), tableDir,
+        refusedStageV + 1, "writer_b"),
+      "writer B's rebased v3 attempt races alone and must win")
+    def stage(name: String, v: Long, conflict: Int): DataFrame =
+      readVersion(spark, tableDir, v)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .select(lit(name).as("stage"), lit(v).as("version"),
+          lit(conflict).as("conflict"), col("event_type"), col("n"),
+          col("total_cents"))
+    stage("a_base", 1L, 0)
+      .unionByName(stage("b_writer_a", 2L, 0))
+      .unionByName(stage("c_writer_b_refused", refusedStageV, 1))
+      .unionByName(stage("d_writer_b_rebased", 3L, 0))
+      .orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[concurrentCommitters]]: the three table states
+    * computed from the raw events, versions and the conflict flag
+    * pinned. Embed after `WITH ` and select from `concurrent_commits`.
+    */
+  def concurrentCommittersSql(): String =
+    s"""cc_states AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS base_cents,
+       |         CAST(SUM(${OracleSafe.quantSql(
+                  "CASE WHEN event_type = 'purchase' THEN value * 2 " +
+                    "ELSE value END", 100)}) AS BIGINT) AS a_cents
+       |  FROM events GROUP BY 1),
+       |concurrent_commits AS (
+       |  SELECT 'a_base' AS stage, CAST(1 AS BIGINT) AS version,
+       |         0 AS conflict, event_type, n, base_cents AS total_cents
+       |  FROM cc_states
+       |  UNION ALL
+       |  SELECT 'b_writer_a', 2, 0, event_type, n, a_cents FROM cc_states
+       |  UNION ALL
+       |  SELECT 'c_writer_b_refused', 2, 1, event_type, n, a_cents
+       |  FROM cc_states
+       |  UNION ALL
+       |  SELECT 'd_writer_b_rebased', 3, 0, event_type, n, a_cents
+       |  FROM cc_states WHERE event_type <> 'view')""".stripMargin
+
   /** DuckDB twin of [[atomicCompactionPublish]]: the per-type totals from
     * the raw events, cross-joined with the PINNED stage→version frame —
     * the crash window must resolve version 1 and the republish version 2,

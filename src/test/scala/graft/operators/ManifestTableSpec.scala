@@ -97,4 +97,41 @@ class ManifestTableSpec extends SparkSpec {
         "the compacted snapshot must have fewer files")
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q248 CAS: of N threads racing one commit slot, exactly one wins") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mt-spec")
+    try {
+      val tbl = s"$out/tbl"
+      val base = Seq((1L, "a", 1.0), (2L, "b", 2.0))
+        .toDF("event_id", "event_type", "value")
+      ManifestTable.publish(base, tbl, 1L)
+      // a REAL race: 8 threads stage + CAS the same v2 slot concurrently
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val attempts = Await.result(
+        Future.sequence((0 until 8).map { i =>
+          Future(i -> ManifestTable.tryCommit(
+            base.withColumn("value", col("value") + i),
+            tbl, 2L, s"writer_$i"))
+        }), 2.minutes)
+      val winners = attempts.filter(_._2)
+      assert(winners.size == 1, s"exactly one CAS winner, got $winners")
+      // the pointer names v2, the winner's dir exists, and every loser's
+      // staged debris is gone
+      assert(ManifestTable.currentVersion(spark, tbl).contains(2L))
+      assert(new java.io.File(s"$tbl/data/v2").isDirectory)
+      val stageDir = new java.io.File(s"$tbl/stage")
+      val leftover =
+        if (stageDir.isDirectory) stageDir.listFiles().map(_.getName).toSeq
+        else Seq.empty
+      assert(leftover.isEmpty, s"losers' staged dirs must be deleted: $leftover")
+      // the committed snapshot is the winner's candidate, complete
+      val w = winners.head._1
+      val got = ManifestTable.read(spark, tbl)
+        .select(sum(col("value"))).head().getDouble(0)
+      assert(got == (1.0 + w) + (2.0 + w),
+        s"v2 must hold writer $w's complete candidate, saw sum $got")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
