@@ -1771,6 +1771,14 @@ object SparkEntry {
       ManifestTable.concurrentCommitters(TestData.events(s, dir),
         scratchDir("graft-q248").resolve("events_table").toString)
     },
+    // The table_changes() surface: three published versions (base;
+    // deletes+updates; inserts), the row-level CDF derived per
+    // consecutive pair with one full-outer key join, update rows as
+    // pre/post images, summarized per (version, change_type, type).
+    "q249_change_feed" -> { (s, dir) =>
+      ManifestTable.changeFeedSummary(TestData.events(s, dir),
+        scratchDir("graft-q249").resolve("events_table").toString)
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3360,6 +3368,11 @@ object SparkEntry {
       s"""WITH ${ManifestTable.concurrentCommittersSql()}
           SELECT stage, version, conflict, event_type, n, total_cents
           FROM concurrent_commits ORDER BY stage, event_type""",
+
+    "q249_change_feed" ->
+      s"""WITH ${ManifestTable.changeFeedSummarySql()}
+          SELECT version, change_type, event_type, n, total_cents
+          FROM change_feed ORDER BY version, change_type, event_type""",
 
     "q238_sketch_order_exec" ->
       s"""WITH ${Planning.executeSketchJoinOrderSql()}

@@ -364,6 +364,105 @@ object ManifestTable {
       .orderBy("stage", "event_type")
   }
 
+  /** Row-level change feed between two published versions — the
+    * `table_changes(from, to)` surface of the manifest table (Delta's
+    * CDF shape: insert / delete / update_preimage / update_postimage
+    * rows, each tagged with the commit version that produced it). The
+    * manifest log stores snapshots, not row deltas, so the feed derives
+    * each consecutive pair's changes with ONE full-outer hash join on
+    * the key — O(|v| + |v+1|) per step, the standard reconstruction
+    * when a log lacks write-time CDF (q186/q242 cover the apply side).
+    * Change detection compares cent-quantized values, so fp noise can
+    * never mint a phantom update and both engines agree bit-for-bit.
+    */
+  def changeFeed(spark: SparkSession, tableDir: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion, s"empty range: $fromVersion..$toVersion")
+    (fromVersion until toVersion).map { v =>
+      val old = readVersion(spark, tableDir, v)
+        .select(col("event_id"), col("event_type").as("o_type"),
+          OracleSafe.quant(col("value"), 100).as("o_cents"))
+      val nw = readVersion(spark, tableDir, v + 1)
+        .select(col("event_id"), col("event_type").as("n_type"),
+          OracleSafe.quant(col("value"), 100).as("n_cents"))
+      val j = old.join(nw, Seq("event_id"), "full_outer")
+        .select(col("event_id"),
+          coalesce(col("n_type"), col("o_type")).as("event_type"),
+          col("o_cents"), col("n_cents"))
+        .localCheckpoint() // one diff pass feeds all four change branches
+      val deletes = j.filter(col("n_cents").isNull)
+        .select(col("event_id"), col("event_type"),
+          lit("delete").as("change_type"), col("o_cents").as("cents"))
+      val inserts = j.filter(col("o_cents").isNull)
+        .select(col("event_id"), col("event_type"),
+          lit("insert").as("change_type"), col("n_cents").as("cents"))
+      val updated = j.filter(col("o_cents").isNotNull &&
+        col("n_cents").isNotNull && col("o_cents") =!= col("n_cents"))
+      val pre = updated.select(col("event_id"), col("event_type"),
+        lit("update_pre").as("change_type"), col("o_cents").as("cents"))
+      val post = updated.select(col("event_id"), col("event_type"),
+        lit("update_post").as("change_type"), col("n_cents").as("cents"))
+      deletes.unionByName(inserts).unionByName(pre).unionByName(post)
+        .select(lit(v + 1).as("version"), col("change_type"),
+          col("event_id"), col("event_type"), col("cents"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** q249 — the change feed end to end: publish v1 (the raw events), v2
+    * (errors deleted, purchase values doubled — one commit carrying both
+    * deletes and updates), v3 (every click cloned under a shifted key —
+    * inserts), then summarize [[changeFeed]](1, 3) per (version,
+    * change_type, event_type). The oracle derives the identical feed
+    * logically from the raw events, including the subtlety that a
+    * purchase whose doubled value lands on the SAME cent is NOT an
+    * update — both engines compare on the quantized grid.
+    */
+  def changeFeedSummary(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    publish(slim, tableDir, 1L)
+    val v2 = slim.filter(col("event_type") =!= "error")
+      .withColumn("value",
+        when(col("event_type") === "purchase", col("value") * 2)
+          .otherwise(col("value")))
+    publish(v2, tableDir, 2L)
+    val clones = v2.filter(col("event_type") === "click")
+      .withColumn("event_id", col("event_id") + 1000000000L)
+    publish(v2.unionByName(clones), tableDir, 3L)
+    changeFeed(spark, tableDir, 1L, 3L)
+      .groupBy("version", "change_type", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .orderBy("version", "change_type", "event_type")
+  }
+
+  /** DuckDB twin of [[changeFeedSummary]] — the same three snapshots
+    * diffed logically. Embed after `WITH ` and select from
+    * `change_feed`.
+    */
+  def changeFeedSummarySql(): String = {
+    val cents = OracleSafe.quantSql("value", 100)
+    val cents2 = OracleSafe.quantSql("value * 2", 100)
+    s"""change_feed AS (
+       |  SELECT CAST(2 AS BIGINT) AS version, 'delete' AS change_type,
+       |         event_type, COUNT(*) AS n,
+       |         CAST(SUM($cents) AS BIGINT) AS total_cents
+       |  FROM events WHERE event_type = 'error' GROUP BY 3
+       |  UNION ALL
+       |  SELECT 2, 'update_pre', event_type, COUNT(*),
+       |         CAST(SUM($cents) AS BIGINT)
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND $cents2 <> $cents GROUP BY 3
+       |  UNION ALL
+       |  SELECT 2, 'update_post', event_type, COUNT(*),
+       |         CAST(SUM($cents2) AS BIGINT)
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND $cents2 <> $cents GROUP BY 3
+       |  UNION ALL
+       |  SELECT 3, 'insert', event_type, COUNT(*),
+       |         CAST(SUM($cents) AS BIGINT)
+       |  FROM events WHERE event_type = 'click' GROUP BY 3)""".stripMargin
+  }
+
   /** DuckDB twin of [[concurrentCommitters]]: the three table states
     * computed from the raw events, versions and the conflict flag
     * pinned. Embed after `WITH ` and select from `concurrent_commits`.

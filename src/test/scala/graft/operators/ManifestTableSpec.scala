@@ -134,4 +134,32 @@ class ManifestTableSpec extends SparkSpec {
         s"v2 must hold writer $w's complete candidate, saw sum $got")
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q249 change feed: insert/delete/update images, and same-cent rewrites are not updates") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mt-spec")
+    try {
+      val tbl = s"$out/tbl"
+      val v1 = Seq(
+        (1L, "a", 1.00), (2L, "b", 2.00), (3L, "c", 3.00),
+        (4L, "d", 0.004)) // 0.4 cents — floor-quantizes to 0
+        .toDF("event_id", "event_type", "value")
+      // v2: row 2 deleted, row 3 updated to 4.00, row 4 rewritten to
+      // 0.009 (SAME cent: 0 → 0 — must NOT be an update), row 5 inserted
+      val v2 = Seq(
+        (1L, "a", 1.00), (3L, "c", 4.00), (4L, "d", 0.009),
+        (5L, "e", 5.00))
+        .toDF("event_id", "event_type", "value")
+      ManifestTable.publish(v1, tbl, 1L)
+      ManifestTable.publish(v2, tbl, 2L)
+      val feed = ManifestTable.changeFeed(spark, tbl, 1L, 2L).collect()
+        .map(r => (r.getAs[String]("change_type"), r.getAs[Long]("event_id")) ->
+          r.getAs[Long]("cents")).toMap
+      assert(feed == Map(
+        ("delete", 2L) -> 200L,
+        ("update_pre", 3L) -> 300L,
+        ("update_post", 3L) -> 400L,
+        ("insert", 5L) -> 500L),
+        s"feed must carry exactly these images: $feed")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
