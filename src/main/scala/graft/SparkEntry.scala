@@ -1779,14 +1779,6 @@ object SparkEntry {
       ManifestTable.changeFeedSummary(TestData.events(s, dir),
         scratchDir("graft-q249").resolve("events_table").toString)
     },
-    // Sliding-window document chunking (the RAG/long-context splitter):
-    // overlapping token windows with stable chunk identity and offsets,
-    // a pure per-row generator that pipelines inside codegen — no
-    // shuffle anywhere.
-    "q250_chunk_documents" -> { (s, dir) =>
-      TextAnalysis.chunkDocuments(TestData.documents(s, dir))
-        .orderBy("doc_id", "chunk_idx")
-    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3381,11 +3373,6 @@ object SparkEntry {
       s"""WITH ${ManifestTable.changeFeedSummarySql()}
           SELECT version, change_type, event_type, n, total_cents
           FROM change_feed ORDER BY version, change_type, event_type""",
-
-    "q250_chunk_documents" ->
-      s"""WITH ${TextAnalysis.chunkDocumentsSql()}
-          SELECT doc_id, chunk_idx, start_tok, n_tokens, chunk_text
-          FROM doc_chunks ORDER BY doc_id, chunk_idx""",
 
     "q238_sketch_order_exec" ->
       s"""WITH ${Planning.executeSketchJoinOrderSql()}

@@ -1246,53 +1246,4 @@ object TextAnalysis {
       documents.filter(col("doc_id") % deltaMod === 0L), outDir, nBuckets)
     serveInvertedIndex(documents.sparkSession, outDir, dictDir = "dict_v2")
   }
-
-  /** q250 — sliding-window document chunking, the splitter every RAG
-    * ingest and long-context training pipeline runs: each document's
-    * token stream becomes overlapping windows of `chunkSize` tokens at
-    * stride `chunkSize − overlap`, with stable (doc_id, chunk_idx)
-    * identity and token offsets. A trailing start that would emit a
-    * window fully contained in its predecessor (fewer than `overlap`+1
-    * fresh tokens) is dropped — the no-degenerate-tail rule — except at
-    * start 0, so every document with any text yields at least one chunk.
-    *
-    * Scale shape: a pure per-row generator — no shuffle, no join; the
-    * operator is embarrassingly parallel and pipelines inside whole-stage
-    * codegen between the scan and whatever embeds/writes the chunks.
-    * Output size is bounded by n_tokens/stride windows per doc.
-    */
-  def chunkDocuments(documents: DataFrame, chunkSize: Int = 32,
-      overlap: Int = 8): DataFrame = {
-    require(overlap >= 0 && overlap < chunkSize,
-      s"overlap must be in [0, chunkSize): $overlap vs $chunkSize")
-    val stride = (chunkSize - overlap).toLong
-    documents
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
-      .select(col("doc_id"), col("toks"), col("n"),
-        explode(sequence(lit(0L), col("n") - 1, lit(stride))).as("s"))
-      .filter(col("s") === 0L || col("s") + overlap < col("n"))
-      .select(col("doc_id"),
-        (col("s") / stride).cast("int").as("chunk_idx"),
-        col("s").as("start_tok"),
-        least(lit(chunkSize.toLong), col("n") - col("s")).as("n_tokens"),
-        array_join(slice(col("toks"), (col("s") + 1).cast("int"), lit(chunkSize)), " ")
-          .as("chunk_text"))
-  }
-
-  /** DuckDB twin of [[chunkDocuments]]. */
-  def chunkDocumentsSql(chunkSize: Int = 32, overlap: Int = 8): String = {
-    val stride = chunkSize - overlap
-    s"""doc_chunks AS (
-       |  SELECT doc_id, CAST(s // $stride AS INT) AS chunk_idx,
-       |         s AS start_tok,
-       |         LEAST($chunkSize, n - s) AS n_tokens,
-       |         array_to_string(toks[CAST(s + 1 AS INT):CAST(s + $chunkSize AS INT)], ' ')
-       |           AS chunk_text
-       |  FROM (SELECT doc_id, toks, len(toks) AS n,
-       |               unnest(generate_series(0, len(toks) - 1, $stride)) AS s
-       |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
-       |              FROM documents) t) g
-       |  WHERE s = 0 OR s + $overlap < n)""".stripMargin
-  }
 }

@@ -245,30 +245,4 @@ class TextAnalysisSpec extends SparkSpec {
     val res = TextAnalysis.paretoFrontier(d).select("doc_id").as[Long].collect().toSet
     assert(res == brute, s"engine=${res.size} brute=${brute.size}")
   }
-
-  test("chunkDocuments: windows, offsets, the degenerate-tail rule, and full coverage") {
-    def toks(n: Int): String = (0 until n).map(i => s"t$i").mkString(" ")
-    // 56 tokens at (32, 8): starts 0 and 24 survive; start 48 would add
-    // no tokens beyond chunk 1's reach past the overlap (48+8 = 56) and
-    // is dropped. 33 tokens: start 24 survives (24+8 < 33), 9-token tail.
-    val d = docs(1L -> toks(56), 2L -> toks(33), 3L -> toks(32), 4L -> toks(5))
-    val rows = TextAnalysis.chunkDocuments(d, chunkSize = 32, overlap = 8)
-      .collect()
-      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")) ->
-        (r.getAs[Long]("start_tok"), r.getAs[Long]("n_tokens"),
-          r.getAs[String]("chunk_text"))).toMap
-    assert(rows.keySet == Set((1L, 0), (1L, 1), (2L, 0), (2L, 1), (3L, 0), (4L, 0)),
-      s"chunk identity: ${rows.keySet}")
-    assert(rows((1L, 0))._1 == 0L && rows((1L, 0))._2 == 32L)
-    assert(rows((1L, 1)) == ((24L, 32L,
-      (24 until 56).map(i => s"t$i").mkString(" "))))
-    assert(rows((2L, 1))._2 == 9L, "33-token doc keeps its 9-token tail")
-    assert(rows((4L, 0)) == ((0L, 5L, "t0 t1 t2 t3 t4")))
-    // coverage: the union of windows spans every token of every doc
-    for ((docId, n) <- Seq(1L -> 56, 2L -> 33, 3L -> 32, 4L -> 5)) {
-      val covered = rows.collect { case ((d2, _), (s, len, _)) if d2 == docId =>
-        s.toInt until (s + len).toInt }.flatten.toSet
-      assert(covered == (0 until n).toSet, s"doc $docId must be fully covered")
-    }
-  }
 }
