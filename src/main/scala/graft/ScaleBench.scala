@@ -172,7 +172,7 @@ object ScaleBench {
     "q240_incremental_inverted", "q241_atomic_publish",
     "q242_stream_cdc_upsert", "q243_incremental_ivf",
     "q244_time_travel_vacuum", "q245_incremental_bloom",
-    "q246_decontaminate", "q247_pq_index", "q248_concurrent_commits",
+    "q247_pq_index", "q248_concurrent_commits",
     "q249_change_feed")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {

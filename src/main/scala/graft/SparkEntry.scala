@@ -1744,14 +1744,6 @@ object SparkEntry {
         scratchDir("graft-q245").resolve("bloom_index").toString)
         .orderBy("probe_key")
     },
-    // Train/eval decontamination: the n-gram overlap pass an LLM
-    // pipeline runs before training — eval docs (id % 17 == 3) donate a
-    // distinct gram set; a training doc sharing any 8-token window with
-    // it is flagged. Eval side collapses to a set before the join, so
-    // work is O(training grams), never train × eval.
-    "q246_decontaminate" -> { (s, dir) =>
-      Dedup.decontaminate(TestData.documents(s, dir)).orderBy("doc_id")
-    },
     // The persisted IVF-PQ index (IVFADC): coarse inverted lists +
     // product-quantized codes built to disk, queries coarse-routed
     // against the loaded centroids, ADC lookup tables from the loaded
@@ -3353,11 +3345,6 @@ object SparkEntry {
           SELECT probe_key, zones_total, zones_candidate, zones_matching,
                  n_rows, total_cents
           FROM inc_bloom_lookup ORDER BY probe_key""",
-
-    "q246_decontaminate" ->
-      s"""WITH ${Dedup.decontaminateSql()}
-          SELECT doc_id, n_grams, grams_hit, contaminated
-          FROM decontam ORDER BY doc_id""",
 
     "q247_pq_index" ->
       s"""WITH ${Similarity.persistedPqTopKSql()}

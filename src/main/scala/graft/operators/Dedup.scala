@@ -451,54 +451,6 @@ object Dedup {
        |  FROM shingles JOIN first_seen USING (sh)
        |  GROUP BY doc_id)""".stripMargin
 
-  /** Train/eval decontamination (q246) — the n-gram overlap rule LLM
-    * training pipelines run before every training job (13-gram dedup in
-    * Brown et al. 2020 appendix C; the same shape in Gopher/MassiveText,
-    * Rae et al. 2021 — n sized down to 8 for this corpus's ~56-token
-    * documents): documents with `doc_id % evalMod == evalRem` stand in
-    * for the held-out benchmark; a TRAINING document is contaminated if
-    * it shares any length-`n` token window with any eval document.
-    * Output per training doc: total distinct grams, grams also present
-    * in the eval set, and the 0/1 contamination flag.
-    *
-    * Scale shape: the eval side collapses to a DISTINCT gram SET before
-    * the join (benchmarks are tiny next to a 100 TB corpus, and a gram's
-    * eval multiplicity is irrelevant to the rule), so the join output is
-    * bounded by the training gram count — O(postings), never
-    * train × eval. The gram frame is the shared [[shingles]] memo every
-    * other dedup query rides. Documents shorter than `n` tokens have no
-    * window to leak and carry no row, matching the gram domain.
-    */
-  def decontaminate(docs: DataFrame, n: Int = 8,
-      evalMod: Long = 17L, evalRem: Long = 3L): DataFrame = {
-    val sh = shingles(docs, n)
-    val evalGrams = sh.filter(col("doc_id") % evalMod === evalRem)
-      .select("sh").distinct().withColumn("hit", lit(1))
-    sh.filter(col("doc_id") % evalMod =!= evalRem)
-      .join(evalGrams, Seq("sh"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("grams_hit"))
-      .withColumn("contaminated",
-        when(col("grams_hit") > 0, 1).otherwise(0))
-  }
-
-  /** DuckDB twin of [[decontaminate]]. */
-  def decontaminateSql(n: Int = 8, evalMod: Long = 17L,
-      evalRem: Long = 3L): String =
-    s"""${shinglesSql(n)},
-       |dc_eval AS (
-       |  SELECT DISTINCT sh FROM shingles WHERE doc_id % $evalMod = $evalRem),
-       |decontam AS (
-       |  SELECT doc_id, COUNT(*) AS n_grams,
-       |         CAST(SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-       |           AS grams_hit,
-       |         CAST(CASE WHEN SUM(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) > 0
-       |              THEN 1 ELSE 0 END AS INT) AS contaminated
-       |  FROM (SELECT * FROM shingles WHERE doc_id % $evalMod <> $evalRem) t
-       |  LEFT JOIN dc_eval e ON e.sh = t.sh
-       |  GROUP BY doc_id)""".stripMargin
-
   /** Quality-aware canonical selection: one representative per near-dup
     * cluster, chosen by QUALITY (longest text here, standing in for a
     * learned scorer) instead of the arbitrary min-id — keeping the best

@@ -369,25 +369,4 @@ class DedupSpec extends SparkSpec {
       s"mid-J truth pair must surface: ${rows.keys}")
   }
 
-  test("decontamination flags exactly the training docs sharing an n-gram with the eval set") {
-    // evalMod=17, evalRem=3 → doc 3 is the held-out eval doc. Doc 40
-    // embeds doc 3's text verbatim (the leak); doc 21 shares 7 of 8
-    // consecutive tokens (no full window); doc 22 is clean; doc 23 is
-    // shorter than n and must carry no row at all.
-    val corpus = docs(
-      3L  -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
-      40L -> "prefix words alpha beta gamma delta epsilon zeta eta theta iota kappa suffix",
-      21L -> "alpha beta gamma delta epsilon zeta eta XXXX iota kappa lambda mu",
-      22L -> "one two three four five six seven eight nine ten eleven twelve",
-      23L -> "too short for grams")
-    val res = Dedup.decontaminate(corpus, n = 8).collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        (r.getAs[Long]("grams_hit"), r.getAs[Int]("contaminated"))).toMap
-    assert(!res.contains(3L), "eval docs are not scored")
-    assert(!res.contains(23L), "a doc shorter than n has no window to leak")
-    assert(res(40L)._1 == 3L && res(40L)._2 == 1,
-      s"verbatim embedding leaks all 3 aligned windows: ${res(40L)}")
-    assert(res(21L) == (0L, 0), "7-of-8 token overlap is not a hit")
-    assert(res(22L) == (0L, 0), "clean doc stays clean")
-  }
 }
