@@ -1771,6 +1771,13 @@ object SparkEntry {
       ManifestTable.changeFeedSummary(TestData.events(s, dir),
         scratchDir("graft-q249").resolve("events_table").toString)
     },
+    // Leakage-safe (out-of-fold) target encoding: a category's encoding
+    // for a fold is the mean target over the OTHER folds only, folds
+    // group-aware by user — one bounded aggregate, |categories|×k rows.
+    "q250_target_encoding" -> { (s, dir) =>
+      Sampling.targetEncoding(TestData.events(s, dir))
+        .orderBy("event_type", "fold")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3360,6 +3367,11 @@ object SparkEntry {
       s"""WITH ${ManifestTable.changeFeedSummarySql()}
           SELECT version, change_type, event_type, n, total_cents
           FROM change_feed ORDER BY version, change_type, event_type""",
+
+    "q250_target_encoding" ->
+      s"""WITH ${Sampling.targetEncodingSql()}
+          SELECT event_type, fold, n_fold, encoded_cents
+          FROM target_encoding ORDER BY event_type, fold""",
 
     "q238_sketch_order_exec" ->
       s"""WITH ${Planning.executeSketchJoinOrderSql()}

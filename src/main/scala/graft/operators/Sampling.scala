@@ -813,4 +813,61 @@ object Sampling {
        |           <= hoeffding_bound_cents AS within_bound
        |  FROM gea_est)""".stripMargin
   }
+  /** q250 — leakage-safe (out-of-fold) target encoding, the categorical
+    * feature-engineering pass every tabular-ML pipeline runs before
+    * training: a category's encoded value for a row is the mean target of
+    * OTHER folds' rows in that category, so a row never sees a statistic
+    * its own fold contributed to (the target-leakage failure mode this
+    * construction exists to prevent; Micci-Barreca 2001 describes the
+    * family). Folds are GROUP-AWARE — `user_id % k`, the q79 rule — so
+    * all of an entity's rows share a fold and per-entity leakage is
+    * impossible too.
+    *
+    * One bounded aggregate: per-(category, fold) exact cent sums and
+    * counts, category totals by a second map-side-combinable pass, and
+    * the encoding (S − S_f) / (C − C_f) as ONE double division of exact
+    * BIGINTs — deterministic on both engines. A category living entirely
+    * inside one fold encodes NULL for that fold (no other-fold evidence),
+    * never the global mean smuggled in silently. Output is the
+    * (category × fold) encoding table — |categories|·k rows, the frame a
+    * trainer broadcast-joins onto its feature rows.
+    */
+  def targetEncoding(events: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 2, s"out-of-fold needs at least 2 folds: $k")
+    val perFold = events
+      .select(col("event_type"), (col("user_id") % k).as("fold"),
+        graft.functions.OracleSafe.quant(col("value"), 100).as("cents"))
+      .groupBy("event_type", "fold")
+      .agg(count(lit(1)).as("n_fold"), sum("cents").as("s_fold"))
+    val perCat = perFold.groupBy("event_type")
+      .agg(sum("n_fold").as("n_cat"), sum("s_fold").as("s_cat"))
+    perFold.join(broadcast(perCat), Seq("event_type"))
+      .select(col("event_type"), col("fold"), col("n_fold"),
+        when(col("n_cat") === col("n_fold"), lit(null).cast("double"))
+          .otherwise((col("s_cat") - col("s_fold")).cast("double")
+            / (col("n_cat") - col("n_fold")).cast("double"))
+          .as("encoded_cents"))
+  }
+
+  /** DuckDB twin of [[targetEncoding]]; embed after `WITH ` and select
+    * from `target_encoding`.
+    */
+  def targetEncodingSql(k: Int = 5): String =
+    s"""te_fold AS (
+       |  SELECT event_type, user_id % $k AS fold,
+       |         COUNT(*) AS n_fold,
+       |         CAST(SUM(${graft.functions.OracleSafe.quantSql("value", 100)})
+       |           AS BIGINT) AS s_fold
+       |  FROM events GROUP BY 1, 2),
+       |te_cat AS (
+       |  SELECT event_type, CAST(SUM(n_fold) AS BIGINT) AS n_cat,
+       |         CAST(SUM(s_fold) AS BIGINT) AS s_cat
+       |  FROM te_fold GROUP BY 1),
+       |target_encoding AS (
+       |  SELECT f.event_type, f.fold, f.n_fold,
+       |         CASE WHEN c.n_cat = f.n_fold THEN NULL
+       |              ELSE CAST(c.s_cat - f.s_fold AS DOUBLE)
+       |                   / CAST(c.n_cat - f.n_fold AS DOUBLE) END
+       |           AS encoded_cents
+       |  FROM te_fold f JOIN te_cat c USING (event_type))""".stripMargin
 }

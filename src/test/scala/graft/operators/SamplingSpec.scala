@@ -347,4 +347,25 @@ class SamplingSpec extends SparkSpec {
     assert(rel("C") > rel("A") && rel("C") > rel("B"),
       s"small group must report the widest per-row bound: $rel")
   }
+
+  test("targetEncoding: each fold's encoding excludes exactly its own rows") {
+    // category 'a': fold 0 (users 0, 2) carries 10.00s, fold 1 (user 1)
+    // carries 20.00s → fold 0 must encode to fold 1's mean and vice
+    // versa; category 'b' lives only in fold 0 → NULL (no other-fold
+    // evidence, never a smuggled global mean)
+    val ev = Seq(
+      (1L, 0L, "a", 10.00), (2L, 2L, "a", 10.00),
+      (3L, 1L, "a", 20.00), (4L, 1L, "a", 20.00),
+      (5L, 0L, "b", 7.00))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val r = Sampling.targetEncoding(ev, k = 2).collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Long]("fold")) ->
+        (if (x.isNullAt(x.fieldIndex("encoded_cents"))) None
+         else Some(x.getAs[Double]("encoded_cents")))).toMap
+    assert(r(("a", 0L)) == Some(2000.0),
+      s"fold 0 encodes from fold 1's 20.00s only: $r")
+    assert(r(("a", 1L)) == Some(1000.0),
+      s"fold 1 encodes from fold 0's 10.00s only: $r")
+    assert(r(("b", 0L)) == None, s"single-fold category must encode NULL: $r")
+  }
 }
