@@ -173,7 +173,8 @@ object ScaleBench {
     "q242_stream_cdc_upsert", "q243_incremental_ivf",
     "q244_time_travel_vacuum", "q245_incremental_bloom",
     "q247_pq_index", "q248_concurrent_commits",
-    "q249_change_feed", "q250_target_encoding")
+    "q249_change_feed", "q250_target_encoding",
+    "q251_seasonal_decompose")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

@@ -1778,6 +1778,13 @@ object SparkEntry {
       Sampling.targetEncoding(TestData.events(s, dir))
         .orderBy("event_type", "fold")
     },
+    // Classical additive seasonal decomposition of daily spend: centered
+    // 7-day trend, per-weekday seasonal means of the detrended series,
+    // residual — integer-exact until the final two fp steps, on a
+    // calendar-bounded day grid.
+    "q251_seasonal_decompose" -> { (s, dir) =>
+      Events.seasonalDecompose(TestData.events(s, dir)).orderBy("day")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3372,6 +3379,11 @@ object SparkEntry {
       s"""WITH ${Sampling.targetEncodingSql()}
           SELECT event_type, fold, n_fold, encoded_cents
           FROM target_encoding ORDER BY event_type, fold""",
+
+    "q251_seasonal_decompose" ->
+      s"""WITH ${Events.seasonalDecomposeSql()}
+          SELECT day, season, cents, trend7, seasonal7, residual7
+          FROM seasonal_decompose ORDER BY day""",
 
     "q238_sketch_order_exec" ->
       s"""WITH ${Planning.executeSketchJoinOrderSql()}

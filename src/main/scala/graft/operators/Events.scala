@@ -568,4 +568,80 @@ object Events {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY day
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
   }
+  /** q251 — classical additive seasonal decomposition of the daily spend
+    * series (the moving-average method of Persons/Macaulay that STL
+    * refines; Cleveland et al. 1990 §1 describes the family): daily cent
+    * totals on a gap-filled calendar grid, trend as the centered 7-day
+    * window sum, weekly seasonality as the per-weekday mean of the
+    * detrended series, residual as what remains. Everything stays exact
+    * integers until the LAST step: working with `7·value − trendSum`
+    * (both BIGINT) instead of `value − trendSum/7` defers the only
+    * divisions to the per-season mean and final residual — one double
+    * division and one subtraction, deterministic on both engines. Series
+    * edges (incomplete 7-day windows) carry NULL trend/residual rather
+    * than a silently-shortened window.
+    *
+    * Scale shape: the daily aggregate is map-side-combinable over the
+    * raw events; everything after runs on the DAY-GRAIN frame, bounded
+    * by the calendar span (a single-partition window over thousands of
+    * rows, like every day-grain Events op), never the event count.
+    */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val day = graft.functions.OracleSafe.intDiv(msCol, lit(dayMs))
+    val daily = events
+      .select(day.as("day"), floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("cents"))
+    val grid = daily.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val filled = grid.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = filled
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("trend7", when(col("n7") === 7, sum("cents").over(w)))
+      .withColumn("detrended7",
+        when(col("n7") === 7, col("cents") * 7 - col("trend7")))
+      .withColumn("season", pmod(col("day"), lit(7L)))
+    val seasonal = trended.filter(col("detrended7").isNotNull)
+      .groupBy("season")
+      .agg((sum("detrended7").cast("double") / count(lit(1)).cast("double"))
+        .as("seasonal7"))
+    trended.join(broadcast(seasonal), Seq("season"), "left")
+      .select(col("day"), col("season"), col("cents"), col("trend7"),
+        col("seasonal7"),
+        (col("detrended7").cast("double") - col("seasonal7")).as("residual7"))
+  }
+
+  /** DuckDB twin of [[seasonalDecompose]]; embed after `WITH ` and select
+    * from `seasonal_decompose`.
+    */
+  def seasonalDecomposeSql(): String = {
+    val dayDiv = graft.functions.OracleSafe.intDivSql("epoch_ms(ts)", dayMs.toString)
+    s"""sd_daily AS (
+       |  SELECT $dayDiv AS day,
+       |         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1),
+       |sd_grid AS (
+       |  SELECT unnest(generate_series(MIN(day), MAX(day))) AS day FROM sd_daily),
+       |sd_filled AS (
+       |  SELECT g.day, COALESCE(d.cents, 0) AS cents
+       |  FROM sd_grid g LEFT JOIN sd_daily d USING (day)),
+       |sd_trend AS (
+       |  SELECT day, cents, day % 7 AS season,
+       |         COUNT(*) OVER w AS n7,
+       |         CASE WHEN COUNT(*) OVER w = 7
+       |              THEN CAST(SUM(cents) OVER w AS BIGINT) END AS trend7
+       |  FROM sd_filled
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |sd_det AS (
+       |  SELECT *, CASE WHEN n7 = 7 THEN cents * 7 - trend7 END AS detrended7
+       |  FROM sd_trend),
+       |sd_season AS (
+       |  SELECT season, CAST(SUM(detrended7) AS DOUBLE) / COUNT(*) AS seasonal7
+       |  FROM sd_det WHERE detrended7 IS NOT NULL GROUP BY 1),
+       |seasonal_decompose AS (
+       |  SELECT t.day, t.season, t.cents, t.trend7, s.seasonal7,
+       |         CAST(t.detrended7 AS DOUBLE) - s.seasonal7 AS residual7
+       |  FROM sd_det t LEFT JOIN sd_season s USING (season))""".stripMargin
+  }
 }

@@ -239,4 +239,30 @@ class EventsSpec extends SparkSpec {
     assert(rows(2L) === ((0L, 0L, "click", 2)))
     assert(rows(3L) === ((900L, 1L, "purchase", 0)), "activity resets staleness")
   }
+  test("seasonalDecompose: a pure weekly pattern yields zero residuals and NULL edges") {
+    // 28 days, one event per day, value = 10 + (day % 7) dollars — a
+    // constant trend plus a pure weekly pattern. Interior days must
+    // decompose exactly: the 7-day trend sum is constant, the seasonal
+    // term absorbs the whole pattern, and every residual is 0.0. The
+    // first and last 3 days lack a full window and must carry NULLs.
+    val rows = (0L until 28L).map { d =>
+      (d + 1, 1L, "v", d * day, 10.0 + (d % 7).toDouble)
+    }
+    val r = Events.seasonalDecompose(evD(rows: _*)).collect()
+      .map(x => x.getAs[Long]("day") % 28 -> x).sortBy(_._1)
+    assert(r.length == 28)
+    for ((d, row) <- r) {
+      if (d < 3 || d > 24) {
+        assert(row.isNullAt(row.fieldIndex("trend7")), s"day $d edge trend")
+        assert(row.isNullAt(row.fieldIndex("residual7")), s"day $d edge residual")
+      } else {
+        // constant trend: sum of any 7 consecutive = 7*1000 + sum(0..6)*100
+        assert(row.getAs[Long]("trend7") == 7 * 1000L + 2100L, s"day $d trend")
+        assert(row.getAs[Double]("residual7") == 0.0, s"day $d residual")
+      }
+    }
+    // the seasonal terms sum to zero across the week (mean-centered)
+    val seasonals = r.map(_._2.getAs[Double]("seasonal7")).distinct
+    assert(math.abs(seasonals.sum) < 1e-9, s"seasonal must center: $seasonals")
+  }
 }
