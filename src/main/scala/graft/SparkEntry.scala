@@ -1785,6 +1785,13 @@ object SparkEntry {
     "q251_seasonal_decompose" -> { (s, dir) =>
       Events.seasonalDecompose(TestData.events(s, dir)).orderBy("day")
     },
+    // The consumer half of the BPE loop: encode every document with the
+    // q232-trained merges — distinct word types encoded once through k
+    // broadcast-replace rounds, occurrences joined back — reporting the
+    // per-doc symbol counts and the compression the merges deliver.
+    "q252_bpe_encode" -> { (s, dir) =>
+      TextAnalysis.bpeEncode(TestData.documents(s, dir)).orderBy("doc_id")
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3384,6 +3391,11 @@ object SparkEntry {
       s"""WITH ${Events.seasonalDecomposeSql()}
           SELECT day, season, cents, trend7, seasonal7, residual7
           FROM seasonal_decompose ORDER BY day""",
+
+    "q252_bpe_encode" ->
+      s"""WITH ${TextAnalysis.bpeEncodeSql()}
+          SELECT doc_id, n_words, syms_before, syms_after, compression
+          FROM bpe_encode ORDER BY doc_id""",
 
     "q238_sketch_order_exec" ->
       s"""WITH ${Planning.executeSketchJoinOrderSql()}

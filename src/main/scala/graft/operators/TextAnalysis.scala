@@ -933,44 +933,107 @@ object TextAnalysis {
     * the merge is non-overlapping — exactly the reference algorithm's
     * (documented) asymmetry.
     */
-  def bpeTrain(docs: DataFrame, rounds: Int = 3): DataFrame = {
+  private val bpeSyms = expr("regexp_extract_all(s, '<[^>]*>', 0)")
+
+  /** The k training rounds shared by [[bpeTrain]] and [[bpeEncode]]:
+    * returns, per round, the 1-row merge frame (pair, freq, merged) and
+    * the post-merge vocab state. Each round is materialized with
+    * `localCheckpoint` so the chain neither recomputes nor grows.
+    */
+  private def bpeRounds(docs: DataFrame,
+      rounds: Int): Seq[(DataFrame, DataFrame)] = {
     require(rounds >= 1 && rounds <= 8, s"rounds in [1,8]: $rounds")
     val vocab = docs
       .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("cnt"))
-    val syms = expr("regexp_extract_all(s, '<[^>]*>', 0)")
     // a fully-merged word is ONE symbol: filter before the pair explode
     // (Spark's sequence(1, 0) DESCENDS instead of emitting empty, so the
     // guard is load-bearing, not cosmetic)
     def pairCounts(cur: DataFrame): DataFrame = cur
-      .filter(size(syms) >= 2)
+      .filter(size(bpeSyms) >= 2)
       .select(col("cnt"), explode(transform(
-        sequence(lit(1), size(syms) - 1),
-        i => concat(element_at(syms, i), element_at(syms, i + 1)))).as("pair"))
+        sequence(lit(1), size(bpeSyms) - 1),
+        i => concat(element_at(bpeSyms, i), element_at(bpeSyms, i + 1)))).as("pair"))
       .groupBy("pair").agg(sum("cnt").as("freq"))
     var cur = vocab.localCheckpoint()
-    val roundRows = (1 to rounds).map { k =>
+    (1 to rounds).map { _ =>
       val top = pairCounts(cur).orderBy(desc("freq"), asc("pair")).limit(1)
         .select(col("pair"), col("freq"),
           expr("replace(pair, '><', '')").as("merged"))
       cur = cur.crossJoin(broadcast(top))
         .select(expr("replace(s, pair, merged)").as("s"), col("cnt"))
         .localCheckpoint()
-      val after = cur.agg(
-        sum(col("cnt") * size(syms).cast("long")).as("corpus_symbols"))
-      top.crossJoin(broadcast(after))
-        .select(lit(k).as("round"), col("pair"), col("freq"),
-          col("corpus_symbols"))
+      (top, cur)
     }
-    roundRows.reduce(_.unionByName(_))
+  }
+
+  def bpeTrain(docs: DataFrame, rounds: Int = 3): DataFrame =
+    bpeRounds(docs, rounds).zipWithIndex.map { case ((top, cur), i) =>
+      val after = cur.agg(
+        sum(col("cnt") * size(bpeSyms).cast("long")).as("corpus_symbols"))
+      top.crossJoin(broadcast(after))
+        .select(lit(i + 1).as("round"), col("pair"), col("freq"),
+          col("corpus_symbols"))
+    }.reduce(_.unionByName(_))
+
+  /** q252 — ENCODE the corpus with the merges [[bpeTrain]] learned: the
+    * consumer half of the BPE loop (train → tokenize), which is what a
+    * data pipeline actually runs per document at scale. The unit of
+    * encoding is the WORD TYPE, not the token occurrence: the distinct
+    * word vocabulary is bracket-symbolized once, the k merges apply as k
+    * broadcast-replace rounds over that vocabulary (each a narrow map
+    * with a 1-row broadcast — exactly how production tokenizers memoize
+    * word→pieces), and documents join their word occurrences back
+    * against the encoded vocabulary. Per doc: occurrence count, symbol
+    * counts before (one per char) and after the merges, and the
+    * compression ratio the trained merges actually deliver — the number
+    * a tokenizer-budget planner reads. Training filters 1-char words
+    * (no pair to merge) but the ENCODER passes them through unchanged,
+    * as a deployed tokenizer must.
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val merges = bpeRounds(docs, rounds).map(_._1)
+    val words = docs.select(col("doc_id"),
+      explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("w"))
+    var enc = words.select(col("w")).distinct()
+      .select(col("w"), regexp_replace(col("w"), "(.)", "<$1>").as("s"))
+      .localCheckpoint()
+    for (m <- merges)
+      enc = enc.crossJoin(broadcast(m.select("pair", "merged")))
+        .select(col("w"), expr("replace(s, pair, merged)").as("s"))
+        .localCheckpoint()
+    val encoded = enc.select(col("w"), size(bpeSyms).as("n_syms"))
+    words.join(encoded, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("syms_before"),
+        sum(col("n_syms").cast("long")).as("syms_after"))
+      .withColumn("compression",
+        col("syms_before").cast("double") / col("syms_after").cast("double"))
   }
 
   /** DuckDB twin of [[bpeTrain]] — the k rounds unrolled as a CTE chain;
     * embed after `WITH ` and select from `bpe_train`.
     */
   def bpeTrainSql(rounds: Int = 3): String = {
+    val syms = "regexp_extract_all(s, '<[^>]*>')"
+    val rows = (1 to rounds).map { k =>
+      s"""  SELECT $k AS round, pair, freq,
+         |         (SELECT CAST(SUM(cnt * len($syms)) AS BIGINT)
+         |          FROM bpe_s$k) AS corpus_symbols
+         |  FROM bpe_t$k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""${bpeChainSql(rounds)},
+       |bpe_train AS (
+       |$rows)""".stripMargin
+  }
+
+  /** The shared training-chain CTEs (bpe_w, bpe_s0, bpe_p/t/s 1..k) the
+    * train and encode oracles both embed.
+    */
+  private def bpeChainSql(rounds: Int): String = {
     require(rounds >= 1 && rounds <= 8, s"rounds in [1,8]: $rounds")
     val syms = "regexp_extract_all(s, '<[^>]*>')"
     val stages = (1 to rounds).map { k =>
@@ -987,12 +1050,6 @@ object TextAnalysis {
          |  SELECT replace(s, t.pair, t.merged) AS s, cnt
          |  FROM bpe_s${k - 1}, bpe_t$k t)""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to rounds).map { k =>
-      s"""  SELECT $k AS round, pair, freq,
-         |         (SELECT CAST(SUM(cnt * len($syms)) AS BIGINT)
-         |          FROM bpe_s$k) AS corpus_symbols
-         |  FROM bpe_t$k""".stripMargin
-    }.mkString("\n  UNION ALL\n")
     s"""bpe_w AS (
        |  SELECT w, COUNT(*) AS cnt FROM (
        |    SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w
@@ -1000,9 +1057,39 @@ object TextAnalysis {
        |  WHERE len(w) >= 2 GROUP BY w),
        |bpe_s0 AS (
        |  SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s, cnt FROM bpe_w),
-       |$stages,
-       |bpe_train AS (
-       |$rows)""".stripMargin
+       |$stages""".stripMargin
+  }
+
+  /** DuckDB twin of [[bpeEncode]] — the same training chain, then the
+    * distinct word vocabulary encoded through the k merges and joined
+    * back to word occurrences. Embed after `WITH ` and select from
+    * `bpe_encode`.
+    */
+  def bpeEncodeSql(rounds: Int = 3): String = {
+    val encStages = (1 to rounds).map { k =>
+      s"""enc_v$k AS (
+         |  SELECT w, replace(s, t.pair, t.merged) AS s
+         |  FROM enc_v${k - 1}, bpe_t$k t)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeChainSql(rounds)},
+       |enc_words AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS w
+       |  FROM documents),
+       |enc_v0 AS (
+       |  SELECT DISTINCT w, regexp_replace(w, '(.)', '<\\1>', 'g') AS s
+       |  FROM enc_words),
+       |$encStages,
+       |enc_final AS (
+       |  SELECT w, len(regexp_extract_all(s, '<[^>]*>')) AS n_syms
+       |  FROM enc_v$rounds),
+       |bpe_encode AS (
+       |  SELECT doc_id, COUNT(*) AS n_words,
+       |         CAST(SUM(len(w)) AS BIGINT) AS syms_before,
+       |         CAST(SUM(n_syms) AS BIGINT) AS syms_after,
+       |         CAST(SUM(len(w)) AS DOUBLE) / CAST(SUM(n_syms) AS DOUBLE)
+       |           AS compression
+       |  FROM enc_words JOIN enc_final USING (w)
+       |  GROUP BY doc_id)""".stripMargin
   }
 
   /** Pareto frontier (the SKYLINE operator) of documents on the quality/

@@ -245,4 +245,16 @@ class TextAnalysisSpec extends SparkSpec {
     val res = TextAnalysis.paretoFrontier(d).select("doc_id").as[Long].collect().toSet
     assert(res == brute, s"engine=${res.size} brute=${brute.size}")
   }
+  test("bpeEncode applies the trained merges, passing 1-char words through") {
+    // words: ab(x2), abc, x -> round-1 pair counts: <a><b> freq 3 (from
+    // ab, ab, abc), <b><c> freq 1 -> merge <ab>. Encoding: 'ab' -> 1
+    // symbol, 'abc' -> <ab><c> = 2, 'x' (never trained: 1-char) -> 1.
+    val d = docs(1L -> "ab ab abc", 2L -> "x abc")
+    val r = TextAnalysis.bpeEncode(d, rounds = 1).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_words"), x.getAs[Long]("syms_before"),
+          x.getAs[Long]("syms_after"))).toMap
+    assert(r(1L) == ((3L, 7L, 4L)), s"doc 1: ab+ab+abc = 1+1+2 symbols: $r")
+    assert(r(2L) == ((2L, 4L, 3L)), s"doc 2: x+abc = 1+2 symbols: $r")
+  }
 }
