@@ -174,7 +174,8 @@ object ScaleBench {
     "q244_time_travel_vacuum", "q245_incremental_bloom",
     "q247_pq_index", "q248_concurrent_commits",
     "q249_change_feed", "q250_target_encoding",
-    "q251_seasonal_decompose", "q252_bpe_encode")
+    "q251_seasonal_decompose", "q252_bpe_encode",
+    "q253_partition_evolution")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

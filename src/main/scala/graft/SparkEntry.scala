@@ -1792,6 +1792,15 @@ object SparkEntry {
     "q252_bpe_encode" -> { (s, dir) =>
       TextAnalysis.bpeEncode(TestData.documents(s, dir)).orderBy("doc_id")
     },
+    // Partition-spec evolution under the manifest: old files stay in the
+    // 30-day layout, post-evolution files land in the 7-day layout, the
+    // manifest records each group's spec, and a straddling day-range
+    // read prunes each group by its own spec. Totals are layout-
+    // invariant — the oracle filters the raw events directly.
+    "q253_partition_evolution" -> { (s, dir) =>
+      ManifestTable.evolvedPartitionRead(TestData.events(s, dir),
+        scratchDir("graft-q253").resolve("events_table").toString)
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3396,6 +3405,11 @@ object SparkEntry {
       s"""WITH ${TextAnalysis.bpeEncodeSql()}
           SELECT doc_id, n_words, syms_before, syms_after, compression
           FROM bpe_encode ORDER BY doc_id""",
+
+    "q253_partition_evolution" ->
+      s"""WITH ${ManifestTable.evolvedPartitionReadSql()}
+          SELECT event_type, n, total_cents
+          FROM evolved_read ORDER BY event_type""",
 
     "q238_sketch_order_exec" ->
       s"""WITH ${Planning.executeSketchJoinOrderSql()}

@@ -489,6 +489,99 @@ object ManifestTable {
        |  SELECT 'd_writer_b_rebased', 3, 0, event_type, n, a_cents
        |  FROM cc_states WHERE event_type <> 'view')""".stripMargin
 
+  /** q253 — partition-spec EVOLUTION under the manifest: the capability
+    * that separates a table format from a directory convention. A live
+    * table's layout changes (here: 30-day blocks → 7-day blocks, the
+    * coarse-to-fine re-grain) WITHOUT rewriting history — the snapshot's
+    * manifest lists each file group WITH the spec it was written under,
+    * old files stay in the old layout, new files land in the new one,
+    * and a reader prunes EACH group by its own spec before applying the
+    * row-level filter. (Iceberg §4 "partition evolution" is exactly this
+    * mechanism: specs are metadata per file group, not a property of the
+    * whole table.)
+    *
+    * The query: a day-range aggregate over the evolved table whose range
+    * straddles the old/new boundary, so BOTH layouts prune and both
+    * contribute rows. The oracle filters the raw events directly — the
+    * result must be layout-INVARIANT, which is the whole contract; the
+    * physical half (each group opening only its in-range partition dirs)
+    * is asserted in `ManifestTableSpec`. Partition grains are integer
+    * day-blocks (`day DIV g`), so both engines' arithmetic is exact with
+    * no calendar or timezone in the compare path.
+    */
+  def evolvedPartitionRead(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val dayC = OracleSafe.intDiv(expr("ts_ns DIV 1000000"), lit(86400000L))
+    val base = events.select(col("event_id"), col("event_type"), col("value"),
+      dayC.as("day"))
+    val mm = base.agg(min("day").as("lo"), max("day").as("hi")).head()
+    val (lo0, hi0) = (mm.getAs[Long]("lo"), mm.getAs[Long]("hi"))
+    // group A: history, written under the 30-day spec; group B: the rows
+    // after the evolution point, written under the 7-day spec
+    val split = lo0 + (hi0 - lo0) / 2
+    writeGroup(base.filter(col("day") < split), s"$tableDir/groups/d30", 30)
+    writeGroup(base.filter(col("day") >= split), s"$tableDir/groups/d7", 7)
+    import spark.implicits._
+    val manifest = Seq(("groups/d30", 30), ("groups/d7", 7))
+      .toDF("group_dir", "grain_days")
+    publish(manifest, tableDir, 1L)
+    // the straddling query range: the middle half of the day span
+    val (lo, hi) = (lo0 + (hi0 - lo0) / 4, lo0 + 3 * (hi0 - lo0) / 4)
+    readEvolved(spark, tableDir, lo, hi)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+      .orderBy("event_type")
+  }
+
+  /** One file group of an evolved table: `day DIV grainDays` is the
+    * partition value its spec prunes on.
+    */
+  def writeGroup(df: DataFrame, dir: String, grainDays: Int): Unit =
+    df.withColumn("p", OracleSafe.intDiv(col("day"), lit(grainDays.toLong)))
+      .repartition(col("p"))
+      .write.mode(SaveMode.Overwrite).partitionBy("p").parquet(dir)
+
+  /** Read `[loDay, hiDay]` through the evolved table: resolve the
+    * manifest, prune EACH group by ITS OWN spec (`p` between the range's
+    * block ids under that group's grain — only those partition dirs
+    * open), then apply the exact row filter. The manifest is the bounded
+    * driver-side decision frame every file-skipping reader holds.
+    */
+  def readEvolved(spark: SparkSession, tableDir: String,
+      loDay: Long, hiDay: Long): DataFrame = {
+    val groups = read(spark, tableDir).collect()
+      .map(r => (r.getAs[String]("group_dir"), r.getAs[Int]("grain_days")))
+    groups.map { case (dir, grain) =>
+      spark.read.parquet(s"$tableDir/$dir")
+        .filter(col("p").between(loDay / grain, hiDay / grain))
+        .filter(col("day").between(loDay, hiDay))
+        .select("event_id", "event_type", "value", "day")
+    }.reduce(_ unionByName _)
+  }
+
+  /** DuckDB twin of [[evolvedPartitionRead]]: the same straddling range
+    * derived with the same integer arithmetic, filtered directly on the
+    * raw events — layout invariance IS the oracle. Embed after `WITH `
+    * and select from `evolved_read`.
+    */
+  def evolvedPartitionReadSql(): String = {
+    val dayDiv = OracleSafe.intDivSql("epoch_ms(ts)", "86400000")
+    s"""pe_base AS (
+       |  SELECT event_type, value, $dayDiv AS day FROM events),
+       |pe_range AS (
+       |  SELECT MIN(day) + (MAX(day) - MIN(day)) // 4 AS lo,
+       |         MIN(day) + (3 * (MAX(day) - MIN(day))) // 4 AS hi
+       |  FROM pe_base),
+       |evolved_read AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM pe_base, pe_range
+       |  WHERE day BETWEEN lo AND hi
+       |  GROUP BY 1)""".stripMargin
+  }
+
   /** DuckDB twin of [[atomicCompactionPublish]]: the per-type totals from
     * the raw events, cross-joined with the PINNED stage→version frame —
     * the crash window must resolve version 1 and the republish version 2,

@@ -162,4 +162,35 @@ class ManifestTableSpec extends SparkSpec {
         s"feed must carry exactly these images: $feed")
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q253 evolution: each group prunes by ITS spec, and the union is layout-invariant") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mt-spec")
+    try {
+      val tbl = s"$out/tbl"
+      // 60 days, one event per day: days 0-29 under the 30-day spec
+      // (one block, p=0), days 30-59 under the 7-day spec (p = 4..8)
+      val base = (0L until 60L).map(d => (d, "t", 1.0 + d, d))
+        .toDF("event_id", "event_type", "value", "day")
+      ManifestTable.writeGroup(base.filter(col("day") < 30), s"$tbl/groups/d30", 30)
+      ManifestTable.writeGroup(base.filter(col("day") >= 30), s"$tbl/groups/d7", 7)
+      ManifestTable.publish(
+        Seq(("groups/d30", 30), ("groups/d7", 7)).toDF("group_dir", "grain_days"),
+        tbl, 1L)
+      // range [15, 44] straddles the evolution point
+      val got = ManifestTable.readEvolved(spark, tbl, 15L, 44L)
+      assert(got.count() == 30L, "days 15..44 inclusive")
+      assert(got.agg(min("day"), max("day")).head() ==
+        org.apache.spark.sql.Row(15L, 44L))
+      // physical pruning, per spec: d7 holds p = 4..8 but the range only
+      // needs 15/7=2 .. 44/7=6 → dirs 4, 5, 6 open — 3 of its 5
+      val d7 = spark.read.parquet(s"$tbl/groups/d7")
+        .filter(col("p").between(15 / 7, 44 / 7)).filter(col("day").between(15, 44))
+      d7.collect()
+      val opened = d7.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.sum
+      assert(opened == 3, s"the 7-day group must open 3 of 5 dirs, opened $opened")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
