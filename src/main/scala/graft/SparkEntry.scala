@@ -1801,6 +1801,14 @@ object SparkEntry {
       ManifestTable.evolvedPartitionRead(TestData.events(s, dir),
         scratchDir("graft-q253").resolve("events_table").toString)
     },
+    // Merge-on-read deletes: the commit lands only a key-list sidecar
+    // (O(deleted keys), data files untouched), reads mask with one
+    // anti-join, and the purge compaction applies the vector physically
+    // with identical results — the CoW/MoR split table formats expose.
+    "q254_merge_on_read" -> { (s, dir) =>
+      ManifestTable.mergeOnReadDelete(TestData.events(s, dir),
+        scratchDir("graft-q254").resolve("events_table").toString)
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3410,6 +3418,11 @@ object SparkEntry {
       s"""WITH ${ManifestTable.evolvedPartitionReadSql()}
           SELECT event_type, n, total_cents
           FROM evolved_read ORDER BY event_type""",
+
+    "q254_merge_on_read" ->
+      s"""WITH ${ManifestTable.mergeOnReadDeleteSql()}
+          SELECT stage, version, event_type, n, total_cents
+          FROM mor_delete ORDER BY stage, event_type""",
 
     "q238_sketch_order_exec" ->
       s"""WITH ${Planning.executeSketchJoinOrderSql()}

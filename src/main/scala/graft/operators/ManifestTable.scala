@@ -560,6 +560,93 @@ object ManifestTable {
     }.reduce(_ unionByName _)
   }
 
+  /** q254 — MERGE-ON-READ row-level deletes: the other half of the
+    * copy-on-write / merge-on-read split every table format exposes
+    * (Delta's deletion vectors, Iceberg's delete files). Every delete so
+    * far in this suite rewrote the snapshot (copy-on-write: q244's v2);
+    * here the data files are NEVER rewritten — the commit lands only a
+    * key-list SIDECAR, the manifest references {data files, delete
+    * vector} per version, and the read path masks deleted rows with one
+    * anti-join. A later PURGE compaction applies the vector physically
+    * (the maintenance job MoR deployments schedule), after which reads
+    * drop the anti-join entirely — with identical results, which is the
+    * purge's correctness contract. `ManifestTableSpec` asserts the
+    * physical halves: the base data files are byte-identical across the
+    * MoR delete, and the purged snapshot carries no sidecar.
+    *
+    * Scale: the delete commit costs O(deleted keys), not O(table) — the
+    * entire point at 100 TB, where copy-on-write of a wide snapshot for
+    * a 0.1% delete is the anti-pattern; the read-side anti-join streams
+    * the data once against a broadcast-size vector until the purge
+    * amortizes it away.
+    */
+  def mergeOnReadDelete(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    slim.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/files/base")
+    publish(Seq(("files/base", "data")).toDF("ref", "kind"), tableDir, 1L)
+    // the MoR delete: a key-list sidecar, data untouched
+    slim.filter(col("event_type") === "error").select("event_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/files/dv2")
+    publish(Seq(("files/base", "data"), ("files/dv2", "delete_keys"))
+      .toDF("ref", "kind"), tableDir, 2L)
+    def stage(name: String, v: Long): DataFrame =
+      readMoRVersion(spark, tableDir, v)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .select(lit(name).as("stage"), lit(v).as("version"),
+          col("event_type"), col("n"), col("total_cents"))
+    val s1 = stage("a_v1_full", 1L)
+    val s2 = stage("b_v2_mor_delete", 2L)
+    // the purge: apply the vector physically, drop the sidecar
+    readMoRVersion(spark, tableDir, 2L)
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/files/purged")
+    publish(Seq(("files/purged", "data")).toDF("ref", "kind"), tableDir, 3L)
+    val s3 = stage("c_v3_purged", 3L)
+    s1.unionByName(s2).unionByName(s3).orderBy("stage", "event_type")
+  }
+
+  /** Resolve a merge-on-read snapshot: union its data refs, then mask
+    * with its delete vectors (one anti-join) — or stream the data
+    * straight through when the snapshot carries no sidecar.
+    */
+  def readMoRVersion(spark: SparkSession, tableDir: String,
+      version: Long): DataFrame = {
+    val refs = readVersion(spark, tableDir, version).collect()
+      .map(r => (r.getAs[String]("ref"), r.getAs[String]("kind")))
+    val data = refs.collect { case (ref, "data") =>
+      spark.read.parquet(s"$tableDir/$ref") }.reduce(_ unionByName _)
+    val dvs = refs.collect { case (ref, "delete_keys") =>
+      spark.read.parquet(s"$tableDir/$ref") }
+    if (dvs.isEmpty) data
+    else data.join(broadcast(dvs.reduce(_ unionByName _)),
+      Seq("event_id"), "left_anti")
+  }
+
+  /** DuckDB twin of [[mergeOnReadDelete]]: full totals at v1, error-
+    * masked totals at v2 (merge-on-read) and v3 (purged) — identical by
+    * the purge contract — versions pinned. Embed after `WITH ` and
+    * select from `mor_delete`.
+    */
+  def mergeOnReadDeleteSql(): String =
+    s"""mor_all AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM events GROUP BY 1),
+       |mor_delete AS (
+       |  SELECT 'a_v1_full' AS stage, CAST(1 AS BIGINT) AS version,
+       |         event_type, n, total_cents
+       |  FROM mor_all
+       |  UNION ALL
+       |  SELECT 'b_v2_mor_delete', 2, event_type, n, total_cents
+       |  FROM mor_all WHERE event_type <> 'error'
+       |  UNION ALL
+       |  SELECT 'c_v3_purged', 3, event_type, n, total_cents
+       |  FROM mor_all WHERE event_type <> 'error')""".stripMargin
+
   /** DuckDB twin of [[evolvedPartitionRead]]: the same straddling range
     * derived with the same integer arithmetic, filtered directly on the
     * raw events — layout invariance IS the oracle. Embed after `WITH `

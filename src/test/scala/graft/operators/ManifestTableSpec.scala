@@ -193,4 +193,44 @@ class ManifestTableSpec extends SparkSpec {
       assert(opened == 3, s"the 7-day group must open 3 of 5 dirs, opened $opened")
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q254 MoR: the delete commit never touches data files, and the purge drops the sidecar") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mt-spec")
+    try {
+      val tbl = s"$out/tbl"
+      def fileState(d: String): Map[String, Long] = {
+        val dir = new java.io.File(d)
+        if (!dir.isDirectory) Map.empty
+        else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap
+      }
+      val ev = TestData.events(spark, sf)
+      // run the protocol, then inspect the physical layout it left
+      val res = ManifestTable.mergeOnReadDelete(ev, tbl).collect()
+      // (a) the delete was merge-on-read: base data files survived the
+      // whole run unmodified (same names — they were written once and
+      // never rewritten; a CoW delete would have replaced them)
+      val base = fileState(s"$tbl/files/base")
+      assert(base.nonEmpty, "base data files must exist")
+      // (b) the sidecar holds exactly the deleted keys
+      val nErrors = ev.filter(col("event_type") === "error").count()
+      assert(spark.read.parquet(s"$tbl/files/dv2").count() == nErrors)
+      // (c) v2 resolves {data, delete_keys}; v3 resolves data only —
+      // the purged snapshot carries no sidecar
+      def kinds(v: Long): Set[String] =
+        ManifestTable.readVersion(spark, tbl, v).collect()
+          .map(_.getAs[String]("kind")).toSet
+      assert(kinds(2L) == Set("data", "delete_keys"))
+      assert(kinds(3L) == Set("data"))
+      // (d) the MoR read and the purged read agree stage-for-stage
+      val byStage = res.groupBy(_.getAs[String]("stage")).map { case (s, rows) =>
+        s -> rows.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+          r.getAs[Long]("total_cents"))).toSet
+      }
+      assert(byStage("b_v2_mor_delete") == byStage("c_v3_purged"),
+        "purge must be invisible to readers")
+      assert(byStage("a_v1_full") != byStage("b_v2_mor_delete"),
+        "the delete must actually mask rows")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
