@@ -1809,6 +1809,14 @@ object SparkEntry {
       ManifestTable.mergeOnReadDelete(TestData.events(s, dir),
         scratchDir("graft-q254").resolve("events_table").toString)
     },
+    // Aggregate pushdown through a block rollup: full blocks of the
+    // range answer from per-block pre-aggregates, only the two partial
+    // edge blocks scan raw rows; rollup + residual must equal the direct
+    // aggregate exactly (cent-exact sums make the rollup lossless).
+    "q255_rollup_pushdown" -> { (s, dir) =>
+      Planning.rollupPushdownAggregate(TestData.events(s, dir),
+        scratchDir("graft-q255").resolve("rollup").toString)
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3423,6 +3431,11 @@ object SparkEntry {
       s"""WITH ${ManifestTable.mergeOnReadDeleteSql()}
           SELECT stage, version, event_type, n, total_cents
           FROM mor_delete ORDER BY stage, event_type""",
+
+    "q255_rollup_pushdown" ->
+      s"""WITH ${Planning.rollupPushdownAggregateSql()}
+          SELECT event_type, n, total_cents
+          FROM rollup_pushdown ORDER BY event_type""",
 
     "q238_sketch_order_exec" ->
       s"""WITH ${Planning.executeSketchJoinOrderSql()}

@@ -2040,6 +2040,82 @@ object Planning {
        |             FROM bil_cand GROUP BY 1) c ON c.probe_key = p.probe_key
        |  LEFT JOIN bil_matched m ON m.probe_key = p.probe_key)""".stripMargin
 
+  /** q255 — aggregate pushdown through a block rollup: a per-block
+    * pre-aggregate maintained beside the data answers the FULL blocks of
+    * a range query from rollup rows alone, and only the two partial EDGE
+    * blocks scan raw rows — the materialized-rollup + residual-scan
+    * split every cube/ingest-time-aggregation system performs (and what
+    * "aggregate pushdown" means physically: at 100 TB a month-long SUM
+    * reads ~30 rollup rows and two partition dirs, not the month). The
+    * block grain is `day DIV blockDays` — pure integer arithmetic, no
+    * calendar in the compare path. The oracle aggregates the raw rows
+    * directly over the same range: rollup + residual must be EXACTLY the
+    * direct answer (cent-exact sums make the rollup lossless), which is
+    * the invariant that makes the pushdown safe to plan. The physical
+    * half — the residual scan opening only the two edge dirs — is
+    * asserted in `RollupPushdownSpec`.
+    */
+  def rollupPushdownAggregate(events: DataFrame, outDir: String,
+      blockDays: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    val dayC = OracleSafe.intDiv(expr("ts_ns DIV 1000000"), lit(86400000L))
+    val base = events.select(col("event_type"),
+      OracleSafe.quant(col("value"), 100).as("cents"), dayC.as("day"))
+    // data, block-partitioned, and its lossless per-(block, type) rollup
+    base.withColumn("p", OracleSafe.intDiv(col("day"), lit(blockDays.toLong)))
+      .repartition(col("p"))
+      .write.mode("overwrite").partitionBy("p").parquet(s"$outDir/data")
+    spark.read.parquet(s"$outDir/data")
+      .groupBy(col("p").cast("long").as("p"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      .write.mode("overwrite").parquet(s"$outDir/rollup")
+    // the straddling query range: the middle half of the day span
+    val mm = base.agg(min("day").as("lo"), max("day").as("hi")).head()
+    val (lo0, hi0) = (mm.getAs[Long]("lo"), mm.getAs[Long]("hi"))
+    val (lo, hi) = (lo0 + (hi0 - lo0) / 4, lo0 + 3 * (hi0 - lo0) / 4)
+    // block split: full blocks answer from the rollup, edges from data
+    val blocks = (lo / blockDays) to (hi / blockDays)
+    val full = blocks.filter(b =>
+      b * blockDays >= lo && b * blockDays + blockDays - 1 <= hi)
+    val edge = blocks.filterNot(full.contains)
+    def inSet(c: Column, s: Seq[Long]): Column =
+      if (s.isEmpty) lit(false) else c.isin(s.map(Long.box): _*)
+    val fromRollup = spark.read.parquet(s"$outDir/rollup")
+      .filter(inSet(col("p"), full))
+      .select(col("event_type"), col("n"), col("cents"))
+    val fromData = spark.read.parquet(s"$outDir/data")
+      .filter(inSet(col("p").cast("long"), edge)) // only edge dirs open
+      .filter(col("day").between(lo, hi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+    fromRollup.unionByName(fromData)
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("cents").as("total_cents"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB twin of [[rollupPushdownAggregate]]: the direct aggregate
+    * over the same integer-derived range — rollup + residual must equal
+    * it exactly. Embed after `WITH ` and select from `rollup_pushdown`.
+    */
+  def rollupPushdownAggregateSql(): String = {
+    val dayDiv = OracleSafe.intDivSql("epoch_ms(ts)", "86400000")
+    s"""rp_base AS (
+       |  SELECT event_type, ${OracleSafe.quantSql("value", 100)} AS cents,
+       |         $dayDiv AS day
+       |  FROM events),
+       |rp_range AS (
+       |  SELECT MIN(day) + (MAX(day) - MIN(day)) // 4 AS lo,
+       |         MIN(day) + (3 * (MAX(day) - MIN(day))) // 4 AS hi
+       |  FROM rp_base),
+       |rollup_pushdown AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(cents) AS BIGINT) AS total_cents
+       |  FROM rp_base, rp_range
+       |  WHERE day BETWEEN lo AND hi
+       |  GROUP BY 1)""".stripMargin
+  }
+
   /** q245 — incremental Bloom-index maintenance end to end, completing
     * the persisted-index maintenance trio (q240 inverted postings, q243
     * IVF cells, and now the per-zone Bloom): build from the base batch
