@@ -1817,6 +1817,15 @@ object SparkEntry {
       Planning.rollupPushdownAggregate(TestData.events(s, dir),
         scratchDir("graft-q255").resolve("rollup").toString)
     },
+    // Incremental rollup maintenance: the q249 change images fold into
+    // per-(block, type) adjustments applied to the persisted rollup with
+    // one outer join — O(images), the base is never rescanned. Oracle =
+    // the rollup rebuilt over the post-change table; equality is the
+    // IVM proof, carried by the hash compare itself.
+    "q256_incremental_rollup" -> { (s, dir) =>
+      Planning.incrementalRollupMaintenance(TestData.events(s, dir),
+        scratchDir("graft-q256").resolve("rollup").toString)
+    },
     // First-touch channel attribution with cent-exact revenue.
     "q123_attribution" -> { (s, dir) =>
       Funnel.attribution(TestData.events(s, dir)).orderBy("channel")
@@ -3436,6 +3445,11 @@ object SparkEntry {
       s"""WITH ${Planning.rollupPushdownAggregateSql()}
           SELECT event_type, n, total_cents
           FROM rollup_pushdown ORDER BY event_type""",
+
+    "q256_incremental_rollup" ->
+      s"""WITH ${Planning.incrementalRollupMaintenanceSql()}
+          SELECT p, event_type, n, cents
+          FROM incremental_rollup ORDER BY p, event_type""",
 
     "q238_sketch_order_exec" ->
       s"""WITH ${Planning.executeSketchJoinOrderSql()}

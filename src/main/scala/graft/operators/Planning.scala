@@ -2116,6 +2116,81 @@ object Planning {
        |  GROUP BY 1)""".stripMargin
   }
 
+  /** q256 — incremental maintenance of the q255 rollup from CHANGE
+    * IMAGES, never a rescan: the q249 change set (errors deleted,
+    * purchases updated to doubled values, clicks cloned as inserts)
+    * folds into per-(block, type) adjustment rows — Δn and Δcents per
+    * image, the classic delta-propagation-through-an-aggregate IVM —
+    * and one outer join applies them to the persisted rollup. Work is
+    * O(images + touched rollup rows); the base data is read once to
+    * build the original rollup and NEVER again. The oracle rebuilds the
+    * rollup from scratch over the post-change table: updated == rebuilt
+    * is the maintenance proof, and here the ORACLE carries it (hash
+    * equality), not just a spec. Groups whose count adjusts to zero are
+    * dropped — a rollup row with no backing rows is a lie.
+    */
+  def incrementalRollupMaintenance(events: DataFrame,
+      outDir: String, blockDays: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    val dayC = OracleSafe.intDiv(expr("ts_ns DIV 1000000"), lit(86400000L))
+    val base = events.select(col("event_type"),
+      OracleSafe.quant(col("value"), 100).as("cents"),
+      OracleSafe.quant(col("value") * 2, 100).as("cents2"),
+      OracleSafe.intDiv(dayC, lit(blockDays.toLong)).as("p"))
+    base.groupBy("p", "event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      .write.mode("overwrite").parquet(s"$outDir/rollup")
+    // the change images, each already reduced to (block, type, Δn, Δcents)
+    val deletes = base.filter(col("event_type") === "error")
+      .select(col("p"), col("event_type"), lit(-1L).as("dn"),
+        (-col("cents")).as("dc"))
+    val updates = base.filter(col("event_type") === "purchase")
+      .select(col("p"), col("event_type"), lit(0L).as("dn"),
+        (col("cents2") - col("cents")).as("dc"))
+    val inserts = base.filter(col("event_type") === "click")
+      .select(col("p"), col("event_type"), lit(1L).as("dn"),
+        col("cents").as("dc"))
+    val deltas = deletes.unionByName(updates).unionByName(inserts)
+      .groupBy("p", "event_type")
+      .agg(sum("dn").as("dn"), sum("dc").as("dc"))
+    // apply: one outer join, delta-sized against the loaded artifact
+    spark.read.parquet(s"$outDir/rollup")
+      .join(deltas, Seq("p", "event_type"), "full_outer")
+      .select(col("p"), col("event_type"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as("cents"))
+      .filter(col("n") > 0)
+      .orderBy("p", "event_type")
+  }
+
+  /** DuckDB twin of [[incrementalRollupMaintenance]]: the rollup REBUILT
+    * from scratch over the post-change table — equality with the
+    * incrementally-maintained artifact is the IVM proof. Embed after
+    * `WITH ` and select from `incremental_rollup`.
+    */
+  def incrementalRollupMaintenanceSql(blockDays: Int = 30): String = {
+    val dayDiv = OracleSafe.intDivSql("epoch_ms(ts)", "86400000")
+    s"""irm_base AS (
+       |  SELECT event_type,
+       |         ${OracleSafe.quantSql("value", 100)} AS cents,
+       |         ${OracleSafe.quantSql("value * 2", 100)} AS cents2,
+       |         ${OracleSafe.intDivSql(dayDiv, blockDays.toString)} AS p
+       |  FROM events),
+       |irm_final AS (
+       |  SELECT event_type, p,
+       |         CASE WHEN event_type = 'purchase' THEN cents2
+       |              ELSE cents END AS c
+       |  FROM irm_base WHERE event_type <> 'error'
+       |  UNION ALL
+       |  SELECT event_type, p, cents FROM irm_base
+       |  WHERE event_type = 'click'),
+       |incremental_rollup AS (
+       |  SELECT p, event_type, COUNT(*) AS n,
+       |         CAST(SUM(c) AS BIGINT) AS cents
+       |  FROM irm_final GROUP BY 1, 2)""".stripMargin
+  }
+
   /** q245 — incremental Bloom-index maintenance end to end, completing
     * the persisted-index maintenance trio (q240 inverted postings, q243
     * IVF cells, and now the per-zone Bloom): build from the base batch

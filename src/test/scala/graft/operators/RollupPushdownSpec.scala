@@ -56,4 +56,29 @@ class RollupPushdownSpec extends SparkSpec {
       assert(rolled.getLong(1) == 100L * (0L until 90L).sum)
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q256: adjustments fold correctly and a fully-deleted group vanishes") {
+    val out = java.nio.file.Files.createTempDirectory("graft-rp-spec")
+    try {
+      // block 0: 2 errors only (deleted → the whole group must vanish);
+      // block 1: 1 purchase of 5.00 (updated → 10.00) + 1 view (carried);
+      // block 2: 2 clicks of 1.00 (cloned → n 4, cents 400)
+      val ev = Seq(
+        (1L, "error", 0L, 1.0), (2L, "error", 5L, 2.0),
+        (3L, "purchase", 31L, 5.0), (4L, "view", 32L, 3.0),
+        (5L, "click", 61L, 1.0), (6L, "click", 62L, 1.0))
+        .toDF("event_id", "event_type", "d", "value")
+        .selectExpr("event_id", "1 AS user_id", "event_type",
+          "d * 86400000 * 1000000 AS ts_ns", "value")
+      val r = Planning.incrementalRollupMaintenance(ev, s"$out/tbl")
+        .collect()
+        .map(x => (x.getAs[Long]("p"), x.getAs[String]("event_type")) ->
+          (x.getAs[Long]("n"), x.getAs[Long]("cents"))).toMap
+      assert(r == Map(
+        (1L, "purchase") -> ((1L, 1000L)),
+        (1L, "view") -> ((1L, 300L)),
+        (2L, "click") -> ((4L, 400L))),
+        s"maintained rollup: $r")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
