@@ -1841,6 +1841,15 @@ object SparkEntry {
     "q59_dedup_clusters" -> { (s, dir) =>
       Dedup.dedupClusters(TestData.documents(s, dir)).orderBy("doc_id")
     },
+    // Incremental graph IVM: base labels persisted once, a delta edge
+    // batch merges components through a super-graph propagation bounded
+    // by the delta size, one broadcast remap rewrites touched labels.
+    // Oracle = components recomputed from scratch over ALL pairs;
+    // updated == rebuilt is the maintenance proof.
+    "q257_incremental_components" -> { (s, dir) =>
+      Dedup.incrementalComponents(TestData.documents(s, dir),
+        scratchDir("graft-q257").toString)
+    },
     // SimHash signature → candidate pairs: pigeonhole banding (recall-
     // complete for the Hamming threshold) + exact popcount verify.
     "q80_simhash_pairs" -> { (s, dir) =>
@@ -3695,6 +3704,10 @@ object SparkEntry {
           FROM canonical ORDER BY cluster_id""",
 
     "q59_dedup_clusters" ->
+      s"""WITH RECURSIVE ${Dedup.dedupClustersSql()}
+          SELECT doc_id, cluster_id, is_survivor FROM dedup_clusters ORDER BY doc_id""",
+
+    "q257_incremental_components" ->
       s"""WITH RECURSIVE ${Dedup.dedupClustersSql()}
           SELECT doc_id, cluster_id, is_survivor FROM dedup_clusters ORDER BY doc_id""",
 

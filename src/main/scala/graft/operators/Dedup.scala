@@ -420,6 +420,83 @@ object Dedup {
        |         CAST(v = MIN(u) AS INT) AS is_survivor
        |  FROM reach GROUP BY v)""".stripMargin
 
+  /** q257 — incremental maintenance of the near-dup component labels,
+    * closing the IVM family on its hardest member (a GRAPH aggregate —
+    * new edges can merge arbitrarily many existing components, something
+    * no per-key delta fold expresses). The candidate pairs split into a
+    * BASE batch (neither endpoint in the delta cohort, `doc_id %
+    * deltaMod == 0`) and a DELTA batch; base labels are propagated once
+    * and PERSISTED. The delta then costs O(|delta edges| + touched
+    * components), never a base re-propagation:
+    *
+    *  1. each delta edge's endpoints map through the persisted labels
+    *     (one delta-sized join; unseen endpoints label themselves) —
+    *     giving SUPER-EDGES between component representatives;
+    *  2. label propagation runs on the super-graph alone, whose size is
+    *     bounded by the delta edge count, yielding old-label → new-label;
+    *  3. one broadcast remap join rewrites the touched persisted labels
+    *     (the remap frame is bounded by delta-touched components);
+    *     vertices the base never saw take their labels straight from the
+    *     super-graph.
+    *
+    * Min-label composition is exact: a base label IS its component's
+    * minimum vertex, so the super-graph minimum over merged
+    * representatives is the merged component's global minimum. The
+    * oracle recomputes components from scratch over ALL pairs
+    * ([[dedupClustersSql]] verbatim) — updated == rebuilt is the
+    * maintenance proof, carried by the hash compare itself.
+    */
+  def incrementalComponents(docs: DataFrame, outDir: String,
+      numHashes: Int = 16, rowsPerBand: Int = 4, deltaMod: Int = 10,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = lshCandidates(docs, numHashes, rowsPerBand)
+      .select("doc_a", "doc_b")
+    val inDelta = (c: Column) => c % lit(deltaMod.toLong) === 0
+    val base = pairs.filter(!inDelta(col("doc_a")) && !inDelta(col("doc_b")))
+    val delta = pairs.filter(inDelta(col("doc_a")) || inDelta(col("doc_b")))
+    incrementalComponentsFromPairs(base, delta, outDir, maxIters)
+  }
+
+  /** Core of [[incrementalComponents]] over explicit (doc_a, doc_b) pair
+    * frames — split out so specs can pin the merge arithmetic on a
+    * hand-built graph.
+    */
+  private[graft] def incrementalComponentsFromPairs(basePairs: DataFrame,
+      deltaPairs: DataFrame, outDir: String, maxIters: Int = 20): DataFrame = {
+    val spark = basePairs.sparkSession
+    def sym(p: DataFrame): DataFrame =
+      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // the persisted artifact: base labels, built once from base edges
+    propagateLabels(sym(basePairs).localCheckpoint(), maxIters)
+      .write.mode("overwrite").parquet(s"$outDir/labels")
+    val baseLabels = spark.read.parquet(s"$outDir/labels")
+    // delta edges → super-edges between component representatives;
+    // endpoints the base never labeled represent themselves
+    val mapped = deltaPairs
+      .join(baseLabels.select(col("v").as("doc_a"), col("label").as("la")),
+        Seq("doc_a"), "left")
+      .join(baseLabels.select(col("v").as("doc_b"), col("label").as("lb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")) // intra-component delta edges are no-ops
+      .localCheckpoint() // delta-sized; feeds propagation rounds
+    // super-graph propagation: bounded by the delta edge count
+    val remap = propagateLabels(sym(mapped), maxIters)
+    // apply: touched labels rewritten via a broadcast remap; the
+    // super-graph's own vertices that the base never saw enter directly
+    val updated = baseLabels
+      .join(broadcast(remap.select(col("v").as("label"), col("label").as("nl"))),
+        Seq("label"), "left")
+      .select(col("v"), coalesce(col("nl"), col("label")).as("label"))
+    val newVerts = remap.join(baseLabels.select("v"), Seq("v"), "left_anti")
+    updated.unionByName(newVerts.select("v", "label"))
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"),
+        (col("v") === col("label")).cast("int").as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
   /** Content novelty by ingestion order: the fraction of a document's
     * n-gram shingles that NO earlier document (smaller doc_id, standing in
     * for crawl order) already contributed. The novelty curve is how a
