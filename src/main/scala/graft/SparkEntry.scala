@@ -1785,6 +1785,12 @@ object SparkEntry {
     "q251_seasonal_decompose" -> { (s, dir) =>
       Events.seasonalDecompose(TestData.events(s, dir)).orderBy("day")
     },
+    // Trend/seasonality-aware anomaly days: |residual − median| > 3·MAD,
+    // exact medians via the q85 middle-rank convention, flag by
+    // multiplication (a zero-MAD series flags nothing, never divides).
+    "q258_residual_anomalies" -> { (s, dir) =>
+      Events.residualAnomalies(TestData.events(s, dir))
+    },
     // The consumer half of the BPE loop: encode every document with the
     // q232-trained merges — distinct word types encoded once through k
     // broadcast-replace rounds, occurrences joined back — reporting the
@@ -3434,6 +3440,11 @@ object SparkEntry {
       s"""WITH ${Events.seasonalDecomposeSql()}
           SELECT day, season, cents, trend7, seasonal7, residual7
           FROM seasonal_decompose ORDER BY day""",
+
+    "q258_residual_anomalies" ->
+      s"""WITH ${Events.residualAnomaliesSql()}
+          SELECT day, cents, residual7, med_res, mad_res
+          FROM residual_anomalies ORDER BY day""",
 
     "q252_bpe_encode" ->
       s"""WITH ${TextAnalysis.bpeEncodeSql()}

@@ -644,4 +644,75 @@ object Events {
        |         CAST(t.detrended7 AS DOUBLE) - s.seasonal7 AS residual7
        |  FROM sd_det t LEFT JOIN sd_season s USING (season))""".stripMargin
   }
+
+  /** q258 — anomalous days in the [[seasonalDecompose]] residual series:
+    * days whose residual sits more than `k` robust scales from the robust
+    * center, i.e. |residual − median| > k·MAD. Median/MAD (not
+    * mean/stddev) because the fence must not move when the anomaly it is
+    * hunting arrives — one mis-keyed 10⁹ amount shifts a mean past its
+    * own 3σ fence; it moves a median at most one rank. This is the
+    * trend/seasonality-aware upgrade of the q106 static fence: a Friday
+    * spike that is NORMAL for Fridays is absorbed by the seasonal term
+    * and never flagged.
+    *
+    * Exactness: both medians use the q85 lower/upper-middle convention
+    * (row_number over a (value, day) total order, midpoint of the picked
+    * one or two values); the flag compares |residual − med| against
+    * k·MAD by MULTIPLICATION — no division, so a degenerate zero-MAD
+    * series flags nothing instead of dividing by zero.
+    *
+    * Scale shape: everything runs on the day-grain frame (bounded by the
+    * calendar span, like q251 itself); the two scalar statistics ride
+    * single-row broadcast joins.
+    */
+  def residualAnomalies(events: DataFrame, k: Int = 3): DataFrame = {
+    val res = seasonalDecompose(events)
+      .filter(col("residual7").isNotNull)
+      .select("day", "cents", "residual7")
+      .localCheckpoint() // day-grain; feeds three consumers below
+    def middle(df: DataFrame, order: Column, out: String): DataFrame =
+      df.withColumn("rn", row_number().over(Window.orderBy(order, col("day"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter((col("rn") * 2 - col("n")).isin(0, 1, 2))
+        .agg(((min(order) + max(order)) / 2).as(out))
+    val med = middle(res, col("residual7"), "med_res")
+    val dev = res.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("residual7") - col("med_res")))
+    val mad = middle(dev, col("dev"), "mad_res")
+    dev.crossJoin(broadcast(mad))
+      .filter(col("dev") > lit(k.toDouble) * col("mad_res"))
+      .select("day", "cents", "residual7", "med_res", "mad_res")
+      .orderBy("day")
+  }
+
+  /** DuckDB twin of [[residualAnomalies]]; embed after `WITH ` and select
+    * from `residual_anomalies`.
+    */
+  def residualAnomaliesSql(k: Int = 3): String =
+    s"""${seasonalDecomposeSql()},
+       |ra_res AS (
+       |  SELECT day, cents, residual7 FROM seasonal_decompose
+       |  WHERE residual7 IS NOT NULL),
+       |ra_med AS (
+       |  SELECT (MIN(residual7) + MAX(residual7)) / 2 AS med_res
+       |  FROM (SELECT residual7,
+       |               ROW_NUMBER() OVER (ORDER BY residual7, day) AS rn,
+       |               COUNT(*) OVER () AS n
+       |        FROM ra_res) t
+       |  WHERE rn * 2 - n IN (0, 1, 2)),
+       |ra_dev AS (
+       |  SELECT r.day, r.cents, r.residual7, m.med_res,
+       |         ABS(r.residual7 - m.med_res) AS dev
+       |  FROM ra_res r, ra_med m),
+       |ra_mad AS (
+       |  SELECT (MIN(dev) + MAX(dev)) / 2 AS mad_res
+       |  FROM (SELECT dev, ROW_NUMBER() OVER (ORDER BY dev, day) AS rn,
+       |               COUNT(*) OVER () AS n
+       |        FROM ra_dev) t
+       |  WHERE rn * 2 - n IN (0, 1, 2)),
+       |residual_anomalies AS (
+       |  SELECT d.day, d.cents, d.residual7, d.med_res, a.mad_res
+       |  FROM ra_dev d, ra_mad a
+       |  WHERE d.dev > $k * a.mad_res)""".stripMargin
 }

@@ -265,4 +265,34 @@ class EventsSpec extends SparkSpec {
     val seasonals = r.map(_._2.getAs[Double]("seasonal7")).distinct
     assert(math.abs(seasonals.sum) < 1e-9, s"seasonal must center: $seasonals")
   }
+
+  test("residualAnomalies: a zero-MAD series flags nothing (no division)") {
+    // the pure weekly pattern above: every interior residual is exactly
+    // 0.0, so median = MAD = 0 and |dev| > 3·0 must flag NO day — the
+    // multiplication-form fence handles the degenerate scale where a
+    // z-score would divide by zero
+    val rows = (0L until 28L).map { d =>
+      (d + 1, 1L, "v", d * day, 10.0 + (d % 7).toDouble)
+    }
+    assert(Events.residualAnomalies(evD(rows: _*)).count() == 0)
+  }
+
+  test("residualAnomalies: an injected spike day is flagged") {
+    // same weekly pattern plus one +700-dollar spike on day 17; the
+    // anomaly set must contain day 17, and only days the spike can
+    // perturb may flag: days whose 7-day trend window touches it
+    // (14..20) and days sharing its weekday (the polluted seasonal
+    // mean: 3, 10, 24). Every other day's residual is exactly the
+    // (small) seasonal pollution shared by its whole weekday class.
+    val rows = (0L until 28L).map { d =>
+      val spike = if (d == 17L) 700.0 else 0.0
+      (d + 1, 1L, "v", d * day, 10.0 + (d % 7).toDouble + spike)
+    }
+    val flagged = Events.residualAnomalies(evD(rows: _*)).collect()
+      .map(_.getAs[Long]("day")).toSet
+    assert(flagged.contains(17L), s"spike day must be flagged: $flagged")
+    val perturbable = (14L to 20L).toSet ++ Set(3L, 10L, 24L)
+    assert(flagged.subsetOf(perturbable),
+      s"only spike-perturbed days may flag: $flagged")
+  }
 }
