@@ -1823,6 +1823,15 @@ object SparkEntry {
       Planning.rollupPushdownAggregate(TestData.events(s, dir),
         scratchDir("graft-q255").resolve("rollup").toString)
     },
+    // MV lattice routing: three persisted cuboids, each grouping query
+    // answered from the smallest subsuming cuboid (min rows, name
+    // tie-break), never the base table. Oracle recomputes the routing
+    // from cuboid sizes and answers directly from base — answered-from-
+    // cuboid == answered-from-base is the rewrite's correctness claim.
+    "q259_cuboid_routing" -> { (s, dir) =>
+      Planning.cuboidRouting(TestData.lineitem(s, dir),
+        scratchDir("graft-q259").toString)
+    },
     // Incremental rollup maintenance: the q249 change images fold into
     // per-(block, type) adjustments applied to the persisted rollup with
     // one outer join — O(images), the base is never rescanned. Oracle =
@@ -3470,6 +3479,12 @@ object SparkEntry {
       s"""WITH ${Planning.incrementalRollupMaintenanceSql()}
           SELECT p, event_type, n, cents
           FROM incremental_rollup ORDER BY p, event_type""",
+
+    "q259_cuboid_routing" ->
+      s"""WITH ${Planning.cuboidRoutingSql()}
+          SELECT query_dims, routed_cuboid, cuboid_rows, n_groups, n_rows,
+                 total_qc, max_group_qc
+          FROM cuboid_routing ORDER BY query_dims""",
 
     "q238_sketch_order_exec" ->
       s"""WITH ${Planning.executeSketchJoinOrderSql()}

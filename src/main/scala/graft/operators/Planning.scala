@@ -2290,4 +2290,122 @@ object Planning {
        |  LEFT JOIN (SELECT probe_key, COUNT(*) AS zones_candidate
        |             FROM ibl_cand GROUP BY 1) c ON c.probe_key = p.probe_key
        |  LEFT JOIN ibl_matched m ON m.probe_key = p.probe_key)""".stripMargin
+
+  /** q259 — materialized-view LATTICE ROUTING: three cuboids of the
+    * (returnflag, linestatus, ship-year) cube are materialized to disk —
+    * the finest (rf, ls, yr) plus two partial rollups (rf, yr) and (ls) —
+    * and each incoming grouping query is answered from the SMALLEST
+    * persisted cuboid that subsumes its dimensions, never from the base
+    * table. Subsumption is set containment (a cuboid can answer any
+    * grouping of a subset of its dims, because SUM/COUNT re-aggregate
+    * losslessly); among subsuming cuboids the router picks min row count,
+    * name as the tie-break. This is the q255 rollup idea lifted to a
+    * lattice with a CHOICE — the core of every OLAP MV-rewrite engine
+    * (Harinarayan/Rajaraman/Ullman 1996's cube-lattice model).
+    *
+    * The answer frame carries per-target proof columns: the routed
+    * cuboid's name and row count, plus group count / total / max-group
+    * aggregates that only come out right if the re-aggregation grouped
+    * correctly. Oracle = the same routing decision recomputed from
+    * cuboid sizes in SQL and the answers taken DIRECTLY from the base
+    * table — answered-from-cuboid == answered-from-base is the rewrite's
+    * correctness claim.
+    *
+    * Scale shape: cuboids are map-side-combinable aggregates, bounded by
+    * |rf|·|ls|·|years| (tiny vs the fact); routing reads three persisted
+    * row counts (metadata-scale, like every planner frame here); each
+    * answer re-aggregates a loaded cuboid, never rescans the fact.
+    */
+  def cuboidRouting(lineitem: DataFrame, outDir: String): DataFrame = {
+    val spark = lineitem.sparkSession
+    val base = lineitem.select(
+      col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+      year(col("l_shipdate")).as("yr"),
+      OracleSafe.quant(col("l_quantity"), 100).as("qc"))
+    val cuboids: Seq[(String, Seq[String])] = Seq(
+      "rf_ls_yr" -> Seq("rf", "ls", "yr"),
+      "rf_yr"    -> Seq("rf", "yr"),
+      "ls"       -> Seq("ls"))
+    cuboids.foreach { case (name, dims) =>
+      base.groupBy(dims.map(col): _*)
+        .agg(count(lit(1)).as("n"), sum("qc").as("qty"))
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    // routing metadata: three persisted row counts (planner-frame scale)
+    val sizes: Map[String, Long] =
+      cuboids.map { case (name, _) =>
+        name -> spark.read.parquet(s"$outDir/$name").count()
+      }.toMap
+    val targets: Seq[(String, Seq[String])] = Seq(
+      "rf" -> Seq("rf"), "ls" -> Seq("ls"), "yr" -> Seq("yr"))
+    val answers = targets.map { case (qname, qdims) =>
+      val candidates = cuboids.filter { case (_, dims) =>
+        qdims.forall(dims.contains)
+      }
+      val (routed, _) = candidates.minBy { case (name, _) => (sizes(name), name) }
+      spark.read.parquet(s"$outDir/$routed")
+        .groupBy(qdims.map(col): _*)
+        .agg(sum("n").as("gn"), sum("qty").as("gq"))
+        .agg(count(lit(1)).as("n_groups"), sum("gn").as("n_rows"),
+          sum("gq").as("total_qc"), max("gq").as("max_group_qc"))
+        .select(lit(qname).as("query_dims"), lit(routed).as("routed_cuboid"),
+          lit(sizes(routed)).as("cuboid_rows"),
+          col("n_groups"), col("n_rows"), col("total_qc"), col("max_group_qc"))
+    }
+    answers.reduce(_.unionByName(_)).orderBy("query_dims")
+  }
+
+  /** DuckDB twin of [[cuboidRouting]]: the routing decision recomputed
+    * from cuboid group counts, the answers taken directly from the base
+    * table. Embed after `WITH ` and select from `cuboid_routing`.
+    */
+  def cuboidRoutingSql(): String = {
+    val qc = OracleSafe.quantSql("l_quantity", 100)
+    // cuboid sizes as scalar subqueries over DISTINCT dim tuples; the
+    // router is the same (size, name) argmin, unrolled per target
+    s"""cr_base AS (
+       |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+       |         year(l_shipdate) AS yr, $qc AS qc
+       |  FROM lineitem),
+       |cr_sizes AS (
+       |  SELECT 'rf_ls_yr' AS c, COUNT(*) AS n
+       |  FROM (SELECT DISTINCT rf, ls, yr FROM cr_base)
+       |  UNION ALL
+       |  SELECT 'rf_yr', COUNT(*) FROM (SELECT DISTINCT rf, yr FROM cr_base)
+       |  UNION ALL
+       |  SELECT 'ls', COUNT(*) FROM (SELECT DISTINCT ls FROM cr_base)),
+       |cr_route AS (
+       |  SELECT 'rf' AS query_dims, c AS routed_cuboid, n AS cuboid_rows
+       |  FROM (SELECT c, n FROM cr_sizes WHERE c IN ('rf_ls_yr', 'rf_yr')
+       |        ORDER BY n, c LIMIT 1)
+       |  UNION ALL
+       |  SELECT 'ls', c, n
+       |  FROM (SELECT c, n FROM cr_sizes WHERE c IN ('rf_ls_yr', 'ls')
+       |        ORDER BY n, c LIMIT 1)
+       |  UNION ALL
+       |  SELECT 'yr', c, n
+       |  FROM (SELECT c, n FROM cr_sizes WHERE c IN ('rf_ls_yr', 'rf_yr')
+       |        ORDER BY n, c LIMIT 1)),
+       |cr_ans AS (
+       |  SELECT 'rf' AS query_dims, COUNT(*) AS n_groups,
+       |         CAST(SUM(gn) AS BIGINT) AS n_rows,
+       |         CAST(SUM(gq) AS BIGINT) AS total_qc,
+       |         CAST(MAX(gq) AS BIGINT) AS max_group_qc
+       |  FROM (SELECT rf, COUNT(*) AS gn, SUM(qc) AS gq
+       |        FROM cr_base GROUP BY rf)
+       |  UNION ALL
+       |  SELECT 'ls', COUNT(*), CAST(SUM(gn) AS BIGINT),
+       |         CAST(SUM(gq) AS BIGINT), CAST(MAX(gq) AS BIGINT)
+       |  FROM (SELECT ls, COUNT(*) AS gn, SUM(qc) AS gq
+       |        FROM cr_base GROUP BY ls)
+       |  UNION ALL
+       |  SELECT 'yr', COUNT(*), CAST(SUM(gn) AS BIGINT),
+       |         CAST(SUM(gq) AS BIGINT), CAST(MAX(gq) AS BIGINT)
+       |  FROM (SELECT yr, COUNT(*) AS gn, SUM(qc) AS gq
+       |        FROM cr_base GROUP BY yr)),
+       |cuboid_routing AS (
+       |  SELECT r.query_dims, r.routed_cuboid, r.cuboid_rows,
+       |         a.n_groups, a.n_rows, a.total_qc, a.max_group_qc
+       |  FROM cr_route r JOIN cr_ans a USING (query_dims))""".stripMargin
+  }
 }
