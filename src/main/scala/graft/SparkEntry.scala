@@ -1785,6 +1785,12 @@ object SparkEntry {
     "q251_seasonal_decompose" -> { (s, dir) =>
       Events.seasonalDecompose(TestData.events(s, dir)).orderBy("day")
     },
+    // Exact two-sample KS drift per event type (early vs late half):
+    // binning-free sup|ECDF_a − ECDF_b|, all-integer numerator over the
+    // distinct-value grain, Smirnov α=0.05 gate on the way out.
+    "q260_ks_drift" -> { (s, dir) =>
+      Profile.ksDrift(TestData.events(s, dir))
+    },
     // Trend/seasonality-aware anomaly days: |residual − median| > 3·MAD,
     // exact medians via the q85 middle-rank convention, flag by
     // multiplication (a zero-MAD series flags nothing, never divides).
@@ -3454,6 +3460,11 @@ object SparkEntry {
       s"""WITH ${Events.residualAnomaliesSql()}
           SELECT day, cents, residual7, med_res, mad_res
           FROM residual_anomalies ORDER BY day""",
+
+    "q260_ks_drift" ->
+      s"""WITH ${Profile.ksDriftSql()}
+          SELECT event_type, na, nb, d_num, d_stat, drifted
+          FROM ks_drift ORDER BY event_type""",
 
     "q252_bpe_encode" ->
       s"""WITH ${TextAnalysis.bpeEncodeSql()}

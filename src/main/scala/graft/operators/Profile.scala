@@ -213,4 +213,92 @@ object Profile {
       |  WHERE rn * 2 - n IN (0, 1, 2) GROUP BY event_type),
       |robust_spread AS (
       |  SELECT event_type, median, mad FROM mads JOIN med USING (event_type))""".stripMargin
+
+  /** q260 — exact two-sample Kolmogorov–Smirnov drift per event type:
+    * the feed splits into an early and a late half at the midpoint
+    * calendar day, and D = sup over x of |ECDF_early(x) − ECDF_late(x)|
+    * is computed EXACTLY — no binning, unlike the q161 bucketed L1 drift,
+    * so a pure shape change that never moves bucket totals still
+    * registers. The sup is taken over per-(type, value) count rows:
+    * cumulative counts ca/cb ordered by value give the numerator
+    * max|ca·nb − cb·na| in ALL-INTEGER arithmetic; the only doubles are
+    * the final D = num/(na·nb) and the asymptotic α=0.05 gate
+    * D > 1.358·√((na+nb)/(na·nb)) (Smirnov's critical value) — √ is
+    * IEEE-correctly-rounded, so both engines agree bit-for-bit.
+    *
+    * Scale shape: one map-side-combinable count per (type, value), then
+    * a per-type sort window over the DISTINCT-VALUE grain (bounded by
+    * value cardinality, not row count). The cross-product ca·nb caps the
+    * exact form at ~3·10⁹ rows per side (BIGINT); past that you run the
+    * same statistic on the q206 hash-sample per side — the estimator's
+    * √n error shrinks exactly as the KS bands do.
+    */
+  def ksDrift(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = OracleSafe.intDiv(expr("ts_ns DIV 1000000"), lit(86400000L))
+    val vals = events.select(col("event_type"), col("value"), day.as("day"))
+    val bounds = vals.agg(min("day").as("lo"), max("day").as("hi"))
+    val tagged = vals.crossJoin(broadcast(bounds))
+      .withColumn("early",
+        (col("day") <= expr("(lo + hi) DIV 2")).cast("long"))
+    val counted = tagged.groupBy("event_type", "value")
+      .agg(sum(col("early")).as("va"), sum(lit(1L) - col("early")).as("vb"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counted
+      .withColumn("ca", sum("va").over(w))
+      .withColumn("cb", sum("vb").over(w))
+    val totals = counted.groupBy("event_type")
+      .agg(sum("va").as("na"), sum("vb").as("nb"))
+    cum.join(broadcast(totals), Seq("event_type"))
+      .groupBy("event_type", "na", "nb")
+      .agg(max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("d_num"))
+      .select(col("event_type"), col("na"), col("nb"), col("d_num"),
+        (col("d_num").cast("double") / (col("na") * col("nb")).cast("double"))
+          .as("d_stat"))
+      .withColumn("drifted",
+        (col("d_stat") > lit(1.358) * sqrt((col("na") + col("nb")).cast("double")
+          / (col("na") * col("nb")).cast("double"))).cast("int"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB twin of [[ksDrift]]; embed after `WITH ` and select from
+    * `ks_drift`.
+    */
+  def ksDriftSql(): String = {
+    val day = OracleSafe.intDivSql("epoch_ms(ts)", "86400000")
+    s"""ks_vals AS (
+       |  SELECT event_type, value, $day AS day FROM events),
+       |ks_bounds AS (
+       |  SELECT MIN(day) AS lo, MAX(day) AS hi FROM ks_vals),
+       |ks_counted AS (
+       |  SELECT event_type, value,
+       |         CAST(SUM(CASE WHEN day <= ((lo + hi) // 2) THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS va,
+       |         CAST(SUM(CASE WHEN day <= ((lo + hi) // 2) THEN 0 ELSE 1 END)
+       |           AS BIGINT) AS vb
+       |  FROM ks_vals, ks_bounds GROUP BY event_type, value),
+       |ks_cum AS (
+       |  SELECT event_type, va, vb,
+       |         SUM(va) OVER w AS ca, SUM(vb) OVER w AS cb
+       |  FROM ks_counted
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY value
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |ks_tot AS (
+       |  SELECT event_type, CAST(SUM(va) AS BIGINT) AS na,
+       |         CAST(SUM(vb) AS BIGINT) AS nb
+       |  FROM ks_counted GROUP BY event_type),
+       |ks_drift AS (
+       |  SELECT c.event_type, t.na, t.nb,
+       |         CAST(MAX(ABS(c.ca * t.nb - c.cb * t.na)) AS BIGINT) AS d_num,
+       |         CAST(MAX(ABS(c.ca * t.nb - c.cb * t.na)) AS DOUBLE)
+       |           / CAST(t.na * t.nb AS DOUBLE) AS d_stat,
+       |         CASE WHEN CAST(MAX(ABS(c.ca * t.nb - c.cb * t.na)) AS DOUBLE)
+       |                     / CAST(t.na * t.nb AS DOUBLE)
+       |                   > 1.358 * sqrt(CAST(t.na + t.nb AS DOUBLE)
+       |                                  / CAST(t.na * t.nb AS DOUBLE))
+       |              THEN 1 ELSE 0 END AS drifted
+       |  FROM ks_cum c JOIN ks_tot t USING (event_type)
+       |  GROUP BY c.event_type, t.na, t.nb)""".stripMargin
+  }
 }

@@ -84,4 +84,27 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profile.quantileSuite(e, Seq(0)))
     intercept[IllegalArgumentException](Profile.quantileSuite(e, Seq(50, 50)))
   }
+
+  test("ksDrift: complete separation gives D=1, identical halves give D=0") {
+    val day = 86400000L
+    // days 0..7, midpoint 3: days 0-3 early, 4-7 late.
+    // type x: early values 1..4, late values 5..8 — disjoint supports,
+    // D must be exactly 1 and the α=0.05 gate fires (crit ≈ 0.96).
+    // type y: the same values {1,2,3,4} in both halves — D exactly 0.
+    val rows =
+      (0L until 4L).map(i => (i + 1, 1L, "x", i * day, (i + 1).toDouble)) ++
+      (0L until 4L).map(i => (i + 10, 1L, "x", (i + 4) * day, (i + 5).toDouble)) ++
+      (0L until 4L).map(i => (i + 20, 1L, "y", i * day, (i + 1).toDouble)) ++
+      (0L until 4L).map(i => (i + 30, 1L, "y", (i + 4) * day, (i + 1).toDouble))
+    val e = rows.toDF("event_id", "user_id", "event_type", "ms", "value")
+      .selectExpr("event_id", "user_id", "event_type",
+        "ms * 1000000 AS ts_ns", "value")
+    val r = Profile.ksDrift(e).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r("x").getAs[Long]("na") == 4L && r("x").getAs[Long]("nb") == 4L)
+    assert(r("x").getAs[Double]("d_stat") == 1.0)
+    assert(r("x").getAs[Int]("drifted") == 1)
+    assert(r("y").getAs[Double]("d_stat") == 0.0)
+    assert(r("y").getAs[Int]("drifted") == 0)
+  }
 }
