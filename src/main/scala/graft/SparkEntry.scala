@@ -2015,6 +2015,15 @@ object SparkEntry {
             hour(col("ts")) * lit(60L) + minute(col("ts"))))
         .orderBy("event_id")
     },
+    // Hilbert clustering key over the same dims as q94's Morton key —
+    // the continuous curve (unit-step locality is spec-pinned; the
+    // cross-engine check pins the 16-plane rotation arithmetic).
+    "q261_hilbert_cluster" -> { (s, dir) =>
+      ZOrder.withHilbert(TestData.events(s, dir), col("user_id"),
+          hour(col("ts")) * lit(60L) + minute(col("ts")), "hkey")
+        .select("event_id", "hkey")
+        .orderBy("event_id")
+    },
     // MinHash-estimate vs exact-Jaccard audit per LSH candidate pair —
     // integer agreement counts and set sizes, exact on both engines.
     "q95_minhash_error" -> { (s, dir) =>
@@ -3849,6 +3858,14 @@ object SparkEntry {
         "user_id", "EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)",
         Seq("event_id"))}
           SELECT event_id, zkey FROM zfinal ORDER BY event_id""",
+
+    // Hilbert quadrant-rotation walk, BIGINT-exact, generated from the
+    // same plane loop as the engine side
+    "q261_hilbert_cluster" ->
+      s"""WITH ${ZOrder.hilbertSql("events",
+        "user_id", "EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)",
+        Seq("event_id"))}
+          SELECT event_id, hkey FROM hfinal ORDER BY event_id""",
 
     // minhash agreement vs exact overlap, all integers
     "q95_minhash_error" ->

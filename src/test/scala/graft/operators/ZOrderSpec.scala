@@ -64,4 +64,50 @@ class ZOrderSpec extends SparkSpec {
     // content invariance: the layout rewrite must not change the data
     assert(spark.read.parquet(s"$dir/z").count() == (1 << 14))
   }
+
+  test("hilbert: bijection AND unit-step continuity on the full 5-bit grid") {
+    // every (x, y) on a 32x32 grid: the d-index must be a permutation of
+    // 0..1023, and consecutive d values must sit at Manhattan distance
+    // EXACTLY 1 — the continuity property that distinguishes the Hilbert
+    // curve from Morton (whose quadrant seams jump diagonally)
+    val n = 32
+    val grid = spark.range(n.toLong * n).select(
+      (col("id") % n).as("x"), (col("id") / n).cast("long").as("y"))
+    val keyed = ZOrder.withHilbert(grid, col("x"), col("y"), "d", bits = 5)
+      .select("d", "x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(keyed.map(_._1).toSeq == (0L until n.toLong * n).toSeq, "bijection")
+    val steps = keyed.sliding(2).map { case Array((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x2 - x1) + math.abs(y2 - y1)
+    }.toSeq
+    assert(steps.forall(_ == 1L), s"non-unit steps: ${steps.filter(_ != 1L).size}")
+    // Morton on the same grid CANNOT be continuous — the discriminator
+    val mort = grid.select(ZOrder.morton(col("x"), col("y")), col("x"), col("y"))
+      .collect().map(r => (r.getLong(0).toLong, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val mSteps = mort.sliding(2).map { case Array((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x2 - x1) + math.abs(y2 - y1)
+    }.toSeq
+    assert(mSteps.exists(_ > 1L), "morton must jump at quadrant seams")
+  }
+
+  test("hilbert-clustered files are narrow on BOTH dims") {
+    val domain = 4096.0
+    val df = spark.range(1 << 14).select(
+      pmod(hash(col("id")), lit(4096)).cast("long").as("a"),
+      pmod(hash(col("id") * 7 + 1), lit(4096)).cast("long").as("b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hilbert").toString
+    try {
+      ZOrder.writeHilbertOrdered(df, s"$dir/h", col("a"), col("b"), numFiles = 16)
+      def meanSpan(path: String, c: String): Double =
+        spark.read.parquet(path)
+          .groupBy(input_file_name())
+          .agg((max(col(c)) - min(col(c))).as("w"))
+          .agg(avg("w")).head().getDouble(0)
+      assert(meanSpan(s"$dir/h", "a") < domain * 0.55)
+      assert(meanSpan(s"$dir/h", "b") < domain * 0.55)
+      assert(spark.read.parquet(s"$dir/h").count() == (1 << 14))
+    } finally graft.Scratch.rmTree(new java.io.File(dir))
+  }
 }
