@@ -178,7 +178,8 @@ object ScaleBench {
     "q253_partition_evolution", "q254_merge_on_read",
     "q255_rollup_pushdown", "q256_incremental_rollup",
     "q257_incremental_components", "q258_residual_anomalies",
-    "q259_cuboid_routing", "q260_ks_drift", "q261_hilbert_cluster")
+    "q259_cuboid_routing", "q260_ks_drift", "q261_hilbert_cluster",
+    "q262_purged_cv")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

@@ -1785,6 +1785,12 @@ object SparkEntry {
     "q251_seasonal_decompose" -> { (s, dir) =>
       Events.seasonalDecompose(TestData.events(s, dir)).orderBy("day")
     },
+    // Purged walk-forward CV folds with an embargo: temporal-leakage-safe
+    // splits (label-horizon purge + post-test embargo), per-fold role
+    // counts plus the measured purge safety margin as data.
+    "q262_purged_cv" -> { (s, dir) =>
+      Sampling.purgedCvFolds(TestData.events(s, dir))
+    },
     // Exact two-sample KS drift per event type (early vs late half):
     // binning-free sup|ECDF_a − ECDF_b|, all-integer numerator over the
     // distinct-value grain, Smirnov α=0.05 gate on the way out.
@@ -3474,6 +3480,12 @@ object SparkEntry {
       s"""WITH ${Profile.ksDriftSql()}
           SELECT event_type, na, nb, d_num, d_stat, drifted
           FROM ks_drift ORDER BY event_type""",
+
+    "q262_purged_cv" ->
+      s"""WITH ${Sampling.purgedCvFoldsSql()}
+          SELECT fold, lo_ms, hi_ms, n_test, n_train, n_purged, n_embargo,
+                 min_gap_ms
+          FROM purged_cv ORDER BY fold""",
 
     "q252_bpe_encode" ->
       s"""WITH ${TextAnalysis.bpeEncodeSql()}

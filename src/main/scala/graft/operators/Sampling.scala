@@ -870,4 +870,94 @@ object Sampling {
        |                   / CAST(c.n_cat - f.n_fold AS DOUBLE) END
        |           AS encoded_cents
        |  FROM te_fold f JOIN te_cat c USING (event_type))""".stripMargin
+
+  /** q262 — PURGED walk-forward cross-validation folds with an embargo
+    * (the leakage-safe CV for serially-correlated time series; López de
+    * Prado 2018 ch. 7 describes the purge/embargo construction). The
+    * q79 hash split guards against DUPLICATE leakage; this guards
+    * against TEMPORAL leakage, which a hash split cannot see: a sample
+    * whose label is computed over [t, t+horizon) leaks the test fold's
+    * outcomes into training whenever that window crosses the fold
+    * boundary, and samples just AFTER the test block leak backwards
+    * through serial correlation. Per fold i of k equal time slices:
+    *
+    *  - test:    t ∈ [lo_i, hi_i)
+    *  - purged:  t < lo_i but t + horizon > lo_i (label overlaps test)
+    *  - embargo: hi_i ≤ t < hi_i + embargo
+    *  - train:   everything else
+    *
+    * The output carries per-fold role counts plus a MEASURED safety
+    * margin: min over pre-test train samples of lo_i − (t + horizon) —
+    * non-negative by construction, and reporting it as data (rather than
+    * trusting the construction) is the audit.
+    *
+    * Scale shape: one row-side pass classified against a broadcast
+    * k-row fold-bounds frame (k bounded), then a map-side-combinable
+    * per-fold aggregate; fold bounds come from a 1-row min/max
+    * aggregate — all-integer millisecond arithmetic on both engines.
+    */
+  def purgedCvFolds(events: DataFrame, k: Int = 5,
+      horizonMs: Long = 86400000L, embargoMs: Long = 86400000L): DataFrame = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    val t = events.select(expr("ts_ns DIV 1000000").as("t"))
+    val bounds = t.agg(min("t").as("tmin"), (max("t") + 1).as("tend"))
+    val folds = bounds
+      .select(explode(sequence(lit(0), lit(k - 1))).as("fold"),
+        col("tmin"), col("tend"))
+      .select(col("fold"),
+        (col("tmin") + expr(s"((tend - tmin) * fold) DIV $k")).as("lo"),
+        (col("tmin") + expr(s"((tend - tmin) * (fold + 1)) DIV $k")).as("hi"))
+    val role = when(col("t") >= col("lo") && col("t") < col("hi"), "test")
+      .when(col("t") < col("lo") && col("t") + horizonMs > col("lo"), "purged")
+      .when(col("t") >= col("hi") && col("t") < col("hi") + embargoMs, "embargo")
+      .otherwise("train")
+    t.crossJoin(broadcast(folds))
+      .withColumn("role", role)
+      .groupBy("fold", "lo", "hi")
+      .agg(
+        sum((col("role") === "test").cast("long")).as("n_test"),
+        sum((col("role") === "train").cast("long")).as("n_train"),
+        sum((col("role") === "purged").cast("long")).as("n_purged"),
+        sum((col("role") === "embargo").cast("long")).as("n_embargo"),
+        min(when(col("role") === "train" && col("t") < col("lo"),
+          col("lo") - col("t") - horizonMs)).as("min_gap_ms"))
+      .select(col("fold"), col("lo").as("lo_ms"), col("hi").as("hi_ms"),
+        col("n_test"), col("n_train"), col("n_purged"), col("n_embargo"),
+        col("min_gap_ms"))
+      .orderBy("fold")
+  }
+
+  /** DuckDB twin of [[purgedCvFolds]]; embed after `WITH ` and select
+    * from `purged_cv`.
+    */
+  def purgedCvFoldsSql(k: Int = 5, horizonMs: Long = 86400000L,
+      embargoMs: Long = 86400000L): String =
+    s"""pcv_t AS (SELECT epoch_ms(ts) AS t FROM events),
+       |pcv_b AS (SELECT MIN(t) AS tmin, MAX(t) + 1 AS tend FROM pcv_t),
+       |pcv_folds AS (
+       |  SELECT fold,
+       |         tmin + ((tend - tmin) * fold) // $k AS lo,
+       |         tmin + ((tend - tmin) * (fold + 1)) // $k AS hi
+       |  FROM pcv_b,
+       |       (SELECT unnest(generate_series(0, ${k - 1})) AS fold) f),
+       |pcv_roles AS (
+       |  SELECT f.fold, f.lo, f.hi, e.t,
+       |         CASE WHEN e.t >= f.lo AND e.t < f.hi THEN 'test'
+       |              WHEN e.t < f.lo AND e.t + $horizonMs > f.lo THEN 'purged'
+       |              WHEN e.t >= f.hi AND e.t < f.hi + $embargoMs THEN 'embargo'
+       |              ELSE 'train' END AS role
+       |  FROM pcv_t e, pcv_folds f),
+       |purged_cv AS (
+       |  SELECT fold, lo AS lo_ms, hi AS hi_ms,
+       |         CAST(SUM(CASE WHEN role = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_test,
+       |         CAST(SUM(CASE WHEN role = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_train,
+       |         CAST(SUM(CASE WHEN role = 'purged' THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_purged,
+       |         CAST(SUM(CASE WHEN role = 'embargo' THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_embargo,
+       |         MIN(CASE WHEN role = 'train' AND t < lo
+       |                  THEN lo - t - $horizonMs END) AS min_gap_ms
+       |  FROM pcv_roles GROUP BY 1, 2, 3)""".stripMargin
 }

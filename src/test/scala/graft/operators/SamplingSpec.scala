@@ -368,4 +368,44 @@ class SamplingSpec extends SparkSpec {
       s"fold 1 encodes from fold 0's 10.00s only: $r")
     assert(r(("b", 0L)) == None, s"single-fold category must encode NULL: $r")
   }
+
+  test("purgedCvFolds: brute-force differential and the non-negative purge margin") {
+    val dayMs = 86400000L
+    // one event per day for 100 days
+    val times = (0L until 100L).map(_ * dayMs)
+    val ev = times.zipWithIndex
+      .map { case (ms, i) => (i.toLong, 1L, "v", ms) }
+      .toDF("event_id", "user_id", "event_type", "ms")
+      .selectExpr("event_id", "user_id", "event_type",
+        "ms * 1000000 AS ts_ns", "CAST(1.0 AS DOUBLE) AS value")
+    val k = 5; val h = dayMs; val e = dayMs
+    val r = Sampling.purgedCvFolds(ev, k, h, e).collect()
+    assert(r.length == k)
+    // plain-Scala reimplementation of the same classification
+    val tmin = times.min; val tend = times.max + 1
+    for (row <- r) {
+      val fold = row.getAs[Int]("fold")
+      val lo = tmin + (tend - tmin) * fold / k
+      val hi = tmin + (tend - tmin) * (fold + 1) / k
+      assert(row.getAs[Long]("lo_ms") == lo && row.getAs[Long]("hi_ms") == hi)
+      def roleOf(t: Long): String =
+        if (t >= lo && t < hi) "test"
+        else if (t < lo && t + h > lo) "purged"
+        else if (t >= hi && t < hi + e) "embargo"
+        else "train"
+      val expect = times.groupBy(roleOf).view.mapValues(_.size.toLong).toMap
+      assert(row.getAs[Long]("n_test") == expect.getOrElse("test", 0L), s"fold $fold test")
+      assert(row.getAs[Long]("n_train") == expect.getOrElse("train", 0L), s"fold $fold train")
+      assert(row.getAs[Long]("n_purged") == expect.getOrElse("purged", 0L), s"fold $fold purged")
+      assert(row.getAs[Long]("n_embargo") == expect.getOrElse("embargo", 0L), s"fold $fold embargo")
+      // roles partition the population
+      assert(row.getAs[Long]("n_test") + row.getAs[Long]("n_train")
+        + row.getAs[Long]("n_purged") + row.getAs[Long]("n_embargo") == 100L)
+      // the measured safety margin: every pre-test train label ends
+      // strictly before the test block starts (fold 0 has no pre-test
+      // train and reports NULL)
+      if (fold == 0) assert(row.isNullAt(row.fieldIndex("min_gap_ms")))
+      else assert(row.getAs[Long]("min_gap_ms") >= 0L, s"fold $fold leaks")
+    }
+  }
 }
