@@ -1785,6 +1785,14 @@ object SparkEntry {
     "q251_seasonal_decompose" -> { (s, dir) =>
       Events.seasonalDecompose(TestData.events(s, dir)).orderBy("day")
     },
+    // Right-to-be-forgotten under the manifest: erase one user from the
+    // fact AND its derived rollup (delta-adjusted, never rebuilt), prove
+    // a measured zero remnant, vacuum the pre-erasure version so the
+    // forget is physical. Oracle pins the remnant to zero.
+    "q263_forget_user" -> { (s, dir) =>
+      ManifestTable.forgetUser(TestData.events(s, dir),
+        scratchDir("graft-q263").toString)
+    },
     // Purged walk-forward CV folds with an embargo: temporal-leakage-safe
     // splits (label-horizon purge + post-test embargo), per-fold role
     // counts plus the measured purge safety margin as data.
@@ -3480,6 +3488,12 @@ object SparkEntry {
       s"""WITH ${Profile.ksDriftSql()}
           SELECT event_type, na, nb, d_num, d_stat, drifted
           FROM ks_drift ORDER BY event_type""",
+
+    "q263_forget_user" ->
+      s"""WITH ${ManifestTable.forgetUserSql()}
+          SELECT stage, version, n_versions, target_user, event_type, n,
+                 total_cents
+          FROM forget_user ORDER BY stage, event_type""",
 
     "q262_purged_cv" ->
       s"""WITH ${Sampling.purgedCvFoldsSql()}

@@ -687,4 +687,120 @@ object ManifestTable {
        |  FROM (VALUES ('a_v1_published', 1), ('b_crash_window', 1),
        |               ('c_republished', 2)) s(stage, version)
        |  CROSS JOIN ap_totals t)""".stripMargin
+
+  /** q263 — RIGHT TO BE FORGOTTEN, end to end under the manifest: erase
+    * one user from the fact table AND from a derived rollup, prove the
+    * erasure is complete and everyone else's data is untouched, then
+    * make the forget PHYSICAL by vacuuming the pre-erasure version. The
+    * pieces this composes, each already proven alone, are exactly what a
+    * GDPR art. 17 pipeline needs together: versioned publish (q244),
+    * delta propagation through a derived aggregate (q256 — the rollup is
+    * adjusted from the TARGET'S ROWS ONLY, never rebuilt), and physical
+    * vacuum (time travel to the user's data must stop working, or
+    * nothing was forgotten).
+    *
+    * The target user is derived from the data (heaviest spender, id
+    * tie-break) so the oracle can derive the same one. Stages:
+    *  a_v1_fact     — pre-erasure totals (the user still present),
+    *  b_v2_fact     — post-erasure fact totals (copy-on-write anti-join),
+    *  c_v2_rollup   — the SAME totals served from the incrementally
+    *                  adjusted rollup artifact (b == c is the IVM proof),
+    *  d_remnant     — measured count of target rows visible at v2: the
+    *                  oracle pins ZERO, so any leak hash-mismatches,
+    *  e_post_vacuum — v1 physically reclaimed (n_versions drops to 1),
+    *                  current totals unchanged.
+    */
+  def forgetUser(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val factDir = s"$tableDir/fact"; val rollDir = s"$tableDir/rollup"
+    val slim = events.select(col("event_id"), col("user_id"),
+      col("event_type"), OracleSafe.quant(col("value"), 100).as("cents"))
+    publish(slim, factDir, 1L)
+    publish(slim.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents")),
+      rollDir, 1L)
+    // the erasure request, derived from the LOADED v1 artifact
+    val v1 = readVersion(spark, factDir, 1L)
+    val target = v1.groupBy("user_id").agg(sum("cents").as("s"))
+      .orderBy(col("s").desc, col("user_id")).limit(1)
+      .select(col("user_id").as("target_user"))
+      .localCheckpoint() // e_post_vacuum still joins it after v1's files go
+    // copy-on-write erasure of the fact ...
+    publish(v1.join(broadcast(target),
+      col("user_id") === col("target_user"), "left_anti"), factDir, 2L)
+    // ... and delta propagation into the rollup: adjustments come from
+    // the target's rows alone, the base is never re-aggregated
+    val deltas = v1.join(broadcast(target),
+        col("user_id") === col("target_user"), "left_semi")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("dn"), sum("cents").as("dc"))
+    publish(readVersion(spark, rollDir, 1L)
+      .join(deltas, Seq("event_type"), "left")
+      .select(col("event_type"),
+        (col("n") - coalesce(col("dn"), lit(0L))).as("n"),
+        (col("total_cents") - coalesce(col("dc"), lit(0L))).as("total_cents"))
+      .filter(col("n") > 0), rollDir, 2L)
+    def stage(df: DataFrame, name: String, v: Long, nv: Long): DataFrame = df
+      .crossJoin(broadcast(target))
+      .select(lit(name).as("stage"), lit(v).as("version"),
+        lit(nv).as("n_versions"), col("target_user"),
+        col("event_type"), col("n"), col("total_cents"))
+    def totals(df: DataFrame): DataFrame = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+    val a = stage(totals(readVersion(spark, factDir, 1L)), "a_v1_fact", 1L, 2L)
+      .localCheckpoint() // v1's files are gone after the vacuum below
+    val b = stage(totals(readVersion(spark, factDir, 2L)), "b_v2_fact", 2L, 2L)
+    val c = stage(readVersion(spark, rollDir, 2L), "c_v2_rollup", 2L, 2L)
+    // the measured remnant: any target row still visible at v2 leaks here
+    val d = stage(readVersion(spark, factDir, 2L)
+      .join(broadcast(target), col("user_id") === col("target_user"), "left_semi")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("cents"), lit(0L)).as("total_cents"))
+      .select(lit("_all").as("event_type"), col("n"), col("total_cents")),
+      "d_remnant", 2L, 2L)
+    val abcd = a.unionByName(b).unionByName(c).unionByName(d).localCheckpoint()
+    val dropped = vacuum(spark, factDir, keep = 1)
+    require(dropped == Seq(1L), s"vacuum must reclaim exactly v1: $dropped")
+    val e = stage(totals(read(spark, factDir)), "e_post_vacuum", 2L, 1L)
+    abcd.unionByName(e).orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[forgetUser]]: same target derivation, pre/post
+    * totals from the raw events, remnant pinned to ZERO. Embed after
+    * `WITH ` and select from `forget_user`.
+    */
+  def forgetUserSql(): String =
+    s"""fu_slim AS (
+       |  SELECT user_id, event_type,
+       |         ${OracleSafe.quantSql("value", 100)} AS cents
+       |  FROM events),
+       |fu_target AS (
+       |  SELECT user_id AS target_user FROM fu_slim
+       |  GROUP BY user_id ORDER BY SUM(cents) DESC, user_id LIMIT 1),
+       |fu_all AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(cents) AS BIGINT) AS total_cents
+       |  FROM fu_slim GROUP BY 1),
+       |fu_kept AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(cents) AS BIGINT) AS total_cents
+       |  FROM fu_slim, fu_target WHERE user_id <> target_user GROUP BY 1),
+       |forget_user AS (
+       |  SELECT 'a_v1_fact' AS stage, CAST(1 AS BIGINT) AS version,
+       |         CAST(2 AS BIGINT) AS n_versions, target_user,
+       |         event_type, n, total_cents
+       |  FROM fu_all, fu_target
+       |  UNION ALL
+       |  SELECT 'b_v2_fact', 2, 2, target_user, event_type, n, total_cents
+       |  FROM fu_kept, fu_target
+       |  UNION ALL
+       |  SELECT 'c_v2_rollup', 2, 2, target_user, event_type, n, total_cents
+       |  FROM fu_kept, fu_target
+       |  UNION ALL
+       |  SELECT 'd_remnant', 2, 2, target_user, '_all',
+       |         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM fu_target
+       |  UNION ALL
+       |  SELECT 'e_post_vacuum', 2, 1, target_user, event_type, n, total_cents
+       |  FROM fu_kept, fu_target)""".stripMargin
 }

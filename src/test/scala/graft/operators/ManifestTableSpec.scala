@@ -233,4 +233,36 @@ class ManifestTableSpec extends SparkSpec {
         "the delete must actually mask rows")
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q263 forget: erasure is complete, others untouched, and the forget is physical") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mt-spec")
+    try {
+      val tbl = s"$out/tbl"
+      // user 7 is the heaviest spender and must be the derived target
+      val ev = Seq(
+        (1L, 7L, "buy", 0L, 900.0), (2L, 7L, "view", 1L, 50.0),
+        (3L, 2L, "buy", 2L, 10.0), (4L, 3L, "view", 3L, 20.0),
+        (5L, 2L, "buy", 4L, 30.0))
+        .toDF("event_id", "user_id", "event_type", "ms", "value")
+        .selectExpr("event_id", "user_id", "event_type",
+          "ms * 1000000 AS ts_ns", "value")
+      val r = ManifestTable.forgetUser(ev, tbl).collect()
+      assert(r.forall(_.getAs[Long]("target_user") == 7L), "derived target")
+      val byStage = r.groupBy(_.getAs[String]("stage"))
+      // remnant measured at zero
+      val rem = byStage("d_remnant").head
+      assert(rem.getAs[Long]("n") == 0L && rem.getAs[Long]("total_cents") == 0L)
+      // the rollup served the same post-erasure totals as the fact
+      def tot(s: String) = byStage(s)
+        .map(x => x.getAs[String]("event_type") ->
+          (x.getAs[Long]("n"), x.getAs[Long]("total_cents"))).toMap
+      assert(tot("b_v2_fact") == tot("c_v2_rollup"), "IVM rollup must agree")
+      assert(tot("b_v2_fact") == Map("buy" -> ((2L, 4000L)), "view" -> ((1L, 2000L))))
+      assert(tot("e_post_vacuum") == tot("b_v2_fact"))
+      // physical: v1's data dir is gone, so time travel to the user's
+      // data is impossible — nothing less counts as forgotten
+      assert(!new java.io.File(s"$tbl/fact/data/v1").exists(), "v1 reclaimed")
+      assert(new java.io.File(s"$tbl/fact/data/v2").exists())
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
