@@ -1785,6 +1785,14 @@ object SparkEntry {
     "q251_seasonal_decompose" -> { (s, dir) =>
       Events.seasonalDecompose(TestData.events(s, dir)).orderBy("day")
     },
+    // Cross-table atomic transaction: one manifest maps every table to
+    // its version, swapped with one rename; an injected crash after the
+    // fact write leaves readers on the CONSISTENT v1 pair, and the
+    // fact/rollup totals ride side by side so consistency is measured.
+    "q264_multi_table_commit" -> { (s, dir) =>
+      ManifestTable.multiTableCommit(TestData.events(s, dir),
+        scratchDir("graft-q264").toString)
+    },
     // Right-to-be-forgotten under the manifest: erase one user from the
     // fact AND its derived rollup (delta-adjusted, never rebuilt), prove
     // a measured zero remnant, vacuum the pre-erasure version so the
@@ -3488,6 +3496,12 @@ object SparkEntry {
       s"""WITH ${Profile.ksDriftSql()}
           SELECT event_type, na, nb, d_num, d_stat, drifted
           FROM ks_drift ORDER BY event_type""",
+
+    "q264_multi_table_commit" ->
+      s"""WITH ${ManifestTable.multiTableCommitSql()}
+          SELECT stage, fact_v, rollup_v, orphaned_dirs, event_type, fact_n,
+                 fact_cents, consistent
+          FROM multi_table ORDER BY stage, event_type""",
 
     "q263_forget_user" ->
       s"""WITH ${ManifestTable.forgetUserSql()}

@@ -765,6 +765,127 @@ object ManifestTable {
     abcd.unionByName(e).orderBy("stage", "event_type")
   }
 
+  /** q264 — CROSS-TABLE atomic transactions: one commit spanning N
+    * tables, because per-table pointers (q241) cannot give readers a
+    * CONSISTENT PAIR — a crash between the fact publish and the derived
+    * rollup publish leaves fact⋈rollup readers seeing v2 data explained
+    * by a v1 aggregate. Here the transaction manifest maps every table
+    * to its version in ONE file, swapped with one atomic rename; table
+    * data dirs are just storage, unreadable except through the
+    * transaction pointer (the multi-table commit model of the
+    * open-table-format proposals layered above single-table logs).
+    *
+    * The run injects the exact failure the protocol exists for: the v2
+    * fact data lands on disk, then the writer DIES before the rollup
+    * write and the pointer swap. Stage b reads through the pointer and
+    * must see the CONSISTENT v1 pair (the orphaned fact/v2 dir is
+    * invisible); re-running the transaction completes it idempotently.
+    * Every stage's output carries fact-side and rollup-side totals
+    * side by side — their equality IS the cross-table consistency
+    * measurement, and the oracle pins it at every stage — plus a
+    * MEASURED count of data dirs the pointer does not reference: 0
+    * before the crash, exactly 1 in the crash window (the orphaned
+    * fact/v2), 2 after recovery (the superseded v1 dirs, history
+    * awaiting vacuum).
+    */
+  def multiTableCommit(events: DataFrame, txDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"),
+      OracleSafe.quant(col("value"), 100).as("cents"))
+    def rollupOf(df: DataFrame): DataFrame = df.groupBy("event_type")
+      .agg(count(lit(1)).as("rn"), sum("cents").as("rcents"))
+    def writeTable(df: DataFrame, table: String, v: Long): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$txDir/$table/v$v")
+    def commitTx(v: Long): Unit = {
+      val ctx = fc(spark, txDir)
+      val tmp = new Path(s"$txDir/TX.tmp")
+      val out = ctx.create(tmp,
+        EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+        CreateOpts.createParent())
+      // the manifest: every table pinned to the transaction's version
+      try out.write(s"fact:$v\nrollup:$v\n".getBytes("UTF-8"))
+      finally out.close()
+      ctx.rename(tmp, new Path(s"$txDir/TX"), Options.Rename.OVERWRITE)
+    }
+    def resolve(): Map[String, Long] = {
+      val ctx = fc(spark, txDir)
+      val in = ctx.open(new Path(s"$txDir/TX"))
+      val text = try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8")
+      } finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(t, v) = l.split(":"); t -> v.toLong
+      }.toMap
+    }
+    def runTx(v: Long, df: DataFrame, crashAfterFact: Boolean): Unit = {
+      writeTable(df, "fact", v)
+      if (crashAfterFact) throw new InjectedCrash
+      writeTable(rollupOf(df), "rollup", v)
+      commitTx(v)
+    }
+    runTx(1L, slim, crashAfterFact = false)
+    val v2data = slim.filter(col("event_type") =!= "error")
+    def stage(name: String): DataFrame = {
+      val m = resolve()
+      // measured orphan count: data dirs on disk the pointer does NOT
+      // reference — stage b must report exactly the half-written fact/v2
+      val orphans = Seq("fact", "rollup").map { t =>
+        Option(new java.io.File(s"$txDir/$t").listFiles()).toSeq.flatten
+          .count(f => f.isDirectory && f.getName != s"v${m(t)}")
+      }.sum.toLong
+      val fact = spark.read.parquet(s"$txDir/fact/v${m("fact")}")
+      val roll = spark.read.parquet(s"$txDir/rollup/v${m("rollup")}")
+      rollupOf(fact)
+        .withColumnRenamed("rn", "fact_n").withColumnRenamed("rcents", "fact_cents")
+        .join(roll, Seq("event_type"), "full_outer")
+        .select(lit(name).as("stage"), lit(m("fact")).as("fact_v"),
+          lit(m("rollup")).as("rollup_v"), lit(orphans).as("orphaned_dirs"),
+          col("event_type"),
+          coalesce(col("fact_n"), lit(0L)).as("fact_n"),
+          coalesce(col("fact_cents"), lit(0L)).as("fact_cents"),
+          (coalesce(col("fact_n"), lit(0L)) === coalesce(col("rn"), lit(0L)) &&
+           coalesce(col("fact_cents"), lit(0L)) === coalesce(col("rcents"), lit(0L)))
+            .cast("int").as("consistent"))
+    }
+    val a = stage("a_v1_committed").localCheckpoint()
+    val crashed =
+      try { runTx(2L, v2data, crashAfterFact = true); false }
+      catch { case _: InjectedCrash => true }
+    require(crashed, "the injected crash must fire")
+    // crash window: fact/v2 sits on disk, the pointer still maps v1·v1
+    val b = stage("b_crash_window").localCheckpoint()
+    runTx(2L, v2data, crashAfterFact = false) // idempotent recovery
+    val c = stage("c_recovered")
+    a.unionByName(b).unionByName(c).orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[multiTableCommit]]: v1 totals for the committed
+    * and crash-window stages (the half-written transaction must be
+    * invisible), v2 totals after recovery, consistency pinned to 1
+    * everywhere. Embed after `WITH ` and select from `multi_table`.
+    */
+  def multiTableCommitSql(): String =
+    s"""mt_all AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS cents
+       |  FROM events GROUP BY 1),
+       |mt_live AS (SELECT * FROM mt_all WHERE event_type <> 'error'),
+       |multi_table AS (
+       |  SELECT 'a_v1_committed' AS stage, CAST(1 AS BIGINT) AS fact_v,
+       |         CAST(1 AS BIGINT) AS rollup_v,
+       |         CAST(0 AS BIGINT) AS orphaned_dirs, event_type,
+       |         n AS fact_n, cents AS fact_cents, 1 AS consistent
+       |  FROM mt_all
+       |  UNION ALL
+       |  SELECT 'b_crash_window', 1, 1, 1, event_type, n, cents, 1
+       |  FROM mt_all
+       |  UNION ALL
+       |  SELECT 'c_recovered', 2, 2, 2, event_type, n, cents, 1
+       |  FROM mt_live)""".stripMargin
+
   /** DuckDB twin of [[forgetUser]]: same target derivation, pre/post
     * totals from the raw events, remnant pinned to ZERO. Embed after
     * `WITH ` and select from `forget_user`.

@@ -265,4 +265,32 @@ class ManifestTableSpec extends SparkSpec {
       assert(new java.io.File(s"$tbl/fact/data/v2").exists())
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q264 multi-table: the half-written transaction is invisible and the pair stays consistent") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mt-spec")
+    try {
+      val tx = s"$out/tx"
+      val ev = Seq((1L, "a", 10.0), (2L, "error", 5.0), (3L, "a", 2.5),
+          (4L, "b", 1.0))
+        .toDF("event_id", "event_type", "value")
+      val r = ManifestTable.multiTableCommit(ev, tx).collect()
+      val byStage = r.groupBy(_.getAs[String]("stage"))
+      // every stage, every type: fact side == rollup side
+      assert(r.forall(_.getAs[Int]("consistent") == 1), "pair consistency")
+      // the crash window resolved the v1·v1 pair even though fact/v2
+      // data was already on disk when the writer died — the measured
+      // orphan count witnesses exactly that half-written dir
+      val b = byStage("b_crash_window")
+      assert(b.forall(x => x.getAs[Long]("fact_v") == 1L
+        && x.getAs[Long]("rollup_v") == 1L
+        && x.getAs[Long]("orphaned_dirs") == 1L))
+      assert(byStage("a_v1_committed")
+        .forall(_.getAs[Long]("orphaned_dirs") == 0L))
+      assert(b.map(_.getAs[String]("event_type")).toSet ==
+        Set("a", "b", "error"), "crash window still serves v1 incl. errors")
+      val c = byStage("c_recovered")
+      assert(c.forall(_.getAs[Long]("fact_v") == 2L))
+      assert(c.map(_.getAs[String]("event_type")).toSet == Set("a", "b"))
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
