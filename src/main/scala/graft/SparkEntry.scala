@@ -2319,6 +2319,12 @@ object SparkEntry {
     // (every 10th key changes, every 100th is brand new, every 3rd is
     // absent from the update) — all three paths of the merge exercised
     // and hash-checked against the oracle's full-join formulation.
+    // Point-in-time join: every order joins the SCD2 version effective
+    // on its order date (interval predicate as residual on the key
+    // equi-join); pre-cut orders must aggregate under the OLD attribute.
+    "q265_pit_join" -> { (s, dir) =>
+      Scd.pointInTimeJoin(TestData.orders(s, dir), TestData.customer(s, dir))
+    },
     "q69_scd2_merge" -> { (s, dir) =>
       val cust = TestData.customer(s, dir)
       val dim = cust.select(col("c_custkey").as("k"),
@@ -3496,6 +3502,11 @@ object SparkEntry {
       s"""WITH ${Profile.ksDriftSql()}
           SELECT event_type, na, nb, d_num, d_stat, drifted
           FROM ks_drift ORDER BY event_type""",
+
+    "q265_pit_join" ->
+      s"""WITH ${Scd.pointInTimeJoinSql()}
+          SELECT ver, nation, n_orders, total_cents
+          FROM pit_join ORDER BY ver, nation""",
 
     "q264_multi_table_commit" ->
       s"""WITH ${ManifestTable.multiTableCommitSql()}

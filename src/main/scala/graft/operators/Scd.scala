@@ -246,4 +246,71 @@ object Scd {
        |         CASE WHEN op <> 'D' THEN ${moneyOutSql("val")} END AS final_value
        |  FROM cdc_last JOIN cdc_n USING (user_id))""".stripMargin
   }
+
+  /** q265 — POINT-IN-TIME join of a fact to its SCD2 dimension: every
+    * order joins the dimension VERSION that was effective on its order
+    * date (`effective_from ≤ d < effective_to`, open version = null to),
+    * the lookup a type-2 dimension exists to serve and the one q69
+    * (which only BUILDS the history) never exercises. Joining the open
+    * version instead — the classic PIT bug — back-dates attribute
+    * changes onto historical facts; the version split here is pinned so
+    * the oracle catches exactly that: customers in the delta cohort
+    * change nation at the cut date, and orders BEFORE the cut must
+    * aggregate under the OLD nation.
+    *
+    * Scale shape: an equi-join on the natural key with the interval
+    * predicate as a residual filter — per-key version counts are small
+    * by construction in any real SCD2 (versions per key ≈ change count),
+    * so the fan-out is bounded; the aggregate is map-side-combinable.
+    * Coverage is measured, not assumed: the output totals sum to the
+    * full order count, so a fact row matching zero or two versions
+    * hash-mismatches the oracle.
+    */
+  def pointInTimeJoin(orders: DataFrame, customer: DataFrame,
+      cutDate: String = "1998-01-01"): DataFrame = {
+    import graft.functions.OracleSafe
+    val cut = to_timestamp(lit(cutDate))
+    val inCohort = col("c_custkey") % 4 === 0
+    val v1 = customer.select(col("c_custkey").as("k"),
+      col("c_nationkey").as("nation"),
+      lit(null).cast("timestamp").as("eff_from"), // -inf: since first load
+      when(inCohort, cut).otherwise(lit(null).cast("timestamp")).as("eff_to"),
+      lit(1L).as("ver"))
+    val v2 = customer.filter(inCohort).select(col("c_custkey").as("k"),
+      ((col("c_nationkey") + 1) % 25).as("nation"),
+      cut.as("eff_from"), lit(null).cast("timestamp").as("eff_to"),
+      lit(2L).as("ver"))
+    orders.join(v1.unionByName(v2), col("o_custkey") === col("k") &&
+        (col("eff_from").isNull || col("o_orderdate") >= col("eff_from")) &&
+        (col("eff_to").isNull || col("o_orderdate") < col("eff_to")))
+      .groupBy("ver", "nation")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(OracleSafe.quant(col("o_totalprice"), 100)).as("total_cents"))
+      .orderBy("ver", "nation")
+  }
+
+  /** DuckDB twin of [[pointInTimeJoin]]; embed after `WITH ` and select
+    * from `pit_join`.
+    */
+  def pointInTimeJoinSql(cutDate: String = "1998-01-01"): String =
+    s"""pit_dim AS (
+       |  SELECT c_custkey AS k, c_nationkey AS nation,
+       |         NULL::TIMESTAMP AS eff_from,
+       |         CASE WHEN c_custkey % 4 = 0 THEN TIMESTAMP '$cutDate' END
+       |           AS eff_to,
+       |         CAST(1 AS BIGINT) AS ver
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey, (c_nationkey + 1) % 25, TIMESTAMP '$cutDate',
+       |         NULL, 2
+       |  FROM customer WHERE c_custkey % 4 = 0),
+       |pit_join AS (
+       |  SELECT ver, nation, COUNT(*) AS n_orders,
+       |         CAST(SUM(${graft.functions.OracleSafe
+                  .quantSql("o_totalprice", 100)}) AS BIGINT) AS total_cents
+       |  FROM orders o JOIN pit_dim d
+       |    ON o.o_custkey = d.k
+       |   AND (d.eff_from IS NULL OR o.o_orderdate >= d.eff_from)
+       |   AND (d.eff_to IS NULL OR o.o_orderdate < d.eff_to)
+       |  GROUP BY 1, 2)""".stripMargin
 }

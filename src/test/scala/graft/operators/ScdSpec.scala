@@ -149,4 +149,28 @@ class ScdSpec extends SparkSpec {
     assert(merged.map(_._1).toSet == state.keySet,
       "merge must cover exactly target ∪ written keys")
   }
+
+  test("pointInTimeJoin: each order joins exactly its effective version") {
+    // customer 4 is in the change cohort (4 % 4 == 0): nation 10 before
+    // the cut, 11 after; customer 5 never changes. Orders straddle the
+    // cut — the pre-cut order must land under the OLD nation.
+    val cust = Seq((4L, 10L), (5L, 20L)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (1L, 4L, "1997-06-01", 100.0), // before cut → v1 nation 10
+      (2L, 4L, "1998-06-01", 200.0), // after cut  → v2 nation 11
+      (3L, 4L, "1998-01-01", 400.0), // AT the cut → v2 (from-inclusive)
+      (4L, 5L, "1997-01-01", 800.0)) // never-changed → v1 nation 20
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(d AS TIMESTAMP) AS o_orderdate", "o_totalprice")
+    val r = Scd.pointInTimeJoin(orders, cust).collect()
+      .map(x => (x.getAs[Long]("ver"), x.getAs[Long]("nation")) ->
+        (x.getAs[Long]("n_orders"), x.getAs[Long]("total_cents"))).toMap
+    assert(r == Map(
+      (1L, 10L) -> ((1L, 10000L)),
+      (2L, 11L) -> ((2L, 60000L)),
+      (1L, 20L) -> ((1L, 80000L))))
+    // coverage: the totals account for every order exactly once
+    assert(r.values.map(_._1).sum == 4L)
+  }
 }
