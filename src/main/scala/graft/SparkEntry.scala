@@ -1785,6 +1785,13 @@ object SparkEntry {
     "q251_seasonal_decompose" -> { (s, dir) =>
       Events.seasonalDecompose(TestData.events(s, dir)).orderBy("day")
     },
+    // Merge-on-read UPDATES: a (key, new value) patch sidecar applied at
+    // read (broadcast left join + coalesce), a delete sidecar stacked on
+    // top, then compaction — v3 totals must equal v4's (purge contract).
+    "q266_mor_update" -> { (s, dir) =>
+      ManifestTable.mergeOnReadUpdate(TestData.events(s, dir),
+        scratchDir("graft-q266").toString)
+    },
     // Cross-table atomic transaction: one manifest maps every table to
     // its version, swapped with one rename; an injected crash after the
     // fact write leaves readers on the CONSISTENT v1 pair, and the
@@ -3502,6 +3509,11 @@ object SparkEntry {
       s"""WITH ${Profile.ksDriftSql()}
           SELECT event_type, na, nb, d_num, d_stat, drifted
           FROM ks_drift ORDER BY event_type""",
+
+    "q266_mor_update" ->
+      s"""WITH ${ManifestTable.mergeOnReadUpdateSql()}
+          SELECT stage, version, event_type, n, total_cents
+          FROM mor_update ORDER BY stage, event_type""",
 
     "q265_pit_join" ->
       s"""WITH ${Scd.pointInTimeJoinSql()}

@@ -608,9 +608,12 @@ object ManifestTable {
     s1.unionByName(s2).unionByName(s3).orderBy("stage", "event_type")
   }
 
-  /** Resolve a merge-on-read snapshot: union its data refs, then mask
-    * with its delete vectors (one anti-join) — or stream the data
-    * straight through when the snapshot carries no sidecar.
+  /** Resolve a merge-on-read snapshot: union its data refs, patch with
+    * its update sidecars (one broadcast left join, new value wins), then
+    * mask with its delete vectors (one anti-join) — or stream the data
+    * straight through when the snapshot carries no sidecar. Sidecars are
+    * delta-sized by construction (they hold only changed/deleted keys),
+    * which is what licenses the broadcasts.
     */
   def readMoRVersion(spark: SparkSession, tableDir: String,
       version: Long): DataFrame = {
@@ -618,12 +621,101 @@ object ManifestTable {
       .map(r => (r.getAs[String]("ref"), r.getAs[String]("kind")))
     val data = refs.collect { case (ref, "data") =>
       spark.read.parquet(s"$tableDir/$ref") }.reduce(_ unionByName _)
+    val ups = refs.collect { case (ref, "update_rows") =>
+      spark.read.parquet(s"$tableDir/$ref") }
+    val patched = if (ups.isEmpty) data
+    else data.join(broadcast(ups.reduce(_ unionByName _)
+        .withColumnRenamed("value", "__patch_value")),
+      Seq("event_id"), "left")
+      .withColumn("value", coalesce(col("__patch_value"), col("value")))
+      .drop("__patch_value")
     val dvs = refs.collect { case (ref, "delete_keys") =>
       spark.read.parquet(s"$tableDir/$ref") }
-    if (dvs.isEmpty) data
-    else data.join(broadcast(dvs.reduce(_ unionByName _)),
+    if (dvs.isEmpty) patched
+    else patched.join(broadcast(dvs.reduce(_ unionByName _)),
       Seq("event_id"), "left_anti")
   }
+
+  /** q266 — MERGE-ON-READ row-level UPDATES, completing the q254 story
+    * (deletes were one sidecar kind; real tables also take value
+    * corrections without rewriting data files). A patch sidecar holds
+    * (key, new value) for the changed rows only; the read path applies
+    * it as a broadcast left join with coalesce. The run then STACKS a
+    * delete sidecar on top — v3 resolves base ⊕ updates ⊖ deletes in one
+    * plan — and finally compacts everything into a clean v4 whose totals
+    * must be identical to v3 (the purge contract, again carried by the
+    * oracle's hash). Data files are never touched until the compaction;
+    * the spec pins that physically.
+    */
+  def mergeOnReadUpdate(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    slim.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/files/base")
+    publish(Seq(("files/base", "data")).toDF("ref", "kind"), tableDir, 1L)
+    // the MoR update: a (key, new value) sidecar — purchases re-priced
+    slim.filter(col("event_type") === "purchase")
+      .select(col("event_id"), (col("value") * 2).as("value"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/files/up2")
+    publish(Seq(("files/base", "data"), ("files/up2", "update_rows"))
+      .toDF("ref", "kind"), tableDir, 2L)
+    // a delete sidecar STACKS on top of the update
+    slim.filter(col("event_type") === "error").select("event_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/files/dv3")
+    publish(Seq(("files/base", "data"), ("files/up2", "update_rows"),
+      ("files/dv3", "delete_keys")).toDF("ref", "kind"), tableDir, 3L)
+    def stage(name: String, v: Long): DataFrame =
+      readMoRVersion(spark, tableDir, v)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .select(lit(name).as("stage"), lit(v).as("version"),
+          col("event_type"), col("n"), col("total_cents"))
+    val s1 = stage("a_v1_full", 1L)
+    val s2 = stage("b_v2_mor_update", 2L)
+    val s3 = stage("c_v3_upd_del", 3L)
+    // compaction: apply every sidecar physically, publish clean data
+    readMoRVersion(spark, tableDir, 3L)
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/files/purged")
+    publish(Seq(("files/purged", "data")).toDF("ref", "kind"), tableDir, 4L)
+    val s4 = stage("d_v4_purged", 4L)
+    s1.unionByName(s2).unionByName(s3).unionByName(s4)
+      .orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[mergeOnReadUpdate]]: full totals at v1, re-priced
+    * purchases at v2, re-priced minus errors at v3 and v4 (identical by
+    * the purge contract). Embed after `WITH ` and select from
+    * `mor_update`.
+    */
+  def mergeOnReadUpdateSql(): String =
+    s"""moru_base AS (
+       |  SELECT event_type,
+       |         ${OracleSafe.quantSql("value", 100)} AS cents,
+       |         ${OracleSafe.quantSql("value * 2", 100)} AS cents2
+       |  FROM events),
+       |moru_all AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(cents) AS BIGINT) AS total_cents
+       |  FROM moru_base GROUP BY 1),
+       |moru_upd AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents2
+       |                       ELSE cents END) AS BIGINT) AS total_cents
+       |  FROM moru_base GROUP BY 1),
+       |mor_update AS (
+       |  SELECT 'a_v1_full' AS stage, CAST(1 AS BIGINT) AS version,
+       |         event_type, n, total_cents
+       |  FROM moru_all
+       |  UNION ALL
+       |  SELECT 'b_v2_mor_update', 2, event_type, n, total_cents
+       |  FROM moru_upd
+       |  UNION ALL
+       |  SELECT 'c_v3_upd_del', 3, event_type, n, total_cents
+       |  FROM moru_upd WHERE event_type <> 'error'
+       |  UNION ALL
+       |  SELECT 'd_v4_purged', 4, event_type, n, total_cents
+       |  FROM moru_upd WHERE event_type <> 'error')""".stripMargin
 
   /** DuckDB twin of [[mergeOnReadDelete]]: full totals at v1, error-
     * masked totals at v2 (merge-on-read) and v3 (purged) — identical by

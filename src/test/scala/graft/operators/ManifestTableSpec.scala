@@ -293,4 +293,35 @@ class ManifestTableSpec extends SparkSpec {
       assert(c.map(_.getAs[String]("event_type")).toSet == Set("a", "b"))
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q266 MoR update: sidecars never touch the base files; stack composes; purge is invisible") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mt-spec")
+    try {
+      val tbl = s"$out/tbl"
+      val ev = Seq((1L, "purchase", 10.0), (2L, "error", 5.0),
+          (3L, "view", 2.0), (4L, "purchase", 1.5))
+        .toDF("event_id", "event_type", "value")
+      def baseFiles() =
+        new java.io.File(s"$tbl/files/base").listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+      val r = ManifestTable.mergeOnReadUpdate(ev, tbl).collect()
+      def tot(s: String) = r.filter(_.getAs[String]("stage") == s)
+        .map(x => x.getAs[String]("event_type") ->
+          (x.getAs[Long]("n"), x.getAs[Long]("total_cents"))).toMap
+      // v2: purchases re-priced (10→20, 1.5→3), others untouched
+      assert(tot("b_v2_mor_update") == Map(
+        "purchase" -> ((2L, 2300L)), "error" -> ((1L, 500L)),
+        "view" -> ((1L, 200L))))
+      // v3: the delete sidecar stacks ON TOP of the update
+      assert(tot("c_v3_upd_del") == Map(
+        "purchase" -> ((2L, 2300L)), "view" -> ((1L, 200L))))
+      // purge invisible to readers
+      assert(tot("d_v4_purged") == tot("c_v3_upd_del"))
+      // base data files exist untouched through every sidecar commit
+      // (the compaction wrote to files/purged, not files/base)
+      assert(baseFiles().nonEmpty)
+      val v1 = ManifestTable.readMoRVersion(spark, tbl, 1L)
+      assert(v1.count() == 4L, "v1 still serves the original rows")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
