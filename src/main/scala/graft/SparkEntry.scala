@@ -2064,6 +2064,11 @@ object SparkEntry {
     "q96_rfm_decile" -> { (s, dir) =>
       Segmentation.rfmDeciles(TestData.orders(s, dir)).orderBy("custkey")
     },
+    // Recency-decayed user value: exact integer half-life weights
+    // (shifted cents, no pow/float), bounded horizon, top-k users.
+    "q267_decayed_value_rank" -> { (s, dir) =>
+      Segmentation.decayedValueRank(TestData.events(s, dir))
+    },
     // int8 embedding quantization with a per-vector verified error bound —
     // all-integer arithmetic on the shared ×10⁴ grid (see Similarity).
     "q97_int8_quant" -> { (s, dir) =>
@@ -3934,6 +3939,12 @@ object SparkEntry {
     "q95_minhash_error" ->
       s"""WITH ${Dedup.minhashEstimatePairsSql()}
           ORDER BY doc_a, doc_b""",
+
+    // exact shifted-cents decay, same integer weights
+    "q267_decayed_value_rank" ->
+      s"""WITH ${Segmentation.decayedValueRankSql()}
+          SELECT user_id, decayed_scaled, raw_cents, active_days
+          FROM decayed_rank""",
 
     // native NTILE over the identical total order (window is fine 1-node)
     "q96_rfm_decile" ->

@@ -96,4 +96,67 @@ object Segmentation {
        |       ${OracleSafe.moneyOutSql("monetary_q")} AS monetary,
        |       CAST(NTILE($k) OVER (ORDER BY monetary_q DESC, custkey) AS INT) AS m_decile
        |FROM rfm""".stripMargin
+
+  /** q267 — recency-DECAYED user value ranking: each user's spend scored
+    * with an exponential half-life (one halving per day of age), the
+    * recency×monetary blend RFM quantizes into deciles made continuous.
+    * The decay is EXACT integer arithmetic: with ages bounded to the
+    * last `horizon` days, weight(age) = 2^(horizon−1−age), so the score
+    * is a BIGINT sum of shifted cents — no pow(), no float accumulation,
+    * and events older than the horizon carry weight 0 (fully decayed,
+    * the same cutoff a serving system applies so its state stays
+    * bounded). Output: top `k` users by decayed score, id tie-break.
+    *
+    * Scale shape: one map-side-combinable aggregate to the (user, age)
+    * grain, one weighted fold per user, then TakeOrderedAndProject for
+    * the top-k — never a global sort. The shifted sum needs
+    * cents·2^(horizon−1) per (user, day) to stay under 2^63: horizon 16
+    * leaves 2^47 ≈ $1.4T per user-day, plenty; a wider horizon trades
+    * into the double path.
+    */
+  def decayedValueRank(events: DataFrame, horizon: Int = 16,
+      k: Int = 10): DataFrame = {
+    require(horizon >= 1 && horizon <= 31, s"horizon in [1,31], got $horizon")
+    val day = OracleSafe.intDiv(expr("ts_ns DIV 1000000"), lit(86400000L))
+    val perDay = events
+      .select(col("user_id"), day.as("d"),
+        OracleSafe.quant(col("value"), 100).as("cents"))
+      .groupBy("user_id", "d").agg(sum("cents").as("dc"))
+    val maxDay = perDay.agg(max("d").as("dmax"))
+    perDay.crossJoin(broadcast(maxDay))
+      .withColumn("age", col("dmax") - col("d"))
+      .filter(col("age") < horizon)
+      .groupBy("user_id")
+      .agg(sum(col("dc") * call_function("shiftleft", // 2^(horizon-1-age)
+          lit(1L), (lit(horizon - 1) - col("age")).cast("int")))
+        .as("decayed_scaled"),
+        sum("dc").as("raw_cents"), count(lit(1)).as("active_days"))
+      .orderBy(col("decayed_scaled").desc, col("user_id"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[decayedValueRank]]; embed after `WITH ` and select
+    * from `decayed_rank`.
+    */
+  def decayedValueRankSql(horizon: Int = 16, k: Int = 10): String = {
+    val day = OracleSafe.intDivSql("epoch_ms(ts)", "86400000")
+    s"""dvr_day AS (
+       |  SELECT user_id, $day AS d,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS dc
+       |  FROM events GROUP BY 1, 2),
+       |dvr_max AS (SELECT MAX(d) AS dmax FROM dvr_day),
+       |decayed_rank AS (
+       |  SELECT user_id,
+       |         CAST(SUM(dc * (CAST(1 AS BIGINT)
+       |             << (${horizon - 1} - (dmax - d)))) AS BIGINT)
+       |           AS decayed_scaled,
+       |         CAST(SUM(dc) AS BIGINT) AS raw_cents,
+       |         COUNT(*) AS active_days
+       |  FROM dvr_day, dvr_max
+       |  WHERE dmax - d < $horizon
+       |  GROUP BY user_id
+       |  ORDER BY decayed_scaled DESC, user_id
+       |  LIMIT $k)""".stripMargin
+  }
 }

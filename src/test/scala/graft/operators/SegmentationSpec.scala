@@ -55,4 +55,25 @@ class SegmentationSpec extends SparkSpec {
     assert(plan.contains("Scan ExistingRDD"),
       s"expected the surrogate-rank RDD scan in:\n$plan")
   }
+
+  test("decayedValueRank: exact halving weights, horizon cutoff, id tie-break") {
+    import spark.implicits._
+    val day = 86400000L
+    // user 1: $1 on the last day (weight 2^15); user 2: $2 the day
+    // before (weight 2^14) — scores tie EXACTLY (100·2^15 == 200·2^14),
+    // so user 1 must rank first on the id tie-break. user 3's only event
+    // is past the 16-day horizon: fully decayed, absent from the output.
+    val ev = Seq(
+      (1L, 1L, "v", 20L * day, 1.0),
+      (2L, 2L, "v", 19L * day, 2.0),
+      (3L, 3L, "v", 2L * day, 10000.0))
+      .toDF("event_id", "user_id", "event_type", "ms", "value")
+      .selectExpr("event_id", "user_id", "event_type",
+        "ms * 1000000 AS ts_ns", "value")
+    val r = Segmentation.decayedValueRank(ev).collect()
+    assert(r.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 2L))
+    assert(r.forall(_.getAs[Long]("decayed_scaled") == 100L * (1L << 15)))
+    assert(r.map(x => x.getAs[Long]("user_id") -> x.getAs[Long]("raw_cents"))
+      .toMap == Map(1L -> 100L, 2L -> 200L))
+  }
 }
