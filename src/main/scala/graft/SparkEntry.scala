@@ -1858,6 +1858,13 @@ object SparkEntry {
       Planning.rollupPushdownAggregate(TestData.events(s, dir),
         scratchDir("graft-q255").resolve("rollup").toString)
     },
+    // Incremental zone-map maintenance: the delta alone aggregates, one
+    // outer merge join updates the persisted per-zone min/max/count —
+    // oracle rebuilds from scratch; updated == rebuilt via the hash.
+    "q268_incremental_zonemap" -> { (s, dir) =>
+      Planning.incrementalZoneMap(TestData.lineitem(s, dir),
+        scratchDir("graft-q268").toString)
+    },
     // MV lattice routing: three persisted cuboids, each grouping query
     // answered from the smallest subsuming cuboid (min rows, name
     // tie-break), never the base table. Oracle recomputes the routing
@@ -3567,6 +3574,11 @@ object SparkEntry {
       s"""WITH ${Planning.incrementalRollupMaintenanceSql()}
           SELECT p, event_type, n, cents
           FROM incremental_rollup ORDER BY p, event_type""",
+
+    "q268_incremental_zonemap" ->
+      s"""WITH ${Planning.incrementalZoneMapSql()}
+          SELECT zone, zmin, zmax, zn
+          FROM inc_zonemap ORDER BY zone""",
 
     "q259_cuboid_routing" ->
       s"""WITH ${Planning.cuboidRoutingSql()}

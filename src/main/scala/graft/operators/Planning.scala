@@ -2291,6 +2291,67 @@ object Planning {
        |             FROM ibl_cand GROUP BY 1) c ON c.probe_key = p.probe_key
        |  LEFT JOIN ibl_matched m ON m.probe_key = p.probe_key)""".stripMargin
 
+  /** q268 — incremental ZONE-MAP maintenance, the last member of the
+    * persisted-index maintenance family (q240 inverted postings, q243
+    * IVF cells, q245 Bloom bits, q256 rollup, q257 graph labels): the
+    * zone map built from the base batch persists, and an append-only
+    * delta updates it by aggregating THE DELTA ALONE — per-zone
+    * min/max/count merge through one outer join against the loaded
+    * artifact, the base files never rescanned (min/max/count are all
+    * merge-able statistics, which is precisely why every lakehouse
+    * format keeps them per data file). Dates ride as yyyymmdd BIGINTs so
+    * the compare is integer-exact on both engines. Oracle = the zone map
+    * rebuilt from scratch over base+delta; updated == rebuilt carried by
+    * the hash.
+    */
+  def incrementalZoneMap(lineitem: DataFrame, outDir: String,
+      deltaMod: Int = 10): DataFrame = {
+    val spark = lineitem.sparkSession
+    val slim = lineitem.select(
+      (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+        .cast("long").as("zone"),
+      (year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100
+        + dayofmonth(col("l_shipdate"))).cast("long").as("sd"),
+      col("l_orderkey"))
+    def zmOf(df: DataFrame): DataFrame = df.groupBy("zone")
+      .agg(min("sd").as("zmin"), max("sd").as("zmax"),
+        count(lit(1)).as("zn"))
+    val inDelta = col("l_orderkey") % lit(deltaMod.toLong) === 0
+    zmOf(slim.filter(!inDelta)).write.mode("overwrite").parquet(s"$outDir/zm")
+    // the maintenance: delta-only aggregate + one outer merge join
+    val deltaZm = zmOf(slim.filter(inDelta))
+      .select(col("zone"), col("zmin").as("dmin"), col("zmax").as("dmax"),
+        col("zn").as("dn"))
+    spark.read.parquet(s"$outDir/zm")
+      .join(deltaZm, Seq("zone"), "full_outer")
+      .select(col("zone"),
+        when(col("zmin").isNull, col("dmin"))
+          .when(col("dmin").isNull, col("zmin"))
+          .otherwise(least(col("zmin"), col("dmin"))).as("zmin"),
+        when(col("zmax").isNull, col("dmax"))
+          .when(col("dmax").isNull, col("zmax"))
+          .otherwise(greatest(col("zmax"), col("dmax"))).as("zmax"),
+        (coalesce(col("zn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("zn"))
+      .orderBy("zone")
+  }
+
+  /** DuckDB twin of [[incrementalZoneMap]]: the zone map rebuilt from
+    * scratch over the full table. Embed after `WITH ` and select from
+    * `inc_zonemap`.
+    */
+  def incrementalZoneMapSql(): String =
+    s"""izm_slim AS (
+       |  SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS zone,
+       |         (year(l_shipdate) * 10000 + month(l_shipdate) * 100
+       |          + day(l_shipdate)) AS sd
+       |  FROM lineitem),
+       |inc_zonemap AS (
+       |  SELECT CAST(zone AS BIGINT) AS zone,
+       |         CAST(MIN(sd) AS BIGINT) AS zmin,
+       |         CAST(MAX(sd) AS BIGINT) AS zmax,
+       |         COUNT(*) AS zn
+       |  FROM izm_slim GROUP BY 1)""".stripMargin
+
   /** q259 — materialized-view LATTICE ROUTING: three cuboids of the
     * (returnflag, linestatus, ship-year) cube are materialized to disk —
     * the finest (rf, ls, yr) plus two partial rollups (rf, yr) and (ls) —

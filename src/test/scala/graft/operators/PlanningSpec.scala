@@ -483,4 +483,31 @@ class PlanningSpec extends SparkSpec {
     def toMap2: Map[String, (Long, Long, Long, Double)] =
       rows.map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
   }
+
+  test("q268: the delta merge widens min/max, adds counts, and creates new zones") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-izm-spec")
+    try {
+      // base rows (l_orderkey % 10 != 0): Jan days 5 and 9; delta rows
+      // (% 10 == 0): Jan day 2 (widens zmin) and Feb day 3 (new zone)
+      val li = Seq(
+        (1L, "1995-01-05"), (2L, "1995-01-09"),
+        (10L, "1995-01-02"), (20L, "1995-02-03"))
+        .toDF("l_orderkey", "d")
+        .selectExpr("l_orderkey", "CAST(d AS TIMESTAMP) AS l_shipdate")
+      val r = Planning.incrementalZoneMap(li, out.toString).collect()
+        .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+        .toMap
+      val jan = 1995L * 12 + 1; val feb = jan + 1
+      assert(r == Map(
+        jan -> ((19950102L, 19950109L, 3L)),
+        feb -> ((19950203L, 19950203L, 1L))))
+      // the persisted artifact still holds the PRE-delta zone map
+      val persisted = spark.read.parquet(s"$out/zm").collect()
+        .map(x => x.getAs[Long]("zone") ->
+          ((x.getAs[Long]("zmin"), x.getAs[Long]("zmax"), x.getAs[Long]("zn"))))
+        .toMap
+      assert(persisted == Map(jan -> ((19950105L, 19950109L, 2L))))
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
