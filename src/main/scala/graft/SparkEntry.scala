@@ -1858,6 +1858,12 @@ object SparkEntry {
       Planning.rollupPushdownAggregate(TestData.events(s, dir),
         scratchDir("graft-q255").resolve("rollup").toString)
     },
+    // Clustering-layout advisor: score linear vs Morton vs Hilbert by
+    // zone-pruned rows per workload predicate and pick the cheapest —
+    // deterministic integer zones, so the CHOICE itself is hashed.
+    "q269_layout_advisor" -> { (s, dir) =>
+      Planning.layoutAdvisor(TestData.events(s, dir))
+    },
     // Incremental zone-map maintenance: the delta alone aggregates, one
     // outer merge join updates the persisted per-zone min/max/count —
     // oracle rebuilds from scratch; updated == rebuilt via the hash.
@@ -3574,6 +3580,11 @@ object SparkEntry {
       s"""WITH ${Planning.incrementalRollupMaintenanceSql()}
           SELECT p, event_type, n, cents
           FROM incremental_rollup ORDER BY p, event_type""",
+
+    "q269_layout_advisor" ->
+      s"""WITH ${Planning.layoutAdvisorSql()}
+          SELECT pred_id, layout, rows_read, zones_scanned, n_match
+          FROM layout_advisor ORDER BY pred_id""",
 
     "q268_incremental_zonemap" ->
       s"""WITH ${Planning.incrementalZoneMapSql()}

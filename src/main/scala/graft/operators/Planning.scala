@@ -2291,6 +2291,134 @@ object Planning {
        |             FROM ibl_cand GROUP BY 1) c ON c.probe_key = p.probe_key
        |  LEFT JOIN ibl_matched m ON m.probe_key = p.probe_key)""".stripMargin
 
+  /** q269 — clustering-LAYOUT ADVISOR, the q261/q94 curves closed into
+    * the planner loop: for each workload predicate, score three sort
+    * layouts of the same table — linear on `a`, Morton(a, b),
+    * Hilbert(a, b) — by the rows a zone-pruned scan would read under
+    * each, and pick the cheapest. Zones are fixed-width key ranges
+    * (key DIV 2^14 over the 20-bit curve keys, a DIV 16 over the linear
+    * key — 64 zones each, so the comparison is fair), and each zone's
+    * (a, b) bounding box comes from the data; a zone survives a
+    * rectangle predicate iff the boxes overlap. This is the decision an
+    * OPTIMIZE-layout command makes from exactly this arithmetic — and
+    * the expected physics falls out measurably: the a-only predicate
+    * picks linear (perfect runs on its own sort key), the b-only and
+    * both-dims predicates pick a space-filling curve (linear cannot
+    * bound `b` at all), Hilbert ≤ Morton from the tighter boxes of the
+    * continuous curve.
+    *
+    * All keys are deterministic integer arithmetic (no range-sampled
+    * partitioner anywhere), so the DuckDB twin derives the same zones,
+    * the same boxes, the same decision — the CHOICE is hashed, not
+    * asserted. Exact match counts ride along per predicate
+    * (layout-invariant, one conditional-sum pass).
+    */
+  def layoutAdvisor(events: DataFrame): DataFrame = {
+    val zoneW = 1L << 14 // 2^20 key space / 2^14 = 64 zones
+    val base = events.select(
+      (col("user_id") % 1024).cast("long").as("a"),
+      ((hour(col("ts")) * 60 + minute(col("ts"))) % 1024)
+        .cast("long").as("b"))
+    val preds = Seq( // (id, aLo, aHi, bLo, bHi) — inclusive rectangles
+      ("p1_a_band", 100L, 199L, 0L, 1023L),
+      ("p2_b_band", 0L, 1023L, 600L, 699L),
+      ("p3_both", 100L, 399L, 600L, 899L))
+    def zm(df: DataFrame, layout: String, zone: Column): DataFrame = df
+      .groupBy(zone.as("zone"))
+      .agg(min("a").as("amin"), max("a").as("amax"),
+        min("b").as("bmin"), max("b").as("bmax"), count(lit(1)).as("zn"))
+      .select(lit(layout).as("layout"), col("*"))
+    val zms = zm(base, "linear", OracleSafe.intDiv(col("a"), lit(16L)))
+      .unionByName(zm(
+        base.select(col("a"), col("b"), ZOrder.morton(col("a"), col("b"))),
+        "morton", OracleSafe.intDiv(col("zkey"), lit(zoneW))))
+      .unionByName(zm(
+        ZOrder.withHilbert(base, col("a"), col("b"), "hkey", bits = 10),
+        "hilbert", OracleSafe.intDiv(col("hkey"), lit(zoneW))))
+    val scored = preds.map { case (id, aLo, aHi, bLo, bHi) =>
+      val survives = !(col("amax") < aLo || col("amin") > aHi ||
+        col("bmax") < bLo || col("bmin") > bHi)
+      zms.groupBy("layout")
+        .agg(sum(when(survives, col("zn")).otherwise(lit(0L))).as("rows_read"),
+          sum(when(survives, 1L).otherwise(0L)).as("zones_scanned"))
+        .select(lit(id).as("pred_id"), col("layout"), col("rows_read"),
+          col("zones_scanned"))
+    }.reduce(_ unionByName _)
+    val choice = scored.groupBy("pred_id")
+      .agg(min(struct(col("rows_read"), col("layout"), col("zones_scanned")))
+        .as("best"))
+      .select(col("pred_id"), col("best.layout").as("layout"),
+        col("best.rows_read").as("rows_read"),
+        col("best.zones_scanned").as("zones_scanned"))
+    val exactCols = preds.map { case (id, aLo, aHi, bLo, bHi) =>
+      sum(when(col("a").between(aLo, aHi) && col("b").between(bLo, bHi),
+        1L).otherwise(0L)).as(s"m_$id")
+    }
+    val exact = base.agg(exactCols.head, exactCols.tail: _*)
+    val matches = preds.map { case (id, _, _, _, _) =>
+      exact.select(lit(id).as("pred_id"), col(s"m_$id").as("n_match"))
+    }.reduce(_ unionByName _)
+    choice.join(broadcast(matches), Seq("pred_id")).orderBy("pred_id")
+  }
+
+  /** DuckDB twin of [[layoutAdvisor]]: the same three layouts' zone maps
+    * from the same integer keys (the Morton and Hilbert CTE chains are
+    * generated by the same code as the engine's expressions), the same
+    * survival test and argmin. Embed after `WITH ` (the chains are
+    * non-recursive) and select from `layout_advisor`.
+    */
+  def layoutAdvisorSql(): String = {
+    val preds = Seq(
+      ("p1_a_band", 100L, 199L, 0L, 1023L),
+      ("p2_b_band", 0L, 1023L, 600L, 699L),
+      ("p3_both", 100L, 399L, 600L, 899L))
+    val predVals = preds.map { case (id, aLo, aHi, bLo, bHi) =>
+      s"('$id', $aLo, $aHi, $bLo, $bHi)"
+    }.mkString(", ")
+    s"""la_base AS (
+       |  SELECT user_id % 1024 AS a,
+       |         (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) % 1024
+       |           AS b
+       |  FROM events),
+       |${ZOrder.mortonSql("la_base", "a", "b", Seq("a", "b"))},
+       |${ZOrder.hilbertSql("la_base", "a", "b", Seq("a", "b"), bits = 10)},
+       |la_zm AS (
+       |  SELECT 'linear' AS layout, a // 16 AS zone,
+       |         MIN(a) AS amin, MAX(a) AS amax, MIN(b) AS bmin,
+       |         MAX(b) AS bmax, COUNT(*) AS zn
+       |  FROM la_base GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'morton', zkey // 16384, MIN(a), MAX(a), MIN(b), MAX(b),
+       |         COUNT(*)
+       |  FROM zfinal GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'hilbert', hkey // 16384, MIN(a), MAX(a), MIN(b), MAX(b),
+       |         COUNT(*)
+       |  FROM hfinal GROUP BY 2),
+       |la_preds(pred_id, alo, ahi, blo, bhi) AS (VALUES $predVals),
+       |la_scored AS (
+       |  SELECT p.pred_id, z.layout,
+       |         CAST(SUM(CASE WHEN NOT (z.amax < p.alo OR z.amin > p.ahi
+       |                            OR z.bmax < p.blo OR z.bmin > p.bhi)
+       |                       THEN z.zn ELSE 0 END) AS BIGINT) AS rows_read,
+       |         CAST(SUM(CASE WHEN NOT (z.amax < p.alo OR z.amin > p.ahi
+       |                            OR z.bmax < p.blo OR z.bmin > p.bhi)
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS zones_scanned
+       |  FROM la_zm z, la_preds p GROUP BY 1, 2),
+       |la_exact AS (
+       |  SELECT p.pred_id, CAST(COUNT(*) FILTER (
+       |           WHERE e.a BETWEEN p.alo AND p.ahi
+       |             AND e.b BETWEEN p.blo AND p.bhi) AS BIGINT) AS n_match
+       |  FROM la_base e, la_preds p GROUP BY 1),
+       |layout_advisor AS (
+       |  SELECT s.pred_id, s.layout, s.rows_read, s.zones_scanned, x.n_match
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pred_id
+       |                    ORDER BY rows_read, layout) AS rn
+       |        FROM la_scored) s
+       |  JOIN la_exact x USING (pred_id)
+       |  WHERE s.rn = 1)""".stripMargin
+  }
+
   /** q268 — incremental ZONE-MAP maintenance, the last member of the
     * persisted-index maintenance family (q240 inverted postings, q243
     * IVF cells, q245 Bloom bits, q256 rollup, q257 graph labels): the

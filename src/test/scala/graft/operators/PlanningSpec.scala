@@ -510,4 +510,31 @@ class PlanningSpec extends SparkSpec {
       assert(persisted == Map(jan -> ((19950105L, 19950109L, 2L))))
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q269: the advisor picks linear for the a-band and a curve for the b-band") {
+    import spark.implicits._
+    // a decorrelated pseudo-uniform (a, b) cloud: a from the row id,
+    // b from a multiplicative hash, rendered as (user_id, ts-minute)
+    val ev = spark.range(1L << 14).select(
+      col("id").as("event_id"),
+      (col("id") % 1024).as("user_id"),
+      lit("v").as("event_type"),
+      (((col("id") * 2654435761L) % 1024) * 60000L * 1000000L).as("ts_ns"),
+      lit(1.0).as("value"))
+      .withColumn("ts", expr("timestamp_micros(CAST(ts_ns DIV 1000 AS LONG))"))
+    val r = Planning.layoutAdvisor(ev).collect()
+      .map(x => x.getAs[String]("pred_id") ->
+        ((x.getAs[String]("layout"), x.getAs[Long]("rows_read"),
+          x.getAs[Long]("n_match")))).toMap
+    // the a-band is exactly what a linear sort bounds perfectly
+    assert(r("p1_a_band")._1 == "linear", s"got $r")
+    // linear cannot bound b at all (every zone spans b fully), so the
+    // b-band must pick a space-filling curve and read FEWER rows than
+    // the full table
+    assert(r("p2_b_band")._1 != "linear", s"got $r")
+    assert(r("p2_b_band")._2 < (1L << 14), "curve zones must prune")
+    // exact counts: uniform 16-row-per-(a) grid → a-band matches 100
+    // values of a × 16 rows
+    assert(r("p1_a_band")._3 == 100L * 16L)
+  }
 }
