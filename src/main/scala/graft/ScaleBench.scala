@@ -181,7 +181,8 @@ object ScaleBench {
     "q259_cuboid_routing", "q260_ks_drift", "q261_hilbert_cluster",
     "q262_purged_cv", "q263_forget_user", "q264_multi_table_commit",
     "q265_pit_join", "q266_mor_update", "q267_decayed_value_rank",
-    "q268_incremental_zonemap", "q269_layout_advisor")
+    "q268_incremental_zonemap", "q269_layout_advisor",
+    "q270_yannakakis")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

@@ -1864,6 +1864,15 @@ object SparkEntry {
     "q269_layout_advisor" -> { (s, dir) =>
       Planning.layoutAdvisor(TestData.events(s, dir))
     },
+    // Yannakakis full reducer: two semi-join passes strip every dangling
+    // tuple from the acyclic 5-table chain before the join runs; the
+    // per-relation reduced counts are the measured benefit, and the
+    // reduced join's totals equal the direct join's by the theorem.
+    "q270_yannakakis" -> { (s, dir) =>
+      Planning.yannakakisReduction(TestData.region(s, dir),
+        TestData.nation(s, dir), TestData.customer(s, dir),
+        TestData.orders(s, dir), TestData.lineitem(s, dir))
+    },
     // Incremental zone-map maintenance: the delta alone aggregates, one
     // outer merge join updates the persisted per-zone min/max/count —
     // oracle rebuilds from scratch; updated == rebuilt via the hash.
@@ -3585,6 +3594,11 @@ object SparkEntry {
       s"""WITH ${Planning.layoutAdvisorSql()}
           SELECT pred_id, layout, rows_read, zones_scanned, n_match
           FROM layout_advisor ORDER BY pred_id""",
+
+    "q270_yannakakis" ->
+      s"""WITH ${Planning.yannakakisReductionSql()}
+          SELECT section, name, n_filtered, n_reduced, cents
+          FROM yannakakis ORDER BY section, name""",
 
     "q268_incremental_zonemap" ->
       s"""WITH ${Planning.incrementalZoneMapSql()}

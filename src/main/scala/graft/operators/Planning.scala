@@ -2597,4 +2597,169 @@ object Planning {
        |         a.n_groups, a.n_rows, a.total_qc, a.max_group_qc
        |  FROM cr_route r JOIN cr_ans a USING (query_dims))""".stripMargin
   }
+
+  /** q270 — YANNAKAKIS full semi-join reduction over the acyclic join
+    * path region–nation–customer–orders–lineitem: a bottom-up semi-join
+    * pass (each relation keeps only tuples that can reach the filtered
+    * root) followed by a top-down pass (each keeps only tuples some
+    * surviving fact row actually uses), after which the final join runs
+    * over DANGLING-TUPLE-FREE inputs — the classic guarantee that no
+    * intermediate result exceeds the output size on an acyclic query.
+    * This is the missing member of the join-program tier (q202/q208
+    * order it, q163/q212 pick its strategies, q222 blooms one edge):
+    * the 100 TB payoff is that the urgent/BUILDING/returned filters cut
+    * each relation BEFORE anything wide shuffles, so the five-way join
+    * moves only rows that appear in the answer. Every semi join here is
+    * exact (Spark's runtime bloom pruning is the approximate fast path
+    * of exactly this shape; q222 measures that one).
+    *
+    * Output: one `reduce` row per relation with the post-local-filter
+    * count and the fully-reduced count (the measured benefit), then one
+    * `result` row per surviving region with the cent-exact revenue from
+    * the reduced join — equal, by the theorem, to the unreduced join's
+    * answer, which is what the DuckDB twin computes structurally.
+    */
+  def yannakakisReduction(region: DataFrame, nation: DataFrame,
+      customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val rF = region.filter(col("r_name").isin("ASIA", "EUROPE"))
+      .select("r_regionkey", "r_name")
+    val nF = nation.select("n_nationkey", "n_regionkey")
+    val cF = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_nationkey")
+    val oF = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    val lF = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        OracleSafe.quant(col("l_extendedprice"), 100).as("cents"))
+    // bottom-up: keep tuples that can reach the filtered region leaf
+    val n1 = nF.join(broadcast(rF.select(col("r_regionkey").as("n_regionkey"))),
+      Seq("n_regionkey"), "left_semi")
+    val c1 = cF.join(broadcast(n1.select(col("n_nationkey").as("c_nationkey"))),
+      Seq("c_nationkey"), "left_semi").localCheckpoint()
+    val o1 = oF.join(c1.select(col("c_custkey").as("o_custkey")),
+      Seq("o_custkey"), "left_semi").localCheckpoint()
+    val l1 = lF.join(o1.select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_semi").localCheckpoint()
+    // top-down: keep tuples some surviving fact row actually uses;
+    // l1 finished the bottom-up pass LAST, so it is already fully reduced
+    val o2 = o1.join(l1.select(col("l_orderkey").as("o_orderkey")),
+      Seq("o_orderkey"), "left_semi").localCheckpoint()
+    val c2 = c1.join(o2.select(col("o_custkey").as("c_custkey")),
+      Seq("c_custkey"), "left_semi").localCheckpoint()
+    // tiny frames; checkpointed to cut the shared lineage (n2 feeds both
+    // the final join and r2's semi join — unbroken, the column resolver
+    // sees a self-join) and to stop the counts re-executing the passes
+    val n2 = n1.join(c2.select(col("c_nationkey").as("n_nationkey")),
+      Seq("n_nationkey"), "left_semi").localCheckpoint()
+    val r2 = rF.join(n2.select(col("n_regionkey").as("r_regionkey")),
+      Seq("r_regionkey"), "left_semi").localCheckpoint()
+    def cnt(name: String, filtered: DataFrame, reduced: DataFrame) =
+      filtered.agg(count(lit(1)).as("n_filtered"))
+        .crossJoin(reduced.agg(count(lit(1)).as("n_reduced")))
+        .select(lit("reduce").as("section"), lit(name).as("name"),
+          col("n_filtered"), col("n_reduced"),
+          lit(null).cast("long").as("cents"))
+    val counts = cnt("region", rF, r2)
+      .unionByName(cnt("nation", nF, n2))
+      .unionByName(cnt("customer", cF, c2))
+      .unionByName(cnt("orders", oF, o2))
+      .unionByName(cnt("lineitem", lF, l1))
+    val result = l1
+      .join(o2, l1("l_orderkey") === o2("o_orderkey"))
+      .join(c2, o2("o_custkey") === c2("c_custkey"))
+      .join(broadcast(n2), c2("c_nationkey") === n2("n_nationkey"))
+      .join(broadcast(r2), n2("n_regionkey") === r2("r_regionkey"))
+      .groupBy(r2("r_name"))
+      .agg(count(lit(1)).as("n_reduced"), sum("cents").as("cents"))
+      .select(lit("result").as("section"), col("r_name").as("name"),
+        lit(null).cast("long").as("n_filtered"), col("n_reduced"),
+        col("cents"))
+    counts.unionByName(result).orderBy("section", "name")
+  }
+
+  /** DuckDB twin of [[yannakakisReduction]]: the same two semi-join
+    * passes as EXISTS chains, the same counts and reduced-join aggregate.
+    * Embed after `WITH ` and select from `yannakakis`.
+    */
+  def yannakakisReductionSql(): String =
+    s"""yk_r AS (
+       |  SELECT r_regionkey, r_name FROM region
+       |  WHERE r_name IN ('ASIA', 'EUROPE')),
+       |yk_c AS (
+       |  SELECT c_custkey, c_nationkey FROM customer
+       |  WHERE c_mktsegment = 'BUILDING'),
+       |yk_o AS (
+       |  SELECT o_orderkey, o_custkey FROM orders
+       |  WHERE o_orderpriority = '1-URGENT'),
+       |yk_l AS (
+       |  SELECT l_orderkey,
+       |         ${OracleSafe.quantSql("l_extendedprice", 100)} AS cents
+       |  FROM lineitem WHERE l_returnflag = 'R'),
+       |yk_n1 AS (
+       |  SELECT n_nationkey, n_regionkey FROM nation n
+       |  WHERE EXISTS (SELECT 1 FROM yk_r r
+       |                WHERE r.r_regionkey = n.n_regionkey)),
+       |yk_c1 AS (
+       |  SELECT * FROM yk_c c
+       |  WHERE EXISTS (SELECT 1 FROM yk_n1 n
+       |                WHERE n.n_nationkey = c.c_nationkey)),
+       |yk_o1 AS (
+       |  SELECT * FROM yk_o o
+       |  WHERE EXISTS (SELECT 1 FROM yk_c1 c
+       |                WHERE c.c_custkey = o.o_custkey)),
+       |yk_l1 AS (
+       |  SELECT * FROM yk_l l
+       |  WHERE EXISTS (SELECT 1 FROM yk_o1 o
+       |                WHERE o.o_orderkey = l.l_orderkey)),
+       |yk_o2 AS (
+       |  SELECT * FROM yk_o1 o
+       |  WHERE EXISTS (SELECT 1 FROM yk_l1 l
+       |                WHERE l.l_orderkey = o.o_orderkey)),
+       |yk_c2 AS (
+       |  SELECT * FROM yk_c1 c
+       |  WHERE EXISTS (SELECT 1 FROM yk_o2 o
+       |                WHERE o.o_custkey = c.c_custkey)),
+       |yk_n2 AS (
+       |  SELECT * FROM yk_n1 n
+       |  WHERE EXISTS (SELECT 1 FROM yk_c2 c
+       |                WHERE c.c_nationkey = n.n_nationkey)),
+       |yk_r2 AS (
+       |  SELECT * FROM yk_r r
+       |  WHERE EXISTS (SELECT 1 FROM yk_n2 n
+       |                WHERE n.n_regionkey = r.r_regionkey)),
+       |yk_counts AS (
+       |  SELECT 'reduce' AS section, 'region' AS name,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM yk_r) AS n_filtered,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM yk_r2) AS n_reduced,
+       |         CAST(NULL AS BIGINT) AS cents
+       |  UNION ALL
+       |  SELECT 'reduce', 'nation',
+       |         (SELECT COUNT(*) FROM nation),
+       |         (SELECT COUNT(*) FROM yk_n2), NULL
+       |  UNION ALL
+       |  SELECT 'reduce', 'customer',
+       |         (SELECT COUNT(*) FROM yk_c),
+       |         (SELECT COUNT(*) FROM yk_c2), NULL
+       |  UNION ALL
+       |  SELECT 'reduce', 'orders',
+       |         (SELECT COUNT(*) FROM yk_o),
+       |         (SELECT COUNT(*) FROM yk_o2), NULL
+       |  UNION ALL
+       |  SELECT 'reduce', 'lineitem',
+       |         (SELECT COUNT(*) FROM yk_l),
+       |         (SELECT COUNT(*) FROM yk_l1), NULL),
+       |yk_result AS (
+       |  SELECT 'result' AS section, r.r_name AS name,
+       |         CAST(NULL AS BIGINT) AS n_filtered,
+       |         CAST(COUNT(*) AS BIGINT) AS n_reduced,
+       |         CAST(SUM(l.cents) AS BIGINT) AS cents
+       |  FROM yk_l1 l
+       |  JOIN yk_o2 o ON l.l_orderkey = o.o_orderkey
+       |  JOIN yk_c2 c ON o.o_custkey = c.c_custkey
+       |  JOIN yk_n2 n ON c.c_nationkey = n.n_nationkey
+       |  JOIN yk_r2 r ON n.n_regionkey = r.r_regionkey
+       |  GROUP BY r.r_name),
+       |yannakakis AS (
+       |  SELECT * FROM yk_counts UNION ALL SELECT * FROM yk_result)""".stripMargin
 }

@@ -511,6 +511,40 @@ class PlanningSpec extends SparkSpec {
     } finally graft.Scratch.rmTree(out.toFile)
   }
 
+  test("q270: both passes strip dangling tuples and the reduced join is exact") {
+    import spark.implicits._
+    val region = Seq((0, "ASIA"), (1, "EUROPE"), (2, "AFRICA"))
+      .toDF("r_regionkey", "r_name")
+    // n2 dangles bottom-up (AFRICA filtered); n1/n3 dangle top-down
+    val nation = Seq((0, 0), (1, 1), (2, 2), (3, 0))
+      .toDF("n_nationkey", "n_regionkey")
+    // c3 filtered locally; c4 dangles bottom-up (nation 2); c2 top-down
+    val customer = Seq(
+      (1L, 0, "BUILDING"), (2L, 1, "BUILDING"),
+      (3L, 0, "AUTOMOBILE"), (4L, 2, "BUILDING"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+    // o3 filtered locally; o2 dangles bottom-up; o4 top-down (no R lines)
+    val orders = Seq(
+      (10L, 1L, "1-URGENT"), (20L, 4L, "1-URGENT"),
+      (30L, 1L, "5-LOW"), (40L, 1L, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    // l2 filtered locally; l4's order dangles bottom-up
+    val lineitem = Seq(
+      (10L, "R", 10.00), (10L, "A", 99.0), (40L, "N", 99.0), (20L, "R", 5.0))
+      .toDF("l_orderkey", "l_returnflag", "l_extendedprice")
+    val rows = Planning.yannakakisReduction(
+      region, nation, customer, orders, lineitem).collect()
+    val reduce = rows.filter(_.getString(0) == "reduce")
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(reduce == Map(
+      "region" -> ((2L, 1L)), "nation" -> ((4L, 1L)),
+      "customer" -> ((3L, 1L)), "orders" -> ((3L, 1L)),
+      "lineitem" -> ((2L, 1L))), s"got $reduce")
+    val result = rows.filter(_.getString(0) == "result")
+      .map(r => r.getString(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(result == Map("ASIA" -> ((1L, 1000L))), s"got $result")
+  }
+
   test("q269: the advisor picks linear for the a-band and a curve for the b-band") {
     import spark.implicits._
     // a decorrelated pseudo-uniform (a, b) cloud: a from the row id,
