@@ -1873,6 +1873,13 @@ object SparkEntry {
         TestData.nation(s, dir), TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // Recursive hierarchy closure: pointer doubling resolves every
+    // node's root-distance in O(log depth) join rounds; the oracle is
+    // DuckDB's WITH RECURSIVE walking the same DIV-2 forest one level
+    // per pass — equality proves the doubling loop IS the closure.
+    "q271_recursive_closure" -> { (s, dir) =>
+      Graph.hierarchyClosure(TestData.customer(s, dir))
+    },
     // Incremental zone-map maintenance: the delta alone aggregates, one
     // outer merge join updates the persisted per-zone min/max/count —
     // oracle rebuilds from scratch; updated == rebuilt via the hash.
@@ -3599,6 +3606,11 @@ object SparkEntry {
       s"""WITH ${Planning.yannakakisReductionSql()}
           SELECT section, name, n_filtered, n_reduced, cents
           FROM yannakakis ORDER BY section, name""",
+
+    "q271_recursive_closure" ->
+      s"""WITH RECURSIVE ${Graph.hierarchyClosureSql()}
+          SELECT depth, n_nodes, total_cents, min_key, max_key
+          FROM hierarchy_closure ORDER BY depth""",
 
     "q268_incremental_zonemap" ->
       s"""WITH ${Planning.incrementalZoneMapSql()}

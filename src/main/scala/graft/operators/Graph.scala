@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.OracleSafe
 import graft.functions.OracleSafe.{intDiv, intDivSql}
 
 /** Iterative graph analytics over the document near-dup candidate graph —
@@ -362,4 +363,78 @@ object Graph {
        |pagerank_residuals AS (
        |$resids)""".stripMargin
   }
+
+  /** q271 — RECURSIVE hierarchy closure by pointer doubling: the
+    * `WITH RECURSIVE` shape (org charts, category trees, referral
+    * chains) that row-at-a-time engines walk one level per pass. The
+    * hierarchy is a deterministic binary-heap forest over the customer
+    * keys (`parent = key DIV 2`, key 0 the root), so both engines derive
+    * identical edges from the data; the engine resolves every node's
+    * (root-distance) with POINTER JUMPING — each round joins the
+    * ancestor frame with itself, doubling the known distance, so an
+    * n-deep hierarchy needs O(log n) shuffles instead of the recursive
+    * CTE's n sequential passes. That round count is the whole 100 TB
+    * argument: depth grows logarithmically with rows here, and each
+    * round is one equi-join shuffle bounded by |nodes|. Rounds stop at
+    * a measured fixpoint (ancestor chain idempotent — roots self-loop
+    * at distance 0, making extra rounds no-ops) with a hard bound that
+    * fails loudly, the q59 convergence-guard pattern.
+    *
+    * Output: one row per depth with node count, cent-exact acctbal sum
+    * and the key range — the oracle twin IS DuckDB's `WITH RECURSIVE`
+    * level-by-level walk, so the equality proves the doubling loop
+    * computes exactly the transitive closure.
+    */
+  def hierarchyClosure(customer: DataFrame): DataFrame = {
+    val base = customer.select(col("c_custkey").cast("long").as("v"),
+      OracleSafe.quant(col("c_acctbal"), 100).as("cents"))
+      .localCheckpoint()
+    val root = lit(0L) // keys are 0-based; 0 DIV 2 = 0 is the fixpoint root
+    var state = base.select(col("v"),
+      when(col("v") === root, col("v"))
+        .otherwise(OracleSafe.intDiv(col("v"), lit(2L))).as("a"),
+      when(col("v") === root, lit(0L)).otherwise(lit(1L)).as("d"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 12) {
+      val anc = state.select(col("v").as("a"), col("a").as("a2"),
+        col("d").as("d2"))
+      val next = state.join(anc, Seq("a"))
+        .select(col("v"), col("a2").as("a"),
+          (col("d") + col("d2")).as("d"))
+        .localCheckpoint()
+      converged = next.join(state, Seq("v", "a", "d"), "left_anti").isEmpty
+      state = next
+      rounds += 1
+    }
+    require(converged, s"pointer jumping unconverged after $rounds rounds")
+    state.join(base, Seq("v"))
+      .groupBy(col("d").as("depth"))
+      .agg(count(lit(1)).as("n_nodes"), sum("cents").as("total_cents"),
+        min("v").as("min_key"), max("v").as("max_key"))
+      .orderBy("depth")
+  }
+
+  /** DuckDB twin of [[hierarchyClosure]]: the level-by-level
+    * `WITH RECURSIVE` walk from the root down the same DIV-2 forest.
+    * NOTE: must be embedded after `WITH RECURSIVE ` (not plain `WITH `).
+    */
+  def hierarchyClosureSql(): String =
+    s"""hc_base AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS v,
+       |         ${OracleSafe.quantSql("c_acctbal", 100)} AS cents
+       |  FROM customer),
+       |hc_walk AS (
+       |  SELECT v, CAST(0 AS BIGINT) AS depth FROM hc_base WHERE v = 0
+       |  UNION ALL
+       |  SELECT b.v, w.depth + 1
+       |  FROM hc_base b JOIN hc_walk w ON ${OracleSafe.intDivSql("b.v", "2")} = w.v
+       |  WHERE b.v > 0),
+       |hierarchy_closure AS (
+       |  SELECT w.depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |         CAST(SUM(b.cents) AS BIGINT) AS total_cents,
+       |         MIN(b.v) AS min_key, MAX(b.v) AS max_key
+       |  FROM hc_walk w JOIN hc_base b ON b.v = w.v
+       |  GROUP BY w.depth)""".stripMargin
 }

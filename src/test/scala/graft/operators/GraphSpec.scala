@@ -159,4 +159,20 @@ class GraphSpec extends SparkSpec {
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
     assert(Graph.assortativityFromPairs(tri).head().isNullAt(6))
   }
+
+  test("q271: pointer doubling resolves exact depths on the DIV-2 forest") {
+    // keys 0..14: a full binary heap — depth(v) = floor(log2(v+1)) under
+    // parent = v DIV 2 with root 0... verify against the direct walk:
+    // 0 -> d0; 1 -> 0 (d1); 2 -> 1 -> 0 (d2); ...; 14 -> 7 -> 3 -> 1 -> 0
+    import org.apache.spark.sql.functions.{col, lit}
+    val cust = spark.range(15).select(
+      col("id").cast("int").as("c_custkey"), lit(1.0).as("c_acctbal"))
+    val r = Graph.hierarchyClosure(cust).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // depth -> (n_nodes, cents): v=0,1 at d<=1... explicit: depths of
+    // 0..14 are 0,1,2,2,3,3,3,3,4,4,4,4,4,4,4 under this DIV-2 chain
+    assert(r == Map(
+      0L -> ((1L, 100L)), 1L -> ((1L, 100L)), 2L -> ((2L, 200L)),
+      3L -> ((4L, 400L)), 4L -> ((7L, 700L))), s"got $r")
+  }
 }
