@@ -1873,6 +1873,13 @@ object SparkEntry {
         TestData.nation(s, dir), TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // Theta-sketch set algebra: union/intersection/difference distinct
+    // estimates from bottom-k sketches under the min-theta rule, exact
+    // audits riding along — the set-expression member of the sketch
+    // family (constant-size, mergeable, one aggregate per set).
+    "q272_theta_setops" -> { (s, dir) =>
+      Planning.thetaSketchSetOps(TestData.events(s, dir))
+    },
     // Recursive hierarchy closure: pointer doubling resolves every
     // node's root-distance in O(log depth) join rounds; the oracle is
     // DuckDB's WITH RECURSIVE walking the same DIV-2 forest one level
@@ -3611,6 +3618,13 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Graph.hierarchyClosureSql()}
           SELECT depth, n_nodes, total_cents, min_key, max_key
           FROM hierarchy_closure ORDER BY depth""",
+
+    "q272_theta_setops" ->
+      s"""WITH ${Planning.thetaSketchSetOpsSql()}
+          SELECT pair, theta, n_union_below, n_inter_below, n_diff_below,
+                 est_union, est_inter, est_diff,
+                 exact_union, exact_inter, exact_diff
+          FROM theta_setops ORDER BY pair""",
 
     "q268_incremental_zonemap" ->
       s"""WITH ${Planning.incrementalZoneMapSql()}

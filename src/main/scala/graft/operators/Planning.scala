@@ -2598,6 +2598,158 @@ object Planning {
        |  FROM cr_route r JOIN cr_ans a USING (query_dims))""".stripMargin
   }
 
+  /** q272 — THETA-SKETCH set algebra: distinct-count estimates for
+    * A∪B, A∩B and A\B between per-event-type key sets, from nothing but
+    * each set's bottom-k hash sketch — the sketch-family member
+    * (MG q99, KMV q145/q154, HLL q75, KLL q90, Bloom q157, CM q159)
+    * that answers SET EXPRESSIONS, which a plain cardinality sketch
+    * cannot. Standard theta semantics: θ = min of the two sketches'
+    * thresholds; every retained hash below θ is a uniform 1/θ-rate
+    * sample of the underlying set, so |expr| ≈ count_below_θ · 2⁴⁸/θ
+    * for ANY boolean combination — membership tests against a sketch
+    * are exact below its own θ, which is why the min-θ rule works.
+    *
+    * Scale: one bottom-k aggregate per set (map-side partial heaps,
+    * k·8 B state — [[graft.plans.TopK.perKey]]); everything after is
+    * arithmetic over ≤ 2k-row frames. The exact audits (one distinct
+    * join per pair) are the measurement a deployment drops. All counts
+    * and θ are integers identical on both engines; the three estimate
+    * doubles are single divisions of exactly-representable numerators.
+    * Keys are (user, day) visit pairs so the sets genuinely differ per
+    * event type; identity is the 48-bit key hash on both sides.
+    */
+  def thetaSketchSetOps(events: DataFrame, k: Int = 256): DataFrame = {
+    require(k >= 2, s"theta sketch needs k >= 2, got $k")
+    val max48 = 1L << 48
+    val keys = events.select(col("event_type"),
+      h48(concat_ws(":", col("user_id").cast("string"),
+        (year(col("ts")) * 10000 + month(col("ts")) * 100 +
+          dayofmonth(col("ts"))).cast("long").cast("string"))).as("h"))
+      .distinct().localCheckpoint()
+    val sk = graft.plans.TopK.perKey(keys, Seq("event_type"),
+      Seq(graft.plans.TopK.asc("h")), k = k, rankName = "rk")
+      .localCheckpoint()
+    val thetas = sk.groupBy("event_type")
+      .agg(count(lit(1)).as("n_ret"), max("h").as("h_k"))
+      .select(col("event_type"),
+        when(col("n_ret") < k, lit(max48)).otherwise(col("h_k")).as("theta"))
+    val pairs = Seq(("click", "purchase"), ("view", "error"),
+      ("signup", "click"))
+    pairs.map { case (ta, tb) =>
+      val thA = thetas.filter(col("event_type") === ta)
+        .select(col("theta").as("theta_a"))
+      val thB = thetas.filter(col("event_type") === tb)
+        .select(col("theta").as("theta_b"))
+      val sa = sk.filter(col("event_type") === ta).select(col("h").as("ha"))
+      val sb = sk.filter(col("event_type") === tb).select(col("h").as("hb"))
+      val merged = sa.join(sb, sa("ha") === sb("hb"), "full_outer")
+        .crossJoin(broadcast(thA.crossJoin(thB)))
+        .withColumn("theta", least(col("theta_a"), col("theta_b")))
+        .withColumn("h", coalesce(col("ha"), col("hb")))
+        .filter(col("h") < col("theta"))
+      val cnt = merged.agg(
+        count(lit(1)).as("n_union_below"),
+        sum(when(col("ha").isNotNull && col("hb").isNotNull, 1L)
+          .otherwise(0L)).as("n_inter_below"),
+        sum(when(col("ha").isNotNull && col("hb").isNull, 1L)
+          .otherwise(0L)).as("n_diff_below"),
+        max("theta").as("theta"))
+      val ea = keys.filter(col("event_type") === ta).select(col("h").as("ha"))
+      val eb = keys.filter(col("event_type") === tb).select(col("h").as("hb"))
+      val exact = ea.join(eb, ea("ha") === eb("hb"), "full_outer").agg(
+        count(lit(1)).as("exact_union"),
+        sum(when(col("ha").isNotNull && col("hb").isNotNull, 1L)
+          .otherwise(0L)).as("exact_inter"),
+        sum(when(col("ha").isNotNull && col("hb").isNull, 1L)
+          .otherwise(0L)).as("exact_diff"))
+      cnt.crossJoin(exact).select(
+        lit(s"${ta}_$tb").as("pair"), col("theta"),
+        col("n_union_below"), col("n_inter_below"), col("n_diff_below"),
+        ((col("n_union_below") * max48).cast("double")
+          / col("theta").cast("double")).as("est_union"),
+        ((col("n_inter_below") * max48).cast("double")
+          / col("theta").cast("double")).as("est_inter"),
+        ((col("n_diff_below") * max48).cast("double")
+          / col("theta").cast("double")).as("est_diff"),
+        col("exact_union"), col("exact_inter"), col("exact_diff"))
+    }.reduce(_ unionByName _).orderBy("pair")
+  }
+
+  /** DuckDB twin of [[thetaSketchSetOps]]: the same bottom-k sketches
+    * via ROW_NUMBER, the same min-θ rule and count/estimate arithmetic.
+    * Embed after `WITH ` and select from `theta_setops`.
+    */
+  def thetaSketchSetOpsSql(k: Int = 256): String = {
+    val max48 = 1L << 48
+    val pairVals = Seq(("click", "purchase"), ("view", "error"),
+      ("signup", "click"))
+      .map { case (a, b) => s"('${a}_$b', '$a', '$b')" }.mkString(", ")
+    s"""ts_keys AS (
+       |  SELECT DISTINCT event_type,
+       |         ${h48Sql("CAST(user_id AS VARCHAR) || ':' || CAST(" +
+        "EXTRACT(year FROM ts) * 10000 + EXTRACT(month FROM ts) * 100 + " +
+        "EXTRACT(day FROM ts) AS VARCHAR)")} AS h
+       |  FROM events),
+       |ts_sk AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+       |             AS rk
+       |    FROM ts_keys)
+       |  WHERE rk <= $k),
+       |ts_theta AS (
+       |  SELECT event_type,
+       |         CASE WHEN COUNT(*) < $k THEN CAST($max48 AS BIGINT)
+       |              ELSE MAX(h) END AS theta
+       |  FROM ts_sk GROUP BY 1),
+       |ts_pairs(pair, ta, tb) AS (VALUES $pairVals),
+       |ts_mem AS (
+       |  SELECT p.pair, s.h,
+       |         MAX(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+       |         MAX(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+       |  FROM ts_pairs p JOIN ts_sk s ON s.event_type IN (p.ta, p.tb)
+       |  GROUP BY 1, 2),
+       |ts_below AS (
+       |  SELECT m.pair, LEAST(tha.theta, thb.theta) AS theta,
+       |         CAST(COUNT(*) FILTER (WHERE m.h
+       |           < LEAST(tha.theta, thb.theta)) AS BIGINT) AS n_union_below,
+       |         CAST(COUNT(*) FILTER (WHERE m.in_a = 1 AND m.in_b = 1
+       |           AND m.h < LEAST(tha.theta, thb.theta)) AS BIGINT)
+       |           AS n_inter_below,
+       |         CAST(COUNT(*) FILTER (WHERE m.in_a = 1 AND m.in_b = 0
+       |           AND m.h < LEAST(tha.theta, thb.theta)) AS BIGINT)
+       |           AS n_diff_below
+       |  FROM ts_mem m
+       |  JOIN ts_pairs p ON p.pair = m.pair
+       |  JOIN ts_theta tha ON tha.event_type = p.ta
+       |  JOIN ts_theta thb ON thb.event_type = p.tb
+       |  GROUP BY 1, 2),
+       |ts_emem AS (
+       |  SELECT p.pair, s.h,
+       |         MAX(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+       |         MAX(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+       |  FROM ts_pairs p JOIN ts_keys s ON s.event_type IN (p.ta, p.tb)
+       |  GROUP BY 1, 2),
+       |ts_exact AS (
+       |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS exact_union,
+       |         CAST(COUNT(*) FILTER (WHERE in_a = 1 AND in_b = 1)
+       |           AS BIGINT) AS exact_inter,
+       |         CAST(COUNT(*) FILTER (WHERE in_a = 1 AND in_b = 0)
+       |           AS BIGINT) AS exact_diff
+       |  FROM ts_emem GROUP BY 1),
+       |theta_setops AS (
+       |  SELECT w.pair, w.theta, w.n_union_below, w.n_inter_below,
+       |         w.n_diff_below,
+       |         CAST(w.n_union_below * $max48 AS DOUBLE)
+       |           / CAST(w.theta AS DOUBLE) AS est_union,
+       |         CAST(w.n_inter_below * $max48 AS DOUBLE)
+       |           / CAST(w.theta AS DOUBLE) AS est_inter,
+       |         CAST(w.n_diff_below * $max48 AS DOUBLE)
+       |           / CAST(w.theta AS DOUBLE) AS est_diff,
+       |         x.exact_union, x.exact_inter, x.exact_diff
+       |  FROM ts_below w JOIN ts_exact x USING (pair))""".stripMargin
+  }
+
   /** q270 — YANNAKAKIS full semi-join reduction over the acyclic join
     * path region–nation–customer–orders–lineitem: a bottom-up semi-join
     * pass (each relation keeps only tuples that can reach the filtered

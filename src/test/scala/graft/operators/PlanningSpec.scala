@@ -511,6 +511,43 @@ class PlanningSpec extends SparkSpec {
     } finally graft.Scratch.rmTree(out.toFile)
   }
 
+  test("q272: below k the theta sketch is exact; saturated it stays consistent") {
+    import spark.implicits._
+    def ev(tp: String, users: Range) = users.map(u =>
+      (u.toLong, tp, "2024-01-01 00:00:00"))
+    val events = (ev("click", 1 to 10) ++ ev("purchase", 6 to 15) ++
+      ev("view", 1 to 3) ++ ev("error", 3 to 4) ++ ev("signup", 1 to 1))
+      .toDF("user_id", "event_type", "t")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val r = Planning.thetaSketchSetOps(events, k = 256).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // exact regime: theta = 2^48, counts == exacts, estimates integral
+    for ((p, (u, i, d)) <- Map("click_purchase" -> ((15L, 5L, 5L)),
+      "view_error" -> ((4L, 1L, 2L)), "signup_click" -> ((10L, 1L, 0L)))) {
+      val x = r(p)
+      assert(x.getAs[Long]("theta") == (1L << 48), s"$p theta")
+      assert(x.getAs[Long]("n_union_below") == u
+        && x.getAs[Long]("n_inter_below") == i
+        && x.getAs[Long]("n_diff_below") == d, s"$p counts: $x")
+      assert(x.getAs[Long]("exact_union") == u
+        && x.getAs[Long]("exact_inter") == i
+        && x.getAs[Long]("exact_diff") == d, s"$p exact: $x")
+      assert(x.getAs[Double]("est_union") == u.toDouble, s"$p est")
+    }
+    // saturated regime: k = 32 over 100/100-user sets with 50 shared
+    val big = (ev("click", 1 to 100) ++ ev("purchase", 51 to 150))
+      .toDF("user_id", "event_type", "t")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val s = Planning.thetaSketchSetOps(big, k = 32).collect()
+      .find(_.getString(0) == "click_purchase").get
+    assert(s.getAs[Long]("theta") < (1L << 48), "theta must saturate")
+    assert(s.getAs[Long]("n_union_below") >=
+      s.getAs[Long]("n_inter_below") + s.getAs[Long]("n_diff_below"))
+    // k=32 KMV union: loose 3-sigma-ish band around the true 150
+    val est = s.getAs[Double]("est_union")
+    assert(est > 50 && est < 400, s"union estimate wildly off: $est")
+  }
+
   test("q270: both passes strip dangling tuples and the reduced join is exact") {
     import spark.implicits._
     val region = Seq((0, "ASIA"), (1, "EUROPE"), (2, "AFRICA"))
