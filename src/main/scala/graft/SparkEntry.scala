@@ -1873,6 +1873,12 @@ object SparkEntry {
         TestData.nation(s, dir), TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // Row-pattern matching (the MATCH_RECOGNIZE A{3,}B shape) compiled
+    // to lag + gaps-and-islands windows: maximal rising runs followed
+    // by a drop, one user_id shuffle serving every window.
+    "q273_rise_patterns" -> { (s, dir) =>
+      Events.risePatterns(TestData.events(s, dir))
+    },
     // Theta-sketch set algebra: union/intersection/difference distinct
     // estimates from bottom-k sketches under the min-theta rule, exact
     // audits riding along — the set-expression member of the sketch
@@ -3618,6 +3624,11 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Graph.hierarchyClosureSql()}
           SELECT depth, n_nodes, total_cents, min_key, max_key
           FROM hierarchy_closure ORDER BY depth""",
+
+    "q273_rise_patterns" ->
+      s"""WITH ${Events.risePatternsSql()}
+          SELECT user_id, n_patterns, max_rise, peak_cents
+          FROM rise_patterns ORDER BY user_id""",
 
     "q272_theta_setops" ->
       s"""WITH ${Planning.thetaSketchSetOpsSql()}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.OracleSafe
 import graft.functions.OracleSafe.{money, moneySql}
 
 /** Event-stream operators (batch form; the streaming twins live in
@@ -715,4 +716,88 @@ object Events {
        |  SELECT d.day, d.cents, d.residual7, d.med_res, a.mad_res
        |  FROM ra_dev d, ra_mad a
        |  WHERE d.dev > $k * a.mad_res)""".stripMargin
+
+  /** q273 — ROW-PATTERN MATCHING, the `MATCH_RECOGNIZE` shape compiled
+    * to windows: per user, in (ts, event_id) order, find every maximal
+    * run of >= `minRise` strictly-RISING value steps immediately
+    * followed by a DROP — the `A{3,} B` regex over row sequences that
+    * SQL:2016 pattern matching expresses and that fraud/funnel teams
+    * actually hunt (pump-then-dump, escalating retries, bid ramps).
+    *
+    * Compilation: lag → per-step direction symbol, gaps-and-islands
+    * (`rn − rn_per_symbol`, the q158 trick) → maximal same-symbol runs,
+    * then each qualifying U-run joins the single step AFTER it to test
+    * the drop. One shuffle on user_id serves every window; runs are
+    * row-bounded; no self-join over raw events. Cent-exact peaks.
+    *
+    * Output: per matching user, pattern count, the longest rise length
+    * and the cent-exact sum of matched peak values.
+    */
+  def risePatterns(events: DataFrame, minRise: Int = 3): DataFrame = {
+    require(minRise >= 1, s"minRise must be >= 1, got $minRise")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val steps = events.select(col("user_id"), col("ts"), col("event_id"),
+      OracleSafe.quant(col("value"), 100).as("cents"))
+      .withColumn("prev", lag("cents", 1).over(w))
+      .withColumn("dir",
+        when(col("prev").isNull, lit("S"))
+          .when(col("cents") > col("prev"), lit("U"))
+          .when(col("cents") < col("prev"), lit("D"))
+          .otherwise(lit("F")))
+      .withColumn("rn", row_number().over(w))
+      .localCheckpoint() // steps feed both the runs and the after-probe
+    val runs = steps
+      .withColumn("grp", col("rn") - row_number().over(
+        Window.partitionBy("user_id", "dir").orderBy("ts", "event_id")))
+      .filter(col("dir") === "U")
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("rise_len"), max("rn").as("end_rn"),
+        max("cents").as("peak_cents"))
+      .filter(col("rise_len") >= minRise)
+    runs.join(steps.select(col("user_id").as("u2"),
+        (col("rn") - 1).as("after_rn"), col("dir").as("next_dir")),
+        runs("user_id") === col("u2") && runs("end_rn") === col("after_rn"))
+      .filter(col("next_dir") === "D")
+      .groupBy(runs("user_id"))
+      .agg(count(lit(1)).as("n_patterns"), max("rise_len").as("max_rise"),
+        sum("peak_cents").as("peak_cents"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB twin of [[risePatterns]]: identical window chain. Embed
+    * after `WITH ` and select from `rise_patterns`.
+    */
+  def risePatternsSql(minRise: Int = 3): String =
+    s"""rp_steps AS (
+       |  SELECT user_id, ts, event_id,
+       |         ${OracleSafe.quantSql("value", 100)} AS cents,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id
+       |                            ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |rp_dir AS (
+       |  SELECT *,
+       |         CASE WHEN prev IS NULL THEN 'S'
+       |              WHEN cents > prev THEN 'U'
+       |              WHEN cents < prev THEN 'D'
+       |              ELSE 'F' END AS dir
+       |  FROM (SELECT *, LAG(cents, 1) OVER (PARTITION BY user_id
+       |                  ORDER BY ts, event_id) AS prev
+       |        FROM rp_steps)),
+       |rp_runs AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS rise_len,
+       |         MAX(rn) AS end_rn, MAX(cents) AS peak_cents
+       |  FROM (SELECT *, rn - ROW_NUMBER() OVER (
+       |          PARTITION BY user_id, dir ORDER BY ts, event_id) AS grp
+       |        FROM rp_dir)
+       |  WHERE dir = 'U'
+       |  GROUP BY user_id, grp
+       |  HAVING COUNT(*) >= $minRise),
+       |rise_patterns AS (
+       |  SELECT r.user_id, CAST(COUNT(*) AS BIGINT) AS n_patterns,
+       |         MAX(r.rise_len) AS max_rise,
+       |         CAST(SUM(r.peak_cents) AS BIGINT) AS peak_cents
+       |  FROM rp_runs r JOIN rp_dir s
+       |    ON s.user_id = r.user_id AND s.rn = r.end_rn + 1
+       |  WHERE s.dir = 'D'
+       |  GROUP BY r.user_id)""".stripMargin
 }

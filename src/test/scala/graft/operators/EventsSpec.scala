@@ -295,4 +295,27 @@ class EventsSpec extends SparkSpec {
     assert(flagged.subsetOf(perturbable),
       s"only spike-perturbed days may flag: $flagged")
   }
+
+  test("q273: rise-then-drop patterns — strictness, minimum length, trailing rise") {
+    // per user: a value sequence in event_id order, one event per second
+    def seq(uid: Long, vals: Double*): Seq[(Long, Long, Long, Double)] =
+      vals.zipWithIndex.map { case (v, i) =>
+        (uid * 100 + i, uid, i.toLong * 1000, v) }
+    val rows =
+      seq(1, 1, 2, 3, 4, 2) ++ // 3 U-steps then D: one pattern, peak 4
+      seq(2, 1, 2, 3, 4) ++    // trailing rise, never dropped: no match
+      seq(3, 1, 2, 3, 2, 1, 2, 3, 4, 3) ++ // len-2 run no; len-3 run yes
+      seq(4, 5, 5, 5, 5, 1) ++ // flat steps are not rises
+      seq(5, 1, 2, 3, 3, 4, 5, 6, 2) // plateau SPLITS the run; 2nd run matches
+    val e = rows.toDF("event_id", "user_id", "ms", "value")
+      .selectExpr("event_id", "user_id",
+        "timestamp_micros(ms * 1000) AS ts", "value")
+    val r = Events.risePatterns(e).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r == Map(
+      1L -> ((1L, 3L, 400L)),
+      3L -> ((1L, 3L, 400L)),
+      5L -> ((1L, 3L, 600L))), s"got $r")
+  }
 }
