@@ -1873,6 +1873,12 @@ object SparkEntry {
         TestData.nation(s, dir), TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // DP histogram release: two counting queries noised from a frozen
+    // truncated-Laplace quantile table (hash-indexed so the oracle can
+    // replay it) and charged to one sequentially-composed eps budget.
+    "q274_dp_release" -> { (s, dir) =>
+      Privacy.dpHistogramRelease(TestData.events(s, dir))
+    },
     // Row-pattern matching (the MATCH_RECOGNIZE A{3,}B shape) compiled
     // to lag + gaps-and-islands windows: maximal rising runs followed
     // by a drop, one user_id shuffle serving every window.
@@ -3624,6 +3630,11 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Graph.hierarchyClosureSql()}
           SELECT depth, n_nodes, total_cents, min_key, max_key
           FROM hierarchy_closure ORDER BY depth""",
+
+    "q274_dp_release" ->
+      s"""WITH ${Privacy.dpHistogramReleaseSql()}
+          SELECT section, key, true_n, noise_fp, released, eps_num, eps_den
+          FROM dp_release ORDER BY section, key""",
 
     "q273_rise_patterns" ->
       s"""WITH ${Events.risePatternsSql()}

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.OracleSafe
+
 /** PII detection and redaction — the compliance pass every training-data
   * pipeline runs before text leaves curation (emails, phone numbers, IPs
   * scrubbed from crawl text). Pure column expressions over a regex rule
@@ -427,5 +429,108 @@ object Privacy {
        |${lvl(2, "nation", "ka_l2")}
        |  UNION ALL
        |${lvl(3, "*", "ka_l3")})""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q274
+
+  /** 8-bit noise-table index from the md5 of a release-qualified key —
+    * the same md5-prefix construction as the planner's h48, folded to
+    * the table's 256 bins.
+    */
+  private def noiseIdx(c: Column): Column =
+    conv(substring(md5(c), 1, 2), 16, 10).cast("long")
+
+  /** Standard-Laplace quantile at the 256 bin midpoints, fixed-point
+    * ×10⁶ — computed ONCE in Scala and embedded as literals in BOTH
+    * plans, so no engine's libm ever decides a released value (the
+    * q228/q230 frozen-literal discipline). Range ±5.55 at the edge
+    * midpoints (u = 1/512), so noise is bounded — a truncated-Laplace
+    * mechanism, documented as such.
+    */
+  private lazy val laplaceQfp: IndexedSeq[Long] = (0 until 256).map { i =>
+    val u = (i + 0.5) / 256.0
+    val q = if (u < 0.5) math.log(2.0 * u) else -math.log(2.0 * (1.0 - u))
+    math.round(q * 1e6)
+  }
+
+  /** q274 — DIFFERENTIALLY-PRIVATE histogram release with budget
+    * accounting: two counting releases over events (per type, and per
+    * type × weekday), each perturbed by Laplace(Δ=1, ε=1/2) noise and
+    * both charged to one ε=1 budget — sequential composition made
+    * visible as data. The noise is drawn DETERMINISTICALLY for the
+    * oracle's sake: an md5 of the release-qualified group key indexes a
+    * 256-bin truncated-Laplace quantile table frozen as fixed-point
+    * literals in both plans (production swaps the hash for a real RNG;
+    * everything else — sensitivity, scale, composition, post-processing
+    * — is the mechanism as deployed). Event-level DP (Δ = 1 per event).
+    *
+    * Scale: two map-side-combinable counting aggregates plus a 256-row
+    * broadcast; noise injection is arithmetic on the group frame. The
+    * `true_n` column is the test oracle's audit and would be dropped
+    * (with the released floats post-processed to ≥0) in production.
+    */
+  def dpHistogramRelease(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val noise = broadcast(laplaceQfp.zipWithIndex
+      .map { case (q, i) => (i.toLong, q) }.toDF("nidx", "qfp"))
+    // eps = 1/2 per release and Δ = 1 → noise = standard quantile × 2
+    def release(name: String, grouped: DataFrame): DataFrame = grouped
+      .withColumn("nidx", noiseIdx(concat_ws("|", lit(name), col("key"))))
+      .join(noise, Seq("nidx"))
+      .select(lit(name).as("section"), col("key"),
+        col("true_n"), (col("qfp") * 2L).as("noise_fp"),
+        ((col("true_n") * 1000000L + col("qfp") * 2L).cast("double")
+          / lit(1000000.0)).as("released"),
+        lit(1L).as("eps_num"), lit(2L).as("eps_den"))
+    val byType = events.groupBy(col("event_type").as("key"))
+      .agg(count(lit(1)).as("true_n"))
+    val byTypeDow = events.groupBy(concat_ws(":", col("event_type"),
+        (OracleSafe.intDiv(expr("ts_ns DIV 1000000"), lit(86400000L)) % 7)
+          .cast("string")).as("key"))
+      .agg(count(lit(1)).as("true_n"))
+    val budget = spark.range(1).select(lit("budget").as("section"),
+      lit("total_consumed").as("key"), lit(null).cast("long").as("true_n"),
+      lit(null).cast("long").as("noise_fp"),
+      lit(null).cast("double").as("released"),
+      lit(1L).as("eps_num"), lit(1L).as("eps_den"))
+    release("by_type", byType)
+      .unionByName(release("by_type_dow", byTypeDow))
+      .unionByName(budget)
+      .orderBy("section", "key")
+  }
+
+  /** DuckDB twin of [[dpHistogramRelease]] — the identical frozen noise
+    * table as VALUES literals. Embed after `WITH ` and select from
+    * `dp_release`.
+    */
+  def dpHistogramReleaseSql(): String = {
+    val vals = laplaceQfp.zipWithIndex
+      .map { case (q, i) => s"($i, $q)" }.mkString(", ")
+    def releaseSql(name: String, groupedCte: String) =
+      s"""SELECT '$name' AS section, g.key, g.true_n,
+         |       n.qfp * 2 AS noise_fp,
+         |       CAST(g.true_n * 1000000 + n.qfp * 2 AS DOUBLE) / 1000000.0
+         |         AS released,
+         |       CAST(1 AS BIGINT) AS eps_num, CAST(2 AS BIGINT) AS eps_den
+         |FROM $groupedCte g JOIN dp_noise n
+         |  ON n.nidx = ('0x' || substring(md5('$name' || '|' || g.key), 1, 2))::BIGINT""".stripMargin
+    s"""dp_noise(nidx, qfp) AS (VALUES $vals),
+       |dp_by_type AS (
+       |  SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS true_n
+       |  FROM events GROUP BY 1),
+       |dp_by_type_dow AS (
+       |  SELECT event_type || ':' ||
+       |         CAST((epoch_ms(ts) // 86400000) % 7 AS VARCHAR) AS key,
+       |         CAST(COUNT(*) AS BIGINT) AS true_n
+       |  FROM events GROUP BY 1),
+       |dp_release AS (
+       |${releaseSql("by_type", "dp_by_type")}
+       |  UNION ALL
+       |${releaseSql("by_type_dow", "dp_by_type_dow")}
+       |  UNION ALL
+       |  SELECT 'budget', 'total_consumed', CAST(NULL AS BIGINT),
+       |         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+       |         CAST(1 AS BIGINT), CAST(1 AS BIGINT))""".stripMargin
   }
 }

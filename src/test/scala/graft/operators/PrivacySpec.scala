@@ -185,4 +185,33 @@ class PrivacySpec extends SparkSpec {
     assert(l.forall(!_.getAs[Boolean]("satisfies_l")))
     assert(l.forall(_.getAs[Long]("rows_at_risk") == 8L))
   }
+
+  test("q274: releases reconcile exactly with the noise table and the budget sums") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val events = (1L to 40L).map(i =>
+      (i, i % 7, if (i % 2 == 0) "click" else "view", i * 3600000L))
+      .toDF("event_id", "user_id", "event_type", "ms")
+      .selectExpr("event_id", "user_id", "event_type",
+        "ms * 1000000 AS ts_ns", "CAST(1.0 AS DOUBLE) AS value")
+    val rows = Privacy.dpHistogramRelease(events).collect()
+    val rel = rows.filter(_.getString(0) != "budget")
+    assert(rel.nonEmpty)
+    rel.foreach { r =>
+      val (n, noise, released) = (r.getAs[Long]("true_n"),
+        r.getAs[Long]("noise_fp"), r.getAs[Double]("released"))
+      // released is EXACTLY count + table-noise (post-processing only)
+      assert(released == (n * 1000000L + noise).toDouble / 1000000.0, s"$r")
+      // truncated-Laplace scale 2: |noise| <= 2·ln(256) + slack
+      assert(math.abs(noise) <= 12000000L, s"noise out of range: $r")
+      assert(r.getAs[Long]("eps_num") == 1L && r.getAs[Long]("eps_den") == 2L)
+    }
+    // determinism: the same key draws the same noise on a re-run
+    val again = Privacy.dpHistogramRelease(events).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // budget: two eps=1/2 releases compose to the recorded total of 1
+    val b = rows.filter(_.getString(0) == "budget")
+    assert(b.length == 1 && b.head.getAs[Long]("eps_num") == 1L
+      && b.head.getAs[Long]("eps_den") == 1L)
+  }
 }
