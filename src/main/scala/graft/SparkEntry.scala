@@ -1873,6 +1873,12 @@ object SparkEntry {
         TestData.nation(s, dir), TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // CUSUM level-shift detection in closed form: prefix sum + running
+    // min over the day-grain frame replaces the sequential recurrence;
+    // all-integer via day-count scaling.
+    "q275_cusum_changepoints" -> { (s, dir) =>
+      Events.cusumChangepoints(TestData.events(s, dir))
+    },
     // DP histogram release: two counting queries noised from a frozen
     // truncated-Laplace quantile table (hash-indexed so the oracle can
     // replay it) and charged to one sequentially-composed eps budget.
@@ -3630,6 +3636,11 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Graph.hierarchyClosureSql()}
           SELECT depth, n_nodes, total_cents, min_key, max_key
           FROM hierarchy_closure ORDER BY depth""",
+
+    "q275_cusum_changepoints" ->
+      s"""WITH ${Events.cusumChangepointsSql()}
+          SELECT day, n, cusum, flagged
+          FROM cusum_days ORDER BY day""",
 
     "q274_dp_release" ->
       s"""WITH ${Privacy.dpHistogramReleaseSql()}

@@ -717,6 +717,72 @@ object Events {
        |  FROM ra_dev d, ra_mad a
        |  WHERE d.dev > $k * a.mad_res)""".stripMargin
 
+  /** q275 — CUSUM changepoint detection over the daily event-count
+    * series, in the CLOSED FORM that makes the sequential recurrence
+    * window-expressible: the textbook one-sided CUSUM
+    * `C_t = max(0, C_{t-1} + (x_t − μ0 − κ))` equals
+    * `P_t − min(0, min_{j≤t} P_j)` where `P` is the prefix sum of the
+    * drift-adjusted deviations — a prefix sum plus a running min, two
+    * frames of ONE ordered window instead of an inherently sequential
+    * fold. Complements q258 (seasonal-residual outliers flag single
+    * days; CUSUM accumulates evidence of a sustained LEVEL SHIFT that
+    * no single day reveals).
+    *
+    * Exactness: deviations are scaled by the day count so the baseline
+    * μ0 = total/n_days and the slack κ = μ0/4 both clear their
+    * denominators — the whole statistic is BIGINT; the threshold is
+    * 2·total (≡ a cumulative excess of two mean days). The ordered
+    * window runs over the DAY-GRAIN frame (bounded by the calendar
+    * span, the q167 convention), never raw events.
+    */
+  def cusumChangepoints(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(graft.functions.OracleSafe.intDiv(msCol, lit(86400000L))
+        .as("day"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.agg(sum("n").as("total"), count(lit(1)).as("nd"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("s",
+        col("n") * col("nd") - col("total")
+          - graft.functions.OracleSafe.intDiv(col("total"), lit(4L)))
+      .withColumn("p", sum("s").over(w))
+      .withColumn("cusum", col("p") - least(min("p").over(w), lit(0L)))
+      .select(col("day"), col("n"), col("cusum"),
+        (col("cusum") > lit(2L) * col("total")).as("flagged"))
+      .orderBy("day")
+  }
+
+  /** DuckDB twin of [[cusumChangepoints]]. Embed after `WITH ` and
+    * select from `cusum_days`.
+    */
+  def cusumChangepointsSql(): String =
+    s"""cu_daily AS (
+       |  SELECT epoch_ms(ts) // 86400000 AS day,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |cu_tot AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS total,
+       |         CAST(COUNT(*) AS BIGINT) AS nd
+       |  FROM cu_daily),
+       |cu_p AS (
+       |  SELECT d.day, d.n, t.total,
+       |         SUM(d.n * t.nd - t.total - t.total // 4)
+       |           OVER (ORDER BY d.day
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS p
+       |  FROM cu_daily d, cu_tot t),
+       |cusum_days AS (
+       |  SELECT day, n,
+       |         CAST(p - LEAST(MIN(p) OVER (ORDER BY day
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+       |           AS BIGINT) AS cusum,
+       |         CAST(p - LEAST(MIN(p) OVER (ORDER BY day
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+       |           AS BIGINT) > 2 * total AS flagged
+       |  FROM cu_p)""".stripMargin
+
   /** q273 — ROW-PATTERN MATCHING, the `MATCH_RECOGNIZE` shape compiled
     * to windows: per user, in (ts, event_id) order, find every maximal
     * run of >= `minRise` strictly-RISING value steps immediately

@@ -296,6 +296,28 @@ class EventsSpec extends SparkSpec {
       s"only spike-perturbed days may flag: $flagged")
   }
 
+  test("q275: the window closed form equals the sequential CUSUM recurrence") {
+    // 20 quiet days (10/day) then a sustained shift (30/day for 10 days)
+    val counts = Seq.fill(20)(10) ++ Seq.fill(10)(30)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => ((d * 1000 + i).toLong, 1L, "v",
+        d.toLong * 86400000L + i)) }
+    val e = ev(rows: _*)
+    val got = Events.cusumChangepoints(e).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getBoolean(3)))).toMap
+    // independent reference: the literal max(0, ...) fold
+    val total = counts.map(_.toLong).sum; val nd = counts.length.toLong
+    var c = 0L
+    val expect = counts.zipWithIndex.map { case (n, d) =>
+      c = math.max(0L, c + (n * nd - total - total / 4))
+      d.toLong -> ((c, c > 2 * total))
+    }.toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+    // the shift accumulates into flags the single-day outlier rule misses
+    assert(got.values.count(_._2) > 0, "sustained shift must flag")
+    assert(!got(19L)._2 && got(29L)._2)
+  }
+
   test("q273: rise-then-drop patterns — strictness, minimum length, trailing rise") {
     // per user: a value sequence in event_id order, one event per second
     def seq(uid: Long, vals: Double*): Seq[(Long, Long, Long, Double)] =
