@@ -1873,6 +1873,12 @@ object SparkEntry {
         TestData.nation(s, dir), TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // Leave-one-out source ablation: per-source corpus dedup rate and
+    // mean size with that source removed, from one fingerprint-grain
+    // aggregate — influence measurement without |sources| rescans.
+    "q276_loo_ablation" -> { (s, dir) =>
+      Dedup.looSourceAblation(TestData.documents(s, dir))
+    },
     // CUSUM level-shift detection in closed form: prefix sum + running
     // min over the day-grain frame replaces the sequential recurrence;
     // all-integer via day-count scaling.
@@ -3636,6 +3642,12 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Graph.hierarchyClosureSql()}
           SELECT depth, n_nodes, total_cents, min_key, max_key
           FROM hierarchy_closure ORDER BY depth""",
+
+    "q276_loo_ablation" ->
+      s"""WITH ${Dedup.looSourceAblationSql()}
+          SELECT source, n_docs, owned_fps, loo_docs, loo_dups,
+                 loo_dup_rate, loo_avg_chars
+          FROM loo_ablation ORDER BY source""",
 
     "q275_cusum_changepoints" ->
       s"""WITH ${Events.cusumChangepointsSql()}

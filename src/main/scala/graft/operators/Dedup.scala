@@ -1528,4 +1528,96 @@ object Dedup {
        |  LEFT JOIN ind_exact ON f.doc_id = ind_exact.doc_id
        |  LEFT JOIN ind_near ON f.doc_id = ind_near.doc_id
        |  WHERE f.is_delta)""".stripMargin
+
+  /** q276 — LEAVE-ONE-OUT source ablation from sufficient statistics:
+    * for every source, the corpus-level duplicate count and mean doc
+    * size RECOMPUTED as if that source were removed — the per-source
+    * influence measurement behind "which feed is polluting the mix",
+    * answered WITHOUT |sources| corpus rescans. The trick is algebraic:
+    * duplicates(corpus) = N − |distinct fingerprints|, and removing
+    * source s only deletes the fingerprints s solely owns, so
+    * dups(−s) = (N − n_s) − (D − solely_owned_s). Everything reduces to
+    * one fingerprint-grain aggregate (16-byte keys, never text) plus a
+    * per-source rollup — O(distinct fps) total, the q147 shuffle shape
+    * — even though duplication is a CROSS-source property that naive
+    * LOO would recompute |sources| times.
+    *
+    * Output: one row per source with its LOO corpus stats, plus the
+    * `__all__` row carrying the full-corpus numbers in the same columns
+    * (n_docs = N, owned_fps = D, loo_* = the full corpus itself).
+    */
+  def looSourceAblation(docs: DataFrame): DataFrame = {
+    val fps = docs.select(col("source"), md5(col("text")).as("fp"),
+      col("n_chars").cast("long").as("chars")).localCheckpoint()
+    val perFp = fps.groupBy("fp").agg(
+      countDistinct("source").as("n_src"), min("source").as("only_src"))
+    val bySrc = fps.groupBy("source").agg(count(lit(1)).as("n_docs"),
+      sum("chars").as("chars"))
+    val glob = fps.agg(count(lit(1)).as("n_all"), sum("chars").as("t_all"))
+      .crossJoin(perFp.agg(count(lit(1)).as("d_all")))
+    val owned = perFp.filter(col("n_src") === 1)
+      .groupBy(col("only_src").as("source"))
+      .agg(count(lit(1)).as("owned_fps"))
+    val perSource = bySrc.join(owned, Seq("source"), "left")
+      .na.fill(0L, Seq("owned_fps"))
+      .crossJoin(broadcast(glob))
+      .select(col("source"), col("n_docs"), col("owned_fps"),
+        (col("n_all") - col("n_docs")).as("loo_docs"),
+        ((col("n_all") - col("n_docs"))
+          - (col("d_all") - col("owned_fps"))).as("loo_dups"),
+        (((col("n_all") - col("n_docs"))
+          - (col("d_all") - col("owned_fps"))).cast("double")
+          / (col("n_all") - col("n_docs")).cast("double")).as("loo_dup_rate"),
+        ((col("t_all") - col("chars")).cast("double")
+          / (col("n_all") - col("n_docs")).cast("double")).as("loo_avg_chars"))
+    val full = glob.select(lit("__all__").as("source"),
+      col("n_all").as("n_docs"), col("d_all").as("owned_fps"),
+      col("n_all").as("loo_docs"),
+      (col("n_all") - col("d_all")).as("loo_dups"),
+      ((col("n_all") - col("d_all")).cast("double")
+        / col("n_all").cast("double")).as("loo_dup_rate"),
+      (col("t_all").cast("double") / col("n_all").cast("double"))
+        .as("loo_avg_chars"))
+    perSource.unionByName(full).orderBy("source")
+  }
+
+  /** DuckDB twin of [[looSourceAblation]]. Embed after `WITH ` and
+    * select from `loo_ablation`.
+    */
+  def looSourceAblationSql(): String =
+    s"""loo_fps AS (
+       |  SELECT source, md5(text) AS fp, CAST(n_chars AS BIGINT) AS chars
+       |  FROM documents),
+       |loo_perfp AS (
+       |  SELECT fp, COUNT(DISTINCT source) AS n_src,
+       |         MIN(source) AS only_src
+       |  FROM loo_fps GROUP BY 1),
+       |loo_bysrc AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(chars) AS BIGINT) AS chars
+       |  FROM loo_fps GROUP BY 1),
+       |loo_glob AS (
+       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM loo_fps) AS n_all,
+       |         (SELECT CAST(SUM(chars) AS BIGINT) FROM loo_fps) AS t_all,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM loo_perfp) AS d_all),
+       |loo_owned AS (
+       |  SELECT only_src AS source, CAST(COUNT(*) AS BIGINT) AS owned_fps
+       |  FROM loo_perfp WHERE n_src = 1 GROUP BY 1),
+       |loo_ablation AS (
+       |  SELECT b.source, b.n_docs,
+       |         COALESCE(o.owned_fps, 0) AS owned_fps,
+       |         g.n_all - b.n_docs AS loo_docs,
+       |         (g.n_all - b.n_docs) - (g.d_all - COALESCE(o.owned_fps, 0))
+       |           AS loo_dups,
+       |         CAST((g.n_all - b.n_docs)
+       |              - (g.d_all - COALESCE(o.owned_fps, 0)) AS DOUBLE)
+       |           / CAST(g.n_all - b.n_docs AS DOUBLE) AS loo_dup_rate,
+       |         CAST(g.t_all - b.chars AS DOUBLE)
+       |           / CAST(g.n_all - b.n_docs AS DOUBLE) AS loo_avg_chars
+       |  FROM loo_bysrc b LEFT JOIN loo_owned o USING (source), loo_glob g
+       |  UNION ALL
+       |  SELECT '__all__', n_all, d_all, n_all, n_all - d_all,
+       |         CAST(n_all - d_all AS DOUBLE) / CAST(n_all AS DOUBLE),
+       |         CAST(t_all AS DOUBLE) / CAST(n_all AS DOUBLE)
+       |  FROM loo_glob)""".stripMargin
 }

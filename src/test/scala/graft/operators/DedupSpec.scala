@@ -369,4 +369,32 @@ class DedupSpec extends SparkSpec {
       s"mid-J truth pair must surface: ${rows.keys}")
   }
 
+  test("q276: LOO ablation equals the brute-force per-source recompute") {
+    import spark.implicits._
+    // cross-source dup structure: "x" spans A/B, "y" is A's own dup
+    // family, "z" spans B/C, "w" is unique to C
+    val corpus = Seq(
+      (1L, "x", "A"), (2L, "x", "A"), (3L, "x", "B"),
+      (4L, "y", "A"), (5L, "y", "A"),
+      (6L, "z", "B"), (7L, "z", "C"), (8L, "w", "C"))
+    val df = corpus.toDF("doc_id", "text", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("long") * 10)
+    val got = Dedup.looSourceAblation(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(6)))).toMap
+    // brute force: recompute the corpus stats without each source
+    for (s <- Seq("A", "B", "C")) {
+      val rest = corpus.filterNot(_._3 == s)
+      val n = rest.size.toLong
+      val dups = n - rest.map(_._2).distinct.size.toLong
+      val avg = rest.map(_._2.length * 10L).sum.toDouble / n
+      val (nd, _, looN, looD, looAvg) = got(s)
+      assert(nd == corpus.count(_._3 == s).toLong)
+      assert(looN == n && looD == dups && looAvg == avg,
+        s"source $s: got ${got(s)}, want ($n, $dups, $avg)")
+    }
+    // the __all__ row carries the full-corpus numbers
+    assert(got("__all__") == ((8L, 4L, 8L, 4L, 10.0)), got("__all__"))
+  }
 }
