@@ -1873,6 +1873,12 @@ object SparkEntry {
         TestData.nation(s, dir), TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // Closed-form weighted-interleave schedule: every doc's global
+    // training position from arithmetic against a broadcast source
+    // frame — no global sort; worst prefix deviation certified exactly.
+    "q277_interleave_schedule" -> { (s, dir) =>
+      Sampling.interleaveSchedule(TestData.documents(s, dir))
+    },
     // Leave-one-out source ablation: per-source corpus dedup rate and
     // mean size with that source removed, from one fingerprint-grain
     // aggregate — influence measurement without |sources| rescans.
@@ -3642,6 +3648,11 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Graph.hierarchyClosureSql()}
           SELECT depth, n_nodes, total_cents, min_key, max_key
           FROM hierarchy_closure ORDER BY depth""",
+
+    "q277_interleave_schedule" ->
+      s"""WITH ${Sampling.interleaveScheduleSql()}
+          SELECT source, w, n_docs, first_pos, sum_pos, max_dev
+          FROM interleave_schedule ORDER BY source""",
 
     "q276_loo_ablation" ->
       s"""WITH ${Dedup.looSourceAblationSql()}

@@ -960,4 +960,113 @@ object Sampling {
        |         MIN(CASE WHEN role = 'train' AND t < lo
        |                  THEN lo - t - $horizonMs END) AS min_gap_ms
        |  FROM pcv_roles GROUP BY 1, 2, 3)""".stripMargin
+
+  /** q277 — WEIGHTED-INTERLEAVE training schedule in CLOSED FORM: every
+    * document's global training-order position computed by arithmetic,
+    * no global sort, no single-partition window. The schedule is the
+    * earliest-deadline smooth round-robin (the data-loader mixing
+    * discipline: item r of source s is "due" at fraction (2r−1)/(2wₛ)
+    * of a round), and the position of (s, r) is just a COUNT of items
+    * due no later — which has the exact integer form
+    * Σ_{s'} min(⌊((2r−1)·w_{s'} + wₛ − 1) / (2wₛ)⌋, n_{s'}) plus the
+    * name-ordered tie adjustment. So position assignment is a map-side
+    * expression against a broadcast |sources|-row frame: embarrassingly
+    * parallel at 100 TB where a row_number over everything is the
+    * classic bottleneck (q146's shard argument, taken to its limit).
+    * Weights derive deterministically from the source-name rank
+    * ((rank−1) % 3 + 1), so both engines build the identical schedule.
+    *
+    * Per source the output carries the schedule signature (first/sum of
+    * positions) and the exact worst prefix deviation
+    * max_r |r·W − p·wₛ| — the smoothness certificate (every prefix of
+    * the schedule tracks the target mix to within max_dev/W items);
+    * `__total__` carries the permutation evidence: n_positions distinct
+    * positions with min 1 and max N.
+    */
+  def interleaveSchedule(docs: DataFrame): DataFrame = {
+    val srcs = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("w",
+        ((dense_rank().over(Window.orderBy("source")) - 1) % 3 + 1)
+          .cast("long"))
+      .localCheckpoint() // |sources|-bounded frame; the window is tiny
+    val ranked = docs.select(col("doc_id"), col("source"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")).cast("long"))
+      .join(broadcast(srcs.select(col("source"), col("w"))), Seq("source"))
+    val other = broadcast(srcs.select(col("source").as("s2"),
+      col("n").as("n2"), col("w").as("w2")))
+    // |docs| × |sources| slim fan-out; every term is integer arithmetic
+    val x = (lit(2L) * col("r") - 1L) * col("w2")
+    val cntLt = least(
+      OracleSafe.intDiv(x + col("w") - 1L, lit(2L) * col("w")), col("n2"))
+    val eqR = OracleSafe.intDiv(OracleSafe.intDiv(x, col("w")) + 1L, lit(2L))
+    val eqTie = when(x % col("w") === 0L
+      && OracleSafe.intDiv(x, col("w")) % 2L === 1L
+      && eqR <= col("n2") && col("s2") < col("source"), 1L).otherwise(0L)
+    val pos = ranked.crossJoin(other)
+      .groupBy(col("source"), col("doc_id"), col("r"), col("w"))
+      .agg((lit(1L) + sum(cntLt + eqTie)).as("p"))
+    val wTot = srcs.agg(sum("w").as("w_all"), sum("n").as("n_all"))
+    val perSource = pos.crossJoin(broadcast(wTot))
+      .groupBy("source", "w")
+      .agg(count(lit(1)).as("n_docs"),
+        min(when(col("r") === 1L, col("p"))).as("first_pos"),
+        sum("p").as("sum_pos"),
+        max(abs(col("r") * col("w_all") - col("p") * col("w")))
+          .as("max_dev"))
+    val total = pos.agg(countDistinct("p").as("n_docs"),
+        min("p").as("first_pos"), sum("p").as("sum_pos"))
+      .crossJoin(broadcast(wTot))
+      .select(lit("__total__").as("source"), col("w_all").as("w"),
+        col("n_docs"), col("first_pos"), col("sum_pos"),
+        (col("n_all") - col("n_docs")).as("max_dev")) // 0 iff a permutation
+    perSource.unionByName(total).orderBy("source")
+  }
+
+  /** DuckDB twin of [[interleaveSchedule]] — the identical closed form
+    * over a source cross join. Embed after `WITH ` and select from
+    * `interleave_schedule`.
+    */
+  def interleaveScheduleSql(): String = {
+    def intDiv(a: String, b: String) = OracleSafe.intDivSql(a, b)
+    s"""il_srcs AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST((DENSE_RANK() OVER (ORDER BY source) - 1) % 3 + 1
+       |           AS BIGINT) AS w
+       |  FROM documents GROUP BY source),
+       |il_ranked AS (
+       |  SELECT d.doc_id, d.source, s.w,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+       |           ORDER BY d.doc_id) AS BIGINT) AS r
+       |  FROM documents d JOIN il_srcs s USING (source)),
+       |il_pos AS (
+       |  SELECT k.source, k.doc_id, k.r, k.w,
+       |         CAST(1 + SUM(
+       |           LEAST(${intDiv("(2 * k.r - 1) * o.w + k.w - 1",
+        "2 * k.w")}, o.n)
+       |           + CASE WHEN ((2 * k.r - 1) * o.w) % k.w = 0
+       |                   AND ${intDiv("(2 * k.r - 1) * o.w", "k.w")} % 2 = 1
+       |                   AND ${intDiv(
+        intDiv("(2 * k.r - 1) * o.w", "k.w") + " + 1", "2")} <= o.n
+       |                   AND o.source < k.source
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS p
+       |  FROM il_ranked k CROSS JOIN il_srcs o
+       |  GROUP BY 1, 2, 3, 4),
+       |il_tot AS (
+       |  SELECT CAST(SUM(w) AS BIGINT) AS w_all,
+       |         CAST(SUM(n) AS BIGINT) AS n_all
+       |  FROM il_srcs),
+       |interleave_schedule AS (
+       |  SELECT p.source, p.w, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         MIN(CASE WHEN p.r = 1 THEN p.p END) AS first_pos,
+       |         CAST(SUM(p.p) AS BIGINT) AS sum_pos,
+       |         CAST(MAX(ABS(p.r * t.w_all - p.p * p.w)) AS BIGINT)
+       |           AS max_dev
+       |  FROM il_pos p, il_tot t GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT '__total__', t.w_all, COUNT(DISTINCT p.p),
+       |         MIN(p.p), CAST(SUM(p.p) AS BIGINT),
+       |         t.n_all - COUNT(DISTINCT p.p)
+       |  FROM il_pos p, il_tot t GROUP BY t.w_all, t.n_all)""".stripMargin
+  }
 }

@@ -408,4 +408,37 @@ class SamplingSpec extends SparkSpec {
       else assert(row.getAs[Long]("min_gap_ms") >= 0L, s"fold $fold leaks")
     }
   }
+
+  test("q277: closed-form positions equal the sequential EDF interleave") {
+    import spark.implicits._
+    // weights derive from name rank: a→1, b→2, c→3, d→1
+    val sizes = Map("a" -> 3, "b" -> 5, "c" -> 4, "d" -> 2)
+    val weights = Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 1L)
+    val docs = sizes.toSeq.sortBy(_._1).flatMap { case (s, n) =>
+      (1 to n).map(i => ((s.head - 'a') * 100L + i, "x", "en", s, 1L)) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // sequential reference: sort items by deadline (2r−1)/(2w), cross-
+    // multiplied exactly, ties by source name then r
+    val items = sizes.toSeq.flatMap { case (s, n) =>
+      (1 to n).map(r => (s, r.toLong)) }
+    val ordered = items.sortWith { case ((s1, r1), (s2, r2)) =>
+      val l = (2 * r1 - 1) * weights(s2); val rr = (2 * r2 - 1) * weights(s1)
+      if (l != rr) l < rr else if (s1 != s2) s1 < s2 else r1 < r2 }
+    val posOf = ordered.zipWithIndex.map { case (it, i) => it -> (i + 1L) }.toMap
+    val wAll = weights.values.sum
+    val got = Sampling.interleaveSchedule(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    for ((s, n) <- sizes) {
+      val ps = (1 to n).map(r => posOf((s, r.toLong)))
+      val dev = (1 to n).map(r =>
+        math.abs(r * wAll - posOf((s, r.toLong)) * weights(s))).max
+      assert(got(s) == ((weights(s), ps.head, ps.sum, dev)),
+        s"source $s: got ${got(s)}, want (${weights(s)}, ${ps.head}, ${ps.sum}, $dev)")
+    }
+    // permutation: N distinct positions starting at 1, deviation-free total
+    val n = sizes.values.sum.toLong
+    assert(got("__total__") == ((wAll, 1L, n * (n + 1) / 2, 0L)),
+      got("__total__"))
+  }
 }
