@@ -1873,6 +1873,14 @@ object SparkEntry {
         TestData.nation(s, dir), TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // Phrase search over a persisted positional inverted index: the
+    // q239 index upgraded with token positions; phrases matched by a
+    // position-offset join over bucket-pruned posting reads, workload
+    // derived from the persisted bigram stats.
+    "q278_phrase_search" -> { (s, dir) =>
+      TextAnalysis.phraseSearch(TestData.documents(s, dir),
+        scratchDir("graft-q278").resolve("pos_index").toString)
+    },
     // Closed-form weighted-interleave schedule: every doc's global
     // training position from arithmetic against a broadcast source
     // frame — no global sort; worst prefix deviation certified exactly.
@@ -3648,6 +3656,12 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Graph.hierarchyClosureSql()}
           SELECT depth, n_nodes, total_cents, min_key, max_key
           FROM hierarchy_closure ORDER BY depth""",
+
+    "q278_phrase_search" ->
+      s"""WITH ${TextAnalysis.phraseSearchSql()}
+          SELECT query_id, t1, t2, n_occ, n_docs, sum_pair_doc_ids,
+                 min_doc_id, max_doc_id
+          FROM phrase_search ORDER BY query_id""",
 
     "q277_interleave_schedule" ->
       s"""WITH ${Sampling.interleaveScheduleSql()}

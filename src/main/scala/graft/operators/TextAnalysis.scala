@@ -1333,4 +1333,140 @@ object TextAnalysis {
       documents.filter(col("doc_id") % deltaMod === 0L), outDir, nBuckets)
     serveInvertedIndex(documents.sparkSession, outDir, dictDir = "dict_v2")
   }
+
+  // ---------------------------------------------------------------- q278
+
+  /** (doc_id, pos 1-based, term) — every occurrence, not the q239
+    * distinct postings: phrase matching needs positions and multiplicity.
+    */
+  private def positionalPostings(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos0", "term")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("term"))
+
+  /** q278 — PHRASE SEARCH over a persisted POSITIONAL inverted index:
+    * the q239 conjunctive index upgraded with token positions, so the
+    * index answers "these words ADJACENT, in order" — the capability
+    * gap between a bag-of-words index and a real text-serving tier.
+    * The build writes every (doc, pos, term) occurrence into the same
+    * term-hash bucket dirs as q239 plus a bigram statistics table; the
+    * serve path derives its workload from the LOADED bigram stats (the
+    * two most frequent phrases and the rarest, fully tie-broken), reads
+    * ONLY the queried terms' bucket dirs, and matches phrases with one
+    * position-offset self-equi-join — never a text rescan.
+    *
+    * Scale: postings are (doc, pos, term-hash-bucketed) — the phrase
+    * join is an equi-join on (doc, pos+1) within the two posting lists;
+    * the bigram stats table is bounded by distinct adjacent pairs and
+    * its maintenance is the same append discipline as q240. Output per
+    * phrase: doc/occurrence counts and the doc-id signature.
+    */
+  def phraseSearch(documents: DataFrame, outDir: String,
+      nBuckets: Int = 16): DataFrame = {
+    buildPositionalIndex(documents, outDir, nBuckets)
+    servePhraseSearch(documents.sparkSession, outDir)
+  }
+
+  /** Build half of [[phraseSearch]]: positional postings partitioned by
+    * the SAME term-hash buckets as q239 (`postings_pos/bucket=…`), plus
+    * a `bigrams` statistics table (t1, t2, both terms' buckets, occurrence
+    * and document counts) the serve path derives its workload from.
+    */
+  def buildPositionalIndex(documents: DataFrame,
+      outDir: String, nBuckets: Int = 16): Unit = {
+    val post = positionalPostings(documents)
+    post.withColumn("bucket", termBucket(nBuckets))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$outDir/postings_pos")
+    val a = post.select(col("doc_id"), col("pos"), col("term").as("t1"))
+    val b = post.select(col("doc_id"), (col("pos") - 1).as("pos"),
+      col("term").as("t2"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
+      .withColumn("bucket1", pmod(conv(substring(md5(col("t1")), 1, 12),
+        16, 10).cast("long"), lit(nBuckets.toLong)))
+      .withColumn("bucket2", pmod(conv(substring(md5(col("t2")), 1, 12),
+        16, 10).cast("long"), lit(nBuckets.toLong)))
+      .write.mode("overwrite").parquet(s"$outDir/bigrams")
+  }
+
+  /** Serve half of [[phraseSearch]]: phrase workload from the loaded
+    * bigram stats, bucket-dir-pruned posting reads, position-offset join.
+    */
+  def servePhraseSearch(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val bg = spark.read.parquet(s"$outDir/bigrams")
+    val top = bg.orderBy(col("n_occ").desc, col("t1"), col("t2"))
+      .limit(2).collect()
+    val rare = bg.orderBy(col("n_occ").asc, col("t1"), col("t2"))
+      .limit(1).collect()
+    val queries = Seq(("phrase_top1", top(0)), ("phrase_top2", top(1)),
+      ("phrase_rare", rare(0)))
+    val loaded = spark.read.parquet(s"$outDir/postings_pos")
+      .select(col("term"), col("doc_id"), col("pos"),
+        col("bucket").cast("long").as("bucket"))
+    queries.map { case (qid, row) =>
+      val (t1, t2) = (row.getAs[String]("t1"), row.getAs[String]("t2"))
+      val buckets = Seq(row.getAs[Long]("bucket1"), row.getAs[Long]("bucket2"))
+        .distinct
+      val pruned = loaded
+        .filter(col("bucket").isin(buckets.map(Long.box): _*)) // dir pruning
+      val pa = pruned.filter(col("term") === t1)
+        .select(col("doc_id"), col("pos"))
+      val pb = pruned.filter(col("term") === t2)
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      val hits = pa.join(pb, Seq("doc_id", "pos"))
+      val agg = hits.agg(count(lit(1)).as("n_occ"),
+        countDistinct("doc_id").as("n_docs"),
+        sum(col("doc_id")).as("sum_pair_doc_ids"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      broadcast(Seq((qid, t1, t2)).toDF("query_id", "t1", "t2"))
+        .crossJoin(agg)
+    }.reduce(_ unionByName _).orderBy("query_id")
+  }
+
+  /** DuckDB twin of [[phraseSearch]] — positional postings via the
+    * `ts[i]` ordinality pattern, identical workload derivation and
+    * position-offset join. Embed after `WITH ` and select from
+    * `phrase_search`.
+    */
+  def phraseSearchSql(): String =
+    s"""pps_tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |pps_pos AS (
+       |  SELECT doc_id, i AS pos, ts[i] AS term
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+       |        FROM pps_tok)),
+       |pps_bg AS (
+       |  SELECT a.term AS t1, b.term AS t2, COUNT(*) AS n_occ,
+       |         COUNT(DISTINCT a.doc_id) AS n_docs
+       |  FROM pps_pos a JOIN pps_pos b
+       |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY 1, 2),
+       |pps_queries AS (
+       |  SELECT 'phrase_top1' AS query_id, t1, t2 FROM (
+       |    SELECT t1, t2, ROW_NUMBER() OVER (ORDER BY n_occ DESC, t1, t2)
+       |      AS rk FROM pps_bg) WHERE rk = 1
+       |  UNION ALL
+       |  SELECT 'phrase_top2', t1, t2 FROM (
+       |    SELECT t1, t2, ROW_NUMBER() OVER (ORDER BY n_occ DESC, t1, t2)
+       |      AS rk FROM pps_bg) WHERE rk = 2
+       |  UNION ALL
+       |  SELECT 'phrase_rare', t1, t2 FROM (
+       |    SELECT t1, t2, ROW_NUMBER() OVER (ORDER BY n_occ ASC, t1, t2)
+       |      AS rk FROM pps_bg) WHERE rk = 1),
+       |phrase_search AS (
+       |  SELECT q.query_id, q.t1, q.t2,
+       |         CAST(COUNT(a.doc_id) AS BIGINT) AS n_occ,
+       |         CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS n_docs,
+       |         CAST(SUM(a.doc_id) AS BIGINT) AS sum_pair_doc_ids,
+       |         MIN(a.doc_id) AS min_doc_id, MAX(a.doc_id) AS max_doc_id
+       |  FROM pps_queries q
+       |  LEFT JOIN pps_pos a ON a.term = q.t1
+       |  LEFT JOIN pps_pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |     AND b.term = q.t2
+       |  WHERE b.doc_id IS NOT NULL
+       |  GROUP BY 1, 2, 3)""".stripMargin
 }

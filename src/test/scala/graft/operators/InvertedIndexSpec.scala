@@ -125,4 +125,49 @@ class InvertedIndexSpec extends SparkSpec {
         s"one-bucket probe must open 1 of ${buckets.length} dirs, opened $selected")
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q278: phrase matches are adjacent AND ordered; occurrences counted per position") {
+    // bigram stats: (a,b)×3 in docs {1,3}; (b,a)×3 in {1,2,3}; singles
+    // (b,b)/(b,c)/(x,y) — so top1=(a,b) (tie broken by t1), top2=(b,a),
+    // rare=(b,b). (a,b) vs (b,a) differing is the ORDER sensitivity.
+    val docs = Seq((1L, "a b a b c"), (2L, "b a"), (3L, "a b b a"),
+      (4L, "x y")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-pps-spec")
+    try {
+      val got = TextAnalysis.phraseSearch(docs, s"$out/idx").collect()
+        .map(r => r.getAs[String]("query_id") ->
+          ((r.getAs[String]("t1"), r.getAs[String]("t2"),
+            r.getAs[Long]("n_occ"), r.getAs[Long]("n_docs"),
+            r.getAs[Long]("sum_pair_doc_ids")))).toMap
+      assert(got("phrase_top1") == (("a", "b", 3L, 2L, 5L)), got("phrase_top1"))
+      assert(got("phrase_top2") == (("b", "a", 3L, 3L, 6L)), got("phrase_top2"))
+      assert(got("phrase_rare") == (("b", "b", 1L, 1L, 3L)), got("phrase_rare"))
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
+  test("q278: a phrase probe opens only its terms' bucket dirs") {
+    val out = java.nio.file.Files.createTempDirectory("graft-pps-spec")
+    try {
+      TextAnalysis.phraseSearch(TestData.documents(spark, sf), s"$out/idx")
+        .collect()
+      val postings = s"$out/idx/postings_pos"
+      val nBuckets = new java.io.File(postings).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+      assert(nBuckets > 2, "vocabulary must spread over >2 shards")
+      // replay one phrase probe the way servePhraseSearch builds it
+      val bg = spark.read.parquet(s"$out/idx/bigrams")
+      val top = bg.orderBy(col("n_occ").desc, col("t1"), col("t2")).head()
+      val want = Seq(top.getAs[Long]("bucket1"), top.getAs[Long]("bucket2"))
+        .distinct
+      val probe = spark.read.parquet(postings)
+        .filter(col("bucket").isin(want.map(Long.box): _*))
+      probe.collect()
+      val selected = probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.sum
+      assert(selected == want.size,
+        s"phrase probe must open ${want.size} of $nBuckets dirs, opened $selected")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
