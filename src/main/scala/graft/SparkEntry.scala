@@ -1873,6 +1873,13 @@ object SparkEntry {
         TestData.nation(s, dir), TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // Dynamic partition pruning: the dim-attribute filter prunes the
+    // ym-partitioned fact scan at runtime (no static predicate exists);
+    // DppSpec asserts the physical dirs, this query hashes the totals.
+    "q279_dpp_star_join" -> { (s, dir) =>
+      Planning.dppStarJoin(TestData.lineitem(s, dir),
+        scratchDir("graft-q279").resolve("star").toString)
+    },
     // Phrase search over a persisted positional inverted index: the
     // q239 index upgraded with token positions; phrases matched by a
     // position-offset join over bucket-pruned posting reads, workload
@@ -3656,6 +3663,11 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Graph.hierarchyClosureSql()}
           SELECT depth, n_nodes, total_cents, min_key, max_key
           FROM hierarchy_closure ORDER BY depth""",
+
+    "q279_dpp_star_join" ->
+      s"""WITH ${Planning.dppStarJoinSql()}
+          SELECT ym, n, total_cents
+          FROM dpp_star ORDER BY ym""",
 
     "q278_phrase_search" ->
       s"""WITH ${TextAnalysis.phraseSearchSql()}

@@ -2598,6 +2598,64 @@ object Planning {
        |  FROM cr_route r JOIN cr_ans a USING (query_dims))""".stripMargin
   }
 
+  /** q279 — DYNAMIC PARTITION PRUNING star join: the fact lands on disk
+    * partitioned by ship year-month, the date dimension carries the
+    * quarter attribute, and the query filters the DIMENSION — so no
+    * static pruning can touch the fact, yet Spark's DPP injects the
+    * dim's surviving ym keys into the fact scan's partition filter AT
+    * RUNTIME and the scan opens only those directories. This is the
+    * lakehouse star-join pattern q217 (static zone pruning) cannot
+    * cover: the pruning predicate does not exist until the dim filter
+    * has run. `DppSpec` asserts the physical half — the executed fact
+    * scan carries a DynamicPruningExpression and opens exactly the
+    * quarter's partition dirs; this query hashes the logical half
+    * (pruned join == direct filter) against the oracle.
+    *
+    * Scale: at 100 TB the fact's 1000s of ym dirs are the unit of I/O;
+    * DPP turns a dim-attribute filter into fact-side dir elimination
+    * with zero manual plumbing — exactly what `partitionBy` layouts
+    * are FOR. The dim is distinct-ym-sized (bounded by the calendar).
+    */
+  def dppStarJoin(lineitem: DataFrame, outDir: String): DataFrame = {
+    val spark = lineitem.sparkSession
+    val fact = lineitem.select(col("l_orderkey"),
+      OracleSafe.quant(col("l_extendedprice"), 100).as("cents"),
+      (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ym"))
+    fact.write.mode("overwrite").partitionBy("ym").parquet(s"$outDir/fact")
+    fact.select("ym").distinct()
+      .withColumn("quarter",
+        OracleSafe.intDiv(col("ym") % 100 - 1, lit(3L)) + 1L)
+      .write.mode("overwrite").parquet(s"$outDir/dim")
+    val f = spark.read.parquet(s"$outDir/fact")
+    val d = spark.read.parquet(s"$outDir/dim").filter(col("quarter") === 1L)
+    f.join(d.select("ym"), Seq("ym"))
+      .groupBy("ym")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+      .orderBy("ym")
+  }
+
+  /** DuckDB twin of [[dppStarJoin]] — the same star join computed
+    * logically. Embed after `WITH ` and select from `dpp_star`.
+    */
+  def dppStarJoinSql(): String =
+    s"""dpp_fact AS (
+       |  SELECT l_orderkey,
+       |         ${OracleSafe.quantSql("l_extendedprice", 100)} AS cents,
+       |         CAST(EXTRACT(year FROM l_shipdate) * 100
+       |              + EXTRACT(month FROM l_shipdate) AS BIGINT) AS ym
+       |  FROM lineitem),
+       |dpp_dim AS (
+       |  SELECT ym, ${OracleSafe.intDivSql("ym % 100 - 1", "3")} + 1
+       |           AS quarter
+       |  FROM (SELECT DISTINCT ym FROM dpp_fact)),
+       |dpp_star AS (
+       |  SELECT f.ym, CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(f.cents) AS BIGINT) AS total_cents
+       |  FROM dpp_fact f JOIN dpp_dim d ON d.ym = f.ym
+       |  WHERE d.quarter = 1
+       |  GROUP BY 1)""".stripMargin
+
   /** q272 — THETA-SKETCH set algebra: distinct-count estimates for
     * A∪B, A∩B and A\B between per-event-type key sets, from nothing but
     * each set's bottom-k hash sketch — the sketch-family member
