@@ -1873,6 +1873,13 @@ object SparkEntry {
         TestData.nation(s, dir), TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // Lease-protected vacuum: a reader lease pins v1 through a keep-1
+    // vacuum (only unleased v2 reclaimed), the leased snapshot is read
+    // physically AFTER the vacuum, then released and reclaimed.
+    "q280_leased_vacuum" -> { (s, dir) =>
+      ManifestTable.leasedVacuum(TestData.events(s, dir),
+        scratchDir("graft-q280").resolve("events_table").toString)
+    },
     // Dynamic partition pruning: the dim-attribute filter prunes the
     // ym-partitioned fact scan at runtime (no static predicate exists);
     // DppSpec asserts the physical dirs, this query hashes the totals.
@@ -3663,6 +3670,11 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Graph.hierarchyClosureSql()}
           SELECT depth, n_nodes, total_cents, min_key, max_key
           FROM hierarchy_closure ORDER BY depth""",
+
+    "q280_leased_vacuum" ->
+      s"""WITH ${ManifestTable.leasedVacuumSql()}
+          SELECT stage, version, n_versions, event_type, n, total_cents
+          FROM leased_vacuum ORDER BY stage, event_type""",
 
     "q279_dpp_star_join" ->
       s"""WITH ${Planning.dppStarJoinSql()}

@@ -1016,4 +1016,120 @@ object ManifestTable {
        |  UNION ALL
        |  SELECT 'e_post_vacuum', 2, 1, target_user, event_type, n, total_cents
        |  FROM fu_kept, fu_target)""".stripMargin
+
+  // ---------------------------------------------------------------- q280
+
+  /** Register a reader lease on snapshot `version`: an exclusive-create
+    * marker under `leases/` naming the owner. Leases are the missing
+    * coordination between time travel and [[vacuum]]: q244's contract
+    * ("a reader loses its snapshot if it pinned beyond retention") is
+    * exactly what a lease suspends.
+    */
+  def acquireLease(spark: SparkSession, tableDir: String, version: Long,
+      owner: String): Unit = {
+    val ctx = fc(spark, tableDir)
+    val out = ctx.create(new Path(s"$tableDir/leases/v${version}_$owner"),
+      EnumSet.of(CreateFlag.CREATE), CreateOpts.createParent())
+    try out.write(s"$owner\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  def releaseLease(spark: SparkSession, tableDir: String, version: Long,
+      owner: String): Unit =
+    fc(spark, tableDir).delete(
+      new Path(s"$tableDir/leases/v${version}_$owner"), false)
+
+  /** Versions currently under at least one reader lease. */
+  def leasedVersions(spark: SparkSession, tableDir: String): Set[Long] = {
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$tableDir/leases")
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("v").takeWhile(_.isDigit).toLong).toOption)
+      .toSet
+  }
+
+  /** [[vacuum]] that honors reader leases: a leased version survives
+    * retention no matter how old. Returns the versions deleted.
+    */
+  def vacuumLeased(spark: SparkSession, tableDir: String,
+      keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, s"must keep at least the live snapshot: $keep")
+    val live = currentVersion(spark, tableDir)
+    val all = versions(spark, tableDir)
+    val retained = all.takeRight(keep).toSet ++ live ++
+      leasedVersions(spark, tableDir)
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dropped = all.filterNot(retained)
+    dropped.foreach(v => fs.delete(new Path(s"$tableDir/data/v$v"), true))
+    dropped
+  }
+
+  /** q280 — LEASE-PROTECTED VACUUM, the serving-side coordination the
+    * q244 contract leaves open: three snapshots are published (full,
+    * minus errors, minus errors+clicks), a reader takes a lease on v1,
+    * and a keep-1 vacuum runs — it may reclaim only the unleased,
+    * non-live v2. The leased v1 is then READ — physically, after the
+    * vacuum, from files the vacuum provably left on disk (no checkpoint
+    * shields it; a lease bug fails the read, not an assert). The lease
+    * is released, the same vacuum runs again, and now v1 is reclaimed;
+    * the live snapshot serves throughout. This is Iceberg/Delta snapshot
+    * expiry with reader refs, made measurable: vacuumed-version lists
+    * are require-pinned, per-stage totals + the surviving version count
+    * are hash-checked against the raw-data oracle.
+    */
+  def leasedVacuum(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    publish(slim, tableDir, 1L)
+    publish(slim.filter(col("event_type") =!= "error"), tableDir, 2L)
+    publish(slim.filter(col("event_type") =!= "error"
+      && col("event_type") =!= "click"), tableDir, 3L)
+    acquireLease(spark, tableDir, 1L, "reader_a")
+    val d1 = vacuumLeased(spark, tableDir, keep = 1)
+    require(d1 == Seq(2L), s"first vacuum must reclaim exactly v2: $d1")
+    def totalsOf(df: DataFrame, stage: String, v: Long): DataFrame = df
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+      .select(lit(stage).as("stage"), lit(v).as("version"),
+        lit(versions(spark, tableDir).size.toLong).as("n_versions"),
+        col("event_type"), col("n"), col("total_cents"))
+    // the leased read happens AFTER the vacuum, from surviving files
+    val a = totalsOf(readVersion(spark, tableDir, 1L), "a_leased_v1", 1L)
+      .localCheckpoint() // materialize before the lease is dropped below
+    val b = totalsOf(read(spark, tableDir), "b_current_v3", 3L)
+      .localCheckpoint()
+    releaseLease(spark, tableDir, 1L, "reader_a")
+    val d2 = vacuumLeased(spark, tableDir, keep = 1)
+    require(d2 == Seq(1L), s"post-release vacuum must reclaim v1: $d2")
+    val c = totalsOf(read(spark, tableDir), "c_post_release", 3L)
+    a.unionByName(b).unionByName(c).orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[leasedVacuum]]: per-stage totals from the raw
+    * events with versions and retention counts pinned. Embed after
+    * `WITH ` and select from `leased_vacuum`.
+    */
+  def leasedVacuumSql(): String =
+    s"""lv_all AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM events GROUP BY 1),
+       |lv_v3 AS (
+       |  SELECT event_type, n, total_cents FROM lv_all
+       |  WHERE event_type NOT IN ('error', 'click')),
+       |leased_vacuum AS (
+       |  SELECT 'a_leased_v1' AS stage, CAST(1 AS BIGINT) AS version,
+       |         CAST(2 AS BIGINT) AS n_versions, event_type, n, total_cents
+       |  FROM lv_all
+       |  UNION ALL
+       |  SELECT 'b_current_v3', 3, 2, event_type, n, total_cents FROM lv_v3
+       |  UNION ALL
+       |  SELECT 'c_post_release', 3, 1, event_type, n, total_cents
+       |  FROM lv_v3)""".stripMargin
 }

@@ -324,4 +324,31 @@ class ManifestTableSpec extends SparkSpec {
       assert(v1.count() == 4L, "v1 still serves the original rows")
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q280: a lease pins its snapshot through vacuum; release reclaims it") {
+    val out = java.nio.file.Files.createTempDirectory("graft-lease-spec")
+    try {
+      val tbl = s"$out/tbl"
+      for (v <- 1L to 3L)
+        ManifestTable.publish(
+          Seq((v, "a", v.toDouble)).toDF("event_id", "event_type", "value"),
+          tbl, v)
+      def v1Exists = new java.io.File(s"$tbl/data/v1").exists()
+      // two readers lease v1 independently
+      ManifestTable.acquireLease(spark, tbl, 1L, "r1")
+      ManifestTable.acquireLease(spark, tbl, 1L, "r2")
+      assert(ManifestTable.vacuumLeased(spark, tbl, keep = 1) == Seq(2L))
+      assert(v1Exists, "leased v1 must survive a keep-1 vacuum")
+      assert(ManifestTable.readVersion(spark, tbl, 1L).count() == 1L)
+      // one release is not enough — r2 still holds it
+      ManifestTable.releaseLease(spark, tbl, 1L, "r1")
+      assert(ManifestTable.vacuumLeased(spark, tbl, keep = 1).isEmpty)
+      assert(v1Exists, "v1 still leased by r2")
+      ManifestTable.releaseLease(spark, tbl, 1L, "r2")
+      assert(ManifestTable.vacuumLeased(spark, tbl, keep = 1) == Seq(1L))
+      assert(!v1Exists, "fully released v1 must be reclaimed")
+      // the live snapshot serves throughout
+      assert(ManifestTable.read(spark, tbl).count() == 1L)
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
