@@ -185,7 +185,8 @@ object ScaleBench {
     "q270_yannakakis", "q271_recursive_closure", "q272_theta_setops",
     "q273_rise_patterns", "q274_dp_release", "q275_cusum_changepoints",
     "q276_loo_ablation", "q277_interleave_schedule", "q278_phrase_search",
-    "q279_dpp_star_join", "q280_leased_vacuum")
+    "q279_dpp_star_join", "q280_leased_vacuum",
+    "q281_stream_index_maintenance")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

@@ -1873,6 +1873,13 @@ object SparkEntry {
         TestData.nation(s, dir), TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // Streaming index maintenance: document deltas maintain the
+    // persisted inverted index per micro-batch (idempotent per-batch
+    // posting dirs + versioned dict merges) through an injected crash;
+    // serving the maintained artifacts equals the rebuilt index.
+    "q281_stream_index_maintenance" -> { (s, dir) =>
+      EventStream.streamingIndexMaintenance(s, dir)
+    },
     // Lease-protected vacuum: a reader lease pins v1 through a keep-1
     // vacuum (only unleased v2 reclaimed), the leased snapshot is read
     // physically AFTER the vacuum, then released and reclaimed.
@@ -3670,6 +3677,17 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Graph.hierarchyClosureSql()}
           SELECT depth, n_nodes, total_cents, min_key, max_key
           FROM hierarchy_closure ORDER BY depth""",
+
+    // Same logical result as q239 (the rebuilt index over the FULL
+    // corpus) plus the pinned delivery verdicts: 2 delta batches,
+    // 3 attempts (batch 0 replayed), replay_happened true.
+    "q281_stream_index_maintenance" ->
+      s"""WITH ${TextAnalysis.invertedIndexLookupSql()}
+          SELECT query_id, n_terms, n_docs, sum_doc_ids, min_doc_id,
+                 max_doc_id, CAST(2 AS BIGINT) AS n_batches,
+                 CAST(3 AS BIGINT) AS n_attempts,
+                 TRUE AS replay_happened
+          FROM inverted_lookup ORDER BY query_id""",
 
     "q280_leased_vacuum" ->
       s"""WITH ${ManifestTable.leasedVacuumSql()}

@@ -1233,6 +1233,30 @@ object TextAnalysis {
       .write.mode("overwrite").parquet(s"$outDir/$dictDir")
   }
 
+  /** One micro-batch of q281's streaming index maintenance: the batch's
+    * postings land in their OWN dir (`batchDir`, overwrite — so a replay
+    * of the same batch is idempotent, unlike a blind append into the
+    * base postings), and the dictionary merges forward from `dictIn`
+    * into `dictOut` (distinct version dirs; the read side is untouched
+    * by a replayed overwrite). Every path is a pure function of the
+    * caller's batchId — the foreachBatch exactly-once discipline.
+    */
+  def maintainIndexBatch(batch: DataFrame, outDir: String, batchDir: String,
+      dictIn: String, dictOut: String, nBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val newPostings = docPostings(batch)
+      .withColumn("bucket", termBucket(nBuckets))
+    newPostings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$outDir/$batchDir")
+    val deltaDict = newPostings.groupBy("term", "bucket")
+      .agg(count(lit(1)).as("df"))
+    spark.read.parquet(s"$outDir/$dictIn")
+      .unionByName(deltaDict.select("term", "df", "bucket"))
+      .groupBy("term", "bucket").agg(sum("df").as("df"))
+      .select("term", "df", "bucket")
+      .write.mode("overwrite").parquet(s"$outDir/$dictOut")
+  }
+
   /** Serve half of [[invertedIndexLookup]]: conjunctive queries answered
     * from the LOADED artifacts only (dictionary-derived workload, bucket
     * dir pruning, posting intersection). `dictDir` selects the dictionary
@@ -1240,7 +1264,8 @@ object TextAnalysis {
     * [[appendInvertedIndexDelta]].
     */
   def serveInvertedIndex(spark: SparkSession, outDir: String,
-      dictDir: String = "dict"): DataFrame = {
+      dictDir: String = "dict",
+      extraPostingDirs: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val dict = spark.read.parquet(s"$outDir/$dictDir")
     val rare = dict.orderBy(col("df").asc, col("term"))
@@ -1253,8 +1278,14 @@ object TextAnalysis {
       ("rare_pair", rare.toSeq),
       ("rare_common", Seq(rare(0), common(0)).distinct),
       ("common_triple", common.toSeq))
-    val loaded = spark.read.parquet(s"$outDir/postings")
-      .select(col("term"), col("doc_id"), col("bucket").cast("long").as("bucket"))
+    // one read per root (a multi-root read trips partition discovery —
+    // the roots sit at different depths); bucket pruning pushes into
+    // each scan independently
+    val loaded = (s"$outDir/postings" +: extraPostingDirs)
+      .map(p => spark.read.parquet(p)
+        .select(col("term"), col("doc_id"),
+          col("bucket").cast("long").as("bucket")))
+      .reduce(_ unionByName _)
     val runs = queries.map { case (qid, terms) =>
       val termSet = terms.map(_._1)
       val bucketSet = terms.map(_._2).distinct

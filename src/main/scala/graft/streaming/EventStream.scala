@@ -1106,4 +1106,95 @@ object EventStream {
         lit(attempts > versions - 1).as("replay_happened"))
       .orderBy("user_id")
   }
+
+  /** q281 — STREAMING maintenance of the persisted inverted index: the
+    * q239 index is built from the base corpus, then document deltas
+    * arrive as a file stream and each micro-batch maintains the
+    * PHYSICAL artifacts inside foreachBatch — batch postings land in a
+    * per-batch dir (`postings_delta/b<id>`, an idempotent OVERWRITE, so
+    * a replay cannot double-append the way a blind `mode(append)`
+    * would), and the dictionary merges forward through versioned dirs
+    * (`dict_v<id+2>` = `v<id+1>` + batch dfs), every write a pure
+    * function of `batchId` — the q242 discipline applied to a serving
+    * index instead of a warehouse table. A crash is injected after
+    * batch 0's artifacts land but before its checkpoint commit; the
+    * restart replays batch 0 over itself and finishes batch 1.
+    *
+    * The serve path then answers the q239 workload from the maintained
+    * artifacts (final dict version + base-and-delta posting dirs), and
+    * the oracle is the index REBUILT from the full corpus — equality
+    * proves streaming maintenance converges to the batch build, through
+    * a restart. Delivery evidence (batches, attempts, replay) rides as
+    * pinned columns, q231-style.
+    *
+    * Scale: per batch the work is delta-sized (one distinct shuffle over
+    * the batch's postings + a vocab-grain dict merge); the base postings
+    * are never rewritten. State is the checkpoint's file log only.
+    */
+  def streamingIndexMaintenance(spark: SparkSession, dir: String,
+      baseDir: Option[String] = None): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.TestData.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val base = baseDir.getOrElse(exitScratch("graft-stridx"))
+    val (src, idx, ck, att) = (s"$base/src", s"$base/idx", s"$base/ck",
+      s"$base/attempts")
+    require(new java.io.File(att).mkdirs(), s"cannot create $att")
+
+    // base corpus builds the index; two delta chunks arrive as a stream
+    TextAnalysis.buildInvertedIndex(
+      docs.filter(col("doc_id") % 10 =!= 0L && col("doc_id") % 10 =!= 5L), idx)
+    var mtime = (System.currentTimeMillis() / 60000L) * 60000L
+    def writeChunk(df: DataFrame): Unit = {
+      val before = Option(new java.io.File(src).listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+      df.coalesce(1).write.mode("append").parquet(src)
+      mtime += 1000L
+      new java.io.File(src).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(f => require(f.setLastModified(mtime),
+          s"setLastModified failed for $f — replay order would be undefined"))
+    }
+    writeChunk(docs.filter(col("doc_id") % 10 === 0L))
+    writeChunk(docs.filter(col("doc_id") % 10 === 5L))
+
+    def dictName(v: Long): String = if (v == 1L) "dict" else s"dict_v$v"
+    def runOnce(injectCrashAt: Long): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val marker = new java.io.File(att,
+            s"b$batchId-${UUID.randomUUID().toString}")
+          require(marker.createNewFile(), s"cannot create $marker")
+          TextAnalysis.maintainIndexBatch(df, idx,
+            batchDir = s"postings_delta/b$batchId",
+            dictIn = dictName(batchId + 1), dictOut = dictName(batchId + 2))
+          if (batchId == injectCrashAt)
+            throw new RuntimeException(
+              "injected crash: index maintained, checkpoint commit never reached")
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.processAllAvailable(); q.awaitTermination() }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => }
+      finally q.stop()
+    }
+    runOnce(injectCrashAt = 0L) // dies in batch 0's uncovered window
+    runOnce(injectCrashAt = -1L) // replays batch 0 idempotently, runs batch 1
+
+    val attempts = new java.io.File(att).listFiles().length
+    val deltaDirs = new java.io.File(s"$idx/postings_delta").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("b"))
+      .map(_.getName).sorted
+    TextAnalysis.serveInvertedIndex(spark, idx,
+        dictDir = dictName(deltaDirs.length + 1L),
+        extraPostingDirs = deltaDirs.map(b => s"$idx/postings_delta/$b").toSeq)
+      .withColumn("n_batches", lit(deltaDirs.length.toLong))
+      .withColumn("n_attempts", lit(attempts.toLong))
+      .withColumn("replay_happened", lit(attempts > deltaDirs.length))
+  }
 }

@@ -287,4 +287,32 @@ class EventStreamSpec extends SparkSpec {
     assert(got.exceptAll(batch).count() == 0,
       "streamed merge state must equal the batch CDC fold")
   }
+
+  test("q281: streamed index maintenance equals the rebuilt index through a replay") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft-stridx-spec")
+    try {
+      val res = EventStream.streamingIndexMaintenance(spark, sf,
+        baseDir = Some(s"$out/run")).localCheckpoint()
+      // delivery evidence: two delta batches, batch 0 attempted twice
+      val head = res.head()
+      assert(head.getAs[Long]("n_batches") == 2L)
+      assert(head.getAs[Long]("n_attempts") == 3L)
+      assert(head.getAs[Boolean]("replay_happened"))
+      // physical idempotence: the REPLAYED batch-0 dir holds each posting
+      // exactly once (countDistinct serving would mask a double-append)
+      val b0 = spark.read.parquet(s"$out/run/idx/postings_delta/b0")
+      assert(b0.count() == b0.distinct().count(),
+        "replayed batch dir must hold no duplicate postings")
+      val rebuilt = graft.operators.TextAnalysis.invertedIndexLookup(
+        graft.sources.TestData.documents(spark, sf)
+          .select(col("doc_id"), col("text")), s"$out/idx")
+        .collect().map(_.toSeq).toSeq
+      val served = res.select("query_id", "n_terms", "n_docs",
+        "sum_doc_ids", "min_doc_id", "max_doc_id")
+        .collect().map(_.toSeq).toSeq
+      assert(served == rebuilt,
+        "maintained index must serve the rebuilt index's answers")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
