@@ -1873,6 +1873,13 @@ object SparkEntry {
         TestData.nation(s, dir), TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // Persisted HLL-register rollup: day sketches land once, month and
+    // global distinct estimates merge the loaded registers (max per
+    // bucket) — pre-aggregated COUNT(DISTINCT) without rescans.
+    "q282_hll_rollup" -> { (s, dir) =>
+      Planning.hllSketchRollup(TestData.events(s, dir),
+        scratchDir("graft-q282").resolve("sketches").toString)
+    },
     // Streaming index maintenance: document deltas maintain the
     // persisted inverted index per micro-batch (idempotent per-batch
     // posting dirs + versioned dict merges) through an injected crash;
@@ -3677,6 +3684,11 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Graph.hierarchyClosureSql()}
           SELECT depth, n_nodes, total_cents, min_key, max_key
           FROM hierarchy_closure ORDER BY depth""",
+
+    "q282_hll_rollup" ->
+      s"""WITH ${Planning.hllSketchRollupSql()}
+          SELECT scope, v_zeros, denom, est, branch, n_exact
+          FROM hll_rollup ORDER BY scope""",
 
     // Same logical result as q239 (the rebuilt index over the FULL
     // corpus) plus the pinned delivery verdicts: 2 delta batches,

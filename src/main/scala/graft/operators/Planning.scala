@@ -2598,6 +2598,137 @@ object Planning {
        |  FROM cr_route r JOIN cr_ans a USING (query_dims))""".stripMargin
   }
 
+  /** Frozen linear-counting table for [[hllSketchRollup]]: 64·ln(64/V)
+    * for V = 1..63, computed once here and embedded as literals in BOTH
+    * plans (the q228/q274 discipline — no engine libm in the result).
+    */
+  private lazy val hllLinearCount: IndexedSeq[(Long, Double)] =
+    (1 to 63).map(v => (v.toLong, 64.0 * math.log(64.0 / v)))
+
+  /** alpha_64 · m² · 2⁴³ / 10⁶ as one frozen double literal (the raw-HLL
+    * numerator over the 2⁴³-scaled integer harmonic denominator).
+    */
+  private lazy val hllNumConst: Double =
+    709270.0 * 4096.0 * 8796093022208.0 / 1000000.0
+
+  /** q282 — PERSISTED HLL-REGISTER ROLLUP: per-day HyperLogLog register
+    * tables land on disk once, and month and global distinct-user
+    * estimates are answered by MERGING the loaded registers (per-bucket
+    * max — HLL's defining property: register-wise max IS the sketch of
+    * the union), never by rescanning events. This is the pre-aggregated
+    * COUNT(DISTINCT) story every metrics warehouse runs at 100 TB: the
+    * day grain pays one scan ever; every coarser rollup is arithmetic
+    * over 64-register rows. q75 audits Spark's built-in HLL error
+    * contract; this one implements the registers EXPLICITLY (48-bit key
+    * hash → 6-bit bucket, 42-bit rank via `bin()` length — identical
+    * integers on both engines) so the merge is itself hash-checked.
+    *
+    * Estimates: the raw-HLL harmonic mean rides a 2⁴³-scaled INTEGER
+    * denominator (register state pins through the hash), one frozen-
+    * literal numerator and one double division; the small-range branch
+    * uses the frozen linear-counting table. Exact audits ride along.
+    */
+  def hllSketchRollup(events: DataFrame, outDir: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events.select(
+      (year(col("ts")) * 100 + month(col("ts"))).cast("long").as("ym"),
+      OracleSafe.intDiv(expr("ts_ns DIV 1000000"), lit(86400000L)).as("day"),
+      h48(col("user_id").cast("string")).as("h"))
+    val regs = keyed.select(col("ym"), col("day"),
+        (col("h") % 64).as("idx"),
+        when(OracleSafe.intDiv(col("h"), lit(64L)) === 0L, lit(43L))
+          .otherwise(lit(43L) -
+            length(bin(OracleSafe.intDiv(col("h"), lit(64L))))).as("rho"))
+      .groupBy("ym", "day", "idx").agg(max("rho").as("rho"))
+    regs.write.mode("overwrite").parquet(s"$outDir/day_sketches")
+    val loaded = spark.read.parquet(s"$outDir/day_sketches")
+    val lc = broadcast(hllLinearCount.toDF("v", "lc_est"))
+    def estimate(merged: DataFrame, scopeCol: Column): DataFrame = merged
+      .groupBy(scopeCol.as("scope"))
+      .agg(count(lit(1)).as("n_used"),
+        sum(expr("shiftleft(1L, CAST(43 - rho AS INT))")).as("denom_used"))
+      .select(col("scope"),
+        (lit(64L) - col("n_used")).as("v_zeros"),
+        (col("denom_used") +
+          (lit(64L) - col("n_used")) * lit(1L << 43)).as("denom"))
+      .withColumn("raw_est",
+        lit(hllNumConst) / col("denom").cast("double"))
+      .join(lc, col("v_zeros") === col("v"), "left")
+      .select(col("scope"), col("v_zeros"), col("denom"),
+        when(col("raw_est") <= 160.0 && col("v_zeros") > 0L, col("lc_est"))
+          .otherwise(col("raw_est")).as("est"),
+        when(col("raw_est") <= 160.0 && col("v_zeros") > 0L, lit("linear"))
+          .otherwise(lit("raw")).as("branch"))
+    val monthRegs = loaded.groupBy("ym", "idx").agg(max("rho").as("rho"))
+    val months = estimate(monthRegs, concat(lit("m:"), col("ym")))
+    val global = estimate(loaded.groupBy("idx").agg(max("rho").as("rho"))
+      .withColumn("g", lit("global")), col("g"))
+    val exact = events.select(
+        concat(lit("m:"), (year(col("ts")) * 100 + month(col("ts")))
+          .cast("long")).as("scope"), col("user_id"))
+      .groupBy("scope").agg(countDistinct("user_id").as("n_exact"))
+      .unionByName(events.agg(countDistinct("user_id").as("n_exact"))
+        .select(lit("global").as("scope"), col("n_exact")))
+    months.unionByName(global).join(exact, Seq("scope"))
+      .orderBy("scope")
+  }
+
+  /** DuckDB twin of [[hllSketchRollup]] — identical registers, merges,
+    * frozen constants. Embed after `WITH ` and select from `hll_rollup`.
+    */
+  def hllSketchRollupSql(): String = {
+    val lcVals = hllLinearCount
+      .map { case (v, e) => s"($v, $e)" }.mkString(", ")
+    val p43 = 1L << 43
+    def estSql(regCte: String, scopeExpr: String, grp: String) =
+      s"""SELECT $scopeExpr AS scope,
+         |       64 - COUNT(*) AS v_zeros,
+         |       CAST(SUM(1::BIGINT << (43 - rho))
+         |            + (64 - COUNT(*)) * $p43 AS BIGINT) AS denom
+         |FROM $regCte GROUP BY $grp""".stripMargin
+    s"""hr_keyed AS (
+       |  SELECT CAST(EXTRACT(year FROM ts) * 100
+       |              + EXTRACT(month FROM ts) AS BIGINT) AS ym,
+       |         epoch_ms(ts) // 86400000 AS day,
+       |         ${h48Sql("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |hr_regs AS (
+       |  SELECT ym, day, h % 64 AS idx,
+       |         MAX(CASE WHEN h // 64 = 0 THEN 43
+       |                  ELSE 43 - length(bin(h // 64)) END) AS rho
+       |  FROM hr_keyed GROUP BY 1, 2, 3),
+       |hr_month AS (
+       |  SELECT ym, idx, MAX(rho) AS rho FROM hr_regs GROUP BY 1, 2),
+       |hr_glob AS (
+       |  SELECT idx, MAX(rho) AS rho FROM hr_regs GROUP BY 1),
+       |hr_lc(v, lc_est) AS (VALUES $lcVals),
+       |hr_scoped AS (
+       |  ${estSql("hr_month", "'m:' || CAST(ym AS VARCHAR)", "ym")}
+       |  UNION ALL
+       |  ${estSql("hr_glob", "'global'", "'global'")}),
+       |hr_est AS (
+       |  SELECT s.scope, s.v_zeros, s.denom,
+       |         CASE WHEN $hllNumConst / CAST(s.denom AS DOUBLE) <= 160.0
+       |                AND s.v_zeros > 0 THEN l.lc_est
+       |              ELSE $hllNumConst / CAST(s.denom AS DOUBLE) END AS est,
+       |         CASE WHEN $hllNumConst / CAST(s.denom AS DOUBLE) <= 160.0
+       |                AND s.v_zeros > 0 THEN 'linear' ELSE 'raw' END
+       |           AS branch
+       |  FROM hr_scoped s LEFT JOIN hr_lc l ON l.v = s.v_zeros),
+       |hr_exact AS (
+       |  SELECT 'm:' || CAST(CAST(EXTRACT(year FROM ts) * 100
+       |           + EXTRACT(month FROM ts) AS BIGINT) AS VARCHAR) AS scope,
+       |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+       |  FROM events GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'global', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+       |  FROM events),
+       |hll_rollup AS (
+       |  SELECT e.scope, e.v_zeros, e.denom, e.est, e.branch, x.n_exact
+       |  FROM hr_est e JOIN hr_exact x USING (scope))""".stripMargin
+  }
+
   /** q279 — DYNAMIC PARTITION PRUNING star join: the fact lands on disk
     * partitioned by ship year-month, the date dimension carries the
     * quarter attribute, and the query filters the DIMENSION — so no

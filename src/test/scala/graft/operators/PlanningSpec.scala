@@ -511,6 +511,54 @@ class PlanningSpec extends SparkSpec {
     } finally graft.Scratch.rmTree(out.toFile)
   }
 
+  test("q282: register rollup equals an independent HLL reference; estimates land") {
+    import spark.implicits._
+    // 1500 users spread over two months, many per day — distinct-user
+    // truth is 1500 globally, 1000/900 per month (400 overlap)
+    val rows = ((1 to 1000).map(u => (u.toLong, 0L)) ++
+      (601 to 1500).map(u => (u.toLong, 40L))).zipWithIndex.map {
+      case ((u, dayBase), i) => (i.toLong, u, "v",
+        (dayBase + i % 5) * 86400000L, 1.0)
+    }
+    val e = rows.toDF("event_id", "user_id", "event_type", "ms", "value")
+      .selectExpr("event_id", "user_id", "event_type",
+        "ms * 1000000 AS ts_ns", "value")
+      .withColumn("ts", expr("timestamp_micros(CAST(ts_ns DIV 1000 AS LONG))"))
+    val out = java.nio.file.Files.createTempDirectory("graft-hll-spec")
+    try {
+      val got = Planning.hllSketchRollup(e, s"$out/sk").collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3),
+          r.getLong(5)))).toMap
+      // independent reference: same registers in plain Scala
+      def h48(s: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      def denomOf(users: Seq[Long]): Long = {
+        val regs = Array.fill(64)(0L)
+        users.foreach { u =>
+          val h = h48(u.toString)
+          val (idx, w) = ((h % 64).toInt, h / 64)
+          val rho = if (w == 0) 43L else 43L - java.lang.Long.toBinaryString(w).length
+          regs(idx) = math.max(regs(idx), rho)
+        }
+        regs.map(r => 1L << (43 - r)).sum
+      }
+      val globalUsers = (1L to 1500L)
+      assert(got("global")._1 == denomOf(globalUsers),
+        "merged registers must equal the directly-computed global registers")
+      // m=64 raw HLL: std error ~13%; 1500 distinct must land within 40%
+      for ((scope, exact) <- Seq("global" -> 1500L, "m:197001" -> 1000L)) {
+        val (_, est, nEx) = got(scope)
+        assert(nEx == exact, s"$scope exact audit")
+        assert(math.abs(est - exact) / exact.toDouble < 0.4,
+          s"$scope estimate $est too far from $exact")
+      }
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
   test("q272: below k the theta sketch is exact; saturated it stays consistent") {
     import spark.implicits._
     def ev(tp: String, users: Range) = users.map(u =>
