@@ -186,7 +186,8 @@ object ScaleBench {
     "q273_rise_patterns", "q274_dp_release", "q275_cusum_changepoints",
     "q276_loo_ablation", "q277_interleave_schedule", "q278_phrase_search",
     "q279_dpp_star_join", "q280_leased_vacuum",
-    "q281_stream_index_maintenance", "q282_hll_rollup")
+    "q281_stream_index_maintenance", "q282_hll_rollup",
+    "q283_result_cache")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

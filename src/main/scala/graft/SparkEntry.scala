@@ -1873,6 +1873,13 @@ object SparkEntry {
         TestData.nation(s, dir), TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // Version-keyed result cache: the snapshot version IS the cache
+    // key, so publishes invalidate by construction — four stages pin
+    // the miss/hit/miss/hit pattern with the served totals.
+    "q283_result_cache" -> { (s, dir) =>
+      ManifestTable.resultCache(TestData.events(s, dir),
+        scratchDir("graft-q283").resolve("events_table").toString)
+    },
     // Persisted HLL-register rollup: day sketches land once, month and
     // global distinct estimates merge the loaded registers (max per
     // bucket) — pre-aggregated COUNT(DISTINCT) without rescans.
@@ -3684,6 +3691,11 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Graph.hierarchyClosureSql()}
           SELECT depth, n_nodes, total_cents, min_key, max_key
           FROM hierarchy_closure ORDER BY depth""",
+
+    "q283_result_cache" ->
+      s"""WITH ${ManifestTable.resultCacheSql()}
+          SELECT stage, version, served_from, event_type, n, total_cents
+          FROM result_cache ORDER BY stage, event_type""",
 
     "q282_hll_rollup" ->
       s"""WITH ${Planning.hllSketchRollupSql()}

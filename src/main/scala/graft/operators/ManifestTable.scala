@@ -1110,6 +1110,96 @@ object ManifestTable {
     a.unionByName(b).unionByName(c).orderBy("stage", "event_type")
   }
 
+  // ---------------------------------------------------------------- q283
+
+  /** Serve the per-type-totals query through a VERSION-KEYED result
+    * cache: the cache entry's key is (query, snapshot version), so a
+    * publish invalidates by construction — no TTLs, no explicit purge
+    * messages, the pointer IS the invalidation. Returns the result
+    * frame and whether it was a hit. On a miss the result is computed
+    * from the pinned snapshot and written to `cache/<v>` before serving
+    * (so the first reader warms the cache for everyone).
+    */
+  def cachedTypeTotals(spark: SparkSession, tableDir: String,
+      cacheDir: String): (DataFrame, Boolean, Long) = {
+    val v = currentVersion(spark, tableDir).getOrElse(
+      sys.error(s"no published snapshot under $tableDir"))
+    val entry = s"$cacheDir/v$v"
+    val fs = new Path(cacheDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hit = fs.exists(new Path(s"$entry/_SUCCESS"))
+    if (!hit) {
+      readVersion(spark, tableDir, v)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .write.mode(SaveMode.Overwrite).parquet(entry)
+    }
+    (spark.read.parquet(entry), hit, v)
+  }
+
+  /** q283 — RESULT CACHE with manifest invalidation, end to end: v1 is
+    * published and the totals query runs cold (computed from the
+    * snapshot, cached under its version), then warm (served from the
+    * cache — `ResultCacheSpec` proves the hit never opens the data dir
+    * by DELETING the snapshot files first), then v2 is published — the
+    * version key makes the old entry unreachable, the query misses and
+    * recomputes from v2 — then warm again. Four stages, each carrying
+    * the hit verdict and resolved version, hash-checked against the
+    * raw-data oracle with the hit pattern pinned (miss, hit, miss, hit).
+    *
+    * Scale: this is the serving-tier discipline that makes dashboards
+    * O(result) instead of O(fact) — correctness rides entirely on the
+    * version key, which the atomic pointer (q241) already provides.
+    */
+  def resultCache(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val cacheDir = s"$tableDir/result_cache"
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    publish(slim, tableDir, 1L)
+    def stage(name: String): DataFrame = {
+      val (res, hit, v) = cachedTypeTotals(spark, tableDir, cacheDir)
+      res.select(lit(name).as("stage"), lit(v).as("version"),
+          lit(if (hit) "cache" else "table").as("served_from"),
+          col("event_type"), col("n"), col("total_cents"))
+        .localCheckpoint() // pin the stage's answer before the next publish
+    }
+    val a = stage("a_cold_v1")
+    val b = stage("b_warm_v1")
+    publish(slim.filter(col("event_type") =!= "error"), tableDir, 2L)
+    val c = stage("c_cold_v2")
+    val d = stage("d_warm_v2")
+    a.unionByName(b).unionByName(c).unionByName(d)
+      .orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[resultCache]]: stage totals from the raw events,
+    * versions and the miss/hit/miss/hit pattern pinned. Embed after
+    * `WITH ` and select from `result_cache`.
+    */
+  def resultCacheSql(): String =
+    s"""rc_all AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM events GROUP BY 1),
+       |rc_v2 AS (
+       |  SELECT event_type, n, total_cents FROM rc_all
+       |  WHERE event_type <> 'error'),
+       |result_cache AS (
+       |  SELECT 'a_cold_v1' AS stage, CAST(1 AS BIGINT) AS version,
+       |         'table' AS served_from, event_type, n, total_cents
+       |  FROM rc_all
+       |  UNION ALL
+       |  SELECT 'b_warm_v1', 1, 'cache', event_type, n, total_cents
+       |  FROM rc_all
+       |  UNION ALL
+       |  SELECT 'c_cold_v2', 2, 'table', event_type, n, total_cents
+       |  FROM rc_v2
+       |  UNION ALL
+       |  SELECT 'd_warm_v2', 2, 'cache', event_type, n, total_cents
+       |  FROM rc_v2)""".stripMargin
+
   /** DuckDB twin of [[leasedVacuum]]: per-stage totals from the raw
     * events with versions and retention counts pinned. Embed after
     * `WITH ` and select from `leased_vacuum`.

@@ -351,4 +351,30 @@ class ManifestTableSpec extends SparkSpec {
       assert(ManifestTable.read(spark, tbl).count() == 1L)
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q283: a warm hit never opens the data files; a publish invalidates the key") {
+    val out = java.nio.file.Files.createTempDirectory("graft-rc-spec")
+    try {
+      val (tbl, cache) = (s"$out/tbl", s"$out/cache")
+      ManifestTable.publish(
+        Seq((1L, "a", 1.0), (2L, "b", 2.5), (3L, "a", 0.5))
+          .toDF("event_id", "event_type", "value"), tbl, 1L)
+      val (r1, hit1, v1) = ManifestTable.cachedTypeTotals(spark, tbl, cache)
+      assert(!hit1 && v1 == 1L)
+      val cold = r1.collect().map(_.toSeq).toSet
+      assert(cold == Set(Seq("a", 2L, 150L), Seq("b", 1L, 250L)))
+      // destroy the snapshot's data: only the cache can answer now —
+      // a hit that touched the table would throw, not serve
+      graft.Scratch.rmTree(new java.io.File(s"$tbl/data/v1"))
+      val (r2, hit2, _) = ManifestTable.cachedTypeTotals(spark, tbl, cache)
+      assert(hit2, "second lookup must hit the version-keyed entry")
+      assert(r2.collect().map(_.toSeq).toSet == cold)
+      // a publish rotates the key: the stale entry is unreachable
+      ManifestTable.publish(
+        Seq((9L, "z", 9.0)).toDF("event_id", "event_type", "value"), tbl, 2L)
+      val (r3, hit3, v3) = ManifestTable.cachedTypeTotals(spark, tbl, cache)
+      assert(!hit3 && v3 == 2L, "new version must miss and recompute")
+      assert(r3.collect().map(_.toSeq).toSet == Set(Seq("z", 1L, 900L)))
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
