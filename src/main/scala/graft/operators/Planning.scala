@@ -2753,10 +2753,16 @@ object Planning {
       OracleSafe.quant(col("l_extendedprice"), 100).as("cents"),
       (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
         .cast("long").as("ym"))
-    fact.write.mode("overwrite").partitionBy("ym").parquet(s"$outDir/fact")
+    // repartition by the partition column BEFORE the partitioned write:
+    // otherwise every writer task holds every ym and the layout fans out
+    // into tasks × dirs tiny files (the q243 lesson — serve-side scans
+    // then pay per-file open cost on every probe)
+    fact.repartition(col("ym"))
+      .write.mode("overwrite").partitionBy("ym").parquet(s"$outDir/fact")
     fact.select("ym").distinct()
       .withColumn("quarter",
         OracleSafe.intDiv(col("ym") % 100 - 1, lit(3L)) + 1L)
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/dim")
     val f = spark.read.parquet(s"$outDir/fact")
     val d = spark.read.parquet(s"$outDir/dim").filter(col("quarter") === 1L)
