@@ -1873,6 +1873,13 @@ object SparkEntry {
         TestData.nation(s, dir), TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // Index intersection: the range predicate consults the zone map,
+    // the point predicate consults the per-zone Bloom, and the scan
+    // opens only the intersected zone dirs — composed file skipping.
+    "q284_index_intersection" -> { (s, dir) =>
+      Planning.indexIntersectionLookup(TestData.lineitem(s, dir),
+        scratchDir("graft-q284").resolve("ixn").toString)
+    },
     // Version-keyed result cache: the snapshot version IS the cache
     // key, so publishes invalidate by construction — four stages pin
     // the miss/hit/miss/hit pattern with the served totals.
@@ -3691,6 +3698,12 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Graph.hierarchyClosureSql()}
           SELECT depth, n_nodes, total_cents, min_key, max_key
           FROM hierarchy_closure ORDER BY depth""",
+
+    "q284_index_intersection" ->
+      s"""WITH ${Planning.indexIntersectionLookupSql()}
+          SELECT probe_key, zones_total, zones_range, zones_bloom,
+                 zones_used, n_rows, total_cents
+          FROM index_intersection ORDER BY probe_key""",
 
     "q283_result_cache" ->
       s"""WITH ${ManifestTable.resultCacheSql()}

@@ -1923,6 +1923,199 @@ object Planning {
       .write.mode("append").partitionBy("zone").parquet(s"$outDir/bloom")
   }
 
+  /** q284 — INDEX INTERSECTION: a query carrying BOTH a range predicate
+    * on the cluster key (a ship-date window) and a point predicate on a
+    * non-cluster key (l_orderkey) consults BOTH persisted indexes — the
+    * zone map answers the range side (q217/q268), the per-zone Bloom
+    * answers the point side (q237) — and the fact scan opens only the
+    * INTERSECTION of their candidate zone dirs. This is how real
+    * file-skipping stacks compose (Delta/Iceberg stats ∩ bloom columns):
+    * each index alone leaves I/O on the table — the range survives many
+    * months, the Bloom false-positives into out-of-window months — and
+    * the intersection is strictly tighter than either (spec-pinned).
+    * The window derives from the LOADED zone map (middle third of the
+    * clustered span), so the serve path never reads the raw table for
+    * its own workload.
+    *
+    * Output per probe key: candidate-zone counts per index and
+    * intersected, plus rows/cent totals from the intersected pruned
+    * scan — hash-equal to the oracle's direct filter because the zone
+    * map is exact on ranges and the Bloom admits no false negatives.
+    */
+  def indexIntersectionLookup(lineitem: DataFrame, outDir: String,
+      bitsPerKey: Int = 8, kHash: Int = 3, probeMod: Int = 997): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    // build: date-clustered fact carrying the sd column, zone map, bloom
+    val sd = (year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100
+      + dayofmonth(col("l_shipdate"))).cast("long")
+    lineitem.select(col("l_orderkey"),
+        OracleSafe.quant(col("l_extendedprice"), 100).as("cents"),
+        sd.as("sd"), monthZone.as("zone"))
+      .repartitionByRange(col("zone"))
+      .write.mode("overwrite").partitionBy("zone").parquet(s"$outDir/fact")
+    val built = spark.read.parquet(s"$outDir/fact")
+      .select(col("zone").cast("long").as("zone"), col("l_orderkey"),
+        col("sd"), col("cents"))
+    built.groupBy("zone").agg(min("sd").as("zmin"), max("sd").as("zmax"))
+      .write.mode("overwrite").parquet(s"$outDir/zonemap")
+    val zoneKeys = built
+      .select(col("zone"), h48(col("l_orderkey")).as("hk")).distinct()
+    val meta = zoneKeys.groupBy("zone")
+      .agg(greatest(count(lit(1)) * bitsPerKey, lit(1L)).as("m"))
+    meta.write.mode("overwrite").parquet(s"$outDir/meta")
+    zoneKeys.join(broadcast(meta), Seq("zone"))
+      .select(col("zone"), explode(sequence(lit(0), lit(kHash - 1))).as("i"),
+        col("hk"), col("m"))
+      .select(col("zone"),
+        (h48(concat(col("hk").cast("string"), lit(":"), col("i").cast("string")))
+          % col("m")).as("pos"))
+      .distinct()
+      .repartition(col("zone"))
+      .write.mode("overwrite").partitionBy("zone").parquet(s"$outDir/bloom")
+    // serve: window from the LOADED zone map (middle third of the span)
+    val zm = spark.read.parquet(s"$outDir/zonemap").localCheckpoint()
+    val metaL = spark.read.parquet(s"$outDir/meta").localCheckpoint()
+    val win = zm.agg(min("zmin").as("lo"), max("zmax").as("hi"))
+      .select((col("lo") + OracleSafe.intDiv(col("hi") - col("lo"), lit(3L)))
+        .as("wlo"),
+        (col("lo") + lit(2L) * OracleSafe.intDiv(col("hi") - col("lo"), lit(3L)))
+          .as("whi"))
+      .localCheckpoint()
+    val rangeZones = zm.crossJoin(broadcast(win))
+      .filter(!(col("zmax") < col("wlo") || col("zmin") > col("whi")))
+      .select("zone").localCheckpoint()
+    val bloom = spark.read.parquet(s"$outDir/bloom")
+      .select(col("zone").cast("long").as("zone"), col("pos"))
+    val present = lineitem.select(col("l_orderkey").as("probe_key"))
+      .distinct().filter(col("probe_key") % probeMod === 0)
+    val probes = present
+      .unionByName(present.select((col("probe_key") + 1000000000L)
+        .as("probe_key")))
+      .select(col("probe_key"), h48(col("probe_key")).as("hk"))
+    val bloomCands = probes.crossJoin(broadcast(metaL))
+      .select(col("probe_key"), col("zone"),
+        explode(sequence(lit(0), lit(kHash - 1))).as("i"), col("hk"), col("m"))
+      .select(col("probe_key"), col("zone"),
+        (h48(concat(col("hk").cast("string"), lit(":"), col("i").cast("string")))
+          % col("m")).as("pos"))
+      .join(bloom.withColumn("hit", lit(1)), Seq("zone", "pos"), "left")
+      .groupBy("probe_key", "zone")
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .filter(col("hits") === kHash)
+      .select("probe_key", "zone")
+      .localCheckpoint() // bounded: probes × candidate months
+    val used = bloomCands.join(rangeZones, Seq("zone"), "left_semi")
+      .localCheckpoint()
+    val zoneList = used.select("zone").distinct().as[Long].collect()
+    val zoneFilter =
+      if (zoneList.isEmpty) lit(false)
+      else col("zone").isin(zoneList.toIndexedSeq.map(Long.box): _*)
+    val matched = spark.read.parquet(s"$outDir/fact")
+      .filter(zoneFilter) // only INTERSECTED dirs ever open
+      .select(col("l_orderkey").as("probe_key"),
+        col("zone").cast("long").as("zone"), col("sd"), col("cents"))
+      .join(used, Seq("probe_key", "zone"))
+      .crossJoin(broadcast(win))
+      .filter(col("sd").between(col("wlo"), col("whi")))
+      .groupBy("probe_key")
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("total_cents"))
+    val counts = probes.select("probe_key")
+      .join(bloomCands.groupBy("probe_key")
+        .agg(count(lit(1)).as("zones_bloom")), Seq("probe_key"), "left")
+      .join(used.groupBy("probe_key")
+        .agg(count(lit(1)).as("zones_used")), Seq("probe_key"), "left")
+      .crossJoin(broadcast(zm.agg(count(lit(1)).as("zones_total"))))
+      .crossJoin(broadcast(rangeZones.agg(count(lit(1)).as("zones_range"))))
+    counts.join(matched, Seq("probe_key"), "left")
+      .select(col("probe_key"), col("zones_total"), col("zones_range"),
+        coalesce(col("zones_bloom"), lit(0L)).as("zones_bloom"),
+        coalesce(col("zones_used"), lit(0L)).as("zones_used"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"), col("total_cents"))
+      .orderBy("probe_key")
+  }
+
+  /** DuckDB twin of [[indexIntersectionLookup]] — identical zones, bloom
+    * rule, window derivation, and intersected totals, computed logically.
+    * Embed after `WITH ` and select from `index_intersection`.
+    */
+  def indexIntersectionLookupSql(bitsPerKey: Int = 8, kHash: Int = 3,
+      probeMod: Int = 997): String =
+    s"""ixn_fact AS (
+       |  SELECT l_orderkey,
+       |         ${OracleSafe.quantSql("l_extendedprice", 100)} AS cents,
+       |         CAST(year(l_shipdate) * 10000 + month(l_shipdate) * 100
+       |              + day(l_shipdate) AS BIGINT) AS sd,
+       |         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+       |           AS zone
+       |  FROM lineitem),
+       |ixn_zm AS (
+       |  SELECT zone, MIN(sd) AS zmin, MAX(sd) AS zmax
+       |  FROM ixn_fact GROUP BY 1),
+       |ixn_win AS (
+       |  SELECT lo + ${OracleSafe.intDivSql("hi - lo", "3")} AS wlo,
+       |         lo + 2 * ${OracleSafe.intDivSql("hi - lo", "3")} AS whi
+       |  FROM (SELECT MIN(zmin) AS lo, MAX(zmax) AS hi FROM ixn_zm)),
+       |ixn_range AS (
+       |  SELECT z.zone FROM ixn_zm z, ixn_win w
+       |  WHERE NOT (z.zmax < w.wlo OR z.zmin > w.whi)),
+       |ixn_zone_keys AS (
+       |  SELECT DISTINCT zone, ${h48Sql("l_orderkey")} AS hk FROM ixn_fact),
+       |ixn_meta AS (
+       |  SELECT zone, GREATEST(COUNT(*) * $bitsPerKey, 1) AS m
+       |  FROM ixn_zone_keys GROUP BY 1),
+       |ixn_bloom AS (
+       |  SELECT DISTINCT k.zone,
+       |         (${h48Sql("CAST(k.hk AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}) % m.m AS pos
+       |  FROM ixn_zone_keys k
+       |  JOIN ixn_meta m ON m.zone = k.zone,
+       |       (SELECT unnest(generate_series(0, $kHash - 1)) AS i)),
+       |ixn_present AS (
+       |  SELECT DISTINCT l_orderkey AS probe_key FROM lineitem
+       |  WHERE l_orderkey % $probeMod = 0),
+       |ixn_probes AS (
+       |  SELECT probe_key, ${h48Sql("probe_key")} AS hk FROM (
+       |    SELECT probe_key FROM ixn_present
+       |    UNION ALL
+       |    SELECT probe_key + 1000000000 FROM ixn_present)),
+       |ixn_bcand AS (
+       |  SELECT probe_key, zone FROM (
+       |    SELECT p.probe_key, p.zone,
+       |           SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS hits
+       |    FROM (SELECT p0.probe_key, p0.hk, m0.zone, m0.m,
+       |                 (${h48Sql("CAST(p0.hk AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}) % m0.m AS pos
+       |          FROM ixn_probes p0, ixn_meta m0,
+       |               (SELECT unnest(generate_series(0, $kHash - 1)) AS i)) p
+       |    LEFT JOIN ixn_bloom b ON b.zone = p.zone AND b.pos = p.pos
+       |    GROUP BY 1, 2)
+       |  WHERE hits = $kHash),
+       |ixn_used AS (
+       |  SELECT c.probe_key, c.zone FROM ixn_bcand c
+       |  WHERE EXISTS (SELECT 1 FROM ixn_range r WHERE r.zone = c.zone)),
+       |ixn_matched AS (
+       |  SELECT f.l_orderkey AS probe_key,
+       |         COUNT(*) AS n_rows, SUM(f.cents) AS total_cents
+       |  FROM ixn_fact f
+       |  JOIN ixn_used u ON u.probe_key = f.l_orderkey AND u.zone = f.zone,
+       |       ixn_win w
+       |  WHERE f.sd BETWEEN w.wlo AND w.whi
+       |  GROUP BY 1),
+       |index_intersection AS (
+       |  SELECT p.probe_key,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM ixn_zm) AS zones_total,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM ixn_range)
+       |           AS zones_range,
+       |         CAST(COALESCE(b.n, 0) AS BIGINT) AS zones_bloom,
+       |         CAST(COALESCE(u.n, 0) AS BIGINT) AS zones_used,
+       |         CAST(COALESCE(m.n_rows, 0) AS BIGINT) AS n_rows,
+       |         CAST(m.total_cents AS BIGINT) AS total_cents
+       |  FROM (SELECT DISTINCT probe_key FROM ixn_probes) p
+       |  LEFT JOIN (SELECT probe_key, COUNT(*) AS n FROM ixn_bcand
+       |             GROUP BY 1) b USING (probe_key)
+       |  LEFT JOIN (SELECT probe_key, COUNT(*) AS n FROM ixn_used
+       |             GROUP BY 1) u USING (probe_key)
+       |  LEFT JOIN ixn_matched m USING (probe_key))""".stripMargin
+
   /** Serve half of [[bloomIndexedLookup]]: probe keys (drawn from
     * `keysFrom`'s order keys, plus guaranteed-absent shifts) route through
     * the LOADED index only, and the fact scan opens only candidate zone
