@@ -187,7 +187,8 @@ object ScaleBench {
     "q276_loo_ablation", "q277_interleave_schedule", "q278_phrase_search",
     "q279_dpp_star_join", "q280_leased_vacuum",
     "q281_stream_index_maintenance", "q282_hll_rollup",
-    "q283_result_cache", "q284_index_intersection")
+    "q283_result_cache", "q284_index_intersection",
+    "q285_time_weighted_avg")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

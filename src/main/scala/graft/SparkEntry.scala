@@ -1873,6 +1873,12 @@ object SparkEntry {
         TestData.nation(s, dir), TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // Time-weighted average over irregular samples: step interpolation
+    // weights each value by its holding interval — exact BIGINT weighted
+    // sums, one division per user; one user_id shuffle for everything.
+    "q285_time_weighted_avg" -> { (s, dir) =>
+      Events.timeWeightedAverage(TestData.events(s, dir))
+    },
     // Index intersection: the range predicate consults the zone map,
     // the point predicate consults the per-zone Bloom, and the scan
     // opens only the intersected zone dirs — composed file skipping.
@@ -3698,6 +3704,11 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Graph.hierarchyClosureSql()}
           SELECT depth, n_nodes, total_cents, min_key, max_key
           FROM hierarchy_closure ORDER BY depth""",
+
+    "q285_time_weighted_avg" ->
+      s"""WITH ${Events.timeWeightedAverageSql()}
+          SELECT user_id, n_events, span_ms, wsum, twap_cents
+          FROM twap ORDER BY user_id""",
 
     "q284_index_intersection" ->
       s"""WITH ${Planning.indexIntersectionLookupSql()}

@@ -717,6 +717,59 @@ object Events {
        |  FROM ra_dev d, ra_mad a
        |  WHERE d.dev > $k * a.mad_res)""".stripMargin
 
+  /** q285 — TIME-WEIGHTED average over an IRREGULARLY-sampled series:
+    * per user, the mean of `value` weighted by how long each observation
+    * HELD (step interpolation until the next event) — the TWAP/metrics
+    * semantics a plain AVG silently gets wrong whenever sampling is
+    * bursty (a value observed for 10 hours must count 3600× one observed
+    * for 10 seconds). One lead() window per user supplies each sample's
+    * holding interval; the weighted sum is exact BIGINT (cents ×
+    * interval-ms), with ONE double division per user at the boundary.
+    * Users with a single event have no held interval and are excluded
+    * (the spec pins this and the burst-vs-plain divergence).
+    *
+    * Scale: one user_id shuffle serves the window and the aggregate;
+    * nothing global, nothing iterative.
+    */
+  def timeWeightedAverage(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    events.select(col("user_id"), col("event_id"), msCol.as("ms"),
+        OracleSafe.quant(col("value"), 100).as("cents"))
+      .withColumn("next_ms", lead("ms", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("ms") - min("ms")).as("span_ms"),
+        sum(when(col("next_ms").isNotNull,
+          col("cents") * (col("next_ms") - col("ms")))).as("wsum"))
+      .filter(col("span_ms") > 0L)
+      .select(col("user_id"), col("n_events"), col("span_ms"), col("wsum"),
+        (col("wsum").cast("double") / col("span_ms").cast("double"))
+          .as("twap_cents"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB twin of [[timeWeightedAverage]]. Embed after `WITH ` and
+    * select from `twap`.
+    */
+  def timeWeightedAverageSql(): String =
+    s"""twap_steps AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+       |         ${OracleSafe.quantSql("value", 100)} AS cents,
+       |         LEAD(epoch_ms(ts), 1) OVER (PARTITION BY user_id
+       |           ORDER BY epoch_ms(ts), event_id) AS next_ms
+       |  FROM events),
+       |twap AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |         MAX(ms) - MIN(ms) AS span_ms,
+       |         CAST(SUM(CASE WHEN next_ms IS NOT NULL
+       |                       THEN cents * (next_ms - ms) END) AS BIGINT)
+       |           AS wsum,
+       |         CAST(SUM(CASE WHEN next_ms IS NOT NULL
+       |                       THEN cents * (next_ms - ms) END) AS DOUBLE)
+       |           / CAST(MAX(ms) - MIN(ms) AS DOUBLE) AS twap_cents
+       |  FROM twap_steps GROUP BY 1
+       |  HAVING MAX(ms) - MIN(ms) > 0)""".stripMargin
+
   /** q275 — CUSUM changepoint detection over the daily event-count
     * series, in the CLOSED FORM that makes the sequential recurrence
     * window-expressible: the textbook one-sided CUSUM

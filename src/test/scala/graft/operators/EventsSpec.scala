@@ -296,6 +296,24 @@ class EventsSpec extends SparkSpec {
       s"only spike-perturbed days may flag: $flagged")
   }
 
+  test("q285: holding intervals weight the mean; bursts do not distort it") {
+    // user 1: value 10.0 held for 9s, then value 100.0 for the final 1s
+    // sampled ten times in a burst — plain AVG ≈ 91.8, TWAP = 19.0
+    val rows = Seq((1L, 1L, 0L, 10.0)) ++
+      (0 until 10).map(i => (10L + i, 1L, 9000L + i * 100, 100.0)) ++
+      Seq((99L, 1L, 10000L, 100.0)) ++
+      Seq((200L, 2L, 0L, 5.0)) // single event: no interval, excluded
+    val e = rows.map { case (id, u, ms, v) => (id, u, ms, v) }
+      .toDF("event_id", "user_id", "ms", "value")
+      .selectExpr("event_id", "user_id", "ms * 1000000 AS ts_ns", "value")
+    val r = Events.timeWeightedAverage(e).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4)))).toMap
+    // wsum = 1000c*9000ms + 10000c*(100ms*10) = 9e6 + 1e7 = 1.9e7; span 1e4
+    assert(r(1L) == ((12L, 10000L, 19000000L, 1900.0)), r.get(1L))
+    assert(!r.contains(2L), "single-sample user has no held interval")
+  }
+
   test("q275: the window closed form equals the sequential CUSUM recurrence") {
     // 20 quiet days (10/day) then a sustained shift (30/day for 10 days)
     val counts = Seq.fill(20)(10) ++ Seq.fill(10)(30)
