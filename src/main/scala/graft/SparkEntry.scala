@@ -1873,6 +1873,12 @@ object SparkEntry {
         TestData.nation(s, dir), TestData.customer(s, dir),
         TestData.orders(s, dir), TestData.lineitem(s, dir))
     },
+    // Wilson lower-bound ranking: confidence-adjusted return rates —
+    // the small-sample correction behind sort-by-rating; IEEE-exact
+    // (sqrt is correctly rounded; identical op order in both engines).
+    "q286_wilson_ranking" -> { (s, dir) =>
+      Profile.wilsonReturnRanking(TestData.lineitem(s, dir))
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3704,6 +3710,11 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Graph.hierarchyClosureSql()}
           SELECT depth, n_nodes, total_cents, min_key, max_key
           FROM hierarchy_closure ORDER BY depth""",
+
+    "q286_wilson_ranking" ->
+      s"""WITH ${Profile.wilsonReturnRankingSql()}
+          SELECT l_partkey, n, r, rate, wilson_lb
+          FROM wilson_rank ORDER BY wilson_lb DESC, l_partkey""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

@@ -301,4 +301,59 @@ object Profile {
        |  FROM ks_cum c JOIN ks_tot t USING (event_type)
        |  GROUP BY c.event_type, t.na, t.nb)""".stripMargin
   }
+
+  /** q286 — WILSON LOWER-BOUND ranking: parts ranked by the 95% Wilson
+    * score lower bound of their return rate instead of the raw rate —
+    * the small-sample correction behind every "sort by rating" system
+    * (a 2/2 part must NOT outrank a 28/30 part; the raw rate says it
+    * does, the lower bound says it doesn't — spec-pinned). Counts are
+    * exact integers from one map-side-combinable aggregate; the bound
+    * itself is IEEE double arithmetic written in the IDENTICAL operation
+    * order in both engines (sqrt is correctly-rounded by IEEE 754, so
+    * the full expression is engine-exact — no frozen table needed,
+    * unlike ln/exp in q228/q274). z = 1.96 rides as a literal.
+    *
+    * Output: top-k by (wilson_lb desc, partkey), with the raw rate
+    * beside the bound so the re-ranking is visible in the data.
+    */
+  def wilsonReturnRanking(lineitem: DataFrame, k: Int = 20): DataFrame = {
+    val counts = lineitem.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+    val nD = col("n").cast("double")
+    val p = col("r").cast("double") / nD
+    val z = lit(1.96)
+    val z2 = z * z
+    val lb = (p + z2 / (lit(2.0) * nD)
+      - z * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nD)) / nD)) /
+      (lit(1.0) + z2 / nD)
+    counts.select(col("l_partkey"), col("n"), col("r"), p.as("rate"),
+        lb.as("wilson_lb"))
+      .orderBy(col("wilson_lb").desc, col("l_partkey"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[wilsonReturnRanking]] — the same expression, the
+    * same operation order. Embed after `WITH ` and select from
+    * `wilson_rank`.
+    */
+  def wilsonReturnRankingSql(k: Int = 20): String =
+    s"""wr_counts AS (
+       |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+       |           AS r
+       |  FROM lineitem GROUP BY 1),
+       |wilson_rank AS (
+       |  SELECT l_partkey, n, r,
+       |         CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+       |         ((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+       |          + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+       |          - 1.96 * sqrt(((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+       |              * (1.0 - (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
+       |              + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)))
+       |            / CAST(n AS DOUBLE)))
+       |         / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_lb
+       |  FROM wr_counts
+       |  ORDER BY wilson_lb DESC, l_partkey
+       |  LIMIT $k)""".stripMargin
 }

@@ -107,4 +107,28 @@ class ProfileSpec extends SparkSpec {
     assert(r("y").getAs[Double]("d_stat") == 0.0)
     assert(r("y").getAs[Int]("drifted") == 0)
   }
+
+  test("q286: the lower bound demotes tiny samples that raw rate over-ranks") {
+    import spark.implicits._
+    // part 1: 2/2 returned (raw 1.0); part 2: 28/30 (raw 0.933);
+    // part 3: 1/100 — Wilson must put part 2 FIRST despite raw saying 1
+    val rows = (1 to 2).map(i => (1L, "R")) ++
+      (1 to 28).map(_ => (2L, "R")) ++ (1 to 2).map(_ => (2L, "N")) ++
+      Seq((3L, "R")) ++ (1 to 99).map(_ => (3L, "N"))
+    val li = rows.toDF("l_partkey", "l_returnflag")
+    val got = Profile.wilsonReturnRanking(li, k = 3).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L, 1L, 3L),
+      s"wilson order wrong: ${got.map(_.getLong(0)).toSeq}")
+    val byPart = got.map(r => r.getLong(0) ->
+      ((r.getDouble(3), r.getDouble(4)))).toMap
+    // raw rate still says part 1 wins — the re-ranking is the point
+    assert(byPart(1L)._1 == 1.0 && byPart(2L)._1 < 1.0)
+    assert(byPart(2L)._2 > byPart(1L)._2)
+    // independent scalar reference for the n=2, k=2 bound
+    val (n, kk, z) = (2.0, 2.0, 1.96)
+    val p = kk / n
+    val ref = (p + z * z / (2 * n) -
+      z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)) / (1 + z * z / n)
+    assert(math.abs(byPart(1L)._2 - ref) < 1e-12)
+  }
 }
