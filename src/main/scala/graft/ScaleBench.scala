@@ -226,14 +226,15 @@ object ScaleBench {
     * type via `EventEncoding`.
     */
   private def scaleKeyed(spark: SparkSession, base: String, copies: Int,
-      table: String, keyCols: Seq[String]): DataFrame = {
+      table: String, keyDeltas: Map[String, Long]): DataFrame = {
     val raw = spark.read.parquet(s"$base/$table.parquet")
-    val delta = 100000000L
     raw.crossJoin(
         spark.range(copies.toLong).select(col("id").as("copy")))
       .select(raw.columns.map { c =>
-        if (keyCols.contains(c)) (col(c) + col("copy") * delta).as(c)
-        else col(c)
+        keyDeltas.get(c) match {
+          case Some(delta) => (col(c) + col("copy") * delta).as(c)
+          case None => col(c)
+        }
       }.toSeq: _*)
   }
 
@@ -248,20 +249,34 @@ object ScaleBench {
       .write.mode(SaveMode.Overwrite).parquet(s"$scaledDir/documents.parquet")
     scaleEmbeddings(spark, base, copies).repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$scaledDir/embeddings.parquet")
-    scaleKeyed(spark, base, copies, "events", Seq("event_id", "user_id"))
+    val wideDelta = 100000000L
+    // The CUSTOMER keyspace delta is the base table's key count, NOT the
+    // wide 1e8 offset: base c_custkey is dense 0-based (verified in the
+    // testdata), so offsetting copy i by i·|customer| keeps the scaled
+    // keyspace dense 0-based too. q271's recursive closure defines its
+    // hierarchy as the DIV-2 heap forest over that keyspace — a gapped
+    // offset orphans every non-copy-0 node's parent and the closure's
+    // coverage guard now fails loudly; a dense offset scales the FOREST
+    // (10× nodes, depth +log₂10) instead of emptying it. FK integrity is
+    // unchanged as long as o_custkey shifts by the SAME delta.
+    val custDelta = spark.read.parquet(s"$base/customer.parquet").count()
+    scaleKeyed(spark, base, copies, "events",
+        Map("event_id" -> wideDelta, "user_id" -> wideDelta))
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$scaledDir/events.parquet")
-    scaleKeyed(spark, base, copies, "orders", Seq("o_orderkey", "o_custkey"))
+    scaleKeyed(spark, base, copies, "orders",
+        Map("o_orderkey" -> wideDelta, "o_custkey" -> custDelta))
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$scaledDir/orders.parquet")
-    scaleKeyed(spark, base, copies, "lineitem", Seq("l_orderkey", "l_suppkey"))
+    scaleKeyed(spark, base, copies, "lineitem",
+        Map("l_orderkey" -> wideDelta, "l_suppkey" -> wideDelta))
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$scaledDir/lineitem.parquet")
     // customer scales with the SAME key delta as orders.o_custkey, so each
     // order copy still belongs to its customer copy (per-customer order
     // history preserved at 10×); nation is a fixed dimension — copied
     // through unscaled so q149's 25-row broadcast claim is what's measured
-    scaleKeyed(spark, base, copies, "customer", Seq("c_custkey"))
+    scaleKeyed(spark, base, copies, "customer", Map("c_custkey" -> custDelta))
       .repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$scaledDir/customer.parquet")
     // fixed dimensions copied through unscaled (q163 reads all 10 tables)

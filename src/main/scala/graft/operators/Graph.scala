@@ -409,6 +409,20 @@ object Graph {
       rounds += 1
     }
     require(converged, s"pointer jumping unconverged after $rounds rounds")
+    // COVERAGE GUARD: the inner self-join silently drops any node whose
+    // ancestor key has no row (a non-dense / non-0-rooted keyspace), and
+    // the one-directional anti-join above would then declare convergence
+    // over the survivors. The contract is TOTAL closure over a dense
+    // 0-based DIV-2 forest, so enforce it loudly: every input node must
+    // still be present, and every fixpoint chain must terminate at the
+    // root. Two bounded driver actions, once, after the O(log n) loop.
+    val nBase = base.count()
+    val nState = state.count()
+    require(nState == nBase,
+      s"pointer jumping dropped ${nBase - nState} of $nBase nodes — " +
+        "keyspace is not a dense 0-based DIV-2 forest")
+    require(state.filter(col("a") =!= 0L).isEmpty,
+      "converged state has chains not terminating at root 0")
     state.join(base, Seq("v"))
       .groupBy(col("d").as("depth"))
       .agg(count(lit(1)).as("n_nodes"), sum("cents").as("total_cents"),

@@ -2798,8 +2798,14 @@ object Planning {
   private lazy val hllLinearCount: IndexedSeq[(Long, Double)] =
     (1 to 63).map(v => (v.toLong, 64.0 * math.log(64.0 / v)))
 
-  /** alpha_64 · m² · 2⁴³ / 10⁶ as one frozen double literal (the raw-HLL
+  /** alpha · m² · 2⁴³ / 10⁶ as one frozen double literal (the raw-HLL
     * numerator over the 2⁴³-scaled integer harmonic denominator).
+    * alpha here is the m ≥ 128 closed form 0.7213/(1 + 1.079/m)
+    * EVALUATED AT m = 64 (= 0.709270), not the paper's tabulated
+    * alpha_64 = 0.709 — the two differ in the 4th decimal. Engine
+    * parity is unaffected (the same literal is frozen into both
+    * plans); the constant choice only nudges the estimator ~0.04%
+    * relative to the Flajolet et al. tabulation.
     */
   private lazy val hllNumConst: Double =
     709270.0 * 4096.0 * 8796093022208.0 / 1000000.0
@@ -3005,9 +3011,15 @@ object Planning {
     * doubles are single divisions of exactly-representable numerators.
     * Keys are (user, day) visit pairs so the sets genuinely differ per
     * event type; identity is the 48-bit key hash on both sides.
+    * Both plans anchor on the STATIC pair list (left-join + COALESCE),
+    * so degenerate inputs — an event type absent from the data, or no
+    * merged hash below θ — still emit one zero-count row per pair with
+    * a non-null θ (= max48 for an empty sketch) instead of diverging.
     */
   def thetaSketchSetOps(events: DataFrame, k: Int = 256): DataFrame = {
     require(k >= 2, s"theta sketch needs k >= 2, got $k")
+    val spark = events.sparkSession
+    import spark.implicits._
     val max48 = 1L << 48
     val keys = events.select(col("event_type"),
       h48(concat_ws(":", col("user_id").cast("string"),
@@ -3023,33 +3035,42 @@ object Planning {
         when(col("n_ret") < k, lit(max48)).otherwise(col("h_k")).as("theta"))
     val pairs = Seq(("click", "purchase"), ("view", "error"),
       ("signup", "click"))
+    // Anchor each pair's θ on the STATIC pair list: an event type absent
+    // from the data has an empty sketch, i.e. < k retained hashes, so its
+    // θ is max48 by the same rule the aggregate applies — a left join with
+    // COALESCE keeps the pair row alive (and its θ non-null) on degenerate
+    // inputs, matching the SQL twin's identical anchoring.
+    def anchoredTheta(t: String, alias: String): DataFrame =
+      broadcast(Seq(t).toDF("event_type")
+        .join(thetas, Seq("event_type"), "left")
+        .select(coalesce(col("theta"), lit(max48)).as(alias)))
     pairs.map { case (ta, tb) =>
-      val thA = thetas.filter(col("event_type") === ta)
-        .select(col("theta").as("theta_a"))
-      val thB = thetas.filter(col("event_type") === tb)
-        .select(col("theta").as("theta_b"))
+      val th = broadcast(
+        anchoredTheta(ta, "theta_a").crossJoin(anchoredTheta(tb, "theta_b"))
+          .select(least(col("theta_a"), col("theta_b")).as("theta")))
       val sa = sk.filter(col("event_type") === ta).select(col("h").as("ha"))
       val sb = sk.filter(col("event_type") === tb).select(col("h").as("hb"))
       val merged = sa.join(sb, sa("ha") === sb("hb"), "full_outer")
-        .crossJoin(broadcast(thA.crossJoin(thB)))
-        .withColumn("theta", least(col("theta_a"), col("theta_b")))
+        .crossJoin(th)
         .withColumn("h", coalesce(col("ha"), col("hb")))
         .filter(col("h") < col("theta"))
+      // sums COALESCE to 0 and θ comes from the one-row anchor, so a pair
+      // with no retained hash below θ still emits a fully-typed zero row.
       val cnt = merged.agg(
         count(lit(1)).as("n_union_below"),
-        sum(when(col("ha").isNotNull && col("hb").isNotNull, 1L)
-          .otherwise(0L)).as("n_inter_below"),
-        sum(when(col("ha").isNotNull && col("hb").isNull, 1L)
-          .otherwise(0L)).as("n_diff_below"),
-        max("theta").as("theta"))
+        coalesce(sum(when(col("ha").isNotNull && col("hb").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_inter_below"),
+        coalesce(sum(when(col("ha").isNotNull && col("hb").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_diff_below"))
+        .crossJoin(th)
       val ea = keys.filter(col("event_type") === ta).select(col("h").as("ha"))
       val eb = keys.filter(col("event_type") === tb).select(col("h").as("hb"))
       val exact = ea.join(eb, ea("ha") === eb("hb"), "full_outer").agg(
         count(lit(1)).as("exact_union"),
-        sum(when(col("ha").isNotNull && col("hb").isNotNull, 1L)
-          .otherwise(0L)).as("exact_inter"),
-        sum(when(col("ha").isNotNull && col("hb").isNull, 1L)
-          .otherwise(0L)).as("exact_diff"))
+        coalesce(sum(when(col("ha").isNotNull && col("hb").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("exact_inter"),
+        coalesce(sum(when(col("ha").isNotNull && col("hb").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("exact_diff"))
       cnt.crossJoin(exact).select(
         lit(s"${ta}_$tb").as("pair"), col("theta"),
         col("n_union_below"), col("n_inter_below"), col("n_diff_below"),
@@ -3097,20 +3118,22 @@ object Planning {
        |         MAX(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
        |  FROM ts_pairs p JOIN ts_sk s ON s.event_type IN (p.ta, p.tb)
        |  GROUP BY 1, 2),
+       |ts_thp AS (
+       |  SELECT p.pair,
+       |         LEAST(COALESCE(tha.theta, CAST($max48 AS BIGINT)),
+       |               COALESCE(thb.theta, CAST($max48 AS BIGINT))) AS theta
+       |  FROM ts_pairs p
+       |  LEFT JOIN ts_theta tha ON tha.event_type = p.ta
+       |  LEFT JOIN ts_theta thb ON thb.event_type = p.tb),
        |ts_below AS (
-       |  SELECT m.pair, LEAST(tha.theta, thb.theta) AS theta,
-       |         CAST(COUNT(*) FILTER (WHERE m.h
-       |           < LEAST(tha.theta, thb.theta)) AS BIGINT) AS n_union_below,
+       |  SELECT t.pair, t.theta,
+       |         CAST(COUNT(*) FILTER (WHERE m.h < t.theta) AS BIGINT)
+       |           AS n_union_below,
        |         CAST(COUNT(*) FILTER (WHERE m.in_a = 1 AND m.in_b = 1
-       |           AND m.h < LEAST(tha.theta, thb.theta)) AS BIGINT)
-       |           AS n_inter_below,
+       |           AND m.h < t.theta) AS BIGINT) AS n_inter_below,
        |         CAST(COUNT(*) FILTER (WHERE m.in_a = 1 AND m.in_b = 0
-       |           AND m.h < LEAST(tha.theta, thb.theta)) AS BIGINT)
-       |           AS n_diff_below
-       |  FROM ts_mem m
-       |  JOIN ts_pairs p ON p.pair = m.pair
-       |  JOIN ts_theta tha ON tha.event_type = p.ta
-       |  JOIN ts_theta thb ON thb.event_type = p.tb
+       |           AND m.h < t.theta) AS BIGINT) AS n_diff_below
+       |  FROM ts_thp t LEFT JOIN ts_mem m ON m.pair = t.pair
        |  GROUP BY 1, 2),
        |ts_emem AS (
        |  SELECT p.pair, s.h,
@@ -3119,12 +3142,13 @@ object Planning {
        |  FROM ts_pairs p JOIN ts_keys s ON s.event_type IN (p.ta, p.tb)
        |  GROUP BY 1, 2),
        |ts_exact AS (
-       |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS exact_union,
-       |         CAST(COUNT(*) FILTER (WHERE in_a = 1 AND in_b = 1)
+       |  SELECT p.pair, CAST(COUNT(e.h) AS BIGINT) AS exact_union,
+       |         CAST(COUNT(*) FILTER (WHERE e.in_a = 1 AND e.in_b = 1)
        |           AS BIGINT) AS exact_inter,
-       |         CAST(COUNT(*) FILTER (WHERE in_a = 1 AND in_b = 0)
+       |         CAST(COUNT(*) FILTER (WHERE e.in_a = 1 AND e.in_b = 0)
        |           AS BIGINT) AS exact_diff
-       |  FROM ts_emem GROUP BY 1),
+       |  FROM ts_pairs p LEFT JOIN ts_emem e ON e.pair = p.pair
+       |  GROUP BY 1),
        |theta_setops AS (
        |  SELECT w.pair, w.theta, w.n_union_below, w.n_inter_below,
        |         w.n_diff_below,

@@ -460,9 +460,17 @@ object Privacy {
     * visible as data. The noise is drawn DETERMINISTICALLY for the
     * oracle's sake: an md5 of the release-qualified group key indexes a
     * 256-bin truncated-Laplace quantile table frozen as fixed-point
-    * literals in both plans (production swaps the hash for a real RNG;
-    * everything else — sensitivity, scale, composition, post-processing
-    * — is the mechanism as deployed). Event-level DP (Δ = 1 per event).
+    * literals in both plans. Two caveats separate this from a certified
+    * release: (1) the hash-indexed draw stands in for a real RNG, and
+    * (2) the quantile table TRUNCATES the noise to ±2·ln(256) ≈ 11.1
+    * (the bin-midpoint extremes × the ε=1/2 scale), and truncated
+    * Laplace does NOT satisfy the pure-ε guarantee the budget ledger
+    * charges — the ε accounting here is NOMINAL for the untruncated
+    * mechanism; a deployment would either draw unbounded Laplace or
+    * account the clipped tail mass (≤ 2/256 per draw) as a δ term.
+    * Sensitivity, scale, sequential composition, and post-processing
+    * are otherwise the standard mechanism. Event-level DP (Δ = 1 per
+    * event).
     *
     * Scale: two map-side-combinable counting aggregates plus a 256-row
     * broadcast; noise injection is arithmetic on the group frame. The

@@ -175,4 +175,26 @@ class GraphSpec extends SparkSpec {
       0L -> ((1L, 100L)), 1L -> ((1L, 100L)), 2L -> ((2L, 200L)),
       3L -> ((4L, 400L)), 4L -> ((7L, 700L))), s"got $r")
   }
+
+  test("q271: a gapped keyspace fails the coverage guard loudly") {
+    // keys 0..7 plus an orphan block at 1e8..1e8+7 (the old ScaleBench
+    // copy offset): every orphan's DIV-2 parent is missing, so the inner
+    // self-join would silently shed them and 'converge' over the
+    // survivors — the guard must turn that into a loud failure instead
+    // of a partial answer.
+    import org.apache.spark.sql.functions.{col, lit}
+    val gapped = spark.range(8).select(col("id"))
+      .union(spark.range(100000000L, 100000008L).select(col("id")))
+      .select(col("id").cast("int").as("c_custkey"), lit(1.0).as("c_acctbal"))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.hierarchyClosure(gapped).collect()
+    }
+    assert(ex.getMessage.contains("dropped"), s"wrong failure: $ex")
+    // and the DENSE 10x-style scaling (offset = base key count) keeps
+    // the forest total: 0..29 is just a deeper heap, all 30 nodes out
+    val dense = spark.range(30).select(
+      col("id").cast("int").as("c_custkey"), lit(1.0).as("c_acctbal"))
+    val out = Graph.hierarchyClosure(dense).collect()
+    assert(out.map(_.getLong(1)).sum == 30L, "dense keyspace: all nodes")
+  }
 }

@@ -596,6 +596,37 @@ class PlanningSpec extends SparkSpec {
     assert(est > 50 && est < 400, s"union estimate wildly off: $est")
   }
 
+  test("q272: degenerate inputs still emit one fully-typed row per pair") {
+    import spark.implicits._
+    // view/error/signup are ABSENT: their sketches are empty, so their
+    // pairs must anchor on the static list with theta = 2^48 and zero
+    // counts — never a dropped row or a NULL column (the SQL twin's
+    // left-join anchoring is the same shape, so this pins the contract).
+    val events = (1 to 5).map(u => (u.toLong, "click", "2024-01-01 00:00:00"))
+      .toDF("user_id", "event_type", "t")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val rows = Planning.thetaSketchSetOps(events, k = 16).collect()
+    assert(rows.length == 3, s"static pair anchor: ${rows.length} rows")
+    val byPair = rows.map(x => x.getString(0) -> x).toMap
+    for (p <- Seq("click_purchase", "view_error", "signup_click")) {
+      val x = byPair(p)
+      assert(!x.anyNull, s"$p must have no NULL column: $x")
+      assert(x.getAs[Long]("theta") == (1L << 48), s"$p theta")
+    }
+    // one-sided pair: click present (5 users), purchase empty
+    val cp = byPair("click_purchase")
+    assert(cp.getAs[Long]("n_union_below") == 5L
+      && cp.getAs[Long]("n_inter_below") == 0L
+      && cp.getAs[Long]("n_diff_below") == 5L, s"one-sided counts: $cp")
+    assert(cp.getAs[Long]("exact_union") == 5L
+      && cp.getAs[Long]("exact_diff") == 5L, s"one-sided exact: $cp")
+    // both-sides-empty pair: all-zero counts, estimate exactly 0.0
+    val ve = byPair("view_error")
+    assert(ve.getAs[Long]("n_union_below") == 0L
+      && ve.getAs[Long]("exact_union") == 0L
+      && ve.getAs[Double]("est_union") == 0.0, s"empty pair: $ve")
+  }
+
   test("q270: both passes strip dangling tuples and the reduced join is exact") {
     import spark.implicits._
     val region = Seq((0, "ASIA"), (1, "EUROPE"), (2, "AFRICA"))
