@@ -1879,6 +1879,13 @@ object SparkEntry {
     "q286_wilson_ranking" -> { (s, dir) =>
       Profile.wilsonReturnRanking(TestData.lineitem(s, dir))
     },
+    // Compaction racing a live append: both writers pin the same base,
+    // the CAS picks one winner, the loser rebases — the final table is
+    // the serial replay (Iceberg's rewrite+append conflict, resolved).
+    "q287_compact_vs_append" -> { (s, dir) =>
+      ManifestTable.compactionVsAppend(TestData.events(s, dir),
+        scratchDir("graft-q287").resolve("events_table").toString)
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3715,6 +3722,11 @@ object SparkEntry {
       s"""WITH ${Profile.wilsonReturnRankingSql()}
           SELECT l_partkey, n, r, rate, wilson_lb
           FROM wilson_rank ORDER BY wilson_lb DESC, l_partkey""",
+
+    "q287_compact_vs_append" ->
+      s"""WITH ${ManifestTable.compactionVsAppendSql()}
+          SELECT stage, version, conflict, event_type, n, total_cents
+          FROM compact_vs_append ORDER BY stage, event_type""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

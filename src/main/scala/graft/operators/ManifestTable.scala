@@ -489,6 +489,107 @@ object ManifestTable {
        |  SELECT 'd_writer_b_rebased', 3, 0, event_type, n, a_cents
        |  FROM cc_states WHERE event_type <> 'view')""".stripMargin
 
+  /** q287 — COMPACTION RACING A LIVE APPEND through the CAS path: the
+    * Iceberg "rewrite + append conflict" story, composing q241's atomic
+    * publish with q248's put-if-absent arbitration. A compactor rewrites
+    * the base snapshot's rows into fewer files while an appender —
+    * pinned to the SAME base — tries to commit new rows; both race for
+    * the same commit slot, the filesystem's exclusive-create picks
+    * exactly one winner (here: the compactor), the loser's staged files
+    * are deleted unpublished, and the loser REBASES against the new
+    * CURRENT and commits the next slot. The final table equals the
+    * serial replay append∘compact(base) — which, because a compaction
+    * is data-identical by contract, is just base ∪ delta whichever
+    * writer won (the spec proves the mirrored interleaving too).
+    *
+    * Output: per-stage per-type counts and cent totals with the resolved
+    * version and a conflict flag. The oracle pins versions (1, 2, 2, 3)
+    * and the single conflict and computes every stage's totals from the
+    * raw events — the compacted stage's totals EQUAL the base's (the
+    * rewrite is invisible in the data; the file-count shrink is asserted
+    * engine-side with a require and in `ManifestTableSpec`), and the
+    * refused stage's equal them too (the loser was never visible).
+    */
+  def compactionVsAppend(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    publish(slim.repartition(16), tableDir, 1L)
+    val baseV = currentVersion(spark, tableDir).get
+    // both writers pin the SAME base snapshot — the race
+    val compactCand = readVersion(spark, tableDir, baseV).repartition(1)
+    // the append delta: every signup re-arrives with a disjoint id block
+    val delta = slim.filter(col("event_type") === "signup")
+      .withColumn("event_id", col("event_id") + lit(1000000000000L))
+    val appendCand = readVersion(spark, tableDir, baseV).unionByName(delta)
+    // interleaving under test: the compactor's exclusive-create lands
+    // first (the spec drives the mirrored order through the same API)
+    require(tryCommit(compactCand, tableDir, baseV + 1, "compactor"),
+      "the compactor races alone for v2 and must win")
+    val appendStaleWon = tryCommit(appendCand, tableDir, baseV + 1, "appender")
+    require(!appendStaleWon, "the appender's stale v2 attempt must lose")
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nDataFiles(v: Long): Int = fs
+      .listStatus(new Path(s"$tableDir/data/v$v"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    require(nDataFiles(2L) < nDataFiles(1L),
+      s"compaction must shrink the file count: " +
+        s"${nDataFiles(1L)} -> ${nDataFiles(2L)}")
+    val refusedV = currentVersion(spark, tableDir).get
+    // rebase: re-apply the append on the NEW current (the compacted
+    // snapshot — data-identical to the pinned base, so the delta
+    // composes unchanged; a rebase after a data-changing commit would
+    // re-derive it, the q248 path)
+    require(tryCommit(read(spark, tableDir).unionByName(delta), tableDir,
+        refusedV + 1, "appender"),
+      "the appender's rebased v3 attempt races alone and must win")
+    def stage(name: String, v: Long, conflict: Int): DataFrame =
+      readVersion(spark, tableDir, v)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .select(lit(name).as("stage"), lit(v).as("version"),
+          lit(conflict).as("conflict"), col("event_type"), col("n"),
+          col("total_cents"))
+    stage("a_base", 1L, 0)
+      .unionByName(stage("b_compacted", 2L, 0))
+      .unionByName(stage("c_append_refused", refusedV, 1))
+      .unionByName(stage("d_append_rebased", 3L, 0))
+      .orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[compactionVsAppend]]: base totals for the first
+    * three stages (a compaction changes no data and the refused append
+    * was never visible), signup-doubled totals for the rebased append,
+    * versions and the one conflict pinned. Embed after `WITH ` and
+    * select from `compact_vs_append`.
+    */
+  def compactionVsAppendSql(): String =
+    s"""cva_all AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM events GROUP BY 1),
+       |cva_app AS (
+       |  SELECT event_type,
+       |         CAST(n * CASE WHEN event_type = 'signup' THEN 2 ELSE 1 END
+       |           AS BIGINT) AS n,
+       |         CAST(total_cents * CASE WHEN event_type = 'signup' THEN 2
+       |           ELSE 1 END AS BIGINT) AS total_cents
+       |  FROM cva_all),
+       |compact_vs_append AS (
+       |  SELECT 'a_base' AS stage, CAST(1 AS BIGINT) AS version,
+       |         0 AS conflict, event_type, n, total_cents
+       |  FROM cva_all
+       |  UNION ALL
+       |  SELECT 'b_compacted', 2, 0, event_type, n, total_cents FROM cva_all
+       |  UNION ALL
+       |  SELECT 'c_append_refused', 2, 1, event_type, n, total_cents
+       |  FROM cva_all
+       |  UNION ALL
+       |  SELECT 'd_append_rebased', 3, 0, event_type, n, total_cents
+       |  FROM cva_app)""".stripMargin
+
   /** q253 — partition-spec EVOLUTION under the manifest: the capability
     * that separates a table format from a directory convention. A live
     * table's layout changes (here: 30-day blocks → 7-day blocks, the

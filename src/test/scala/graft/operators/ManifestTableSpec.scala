@@ -377,4 +377,134 @@ class ManifestTableSpec extends SparkSpec {
       assert(r3.collect().map(_.toSeq).toSet == Set(Seq("z", 1L, 900L)))
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q288 manifest growth is bounded by maintenance: purge caps refs, vacuum caps versions") {
+    // The reader's driver-side `.collect()` of the manifest is bounded
+    // only if maintenance actually bounds BOTH growth axes of a
+    // long-lived table: refs-per-version (grows one sidecar per MoR
+    // commit) and versions-on-disk (grows one per commit). This pins
+    // the post-maintenance bounds as a contract, not a convention.
+    val out = java.nio.file.Files.createTempDirectory("graft-bound-spec")
+    try {
+      val tbl = s"$out/tbl"
+      val n = 20
+      val base = (1L to 100L).map(i =>
+        (i, if (i % 2 == 0) "a" else "b", i.toDouble))
+        .toDF("event_id", "event_type", "value")
+      base.write.parquet(s"$tbl/files/base")
+      ManifestTable.publish(
+        Seq(("files/base", "data")).toDF("ref", "kind"), tbl, 1L)
+      var refs = Seq(("files/base", "data"))
+      for (v <- 2L to (n + 1L)) { // each commit stacks one delete sidecar
+        Seq(v - 1L).toDF("event_id").write.parquet(s"$tbl/files/dv$v")
+        refs = refs :+ ((s"files/dv$v", "delete_keys"))
+        ManifestTable.publish(refs.toDF("ref", "kind"), tbl, v)
+      }
+      // the unbounded shape: refs and versions both linear in commits
+      assert(ManifestTable.readVersion(spark, tbl, n + 1L).count() == n + 1L)
+      assert(ManifestTable.versions(spark, tbl).size == n + 1)
+      assert(ManifestTable.readMoRVersion(spark, tbl, n + 1L).count()
+        == 100L - n)
+      // maintenance: purge collapses the live manifest to ONE data ref
+      ManifestTable.readMoRVersion(spark, tbl, n + 1L)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$tbl/files/purged")
+      ManifestTable.publish(
+        Seq(("files/purged", "data")).toDF("ref", "kind"), tbl, n + 2L)
+      // ... and vacuum caps the versions the table can ever hold
+      val dropped = ManifestTable.vacuum(spark, tbl, keep = 2)
+      assert(dropped.size == n, s"vacuum must reclaim the history: $dropped")
+      assert(ManifestTable.versions(spark, tbl).size == 2)
+      // the bounds the reader's collect holds after maintenance:
+      // one manifest row, and the same masked rows served
+      assert(ManifestTable.read(spark, tbl).count() == 1L)
+      assert(ManifestTable.readMoRVersion(spark, tbl, n + 2L).count()
+        == 100L - n)
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
+  test("q283 a publish landing between cache-read and serve: the pinned version serves (snapshot semantics)") {
+    // The interleaving q283's four stages don't cover: a reader resolves
+    // CURRENT (v1), the cache fills under that key, and THEN a publish
+    // lands before the reader materializes its answer. Serving the v1
+    // entry is CORRECT — the read pinned its snapshot when it resolved,
+    // exactly like a pinned readVersion; publishes invalidate by key
+    // ROTATION for the next lookup, never by mutating a live entry.
+    // This spec makes that a documented choice, not an accident.
+    val out = java.nio.file.Files.createTempDirectory("graft-rcpub-spec")
+    try {
+      val (tbl, cache) = (s"$out/tbl", s"$out/cache")
+      ManifestTable.publish(
+        Seq((1L, "a", 1.0), (2L, "b", 2.5), (3L, "a", 0.5))
+          .toDF("event_id", "event_type", "value"), tbl, 1L)
+      val (r1, hit1, v1) = ManifestTable.cachedTypeTotals(spark, tbl, cache)
+      assert(!hit1 && v1 == 1L)
+      // the publish lands BETWEEN the resolve above and the serve below
+      ManifestTable.publish(
+        Seq((9L, "z", 9.0)).toDF("event_id", "event_type", "value"), tbl, 2L)
+      val served = r1.collect().map(_.toSeq).toSet
+      assert(served == Set(Seq("a", 2L, 150L), Seq("b", 1L, 250L)),
+        s"the pinned v1 answer must serve despite the racing publish: $served")
+      // the racing publish did not clobber the v1 entry, it rotated the
+      // key: the NEXT lookup resolves v2, misses, and recomputes
+      val (r2, hit2, v2) = ManifestTable.cachedTypeTotals(spark, tbl, cache)
+      assert(!hit2 && v2 == 2L, "next lookup must miss under the new key")
+      assert(r2.collect().map(_.toSeq).toSet == Set(Seq("z", 1L, 900L)))
+      // and both entries now coexist under their own keys
+      val (r3, hit3, _) = ManifestTable.cachedTypeTotals(spark, tbl, cache)
+      assert(hit3 && r3.collect().map(_.toSeq).toSet
+        == Set(Seq("z", 1L, 900L)))
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
+  test("q287 both interleavings: compactor-first and appender-first converge on the same table") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cva-spec")
+    try {
+      val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0),
+        (4L, "b", 4.0)).toDF("event_id", "event_type", "value")
+      val delta = Seq((100L, "c", 9.0))
+        .toDF("event_id", "event_type", "value")
+      def nFiles(tbl: String, v: Long): Int =
+        new java.io.File(s"$tbl/data/v$v").listFiles()
+          .count(_.getName.endsWith(".parquet"))
+      // interleaving 1 (the operator's order): compactor claims v2 first
+      val t1 = s"$out/compact_first"
+      ManifestTable.publish(base.repartition(4), t1, 1L)
+      assert(ManifestTable.tryCommit(
+        ManifestTable.readVersion(spark, t1, 1L).repartition(1),
+        t1, 2L, "compactor"), "compactor races alone, must win")
+      assert(!ManifestTable.tryCommit(
+        ManifestTable.readVersion(spark, t1, 1L).unionByName(delta),
+        t1, 2L, "appender"), "stale append must lose the CAS")
+      // the refused append is invisible: CURRENT is the compacted base
+      assert(ManifestTable.currentVersion(spark, t1).contains(2L))
+      assert(ManifestTable.read(spark, t1).count() == 4L)
+      assert(nFiles(t1, 2L) < nFiles(t1, 1L), "compaction must shrink v2")
+      assert(ManifestTable.tryCommit(
+        ManifestTable.read(spark, t1).unionByName(delta),
+        t1, 3L, "appender"), "rebased append races alone, must win")
+      // interleaving 2 (mirrored): the appender claims v2 first
+      val t2 = s"$out/append_first"
+      ManifestTable.publish(base.repartition(4), t2, 1L)
+      assert(ManifestTable.tryCommit(
+        ManifestTable.readVersion(spark, t2, 1L).unionByName(delta),
+        t2, 2L, "appender"), "appender races alone, must win")
+      assert(!ManifestTable.tryCommit(
+        ManifestTable.readVersion(spark, t2, 1L).repartition(1),
+        t2, 2L, "compactor"), "stale compaction must lose the CAS")
+      // rebase = compact the NEW current (base + delta), not the pin
+      assert(ManifestTable.tryCommit(
+        ManifestTable.read(spark, t2).repartition(1),
+        t2, 3L, "compactor"), "rebased compaction races alone, must win")
+      assert(nFiles(t2, 3L) == 1, "rebased compaction lands one file")
+      // serial-replay equality: both interleavings end at v3 holding
+      // exactly base UNION delta — order of winner is irrelevant
+      val want = base.unionByName(delta).collect().map(_.toSeq).toSet
+      for (t <- Seq(t1, t2)) {
+        assert(ManifestTable.currentVersion(spark, t).contains(3L))
+        val got = ManifestTable.read(spark, t).collect().map(_.toSeq).toSet
+        assert(got == want, s"$t final table diverged: $got")
+      }
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
