@@ -189,7 +189,7 @@ object ScaleBench {
     "q281_stream_index_maintenance", "q282_hll_rollup",
     "q283_result_cache", "q284_index_intersection",
     "q285_time_weighted_avg", "q286_wilson_ranking",
-    "q287_compact_vs_append")
+    "q287_compact_vs_append", "q289_stream_manifest_tail")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

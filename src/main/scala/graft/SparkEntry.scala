@@ -1703,6 +1703,13 @@ object SparkEntry {
     "q242_stream_cdc_upsert" -> { (s, dir) =>
       graft.streaming.EventStream.streamingCdcUpsert(s, dir)
     },
+    // Streaming read OF the manifest table: a file stream tails the
+    // publish log (one publish = one micro-batch), each batch lands its
+    // version's change feed idempotently; a mid-stream crash + restart
+    // replays one batch without double-feeding any version.
+    "q289_stream_manifest_tail" -> { (s, dir) =>
+      graft.streaming.EventStream.manifestTailStream(s, dir)
+    },
     // Manifest-pointer atomic publish: the q88 compaction re-run under a
     // write-audit-publish commit protocol, with a crash injected between
     // data-write and pointer-swap — the crash window still resolves the
@@ -3727,6 +3734,14 @@ object SparkEntry {
       s"""WITH ${ManifestTable.compactionVsAppendSql()}
           SELECT stage, version, conflict, event_type, n, total_cents
           FROM compact_vs_append ORDER BY stage, event_type""",
+
+    "q289_stream_manifest_tail" ->
+      s"""WITH ${ManifestTable.changeFeedSummarySql()}
+          SELECT version, change_type, event_type, n, total_cents,
+                 CAST(3 AS BIGINT) AS n_batches,
+                 CAST(4 AS BIGINT) AS n_attempts,
+                 TRUE AS replay_happened
+          FROM change_feed ORDER BY version, change_type, event_type""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

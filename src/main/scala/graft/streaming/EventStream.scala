@@ -1197,4 +1197,112 @@ object EventStream {
       .withColumn("n_attempts", lit(attempts.toLong))
       .withColumn("replay_happened", lit(attempts > deltaDirs.length))
   }
+
+  /** q289 — STREAMING READ of the manifest table: the consumption side
+    * the table-format tier lacked (q242 streams INTO the table; this
+    * streams OUT of it). Every [[graft.operators.ManifestTable]] publish
+    * also appends a one-row LOG entry, and a file stream tails that log
+    * with `maxFilesPerTrigger = 1` — each publish is exactly one
+    * micro-batch, Delta's "streaming from a table" surface over the
+    * manifest-pointer protocol. Each micro-batch resolves its version's
+    * row-level change feed (the q249 diff between v-1 and v) and lands
+    * it in a PER-VERSION sink dir as an idempotent overwrite, so a
+    * replayed batch overwrites itself rather than double-feeding a
+    * consumer. The bootstrap snapshot (v1) streams through as a batch
+    * with no feed output — the `startingVersion = 2` convention.
+    *
+    * A crash is injected after the v2 batch's sink write but before its
+    * checkpoint commit (the q231/q242 uncovered window); the restart
+    * REPLAYS that batch — the attempt markers prove the replay happened
+    * — and the final union still equals the BATCH change feed exactly,
+    * which is the no-version-double-fed proof: a duplicated version
+    * would double its counts and break the oracle's hash.
+    *
+    * Scale: per micro-batch the work is one full-outer key-grain join
+    * between consecutive snapshots (O(|v-1| + |v|), the q249 cost) and
+    * the log keeps each trigger's planning O(new files); the sink's
+    * per-version layout is what lets a downstream consumer resume from
+    * any version boundary.
+    */
+  def manifestTailStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val ev = graft.sources.TestData.events(spark, dir)
+    val slim = ev.select(col("event_id"), col("event_type"), col("value"))
+    val base = exitScratch("graft-mtail")
+    val (tbl, log, sink, ck, att) = (s"$base/table", s"$base/log",
+      s"$base/sink", s"$base/ck", s"$base/attempts")
+    require(new java.io.File(att).mkdirs(), s"cannot create $att")
+
+    // publish + log: the one-row log entry is the stream's record of the
+    // publish; mtimes are forced monotone so replay order is defined
+    var mtime = (System.currentTimeMillis() / 60000L) * 60000L
+    def publishLogged(df: DataFrame, version: Long): Unit = {
+      ManifestTable.publish(df, tbl, version)
+      val before = Option(new java.io.File(log).listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+      import spark.implicits._
+      Seq(version).toDF("version").coalesce(1)
+        .write.mode("append").parquet(log)
+      mtime += 1000L
+      new java.io.File(log).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(f => require(f.setLastModified(mtime),
+          s"setLastModified failed for $f — replay order would be undefined"))
+    }
+    // the q249 publish sequence, so the oracle IS the batch change feed:
+    // v1 raw; v2 deletes errors + doubles purchases; v3 inserts clones
+    publishLogged(slim, 1L)
+    val v2 = slim.filter(col("event_type") =!= "error")
+      .withColumn("value",
+        when(col("event_type") === "purchase", col("value") * 2)
+          .otherwise(col("value")))
+    publishLogged(v2, 2L)
+    publishLogged(v2.unionByName(v2.filter(col("event_type") === "click")
+      .withColumn("event_id", col("event_id") + 1000000000L)), 3L)
+
+    def runOnce(injectCrashAt: Long): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "version BIGINT"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(log)
+        .writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val marker = new java.io.File(att,
+            s"b$batchId-${UUID.randomUUID().toString}")
+          require(marker.createNewFile(), s"cannot create $marker")
+          // one log row per batch — the bounded decision frame
+          val vs = df.select("version").collect().map(_.getLong(0))
+          vs.filter(_ >= 2L).foreach { v =>
+            ManifestTable.changeFeed(spark, tbl, v - 1, v)
+              .write.mode("overwrite").parquet(s"$sink/v$v")
+          }
+          if (batchId == injectCrashAt)
+            throw new RuntimeException(
+              "injected crash: feed landed, checkpoint commit never reached")
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.processAllAvailable(); q.awaitTermination() }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => }
+      finally q.stop()
+    }
+    runOnce(injectCrashAt = 1L) // dies after v2's feed, before its commit
+    runOnce(injectCrashAt = -1L) // replays v2 idempotently, streams v3
+
+    val attempts = new java.io.File(att).listFiles().length
+    val nLogged = new java.io.File(log).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val served = new java.io.File(sink).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("v"))
+      .map(d => spark.read.parquet(d.getPath))
+      .reduce(_ unionByName _)
+    served.groupBy("version", "change_type", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .withColumn("n_batches", lit(nLogged.toLong))
+      .withColumn("n_attempts", lit(attempts.toLong))
+      .withColumn("replay_happened", lit(attempts > nLogged))
+      .orderBy("version", "change_type", "event_type")
+  }
 }

@@ -315,4 +315,28 @@ class EventStreamSpec extends SparkSpec {
         "maintained index must serve the rebuilt index's answers")
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q289: the streamed manifest tail equals the batch change feed through a restart") {
+    import org.apache.spark.sql.functions._
+    val res = EventStream.manifestTailStream(spark, sf).localCheckpoint()
+    // delivery evidence: 3 publishes = 3 micro-batches; the v2 batch was
+    // attempted twice (crash + checkpoint replay) — 4 attempts total
+    val head = res.head()
+    assert(head.getAs[Long]("n_batches") == 3L)
+    assert(head.getAs[Long]("n_attempts") == 4L)
+    assert(head.getAs[Boolean]("replay_happened"))
+    // no version double-fed: the streamed union equals the BATCH change
+    // feed computed directly over the same three snapshots — a replayed
+    // v2 that appended instead of overwriting would double these counts
+    val out = java.nio.file.Files.createTempDirectory("graft-mtail-spec")
+    try {
+      val batch = graft.operators.ManifestTable.changeFeedSummary(
+        graft.sources.TestData.events(spark, sf), s"$out/tbl")
+      val got = res.select("version", "change_type", "event_type",
+        "n", "total_cents")
+      assert(got.count() == batch.count())
+      assert(got.exceptAll(batch).count() == 0,
+        "streamed feed must equal the batch change feed")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
