@@ -285,8 +285,18 @@ object ScaleBench {
       spark.read.parquet(s"$base/$dim.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$scaledDir/$dim.parquet")
 
+    // optional comma-separated subset for targeted (re-)measures — a
+    // filtered run writes BENCH_SCALE_PARTIAL.json (merged into the main
+    // artifact by tools/merge_scale.py), never the full-suite file
+    val onlyEnv = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val measuredRun = onlyEnv match {
+      case Some(names) => measured.filter(names)
+      case None => measured
+    }
+
     // JIT/codegen warm-up on the smallest SF, same as Bench
-    measured.foreach { name =>
+    measuredRun.foreach { name =>
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
@@ -304,7 +314,7 @@ object ScaleBench {
     // of the remaining runs (steady-state per-query work). The scale
     // RATIO compares warm against warm — that is the per-query claim the
     // design makes; the cold columns document the one-time build cost.
-    def time(dir: String): Seq[(String, (Double, Double, Boolean))] = measured.map { name =>
+    def time(dir: String): Seq[(String, (Double, Double, Boolean))] = measuredRun.map { name =>
       val runs = Seq.fill(3) {
         val t0 = System.nanoTime()
         val ok = try { SparkEntry.queries(name)(spark, dir).count(); true }
@@ -320,7 +330,7 @@ object ScaleBench {
 
     val at1x = time(base).toMap
     val at10x = time(scaledDir).toMap
-    val entries = measured.map { name =>
+    val entries = measuredRun.map { name =>
       val ((c1, s1, ok1), (c10, s10, ok10)) = (at1x(name), at10x(name))
       if (ok1 && ok10) {
         val r = s10 / math.max(s1, 1e-9)
@@ -328,6 +338,18 @@ object ScaleBench {
           f""""x$copies%d_cold_sec":$c10%.3f,"x$copies%d_sec":$s10%.3f,"ratio":$r%.2f}"""
       } else
         s""""$name":{"failed":true,"x1_ok":$ok1,"x${copies}_ok":$ok10}"""
+    }
+
+    if (onlyEnv.isDefined) {
+      val json = s"""{"metric":"scale_ratio_partial","copies":$copies,""" +
+        s""""base":"$base","queries":{${entries.mkString(",")}}}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SCALE_PARTIAL.json"),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => () }
+      println(json)
+      spark.stop()
+      return
     }
 
     // Component-loop evidence at a DEEPER blow-up (default 30×): the
