@@ -189,7 +189,8 @@ object ScaleBench {
     "q281_stream_index_maintenance", "q282_hll_rollup",
     "q283_result_cache", "q284_index_intersection",
     "q285_time_weighted_avg", "q286_wilson_ranking",
-    "q287_compact_vs_append", "q289_stream_manifest_tail")
+    "q287_compact_vs_append", "q289_stream_manifest_tail",
+    "q290_branch_tags")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

@@ -1893,6 +1893,13 @@ object SparkEntry {
       ManifestTable.compactionVsAppend(TestData.events(s, dir),
         scratchDir("graft-q287").resolve("events_table").toString)
     },
+    // Branches and tags: named pointers into one immutable snapshot
+    // history — a dev commit moves only its own ref, a tag can never
+    // move, and a fast-forward merge is a pure pointer move.
+    "q290_branch_tags" -> { (s, dir) =>
+      ManifestTable.branchTagReads(TestData.events(s, dir),
+        scratchDir("graft-q290").resolve("events_table").toString)
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3742,6 +3749,11 @@ object SparkEntry {
                  CAST(4 AS BIGINT) AS n_attempts,
                  TRUE AS replay_happened
           FROM change_feed ORDER BY version, change_type, event_type""",
+
+    "q290_branch_tags" ->
+      s"""WITH ${ManifestTable.branchTagReadsSql()}
+          SELECT stage, ref, version, event_type, n, total_cents
+          FROM branch_tags ORDER BY stage, event_type""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

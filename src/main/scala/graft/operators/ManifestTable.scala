@@ -1323,4 +1323,157 @@ object ManifestTable {
        |  UNION ALL
        |  SELECT 'c_post_release', 3, 1, event_type, n, total_cents
        |  FROM lv_v3)""".stripMargin
+
+  /** Create an IMMUTABLE tag naming `version`. Tags go through the same
+    * put-if-absent CAS as commit slots, so a tag can never be moved —
+    * re-creating it returns false and leaves the original untouched
+    * (Iceberg's tag semantics). Returns whether the tag was created.
+    */
+  def createTag(spark: SparkSession, tableDir: String, name: String,
+      version: Long): Boolean =
+    putIfAbsent(spark, new Path(s"$tableDir/refs/tag_$name"), s"$version\n")
+
+  /** Point branch `name` at `version` with the same tmp-write + atomic
+    * rename the CURRENT pointer uses — a branch is just a second named
+    * pointer into the shared version history.
+    */
+  def setBranch(spark: SparkSession, tableDir: String, name: String,
+      version: Long): Unit = {
+    val ctx = fc(spark, tableDir)
+    val tmp = new Path(s"$tableDir/refs/branch_$name.tmp")
+    val out = ctx.create(tmp,
+      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      CreateOpts.createParent())
+    try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
+    ctx.rename(tmp, new Path(s"$tableDir/refs/branch_$name"),
+      Options.Rename.OVERWRITE)
+  }
+
+  /** Resolve a ref file (`tag_<name>` or `branch_<name>`) to its
+    * version, or None if the ref does not exist.
+    */
+  def refVersion(spark: SparkSession, tableDir: String,
+      refFile: String): Option[Long] = {
+    val ctx = fc(spark, tableDir)
+    val p = new Path(s"$tableDir/refs/$refFile")
+    if (!ctx.util.exists(p)) None
+    else {
+      val in = ctx.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Fast-forward branch `name` to `toVersion`: allowed only when the
+    * move is FORWARD along the (linear) version history — a backward or
+    * no-op move is refused and the ref left untouched, the same
+    * ancestor-only rule git and Iceberg enforce for ff merges. Returns
+    * whether the branch moved.
+    */
+  def fastForwardBranch(spark: SparkSession, tableDir: String,
+      name: String, toVersion: Long): Boolean = {
+    val cur = refVersion(spark, tableDir, s"branch_$name").getOrElse(
+      sys.error(s"no branch '$name' under $tableDir"))
+    if (toVersion > cur) { setBranch(spark, tableDir, name, toVersion); true }
+    else false
+  }
+
+  /** q290 — NAMED REFS over the manifest table: branches and tags, the
+    * multi-pointer surface (Iceberg refs / Delta's planned branch
+    * semantics) that turns one linear snapshot history into isolated
+    * lines of development. `main` and `dev` are both just named
+    * pointers; a TAG is a pointer created through the commit-slot CAS
+    * so it can never be moved. The scenario: v1 publishes, tag
+    * `release_1` pins it, branch `dev` forks at it, a dev commit lands
+    * v2 (purchases re-priced) and advances ONLY the dev pointer — main
+    * still serves v1 (write isolation between branches is free because
+    * snapshots are immutable and refs are independent pointers) — then
+    * main FAST-FORWARDS to dev's head (a pure pointer move, no data
+    * copied: the linear-ancestor check is what makes the merge trivial)
+    * while the tag still resolves v1 through it all.
+    *
+    * Output: per-stage per-type totals with the serving ref and the
+    * version it resolved. The oracle pins (ref, version) per stage and
+    * computes the base/re-priced totals from the raw events. The
+    * immutability and ff-refusal halves live in `ManifestTableSpec`.
+    *
+    * Scale: refs are O(1) metadata files; every read is one pointer
+    * resolve + a snapshot-dir scan, and a branch fork costs zero data
+    * movement at any table size.
+    */
+  def branchTagReads(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    publish(slim, tableDir, 1L) // main = the CURRENT pointer -> v1
+    setBranch(spark, tableDir, "main", 1L)
+    require(createTag(spark, tableDir, "release_1", 1L),
+      "the tag must not pre-exist")
+    setBranch(spark, tableDir, "dev", 1L) // fork: a pointer copy, no data
+    // the dev commit: land v2, advance ONLY the dev pointer
+    slim.withColumn("value",
+        when(col("event_type") === "purchase", col("value") * 2)
+          .otherwise(col("value")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/data/v2")
+    setBranch(spark, tableDir, "dev", 2L)
+    def refTotals(stage: String, ref: String, refFile: String): DataFrame = {
+      val v = refVersion(spark, tableDir, refFile).get
+      readVersion(spark, tableDir, v)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .select(lit(stage).as("stage"), lit(ref).as("ref"),
+          lit(v).as("version"), col("event_type"), col("n"),
+          col("total_cents"))
+    }
+    val a = refTotals("a_main_v1", "main", "branch_main")
+    val b = refTotals("b_tag_release_1", "release_1", "tag_release_1")
+    val c = refTotals("c_dev_v2", "dev", "branch_dev")
+    // main is UNTOUCHED by the dev commit — the isolation claim, pinned
+    require(refVersion(spark, tableDir, "branch_main").contains(1L),
+      "the dev commit must not move main")
+    val devHead = refVersion(spark, tableDir, "branch_dev").get
+    require(fastForwardBranch(spark, tableDir, "main", devHead),
+      "main is a strict ancestor of dev's head — the ff must apply")
+    val d = refTotals("d_main_after_ff", "main", "branch_main")
+    val e = refTotals("e_tag_after_ff", "release_1", "tag_release_1")
+    a.unionByName(b).unionByName(c).unionByName(d).unionByName(e)
+      .orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[branchTagReads]]: base totals wherever a ref
+    * resolves v1, re-priced totals where it resolves v2, (ref, version)
+    * pinned per stage. Embed after `WITH ` and select from
+    * `branch_tags`.
+    */
+  def branchTagReadsSql(): String =
+    s"""bt_states AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS base_cents,
+       |         CAST(SUM(${OracleSafe.quantSql(
+                  "CASE WHEN event_type = 'purchase' THEN value * 2 " +
+                    "ELSE value END", 100)}) AS BIGINT) AS dev_cents
+       |  FROM events GROUP BY 1),
+       |branch_tags AS (
+       |  SELECT 'a_main_v1' AS stage, 'main' AS ref,
+       |         CAST(1 AS BIGINT) AS version, event_type, n,
+       |         base_cents AS total_cents
+       |  FROM bt_states
+       |  UNION ALL
+       |  SELECT 'b_tag_release_1', 'release_1', 1, event_type, n,
+       |         base_cents
+       |  FROM bt_states
+       |  UNION ALL
+       |  SELECT 'c_dev_v2', 'dev', 2, event_type, n, dev_cents
+       |  FROM bt_states
+       |  UNION ALL
+       |  SELECT 'd_main_after_ff', 'main', 2, event_type, n, dev_cents
+       |  FROM bt_states
+       |  UNION ALL
+       |  SELECT 'e_tag_after_ff', 'release_1', 1, event_type, n,
+       |         base_cents
+       |  FROM bt_states)""".stripMargin
 }

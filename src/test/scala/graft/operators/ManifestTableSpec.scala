@@ -457,6 +457,36 @@ class ManifestTableSpec extends SparkSpec {
     } finally graft.Scratch.rmTree(out.toFile)
   }
 
+  test("q290 refs: a tag can never move, a backward ff is refused, branches are isolated") {
+    val out = java.nio.file.Files.createTempDirectory("graft-refs-spec")
+    try {
+      val tbl = s"$out/tbl"
+      val base = Seq((1L, "a", 1.0), (2L, "b", 2.0))
+        .toDF("event_id", "event_type", "value")
+      ManifestTable.publish(base, tbl, 1L)
+      ManifestTable.setBranch(spark, tbl, "main", 1L)
+      // tag immutability: the CAS refuses a re-create at another version
+      assert(ManifestTable.createTag(spark, tbl, "rel", 1L))
+      base.write.parquet(s"$tbl/data/v2")
+      assert(!ManifestTable.createTag(spark, tbl, "rel", 2L),
+        "a tag must never move")
+      assert(ManifestTable.refVersion(spark, tbl, "tag_rel").contains(1L))
+      // branch isolation: advancing dev leaves main untouched
+      ManifestTable.setBranch(spark, tbl, "dev", 1L)
+      ManifestTable.setBranch(spark, tbl, "dev", 2L)
+      assert(ManifestTable.refVersion(spark, tbl, "branch_main")
+        .contains(1L), "a dev advance must not move main")
+      // ff: forward applies; backward and no-op are refused untouched
+      assert(ManifestTable.fastForwardBranch(spark, tbl, "main", 2L))
+      assert(!ManifestTable.fastForwardBranch(spark, tbl, "main", 1L),
+        "a backward ff must be refused")
+      assert(!ManifestTable.fastForwardBranch(spark, tbl, "main", 2L),
+        "a no-op ff must be refused")
+      assert(ManifestTable.refVersion(spark, tbl, "branch_main")
+        .contains(2L))
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
   test("q287 both interleavings: compactor-first and appender-first converge on the same table") {
     val out = java.nio.file.Files.createTempDirectory("graft-cva-spec")
     try {
