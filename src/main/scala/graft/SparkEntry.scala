@@ -1900,6 +1900,12 @@ object SparkEntry {
       ManifestTable.branchTagReads(TestData.events(s, dir),
         scratchDir("graft-q290").resolve("events_table").toString)
     },
+    // Exact tie-aware ROC AUC per event type via the Mann-Whitney pair
+    // count on the (type, score)-grain frame — integer-exact u2, one
+    // double division; two-grain prefix sums, never a global row sort.
+    "q291_roc_auc" -> { (s, dir) =>
+      Events.rocAucByType(TestData.events(s, dir))
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3754,6 +3760,11 @@ object SparkEntry {
       s"""WITH ${ManifestTable.branchTagReadsSql()}
           SELECT stage, ref, version, event_type, n, total_cents
           FROM branch_tags ORDER BY stage, event_type""",
+
+    "q291_roc_auc" ->
+      s"""WITH ${Events.rocAucByTypeSql()}
+          SELECT event_type, n_pos, n_neg, u2, auc
+          FROM roc_auc ORDER BY event_type""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

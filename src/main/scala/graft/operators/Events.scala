@@ -919,4 +919,101 @@ object Events {
        |    ON s.user_id = r.user_id AND s.rn = r.end_rn + 1
        |  WHERE s.dir = 'D'
        |  GROUP BY r.user_id)""".stripMargin
+
+  /** q291 — EXACT tie-aware ROC AUC, one-vs-rest per event type: does
+    * `value` separate each event type from the rest? The model-eval
+    * statistic every training pipeline gates on, computed EXACTLY via
+    * the Mann-Whitney pair count — never a sampled or binned
+    * approximation: with cent-quantized scores,
+    * `U₂ = 2·#{pos>neg} + #{pos=neg}` is an integer both engines agree
+    * on bit-for-bit, and AUC = U₂ / (2·n₁·n₀) is one division of
+    * exactly-representable integers.
+    *
+    * Scale shape: events collapse to the (type, score)-grain frame
+    * FIRST (map-side combinable; ≤ |types|·|distinct cents| rows), so
+    * no pairwise join and no global sort of raw rows ever happens. The
+    * strictly-below negative count decomposes as
+    * `total_below − own_type_below`; the global prefix runs in the
+    * q(globalMaxLateness) two-grain discipline — a coarse score-bucket
+    * grid (the only unpartitioned window, sized by the score RANGE, not
+    * the data) plus a within-bucket prefix partitioned by bucket — and
+    * the per-type prefix is partitioned by type. Everything downstream
+    * is arithmetic on the grouped frame.
+    */
+  def rocAucByType(events: DataFrame): DataFrame = {
+    val scored = events.select(col("event_type"),
+      OracleSafe.quant(col("value"), 100).as("s"))
+    val byTypeScore = scored.groupBy("event_type", "s")
+      .agg(count(lit(1)).as("pn")).localCheckpoint()
+    val byScore = byTypeScore.groupBy("s").agg(sum("pn").as("tn"))
+      .withColumn("bucket", OracleSafe.intDiv(col("s"), lit(10000L)))
+    val bucketPrefix = byScore.groupBy("bucket").agg(sum("tn").as("btn"))
+      .withColumn("pfx", coalesce(
+        sum("btn").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "pfx")
+    val withinW = Window.partitionBy("bucket").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totBelow = byScore.join(broadcast(bucketPrefix), Seq("bucket"))
+      .withColumn("wb", coalesce(sum("tn").over(withinW), lit(0L)))
+      .select(col("s"), col("tn"), (col("pfx") + col("wb")).as("tot_below"))
+    val typeW = Window.partitionBy("event_type").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val typeBelow = byTypeScore
+      .withColumn("type_below", coalesce(sum("pn").over(typeW), lit(0L)))
+    val nAll = broadcast(byTypeScore.agg(sum("pn").as("n_all")))
+    typeBelow.join(totBelow, Seq("s"))
+      .groupBy("event_type")
+      .agg(sum("pn").as("n_pos"),
+        sum(col("pn") * (col("tot_below") - col("type_below")))
+          .as("concordant"),
+        sum(col("pn") * (col("tn") - col("pn"))).as("tie_pairs"))
+      .crossJoin(nAll)
+      .select(col("event_type"), col("n_pos"),
+        (col("n_all") - col("n_pos")).as("n_neg"),
+        (lit(2L) * col("concordant") + col("tie_pairs")).as("u2"))
+      .withColumn("auc", col("u2").cast("double") /
+        (lit(2L) * col("n_pos") * (col("n_neg"))).cast("double"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB twin of [[rocAucByType]]: the same (type, score)-grain
+    * collapse and strictly-below decomposition, with plain global
+    * windows standing in for the engine's two-grain prefix (identical
+    * integers either way). Embed after `WITH ` and select from
+    * `roc_auc`.
+    */
+  def rocAucByTypeSql(): String = {
+    val cents = OracleSafe.quantSql("value", 100)
+    s"""auc_ts AS (
+       |  SELECT event_type, $cents AS s, COUNT(*) AS pn
+       |  FROM events GROUP BY 1, 2),
+       |auc_sc AS (
+       |  SELECT s, CAST(SUM(pn) AS BIGINT) AS tn FROM auc_ts GROUP BY 1),
+       |auc_tot AS (
+       |  SELECT s, tn, CAST(COALESCE(SUM(tn) OVER (ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS tot_below
+       |  FROM auc_sc),
+       |auc_tb AS (
+       |  SELECT event_type, s, pn, CAST(COALESCE(SUM(pn) OVER (
+       |    PARTITION BY event_type ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS type_below
+       |  FROM auc_ts),
+       |auc_n AS (SELECT CAST(SUM(pn) AS BIGINT) AS n_all FROM auc_ts),
+       |auc_agg AS (
+       |  SELECT t.event_type,
+       |         CAST(SUM(t.pn) AS BIGINT) AS n_pos,
+       |         n.n_all - CAST(SUM(t.pn) AS BIGINT) AS n_neg,
+       |         CAST(2 * SUM(t.pn * (o.tot_below - t.type_below))
+       |           + SUM(t.pn * (o.tn - t.pn)) AS BIGINT) AS u2
+       |  FROM auc_tb t JOIN auc_tot o USING (s) CROSS JOIN auc_n n
+       |  GROUP BY 1, n.n_all),
+       |roc_auc AS (
+       |  SELECT event_type, n_pos, n_neg, u2,
+       |         CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
+       |           AS auc
+       |  FROM auc_agg)""".stripMargin
+  }
 }

@@ -358,4 +358,32 @@ class EventsSpec extends SparkSpec {
       3L -> ((1L, 3L, 400L)),
       5L -> ((1L, 3L, 600L))), s"got $r")
   }
+
+  test("q291: hand-counted Mann-Whitney pairs, and the 1.0 / 0.5 / 0.0 anchors") {
+    import org.apache.spark.sql.functions.col
+    def fx(rows: (String, Double)*): DataFrame =
+      rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+    // A scores {3, 2} vs B scores {1, 2}: concordant pairs (3,1)(3,2)
+    // (2,1) = 3, tied pairs (2,2) = 1 -> u2 = 7, auc = 7/8
+    val r = Events.rocAucByType(fx(("A", 3.0), ("A", 2.0), ("B", 1.0),
+        ("B", 2.0)))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r("A") == ((2L, 2L, 7L, 0.875)), s"got ${r("A")}")
+    // the complement: B's u2 must mirror A's (2*n1*n0 - 7 = 1)
+    assert(r("B") == ((2L, 2L, 1L, 0.125)), s"got ${r("B")}")
+    // perfect separation = 1.0 exactly; identical scores = 0.5 exactly
+    val sep = Events.rocAucByType(fx(("A", 9.0), ("A", 8.0), ("B", 1.0)))
+      .collect().map(x => x.getString(0) -> x.getDouble(4)).toMap
+    assert(sep("A") == 1.0 && sep("B") == 0.0, s"got $sep")
+    val flat = Events.rocAucByType(fx(("A", 5.0), ("B", 5.0), ("B", 5.0)))
+      .collect().map(x => x.getString(0) -> x.getDouble(4)).toMap
+    assert(flat("A") == 0.5 && flat("B") == 0.5, s"got $flat")
+    // cross-bucket exactness: scores straddling the 10000-cent coarse
+    // grid must count strictly-below negatives across buckets
+    val wide = Events.rocAucByType(fx(("A", 250.0), ("B", 50.0)))
+      .filter(col("event_type") === "A").head().getDouble(4)
+    assert(wide == 1.0, s"cross-bucket pair lost: $wide")
+  }
 }
