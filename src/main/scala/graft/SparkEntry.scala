@@ -1906,6 +1906,12 @@ object SparkEntry {
     "q291_roc_auc" -> { (s, dir) =>
       Events.rocAucByType(TestData.events(s, dir))
     },
+    // Calibration bins: integer-exact bin assignment against the max
+    // scalar, per-bin mean-predicted vs observed rate as single exact
+    // divisions — the reliability diagram beside q291's ranking gate.
+    "q292_calibration_bins" -> { (s, dir) =>
+      Events.calibrationBins(TestData.events(s, dir))
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3765,6 +3771,11 @@ object SparkEntry {
       s"""WITH ${Events.rocAucByTypeSql()}
           SELECT event_type, n_pos, n_neg, u2, auc
           FROM roc_auc ORDER BY event_type""",
+
+    "q292_calibration_bins" ->
+      s"""WITH ${Events.calibrationBinsSql()}
+          SELECT bin, n, n_pos, sum_cents, mean_pred, obs_rate, abs_gap
+          FROM calibration ORDER BY bin""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

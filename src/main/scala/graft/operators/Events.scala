@@ -977,6 +977,76 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q292 — CALIBRATION BINS (the reliability diagram): does the score
+    * MEAN what it says? The companion gate to q291's AUC — a model can
+    * rank perfectly and still be miscalibrated. The score is the
+    * cent-quantized value normalized by the corpus max (a 1-row
+    * broadcast scalar), the label is `event_type = 'purchase'`, and
+    * rows land in 10 equal-width bins by INTEGER arithmetic
+    * (`(10·cents) DIV max_cents`, clamped) so bin assignment is
+    * engine-exact. Per bin: count, positives, the exact integer score
+    * sum, then mean-predicted and observed-rate as single divisions of
+    * exactly-representable integers and the |gap| as one subtraction.
+    * The output stays PER-BIN (10 rows): ECE is the n-weighted gap sum
+    * a consumer takes over them — kept out of the engine compare so no
+    * cross-bin double accumulation (summation-order fp) enters the
+    * oracle hash.
+    *
+    * Scale: one map-side-combinable groupBy on a 10-value key after a
+    * scan; the max is the only extra pass (and a deployment caches it).
+    */
+  def calibrationBins(events: DataFrame): DataFrame = {
+    val scored = events.select(
+      OracleSafe.quant(col("value"), 100).as("cents"),
+      (col("event_type") === "purchase").cast("long").as("pos"))
+    val mx = broadcast(scored.agg(max("cents").as("max_cents")))
+    val binned = scored.crossJoin(mx)
+      .withColumn("bin", greatest(lit(0L), least(lit(9L),
+        OracleSafe.intDiv(col("cents") * 10, col("max_cents")))))
+    binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+        sum("cents").as("sum_cents"), max("max_cents").as("max_cents"))
+      .select(col("bin"), col("n"), col("n_pos"), col("sum_cents"),
+        (col("sum_cents").cast("double") /
+          (col("n") * col("max_cents")).cast("double")).as("mean_pred"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("obs_rate"))
+      .withColumn("abs_gap", abs(col("mean_pred") - col("obs_rate")))
+      .orderBy("bin")
+  }
+
+  /** DuckDB twin of [[calibrationBins]]: same integer binning against
+    * the same max scalar, same single-division statistics. Embed after
+    * `WITH ` and select from `calibration`.
+    */
+  def calibrationBinsSql(): String = {
+    val cents = OracleSafe.quantSql("value", 100)
+    s"""cb_scored AS (
+       |  SELECT $cents AS cents,
+       |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+       |  FROM events),
+       |cb_max AS (SELECT MAX(cents) AS max_cents FROM cb_scored),
+       |cb_binned AS (
+       |  SELECT CAST(GREATEST(0, LEAST(9,
+       |           ${OracleSafe.intDivSql("cents * 10", "max_cents")}))
+       |           AS BIGINT) AS bin,
+       |         cents, pos, max_cents
+       |  FROM cb_scored CROSS JOIN cb_max),
+       |calibration AS (
+       |  SELECT bin, COUNT(*) AS n,
+       |         CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |         CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       |         CAST(SUM(cents) AS DOUBLE)
+       |           / CAST(COUNT(*) * MAX(max_cents) AS DOUBLE) AS mean_pred,
+       |         CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |           AS obs_rate,
+       |         ABS(CAST(SUM(cents) AS DOUBLE)
+       |             / CAST(COUNT(*) * MAX(max_cents) AS DOUBLE)
+       |           - CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+       |           AS abs_gap
+       |  FROM cb_binned GROUP BY 1)""".stripMargin
+  }
+
   /** DuckDB twin of [[rocAucByType]]: the same (type, score)-grain
     * collapse and strictly-below decomposition, with plain global
     * windows standing in for the engine's two-grain prefix (identical

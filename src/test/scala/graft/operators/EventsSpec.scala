@@ -386,4 +386,26 @@ class EventsSpec extends SparkSpec {
       .filter(col("event_type") === "A").head().getDouble(4)
     assert(wide == 1.0, s"cross-bucket pair lost: $wide")
   }
+
+  test("q292: bin edges are integer-exact, the top score lands in bin 9, stats hand-check") {
+    def fx(rows: (String, Double)*): DataFrame =
+      rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+    // max = 10.00 -> bin = (10*cents) DIV 1000 clamped: 10.00 -> 10 -> 9
+    // (the top edge closes), 9.99 -> 9, 1.00 -> 1, 0.99 -> 0
+    val r = Events.calibrationBins(fx(("purchase", 10.0), ("view", 9.99),
+        ("purchase", 1.0), ("view", 0.99)))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r.keySet == Set(0L, 1L, 9L), s"got ${r.keySet}")
+    assert(r(9L) == ((2L, 1L, 1999L)), s"top bin: ${r(9L)}")
+    assert(r(1L) == ((1L, 1L, 100L)) && r(0L) == ((1L, 0L, 99L)))
+    // a perfectly calibrated bin has zero gap: 2 rows at the max score,
+    // both... one purchase of two -> obs 0.5; mean_pred = 1.0 -> gap 0.5
+    val g = Events.calibrationBins(fx(("purchase", 5.0), ("view", 5.0)))
+      .head()
+    assert(g.getAs[Double]("mean_pred") == 1.0
+      && g.getAs[Double]("obs_rate") == 0.5
+      && g.getAs[Double]("abs_gap") == 0.5, s"got $g")
+  }
 }
