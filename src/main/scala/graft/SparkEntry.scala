@@ -1912,6 +1912,12 @@ object SparkEntry {
     "q292_calibration_bins" -> { (s, dir) =>
       Events.calibrationBins(TestData.events(s, dir))
     },
+    // RAG-ingestion chunking: overlapping token windows fingerprinted,
+    // duplicated-chunk mass per source — stateless explode + one
+    // combinable distinct on md5 keys; no join, no sort.
+    "q293_chunk_dedup" -> { (s, dir) =>
+      TextAnalysis.chunkDedup(TestData.documents(s, dir))
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3776,6 +3782,11 @@ object SparkEntry {
       s"""WITH ${Events.calibrationBinsSql()}
           SELECT bin, n, n_pos, sum_cents, mean_pred, obs_rate, abs_gap
           FROM calibration ORDER BY bin""",
+
+    "q293_chunk_dedup" ->
+      s"""WITH ${TextAnalysis.chunkDedupSql()}
+          SELECT source, n_chunks, n_distinct, dup_chunks, dup_ratio
+          FROM chunk_dedup ORDER BY source""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

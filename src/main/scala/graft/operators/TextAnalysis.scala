@@ -1500,4 +1500,67 @@ object TextAnalysis {
        |     AND b.term = q.t2
        |  WHERE b.doc_id IS NOT NULL
        |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** q293 — OVERLAPPING-CHUNK DEDUP, the RAG-ingestion shape: every
+    * document splits into token windows of `width` every `stride`
+    * tokens (overlap = width − stride, the standard retrieval chunker),
+    * each chunk is fingerprinted, and per source the duplicated-chunk
+    * mass is reported — the statistic an ingestion pipeline gates on
+    * before embedding (embedding a duplicated chunk pays twice and
+    * skews retrieval). Window starts are `sequence(0, n−1, stride)` on
+    * both engines (identical start sets, truncated tail windows kept),
+    * so chunk identity is engine-exact by construction.
+    *
+    * Scale: chunking is a stateless per-row explode (≈ n/stride output
+    * rows per doc — linear in corpus tokens); the only shuffle is the
+    * per-source distinct-fingerprint aggregate, and fingerprints are
+    * md5 so the distinct runs on fixed-width keys, the q40 discipline.
+    * On 100 TB this is scan + one combinable aggregate — no index, no
+    * join, no sort.
+    */
+  def chunkDedup(documents: DataFrame, width: Int = 16,
+      stride: Int = 12): DataFrame = {
+    require(width >= 1 && stride >= 1, s"bad chunk grid: $width/$stride")
+    val toks = documents
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks"))).filter(col("n") > 0)
+    val chunks = toks.select(col("source"), col("toks"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .select(col("source"),
+        md5(array_join(
+          slice(col("toks"), col("start") + 1, lit(width)), " ")).as("fp"))
+    chunks.groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("fp")).as("n_distinct"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        (col("n_chunks") - col("n_distinct")).as("dup_chunks"))
+      .withColumn("dup_ratio", col("dup_chunks").cast("double") /
+        col("n_chunks").cast("double"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[chunkDedup]]: the same start grid via
+    * `range(0, n, stride)` (identical to the engine's
+    * `sequence(0, n−1, stride)` set), the same 1-based inclusive token
+    * slice. Embed after `WITH ` and select from `chunk_dedup`.
+    */
+  def chunkDedupSql(width: Int = 16, stride: Int = 12): String =
+    s"""cd_toks AS (
+       |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+       |cd_starts AS (
+       |  SELECT source, toks,
+       |         UNNEST(range(0, len(toks), $stride)) AS s
+       |  FROM cd_toks WHERE len(toks) > 0),
+       |cd_chunks AS (
+       |  SELECT source,
+       |         md5(array_to_string(toks[s + 1 : s + $width], ' ')) AS fp
+       |  FROM cd_starts),
+       |chunk_dedup AS (
+       |  SELECT source, COUNT(*) AS n_chunks,
+       |         CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+       |         COUNT(*) - CAST(COUNT(DISTINCT fp) AS BIGINT)
+       |           AS dup_chunks,
+       |         CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE)
+       |           / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+       |  FROM cd_chunks GROUP BY 1)""".stripMargin
 }

@@ -257,4 +257,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L) == ((3L, 7L, 4L)), s"doc 1: ab+ab+abc = 1+1+2 symbols: $r")
     assert(r(2L) == ((2L, 4L, 3L)), s"doc 2: x+abc = 1+2 symbols: $r")
   }
+
+  test("q293: the chunk grid, cross-doc duplicate detection, and the no-dup baseline") {
+    def docs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "source")
+    // width 4, stride 3: a 7-token doc chunks at starts 0, 3, 6 —
+    // [t0..t3], [t3..t6], [t6] (truncated tail kept)
+    val seven = "a b c d e f g"
+    val r1 = TextAnalysis.chunkDedup(docs((1L, seven, "s0")),
+      width = 4, stride = 3).head()
+    assert(r1.getAs[Long]("n_chunks") == 3L
+      && r1.getAs[Long]("n_distinct") == 3L
+      && r1.getAs[Long]("dup_chunks") == 0L
+      && r1.getAs[Double]("dup_ratio") == 0.0, s"grid: $r1")
+    // two docs sharing their full text: every chunk duplicated once
+    val r2 = TextAnalysis.chunkDedup(
+      docs((1L, seven, "s0"), (2L, seven, "s0")), width = 4, stride = 3)
+      .head()
+    assert(r2.getAs[Long]("n_chunks") == 6L
+      && r2.getAs[Long]("n_distinct") == 3L
+      && r2.getAs[Long]("dup_chunks") == 3L
+      && r2.getAs[Double]("dup_ratio") == 0.5, s"cross-doc: $r2")
+    // sources aggregate independently: the same text in another source
+    // does not pollute s0's distinct count
+    val r3 = TextAnalysis.chunkDedup(
+      docs((1L, seven, "s0"), (2L, seven, "s1")), width = 4, stride = 3)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("dup_chunks"))
+      .toMap
+    assert(r3 == Map("s0" -> 0L, "s1" -> 0L), s"source isolation: $r3")
+  }
 }
