@@ -1918,6 +1918,12 @@ object SparkEntry {
     "q293_chunk_dedup" -> { (s, dir) =>
       TextAnalysis.chunkDedup(TestData.documents(s, dir))
     },
+    // Cumulative gains / lift by descending-score deciles at the
+    // score-group grain — integer-exact decile assignment (ties stay
+    // whole), capture and lift as single exact divisions.
+    "q294_gain_lift" -> { (s, dir) =>
+      Events.gainLift(TestData.events(s, dir))
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3787,6 +3793,11 @@ object SparkEntry {
       s"""WITH ${TextAnalysis.chunkDedupSql()}
           SELECT source, n_chunks, n_distinct, dup_chunks, dup_ratio
           FROM chunk_dedup ORDER BY source""",
+
+    "q294_gain_lift" ->
+      s"""WITH ${Events.gainLiftSql()}
+          SELECT decile, n, n_pos, cum_n, cum_pos, capture, lift
+          FROM gain_lift ORDER BY decile""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

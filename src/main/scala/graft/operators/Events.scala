@@ -1047,6 +1047,111 @@ object Events {
        |  FROM cb_binned GROUP BY 1)""".stripMargin
   }
 
+  /** q294 — CUMULATIVE GAINS / LIFT TABLE, completing the eval trio
+    * (q291 ranks, q292 calibrates, this one answers "how much of the
+    * positives do the top-k% capture?" — the targeting statistic).
+    * Deciles are assigned at the SCORE-GROUP grain by descending score:
+    * a group's decile is `(10·cum_before) DIV N` — all-integer, tied
+    * scores stay whole (grouped-gains semantics, so no tie-break order
+    * can leak into the result), and a giant tied group may leave later
+    * deciles empty rather than being split arbitrarily. Per decile:
+    * exact counts, then cumulative capture (share of all positives) and
+    * lift (capture ÷ share of rows) as single divisions of
+    * exactly-representable integer products.
+    *
+    * Scale: the q291 shape again — collapse to distinct cent scores,
+    * two-grain prefix (coarse bucket grid + within-bucket window) for
+    * the descending cumulative, then a 10-row frame for the decile
+    * cumulative. No global row sort, no NTILE single-partition window.
+    */
+  def gainLift(events: DataFrame): DataFrame = {
+    val scored = events.select(OracleSafe.quant(col("value"), 100).as("s"),
+      (col("event_type") === "purchase").cast("long").as("pos"))
+    // d = −s: ascending d IS descending score, so the q291 prefix
+    // machinery applies unchanged
+    val byScore = scored.groupBy("s")
+      .agg(count(lit(1)).as("tn"), sum("pos").as("pn"))
+      .withColumn("d", -col("s"))
+      .withColumn("bucket", OracleSafe.intDiv(col("d"), lit(10000L)))
+      .localCheckpoint()
+    val bucketPrefix = byScore.groupBy("bucket").agg(sum("tn").as("btn"))
+      .withColumn("pfx", coalesce(
+        sum("btn").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "pfx")
+    val withinW = Window.partitionBy("bucket").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nAll = broadcast(byScore.agg(sum("tn").as("n_all"),
+      sum("pn").as("pos_all")))
+    val perDecile = byScore.join(broadcast(bucketPrefix), Seq("bucket"))
+      .withColumn("wb", coalesce(sum("tn").over(withinW), lit(0L)))
+      .crossJoin(nAll)
+      .withColumn("decile", OracleSafe.intDiv(
+        (col("pfx") + col("wb")) * 10, col("n_all")))
+      .groupBy("decile")
+      .agg(sum("tn").as("n"), sum("pn").as("n_pos"))
+    val cumW = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0) // ≤ 10-row frame
+    perDecile.crossJoin(nAll)
+      .withColumn("cum_n", sum("n").over(cumW))
+      .withColumn("cum_pos", sum("n_pos").over(cumW))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        (col("cum_pos").cast("double") / col("pos_all").cast("double"))
+          .as("capture"),
+        ((col("cum_pos") * col("n_all")).cast("double") /
+          (col("cum_n") * col("pos_all")).cast("double")).as("lift"))
+      .orderBy("decile")
+  }
+
+  /** DuckDB twin of [[gainLift]]: plain descending-order windows stand
+    * in for the engine's two-grain prefix (identical integers), same
+    * decile arithmetic and single divisions. Embed after `WITH ` and
+    * select from `gain_lift`.
+    */
+  def gainLiftSql(): String = {
+    val cents = OracleSafe.quantSql("value", 100)
+    s"""gl_sc AS (
+       |  SELECT $cents AS s, COUNT(*) AS tn,
+       |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+       |           END) AS BIGINT) AS pn
+       |  FROM events GROUP BY 1),
+       |gl_n AS (
+       |  SELECT CAST(SUM(tn) AS BIGINT) AS n_all,
+       |         CAST(SUM(pn) AS BIGINT) AS pos_all
+       |  FROM gl_sc),
+       |gl_dec AS (
+       |  SELECT ${OracleSafe.intDivSql(
+                 "CAST(COALESCE(SUM(tn) OVER (ORDER BY s DESC " +
+                   "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+                   "AS BIGINT) * 10", "n.n_all")} AS decile,
+       |         tn, pn
+       |  FROM gl_sc CROSS JOIN gl_n n),
+       |gl_per AS (
+       |  SELECT decile, CAST(SUM(tn) AS BIGINT) AS n,
+       |         CAST(SUM(pn) AS BIGINT) AS n_pos
+       |  FROM gl_dec GROUP BY 1),
+       |gain_lift AS (
+       |  SELECT decile, n, n_pos,
+       |         CAST(SUM(n) OVER (ORDER BY decile
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS cum_n,
+       |         CAST(SUM(n_pos) OVER (ORDER BY decile
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS cum_pos,
+       |         CAST(SUM(n_pos) OVER (ORDER BY decile
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |             AS DOUBLE)
+       |           / CAST(nn.pos_all AS DOUBLE) AS capture,
+       |         CAST(SUM(n_pos) OVER (ORDER BY decile
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |             * nn.n_all AS DOUBLE)
+       |           / CAST(SUM(n) OVER (ORDER BY decile
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |             * nn.pos_all AS DOUBLE) AS lift
+       |  FROM gl_per CROSS JOIN gl_n nn)""".stripMargin
+  }
+
   /** DuckDB twin of [[rocAucByType]]: the same (type, score)-grain
     * collapse and strictly-below decomposition, with plain global
     * windows standing in for the engine's two-grain prefix (identical

@@ -408,4 +408,25 @@ class EventsSpec extends SparkSpec {
       && g.getAs[Double]("obs_rate") == 0.5
       && g.getAs[Double]("abs_gap") == 0.5, s"got $g")
   }
+
+  test("q294: hand-walked deciles, cumulative capture/lift, and tied groups staying whole") {
+    def fx(rows: (String, Double)*): DataFrame =
+      rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+    // 5 distinct scores -> cum_before 0..4 -> deciles 0,2,4,6,8
+    val r = Events.gainLift(fx(("purchase", 10.0), ("view", 9.0),
+        ("purchase", 8.0), ("view", 7.0), ("view", 6.0)))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(3), x.getLong(4), x.getDouble(5), x.getDouble(6))))
+      .toMap
+    assert(r.keySet == Set(0L, 2L, 4L, 6L, 8L), s"deciles: ${r.keySet}")
+    assert(r(0L) == ((1L, 1L, 0.5, 2.5)), s"top decile: ${r(0L)}")
+    assert(r(4L) == ((3L, 2L, 1.0, 10.0 / 6.0)), s"mid: ${r(4L)}")
+    assert(r(8L) == ((5L, 2L, 1.0, 1.0)), s"tail: ${r(8L)}")
+    // one giant tied group: ties stay whole in decile 0, lift exactly 1
+    val tied = Events.gainLift(fx(("purchase", 5.0), ("view", 5.0),
+      ("view", 5.0), ("view", 5.0))).collect()
+    assert(tied.length == 1 && tied.head.getLong(0) == 0L)
+    assert(tied.head.getDouble(5) == 1.0 && tied.head.getDouble(6) == 1.0)
+  }
 }
