@@ -1924,6 +1924,13 @@ object SparkEntry {
     "q294_gain_lift" -> { (s, dir) =>
       Events.gainLift(TestData.events(s, dir))
     },
+    // String zone maps with Iceberg-style truncated bounds: prefix
+    // predicates become half-open ranges, the skip test is byte-wise on
+    // 4-char bounds, and the serve opens only surviving zone dirs.
+    "q295_string_zone_skip" -> { (s, dir) =>
+      Planning.stringZoneSkipping(TestData.part(s, dir),
+        scratchDir("graft-q295").resolve("szs").toString)
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3798,6 +3805,12 @@ object SparkEntry {
       s"""WITH ${Events.gainLiftSql()}
           SELECT decile, n, n_pos, cum_n, cum_pos, capture, lift
           FROM gain_lift ORDER BY decile""",
+
+    "q295_string_zone_skip" ->
+      s"""WITH ${Planning.stringZoneSkippingSql()}
+          SELECT pred_id, n_zones, zones_scanned, zones_skipped,
+                 n_rows, total_cents
+          FROM string_zone_skip ORDER BY pred_id""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

@@ -828,6 +828,24 @@ object Planning {
     ("p1998h1", "1998-01-01", "1998-07-01"),
     ("p2001h2", "2001-06-01", "2002-01-01"))
 
+  /** Smallest string strictly greater than every string with prefix `s`:
+    * last char incremented. Used to turn the q295 PREFIX predicates into
+    * half-open ranges as compile-time literals (pure Scala, embedded
+    * identically in both plans — the frozen-literal discipline).
+    */
+  private def prefixUpper(s: String): String =
+    s.init + (s.last + 1).toChar
+
+  /** q295 predicates as half-open string ranges [plo, phi): three
+    * prefixes (one matching nothing — the everything-skipped path) and
+    * one explicit range straddling zones.
+    */
+  private val stringZonePreds: Seq[(String, String, String)] = Seq(
+    ("pr_blu", "blu", prefixUpper("blu")),
+    ("pr_sma", "sma", prefixUpper("sma")),
+    ("pr_xyz", "xyz", prefixUpper("xyz")),
+    ("rng_h_s", "hot", "small"))
+
   /** Zone-map (min/max statistics) pruning audit — the "should this table
     * be date-clustered?" planning measurement. Parquet/ORC row groups,
     * Delta/Iceberg file stats, and Spark's own dynamic file pruning all
@@ -1011,6 +1029,122 @@ object Planning {
        |         a.n_zones - a.zones_skipped AS zones_scanned,
        |         a.zones_skipped, a.rows_read, e.n_rows, e.total_cents
        |  FROM zps_audit a JOIN zps_res e USING (pred_id))""".stripMargin
+  }
+
+  /** q295 — STRING zone maps with TRUNCATED bounds (Iceberg's
+    * `truncate[w]` transform): the q217 skipping story on a string key,
+    * where storing full min/max per zone is what metadata budgets at
+    * 100 TB can't afford — a 4-byte truncation replaces arbitrary-width
+    * strings. Truncation makes the bounds CONSERVATIVE, which is the
+    * subtle half: `substr(min, 1, w)` is a valid lower bound (a prefix
+    * sorts ≤ its extension) but `substr(max, 1, w)` is NOT an upper
+    * bound — the exclusive upper must be the truncation with its last
+    * char incremented (every zone string is < that, truncated or not).
+    * Prefix predicates become half-open ranges the same way
+    * ([[prefixUpper]], frozen as literals in both plans), so the skip
+    * test is pure byte-wise string comparison: skip iff `u ≤ plo` or
+    * `zlo ≥ phi`. One predicate matches nothing — the every-zone-
+    * skipped path q217 pins for dates, re-pinned here for strings.
+    *
+    * Per predicate: zone counts, then the count + cent total from the
+    * PRUNED scan (surviving zone dirs only); the oracle computes totals
+    * from a plain filter and the audit from the same truncated-bound
+    * model — equality proves truncation never skipped a matching zone.
+    *
+    * Scale: the zone map is ≤ |alphabet| rows of FIXED-WIDTH bounds;
+    * pruning is a bounded broadcast decision; each serve opens only
+    * surviving dirs. `PlanningSpec` pins the truncation edge (strings
+    * sharing a w-prefix must not be skipped by a prefix predicate on
+    * that boundary).
+    */
+  def stringZoneSkipping(part: DataFrame, outDir: String,
+      width: Int = 4): DataFrame = {
+    require(width >= 2, s"truncation width must be >= 2, got $width")
+    val spark = part.sparkSession
+    import spark.implicits._
+    part.select(col("p_name"),
+        OracleSafe.quant(col("p_retailprice"), 100).as("cents"),
+        ascii(substring(col("p_name"), 1, 1)).cast("long").as("zone"))
+      .repartitionByRange(col("zone"))
+      .write.mode("overwrite").partitionBy("zone").parquet(outDir)
+    val zm = spark.read.parquet(outDir)
+      .select(col("p_name"), col("zone").cast("long").as("zone"))
+      .groupBy("zone")
+      .agg(min("p_name").as("zmin"), max("p_name").as("zmax"),
+        count(lit(1)).as("zn"))
+      .withColumn("zlo", substring(col("zmin"), 1, width))
+      .withColumn("t", substring(col("zmax"), 1, width))
+      .withColumn("u", concat(
+        expr("substring(t, 1, length(t) - 1)"),
+        expr("char(ascii(substring(t, length(t), 1)) + 1)")))
+      .select("zone", "zn", "zlo", "u")
+      .localCheckpoint() // the zone map: <= |alphabet| fixed-width rows
+    val runs = stringZonePreds.map { case (id, ploS, phiS) =>
+      val (plo, phi) = (lit(ploS), lit(phiS))
+      val skip = col("u") <= plo || col("zlo") >= phi
+      val audit = zm.agg(count(lit(1)).as("n_zones"),
+        sum(when(skip, 1L).otherwise(0L)).as("zones_skipped"))
+      val surviving = zm.filter(!skip).select("zone").as[Long].collect()
+      val zoneFilter =
+        if (surviving.isEmpty) lit(false)
+        else col("zone").isin(surviving.toIndexedSeq.map(Long.box): _*)
+      val res = spark.read.parquet(outDir)
+        .filter(zoneFilter) // partition filter -> skipped dirs never open
+        .filter(col("p_name") >= plo && col("p_name") < phi)
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("total_cents"))
+      broadcast(Seq(id).toDF("pred_id"))
+        .crossJoin(broadcast(audit))
+        .crossJoin(res)
+        .select(col("pred_id"), col("n_zones"),
+          (col("n_zones") - col("zones_skipped")).as("zones_scanned"),
+          col("zones_skipped"), col("n_rows"), col("total_cents"))
+    }
+    runs.reduce(_ unionByName _).orderBy("pred_id")
+  }
+
+  /** DuckDB twin of [[stringZoneSkipping]] — the same first-char zone
+    * model and truncated-bound arithmetic for the audit, totals from a
+    * plain filter. Embed after `WITH ` and select from
+    * `string_zone_skip`.
+    */
+  def stringZoneSkippingSql(width: Int = 4): String = {
+    val predRows = stringZonePreds.map { case (id, lo, hi) =>
+      s"('$id', '$lo', '$hi')"
+    }.mkString(", ")
+    s"""szs_rows AS (
+       |  SELECT p_name,
+       |         ${OracleSafe.quantSql("p_retailprice", 100)} AS cents
+       |  FROM part),
+       |szs_zm AS (
+       |  SELECT CAST(ascii(substr(p_name, 1, 1)) AS BIGINT) AS zone,
+       |         MIN(p_name) AS zmin, MAX(p_name) AS zmax, COUNT(*) AS zn
+       |  FROM szs_rows GROUP BY 1),
+       |szs_b AS (
+       |  SELECT zone, zn, substr(zmin, 1, $width) AS zlo,
+       |         substr(zmax, 1, $width) AS t
+       |  FROM szs_zm),
+       |szs_u AS (
+       |  SELECT zone, zn, zlo,
+       |         substr(t, 1, length(t) - 1)
+       |           || chr(ascii(substr(t, length(t), 1)) + 1) AS u
+       |  FROM szs_b),
+       |szs_p(pred_id, plo, phi) AS (VALUES $predRows),
+       |szs_audit AS (
+       |  SELECT pred_id, COUNT(*) AS n_zones,
+       |         CAST(SUM(CASE WHEN u <= plo OR zlo >= phi THEN 1 ELSE 0
+       |           END) AS BIGINT) AS zones_skipped
+       |  FROM szs_u, szs_p GROUP BY 1),
+       |szs_res AS (
+       |  SELECT p.pred_id, COUNT(r.p_name) AS n_rows,
+       |         CAST(SUM(r.cents) AS BIGINT) AS total_cents
+       |  FROM szs_p p LEFT JOIN szs_rows r
+       |    ON r.p_name >= p.plo AND r.p_name < p.phi
+       |  GROUP BY 1),
+       |string_zone_skip AS (
+       |  SELECT a.pred_id, a.n_zones,
+       |         a.n_zones - a.zones_skipped AS zones_scanned,
+       |         a.zones_skipped, x.n_rows, x.total_cents
+       |  FROM szs_audit a JOIN szs_res x USING (pred_id))""".stripMargin
   }
 
   /** Range sharding driven by the QUANTILE SKETCH instead of the exact

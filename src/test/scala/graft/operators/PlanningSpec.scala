@@ -627,6 +627,49 @@ class PlanningSpec extends SparkSpec {
       && ve.getAs[Double]("est_union") == 0.0, s"empty pair: $ve")
   }
 
+  test("q295: truncated bounds stay conservative at the w-prefix boundary") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-szs-spec")
+    try {
+      // one zone ('a') whose strings share the 4-prefix "abcz": the
+      // truncated upper must be "abc{" (last char incremented), so a
+      // prefix predicate on "abcz" itself may NOT skip the zone — the
+      // classic truncation off-by-one. Plus a 'b' zone to be skipped.
+      val part = Seq(("abcza", 1.0), ("abczz", 2.0), ("bxxxx", 4.0))
+        .toDF("p_name", "p_retailprice")
+      val outDir = s"$out/szs"
+      val r = Planning.stringZoneSkipping(part, outDir)
+        .collect().map(x => x.getString(0) ->
+          ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))))
+        .toMap
+      // every built-in predicate misses this fixture's 'a'/'b' strings
+      // except none — what matters here: the full-miss path has ALL
+      // zones skipped and zero rows read
+      val miss = r("pr_xyz")
+      assert(miss == ((2L, 0L, 2L, 0L)), s"full miss: $miss")
+      // direct probe of the boundary via the serve-path arithmetic:
+      // rebuild the zone map the operator wrote and apply the skip test
+      // for prefix "abcz" -> [abcz, abc{)
+      val zm = spark.read.parquet(outDir)
+        .select(col("p_name"), col("zone").cast("long").as("zone"))
+        .groupBy("zone")
+        .agg(min("p_name").as("zmin"), max("p_name").as("zmax"))
+        .withColumn("zlo", substring(col("zmin"), 1, 4))
+        .withColumn("t", substring(col("zmax"), 1, 4))
+        .withColumn("u", concat(
+          expr("substring(t, 1, length(t) - 1)"),
+          expr("char(ascii(substring(t, length(t), 1)) + 1)")))
+      val aZone = zm.filter(col("zone") === 'a'.toLong).head()
+      assert(aZone.getAs[String]("u") == "abc{", s"upper: $aZone")
+      val (plo, phi) = ("abcz", "abc{")
+      val skipped = zm.filter(col("u") <= plo || col("zlo") >= phi)
+        .select("zone").collect().map(_.getLong(0)).toSet
+      assert(!skipped.contains('a'.toLong),
+        "the boundary prefix must NOT skip the zone holding its matches")
+      assert(skipped.contains('b'.toLong), "the b zone must skip")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
   test("q270: both passes strip dangling tuples and the reduced join is exact") {
     import spark.implicits._
     val region = Seq((0, "ASIA"), (1, "EUROPE"), (2, "AFRICA"))
