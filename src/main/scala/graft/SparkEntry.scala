@@ -1931,6 +1931,12 @@ object SparkEntry {
       Planning.stringZoneSkipping(TestData.part(s, dir),
         scratchDir("graft-q295").resolve("szs").toString)
     },
+    // Native TypedImperativeAggregate HLL registers: one 512 B buffer
+    // per group through map-side partials — single-pass distinct
+    // estimates per type + global, same frozen-constant math as q282.
+    "q296_hll_native_agg" -> { (s, dir) =>
+      Planning.hllNativeDistinct(TestData.events(s, dir))
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3811,6 +3817,11 @@ object SparkEntry {
           SELECT pred_id, n_zones, zones_scanned, zones_skipped,
                  n_rows, total_cents
           FROM string_zone_skip ORDER BY pred_id""",
+
+    "q296_hll_native_agg" ->
+      s"""WITH ${Planning.hllNativeDistinctSql()}
+          SELECT scope, v_zeros, denom, est, branch, n_exact
+          FROM hll_native ORDER BY scope""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

@@ -3062,6 +3062,109 @@ object Planning {
        |  FROM hr_est e JOIN hr_exact x USING (scope))""".stripMargin
   }
 
+  /** q296 — the HLL registers as a NATIVE AGGREGATE: distinct users per
+    * event type and globally from [[graft.plans.HllRegistersAgg]] — a
+    * `TypedImperativeAggregate` carrying one 64-long buffer per group
+    * through map-side partial aggregation, where q282's formulation
+    * shuffles one row per (scope, register). Same register math
+    * bit-for-bit (the spec proves array-equality against the exploded
+    * groupBy), same frozen-literal estimate arithmetic; v-zeros and the
+    * integer harmonic denominator are derived from the register array
+    * with SQL lambda folds (exact integers), and the oracle computes
+    * the identical registers via its own sparse groupBy — the hash
+    * match is the proof the imperative buffer path IS the declarative
+    * one.
+    *
+    * Scale: this is the single-pass form — one scan, constant 512 B of
+    * state per group whatever the fan-in, merge in any order (register
+    * max is associative/commutative). The custom-expression ladder's
+    * aggregate rung, beside LongArrayDot (scalar) and TopKPerKey
+    * (operator).
+    */
+  def hllNativeDistinct(events: DataFrame): DataFrame = {
+    import graft.plans.HllRegistersAgg.hll_registers
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events.select(col("event_type"),
+      h48(col("user_id").cast("string")).as("h")).localCheckpoint()
+    val perType = keyed.groupBy("event_type")
+      .agg(hll_registers(col("h")).as("regs"))
+      .select(concat(lit("t:"), col("event_type")).as("scope"), col("regs"))
+    val global = keyed.agg(hll_registers(col("h")).as("regs"))
+      .select(lit("global").as("scope"), col("regs"))
+    val lc = broadcast(hllLinearCount.toDF("v", "lc_est"))
+    val est = perType.unionByName(global)
+      .withColumn("v_zeros",
+        expr("aggregate(regs, 0L, (acc, x) -> acc + IF(x = 0, 1L, 0L))"))
+      .withColumn("denom",
+        expr("aggregate(regs, 0L, (acc, x) -> acc + IF(x = 0, " +
+          "8796093022208L, shiftleft(1L, CAST(43 - x AS INT))))"))
+      .withColumn("raw_est", lit(hllNumConst) / col("denom").cast("double"))
+      .join(lc, col("v_zeros") === col("v"), "left")
+      .select(col("scope"), col("v_zeros"), col("denom"),
+        when(col("raw_est") <= 160.0 && col("v_zeros") > 0L, col("lc_est"))
+          .otherwise(col("raw_est")).as("est"),
+        when(col("raw_est") <= 160.0 && col("v_zeros") > 0L, lit("linear"))
+          .otherwise(lit("raw")).as("branch"))
+    val exact = events
+      .select(concat(lit("t:"), col("event_type")).as("scope"),
+        col("user_id"))
+      .groupBy("scope").agg(countDistinct("user_id").as("n_exact"))
+      .unionByName(events.agg(countDistinct("user_id").as("n_exact"))
+        .select(lit("global").as("scope"), col("n_exact")))
+    est.join(exact, Seq("scope")).orderBy("scope")
+  }
+
+  /** DuckDB twin of [[hllNativeDistinct]] — the registers via the sparse
+    * groupBy, identical constants. Embed after `WITH ` and select from
+    * `hll_native`.
+    */
+  def hllNativeDistinctSql(): String = {
+    val lcVals = hllLinearCount
+      .map { case (v, e) => s"($v, $e)" }.mkString(", ")
+    val p43 = 1L << 43
+    def estSql(regCte: String, scopeExpr: String, grp: String) =
+      s"""SELECT $scopeExpr AS scope,
+         |       64 - COUNT(*) AS v_zeros,
+         |       CAST(SUM(1::BIGINT << (43 - rho))
+         |            + (64 - COUNT(*)) * $p43 AS BIGINT) AS denom
+         |FROM $regCte GROUP BY $grp""".stripMargin
+    s"""hn_keyed AS (
+       |  SELECT event_type, ${h48Sql("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |hn_regs AS (
+       |  SELECT event_type, h % 64 AS idx,
+       |         MAX(CASE WHEN h // 64 = 0 THEN 43
+       |                  ELSE 43 - length(bin(h // 64)) END) AS rho
+       |  FROM hn_keyed GROUP BY 1, 2),
+       |hn_glob AS (
+       |  SELECT idx, MAX(rho) AS rho FROM hn_regs GROUP BY 1),
+       |hn_lc(v, lc_est) AS (VALUES $lcVals),
+       |hn_scoped AS (
+       |  ${estSql("hn_regs", "'t:' || event_type", "event_type")}
+       |  UNION ALL
+       |  ${estSql("hn_glob", "'global'", "'global'")}),
+       |hn_est AS (
+       |  SELECT s.scope, s.v_zeros, s.denom,
+       |         CASE WHEN $hllNumConst / CAST(s.denom AS DOUBLE) <= 160.0
+       |                AND s.v_zeros > 0 THEN l.lc_est
+       |              ELSE $hllNumConst / CAST(s.denom AS DOUBLE) END AS est,
+       |         CASE WHEN $hllNumConst / CAST(s.denom AS DOUBLE) <= 160.0
+       |                AND s.v_zeros > 0 THEN 'linear' ELSE 'raw' END
+       |           AS branch
+       |  FROM hn_scoped s LEFT JOIN hn_lc l ON l.v = s.v_zeros),
+       |hn_exact AS (
+       |  SELECT 't:' || event_type AS scope,
+       |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+       |  FROM events GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'global', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+       |  FROM events),
+       |hll_native AS (
+       |  SELECT e.scope, e.v_zeros, e.denom, e.est, e.branch, x.n_exact
+       |  FROM hn_est e JOIN hn_exact x USING (scope))""".stripMargin
+  }
+
   /** q279 — DYNAMIC PARTITION PRUNING star join: the fact lands on disk
     * partitioned by ship year-month, the date dimension carries the
     * quarter attribute, and the query filters the DIMENSION — so no

@@ -627,6 +627,43 @@ class PlanningSpec extends SparkSpec {
       && ve.getAs[Double]("est_union") == 0.0, s"empty pair: $ve")
   }
 
+  test("q296: the native register aggregate equals the exploded groupBy, through forced merges") {
+    import spark.implicits._
+    import graft.plans.HllRegistersAgg.hll_registers
+    // 48-bit hashes with a deterministic spread, plus the w = 0 edge
+    // (h < 64 -> rho = 43) — repartition(7) forces partial-buffer merges
+    val hs = ((0L until 64L) ++ (1L to 5000L).map(i =>
+      (i * 2654435761L) % (1L << 48))).toDF("h").repartition(7)
+    val native = hs.agg(hll_registers(col("h")).as("regs"))
+      .head().getSeq[Long](0).toIndexedSeq
+    // the q282 exploded formulation on the same hashes
+    val exploded = hs.select((col("h") % 64).as("idx"),
+        when(graft.functions.OracleSafe.intDiv(col("h"), lit(64L)) === 0L,
+          lit(43L))
+          .otherwise(lit(43L) - length(bin(
+            graft.functions.OracleSafe.intDiv(col("h"), lit(64L))))).as("rho"))
+      .groupBy("idx").agg(max("rho").as("rho"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val expected = (0 until 64).map(i => exploded.getOrElse(i, 0L))
+    assert(native == expected, s"register mismatch:\n$native\n$expected")
+    // the w = 0 edge actually exercised: every register holds rho = 43
+    // from the 0..63 block (h DIV 64 == 0 for all of them)
+    assert(native.forall(_ == 43L), s"w=0 rho must win every register")
+    // scala-side reference on a small fixture without the saturating block
+    val small = (1L to 200L).map(i => (i * 2654435761L) % (1L << 48))
+    val ref = new Array[Long](64)
+    small.foreach { h =>
+      val idx = (h % 64).toInt
+      val w = h / 64
+      val rho = if (w == 0) 43L
+        else 43L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > ref(idx)) ref(idx) = rho
+    }
+    val nat2 = small.toDF("h").repartition(5)
+      .agg(hll_registers(col("h"))).head().getSeq[Long](0).toIndexedSeq
+    assert(nat2 == ref.toIndexedSeq, "scala reference mismatch")
+  }
+
   test("q295: truncated bounds stay conservative at the w-prefix boundary") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-szs-spec")
