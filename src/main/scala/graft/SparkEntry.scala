@@ -1937,6 +1937,13 @@ object SparkEntry {
     "q296_hll_native_agg" -> { (s, dir) =>
       Planning.hllNativeDistinct(TestData.events(s, dir))
     },
+    // Incremental string-zone-map maintenance: delta-only truncated
+    // bounds merge into the persisted artifact (least/greatest/sum),
+    // base never rescanned; the serve prunes with the merged bounds.
+    "q297_inc_string_zones" -> { (s, dir) =>
+      Planning.incrementalStringZoneMap(TestData.part(s, dir),
+        scratchDir("graft-q297").resolve("iszm").toString)
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3822,6 +3829,12 @@ object SparkEntry {
       s"""WITH ${Planning.hllNativeDistinctSql()}
           SELECT scope, v_zeros, denom, est, branch, n_exact
           FROM hll_native ORDER BY scope""",
+
+    "q297_inc_string_zones" ->
+      s"""WITH ${Planning.incrementalStringZoneMapSql()}
+          SELECT pred_id, n_zones, zones_scanned, zones_skipped,
+                 n_rows, total_cents
+          FROM inc_string_zones ORDER BY pred_id""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

@@ -1147,6 +1147,151 @@ object Planning {
        |  FROM szs_audit a JOIN szs_res x USING (pred_id))""".stripMargin
   }
 
+  /** q297 — INCREMENTAL maintenance of the q295 string zone map, joining
+    * the maintenance family (q240 postings, q243 IVF cells, q245 Bloom
+    * bits, q268 numeric zones): the truncated-bound artifact persists,
+    * an append-only delta aggregates ALONE, and the merge is
+    * `least(zlo)` / `greatest(u)` / summed counts through one outer
+    * join — base files never rescanned. One honesty note that is the
+    * whole reason this query exists separately from q268: merged
+    * truncated bounds are NOT always the rebuilt bounds (when a zone's
+    * max is shorter than the truncation width, incrementing a
+    * prefix-of-a-prefix can overshoot the rebuild — the lakehouse
+    * answer is the same one Iceberg's per-FILE stats embody: bounds
+    * compose conservatively, they are not canonical). So the oracle
+    * mirrors the EXACT two-batch merge arithmetic for the audit
+    * columns, and the serve columns are checked against a PLAIN filter
+    * — proving the merged bounds, canonical or not, never skip a
+    * matching zone.
+    *
+    * Output per q295 predicate: zone counts from the merged artifact
+    * and the count + cent total from the pruned scan over the full
+    * (base + delta) data. Scale: the maintenance costs O(delta) + an
+    * |alphabet|-row join; the serve is the q295 dir-pruned read.
+    */
+  def incrementalStringZoneMap(part: DataFrame, outDir: String,
+      width: Int = 4, deltaMod: Int = 5): DataFrame = {
+    require(width >= 2 && deltaMod >= 2, s"bad grid: $width/$deltaMod")
+    val spark = part.sparkSession
+    import spark.implicits._
+    val slim = part.select(
+      ascii(substring(col("p_name"), 1, 1)).cast("long").as("zone"),
+      col("p_name"), col("p_partkey"),
+      OracleSafe.quant(col("p_retailprice"), 100).as("cents"))
+    val inDelta = col("p_partkey") % lit(deltaMod.toLong) === 0L
+    def bounds(df: DataFrame): DataFrame = df.groupBy("zone")
+      .agg(min("p_name").as("mn"), max("p_name").as("mx"),
+        count(lit(1)).as("zn"))
+      .withColumn("zlo", substring(col("mn"), 1, width))
+      .withColumn("t", substring(col("mx"), 1, width))
+      .withColumn("u", concat(
+        expr("substring(t, 1, length(t) - 1)"),
+        expr("char(ascii(substring(t, length(t), 1)) + 1)")))
+      .select("zone", "zlo", "u", "zn")
+    bounds(slim.filter(!inDelta))
+      .write.mode("overwrite").parquet(s"$outDir/szm")
+    // the full data lands zone-partitioned once (base + delta files);
+    // the serve below prunes its dirs with the MERGED bounds
+    slim.repartitionByRange(col("zone"))
+      .write.mode("overwrite").partitionBy("zone").parquet(s"$outDir/data")
+    // the maintenance: delta-only aggregate + one |alphabet|-row merge
+    val deltaB = bounds(slim.filter(inDelta))
+      .select(col("zone"), col("zlo").as("dlo"), col("u").as("du"),
+        col("zn").as("dn"))
+    val merged = spark.read.parquet(s"$outDir/szm")
+      .join(deltaB, Seq("zone"), "full_outer")
+      .select(col("zone"),
+        when(col("zlo").isNull, col("dlo"))
+          .when(col("dlo").isNull, col("zlo"))
+          .otherwise(least(col("zlo"), col("dlo"))).as("zlo"),
+        when(col("u").isNull, col("du"))
+          .when(col("du").isNull, col("u"))
+          .otherwise(greatest(col("u"), col("du"))).as("u"),
+        (coalesce(col("zn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("zn"))
+      .localCheckpoint()
+    val runs = stringZonePreds.map { case (id, ploS, phiS) =>
+      val (plo, phi) = (lit(ploS), lit(phiS))
+      val skip = col("u") <= plo || col("zlo") >= phi
+      val audit = merged.agg(count(lit(1)).as("n_zones"),
+        sum(when(skip, 1L).otherwise(0L)).as("zones_skipped"))
+      val surviving = merged.filter(!skip).select("zone").as[Long].collect()
+      val zoneFilter =
+        if (surviving.isEmpty) lit(false)
+        else col("zone").isin(surviving.toIndexedSeq.map(Long.box): _*)
+      val res = spark.read.parquet(s"$outDir/data")
+        .filter(zoneFilter)
+        .filter(col("p_name") >= plo && col("p_name") < phi)
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("total_cents"))
+      broadcast(Seq(id).toDF("pred_id"))
+        .crossJoin(broadcast(audit))
+        .crossJoin(res)
+        .select(col("pred_id"), col("n_zones"),
+          (col("n_zones") - col("zones_skipped")).as("zones_scanned"),
+          col("zones_skipped"), col("n_rows"), col("total_cents"))
+    }
+    runs.reduce(_ unionByName _).orderBy("pred_id")
+  }
+
+  /** DuckDB twin of [[incrementalStringZoneMap]] — the identical
+    * two-batch truncated-bound merge for the audit, plain-filter
+    * totals for the serve. Embed after `WITH ` and select from
+    * `inc_string_zones`.
+    */
+  def incrementalStringZoneMapSql(width: Int = 4,
+      deltaMod: Int = 5): String = {
+    val predRows = stringZonePreds.map { case (id, lo, hi) =>
+      s"('$id', '$lo', '$hi')"
+    }.mkString(", ")
+    // NOTE: the emitted SQL is embedded in the caller's stripMargin
+    // template, so a line may never START with `||` (the outer strip
+    // would eat one bar) — keep the concat operator mid-line.
+    def boundsSql(name: String, filt: String) =
+      s"""$name AS (
+         |  SELECT zone, substr(mn, 1, $width) AS zlo,
+         |         concat(substr(substr(mx, 1, $width), 1,
+         |             length(substr(mx, 1, $width)) - 1),
+         |           chr(ascii(substr(substr(mx, 1, $width),
+         |                length(substr(mx, 1, $width)), 1)) + 1)) AS u,
+         |         zn
+         |  FROM (SELECT zone, MIN(p_name) AS mn, MAX(p_name) AS mx,
+         |               COUNT(*) AS zn
+         |        FROM iszm_rows WHERE $filt GROUP BY 1))""".stripMargin
+    s"""iszm_rows AS (
+       |  SELECT CAST(ascii(substr(p_name, 1, 1)) AS BIGINT) AS zone,
+       |         p_name, p_partkey,
+       |         ${OracleSafe.quantSql("p_retailprice", 100)} AS cents
+       |  FROM part),
+       |${boundsSql("iszm_base", s"p_partkey % $deltaMod <> 0")},
+       |${boundsSql("iszm_delta", s"p_partkey % $deltaMod = 0")},
+       |iszm_merged AS (
+       |  SELECT zone,
+       |         CASE WHEN b.zlo IS NULL THEN d.zlo
+       |              WHEN d.zlo IS NULL THEN b.zlo
+       |              ELSE LEAST(b.zlo, d.zlo) END AS zlo,
+       |         CASE WHEN b.u IS NULL THEN d.u
+       |              WHEN d.u IS NULL THEN b.u
+       |              ELSE GREATEST(b.u, d.u) END AS u
+       |  FROM iszm_base b FULL OUTER JOIN iszm_delta d USING (zone)),
+       |iszm_p(pred_id, plo, phi) AS (VALUES $predRows),
+       |iszm_audit AS (
+       |  SELECT pred_id, COUNT(*) AS n_zones,
+       |         CAST(SUM(CASE WHEN u <= plo OR zlo >= phi THEN 1 ELSE 0
+       |           END) AS BIGINT) AS zones_skipped
+       |  FROM iszm_merged, iszm_p GROUP BY 1),
+       |iszm_res AS (
+       |  SELECT p.pred_id, COUNT(r.p_name) AS n_rows,
+       |         CAST(SUM(r.cents) AS BIGINT) AS total_cents
+       |  FROM iszm_p p LEFT JOIN iszm_rows r
+       |    ON r.p_name >= p.plo AND r.p_name < p.phi
+       |  GROUP BY 1),
+       |inc_string_zones AS (
+       |  SELECT a.pred_id, a.n_zones,
+       |         a.n_zones - a.zones_skipped AS zones_scanned,
+       |         a.zones_skipped, x.n_rows, x.total_cents
+       |  FROM iszm_audit a JOIN iszm_res x USING (pred_id))""".stripMargin
+  }
+
   /** Range sharding driven by the QUANTILE SKETCH instead of the exact
     * histogram — the sketch-statistics story (q216/q219/q220) applied to
     * PHYSICAL layout, and the exact mirror of what `repartitionByRange`
