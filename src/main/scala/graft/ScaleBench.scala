@@ -192,7 +192,8 @@ object ScaleBench {
     "q287_compact_vs_append", "q289_stream_manifest_tail",
     "q290_branch_tags", "q291_roc_auc", "q292_calibration_bins",
     "q293_chunk_dedup", "q294_gain_lift", "q295_string_zone_skip",
-    "q296_hll_native_agg", "q297_inc_string_zones")
+    "q296_hll_native_agg", "q297_inc_string_zones",
+    "q298_orphan_gc")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

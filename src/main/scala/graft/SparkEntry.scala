@@ -1944,6 +1944,13 @@ object SparkEntry {
       Planning.incrementalStringZoneMap(TestData.part(s, dir),
         scratchDir("graft-q297").resolve("iszm").toString)
     },
+    // Orphan GC: the dead writer's snapshot (crash between data-write
+    // and pointer-swap) is reclaimed by set arithmetic over version
+    // ids; pointer/CAS/ref-protected versions are never candidates.
+    "q298_orphan_gc" -> { (s, dir) =>
+      ManifestTable.orphanGc(TestData.events(s, dir),
+        scratchDir("graft-q298").resolve("events_table").toString)
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3835,6 +3842,12 @@ object SparkEntry {
           SELECT pred_id, n_zones, zones_scanned, zones_skipped,
                  n_rows, total_cents
           FROM inc_string_zones ORDER BY pred_id""",
+
+    "q298_orphan_gc" ->
+      s"""WITH ${ManifestTable.orphanGcSql()}
+          SELECT stage, version, n_version_dirs, n_orphans,
+                 event_type, n, total_cents
+          FROM orphan_gc ORDER BY stage, event_type""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

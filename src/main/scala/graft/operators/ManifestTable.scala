@@ -1324,6 +1324,132 @@ object ManifestTable {
        |  SELECT 'c_post_release', 3, 1, event_type, n, total_cents
        |  FROM lv_v3)""".stripMargin
 
+  /** Orphan snapshot dirs: version dirs on disk that no pointer, ref,
+    * or claimed commit slot names — the debris a writer leaves when it
+    * dies between data-write and pointer-swap (q241's crash window) or
+    * between staging and its CAS. Deleting them is the GC every
+    * deployment schedules beside vacuum: vacuum reclaims COMMITTED
+    * history, orphan GC reclaims what was NEVER committed.
+    */
+  def orphanVersions(spark: SparkSession, tableDir: String): Seq[Long] = {
+    // an unborn table (no pointer yet) has no committed frontier to
+    // judge against — GC nothing rather than eat an in-flight bootstrap
+    val live = currentVersion(spark, tableDir) match {
+      case Some(v) => v
+      case None => return Seq.empty
+    }
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // versions <= live are committed history — the pointer advanced past
+    // them, so they are vacuum's domain, never GC's. A crashed publish's
+    // debris is always ABOVE the pointer (the swap never happened).
+    val committed: Set[Long] = {
+      val dir = new Path(s"$tableDir/commits")
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("v")
+          .takeWhile(_.isDigit).toLong).toOption).toSet
+    }
+    // refs protect by CONTENT (the version a branch/tag file names),
+    // since a dev branch may sit above the main pointer (q290)
+    val referenced: Set[Long] = {
+      val dir = new Path(s"$tableDir/refs")
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filterNot(_.endsWith(".tmp"))
+        .flatMap(n => refVersion(spark, tableDir, n)).toSet
+    }
+    versions(spark, tableDir)
+      .filter(v => v > live && !committed(v) && !referenced(v))
+  }
+
+  /** Delete orphan version dirs. Returns the versions reclaimed. */
+  def gcOrphans(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val orphans = orphanVersions(spark, tableDir)
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    orphans.foreach(v => fs.delete(new Path(s"$tableDir/data/v$v"), true))
+    orphans
+  }
+
+  /** q298 — ORPHAN GC end to end, the maintenance op beside vacuum:
+    * publish v1, then a v2 publish DIES in the q241 crash window (data
+    * landed, pointer never swapped, no commit slot claimed) — the table
+    * still serves v1, but the dead writer's snapshot dir sits on disk
+    * as unaccounted storage. [[gcOrphans]] reclaims exactly that dir
+    * (the pointer's target and CAS-committed versions are never
+    * candidates), after which the retried v2 publish commits cleanly —
+    * GC is the OTHER recovery from the crash q241 recovers by re-run,
+    * and composing them proves neither path can eat a committed
+    * snapshot. Output: per-stage totals with the resolved version, the
+    * on-disk version-dir count, and the orphan count the GC saw.
+    *
+    * Scale: GC is one listing + set arithmetic over version ids
+    * (metadata-scale); the reclaim deletes dirs, never reads data.
+    */
+  def orphanGc(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    publish(slim, tableDir, 1L)
+    def stage(name: String, orphansSeen: Long): DataFrame = {
+      val v = currentVersion(spark, tableDir).get
+      read(spark, tableDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .select(lit(name).as("stage"), lit(v).as("version"),
+          lit(versions(spark, tableDir).size.toLong).as("n_version_dirs"),
+          lit(orphansSeen).as("n_orphans"), col("event_type"), col("n"),
+          col("total_cents"))
+    }
+    val s1 = stage("a_v1_published", 0L)
+    val v2 = slim.filter(col("event_type") =!= "error")
+    val crashed =
+      try { publish(v2, tableDir, 2L, crashBeforeSwap = true); false }
+      catch { case _: InjectedCrash => true }
+    require(crashed, "the injected crash must fire inside the window")
+    val orphans = orphanVersions(spark, tableDir)
+    require(orphans == Seq(2L), s"exactly the dead v2 is orphaned: $orphans")
+    val s2 = stage("b_crash_debris", orphans.size.toLong)
+    val reclaimed = gcOrphans(spark, tableDir)
+    require(reclaimed == Seq(2L), s"GC must reclaim exactly v2: $reclaimed")
+    val s3 = stage("c_post_gc", 0L)
+    publish(v2, tableDir, 2L) // the retried publish commits cleanly
+    val s4 = stage("d_republished", 0L)
+    s1.unionByName(s2).unionByName(s3).unionByName(s4)
+      .orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[orphanGc]]: base totals while v1 serves (the dead
+    * snapshot never visible), error-free totals once the retried v2
+    * commits; versions, dir counts, and orphan counts pinned. Embed
+    * after `WITH ` and select from `orphan_gc`.
+    */
+  def orphanGcSql(): String =
+    s"""og_all AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM events GROUP BY 1),
+       |og_v2 AS (
+       |  SELECT event_type, n, total_cents FROM og_all
+       |  WHERE event_type <> 'error'),
+       |orphan_gc AS (
+       |  SELECT 'a_v1_published' AS stage, CAST(1 AS BIGINT) AS version,
+       |         CAST(1 AS BIGINT) AS n_version_dirs,
+       |         CAST(0 AS BIGINT) AS n_orphans, event_type, n, total_cents
+       |  FROM og_all
+       |  UNION ALL
+       |  SELECT 'b_crash_debris', 1, 2, 1, event_type, n, total_cents
+       |  FROM og_all
+       |  UNION ALL
+       |  SELECT 'c_post_gc', 1, 1, 0, event_type, n, total_cents
+       |  FROM og_all
+       |  UNION ALL
+       |  SELECT 'd_republished', 2, 2, 0, event_type, n, total_cents
+       |  FROM og_v2)""".stripMargin
+
   /** Create an IMMUTABLE tag naming `version`. Tags go through the same
     * put-if-absent CAS as commit slots, so a tag can never be moved —
     * re-creating it returns false and leaves the original untouched

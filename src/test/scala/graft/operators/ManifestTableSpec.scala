@@ -487,6 +487,45 @@ class ManifestTableSpec extends SparkSpec {
     } finally graft.Scratch.rmTree(out.toFile)
   }
 
+  test("q298 GC protects committed history, CAS commits, and ref'd versions; reclaims only debris") {
+    val out = java.nio.file.Files.createTempDirectory("graft-gc-spec")
+    try {
+      val tbl = s"$out/tbl"
+      val base = Seq((1L, "a", 1.0), (2L, "b", 2.0))
+        .toDF("event_id", "event_type", "value")
+      // committed history below the pointer is vacuum's domain, not GC's
+      ManifestTable.publish(base, tbl, 1L)
+      ManifestTable.publish(base, tbl, 2L)
+      assert(ManifestTable.orphanVersions(spark, tbl).isEmpty,
+        "time-travel history must never be GC candidates")
+      // a CAS-committed version above the pointer... cannot exist via
+      // tryCommit (it swaps the pointer), but a claimed slot alone must
+      // protect: simulate a committer that claimed v4 and wrote data but
+      // died before its swap — NOT debris, its slot says it owns v4
+      base.write.parquet(s"$tbl/data/v4")
+      assert(ManifestTable.claimCommit(spark, tbl, 4L, "w"))
+      assert(ManifestTable.orphanVersions(spark, tbl).isEmpty,
+        "a claimed commit slot protects its version dir")
+      // a branch above the pointer protects its snapshot (q290 dev)
+      base.write.parquet(s"$tbl/data/v5")
+      ManifestTable.setBranch(spark, tbl, "dev", 5L)
+      assert(ManifestTable.orphanVersions(spark, tbl).isEmpty,
+        "a ref'd version above the pointer is not debris")
+      // true debris: landed data, no pointer/slot/ref names it
+      base.write.parquet(s"$tbl/data/v7")
+      assert(ManifestTable.orphanVersions(spark, tbl) == Seq(7L))
+      assert(ManifestTable.gcOrphans(spark, tbl) == Seq(7L))
+      assert(!new java.io.File(s"$tbl/data/v7").exists())
+      for (v <- Seq(1L, 2L, 4L, 5L))
+        assert(new java.io.File(s"$tbl/data/v$v").isDirectory, s"v$v ate")
+      // an unborn table GCs nothing
+      val fresh = s"$out/fresh"
+      base.write.parquet(s"$fresh/data/v1")
+      assert(ManifestTable.orphanVersions(spark, fresh).isEmpty,
+        "no pointer -> no committed frontier -> GC nothing")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
   test("q287 both interleavings: compactor-first and appender-first converge on the same table") {
     val out = java.nio.file.Files.createTempDirectory("graft-cva-spec")
     try {
