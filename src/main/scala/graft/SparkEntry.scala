@@ -1951,6 +1951,12 @@ object SparkEntry {
       ManifestTable.orphanGc(TestData.events(s, dir),
         scratchDir("graft-q298").resolve("events_table").toString)
     },
+    // Multi-class classifier eval: confusion counts off one aggregate,
+    // per-class P/R/F1 + micro as single exact divisions, classes
+    // anchored on the static list (NULL precision over 0/0).
+    "q299_classifier_eval" -> { (s, dir) =>
+      Events.classifierEval(TestData.events(s, dir))
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3848,6 +3854,11 @@ object SparkEntry {
           SELECT stage, version, n_version_dirs, n_orphans,
                  event_type, n, total_cents
           FROM orphan_gc ORDER BY stage, event_type""",
+
+    "q299_classifier_eval" ->
+      s"""WITH ${Events.classifierEvalSql()}
+          SELECT cls, tp, fp, fn, precision, recall, f1
+          FROM classifier_eval ORDER BY cls""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

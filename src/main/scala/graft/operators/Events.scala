@@ -1047,6 +1047,124 @@ object Events {
        |  FROM cb_binned GROUP BY 1)""".stripMargin
   }
 
+  /** q299 classifier: the event types in label order, and the frozen
+    * cent-band thresholds that map a value to a predicted type — pure
+    * literals in both plans, so prediction is engine-exact.
+    */
+  private val evalClasses = Seq("click", "error", "purchase", "signup",
+    "view")
+
+  /** q299 — MULTI-CLASS CLASSIFIER EVALUATION: the confusion matrix and
+    * per-class precision / recall / F1 (plus the micro average) for a
+    * frozen value-band classifier against the event-type label — the
+    * eval table every labeling / distillation pipeline gates on, beside
+    * q291 (ranking), q292 (calibration), q294 (targeting). Counts are
+    * exact integers off one (label, pred)-grain aggregate; each metric
+    * is ONE division of exactly-representable integers (F1 as
+    * 2·tp / (2·tp + fp + fn), never the p·r composition — one division,
+    * no intermediate rounding); classes anchor on the STATIC list with
+    * zero-coalesce (the q272 lesson), and a class never predicted
+    * reports NULL precision rather than a 0/0.
+    *
+    * Scale: one map-side-combinable aggregate to a ≤ |classes|² frame;
+    * everything after is arithmetic on 5-row frames.
+    */
+  def classifierEval(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val bands = when(OracleSafe.quant(col("value"), 100) < 5000L,
+        lit("click"))
+      .when(OracleSafe.quant(col("value"), 100) < 15000L, lit("error"))
+      .when(OracleSafe.quant(col("value"), 100) < 30000L, lit("purchase"))
+      .when(OracleSafe.quant(col("value"), 100) < 40000L, lit("signup"))
+      .otherwise(lit("view"))
+    val conf = events.select(col("event_type").as("label"),
+        bands.as("pred"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    val classes = broadcast(evalClasses.toDF("cls"))
+    val tp = conf.filter(col("label") === col("pred"))
+      .select(col("label").as("cls"), col("m").as("tp"))
+    val predTot = conf.groupBy(col("pred").as("cls"))
+      .agg(sum("m").as("pred_n"))
+    val labelTot = conf.groupBy(col("label").as("cls"))
+      .agg(sum("m").as("label_n"))
+    val perClass = classes
+      .join(tp, Seq("cls"), "left")
+      .join(predTot, Seq("cls"), "left")
+      .join(labelTot, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("pred_n"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("label_n"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+    val micro = perClass.agg(sum("tp").as("tp"), sum("fp").as("fp"),
+        sum("fn").as("fn"))
+      .select(lit("zz_micro").as("cls"), col("tp"), col("fp"), col("fn"))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+    perClass.unionByName(micro)
+      .select(col("cls"), col("tp"), col("fp"), col("fn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+        ratio(lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"))
+      .orderBy("cls")
+  }
+
+  /** DuckDB twin of [[classifierEval]]: the same frozen bands, static
+    * class anchor, and single-division metrics. Embed after `WITH ` and
+    * select from `classifier_eval`.
+    */
+  def classifierEvalSql(): String = {
+    val cents = OracleSafe.quantSql("value", 100)
+    val clsVals = evalClasses.map(c => s"('$c')").mkString(", ")
+    s"""ce_conf AS (
+       |  SELECT event_type AS label,
+       |         CASE WHEN $cents < 5000 THEN 'click'
+       |              WHEN $cents < 15000 THEN 'error'
+       |              WHEN $cents < 30000 THEN 'purchase'
+       |              WHEN $cents < 40000 THEN 'signup'
+       |              ELSE 'view' END AS pred,
+       |         COUNT(*) AS m
+       |  FROM events GROUP BY 1, 2),
+       |ce_cls(cls) AS (VALUES $clsVals),
+       |ce_per AS (
+       |  SELECT c.cls,
+       |         CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+       |         CAST(COALESCE(p.pred_n, 0) - COALESCE(t.tp, 0) AS BIGINT)
+       |           AS fp,
+       |         CAST(COALESCE(l.label_n, 0) - COALESCE(t.tp, 0) AS BIGINT)
+       |           AS fn
+       |  FROM ce_cls c
+       |  LEFT JOIN (SELECT label AS cls, m AS tp FROM ce_conf
+       |             WHERE label = pred) t ON t.cls = c.cls
+       |  LEFT JOIN (SELECT pred AS cls, SUM(m) AS pred_n FROM ce_conf
+       |             GROUP BY 1) p ON p.cls = c.cls
+       |  LEFT JOIN (SELECT label AS cls, SUM(m) AS label_n FROM ce_conf
+       |             GROUP BY 1) l ON l.cls = c.cls),
+       |ce_all AS (
+       |  SELECT cls, tp, fp, fn FROM ce_per
+       |  UNION ALL
+       |  SELECT 'zz_micro', CAST(SUM(tp) AS BIGINT),
+       |         CAST(SUM(fp) AS BIGINT), CAST(SUM(fn) AS BIGINT)
+       |  FROM ce_per),
+       |classifier_eval AS (
+       |  SELECT cls, tp, fp, fn,
+       |         CASE WHEN tp + fp = 0 THEN NULL
+       |              ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+       |           END AS precision,
+       |         CASE WHEN tp + fn = 0 THEN NULL
+       |              ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+       |           END AS recall,
+       |         CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+       |              ELSE CAST(2 * tp AS DOUBLE)
+       |                / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+       |  FROM ce_all)""".stripMargin
+  }
+
   /** q294 — CUMULATIVE GAINS / LIFT TABLE, completing the eval trio
     * (q291 ranks, q292 calibrates, this one answers "how much of the
     * positives do the top-k% capture?" — the targeting statistic).

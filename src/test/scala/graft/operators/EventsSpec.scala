@@ -429,4 +429,36 @@ class EventsSpec extends SparkSpec {
     assert(tied.length == 1 && tied.head.getLong(0) == 0L)
     assert(tied.head.getDouble(5) == 1.0 && tied.head.getDouble(6) == 1.0)
   }
+
+  test("q299: hand-built confusion matrix, static-class anchor, and the 0/0 NULL") {
+    def fx(rows: (String, Double)*): DataFrame =
+      rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+    // bands (cents): [0,5000) click, [5000,15000) error, [15000,30000)
+    // purchase. Fixture: click@10 (tp), click@60 (pred error -> click fn,
+    // error fp), error@70 (tp), purchase@160 (tp), purchase@20 (pred
+    // click -> purchase fn, click fp). signup/view absent entirely.
+    val r = Events.classifierEval(fx(("click", 10.0), ("click", 60.0),
+        ("error", 70.0), ("purchase", 160.0), ("purchase", 20.0)))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r.keySet.size == 6, s"5 classes + micro: ${r.keySet}")
+    assert(r("click") == ((1L, 1L, 1L)), s"click: ${r("click")}")
+    assert(r("error") == ((1L, 1L, 0L)), s"error: ${r("error")}")
+    assert(r("purchase") == ((1L, 0L, 1L)), s"purchase: ${r("purchase")}")
+    assert(r("signup") == ((0L, 0L, 0L)) && r("view") == ((0L, 0L, 0L)),
+      "absent classes anchor with zero counts")
+    assert(r("zz_micro") == ((3L, 2L, 2L)), s"micro: ${r("zz_micro")}")
+    // metric spot checks: error precision 1/2, recall 1/1, f1 2/3;
+    // absent classes report NULL (0/0), never 0.0 or a crash
+    val m = Events.classifierEval(fx(("click", 10.0), ("click", 60.0),
+        ("error", 70.0), ("purchase", 160.0), ("purchase", 20.0)))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(m("error").getDouble(4) == 0.5
+      && m("error").getDouble(5) == 1.0
+      && m("error").getDouble(6) == 2.0 / 3.0, s"error: ${m("error")}")
+    assert(m("signup").isNullAt(4) && m("signup").isNullAt(5)
+      && m("signup").isNullAt(6), "0/0 must be NULL")
+    assert(m("zz_micro").getDouble(4) == 0.6, s"micro p: ${m("zz_micro")}")
+  }
 }
