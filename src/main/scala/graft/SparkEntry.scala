@@ -1957,6 +1957,12 @@ object SparkEntry {
     "q299_classifier_eval" -> { (s, dir) =>
       Events.classifierEval(TestData.events(s, dir))
     },
+    // The curation pipeline composed: dedup -> quality -> benchmark
+    // decontamination -> per-source quota in ONE plan, per-stage
+    // survivor counts — the operators proven to compose.
+    "q300_curation_pipeline" -> { (s, dir) =>
+      TextAnalysis.curationPipeline(TestData.documents(s, dir))
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3859,6 +3865,11 @@ object SparkEntry {
       s"""WITH ${Events.classifierEvalSql()}
           SELECT cls, tp, fp, fn, precision, recall, f1
           FROM classifier_eval ORDER BY cls""",
+
+    "q300_curation_pipeline" ->
+      s"""WITH ${TextAnalysis.curationPipelineSql()}
+          SELECT stage, source, n_docs, n_tokens
+          FROM curation ORDER BY stage, source""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

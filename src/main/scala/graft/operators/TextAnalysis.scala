@@ -1501,6 +1501,138 @@ object TextAnalysis {
        |  WHERE b.doc_id IS NOT NULL
        |  GROUP BY 1, 2, 3)""".stripMargin
 
+  /** q300 — the CURATION PIPELINE end to end: exact dedup → quality
+    * filter → benchmark decontamination → per-source quota, composed in
+    * ONE plan with per-stage survivor counts — the flow a training-data
+    * team actually runs, proving the suite's operators compose rather
+    * than only passing in isolation. Every stage is engine-exact:
+    * dedup keeps the min doc_id per md5(text); quality is integer
+    * arithmetic (≥ 20 tokens AND 10·|distinct| ≥ 3·|tokens| — cross-
+    * multiplied, no ratio division); decontamination drops the
+    * benchmark docs (doc_id ≡ 0 mod 97 — a deterministic stand-in for
+    * an eval set) AND every doc sharing a word-8-gram with one (the
+    * q55 shape; docs under 8 tokens have no shingles and pass);
+    * the quota keeps the 15 smallest-md5 docs per source (deterministic
+    * hash order, the q160 shape). Output: per (stage, source) surviving
+    * doc and token counts.
+    *
+    * Scale: dedup is one md5-key shuffle; quality is a stateless scan;
+    * decontamination joins shingles against the BENCHMARK side only
+    * (eval sets are small by construction — the join's build side is
+    * bounded); the quota window partitions by source. No stage
+    * materializes; Catalyst plans the whole flow as one DAG.
+    */
+  def curationPipeline(documents: DataFrame, minTokens: Int = 20,
+      quota: Int = 15): DataFrame = {
+    val base = documents.select(col("doc_id"), col("source"),
+        col("text"), split(col("text"), " ").as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .localCheckpoint()
+    def stageCounts(df: DataFrame, stage: String): DataFrame = df
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .select(lit(stage).as("stage"), col("source"), col("n_docs"),
+        col("n_tokens"))
+    // A: exact dedup — one md5-key shuffle, min doc_id survives
+    val deduped = base
+      .withColumn("fp", md5(col("text")))
+      .withColumn("keep", min("doc_id")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keep"))
+      .drop("fp", "keep")
+    // B: quality — integer rules only
+    val quality = deduped
+      .filter(col("n_toks") >= minTokens &&
+        size(array_distinct(col("toks"))) * 10 >= col("n_toks") * 3)
+    // C: decontamination — benchmark docs out, 8-gram sharers out
+    val isBench = col("doc_id") % 97L === 0L
+    // NB: Spark's sequence(1, 0) DESCENDS ([1, 0]) while DuckDB's
+    // range(1, 1) is empty — docs under 8 tokens must produce NO
+    // shingles on both engines, hence the explicit guard
+    val shingles8 = "IF(n_toks >= 8, " +
+      "transform(sequence(1, n_toks - 7), " +
+      "s -> array_join(slice(toks, s, 8), ' ')), " +
+      "CAST(array() AS ARRAY<STRING>))"
+    val benchShingles = base.filter(isBench)
+      .select(explode(expr(shingles8)).as("sh"))
+      .distinct()
+    val candShingles = quality.filter(!isBench)
+      .select(col("doc_id").as("c_id"), explode(expr(shingles8)).as("sh"))
+    val contaminated = candShingles
+      .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+      .select(col("c_id").as("doc_id")).distinct()
+    val decontam = quality.filter(!isBench)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // D: per-source quota by deterministic hash order
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val sampled = decontam
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota).drop("rk")
+    stageCounts(base, "a_raw")
+      .unionByName(stageCounts(deduped, "b_dedup"))
+      .unionByName(stageCounts(quality, "c_quality"))
+      .unionByName(stageCounts(decontam, "d_decontam"))
+      .unionByName(stageCounts(sampled, "e_quota"))
+      .orderBy("stage", "source")
+  }
+
+  /** DuckDB twin of [[curationPipeline]] — the same four stages as
+    * CTEs. Embed after `WITH ` and select from `curation`.
+    */
+  def curationPipelineSql(minTokens: Int = 20, quota: Int = 15): String =
+    s"""cp_base AS (
+       |  SELECT doc_id, source, text, string_split(text, ' ') AS toks,
+       |         CAST(len(string_split(text, ' ')) AS INT) AS n_toks
+       |  FROM documents),
+       |cp_dedup AS (
+       |  SELECT * FROM (
+       |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+       |    FROM cp_base)
+       |  WHERE doc_id = keep),
+       |cp_quality AS (
+       |  SELECT doc_id, source, toks, n_toks FROM cp_dedup
+       |  WHERE n_toks >= $minTokens
+       |    AND len(list_distinct(toks)) * 10 >= n_toks * 3),
+       |cp_bench_sh AS (
+       |  SELECT DISTINCT array_to_string(toks[s : s + 7], ' ') AS sh
+       |  FROM (SELECT toks,
+       |          UNNEST(range(1, GREATEST(n_toks - 7, 0) + 1)) AS s
+       |        FROM cp_base WHERE doc_id % 97 = 0)),
+       |cp_contaminated AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM (SELECT doc_id, toks,
+       |          UNNEST(range(1, GREATEST(n_toks - 7, 0) + 1)) AS s
+       |        FROM cp_quality WHERE doc_id % 97 <> 0) c
+       |  JOIN cp_bench_sh b
+       |    ON array_to_string(c.toks[c.s : c.s + 7], ' ') = b.sh),
+       |cp_decontam AS (
+       |  SELECT q.doc_id, q.source, q.n_toks FROM cp_quality q
+       |  WHERE q.doc_id % 97 <> 0
+       |    AND q.doc_id NOT IN (SELECT doc_id FROM cp_contaminated)),
+       |cp_quota AS (
+       |  SELECT doc_id, source, n_toks FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |    FROM cp_decontam)
+       |  WHERE rk <= $quota),
+       |curation AS (
+       |  SELECT 'a_raw' AS stage, source, COUNT(*) AS n_docs,
+       |         CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |  FROM cp_base GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'b_dedup', source, COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+       |  FROM cp_dedup GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'c_quality', source, COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+       |  FROM cp_quality GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'd_decontam', source, COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+       |  FROM cp_decontam GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'e_quota', source, COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+       |  FROM cp_quota GROUP BY 2)""".stripMargin
+
   /** q293 — OVERLAPPING-CHUNK DEDUP, the RAG-ingestion shape: every
     * document splits into token windows of `width` every `stride`
     * tokens (overlap = width − stride, the standard retrieval chunker),

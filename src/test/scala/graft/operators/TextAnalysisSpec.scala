@@ -286,4 +286,41 @@ class TextAnalysisSpec extends SparkSpec {
       .toMap
     assert(r3 == Map("s0" -> 0L, "s1" -> 0L), s"source isolation: $r3")
   }
+
+  test("q300: each stage filters what it owns; short docs mint no shingles") {
+    def docs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "source")
+    val longText = (1 to 24).map(i => s"tok$i").mkString(" ")    // quality-ok
+    val benchText = (1 to 24).map(i => s"ev$i").mkString(" ")    // benchmark
+    val contamText = ((1 to 8).map(i => s"ev$i") ++              // shares the
+      (1 to 16).map(i => s"pad$i")).mkString(" ")                // ev1..ev8 gram
+    val repeats = (1 to 24).map(_ => "same").mkString(" ")       // low distinct
+    val fx = docs(
+      (1L, longText, "s0"), (2L, longText, "s0"),   // exact dup -> one out
+      (3L, "short doc", "s0"),                      // < 20 tokens -> quality
+      (4L, repeats, "s0"),                          // distinct ratio -> quality
+      (97L, benchText, "s0"),                       // benchmark doc -> out
+      (5L, contamText, "s0"),                       // 8-gram sharer -> out
+      (6L, (1 to 24).map(i => s"uniq$i").mkString(" "), "s0"))
+    val r = TextAnalysis.curationPipeline(fx, minTokens = 20, quota = 15)
+      .collect().map(x => x.getString(0) -> ((x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r("a_raw")._1 == 7L, s"raw: $r")
+    assert(r("b_dedup")._1 == 6L, "the exact dup must collapse to one")
+    // quality drops the short doc and the all-same doc (not the bench)
+    assert(r("c_quality")._1 == 4L, s"quality: $r")
+    // decontam drops the benchmark doc itself AND the gram-sharer
+    assert(r("d_decontam")._1 == 2L, s"decontam: $r")
+    assert(r("e_quota")._1 == 2L, "quota above survivor count keeps all")
+    assert(r("d_decontam")._2 == 48L, "survivors: doc1 + doc6, 24 tokens each")
+    // a 7-token benchmark doc mints NO shingles (the sequence(1,0)
+    // cross-engine trap): nothing else may be dropped because of it
+    val tiny = docs(
+      (97L, "a b c d e f g", "s0"),                 // bench, 7 tokens
+      (1L, (1 to 24).map(i => s"x$i").mkString(" "), "s0"))
+    val t = TextAnalysis.curationPipeline(tiny, minTokens = 20, quota = 15)
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(t("d_decontam") == 1L && t("e_quota") == 1L,
+      s"short bench doc must not contaminate anything: $t")
+  }
 }
