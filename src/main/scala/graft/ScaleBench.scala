@@ -193,7 +193,7 @@ object ScaleBench {
     "q290_branch_tags", "q291_roc_auc", "q292_calibration_bins",
     "q293_chunk_dedup", "q294_gain_lift", "q295_string_zone_skip",
     "q296_hll_native_agg", "q297_inc_string_zones",
-    "q298_orphan_gc", "q299_classifier_eval",
+    "q298_orphan_gc", "q299_classifier_eval", "q301_mcc_eval",
     "q300_curation_pipeline")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {

@@ -1963,6 +1963,12 @@ object SparkEntry {
     "q300_curation_pipeline" -> { (s, dir) =>
       TextAnalysis.curationPipeline(TestData.documents(s, dir))
     },
+    // Matthews correlation per class: exact integer numerator, the
+    // denominator as a product of four correctly-rounded sqrts (one
+    // BIGINT product would overflow); NULL on degenerate classes.
+    "q301_mcc_eval" -> { (s, dir) =>
+      Events.mccPerClass(TestData.events(s, dir))
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3870,6 +3876,11 @@ object SparkEntry {
       s"""WITH ${TextAnalysis.curationPipelineSql()}
           SELECT stage, source, n_docs, n_tokens
           FROM curation ORDER BY stage, source""",
+
+    "q301_mcc_eval" ->
+      s"""WITH ${Events.mccPerClassSql()}
+          SELECT cls, tp, fp, fn, tn, mcc
+          FROM mcc_eval ORDER BY cls""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

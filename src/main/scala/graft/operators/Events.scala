@@ -1165,6 +1165,63 @@ object Events {
        |  FROM ce_all)""".stripMargin
   }
 
+  /** q301 — MATTHEWS CORRELATION per class (one-vs-rest), the
+    * balance-robust single-number companion to q299's P/R/F1 (F1
+    * ignores true negatives; MCC doesn't, which is why imbalanced-label
+    * evals prefer it). Rides the same confusion frame: tn closes the
+    * square from the total count, the numerator `tp·tn − fp·fn` is an
+    * exact BIGINT difference cast to an exactly-representable double,
+    * and the denominator is computed as the PRODUCT OF FOUR SQUARE
+    * ROOTS — sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn)) as one BIGINT product
+    * would overflow at ~10⁵ rows per factor, while each factor alone is
+    * ≤ n and its sqrt is correctly rounded (IEEE 754, the q286
+    * precedent), so the left-associated product is bit-identical on
+    * both engines. A degenerate class (any zero factor) reports NULL,
+    * never a 0/0.
+    */
+  def mccPerClass(events: DataFrame): DataFrame = {
+    val per = classifierEval(events).filter(col("cls") =!= "zz_micro")
+      .select("cls", "tp", "fp", "fn")
+    val nAll = broadcast(events.agg(count(lit(1)).as("n_all")))
+    def s(c: Column): Column = sqrt(c.cast("double"))
+    per.crossJoin(nAll)
+      .withColumn("tn", col("n_all") - col("tp") - col("fp") - col("fn"))
+      .withColumn("num",
+        (col("tp") * col("tn") - col("fp") * col("fn")).cast("double"))
+      .withColumn("den",
+        s(col("tp") + col("fp")) * s(col("tp") + col("fn")) *
+          s(col("tn") + col("fp")) * s(col("tn") + col("fn")))
+      .select(col("cls"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("den") === 0.0, lit(null).cast("double"))
+          .otherwise(col("num") / col("den")).as("mcc"))
+      .orderBy("cls")
+  }
+
+  /** DuckDB twin of [[mccPerClass]] — the q299 confusion CTEs plus the
+    * identical sqrt-product arithmetic. Embed after `WITH ` and select
+    * from `mcc_eval`.
+    */
+  def mccPerClassSql(): String =
+    s"""${classifierEvalSql()},
+       |mcc_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM events),
+       |mcc_sq AS (
+       |  SELECT cls, tp, fp, fn,
+       |         CAST(n_all - tp - fp - fn AS BIGINT) AS tn
+       |  FROM ce_per CROSS JOIN mcc_n),
+       |mcc_eval AS (
+       |  SELECT cls, tp, fp, fn, tn,
+       |         CASE WHEN sqrt(CAST(tp + fp AS DOUBLE))
+       |                   * sqrt(CAST(tp + fn AS DOUBLE))
+       |                   * sqrt(CAST(tn + fp AS DOUBLE))
+       |                   * sqrt(CAST(tn + fn AS DOUBLE)) = 0.0 THEN NULL
+       |              ELSE CAST(tp * tn - fp * fn AS DOUBLE)
+       |                   / (sqrt(CAST(tp + fp AS DOUBLE))
+       |                      * sqrt(CAST(tp + fn AS DOUBLE))
+       |                      * sqrt(CAST(tn + fp AS DOUBLE))
+       |                      * sqrt(CAST(tn + fn AS DOUBLE)))
+       |           END AS mcc
+       |  FROM mcc_sq)""".stripMargin
+
   /** q294 — CUMULATIVE GAINS / LIFT TABLE, completing the eval trio
     * (q291 ranks, q292 calibrates, this one answers "how much of the
     * positives do the top-k% capture?" — the targeting statistic).

@@ -461,4 +461,37 @@ class EventsSpec extends SparkSpec {
       && m("signup").isNullAt(6), "0/0 must be NULL")
     assert(m("zz_micro").getDouble(4) == 0.6, s"micro p: ${m("zz_micro")}")
   }
+
+  test("q301: MCC matches the same-op-order scala reference; degenerate classes are NULL") {
+    def fx(rows: (String, Double)*): DataFrame =
+      rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+    // same fixture as q299: click tp=1 fp=1 fn=1 tn=2 over n=5
+    val r = Events.mccPerClass(fx(("click", 10.0), ("click", 60.0),
+        ("error", 70.0), ("purchase", 160.0), ("purchase", 20.0)))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r.keySet.size == 5, "per-class only, no micro row")
+    def refMcc(tp: Long, fp: Long, fn: Long, tn: Long): Double =
+      (tp * tn - fp * fn).toDouble /
+        (math.sqrt((tp + fp).toDouble) * math.sqrt((tp + fn).toDouble) *
+          math.sqrt((tn + fp).toDouble) * math.sqrt((tn + fn).toDouble))
+    assert(r("click").getAs[Long]("tn") == 2L, s"tn: ${r("click")}")
+    assert(r("click").getAs[Double]("mcc") == refMcc(1, 1, 1, 2),
+      s"click mcc: ${r("click")}")
+    assert(r("error").getAs[Double]("mcc") == refMcc(1, 1, 0, 3))
+    // a class never predicted AND never labeled: tp+fp = 0 -> NULL
+    assert(r("signup").isNullAt(5) && r("view").isNullAt(5),
+      "degenerate classes must report NULL, not 0/0")
+    // perfect classifier -> MCC == the same-op-order reference of a
+    // perfect confusion square (sqrt(2)*sqrt(2) != 2 exactly in IEEE,
+    // so the honest assertion is op-order equality, within 1e-15 of 1)
+    val p = Events.mccPerClass(fx(("click", 10.0), ("error", 70.0),
+        ("purchase", 160.0)))
+      .collect().map(x => x.getString(0) -> x).toMap
+    for (c <- Seq("click", "error", "purchase")) {
+      val got = p(c).getAs[Double]("mcc")
+      assert(got == refMcc(1, 0, 0, 2), s"$c: ${p(c)}")
+      assert(math.abs(got - 1.0) < 1e-15, s"$c must be ~1: $got")
+    }
+  }
 }
