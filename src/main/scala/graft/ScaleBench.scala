@@ -296,7 +296,15 @@ object ScaleBench {
     val onlyEnv = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val measuredRun = onlyEnv match {
-      case Some(names) => measured.filter(names)
+      case Some(names) =>
+        // a typo'd name must fail LOUDLY: a silently-dropped filter would
+        // run nothing, write an empty partial artifact, and merge_scale.py
+        // would merge the no-op as if the re-measure succeeded
+        val unknown = names -- measured.toSet
+        require(unknown.isEmpty, "SPARK_GRAFT_SCALE_ONLY names not in the " +
+          s"measured list: ${unknown.toSeq.sorted.mkString(", ")}")
+        require(names.nonEmpty, "SPARK_GRAFT_SCALE_ONLY is set but empty")
+        measured.filter(names)
       case None => measured
     }
 

@@ -972,8 +972,13 @@ object Events {
       .select(col("event_type"), col("n_pos"),
         (col("n_all") - col("n_pos")).as("n_neg"),
         (lit(2L) * col("concordant") + col("tie_pairs")).as("u2"))
-      .withColumn("auc", col("u2").cast("double") /
-        (lit(2L) * col("n_pos") * (col("n_neg"))).cast("double"))
+      // a single-class input (n_pos or n_neg = 0) has no ranking question
+      // to answer — NULL, never a 0/0 NaN (the q299/q301 convention)
+      .withColumn("auc",
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("double"))
+          .otherwise(col("u2").cast("double") /
+            (lit(2L) * col("n_pos") * (col("n_neg"))).cast("double")))
       .orderBy("event_type")
   }
 
@@ -1000,15 +1005,20 @@ object Events {
       OracleSafe.quant(col("value"), 100).as("cents"),
       (col("event_type") === "purchase").cast("long").as("pos"))
     val mx = broadcast(scored.agg(max("cents").as("max_cents")))
+    // a degenerate score domain (max_cents <= 0) has no bin arithmetic to
+    // run — everything lands in bin 0 and mean_pred reports NULL, never a
+    // division by zero (the q299/q301 convention)
     val binned = scored.crossJoin(mx)
-      .withColumn("bin", greatest(lit(0L), least(lit(9L),
-        OracleSafe.intDiv(col("cents") * 10, col("max_cents")))))
+      .withColumn("bin", when(col("max_cents") <= 0L, lit(0L))
+        .otherwise(greatest(lit(0L), least(lit(9L),
+          OracleSafe.intDiv(col("cents") * 10, col("max_cents"))))))
     binned.groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
         sum("cents").as("sum_cents"), max("max_cents").as("max_cents"))
       .select(col("bin"), col("n"), col("n_pos"), col("sum_cents"),
-        (col("sum_cents").cast("double") /
-          (col("n") * col("max_cents")).cast("double")).as("mean_pred"),
+        when(col("max_cents") <= 0L, lit(null).cast("double"))
+          .otherwise(col("sum_cents").cast("double") /
+            (col("n") * col("max_cents")).cast("double")).as("mean_pred"),
         (col("n_pos").cast("double") / col("n").cast("double"))
           .as("obs_rate"))
       .withColumn("abs_gap", abs(col("mean_pred") - col("obs_rate")))
@@ -1027,21 +1037,25 @@ object Events {
        |  FROM events),
        |cb_max AS (SELECT MAX(cents) AS max_cents FROM cb_scored),
        |cb_binned AS (
-       |  SELECT CAST(GREATEST(0, LEAST(9,
-       |           ${OracleSafe.intDivSql("cents * 10", "max_cents")}))
-       |           AS BIGINT) AS bin,
+       |  SELECT CASE WHEN max_cents <= 0 THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(GREATEST(0, LEAST(9,
+       |                ${OracleSafe.intDivSql("cents * 10", "max_cents")}))
+       |                AS BIGINT) END AS bin,
        |         cents, pos, max_cents
        |  FROM cb_scored CROSS JOIN cb_max),
        |calibration AS (
        |  SELECT bin, COUNT(*) AS n,
        |         CAST(SUM(pos) AS BIGINT) AS n_pos,
        |         CAST(SUM(cents) AS BIGINT) AS sum_cents,
-       |         CAST(SUM(cents) AS DOUBLE)
-       |           / CAST(COUNT(*) * MAX(max_cents) AS DOUBLE) AS mean_pred,
+       |         CASE WHEN MAX(max_cents) <= 0 THEN NULL
+       |              ELSE CAST(SUM(cents) AS DOUBLE)
+       |                / CAST(COUNT(*) * MAX(max_cents) AS DOUBLE)
+       |           END AS mean_pred,
        |         CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
        |           AS obs_rate,
-       |         ABS(CAST(SUM(cents) AS DOUBLE)
-       |             / CAST(COUNT(*) * MAX(max_cents) AS DOUBLE)
+       |         ABS(CASE WHEN MAX(max_cents) <= 0 THEN NULL
+       |               ELSE CAST(SUM(cents) AS DOUBLE)
+       |                 / CAST(COUNT(*) * MAX(max_cents) AS DOUBLE) END
        |           - CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
        |           AS abs_gap
        |  FROM cb_binned GROUP BY 1)""".stripMargin
@@ -1362,8 +1376,10 @@ object Events {
        |  GROUP BY 1, n.n_all),
        |roc_auc AS (
        |  SELECT event_type, n_pos, n_neg, u2,
-       |         CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
-       |           AS auc
+       |         CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+       |              ELSE CAST(u2 AS DOUBLE)
+       |                   / CAST(2 * n_pos * n_neg AS DOUBLE)
+       |           END AS auc
        |  FROM auc_agg)""".stripMargin
   }
 }

@@ -385,6 +385,10 @@ class EventsSpec extends SparkSpec {
     val wide = Events.rocAucByType(fx(("A", 250.0), ("B", 50.0)))
       .filter(col("event_type") === "A").head().getDouble(4)
     assert(wide == 1.0, s"cross-bucket pair lost: $wide")
+    // a single-class input has no negatives: AUC is NULL, never 0/0 NaN
+    val mono = Events.rocAucByType(fx(("A", 3.0), ("A", 1.0))).head()
+    assert(mono.getLong(2) == 0L && mono.isNullAt(4),
+      s"single-class AUC must be NULL: $mono")
   }
 
   test("q292: bin edges are integer-exact, the top score lands in bin 9, stats hand-check") {
@@ -407,6 +411,13 @@ class EventsSpec extends SparkSpec {
     assert(g.getAs[Double]("mean_pred") == 1.0
       && g.getAs[Double]("obs_rate") == 0.5
       && g.getAs[Double]("abs_gap") == 0.5, s"got $g")
+    // degenerate score domain (max <= 0): one bin-0 row, NULL mean_pred —
+    // never an integer division by zero
+    val z = Events.calibrationBins(fx(("purchase", 0.0), ("view", 0.0)))
+      .collect()
+    assert(z.length == 1 && z.head.getLong(0) == 0L
+      && z.head.isNullAt(4) && z.head.getAs[Double]("obs_rate") == 0.5,
+      s"degenerate domain: ${z.toSeq}")
   }
 
   test("q294: hand-walked deciles, cumulative capture/lift, and tied groups staying whole") {

@@ -19,6 +19,11 @@ with open(main_path) as f:
 
 assert partial.get("metric") == "scale_ratio_partial", partial.get("metric")
 assert partial.get("copies") == main.get("copies"), "copies mismatch"
+# rows measured against a different base dataset (scale-factor dir) must
+# never merge silently — the ratios would mix SFs
+assert partial.get("base") == main.get("base"), (
+    f"base mismatch: partial={partial.get('base')} main={main.get('base')}")
+assert partial.get("queries"), "partial run measured nothing"
 
 updated = sorted(partial["queries"].keys())
 main["queries"].update(partial["queries"])
