@@ -194,7 +194,10 @@ object ScaleBench {
     "q293_chunk_dedup", "q294_gain_lift", "q295_string_zone_skip",
     "q296_hll_native_agg", "q297_inc_string_zones",
     "q298_orphan_gc", "q299_classifier_eval", "q301_mcc_eval",
-    "q300_curation_pipeline")
+    "q300_curation_pipeline",
+    // round-14: intent-protected orphan GC (three publishes + two GC
+    // listings per rep — write-shaped like q298/q289)
+    "q302_safe_orphan_gc")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

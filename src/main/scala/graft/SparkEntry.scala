@@ -1969,6 +1969,14 @@ object SparkEntry {
     "q301_mcc_eval" -> { (s, dir) =>
       Events.mccPerClass(TestData.events(s, dir))
     },
+    // Orphan GC safe against an IN-FLIGHT publish: writer intents (the
+    // put-if-absent CAS) plus a grace-window age threshold — GC under a
+    // live intent reclaims nothing; once the intent expires it reclaims
+    // exactly the crashed writer's snapshot and dead intent file.
+    "q302_safe_orphan_gc" -> { (s, dir) =>
+      ManifestTable.safeOrphanGc(TestData.events(s, dir),
+        scratchDir("graft-q302").resolve("events_table").toString)
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3881,6 +3889,12 @@ object SparkEntry {
       s"""WITH ${Events.mccPerClassSql()}
           SELECT cls, tp, fp, fn, tn, mcc
           FROM mcc_eval ORDER BY cls""",
+
+    "q302_safe_orphan_gc" ->
+      s"""WITH ${ManifestTable.safeOrphanGcSql()}
+          SELECT stage, version, n_version_dirs, n_live_intents,
+                 n_reclaimed, event_type, n, total_cents
+          FROM safe_orphan_gc ORDER BY stage, event_type""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

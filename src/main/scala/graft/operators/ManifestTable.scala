@@ -80,6 +80,16 @@ object ManifestTable {
     val spark = df.sparkSession
     df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/data/v$version")
     if (crashBeforeSwap) throw new InjectedCrash
+    swapPointer(spark, tableDir, version)
+  }
+
+  /** Commit the pointer to `version` with the standard tmp-write +
+    * atomic rename — the second half of [[publish]], factored out so
+    * staged-publish flows (q302's in-flight writer) can land data and
+    * commit as separate observable steps.
+    */
+  def swapPointer(spark: SparkSession, tableDir: String,
+      version: Long): Unit = {
     val ctx = fc(spark, tableDir)
     val tmp = new Path(s"$tableDir/CURRENT.tmp")
     val out = ctx.create(tmp,
@@ -300,12 +310,7 @@ object ManifestTable {
     if (won) {
       ctx.rename(new Path(staged), new Path(s"$tableDir/data/v$version"),
         Options.Rename.OVERWRITE)
-      val tmp = new Path(s"$tableDir/CURRENT.tmp")
-      val out = ctx.create(tmp,
-        EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
-        CreateOpts.createParent())
-      try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
-      ctx.rename(tmp, new Path(s"$tableDir/CURRENT"), Options.Rename.OVERWRITE)
+      swapPointer(spark, tableDir, version)
     } else {
       ctx.delete(new Path(staged), true)
     }
@@ -1364,7 +1369,16 @@ object ManifestTable {
       .filter(v => v > live && !committed(v) && !referenced(v))
   }
 
-  /** Delete orphan version dirs. Returns the versions reclaimed. */
+  /** Delete orphan version dirs. Returns the versions reclaimed.
+    *
+    * SINGLE-WRITER ASSUMPTION (the q298 contract): this variant judges
+    * only by the committed frontier — a LIVE writer sitting between
+    * data-write and pointer-swap is indistinguishable from crash debris
+    * here, so running it concurrently with a publish can delete the
+    * publish's staged snapshot. A deployment that schedules GC beside
+    * live writers must use [[gcOrphansSafe]] (q302), which requires a
+    * writer intent or a grace-window age before reclaiming anything.
+    */
   def gcOrphans(spark: SparkSession, tableDir: String): Seq[Long] = {
     val orphans = orphanVersions(spark, tableDir)
     val fs = new Path(tableDir)
@@ -1602,4 +1616,246 @@ object ManifestTable {
        |  SELECT 'e_tag_after_ff', 'release_1', 1, event_type, n,
        |         base_cents
        |  FROM bt_states)""".stripMargin
+
+  // ---------------------------------------------------------------- q302
+
+  /** Grace window the q302 flow uses for "assume alive": any real
+    * publish finishes well inside an hour, and the flow's own stages
+    * run in seconds — so an intent younger than this is a LIVE writer
+    * by construction, never a flaky-clock accident.
+    */
+  private val IntentGraceMs = 3600L * 1000
+
+  /** Claim a WRITER INTENT on snapshot `version` BEFORE staging any
+    * data: an exclusive-create marker under `intents/` naming the
+    * writer. The intent is what lets orphan GC tell a LIVE mid-publish
+    * writer from crash debris — without it a staged-but-uncommitted
+    * snapshot looks exactly like q298's crash case, and a racing
+    * [[gcOrphans]] would delete the data out from under the publish
+    * (then the pointer swap would land CURRENT on a deleted snapshot).
+    * Exactly one writer per version can hold the intent (the same
+    * put-if-absent CAS as commit slots); [[releaseIntent]] retires it
+    * after the pointer swap. A crashed writer leaves its intent behind,
+    * and the file's AGE against the GC's grace window is what finally
+    * declares it dead — Iceberg's `remove_orphan_files(older_than)`
+    * contract, composed with the q280 lease idea on the writer side.
+    */
+  def claimIntent(spark: SparkSession, tableDir: String, version: Long,
+      writer: String): Boolean =
+    putIfAbsent(spark, new Path(s"$tableDir/intents/v$version"),
+      s"$writer\n")
+
+  def releaseIntent(spark: SparkSession, tableDir: String,
+      version: Long): Unit =
+    fc(spark, tableDir).delete(
+      new Path(s"$tableDir/intents/v$version"), false)
+
+  /** Versions whose intent file is younger than `graceMs` — writers the
+    * GC must assume alive. An intent at or beyond the grace age is
+    * EXPIRED: its writer is declared crashed and its staged snapshot
+    * becomes reclaimable (`graceMs = 0` expires everything — the spec's
+    * deterministic "crashed long ago"; a deployment uses hours).
+    */
+  def liveIntentVersions(spark: SparkSession, tableDir: String,
+      graceMs: Long): Set[Long] = {
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$tableDir/intents")
+    if (!fs.exists(dir)) Set.empty
+    else {
+      val now = System.currentTimeMillis()
+      fs.listStatus(dir).toSeq
+        .filter(st => now - st.getModificationTime < graceMs)
+        .map(_.getPath.getName)
+        .filter(_.startsWith("v"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("v").toLong).toOption)
+        .toSet
+    }
+  }
+
+  /** [[orphanVersions]] made safe against an IN-FLIGHT publish (the
+    * ADVICE-r13 race): a version is a reclaim candidate only if, beyond
+    * the q298 rules (above the pointer, no CAS slot, no ref), it ALSO
+    * (a) carries no live intent, and (b) its data dir itself is older
+    * than the grace window. Clause (b) is the pure age threshold that
+    * protects even writers that never claimed an intent — the legacy
+    * [[publish]] path stays safe under a grace-window GC too.
+    */
+  def safeOrphanVersions(spark: SparkSession, tableDir: String,
+      graceMs: Long): Seq[Long] = {
+    val live = liveIntentVersions(spark, tableDir, graceMs)
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    orphanVersions(spark, tableDir).filterNot { v =>
+      live(v) || {
+        val p = new Path(s"$tableDir/data/v$v")
+        fs.exists(p) && now - fs.getFileStatus(p).getModificationTime < graceMs
+      }
+    }
+  }
+
+  /** Delete the EXPIRED orphans — data dirs plus their dead intent
+    * files (purging the intent is what lets a retry of the same version
+    * re-claim it). Returns the versions reclaimed. Under a held (live)
+    * intent or inside the grace window this reclaims NOTHING — the
+    * safety contract [[ManifestTableSpec]] drives through both
+    * interleavings.
+    */
+  def gcOrphansSafe(spark: SparkSession, tableDir: String,
+      graceMs: Long): Seq[Long] = {
+    val orphans = safeOrphanVersions(spark, tableDir, graceMs)
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    orphans.foreach { v =>
+      fs.delete(new Path(s"$tableDir/data/v$v"), true)
+      fs.delete(new Path(s"$tableDir/intents/v$v"), false)
+    }
+    orphans
+  }
+
+  /** Publish through the intent protocol: claim → stage data → swap
+    * pointer → release. Returns false (nothing written) when another
+    * writer holds the version's intent.
+    */
+  def publishWithIntent(df: DataFrame, tableDir: String, version: Long,
+      writer: String): Boolean = {
+    val spark = df.sparkSession
+    if (!claimIntent(spark, tableDir, version, writer)) false
+    else {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/data/v$version")
+      swapPointer(spark, tableDir, version)
+      releaseIntent(spark, tableDir, version)
+      true
+    }
+  }
+
+  /** q302 — ORPHAN GC SAFE AGAINST AN IN-FLIGHT PUBLISH, the race q298
+    * leaves open (its own scaladoc now says so): five stages drive BOTH
+    * interleavings end to end.
+    *
+    *  - v1 publishes through the intent protocol (claim/stage/swap/
+    *    release);
+    *  - writer W claims the v2 intent and lands v2's data but has NOT
+    *    yet swapped the pointer — the exact instant a naive GC would
+    *    eat the snapshot ([[orphanVersions]] classifies it as debris;
+    *    require-pinned in the flow) — and the SAFE GC under the grace
+    *    window reclaims NOTHING;
+    *  - writer W completes its pointer swap: the publish it would have
+    *    lost under naive GC commits cleanly, v2 serves;
+    *  - writer X claims the v3 intent, lands data, and CRASHES (no
+    *    swap, intent left behind); the safe GC with the grace expired
+    *    reclaims EXACTLY the dead v3 — data dir and intent file both;
+    *  - the retried v3 publish re-claims the purged intent (pinned: the
+    *    claim must succeed again) and commits.
+    *
+    * Output: per-stage per-type totals with the resolved version, the
+    * on-disk version-dir count, the live-intent count, and how many
+    * versions the preceding GC run reclaimed. The oracle pins all four
+    * per stage and computes the three table states from the raw events.
+    *
+    * Scale: intents are O(1) metadata files per in-flight writer; the
+    * GC stays one listing + set arithmetic over version ids, now with
+    * one `getFileStatus` per candidate (candidates, not versions — the
+    * committed history below the pointer is never even examined).
+    */
+  def safeOrphanGc(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    def stage(name: String, reclaimed: Long): DataFrame = {
+      val v = currentVersion(spark, tableDir).get
+      read(spark, tableDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .select(lit(name).as("stage"), lit(v).as("version"),
+          lit(versions(spark, tableDir).size.toLong).as("n_version_dirs"),
+          lit(liveIntentVersions(spark, tableDir, IntentGraceMs).size.toLong)
+            .as("n_live_intents"),
+          lit(reclaimed).as("n_reclaimed"), col("event_type"), col("n"),
+          col("total_cents"))
+    }
+    require(publishWithIntent(slim, tableDir, 1L, "writer_v1"),
+      "v1 races alone and must claim its intent")
+    val s1 = stage("a_v1_published", 0L)
+    // writer W, mid-publish: intent claimed, data landed, pointer NOT yet
+    // swapped — the crash-window instant, but the writer is ALIVE
+    val v2 = slim.filter(col("event_type") =!= "error")
+    require(claimIntent(spark, tableDir, 2L, "writer_w"),
+      "writer W races alone for the v2 intent")
+    v2.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/data/v2")
+    // the naive classifier WOULD call the live writer's snapshot debris —
+    // the exact race this operator closes
+    require(orphanVersions(spark, tableDir) == Seq(2L),
+      "naive GC must (wrongly) see the in-flight v2 as debris")
+    val gcDuring = gcOrphansSafe(spark, tableDir, IntentGraceMs)
+    require(gcDuring.isEmpty,
+      s"safe GC under a live intent must reclaim nothing: $gcDuring")
+    require(versions(spark, tableDir) == Seq(1L, 2L),
+      "the in-flight snapshot's files must survive the GC")
+    val s2 = stage("b_gc_during_publish", 0L)
+    // writer W completes — the publish a naive GC would have corrupted
+    swapPointer(spark, tableDir, 2L)
+    releaseIntent(spark, tableDir, 2L)
+    val s3 = stage("c_publish_committed", 0L)
+    // writer X crashes after staging: intent + data left behind
+    val v3 = slim.filter(col("event_type") =!= "error"
+      && col("event_type") =!= "click")
+    require(claimIntent(spark, tableDir, 3L, "writer_x"),
+      "writer X races alone for the v3 intent")
+    v3.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/data/v3")
+    // grace 0 = the intent has expired (writer X declared dead)
+    val reclaimed = gcOrphansSafe(spark, tableDir, graceMs = 0L)
+    require(reclaimed == Seq(3L),
+      s"expired-intent GC must reclaim exactly v3: $reclaimed")
+    require(versions(spark, tableDir) == Seq(1L, 2L),
+      "only the dead snapshot's files may go")
+    val s4 = stage("d_crashed_reclaimed", 1L)
+    // the retry: the purged intent must be claimable again
+    require(publishWithIntent(v3, tableDir, 3L, "writer_x_retry"),
+      "the retried v3 publish must re-claim the purged intent")
+    val s5 = stage("e_republished", 0L)
+    s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
+      .orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[safeOrphanGc]]: base totals while v1 serves,
+    * error-free totals once v2 commits, error-and-click-free totals
+    * once the retried v3 commits; versions, dir counts, live-intent
+    * counts, and reclaim counts pinned per stage. Embed after `WITH `
+    * and select from `safe_orphan_gc`.
+    */
+  def safeOrphanGcSql(): String =
+    s"""sog_all AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM events GROUP BY 1),
+       |sog_v2 AS (
+       |  SELECT event_type, n, total_cents FROM sog_all
+       |  WHERE event_type <> 'error'),
+       |sog_v3 AS (
+       |  SELECT event_type, n, total_cents FROM sog_all
+       |  WHERE event_type NOT IN ('error', 'click')),
+       |safe_orphan_gc AS (
+       |  SELECT 'a_v1_published' AS stage, CAST(1 AS BIGINT) AS version,
+       |         CAST(1 AS BIGINT) AS n_version_dirs,
+       |         CAST(0 AS BIGINT) AS n_live_intents,
+       |         CAST(0 AS BIGINT) AS n_reclaimed, event_type, n, total_cents
+       |  FROM sog_all
+       |  UNION ALL
+       |  SELECT 'b_gc_during_publish', 1, 2, 1, 0, event_type, n,
+       |         total_cents
+       |  FROM sog_all
+       |  UNION ALL
+       |  SELECT 'c_publish_committed', 2, 2, 0, 0, event_type, n,
+       |         total_cents
+       |  FROM sog_v2
+       |  UNION ALL
+       |  SELECT 'd_crashed_reclaimed', 2, 2, 0, 1, event_type, n,
+       |         total_cents
+       |  FROM sog_v2
+       |  UNION ALL
+       |  SELECT 'e_republished', 3, 3, 0, 0, event_type, n, total_cents
+       |  FROM sog_v3)""".stripMargin
 }

@@ -576,4 +576,67 @@ class ManifestTableSpec extends SparkSpec {
       }
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q302 interleaving 1: writer stages -> GC runs -> writer commits; nothing reclaimed, commit serves") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sgc-spec")
+    try {
+      val tbl = s"$out/tbl"
+      val hour = 3600L * 1000
+      val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+        .toDF("event_id", "event_type", "value")
+      assert(ManifestTable.publishWithIntent(base, tbl, 1L, "w1"))
+      // the writer is mid-publish: intent held, data landed, no swap yet
+      val v2 = base.filter(col("event_id") =!= 2L)
+      assert(ManifestTable.claimIntent(spark, tbl, 2L, "w2"))
+      v2.write.parquet(s"$tbl/data/v2")
+      // the naive classifier calls it debris — the bug being closed
+      assert(ManifestTable.orphanVersions(spark, tbl) == Seq(2L))
+      // the safe GC under the grace window reclaims NOTHING
+      assert(ManifestTable.gcOrphansSafe(spark, tbl, hour).isEmpty)
+      assert(new java.io.File(s"$tbl/data/v2").isDirectory,
+        "the live writer's staged files must survive the GC")
+      // the writer commits; its snapshot serves exactly
+      ManifestTable.swapPointer(spark, tbl, 2L)
+      ManifestTable.releaseIntent(spark, tbl, 2L)
+      assert(ManifestTable.currentVersion(spark, tbl).contains(2L))
+      assert(totals(ManifestTable.read(spark, tbl)) == Map("a" -> 2L))
+      // second safety net, same window: a writer that never claimed an
+      // intent (legacy publish path) is protected by data-dir AGE alone
+      base.write.parquet(s"$tbl/data/v3")
+      assert(ManifestTable.orphanVersions(spark, tbl) == Seq(3L))
+      assert(ManifestTable.safeOrphanVersions(spark, tbl, hour).isEmpty,
+        "a fresh no-intent dir is inside the grace window — protected")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
+  test("q302 interleaving 2: writer stages -> crashes -> grace expires; GC reclaims exactly the debris") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sgc2-spec")
+    try {
+      val tbl = s"$out/tbl"
+      val base = Seq((1L, "a", 1.0), (2L, "b", 2.0))
+        .toDF("event_id", "event_type", "value")
+      assert(ManifestTable.publishWithIntent(base, tbl, 1L, "w1"))
+      // crashed writer: intent + data left, no swap ever comes
+      assert(ManifestTable.claimIntent(spark, tbl, 2L, "dead"))
+      base.write.parquet(s"$tbl/data/v2")
+      // a second writer cannot steal the version while the intent stands
+      assert(!ManifestTable.claimIntent(spark, tbl, 2L, "thief"),
+        "the intent CAS must hold until purged")
+      // grace 0 = the intent has aged out; exactly the debris goes —
+      // data dir AND the dead intent file
+      assert(ManifestTable.gcOrphansSafe(spark, tbl, 0L) == Seq(2L))
+      assert(!new java.io.File(s"$tbl/data/v2").exists())
+      assert(!new java.io.File(s"$tbl/intents/v2").exists(),
+        "the dead intent must be purged with its snapshot")
+      // the committed table never wobbled, and the retry can re-claim
+      assert(totals(ManifestTable.read(spark, tbl)) ==
+        Map("a" -> 1L, "b" -> 1L))
+      assert(ManifestTable.publishWithIntent(
+        base.filter(col("event_id") =!= 2L), tbl, 2L, "retry"),
+        "the purged intent must be claimable by the retry")
+      assert(totals(ManifestTable.read(spark, tbl)) == Map("a" -> 1L))
+      // GC never touches committed history whatever the grace
+      assert(ManifestTable.gcOrphansSafe(spark, tbl, 0L).isEmpty)
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
