@@ -196,8 +196,9 @@ object ScaleBench {
     "q298_orphan_gc", "q299_classifier_eval", "q301_mcc_eval",
     "q300_curation_pipeline",
     // round-14: intent-protected orphan GC (three publishes + two GC
-    // listings per rep — write-shaped like q298/q289)
-    "q302_safe_orphan_gc")
+    // listings per rep — write-shaped like q298/q289) and the PR curve
+    // (q291's two-grain prefix; output grows with distinct cent scores)
+    "q302_safe_orphan_gc", "q303_pr_curve")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

@@ -1977,6 +1977,12 @@ object SparkEntry {
       ManifestTable.safeOrphanGc(TestData.events(s, dir),
         scratchDir("graft-q302").resolve("events_table").toString)
     },
+    // Precision-recall curve per event type at the exact (type, score)
+    // cut grain: cum_tp/cum_n and cum_tp/n_pos as single exact
+    // divisions per row — the imbalanced-class companion to q291.
+    "q303_pr_curve" -> { (s, dir) =>
+      Events.prCurveByType(TestData.events(s, dir))
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3895,6 +3901,11 @@ object SparkEntry {
           SELECT stage, version, n_version_dirs, n_live_intents,
                  n_reclaimed, event_type, n, total_cents
           FROM safe_orphan_gc ORDER BY stage, event_type""",
+
+    "q303_pr_curve" ->
+      s"""WITH ${Events.prCurveByTypeSql()}
+          SELECT event_type, s, pn, cum_n, cum_tp, n_pos, precision, recall
+          FROM pr_curve ORDER BY event_type, s""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

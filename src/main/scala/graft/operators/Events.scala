@@ -1341,6 +1341,100 @@ object Events {
        |  FROM gl_per CROSS JOIN gl_n nn)""".stripMargin
   }
 
+  /** q303 — PRECISION-RECALL CURVE per event type (one-vs-rest), the
+    * imbalanced-class companion to q291's ROC: when positives are rare
+    * (the dominant case in training-data gating), ROC AUC saturates
+    * while the PR curve still discriminates. Rides q291's exact
+    * (type, cent-score) grain unchanged — one row per cut the data
+    * actually has, where the cut at score s means "everything scoring
+    * ≥ s is predicted positive":
+    * `precision = cum_tp / cum_n`, `recall = cum_tp / n_pos`, each ONE
+    * division of exactly-representable integers (NULL recall for an
+    * absent class, the q299 convention; cum_n ≥ 1 at every existing
+    * cut, so precision needs no guard). Average precision is the
+    * consumer-side fold over these rows (Σ ΔR·P descending) — kept OUT
+    * of the engine compare exactly like q292 keeps ECE out: a cross-row
+    * double accumulation would hash on summation order, not math.
+    *
+    * Scale shape: the descending cumulative runs in the q291/q294
+    * two-grain discipline — the only unpartitioned window is over the
+    * score-RANGE-bounded bucket grid; the within-bucket and per-type
+    * prefixes are partitioned. No global row sort, no pairwise join;
+    * output is bounded by |types| · |distinct cent scores|.
+    */
+  def prCurveByType(events: DataFrame): DataFrame = {
+    val byTypeScore = events.select(col("event_type"),
+        OracleSafe.quant(col("value"), 100).as("s"))
+      .groupBy("event_type", "s").agg(count(lit(1)).as("pn"))
+      // d = −s: ascending d IS descending score (the q294 device)
+      .withColumn("d", -col("s"))
+      .withColumn("bucket", OracleSafe.intDiv(col("d"), lit(10000L)))
+      .localCheckpoint()
+    val byScore = byTypeScore.groupBy("s", "d", "bucket")
+      .agg(sum("pn").as("tn"))
+    val bucketPrefix = byScore.groupBy("bucket").agg(sum("tn").as("btn"))
+      .withColumn("pfx", coalesce(
+        sum("btn").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "pfx")
+    val withinW = Window.partitionBy("bucket").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0) // INCLUSIVE: score >= s
+    val cumN = byScore.join(broadcast(bucketPrefix), Seq("bucket"))
+      .withColumn("wb", sum("tn").over(withinW))
+      .select(col("s"), (col("pfx") + col("wb")).as("cum_n"))
+    val typeW = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val nPos = broadcast(byTypeScore.groupBy("event_type")
+      .agg(sum("pn").as("n_pos")))
+    byTypeScore
+      .withColumn("cum_tp", sum("pn").over(typeW))
+      .join(cumN, Seq("s"))
+      .join(nPos, Seq("event_type"))
+      .select(col("event_type"), col("s"), col("pn"), col("cum_n"),
+        col("cum_tp"), col("n_pos"),
+        (col("cum_tp").cast("double") / col("cum_n").cast("double"))
+          .as("precision"),
+        when(col("n_pos") === 0L, lit(null).cast("double"))
+          .otherwise(col("cum_tp").cast("double") /
+            col("n_pos").cast("double")).as("recall"))
+      .orderBy("event_type", "s")
+  }
+
+  /** DuckDB twin of [[prCurveByType]]: the q291 (type, score) CTE grain
+    * with plain descending windows standing in for the engine's
+    * two-grain prefix (identical integers), same single divisions.
+    * Embed after `WITH ` and select from `pr_curve`.
+    */
+  def prCurveByTypeSql(): String = {
+    val cents = OracleSafe.quantSql("value", 100)
+    s"""pr_ts AS (
+       |  SELECT event_type, $cents AS s, COUNT(*) AS pn
+       |  FROM events GROUP BY 1, 2),
+       |pr_cn AS (
+       |  SELECT s, CAST(SUM(tn) OVER (ORDER BY s DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_n
+       |  FROM (SELECT s, SUM(pn) AS tn FROM pr_ts GROUP BY 1)),
+       |pr_tp AS (
+       |  SELECT event_type, s, pn, CAST(SUM(pn) OVER (
+       |    PARTITION BY event_type ORDER BY s DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_tp
+       |  FROM pr_ts),
+       |pr_np AS (
+       |  SELECT event_type, CAST(SUM(pn) AS BIGINT) AS n_pos
+       |  FROM pr_ts GROUP BY 1),
+       |pr_curve AS (
+       |  SELECT t.event_type, t.s, t.pn, c.cum_n, t.cum_tp, p.n_pos,
+       |         CAST(t.cum_tp AS DOUBLE) / CAST(c.cum_n AS DOUBLE)
+       |           AS precision,
+       |         CASE WHEN p.n_pos = 0 THEN NULL
+       |              ELSE CAST(t.cum_tp AS DOUBLE)
+       |                   / CAST(p.n_pos AS DOUBLE) END AS recall
+       |  FROM pr_tp t JOIN pr_cn c USING (s) JOIN pr_np p
+       |    USING (event_type))""".stripMargin
+  }
+
   /** DuckDB twin of [[rocAucByType]]: the same (type, score)-grain
     * collapse and strictly-below decomposition, with plain global
     * windows standing in for the engine's two-grain prefix (identical

@@ -391,6 +391,33 @@ class EventsSpec extends SparkSpec {
       s"single-class AUC must be NULL: $mono")
   }
 
+  test("q303: hand-walked PR curve — inclusive cuts, tied scores, and the cross-bucket cumulative") {
+    def fx(rows: (String, Double)*): DataFrame =
+      rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+    // scores descending: A@3.00, B@2.00, A@2.00, B@1.00 (tie at 2.00)
+    val r = Events.prCurveByType(fx(("A", 3.0), ("B", 2.0), ("A", 2.0),
+        ("B", 1.0)))
+      .collect().map(x => (x.getString(0), x.getLong(1)) ->
+        ((x.getLong(3), x.getLong(4), x.getDouble(6), x.getDouble(7))))
+      .toMap
+    // cut A@300: >=300 is 1 row, 1 A -> P=1, R=1/2
+    assert(r(("A", 300L)) == ((1L, 1L, 1.0, 0.5)), s"got ${r(("A", 300L))}")
+    // cut A@200: >=200 is 3 rows (tie counted whole), 2 A -> P=2/3, R=1
+    assert(r(("A", 200L)) == ((3L, 2L, 2.0 / 3.0, 1.0)))
+    // cut B@200: same cum_n, 1 B -> P=1/3, R=1/2
+    assert(r(("B", 200L)) == ((3L, 1L, 1.0 / 3.0, 0.5)))
+    // cut B@100: all 4 rows, 2 B -> P=1/2, R=1
+    assert(r(("B", 100L)) == ((4L, 2L, 0.5, 1.0)))
+    // cross-bucket: scores straddling the 10000-cent coarse grid must
+    // accumulate cum_n across buckets (250.00 -> bucket -3, 50.00 -> -1)
+    val wide = Events.prCurveByType(fx(("A", 250.0), ("B", 50.0)))
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getLong(3))
+      .toMap
+    assert(wide(("B", 5000L)) == 2L,
+      s"cross-bucket cum_n lost a row: $wide")
+  }
+
   test("q292: bin edges are integer-exact, the top score lands in bin 9, stats hand-check") {
     def fx(rows: (String, Double)*): DataFrame =
       rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
