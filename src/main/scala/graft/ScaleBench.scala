@@ -198,7 +198,7 @@ object ScaleBench {
     // round-14: intent-protected orphan GC (three publishes + two GC
     // listings per rep — write-shaped like q298/q289) and the PR curve
     // (q291's two-grain prefix; output grows with distinct cent scores)
-    "q302_safe_orphan_gc", "q303_pr_curve")
+    "q302_safe_orphan_gc", "q303_pr_curve", "q304_manifest_checkpoint")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

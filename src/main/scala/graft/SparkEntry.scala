@@ -1983,6 +1983,14 @@ object SparkEntry {
     "q303_pr_curve" -> { (s, dir) =>
       Events.prCurveByType(TestData.events(s, dir))
     },
+    // Manifest checkpoint: one CAS-claimed metadata file naming every
+    // live version + an O(1) LAST locator — resolve splices the
+    // covered prefix with an incrementally-probed tail and must equal
+    // the full dir listing at every stage (require-pinned).
+    "q304_manifest_checkpoint" -> { (s, dir) =>
+      ManifestTable.checkpointResolve(TestData.events(s, dir),
+        scratchDir("graft-q304").resolve("events_table").toString)
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3906,6 +3914,12 @@ object SparkEntry {
       s"""WITH ${Events.prCurveByTypeSql()}
           SELECT event_type, s, pn, cum_n, cum_tp, n_pos, precision, recall
           FROM pr_curve ORDER BY event_type, s""",
+
+    "q304_manifest_checkpoint" ->
+      s"""WITH ${ManifestTable.checkpointResolveSql()}
+          SELECT stage, version, n_versions, cp_seq, cp_head, n_tail,
+                 event_type, n, total_cents
+          FROM checkpoint_resolve ORDER BY stage, event_type""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

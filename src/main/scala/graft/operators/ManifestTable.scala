@@ -1858,4 +1858,188 @@ object ManifestTable {
        |  UNION ALL
        |  SELECT 'e_republished', 3, 3, 0, 0, event_type, n, total_cents
        |  FROM sog_v3)""".stripMargin
+
+  // ---------------------------------------------------------------- q304
+
+  private def readFully(ctx: FileContext, p: Path): String = {
+    val in = ctx.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** Newest checkpoint sequence number, via the O(1) LAST locator. */
+  def lastCheckpointSeq(spark: SparkSession, tableDir: String): Option[Long] = {
+    val ctx = fc(spark, tableDir)
+    val p = new Path(s"$tableDir/checkpoints/LAST")
+    if (!ctx.util.exists(p)) None
+    else Some(readFully(ctx, p).trim.toLong)
+  }
+
+  /** Write a MANIFEST CHECKPOINT: one metadata file naming the covered
+    * head and every version dir on disk at write time — the compaction
+    * of the table's metadata log (Delta's `N.checkpoint` +
+    * `_last_checkpoint`, Iceberg's metadata snapshot list) that makes
+    * resolve O(1) at extreme version counts instead of an O(versions)
+    * directory listing per read. Checkpoint ids are a monotone sequence
+    * claimed through the same put-if-absent CAS as commit slots, so two
+    * concurrent checkpointers can never tear one file (the loser
+    * returns None and simply retries later — checkpoints are caches,
+    * losing one race loses nothing); the LAST locator then moves with
+    * the CURRENT-style tmp-write + atomic rename. Returns (seq, head).
+    *
+    * Maintenance order contract: run AFTER vacuum/GC, never before —
+    * a checkpoint written before a vacuum over-reports until the next
+    * refresh (the spec pins exactly this staleness and its repair).
+    */
+  def writeCheckpoint(spark: SparkSession,
+      tableDir: String): Option[(Long, Long)] = {
+    val all = versions(spark, tableDir)
+    if (all.isEmpty) return None
+    val head = all.max
+    val seq = lastCheckpointSeq(spark, tableDir).getOrElse(0L) + 1
+    val body = (head +: all).mkString("", "\n", "\n")
+    if (!putIfAbsent(spark, new Path(s"$tableDir/checkpoints/cp_$seq"),
+        body)) None
+    else {
+      val ctx = fc(spark, tableDir)
+      val tmp = new Path(s"$tableDir/checkpoints/LAST.tmp")
+      val out = ctx.create(tmp,
+        EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+        CreateOpts.createParent())
+      try out.write(s"$seq\n".getBytes("UTF-8")) finally out.close()
+      ctx.rename(tmp, new Path(s"$tableDir/checkpoints/LAST"),
+        Options.Rename.OVERWRITE)
+      Some((seq, head))
+    }
+  }
+
+  /** Read the newest checkpoint: (seq, covered head, version list). */
+  def readCheckpoint(spark: SparkSession,
+      tableDir: String): Option[(Long, Long, Seq[Long])] = {
+    val ctx = fc(spark, tableDir)
+    lastCheckpointSeq(spark, tableDir).map { seq =>
+      val lines = readFully(ctx, new Path(s"$tableDir/checkpoints/cp_$seq"))
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong)
+        .toSeq
+      (seq, lines.head, lines.tail.sorted)
+    }
+  }
+
+  /** Resolve the version list THROUGH the checkpoint: the covered
+    * prefix comes from one small-file read, and only the tail ABOVE the
+    * covered head is discovered against storage — by probing the dense
+    * version sequence one `exists` at a time (the portable equivalent
+    * of an object store's startAfter listing; version ids are dense by
+    * the linear-history invariant every publish flow here maintains).
+    * With a fresh checkpoint that is ONE probe total, whatever the
+    * version count. Returns (versions, checkpoint head or -1 when no
+    * checkpoint exists, tail count discovered by probing).
+    */
+  def versionsViaCheckpoint(spark: SparkSession,
+      tableDir: String): (Seq[Long], Long, Long) = {
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cp = readCheckpoint(spark, tableDir)
+    val (cpHead, cpList) = cp match {
+      case Some((_, h, vs)) => (h, vs)
+      case None => (0L, Seq.empty[Long])
+    }
+    val tail = Iterator.iterate(cpHead + 1)(_ + 1)
+      .takeWhile(v => fs.exists(new Path(s"$tableDir/data/v$v")))
+      .toSeq
+    ((cpList ++ tail).sorted, cp.fold(-1L)(_._2), tail.size.toLong)
+  }
+
+  /** q304 — MANIFEST CHECKPOINT end to end, the O(1)-resolve metadata
+    * mechanism: three snapshots publish and a checkpoint covers them;
+    * a fourth publish makes the checkpoint LAG the head — resolve must
+    * splice the covered prefix with an incrementally-probed tail and
+    * match the full listing EXACTLY (require-pinned every stage); a
+    * refresh (new CAS-claimed sequence) brings the tail back to zero.
+    * Output: per-stage per-type totals through the pointer plus the
+    * resolved version, version count, checkpoint seq + covered head,
+    * and the probed tail size; the oracle pins all five per stage.
+    *
+    * Scale: resolve cost goes from one O(versions) listing per read to
+    * two small-file reads + (lag+1) existence probes — the exact
+    * mechanism that keeps million-commit tables readable; the
+    * checkpoint write itself is one listing, amortized across reads.
+    */
+  def checkpointResolve(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    def stage(name: String): DataFrame = {
+      val listed = versions(spark, tableDir)
+      val (viaCp, cpHead, nTail) = versionsViaCheckpoint(spark, tableDir)
+      require(viaCp == listed,
+        s"checkpoint resolve diverged: $viaCp vs listing $listed")
+      val cpSeq = lastCheckpointSeq(spark, tableDir).getOrElse(-1L)
+      val v = currentVersion(spark, tableDir).get
+      read(spark, tableDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .select(lit(name).as("stage"), lit(v).as("version"),
+          lit(listed.size.toLong).as("n_versions"),
+          lit(cpSeq).as("cp_seq"), lit(cpHead).as("cp_head"),
+          lit(nTail).as("n_tail"), col("event_type"), col("n"),
+          col("total_cents"))
+    }
+    publish(slim, tableDir, 1L)
+    publish(slim.filter(col("event_type") =!= "error"), tableDir, 2L)
+    val v3 = slim.filter(col("event_type") =!= "error"
+      && col("event_type") =!= "click")
+    publish(v3, tableDir, 3L)
+    require(writeCheckpoint(spark, tableDir).contains((1L, 3L)),
+      "the first checkpoint claims seq 1 covering head 3")
+    val s1 = stage("a_cp_at_head")
+    // the head moves past the checkpoint — resolve now splices a tail
+    publish(v3.withColumn("value",
+        when(col("event_type") === "purchase", col("value") * 2)
+          .otherwise(col("value"))), tableDir, 4L)
+    val s2 = stage("b_cp_lagging")
+    require(writeCheckpoint(spark, tableDir).contains((2L, 4L)),
+      "the refresh claims seq 2 covering head 4")
+    val s3 = stage("c_cp_refreshed")
+    s1.unionByName(s2).unionByName(s3).orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[checkpointResolve]]: click-and-error-free totals
+    * while v3 serves, purchase-doubled totals once v4 commits; resolved
+    * versions, counts, checkpoint seq/head, and probed-tail sizes
+    * pinned per stage. Embed after `WITH ` and select from
+    * `checkpoint_resolve`.
+    */
+  def checkpointResolveSql(): String =
+    s"""cr_v3 AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM events WHERE event_type NOT IN ('error', 'click')
+       |  GROUP BY 1),
+       |cr_v4 AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql(
+                  "CASE WHEN event_type = 'purchase' THEN value * 2 " +
+                    "ELSE value END", 100)}) AS BIGINT) AS total_cents
+       |  FROM events WHERE event_type NOT IN ('error', 'click')
+       |  GROUP BY 1),
+       |checkpoint_resolve AS (
+       |  SELECT 'a_cp_at_head' AS stage, CAST(3 AS BIGINT) AS version,
+       |         CAST(3 AS BIGINT) AS n_versions,
+       |         CAST(1 AS BIGINT) AS cp_seq, CAST(3 AS BIGINT) AS cp_head,
+       |         CAST(0 AS BIGINT) AS n_tail, event_type, n, total_cents
+       |  FROM cr_v3
+       |  UNION ALL
+       |  SELECT 'b_cp_lagging', 4, 4, 1, 3, 1, event_type, n, total_cents
+       |  FROM cr_v4
+       |  UNION ALL
+       |  SELECT 'c_cp_refreshed', 4, 4, 2, 4, 0, event_type, n,
+       |         total_cents
+       |  FROM cr_v4)""".stripMargin
 }

@@ -639,4 +639,48 @@ class ManifestTableSpec extends SparkSpec {
       assert(ManifestTable.gcOrphansSafe(spark, tbl, 0L).isEmpty)
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q304: a lagging checkpoint splices an incrementally-probed tail; CAS race and fallback behave") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cp-spec")
+    try {
+      val tbl = s"$out/tbl"
+      val base = Seq((1L, "a", 1.0), (2L, "b", 2.0))
+        .toDF("event_id", "event_type", "value")
+      // no checkpoint at all: resolve falls back to probing from v1
+      ManifestTable.publish(base, tbl, 1L)
+      ManifestTable.publish(base, tbl, 2L)
+      assert(ManifestTable.versionsViaCheckpoint(spark, tbl) ==
+        ((Seq(1L, 2L), -1L, 2L)))
+      // first checkpoint covers the head; resolve needs ONE probe (miss)
+      assert(ManifestTable.writeCheckpoint(spark, tbl).contains((1L, 2L)))
+      assert(ManifestTable.versionsViaCheckpoint(spark, tbl) ==
+        ((Seq(1L, 2L), 2L, 0L)))
+      // the head moves twice past the checkpoint: the covered prefix
+      // comes from the file, exactly the 2-version tail is probed
+      ManifestTable.publish(base, tbl, 3L)
+      ManifestTable.publish(base, tbl, 4L)
+      assert(ManifestTable.versionsViaCheckpoint(spark, tbl) ==
+        ((Seq(1L, 2L, 3L, 4L), 2L, 2L)))
+      // a concurrent checkpointer already claimed the next seq: the
+      // loser returns None and the winner's file stands untorn
+      val stolen = s"$tbl/checkpoints/cp_2"
+      java.nio.file.Files.write(java.nio.file.Paths.get(stolen),
+        "4\n1\n2\n3\n4\n".getBytes("UTF-8"))
+      assert(ManifestTable.writeCheckpoint(spark, tbl).isEmpty,
+        "losing the checkpoint-seq CAS must return None")
+      // the maintenance-order contract, both halves: a checkpoint
+      // written BEFORE a vacuum over-reports (documented staleness)...
+      java.nio.file.Files.delete(java.nio.file.Paths.get(stolen))
+      assert(ManifestTable.writeCheckpoint(spark, tbl).contains((2L, 4L)))
+      assert(ManifestTable.vacuum(spark, tbl, keep = 2) == Seq(1L, 2L))
+      val (stale, _, _) = ManifestTable.versionsViaCheckpoint(spark, tbl)
+      assert(stale == Seq(1L, 2L, 3L, 4L),
+        "pre-vacuum checkpoint over-reports until refreshed — the contract")
+      // ...and the post-vacuum refresh restores listing equality
+      assert(ManifestTable.writeCheckpoint(spark, tbl).contains((3L, 4L)))
+      assert(ManifestTable.versionsViaCheckpoint(spark, tbl) ==
+        ((Seq(3L, 4L), 4L, 0L)))
+      assert(ManifestTable.versions(spark, tbl) == Seq(3L, 4L))
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
