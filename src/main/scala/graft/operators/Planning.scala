@@ -1038,13 +1038,23 @@ object Planning {
     * strings. Truncation makes the bounds CONSERVATIVE, which is the
     * subtle half: `substr(min, 1, w)` is a valid lower bound (a prefix
     * sorts ≤ its extension) but `substr(max, 1, w)` is NOT an upper
-    * bound — the exclusive upper must be the truncation with its last
-    * char incremented (every zone string is < that, truncated or not).
-    * Prefix predicates become half-open ranges the same way
-    * ([[prefixUpper]], frozen as literals in both plans), so the skip
-    * test is pure byte-wise string comparison: skip iff `u ≤ plo` or
-    * `zlo ≥ phi`. One predicate matches nothing — the every-zone-
-    * skipped path q217 pins for dates, re-pinned here for strings.
+    * bound — a zone string extending the truncated max can exceed it.
+    * The textbook fix increments the truncation's last character
+    * (Iceberg's `incrementUtf8`), but a CODE-POINT increment is not
+    * expressible identically in both engines (Spark's `chr` wraps at
+    * 256, so a multi-byte last char — the reference's Vietnamese
+    * NVARCHAR domain, `schema.sql:20-25` — would corrupt the bound).
+    * So the stored upper stays the plain truncated max `tmax`, and the
+    * skip test carries the increment's semantics instead:
+    * skip-left iff `tmax < plo AND tmax is not a prefix of plo` —
+    * provably equivalent to `increment(tmax) ≤ plo` wherever the
+    * increment is defined, and pure lexicographic string comparison,
+    * safe for ANY Unicode content (UTF-8 byte order = code-point
+    * order). Prefix predicates become half-open ranges via
+    * [[prefixUpper]] (proper code-point increment in Scala, frozen as
+    * literals in both plans); skip-right stays `zlo ≥ phi`. One
+    * predicate matches nothing — the every-zone-skipped path q217 pins
+    * for dates, re-pinned here for strings.
     *
     * Per predicate: zone counts, then the count + cent total from the
     * PRUNED scan (surviving zone dirs only); the oracle computes totals
@@ -1073,15 +1083,14 @@ object Planning {
       .agg(min("p_name").as("zmin"), max("p_name").as("zmax"),
         count(lit(1)).as("zn"))
       .withColumn("zlo", substring(col("zmin"), 1, width))
-      .withColumn("t", substring(col("zmax"), 1, width))
-      .withColumn("u", concat(
-        expr("substring(t, 1, length(t) - 1)"),
-        expr("char(ascii(substring(t, length(t), 1)) + 1)")))
-      .select("zone", "zn", "zlo", "u")
+      .withColumn("tmax", substring(col("zmax"), 1, width))
+      .select("zone", "zn", "zlo", "tmax")
       .localCheckpoint() // the zone map: <= |alphabet| fixed-width rows
     val runs = stringZonePreds.map { case (id, ploS, phiS) =>
       val (plo, phi) = (lit(ploS), lit(phiS))
-      val skip = col("u") <= plo || col("zlo") >= phi
+      val skip = (col("tmax") < plo &&
+        plo.substr(lit(1), length(col("tmax"))) =!= col("tmax")) ||
+        col("zlo") >= phi
       val audit = zm.agg(count(lit(1)).as("n_zones"),
         sum(when(skip, 1L).otherwise(0L)).as("zones_skipped"))
       val surviving = zm.filter(!skip).select("zone").as[Long].collect()
@@ -1121,19 +1130,16 @@ object Planning {
        |  FROM szs_rows GROUP BY 1),
        |szs_b AS (
        |  SELECT zone, zn, substr(zmin, 1, $width) AS zlo,
-       |         substr(zmax, 1, $width) AS t
+       |         substr(zmax, 1, $width) AS tmax
        |  FROM szs_zm),
-       |szs_u AS (
-       |  SELECT zone, zn, zlo,
-       |         substr(t, 1, length(t) - 1)
-       |           || chr(ascii(substr(t, length(t), 1)) + 1) AS u
-       |  FROM szs_b),
        |szs_p(pred_id, plo, phi) AS (VALUES $predRows),
        |szs_audit AS (
        |  SELECT pred_id, COUNT(*) AS n_zones,
-       |         CAST(SUM(CASE WHEN u <= plo OR zlo >= phi THEN 1 ELSE 0
+       |         CAST(SUM(CASE WHEN (tmax < plo
+       |                             AND substr(plo, 1, length(tmax)) <> tmax)
+       |                          OR zlo >= phi THEN 1 ELSE 0
        |           END) AS BIGINT) AS zones_skipped
-       |  FROM szs_u, szs_p GROUP BY 1),
+       |  FROM szs_b, szs_p GROUP BY 1),
        |szs_res AS (
        |  SELECT p.pred_id, COUNT(r.p_name) AS n_rows,
        |         CAST(SUM(r.cents) AS BIGINT) AS total_cents
@@ -1151,18 +1157,20 @@ object Planning {
     * the maintenance family (q240 postings, q243 IVF cells, q245 Bloom
     * bits, q268 numeric zones): the truncated-bound artifact persists,
     * an append-only delta aggregates ALONE, and the merge is
-    * `least(zlo)` / `greatest(u)` / summed counts through one outer
-    * join — base files never rescanned. One honesty note that is the
-    * whole reason this query exists separately from q268: merged
-    * truncated bounds are NOT always the rebuilt bounds (when a zone's
-    * max is shorter than the truncation width, incrementing a
-    * prefix-of-a-prefix can overshoot the rebuild — the lakehouse
-    * answer is the same one Iceberg's per-FILE stats embody: bounds
-    * compose conservatively, they are not canonical). So the oracle
-    * mirrors the EXACT two-batch merge arithmetic for the audit
-    * columns, and the serve columns are checked against a PLAIN filter
-    * — proving the merged bounds, canonical or not, never skip a
-    * matching zone.
+    * `least(zlo)` / `greatest(tmax)` / summed counts through one outer
+    * join — base files never rescanned. Why this exists separately
+    * from q268: truncated STRING bounds are where merge-vs-rebuild
+    * subtleties live. The original incremented-upper representation
+    * was NOT canonical under merge (incrementing a prefix-of-a-prefix
+    * overshoots the rebuild when a zone's max is shorter than the
+    * width); the q295 prefix-test representation stores the plain
+    * truncated max instead, and THAT merges canonically — truncation
+    * is monotone, so `greatest(trunc(a), trunc(b)) = trunc(max(a, b))`
+    * and the merged artifact equals the rebuilt one exactly (pinned in
+    * `PlanningSpec`). The oracle still mirrors the two-batch merge
+    * arithmetic for the audit columns, and the serve columns are
+    * checked against a PLAIN filter — proving the merged bounds never
+    * skip a matching zone.
     *
     * Output per q295 predicate: zone counts from the merged artifact
     * and the count + cent total from the pruned scan over the full
@@ -1183,11 +1191,8 @@ object Planning {
       .agg(min("p_name").as("mn"), max("p_name").as("mx"),
         count(lit(1)).as("zn"))
       .withColumn("zlo", substring(col("mn"), 1, width))
-      .withColumn("t", substring(col("mx"), 1, width))
-      .withColumn("u", concat(
-        expr("substring(t, 1, length(t) - 1)"),
-        expr("char(ascii(substring(t, length(t), 1)) + 1)")))
-      .select("zone", "zlo", "u", "zn")
+      .withColumn("tmax", substring(col("mx"), 1, width))
+      .select("zone", "zlo", "tmax", "zn")
     bounds(slim.filter(!inDelta))
       .write.mode("overwrite").parquet(s"$outDir/szm")
     // the full data lands zone-partitioned once (base + delta files);
@@ -1196,7 +1201,7 @@ object Planning {
       .write.mode("overwrite").partitionBy("zone").parquet(s"$outDir/data")
     // the maintenance: delta-only aggregate + one |alphabet|-row merge
     val deltaB = bounds(slim.filter(inDelta))
-      .select(col("zone"), col("zlo").as("dlo"), col("u").as("du"),
+      .select(col("zone"), col("zlo").as("dlo"), col("tmax").as("dt"),
         col("zn").as("dn"))
     val merged = spark.read.parquet(s"$outDir/szm")
       .join(deltaB, Seq("zone"), "full_outer")
@@ -1204,15 +1209,17 @@ object Planning {
         when(col("zlo").isNull, col("dlo"))
           .when(col("dlo").isNull, col("zlo"))
           .otherwise(least(col("zlo"), col("dlo"))).as("zlo"),
-        when(col("u").isNull, col("du"))
-          .when(col("du").isNull, col("u"))
-          .otherwise(greatest(col("u"), col("du"))).as("u"),
+        when(col("tmax").isNull, col("dt"))
+          .when(col("dt").isNull, col("tmax"))
+          .otherwise(greatest(col("tmax"), col("dt"))).as("tmax"),
         (coalesce(col("zn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
           .as("zn"))
       .localCheckpoint()
     val runs = stringZonePreds.map { case (id, ploS, phiS) =>
       val (plo, phi) = (lit(ploS), lit(phiS))
-      val skip = col("u") <= plo || col("zlo") >= phi
+      val skip = (col("tmax") < plo &&
+        plo.substr(lit(1), length(col("tmax"))) =!= col("tmax")) ||
+        col("zlo") >= phi
       val audit = merged.agg(count(lit(1)).as("n_zones"),
         sum(when(skip, 1L).otherwise(0L)).as("zones_skipped"))
       val surviving = merged.filter(!skip).select("zone").as[Long].collect()
@@ -1243,17 +1250,10 @@ object Planning {
     val predRows = stringZonePreds.map { case (id, lo, hi) =>
       s"('$id', '$lo', '$hi')"
     }.mkString(", ")
-    // NOTE: the emitted SQL is embedded in the caller's stripMargin
-    // template, so a line may never START with `||` (the outer strip
-    // would eat one bar) — keep the concat operator mid-line.
     def boundsSql(name: String, filt: String) =
       s"""$name AS (
          |  SELECT zone, substr(mn, 1, $width) AS zlo,
-         |         concat(substr(substr(mx, 1, $width), 1,
-         |             length(substr(mx, 1, $width)) - 1),
-         |           chr(ascii(substr(substr(mx, 1, $width),
-         |                length(substr(mx, 1, $width)), 1)) + 1)) AS u,
-         |         zn
+         |         substr(mx, 1, $width) AS tmax, zn
          |  FROM (SELECT zone, MIN(p_name) AS mn, MAX(p_name) AS mx,
          |               COUNT(*) AS zn
          |        FROM iszm_rows WHERE $filt GROUP BY 1))""".stripMargin
@@ -1269,14 +1269,16 @@ object Planning {
        |         CASE WHEN b.zlo IS NULL THEN d.zlo
        |              WHEN d.zlo IS NULL THEN b.zlo
        |              ELSE LEAST(b.zlo, d.zlo) END AS zlo,
-       |         CASE WHEN b.u IS NULL THEN d.u
-       |              WHEN d.u IS NULL THEN b.u
-       |              ELSE GREATEST(b.u, d.u) END AS u
+       |         CASE WHEN b.tmax IS NULL THEN d.tmax
+       |              WHEN d.tmax IS NULL THEN b.tmax
+       |              ELSE GREATEST(b.tmax, d.tmax) END AS tmax
        |  FROM iszm_base b FULL OUTER JOIN iszm_delta d USING (zone)),
        |iszm_p(pred_id, plo, phi) AS (VALUES $predRows),
        |iszm_audit AS (
        |  SELECT pred_id, COUNT(*) AS n_zones,
-       |         CAST(SUM(CASE WHEN u <= plo OR zlo >= phi THEN 1 ELSE 0
+       |         CAST(SUM(CASE WHEN (tmax < plo
+       |                             AND substr(plo, 1, length(tmax)) <> tmax)
+       |                          OR zlo >= phi THEN 1 ELSE 0
        |           END) AS BIGINT) AS zones_skipped
        |  FROM iszm_merged, iszm_p GROUP BY 1),
        |iszm_res AS (

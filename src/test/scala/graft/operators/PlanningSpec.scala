@@ -664,14 +664,16 @@ class PlanningSpec extends SparkSpec {
     assert(nat2 == ref.toIndexedSeq, "scala reference mismatch")
   }
 
-  test("q297: merged truncated bounds stay conservative, including the prefix-overshoot edge") {
+  test("q297: merged truncated bounds are CANONICAL — greatest(trunc) equals trunc(max)") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-iszm-spec")
     try {
-      // zone 'a': base max "ab" (SHORTER than width 4 -> u = "ac"),
-      // delta max "abcz" (u = "abc{"): the merged u = greatest = "ac"
-      // OVERSHOOTS the rebuilt u ("abc{") — conservative, not canonical.
-      // p_partkey % 5 == 0 marks the delta rows.
+      // zone 'a': base max "ab" (SHORTER than width 4), delta max
+      // "abcz" — the exact fixture where the OLD incremented-upper
+      // representation overshot on merge (greatest("ac", "abc{") = "ac"
+      // vs rebuilt "abc{"). With the plain-truncated-max representation
+      // the merge is canonical: greatest("ab", "abcz") = "abcz" =
+      // trunc(max over all rows). p_partkey % 5 == 0 marks delta rows.
       val part = Seq(
         (1L, "ab", 1.0), (2L, "aa", 2.0),      // base
         (5L, "abcz", 3.0), (10L, "abca", 4.0)) // delta
@@ -683,27 +685,20 @@ class PlanningSpec extends SparkSpec {
       // pinned: the merged artifact exists for 1 zone and the full-miss
       // predicate skips it
       assert(r("pr_xyz") == ((1L, 1L, 0L)), s"full miss: ${r("pr_xyz")}")
-      // probe the merged artifact directly for the overshoot edge
-      val merged = spark.read.parquet(s"$out/iszm/szm") // base-only rows
-      assert(merged.count() == 1L)
-      // reproduce the merge the operator ran: base u = "ac" (short max),
-      // delta u = "abc{"; merged must be the conservative greatest
-      val art = Planning.incrementalStringZoneMap(part, s"$out/iszm2")
-      art.collect() // force the run so the artifact lands
-      // conservative contract: EVERY name sits inside [zlo, u) of the
-      // merged bounds — rebuild-canonical or not
-      val got = spark.read.parquet(s"$out/iszm2/data")
-        .select("p_name").as[String].collect()
-      val b = spark.read.parquet(s"$out/iszm2/szm").head()
-      // the base artifact alone bounds only base rows; the merge is
-      // in-plan — recompute it here the same way for the assert
-      val zlo = "aa".take(4)
-      val u = Ordering[String].max("ac", "abc{")
-      assert(got.forall(n => n >= zlo && n < u),
-        s"conservative bounds violated: ${got.mkString(",")} vs [$zlo, $u)")
-      assert(u == "ac" && "abc{" < "ac",
-        "the merged u must overshoot the rebuilt u in this fixture")
-      assert(b.getAs[String]("u") == "ac", s"base artifact u: $b")
+      // the persisted base artifact carries the plain truncated max
+      val b = spark.read.parquet(s"$out/iszm/szm").head()
+      assert(b.getAs[String]("tmax") == "ab" && b.getAs[String]("zlo") == "aa",
+        s"base artifact bounds: $b")
+      // canonical-merge claim: the in-plan merge (greatest of base and
+      // delta truncations) equals the truncation of the full rebuild
+      val allNames = part.select("p_name").as[String].collect()
+      val rebuilt = allNames.max.take(4)
+      val mergedT = Ordering[String].max("ab", "abcz")
+      assert(mergedT == rebuilt && rebuilt == "abcz",
+        s"merge must be canonical: merged=$mergedT rebuilt=$rebuilt")
+      // conservative contract still holds: no name escapes the bounds
+      assert(allNames.forall(n => n >= "aa".take(4)),
+        "zlo must lower-bound every row")
     } finally graft.Scratch.rmTree(out.toFile)
   }
 
@@ -730,23 +725,80 @@ class PlanningSpec extends SparkSpec {
       // direct probe of the boundary via the serve-path arithmetic:
       // rebuild the zone map the operator wrote and apply the skip test
       // for prefix "abcz" -> [abcz, abc{)
+      def skipTest(zm: org.apache.spark.sql.DataFrame, ploS: String,
+          phiS: String): Set[Long] = {
+        val (plo, phi) = (lit(ploS), lit(phiS))
+        zm.filter((col("tmax") < plo &&
+            plo.substr(lit(1), length(col("tmax"))) =!= col("tmax")) ||
+            col("zlo") >= phi)
+          .select("zone").collect().map(_.getLong(0)).toSet
+      }
       val zm = spark.read.parquet(outDir)
         .select(col("p_name"), col("zone").cast("long").as("zone"))
         .groupBy("zone")
         .agg(min("p_name").as("zmin"), max("p_name").as("zmax"))
         .withColumn("zlo", substring(col("zmin"), 1, 4))
-        .withColumn("t", substring(col("zmax"), 1, 4))
-        .withColumn("u", concat(
-          expr("substring(t, 1, length(t) - 1)"),
-          expr("char(ascii(substring(t, length(t), 1)) + 1)")))
+        .withColumn("tmax", substring(col("zmax"), 1, 4))
       val aZone = zm.filter(col("zone") === 'a'.toLong).head()
-      assert(aZone.getAs[String]("u") == "abc{", s"upper: $aZone")
-      val (plo, phi) = ("abcz", "abc{")
-      val skipped = zm.filter(col("u") <= plo || col("zlo") >= phi)
-        .select("zone").collect().map(_.getLong(0)).toSet
+      assert(aZone.getAs[String]("tmax") == "abcz", s"upper: $aZone")
+      val skipped = skipTest(zm, "abcz", "abc{")
       assert(!skipped.contains('a'.toLong),
         "the boundary prefix must NOT skip the zone holding its matches")
       assert(skipped.contains('b'.toLong), "the b zone must skip")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
+  test("q295: truncated bounds are UTF-8 safe — Vietnamese multi-byte last chars never mis-skip") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-szsvn-spec")
+    try {
+      // The reference's real string domain is Vietnamese NVARCHAR
+      // (schema.sql merchant/customer names). Width-4 truncations here
+      // end on multi-byte chars: "Cửa hàng bán lẻ" -> tmax "Cửa " is
+      // fine, but "Cửaổ..." -> tmax ends on ổ (U+1ED5). The OLD
+      // incremented upper used Spark's chr(), which wraps at 256 and
+      // would CORRUPT such a bound to a smaller string — silently
+      // skipping a matching zone. The prefix skip test must not.
+      val part = Seq(
+        ("Cửaổ hàng bán", 1.0), ("Cửaổ tạp hóa", 2.0), // zone 'C'
+        ("Đại lý xe", 3.0))                            // zone 'Đ'
+        .toDF("p_name", "p_retailprice")
+      val outDir = s"$out/szs"
+      // the operator itself must run end to end on the Unicode domain
+      val r = Planning.stringZoneSkipping(part, outDir)
+        .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+      assert(r("pr_xyz") == 2L, s"full miss skips both zones: $r")
+      val zm = spark.read.parquet(outDir)
+        .select(col("p_name"), col("zone").cast("long").as("zone"))
+        .groupBy("zone")
+        .agg(min("p_name").as("zmin"), max("p_name").as("zmax"))
+        .withColumn("zlo", substring(col("zmin"), 1, 4))
+        .withColumn("tmax", substring(col("zmax"), 1, 4))
+      def skipTest(ploS: String, phiS: String): Set[Long] = {
+        val (plo, phi) = (lit(ploS), lit(phiS))
+        zm.filter((col("tmax") < plo &&
+            plo.substr(lit(1), length(col("tmax"))) =!= col("tmax")) ||
+            col("zlo") >= phi)
+          .select("zone").collect().map(_.getLong(0)).toSet
+      }
+      val cZone = zm.filter(col("zmin").startsWith("C")).head()
+      assert(cZone.getAs[String]("tmax") == "Cửaổ",
+        s"multi-byte truncation: $cZone")
+      val czone = cZone.getLong(0)
+      // prefix "Cửaổ t" extends the truncation — tmax is a PREFIX of
+      // plo, so the zone must survive (the old chr() bound "CửaÕ"
+      // < plo would have skipped it, losing "Cửaổ tạp hóa")
+      val plo = "Cửaổ t"
+      val phi = plo.init + (plo.last + 1).toChar
+      assert(!skipTest(plo, phi).contains(czone),
+        "a prefix extending the multi-byte truncation must not skip")
+      // and the zone really holds a match — the skip would lose rows
+      assert(part.filter(col("p_name") >= plo && col("p_name") < phi)
+        .count() == 1L)
+      // sanity: a disjoint higher prefix still skips the C zone via
+      // tmax < plo with no prefix relation ("E" > every "Cửaổ…" row)
+      assert(skipTest("E", "F").contains(czone),
+        "a strictly-above range must skip the zone")
     } finally graft.Scratch.rmTree(out.toFile)
   }
 
