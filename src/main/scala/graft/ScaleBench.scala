@@ -198,7 +198,9 @@ object ScaleBench {
     // round-14: intent-protected orphan GC (three publishes + two GC
     // listings per rep — write-shaped like q298/q289) and the PR curve
     // (q291's two-grain prefix; output grows with distinct cent scores)
-    "q302_safe_orphan_gc", "q303_pr_curve", "q304_manifest_checkpoint")
+    "q302_safe_orphan_gc", "q303_pr_curve", "q304_manifest_checkpoint",
+    "q305_brier_score", "q306_partition_overwrite", "q307_cohens_kappa",
+    "q308_write_audit_publish")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)
@@ -253,6 +255,64 @@ object ScaleBench {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val spark = GraftSession.local("graft-scale-bench")
+
+    // components-only mode: (re)measure just the named deep-blow-up
+    // component rows (comma list from the componentStats keys below)
+    // and write BENCH_SCALE_COMPONENTS.json for tools/merge_scale.py —
+    // the full-suite 1×/10× query loop is untouched, so one new
+    // component row never costs a whole-suite re-run
+    sys.env.get("SPARK_GRAFT_SCALE_COMPONENTS_ONLY").foreach { list =>
+      val ccCopies = sys.env.getOrElse("SPARK_GRAFT_SCALE_CC_COPIES", "30").toInt
+      val names = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      val known = Set("curation_pipeline")
+      val unknown = names -- known
+      require(unknown.isEmpty && names.nonEmpty,
+        s"unknown component names: ${unknown.toSeq.sorted.mkString(", ")}")
+      val ccDir = s"$outRoot/x$ccCopies"
+      scaleDocs(spark, base, ccCopies).repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$ccDir/documents.parquet")
+      // q300 at the component depth: the composed curation DAG must stay
+      // ~linear while per-stage survivor counts scale with the corpus
+      def curStats(dir: String): (Double, Seq[(String, Long)], Boolean) = {
+        val t0 = System.nanoTime()
+        try {
+          val rows = graft.operators.TextAnalysis.curationPipeline(
+              graft.sources.TestData.documents(spark, dir))
+            .groupBy("stage").agg(sum("n_docs").as("n")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+          ((System.nanoTime() - t0) / 1e9, rows, true)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            ((System.nanoTime() - t0) / 1e9, Seq.empty, false)
+        }
+      }
+      def stagesJson(rows: Seq[(String, Long)]): String =
+        rows.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      val fragments = names.toSeq.sorted.map {
+        case "curation_pipeline" =>
+          curStats(ccDir) // warm the first touch off the clock
+          curStats(base)
+          val (cs1, st1, ok1) = curStats(base)
+          val (csN, stN, okN) = curStats(ccDir)
+          if (ok1 && okN)
+            f""""curation_pipeline":{"x1_sec":$cs1%.3f,""" +
+              s""""x1_stages":${stagesJson(st1)},""" +
+              f""""x$ccCopies%d_sec":$csN%.3f,""" +
+              s""""x${ccCopies}_stages":${stagesJson(stN)},""" +
+              f""""ratio":${csN / math.max(cs1, 1e-9)}%.2f}"""
+          else s""""curation_pipeline":{"failed":true}"""
+      }
+      val json = s"""{"metric":"scale_components_partial",""" +
+        s""""copies":$ccCopies,"base":"$base",""" +
+        s""""components":{${fragments.mkString(",")}}}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SCALE_COMPONENTS.json"),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => () }
+      println(json)
+      spark.stop()
+      return
+    }
 
     val scaledDir = s"$outRoot/x$copies"
     scaleDocs(spark, base, copies).repartition(32)
@@ -423,6 +483,35 @@ object ScaleBench {
         f""""ratio":${hsN / math.max(hs1, 1e-9)}%.2f}"""
     else s""""simhash_pairs":{"failed":true,"x1_ok":$hok1,"x${ccCopies}_ok":$hokN}"""
 
+    // q300 curation pipeline at the same depth: the composed DAG (dedup
+    // -> quality -> decontamination -> quota) must stay ~linear while
+    // the per-stage survivor counts scale with the corpus
+    def curStats(dir: String): (Double, Seq[(String, Long)], Boolean) = {
+      val t0 = System.nanoTime()
+      try {
+        val rows = graft.operators.TextAnalysis.curationPipeline(
+            graft.sources.TestData.documents(spark, dir))
+          .groupBy("stage").agg(sum("n_docs").as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+        ((System.nanoTime() - t0) / 1e9, rows, true)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          ((System.nanoTime() - t0) / 1e9, Seq.empty, false)
+      }
+    }
+    def curStagesJson(rows: Seq[(String, Long)]): String =
+      rows.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    curStats(ccDir) // warm, as above
+    val (cu1, cst1, cuok1) = curStats(base)
+    val (cuN, cstN, cuokN) = curStats(ccDir)
+    val curJson = if (cuok1 && cuokN)
+      f""""curation_pipeline":{"x1_sec":$cu1%.3f,""" +
+        s""""x1_stages":${curStagesJson(cst1)},""" +
+        f""""x$ccCopies%d_sec":$cuN%.3f,""" +
+        s""""x${ccCopies}_stages":${curStagesJson(cstN)},""" +
+        f""""ratio":${cuN / math.max(cu1, 1e-9)}%.2f}"""
+    else s""""curation_pipeline":{"failed":true,"x1_ok":$cuok1,"x${ccCopies}_ok":$cuokN}"""
+
     // q141 cardinality breakdown at 1×/10×/30×: the verify step costs
     // candidates × document length, so the scale question is whether wall
     // growth is CANDIDATE-bound (data-inherent: more qualifying pairs) or
@@ -457,7 +546,7 @@ object ScaleBench {
 
     val json = s"""{"metric":"scale_ratio","copies":$copies,"base":"$base",""" +
       s""""queries":{${entries.mkString(",")}},""" +
-      s""""components":{"copies":$ccCopies,$ccJson,$shJson},""" +
+      s""""components":{"copies":$ccCopies,$ccJson,$shJson,$curJson},""" +
       s""""prefix_join_cardinality":{$pjJson}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SCALE.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -1991,6 +1991,33 @@ object SparkEntry {
       ManifestTable.checkpointResolve(TestData.events(s, dir),
         scratchDir("graft-q304").resolve("events_table").toString)
     },
+    // Brier score per class: the strictly-proper scoring rule, exact —
+    // the integer numerator decomposes off one (type)-grain aggregate
+    // (sum_c2 - 2*M*pos_cents + n_pos*M^2), one division per class.
+    "q305_brier_score" -> { (s, dir) =>
+      Events.brierByType(TestData.events(s, dir))
+    },
+    // Cohen's kappa: chance-corrected agreement as ONE exact division
+    // with cleared denominators (n*agree - chance) / (n^2 - chance),
+    // riding the q299 confusion aggregate.
+    "q307_cohens_kappa" -> { (s, dir) =>
+      Events.cohensKappa(TestData.events(s, dir))
+    },
+    // Dynamic partition overwrite (replaceWhere): a commit rewrites
+    // only the replaced partitions — everything else served from older
+    // versions BY REFERENCE via the partition manifest; empty
+    // replacement = partition delete; vacuum respects reachability.
+    "q306_partition_overwrite" -> { (s, dir) =>
+      ManifestTable.partitionOverwrite(TestData.events(s, dir),
+        scratchDir("graft-q306").resolve("events_table").toString)
+    },
+    // Write-audit-publish: candidates stage on a branch, an expectation
+    // audit gates the fast-forward promotion of main, a rejected
+    // candidate's branch drops and the safe GC sweeps its snapshot.
+    "q308_write_audit_publish" -> { (s, dir) =>
+      ManifestTable.writeAuditPublish(TestData.events(s, dir),
+        scratchDir("graft-q308").resolve("events_table").toString)
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3920,6 +3947,28 @@ object SparkEntry {
           SELECT stage, version, n_versions, cp_seq, cp_head, n_tail,
                  event_type, n, total_cents
           FROM checkpoint_resolve ORDER BY stage, event_type""",
+
+    "q305_brier_score" ->
+      s"""WITH ${Events.brierByTypeSql()}
+          SELECT cls, n_all, n_pos, sq_num, brier
+          FROM brier_eval ORDER BY cls""",
+
+    "q307_cohens_kappa" ->
+      s"""WITH ${Events.cohensKappaSql()}
+          SELECT n_all, agree, chance, p_o, p_e, kappa
+          FROM kappa_eval""",
+
+    "q306_partition_overwrite" ->
+      s"""WITH ${ManifestTable.partitionOverwriteSql()}
+          SELECT stage, version, n_new_parts, n_ref_parts, event_type,
+                 n, total_cents
+          FROM partition_overwrite ORDER BY stage, event_type""",
+
+    "q308_write_audit_publish" ->
+      s"""WITH ${ManifestTable.writeAuditPublishSql()}
+          SELECT stage, version, verdict, n_bad, n_version_dirs,
+                 event_type, n, total_cents
+          FROM wap ORDER BY stage, event_type""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

@@ -1236,6 +1236,152 @@ object Events {
        |           END AS mcc
        |  FROM mcc_sq)""".stripMargin
 
+  /** q305 — BRIER SCORE per class (one-vs-rest), the strictly-proper
+    * scoring rule beside q292's reliability diagram: one number that
+    * punishes BOTH miscalibration and indiscrimination. The score is
+    * the q292 normalization (cents / max_cents) and the whole statistic
+    * stays EXACT: with p = c/M and y ∈ {0,1},
+    * `Σ (p − y)² = Σ (c − y·M)² / M²`, and the integer numerator
+    * decomposes as `Σc² − 2·M·Σ_{y=1}c + n_pos·M²` — so ONE pass at the
+    * event-type grain (count, Σc, Σc², all map-side combinable) plus a
+    * global Σc² scalar yields every class's numerator by 5-row
+    * arithmetic, and the Brier score is a single division of
+    * exactly-representable integers. Classes anchor on the static list
+    * with zero-coalesce (the q272 lesson); a degenerate score domain
+    * (M ≤ 0) reports NULL, the q292 convention.
+    *
+    * Scale: one aggregate to a ≤ |types| frame — no per-class fan-out
+    * of the scan; the numerator stays < 2⁶³ far past 10⁹ rows (Σc² at
+    * cent scale is ~10¹⁶ for a billion rows of 10⁵-cent values).
+    */
+  def brierByType(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val scored = events.select(col("event_type"),
+      OracleSafe.quant(col("value"), 100).as("c"))
+    val perType = scored.groupBy("event_type")
+      .agg(count(lit(1)).as("tn"), sum("c").as("sc"),
+        sum(col("c") * col("c")).as("sc2"), max("c").as("mx"))
+      .localCheckpoint()
+    val glob = broadcast(perType.agg(sum("tn").as("n_all"),
+      sum("sc2").as("sum_c2"), max("mx").as("max_c")))
+    val classes = broadcast(evalClasses.toDF("cls"))
+    classes
+      .join(perType.withColumnRenamed("event_type", "cls"), Seq("cls"),
+        "left")
+      .crossJoin(glob)
+      .select(col("cls"),
+        coalesce(col("tn"), lit(0L)).as("n_pos"),
+        coalesce(col("sc"), lit(0L)).as("pos_cents"),
+        col("n_all"), col("sum_c2"), col("max_c"))
+      .withColumn("sq_num", col("sum_c2")
+        - lit(2L) * col("max_c") * col("pos_cents")
+        + col("n_pos") * col("max_c") * col("max_c"))
+      .select(col("cls"), col("n_all"), col("n_pos"), col("sq_num"),
+        when(col("max_c") <= 0L, lit(null).cast("double"))
+          .otherwise(col("sq_num").cast("double") /
+            (col("n_all") * col("max_c") * col("max_c")).cast("double"))
+          .as("brier"))
+      .orderBy("cls")
+  }
+
+  /** DuckDB twin of [[brierByType]]: same decomposition, same single
+    * division. Embed after `WITH ` and select from `brier_eval`.
+    */
+  def brierByTypeSql(): String = {
+    val cents = OracleSafe.quantSql("value", 100)
+    val clsVals = evalClasses.map(c => s"('$c')").mkString(", ")
+    s"""br_pt AS (
+       |  SELECT event_type, COUNT(*) AS tn,
+       |         CAST(SUM($cents) AS BIGINT) AS sc,
+       |         CAST(SUM($cents * $cents) AS BIGINT) AS sc2
+       |  FROM events GROUP BY 1),
+       |br_g AS (
+       |  SELECT CAST(SUM(tn) AS BIGINT) AS n_all,
+       |         CAST(SUM(sc2) AS BIGINT) AS sum_c2,
+       |         (SELECT CAST(MAX($cents) AS BIGINT) FROM events) AS max_c
+       |  FROM br_pt),
+       |br_cls(cls) AS (VALUES $clsVals),
+       |br_num AS (
+       |  SELECT c.cls,
+       |         CAST(COALESCE(p.tn, 0) AS BIGINT) AS n_pos,
+       |         g.n_all, g.max_c,
+       |         g.sum_c2 - 2 * g.max_c * CAST(COALESCE(p.sc, 0) AS BIGINT)
+       |           + CAST(COALESCE(p.tn, 0) AS BIGINT) * g.max_c * g.max_c
+       |           AS sq_num
+       |  FROM br_cls c
+       |  LEFT JOIN br_pt p ON p.event_type = c.cls
+       |  CROSS JOIN br_g g),
+       |brier_eval AS (
+       |  SELECT cls, n_all, n_pos, CAST(sq_num AS BIGINT) AS sq_num,
+       |         CASE WHEN max_c <= 0 THEN NULL
+       |              ELSE CAST(sq_num AS DOUBLE)
+       |                / CAST(n_all * max_c * max_c AS DOUBLE)
+       |           END AS brier
+       |  FROM br_num)""".stripMargin
+  }
+
+  /** q307 — COHEN'S KAPPA over the q299 confusion frame: chance-
+    * corrected agreement between the frozen value-band classifier and
+    * the label, the inter-rater statistic that closes the multi-class
+    * eval set (accuracy = q299 micro, balance-robust = q301 MCC,
+    * chance-corrected = this). The whole statistic is ONE exact
+    * division:
+    * `κ = (n·Σtpᵢ − Σ rowᵢ·colᵢ) / (n² − Σ rowᵢ·colᵢ)` — observed and
+    * chance agreement cleared of their denominators, every term an
+    * exact BIGINT off the same (label, pred) aggregate q299 rides.
+    * Perfect chance saturation (n² = Σ row·col — every marginal in one
+    * class) reports NULL, never 0/0. p_o and p_e ride along as their
+    * own single divisions.
+    *
+    * Scale: the q299 shape — one map-side-combinable aggregate to a
+    * ≤ |classes|² frame, then arithmetic on 5-row frames; BIGINT-safe
+    * to ~3·10⁹ rows (n² < 2⁶³).
+    */
+  def cohensKappa(events: DataFrame): DataFrame = {
+    val per = classifierEval(events).filter(col("cls") =!= "zz_micro")
+      .select(col("cls"), col("tp"),
+        (col("tp") + col("fp")).as("pred_n"),
+        (col("tp") + col("fn")).as("label_n"))
+    val nAll = broadcast(events.agg(count(lit(1)).as("n_all")))
+    per.agg(sum("tp").as("agree"),
+        sum(col("pred_n") * col("label_n")).as("chance"))
+      .crossJoin(nAll)
+      .select(col("n_all"), col("agree"), col("chance"),
+        (col("agree").cast("double") / col("n_all").cast("double"))
+          .as("p_o"),
+        (col("chance").cast("double") /
+          (col("n_all") * col("n_all")).cast("double")).as("p_e"),
+        when(col("n_all") * col("n_all") === col("chance"),
+          lit(null).cast("double"))
+          .otherwise(
+            (col("n_all") * col("agree") - col("chance")).cast("double") /
+              (col("n_all") * col("n_all") - col("chance")).cast("double"))
+          .as("kappa"))
+  }
+
+  /** DuckDB twin of [[cohensKappa]] — the q299 confusion CTEs plus the
+    * identical cleared-denominator arithmetic. Embed after `WITH ` and
+    * select from `kappa_eval`.
+    */
+  def cohensKappaSql(): String =
+    s"""${classifierEvalSql()},
+       |ka_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM events),
+       |ka_agg AS (
+       |  SELECT CAST(SUM(tp) AS BIGINT) AS agree,
+       |         CAST(SUM((tp + fp) * (tp + fn)) AS BIGINT) AS chance
+       |  FROM ce_per),
+       |kappa_eval AS (
+       |  SELECT n_all, agree, chance,
+       |         CAST(agree AS DOUBLE) / CAST(n_all AS DOUBLE) AS p_o,
+       |         CAST(chance AS DOUBLE) / CAST(n_all * n_all AS DOUBLE)
+       |           AS p_e,
+       |         CASE WHEN n_all * n_all = chance THEN NULL
+       |              ELSE CAST(n_all * agree - chance AS DOUBLE)
+       |                / CAST(n_all * n_all - chance AS DOUBLE)
+       |           END AS kappa
+       |  FROM ka_agg CROSS JOIN ka_n)""".stripMargin
+
   /** q294 — CUMULATIVE GAINS / LIFT TABLE, completing the eval trio
     * (q291 ranks, q292 calibrates, this one answers "how much of the
     * positives do the top-k% capture?" — the targeting statistic).

@@ -2009,6 +2009,365 @@ object ManifestTable {
     s1.unionByName(s2).unionByName(s3).orderBy("stage", "event_type")
   }
 
+  // ---------------------------------------------------------------- q306
+
+  /** Partition values physically present under snapshot `version` for
+    * partition column `partCol` (the `col=value` dir names).
+    */
+  def partitionValues(spark: SparkSession, tableDir: String, version: Long,
+      partCol: String): Seq[String] = {
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$tableDir/data/v$version")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol="))
+      .map(_.stripPrefix(s"$partCol=")).sorted
+  }
+
+  /** Write snapshot `version`'s PARTITION MANIFEST: one metadata file
+    * mapping each partition value to the version whose files serve it.
+    * Exclusive-create — a version's manifest is written once by its
+    * committing writer, the same immutability as the data dirs.
+    */
+  def writePartitionManifest(spark: SparkSession, tableDir: String,
+      version: Long, mapping: Map[String, Long]): Unit = {
+    val body = mapping.toSeq.sorted
+      .map { case (p, v) => s"$p\t$v" }.mkString("", "\n", "\n")
+    require(putIfAbsent(spark,
+        new Path(s"$tableDir/pmanifest/v$version"), body),
+      s"partition manifest for v$version already exists")
+  }
+
+  def readPartitionManifest(spark: SparkSession, tableDir: String,
+      version: Long): Map[String, Long] =
+    readFully(fc(spark, tableDir),
+        new Path(s"$tableDir/pmanifest/v$version"))
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val Array(p, v) = line.split("\t")
+        p -> v.toLong
+      }.toMap
+
+  /** Publish `df` partitioned by `partCol` as a FULL snapshot: every
+    * partition's files land under this version and the manifest maps
+    * them all here.
+    */
+  def publishPartitioned(df: DataFrame, tableDir: String, version: Long,
+      partCol: String): Unit = {
+    val spark = df.sparkSession
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(s"$tableDir/data/v$version")
+    val parts = partitionValues(spark, tableDir, version, partCol)
+    writePartitionManifest(spark, tableDir, version,
+      parts.map(_ -> version).toMap)
+    swapPointer(spark, tableDir, version)
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE (Delta's `replaceWhere`, Hive/Spark's
+    * dynamic-overwrite mode, Iceberg's `overwritePartitions`): commit a
+    * new version that REWRITES only `replaced` partitions — `df` holds
+    * the replacement rows (it may be empty: replacing a partition with
+    * nothing is partition DELETE), every other partition is served by
+    * REFERENCE to the version that last wrote it, zero bytes copied.
+    * The new manifest = previous manifest − replaced + whatever `df`
+    * physically landed; the pointer swap is the same atomic commit.
+    *
+    * Scale: the write cost is O(replaced partitions' data) — a
+    * 100 TB table re-prices one day-partition by writing one
+    * partition, not by rewriting or copying the other 99.9%.
+    */
+  def overwritePartitions(df: DataFrame, tableDir: String, version: Long,
+      partCol: String, replaced: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = currentVersion(spark, tableDir).getOrElse(
+      sys.error(s"no published snapshot under $tableDir"))
+    val prevMap = readPartitionManifest(spark, tableDir, prev)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(s"$tableDir/data/v$version")
+    val landed = partitionValues(spark, tableDir, version, partCol)
+    require(landed.forall(replaced.contains),
+      s"rows outside the replaced partitions: ${landed.diff(replaced)}")
+    val map = (prevMap -- replaced) ++ landed.map(_ -> version)
+    writePartitionManifest(spark, tableDir, version, map)
+    swapPointer(spark, tableDir, version)
+  }
+
+  /** Read the live partition-mapped snapshot: each partition's rows
+    * come from the version its manifest entry names — one
+    * partition-pruned read per distinct source version, unioned.
+    */
+  def readPartitioned(spark: SparkSession, tableDir: String,
+      partCol: String): DataFrame = {
+    val v = currentVersion(spark, tableDir).getOrElse(
+      sys.error(s"no published snapshot under $tableDir"))
+    val map = readPartitionManifest(spark, tableDir, v)
+    map.groupBy(_._2).toSeq.sortBy(_._1).map { case (srcV, entries) =>
+      spark.read.parquet(s"$tableDir/data/v$srcV")
+        .filter(col(partCol)
+          .isin(entries.keys.toSeq.sorted.map(x => x: Any): _*))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Versions referenced by the partition manifests of versions that
+    * would be RETAINED — the reachability set a vacuum over
+    * partition-mapped snapshots must also keep (Iceberg's
+    * reachability-based expiry: a snapshot owns files in OLDER version
+    * dirs by reference).
+    */
+  def partitionReferencedVersions(spark: SparkSession, tableDir: String,
+      retained: Set[Long]): Set[Long] = {
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    retained.flatMap { v =>
+      if (!fs.exists(new Path(s"$tableDir/pmanifest/v$v"))) Set.empty[Long]
+      else readPartitionManifest(spark, tableDir, v).values.toSet
+    }
+  }
+
+  /** [[vacuum]] for partition-mapped tables: keep-last-`keep` PLUS
+    * every version a retained manifest references — deleting a
+    * referenced dir would tear live partitions out of a newer snapshot.
+    */
+  def vacuumPartitioned(spark: SparkSession, tableDir: String,
+      keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, s"must keep at least the live snapshot: $keep")
+    val live = currentVersion(spark, tableDir)
+    val all = versions(spark, tableDir)
+    val base = all.takeRight(keep).toSet ++ live
+    val retained = base ++ partitionReferencedVersions(spark, tableDir, base)
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dropped = all.filterNot(retained)
+    dropped.foreach(v => fs.delete(new Path(s"$tableDir/data/v$v"), true))
+    dropped
+  }
+
+  /** q306 — DYNAMIC PARTITION OVERWRITE end to end: v1 publishes all
+    * five event-type partitions; v2 re-prices ONLY the purchase
+    * partition (one new partition dir on disk — require-pinned — the
+    * other four served from v1's files BY REFERENCE, zero copies); v3
+    * replaces the error partition with nothing (partition delete: the
+    * new version writes no files for it and the manifest drops the
+    * entry); then a keep-1 [[vacuumPartitioned]] runs and must retain
+    * v1 and v2 — both referenced by the live manifest — reclaiming
+    * NOTHING (the reachability contract), with the final read served
+    * from three physical versions at once. Output: per-stage totals
+    * through the mapped read with the resolved version, new-partition
+    * and referenced-partition counts; the oracle pins all of it.
+    */
+  def partitionOverwrite(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    def stage(name: String): DataFrame = {
+      val v = currentVersion(spark, tableDir).get
+      val map = readPartitionManifest(spark, tableDir, v)
+      val nNew = map.values.count(_ == v).toLong
+      val nRef = map.values.count(_ != v).toLong
+      readPartitioned(spark, tableDir, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .select(lit(name).as("stage"), lit(v).as("version"),
+          lit(nNew).as("n_new_parts"), lit(nRef).as("n_ref_parts"),
+          col("event_type"), col("n"), col("total_cents"))
+    }
+    publishPartitioned(slim, tableDir, 1L, "event_type")
+    val s1 = stage("a_full_publish")
+    // re-price ONLY the purchase partition; everything else by reference
+    overwritePartitions(
+      slim.filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2),
+      tableDir, 2L, "event_type", Seq("purchase"))
+    require(partitionValues(spark, tableDir, 2L, "event_type") ==
+      Seq("purchase"), "v2 must land exactly one partition dir")
+    val s2 = stage("b_purchase_overwrite")
+    // partition DELETE: replace the error partition with nothing
+    overwritePartitions(slim.filter(lit(false)), tableDir, 3L,
+      "event_type", Seq("error"))
+    require(partitionValues(spark, tableDir, 3L, "event_type").isEmpty,
+      "the delete version must land no partition dirs")
+    val s3 = stage("c_error_deleted")
+    // reachability: the live manifest references v1 AND v2 — a keep-1
+    // vacuum must reclaim nothing
+    val dropped = vacuumPartitioned(spark, tableDir, keep = 1)
+    require(dropped.isEmpty,
+      s"vacuum must respect manifest references: dropped $dropped")
+    val s4 = stage("d_post_vacuum")
+    s1.unionByName(s2).unionByName(s3).unionByName(s4)
+      .orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[partitionOverwrite]]: base totals, then purchase
+    * re-priced, then error gone; versions and partition counts pinned.
+    * Embed after `WITH ` and select from `partition_overwrite`.
+    */
+  def partitionOverwriteSql(): String =
+    s"""po_base AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM events GROUP BY 1),
+       |po_repriced AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql(
+                  "CASE WHEN event_type = 'purchase' THEN value * 2 " +
+                    "ELSE value END", 100)}) AS BIGINT) AS total_cents
+       |  FROM events GROUP BY 1),
+       |po_final AS (
+       |  SELECT event_type, n, total_cents FROM po_repriced
+       |  WHERE event_type <> 'error'),
+       |partition_overwrite AS (
+       |  SELECT 'a_full_publish' AS stage, CAST(1 AS BIGINT) AS version,
+       |         CAST(5 AS BIGINT) AS n_new_parts,
+       |         CAST(0 AS BIGINT) AS n_ref_parts, event_type, n,
+       |         total_cents
+       |  FROM po_base
+       |  UNION ALL
+       |  SELECT 'b_purchase_overwrite', 2, 1, 4, event_type, n,
+       |         total_cents
+       |  FROM po_repriced
+       |  UNION ALL
+       |  SELECT 'c_error_deleted', 3, 0, 4, event_type, n, total_cents
+       |  FROM po_final
+       |  UNION ALL
+       |  SELECT 'd_post_vacuum', 3, 0, 4, event_type, n, total_cents
+       |  FROM po_final)""".stripMargin
+
+  // ---------------------------------------------------------------- q308
+
+  /** Drop a branch ref — the discard half of the WAP flow (a rejected
+    * candidate's branch is dropped, orphaning its snapshot for GC).
+    */
+  def dropBranch(spark: SparkSession, tableDir: String,
+      name: String): Unit =
+    fc(spark, tableDir).delete(
+      new Path(s"$tableDir/refs/branch_$name"), false)
+
+  /** The q308 audit: a candidate snapshot passes iff it has no NULL
+    * event types, no negative values, and a row count within 2× either
+    * way of the serving snapshot. Returns (pass, n_bad_rows).
+    */
+  def auditSnapshot(spark: SparkSession, tableDir: String,
+      candidateVersion: Long): (Boolean, Long) = {
+    val cand = readVersion(spark, tableDir, candidateVersion)
+    val agg = cand.agg(count(lit(1)).as("n"),
+      sum(when(col("event_type").isNull || col("value") < 0, 1L)
+        .otherwise(0L)).as("bad")).head()
+    val (n, bad) = (agg.getLong(0), agg.getLong(1))
+    val cur = read(spark, tableDir).count()
+    (bad == 0L && n * 2 >= cur && n <= cur * 2, bad)
+  }
+
+  /** q308 — WRITE-AUDIT-PUBLISH, the Iceberg WAP pattern composed from
+    * the suite's own parts (q290 branches + an expectation audit + the
+    * q302 GC): a candidate is STAGED on an `audit` branch — fully
+    * materialized, never serving — audited there, and only a PASSING
+    * audit promotes main (a pure fast-forward pointer move, the data
+    * already landed). A failing candidate leaves main untouched, its
+    * branch is dropped, and the q302-safe orphan GC sweeps the
+    * rejected snapshot once its grace expires. Four stages: publish,
+    * a passing candidate promoted, a corrupt candidate (negated
+    * values) rejected with main provably unmoved, and the rejected
+    * snapshot reclaimed. Output: per-stage totals through main with
+    * the audit verdict, bad-row count, and on-disk version-dir count;
+    * the oracle computes the bad-row count from the raw events and
+    * pins the rest.
+    *
+    * Scale: the audit costs one aggregate over the candidate; the
+    * promotion costs two pointer writes regardless of data size — the
+    * quality gate adds ZERO data movement to the publish path.
+    */
+  def writeAuditPublish(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    def stage(name: String, verdict: String, nBad: Long): DataFrame = {
+      val v = refVersion(spark, tableDir, "branch_main").get
+      require(currentVersion(spark, tableDir).contains(v),
+        "CURRENT and branch_main must track together")
+      read(spark, tableDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .select(lit(name).as("stage"), lit(v).as("version"),
+          lit(verdict).as("verdict"), lit(nBad).as("n_bad"),
+          lit(versions(spark, tableDir).size.toLong).as("n_version_dirs"),
+          col("event_type"), col("n"), col("total_cents"))
+    }
+    publish(slim, tableDir, 1L)
+    setBranch(spark, tableDir, "main", 1L)
+    val s1 = stage("a_published", "none", 0L)
+    // candidate A: purchases re-priced — staged on the audit branch
+    slim.withColumn("value",
+        when(col("event_type") === "purchase", col("value") * 2)
+          .otherwise(col("value")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/data/v2")
+    setBranch(spark, tableDir, "audit", 2L)
+    val (ok1, bad1) = auditSnapshot(spark, tableDir, 2L)
+    require(ok1 && bad1 == 0L, s"the clean candidate must pass: $bad1 bad")
+    // publish = promote the pointer; the data moved before the gate
+    require(fastForwardBranch(spark, tableDir, "main", 2L))
+    swapPointer(spark, tableDir, 2L)
+    val s2 = stage("b_audit_pass_promoted", "pass", 0L)
+    // candidate B: corrupt (values negated) — the audit must refuse it
+    slim.withColumn("value", -col("value"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/data/v3")
+    setBranch(spark, tableDir, "audit", 3L)
+    val (ok2, bad2) = auditSnapshot(spark, tableDir, 3L)
+    require(!ok2 && bad2 > 0L, "the corrupt candidate must fail")
+    require(refVersion(spark, tableDir, "branch_main").contains(2L),
+      "a failed audit must leave main untouched")
+    val s3 = stage("c_audit_fail_rejected", "fail", bad2)
+    // discard: drop the branch, let the safe GC sweep the orphan
+    dropBranch(spark, tableDir, "audit")
+    val swept = gcOrphansSafe(spark, tableDir, graceMs = 0L)
+    require(swept == Seq(3L), s"GC must sweep exactly the reject: $swept")
+    val s4 = stage("d_reject_swept", "swept", 0L)
+    s1.unionByName(s2).unionByName(s3).unionByName(s4)
+      .orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[writeAuditPublish]]: base totals, re-priced
+    * totals after the promotion (unchanged through rejection and
+    * sweep); the bad-row count is the corrupt candidate's negative
+    * rows, computed from the raw events. Embed after `WITH ` and
+    * select from `wap`.
+    */
+  def writeAuditPublishSql(): String =
+    s"""wap_base AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM events GROUP BY 1),
+       |wap_repriced AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql(
+                  "CASE WHEN event_type = 'purchase' THEN value * 2 " +
+                    "ELSE value END", 100)}) AS BIGINT) AS total_cents
+       |  FROM events GROUP BY 1),
+       |wap_bad AS (
+       |  SELECT CAST(COUNT(*) FILTER (WHERE -value < 0) AS BIGINT)
+       |           AS n_bad
+       |  FROM events),
+       |wap AS (
+       |  SELECT 'a_published' AS stage, CAST(1 AS BIGINT) AS version,
+       |         'none' AS verdict, CAST(0 AS BIGINT) AS n_bad,
+       |         CAST(1 AS BIGINT) AS n_version_dirs, event_type, n,
+       |         total_cents
+       |  FROM wap_base
+       |  UNION ALL
+       |  SELECT 'b_audit_pass_promoted', 2, 'pass', 0, 2, event_type, n,
+       |         total_cents
+       |  FROM wap_repriced
+       |  UNION ALL
+       |  SELECT 'c_audit_fail_rejected', 2, 'fail', b.n_bad, 3,
+       |         event_type, n, total_cents
+       |  FROM wap_repriced CROSS JOIN wap_bad b
+       |  UNION ALL
+       |  SELECT 'd_reject_swept', 2, 'swept', 0, 2, event_type, n,
+       |         total_cents
+       |  FROM wap_repriced)""".stripMargin
+
   /** DuckDB twin of [[checkpointResolve]]: click-and-error-free totals
     * while v3 serves, purchase-doubled totals once v4 commits; resolved
     * versions, counts, checkpoint seq/head, and probed-tail sizes

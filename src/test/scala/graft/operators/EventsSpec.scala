@@ -447,6 +447,47 @@ class EventsSpec extends SparkSpec {
       s"degenerate domain: ${z.toSeq}")
   }
 
+  test("q305: hand-computed Brier scores, the absent-class anchor, and the degenerate-domain NULL") {
+    def fx(rows: (String, Double)*): DataFrame =
+      rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+    // cents (1000, 500), M=1000: p = (1.0, 0.5)
+    //   purchase y=(1,0): ((1-1)^2 + (0.5-0)^2)/2 = 0.125
+    //   view     y=(0,1): ((1-0)^2 + (0.5-1)^2)/2 = 0.625
+    //   click (absent):   ((1)^2 + (0.5)^2)/2    = 0.625, n_pos = 0
+    val r = Events.brierByType(fx(("purchase", 10.0), ("view", 5.0)))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r("purchase") == ((1L, 250000L, 0.125)), s"got ${r("purchase")}")
+    assert(r("view") == ((1L, 1250000L, 0.625)), s"got ${r("view")}")
+    assert(r("click") == ((0L, 1250000L, 0.625)),
+      s"absent class must anchor: ${r("click")}")
+    // degenerate domain (max <= 0): NULL, never a division by zero
+    val z = Events.brierByType(fx(("purchase", 0.0), ("view", 0.0))).head()
+    assert(z.isNullAt(4), s"degenerate Brier must be NULL: $z")
+  }
+
+  test("q307: hand-computed kappa off the band classifier, and the chance-saturated NULL") {
+    def fx(rows: (String, Double)*): DataFrame =
+      rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }
+        .toDF("event_id", "event_type", "value")
+    // bands: 10.00 -> click, 100.00 -> error. Rows: click/10 (tp),
+    // error/100 (tp), purchase/100 (pred error, miss). n=3, agree=2,
+    // chance = 1*1 (click) + 2*1 (error) = 3
+    // kappa = (3*2 - 3) / (9 - 3) = 0.5; p_o = 2/3, p_e = 1/3
+    val r = Events.cohensKappa(fx(("click", 10.0), ("error", 100.0),
+      ("purchase", 100.0))).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L && r.getLong(2) == 3L,
+      s"counts: $r")
+    assert(r.getDouble(3) == 2.0 / 3.0 && r.getDouble(4) == 1.0 / 3.0
+      && r.getDouble(5) == 0.5, s"kappa: $r")
+    // chance saturation: every marginal in one class -> n^2 = chance,
+    // kappa undefined -> NULL (never 0/0)
+    val z = Events.cohensKappa(fx(("click", 1.0), ("click", 2.0))).head()
+    assert(z.getLong(1) == 2L && z.getLong(2) == 4L && z.isNullAt(5),
+      s"saturated kappa must be NULL: $z")
+  }
+
   test("q294: hand-walked deciles, cumulative capture/lift, and tied groups staying whole") {
     def fx(rows: (String, Double)*): DataFrame =
       rows.zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v) }

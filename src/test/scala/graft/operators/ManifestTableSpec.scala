@@ -683,4 +683,87 @@ class ManifestTableSpec extends SparkSpec {
       assert(ManifestTable.versions(spark, tbl) == Seq(3L, 4L))
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q306: overwrite rewrites only its partitions, empty overwrite deletes, vacuum honors references") {
+    val out = java.nio.file.Files.createTempDirectory("graft-po-spec")
+    try {
+      val tbl = s"$out/tbl"
+      val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+        .toDF("event_id", "event_type", "value")
+      ManifestTable.publishPartitioned(base, tbl, 1L, "event_type")
+      assert(ManifestTable.partitionValues(spark, tbl, 1L, "event_type")
+        == Seq("a", "b"))
+      // overwrite partition a: v2 lands ONLY the a dir
+      ManifestTable.overwritePartitions(
+        base.filter(col("event_type") === "a")
+          .withColumn("value", col("value") * 10),
+        tbl, 2L, "event_type", Seq("a"))
+      assert(ManifestTable.partitionValues(spark, tbl, 2L, "event_type")
+        == Seq("a"), "only the replaced partition may land files")
+      assert(!new java.io.File(s"$tbl/data/v2/event_type=b").exists(),
+        "the untouched partition must have NO new files")
+      val served = ManifestTable.readPartitioned(spark, tbl, "event_type")
+        .groupBy("event_type")
+        .agg(sum(expr("CAST(value * 10 AS BIGINT)")).as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(served == Map("a" -> 400L, "b" -> 20L),
+        s"a re-priced x10, b by reference: $served")
+      // rows outside the replaced set must be refused loudly
+      intercept[IllegalArgumentException] {
+        ManifestTable.overwritePartitions(base, tbl, 9L, "event_type",
+          Seq("a"))
+      }
+      // empty overwrite = partition delete
+      ManifestTable.overwritePartitions(base.filter(lit(false)), tbl, 3L,
+        "event_type", Seq("b"))
+      val afterDel = ManifestTable.readPartitioned(spark, tbl, "event_type")
+        .select("event_type").distinct().collect().map(_.getString(0)).toSet
+      assert(afterDel == Set("a"), s"b must be gone: $afterDel")
+      // reachability vacuum: the live manifest maps a->2 (and v1 is
+      // still referenced by v2's manifest if retained... here keep=1
+      // retains v3 whose manifest references v2 only)
+      val dropped = ManifestTable.vacuumPartitioned(spark, tbl, keep = 1)
+      assert(dropped == Seq(1L),
+        s"v1 is unreferenced by the live manifest after the b delete: $dropped")
+      val finalServed = ManifestTable
+        .readPartitioned(spark, tbl, "event_type").count()
+      assert(finalServed == 2L, "the surviving partitions still serve")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
+  test("q308: a failing audit never moves main, and the rejected snapshot is swept once its branch drops") {
+    val out = java.nio.file.Files.createTempDirectory("graft-wap-spec")
+    try {
+      val tbl = s"$out/tbl"
+      val base = Seq((1L, "a", 1.0), (2L, "b", 2.0))
+        .toDF("event_id", "event_type", "value")
+      ManifestTable.publish(base, tbl, 1L)
+      ManifestTable.setBranch(spark, tbl, "main", 1L)
+      // corrupt candidate staged on the audit branch
+      base.withColumn("value", -col("value"))
+        .write.parquet(s"$tbl/data/v2")
+      ManifestTable.setBranch(spark, tbl, "audit", 2L)
+      val (ok, bad) = ManifestTable.auditSnapshot(spark, tbl, 2L)
+      assert(!ok && bad == 2L, s"negatives must fail the audit: $ok/$bad")
+      // main untouched; the candidate never serves
+      assert(ManifestTable.refVersion(spark, tbl, "branch_main")
+        .contains(1L))
+      assert(ManifestTable.currentVersion(spark, tbl).contains(1L))
+      // while the audit branch stands, the snapshot is ref-protected
+      assert(ManifestTable.gcOrphansSafe(spark, tbl, 0L).isEmpty,
+        "a branch-referenced candidate is never debris")
+      // drop the branch -> orphan -> swept
+      ManifestTable.dropBranch(spark, tbl, "audit")
+      assert(ManifestTable.gcOrphansSafe(spark, tbl, 0L) == Seq(2L))
+      assert(!new java.io.File(s"$tbl/data/v2").exists())
+      // a clean candidate passes and promotes
+      base.write.parquet(s"$tbl/data/v2")
+      ManifestTable.setBranch(spark, tbl, "audit", 2L)
+      val (ok2, bad2) = ManifestTable.auditSnapshot(spark, tbl, 2L)
+      assert(ok2 && bad2 == 0L)
+      assert(ManifestTable.fastForwardBranch(spark, tbl, "main", 2L))
+      ManifestTable.swapPointer(spark, tbl, 2L)
+      assert(ManifestTable.read(spark, tbl).count() == 2L)
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }

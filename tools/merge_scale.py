@@ -17,16 +17,25 @@ with open(partial_path) as f:
 with open(main_path) as f:
     main = json.load(f)
 
-assert partial.get("metric") == "scale_ratio_partial", partial.get("metric")
-assert partial.get("copies") == main.get("copies"), "copies mismatch"
 # rows measured against a different base dataset (scale-factor dir) must
 # never merge silently — the ratios would mix SFs
 assert partial.get("base") == main.get("base"), (
     f"base mismatch: partial={partial.get('base')} main={main.get('base')}")
-assert partial.get("queries"), "partial run measured nothing"
 
-updated = sorted(partial["queries"].keys())
-main["queries"].update(partial["queries"])
+if partial.get("metric") == "scale_components_partial":
+    # deep-blow-up component rows (SPARK_GRAFT_SCALE_COMPONENTS_ONLY):
+    # merged into the components section; copies there is the CC depth
+    assert partial.get("copies") == main.get("components", {}).get("copies"), (
+        "component-depth copies mismatch")
+    assert partial.get("components"), "partial run measured nothing"
+    updated = sorted(partial["components"].keys())
+    main["components"].update(partial["components"])
+else:
+    assert partial.get("metric") == "scale_ratio_partial", partial.get("metric")
+    assert partial.get("copies") == main.get("copies"), "copies mismatch"
+    assert partial.get("queries"), "partial run measured nothing"
+    updated = sorted(partial["queries"].keys())
+    main["queries"].update(partial["queries"])
 
 with open(main_path, "w") as f:
     json.dump(main, f, separators=(",", ":"))
