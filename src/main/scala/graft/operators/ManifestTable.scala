@@ -2128,6 +2128,10 @@ object ManifestTable {
   /** [[vacuum]] for partition-mapped tables: keep-last-`keep` PLUS
     * every version a retained manifest references — deleting a
     * referenced dir would tear live partitions out of a newer snapshot.
+    * A version retained ONLY by reference is a file holder, not a
+    * time-travel target: its own manifest may name versions the vacuum
+    * reclaimed (exactly Iceberg's expire-snapshots semantics — live
+    * snapshots keep their files, expired snapshots stop resolving).
     */
   def vacuumPartitioned(spark: SparkSession, tableDir: String,
       keep: Int = 2): Seq[Long] = {
