@@ -200,7 +200,7 @@ object ScaleBench {
     // (q291's two-grain prefix; output grows with distinct cent scores)
     "q302_safe_orphan_gc", "q303_pr_curve", "q304_manifest_checkpoint",
     "q305_brier_score", "q306_partition_overwrite", "q307_cohens_kappa",
-    "q308_write_audit_publish")
+    "q308_write_audit_publish", "q309_compact_partitioned")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

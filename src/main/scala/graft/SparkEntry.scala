@@ -2018,6 +2018,14 @@ object SparkEntry {
       ManifestTable.writeAuditPublish(TestData.events(s, dir),
         scratchDir("graft-q308").resolve("events_table").toString)
     },
+    // Compaction of the partition-mapped table: the rewrite commit
+    // materializes the spliced read into one self-contained snapshot
+    // (totals provably unchanged), then one reachability vacuum
+    // reclaims the whole source-version sprawl.
+    "q309_compact_partitioned" -> { (s, dir) =>
+      ManifestTable.compactPartitioned(TestData.events(s, dir),
+        scratchDir("graft-q309").resolve("events_table").toString)
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3969,6 +3977,12 @@ object SparkEntry {
           SELECT stage, version, verdict, n_bad, n_version_dirs,
                  event_type, n, total_cents
           FROM wap ORDER BY stage, event_type""",
+
+    "q309_compact_partitioned" ->
+      s"""WITH ${ManifestTable.compactPartitionedSql()}
+          SELECT stage, version, n_version_dirs, n_src_versions,
+                 event_type, n, total_cents
+          FROM compact_partitioned ORDER BY stage, event_type""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

@@ -2238,6 +2238,94 @@ object ManifestTable {
        |  SELECT 'd_post_vacuum', 3, 0, 4, event_type, n, total_cents
        |  FROM po_final)""".stripMargin
 
+  /** q309 — COMPACTION of the partition-mapped table, closing q306's
+    * lifecycle: repeated partition overwrites spread the live
+    * partitions across source versions (here three — base, a purchase
+    * re-price, a view re-price), which is correct but makes every read
+    * splice N version dirs and pins all of them against vacuum. The
+    * REWRITE commit materializes the mapped read into ONE full
+    * snapshot (manifest: everything → the new version) — invisible in
+    * the data, require-pinned by unchanged totals (the q88/q287
+    * compaction contract) — after which the reachability vacuum can
+    * finally reclaim the entire sprawl in one sweep. Iceberg's
+    * `rewrite_data_files` + `expire_snapshots` pairing over this
+    * tier's partition manifests. Output: per-stage totals with the
+    * resolved version, on-disk dir count, and the number of DISTINCT
+    * source versions the live manifest splices.
+    *
+    * Scale: the rewrite costs one full scan+write (scheduled, amortized
+    * maintenance); reads before it stay correct, reads after it open
+    * one version dir; the vacuum is metadata-only plus dir deletes.
+    */
+  def compactPartitioned(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    def stage(name: String): DataFrame = {
+      val v = currentVersion(spark, tableDir).get
+      val nSrc = readPartitionManifest(spark, tableDir, v)
+        .values.toSet.size.toLong
+      readPartitioned(spark, tableDir, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .select(lit(name).as("stage"), lit(v).as("version"),
+          lit(versions(spark, tableDir).size.toLong).as("n_version_dirs"),
+          lit(nSrc).as("n_src_versions"), col("event_type"), col("n"),
+          col("total_cents"))
+    }
+    publishPartitioned(slim, tableDir, 1L, "event_type")
+    overwritePartitions(
+      slim.filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2),
+      tableDir, 2L, "event_type", Seq("purchase"))
+    overwritePartitions(
+      slim.filter(col("event_type") === "view")
+        .withColumn("value", col("value") * 3),
+      tableDir, 3L, "event_type", Seq("view"))
+    // materialize now: this stage reads the sprawl's dirs, which the
+    // vacuum below physically reclaims (the q244/q280 discipline)
+    val s1 = stage("a_sprawled").localCheckpoint()
+    // the rewrite: materialize the mapped read as ONE full snapshot
+    publishPartitioned(readPartitioned(spark, tableDir, "event_type"),
+      tableDir, 4L, "event_type")
+    require(readPartitionManifest(spark, tableDir, 4L).values.toSet ==
+      Set(4L), "the rewrite must self-contain every partition")
+    val s2 = stage("b_compacted") // same data, one source version
+    // the sprawl is now unreferenced: ONE vacuum reclaims all of it
+    val dropped = vacuumPartitioned(spark, tableDir, keep = 1)
+    require(dropped == Seq(1L, 2L, 3L),
+      s"vacuum must reclaim the whole sprawl: $dropped")
+    val s3 = stage("c_post_vacuum")
+    s1.unionByName(s2).unionByName(s3).orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[compactPartitioned]]: one re-priced totals CTE
+    * serves all three stages — equality across the rewrite and the
+    * vacuum IS the invisibility proof; versions, dir counts, and
+    * source-version counts pinned. Embed after `WITH ` and select from
+    * `compact_partitioned`.
+    */
+  def compactPartitionedSql(): String =
+    s"""cpz_cur AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql(
+                  "CASE WHEN event_type = 'purchase' THEN value * 2 " +
+                    "WHEN event_type = 'view' THEN value * 3 " +
+                    "ELSE value END", 100)}) AS BIGINT) AS total_cents
+       |  FROM events GROUP BY 1),
+       |compact_partitioned AS (
+       |  SELECT 'a_sprawled' AS stage, CAST(3 AS BIGINT) AS version,
+       |         CAST(3 AS BIGINT) AS n_version_dirs,
+       |         CAST(3 AS BIGINT) AS n_src_versions, event_type, n,
+       |         total_cents
+       |  FROM cpz_cur
+       |  UNION ALL
+       |  SELECT 'b_compacted', 4, 4, 1, event_type, n, total_cents
+       |  FROM cpz_cur
+       |  UNION ALL
+       |  SELECT 'c_post_vacuum', 4, 1, 1, event_type, n, total_cents
+       |  FROM cpz_cur)""".stripMargin
+
   // ---------------------------------------------------------------- q308
 
   /** Drop a branch ref — the discard half of the WAP flow (a rejected

@@ -731,6 +731,29 @@ class ManifestTableSpec extends SparkSpec {
     } finally graft.Scratch.rmTree(out.toFile)
   }
 
+  test("q306 a publish landing between resolve and collect: the pinned mapped snapshot serves") {
+    val out = java.nio.file.Files.createTempDirectory("graft-po2-spec")
+    try {
+      val tbl = s"$out/tbl"
+      val base = Seq((1L, "a", 1.0), (2L, "b", 2.0))
+        .toDF("event_id", "event_type", "value")
+      ManifestTable.publishPartitioned(base, tbl, 1L, "event_type")
+      // resolve NOW (pointer + manifest read eagerly), collect LATER
+      val pinned = ManifestTable.readPartitioned(spark, tbl, "event_type")
+      ManifestTable.overwritePartitions(
+        base.filter(col("event_type") === "a")
+          .withColumn("value", col("value") * 10),
+        tbl, 2L, "event_type", Seq("a"))
+      // the lazy frame still serves v1 exactly — snapshot semantics
+      val got = pinned.agg(sum(expr("CAST(value AS BIGINT)"))).head().getLong(0)
+      assert(got == 3L, s"the pinned read must serve v1: $got")
+      // a fresh resolve serves the overwrite
+      val fresh = ManifestTable.readPartitioned(spark, tbl, "event_type")
+        .agg(sum(expr("CAST(value AS BIGINT)"))).head().getLong(0)
+      assert(fresh == 12L, s"the fresh read must serve v2: $fresh")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
   test("q308: a failing audit never moves main, and the rejected snapshot is swept once its branch drops") {
     val out = java.nio.file.Files.createTempDirectory("graft-wap-spec")
     try {
