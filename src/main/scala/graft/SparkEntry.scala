@@ -2026,6 +2026,13 @@ object SparkEntry {
       ManifestTable.compactPartitioned(TestData.events(s, dir),
         scratchDir("graft-q309").resolve("events_table").toString)
     },
+    // NDCG@k + MRR of the IVF serve path vs the exact baseline: graded
+    // relevance from the exact ranking, JVM-inlined integer discount
+    // literals keep DCG exact on both engines — the order-aware metrics
+    // q77's set-overlap recall cannot see.
+    "q310_ndcg_mrr" -> { (s, dir) =>
+      Similarity.retrievalRankingEval(TestData.embeddings(s, dir))
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -3983,6 +3990,11 @@ object SparkEntry {
           SELECT stage, version, n_version_dirs, n_src_versions,
                  event_type, n, total_cents
           FROM compact_partitioned ORDER BY stage, event_type""",
+
+    "q310_ndcg_mrr" ->
+      s"""WITH ${Similarity.retrievalRankingEvalSql()}
+          SELECT qid, hits, mrr, dcg_e6, ndcg
+          FROM retrieval_eval ORDER BY qid""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

@@ -1505,6 +1505,108 @@ object Similarity {
       .orderBy("shard")
   }
 
+  /** q310 — NDCG@k and MRR of the IVF serve path against the exact
+    * baseline: the two RANKING-quality metrics q77's set-overlap recall
+    * cannot see (recall@k is blind to ORDER — an index that returns the
+    * right 5 neighbours ranked backwards scores recall 1.0; NDCG and MRR
+    * punish it). Graded relevance comes from the exact ranking itself:
+    * the brute-force rank-i neighbour carries relevance k−i+1, anything
+    * outside the exact top-k carries 0 — the standard
+    * evaluate-an-ANN-index-against-exact-search protocol.
+    *
+    * Numerics (the q291/q301 discipline): the log₂ discounts are the ONE
+    * place NDCG normally goes non-deterministic across engines (libm
+    * log differs in ulps), so they are computed ONCE here on the JVM,
+    * scaled to integers (round(10⁶/log₂(i+1))), and inlined as LITERALS
+    * into both the Spark plan and the oracle SQL. DCG then stays EXACT
+    * integer arithmetic (Σ rel·disc — order-independent, map-side
+    * combinable), IDCG is a compile-time integer constant, and NDCG and
+    * MRR are each ONE division of exactly-representable integers —
+    * bit-identical on both engines. A query the index misses entirely
+    * scores hits 0 / mrr 0.0 / ndcg 0.0 (the standard no-hit
+    * convention), kept on the output spine by the exact side's query
+    * list.
+    *
+    * Scale shape: both inputs are the index-shaped operators above; the
+    * eval itself joins and aggregates 2·|queries|·k rows — independent
+    * of corpus size, exactly like q77.
+    */
+  def retrievalRankingEval(embeddings: DataFrame, k: Int = 5,
+      queryMod: Int = 10): DataFrame = {
+    val disc = rankingDiscounts(k)
+    val idcg = rankingIdcg(k)
+    val exact = bruteForceTopK(embeddings, k, queryMod)
+      .select(col("qid"), col("nid"),
+        (lit(k.toLong) + 1L - col("rank")).cast("long").as("rel"))
+    val approx = ivfTopK(embeddings, k, queryMod).select("qid", "rank", "nid")
+    val discCol = disc.tail.foldLeft(
+        when(col("rank") === 1, lit(disc.head._2))) {
+      case (acc, (i, d)) => acc.when(col("rank") === i, lit(d))
+    }.otherwise(lit(0L))
+    val scored = approx.join(exact, Seq("qid", "nid"), "left")
+      .select(col("qid"), col("rank"),
+        coalesce(col("rel"), lit(0L)).as("rel"), discCol.as("disc"))
+    val agg = scored.groupBy("qid").agg(
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("hits"),
+      min(when(col("rel") > 0, col("rank"))).as("first_hit"),
+      sum(col("rel") * col("disc")).as("dcg_e6"))
+    exact.select("qid").distinct()
+      .join(agg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        when(col("first_hit").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_hit").cast("double")).as("mrr"),
+        coalesce(col("dcg_e6"), lit(0L)).as("dcg_e6"),
+        (coalesce(col("dcg_e6"), lit(0L)).cast("double")
+          / lit(idcg.toDouble)).as("ndcg"))
+      .orderBy("qid")
+  }
+
+  /** round(10⁶ / log₂(i+1)) for i = 1..k — computed once on the JVM and
+    * inlined as literals on BOTH engines (see [[retrievalRankingEval]]).
+    */
+  private def rankingDiscounts(k: Int): Seq[(Int, Long)] =
+    (1 to k).map(i => i -> math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Ideal DCG in the same 10⁶ scale: relevance k..1 at ranks 1..k. */
+  private def rankingIdcg(k: Int): Long =
+    rankingDiscounts(k).map { case (i, d) => (k - i + 1).toLong * d }.sum
+
+  /** DuckDB twin of [[retrievalRankingEval]] — the q54 IVF chain plus the
+    * shared brute core, with the identical inlined discount literals.
+    * Embed after `WITH ` and select from `retrieval_eval`.
+    */
+  def retrievalRankingEvalSql(k: Int = 5, queryMod: Int = 10): String = {
+    val discCase = rankingDiscounts(k)
+      .map { case (i, d) => s"WHEN $i THEN $d" }.mkString(" ")
+    s"""${ivfTopKSql(k, queryMod)},
+       |${bruteCoreSql(k, queryMod)},
+       |rre_rel AS (
+       |  SELECT qid, nid, CAST($k + 1 - rank AS BIGINT) AS rel
+       |  FROM brute_topk),
+       |rre_scored AS (
+       |  SELECT i.qid, i.rank, COALESCE(r.rel, 0) AS rel,
+       |         CASE i.rank $discCase ELSE 0 END AS disc
+       |  FROM ivf_topk i
+       |  LEFT JOIN rre_rel r ON i.qid = r.qid AND i.nid = r.nid),
+       |rre_agg AS (
+       |  SELECT qid,
+       |         SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+       |         MIN(CASE WHEN rel > 0 THEN rank END) AS first_hit,
+       |         SUM(rel * disc) AS dcg_e6
+       |  FROM rre_scored GROUP BY qid),
+       |retrieval_eval AS (
+       |  SELECT q.qid,
+       |         CAST(COALESCE(a.hits, 0) AS BIGINT) AS hits,
+       |         CASE WHEN a.first_hit IS NULL THEN 0.0
+       |              ELSE 1.0 / CAST(a.first_hit AS DOUBLE) END AS mrr,
+       |         CAST(COALESCE(a.dcg_e6, 0) AS BIGINT) AS dcg_e6,
+       |         CAST(COALESCE(a.dcg_e6, 0) AS DOUBLE)
+       |           / ${rankingIdcg(k)}.0 AS ndcg
+       |  FROM (SELECT DISTINCT qid FROM brute_topk) q
+       |  LEFT JOIN rre_agg a USING (qid))""".stripMargin
+  }
+
   /** DuckDB twin of [[indexShardPlan]]; embed after `WITH ` and select
     * from `index_shard_plan`.
     */

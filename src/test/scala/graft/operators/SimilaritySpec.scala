@@ -307,4 +307,42 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(loads.sum - 4.0) < 1e-9,
       "load_x_shards must average exactly 1 across shards")
   }
+
+  test("retrievalRankingEval matches an independent driver-side recomputation exactly") {
+    val emb = graft.sources.TestData.embeddings(spark, sf)
+    val k = 5
+    // independent reimplementation: collect both top-k lists and compute
+    // NDCG/MRR/hits with plain Scala over the SAME integer discount grid
+    val exact = Similarity.bruteForceTopK(emb, k)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(r => r._3 -> (k + 1 - r._2).toLong).toMap
+      }
+    val approx = Similarity.ivfTopK(emb, k)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._2, r._3))).toMap
+    val disc = (1 to k)
+      .map(i => i -> math.round(1e6 / (math.log(i + 1.0) / math.log(2.0)))).toMap
+    val idcg = (1 to k).map(i => (k - i + 1).toLong * disc(i)).sum
+    val got = Similarity.retrievalRankingEval(emb, k)
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(got.map(_._1).toSet == exact.keySet, "one row per exact-side query")
+    got.foreach { case (qid, hits, mrr, dcgE6, ndcg) =>
+      val rel = exact(qid)
+      val ap = approx.getOrElse(qid, Array.empty[(Int, Long)])
+      val expHits = ap.count { case (_, nid) => rel.contains(nid) }
+      val expDcg = ap.map { case (r, nid) => rel.getOrElse(nid, 0L) * disc(r) }.sum
+      val expMrr = ap.collectFirst {
+        case (r, nid) if rel.contains(nid) => 1.0 / r
+      }.getOrElse(0.0)
+      assert(hits == expHits, s"hits($qid)")
+      assert(dcgE6 == expDcg, s"dcg_e6($qid)")
+      assert(mrr == expMrr, s"mrr($qid)") // exact: single division both paths
+      assert(ndcg == expDcg.toDouble / idcg.toDouble, s"ndcg($qid)")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 && mrr >= 0.0 && mrr <= 1.0)
+      if (hits == 0) assert(ndcg == 0.0 && mrr == 0.0)
+    }
+    // the suite's sf0.001 corpus must exercise both hit and miss paths
+    assert(got.exists(_._2 > 0), "IVF must hit at least once at this sf")
+  }
 }
