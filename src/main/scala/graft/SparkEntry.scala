@@ -1886,6 +1886,21 @@ object SparkEntry {
     "q286_wilson_ranking" -> { (s, dir) =>
       Profile.wilsonReturnRanking(TestData.lineitem(s, dir))
     },
+    // Tie-corrected Spearman rank correlation per market segment:
+    // Pearson on doubled average ranks (exact BIGINT/DECIMAL sums, the
+    // q301 sqrt-product discipline); ranks computed at the bounded
+    // distinct-value grain, never by a row-level sort.
+    "q311_spearman" -> { (s, dir) =>
+      Profile.spearmanBySegment(TestData.customer(s, dir),
+        TestData.orders(s, dir))
+    },
+    // Chi-squared independence drift over (event_type x weekday): exact
+    // scaled-integer cell contributions (floor millionths), so the
+    // table statistic is a sum of exact integers; per-cell attribution
+    // carried beside the total — the categorical companion to q260 KS.
+    "q313_chi_square_drift" -> { (s, dir) =>
+      Profile.chiSquareDrift(TestData.events(s, dir))
+    },
     // Compaction racing a live append: both writers pin the same base,
     // the CAS picks one winner, the loser rebases — the final table is
     // the serial replay (Iceberg's rewrite+append conflict, resolved).
@@ -3869,6 +3884,16 @@ object SparkEntry {
       s"""WITH ${Profile.wilsonReturnRankingSql()}
           SELECT l_partkey, n, r, rate, wilson_lb
           FROM wilson_rank ORDER BY wilson_lb DESC, l_partkey""",
+
+    "q311_spearman" ->
+      s"""WITH ${Profile.spearmanBySegmentSql()}
+          SELECT c_mktsegment, n, rho
+          FROM spearman ORDER BY c_mktsegment""",
+
+    "q313_chi_square_drift" ->
+      s"""WITH ${Profile.chiSquareDriftSql()}
+          SELECT event_type, dow, o, e_e6, contrib_e6, chi2_e6, df
+          FROM chi_square_drift ORDER BY event_type, dow""",
 
     "q287_compact_vs_append" ->
       s"""WITH ${ManifestTable.compactionVsAppendSql()}

@@ -333,6 +333,235 @@ object Profile {
       .limit(k)
   }
 
+  /** q311 — SPEARMAN RANK CORRELATION with full tie correction, per
+    * market segment, between a customer's account balance and their
+    * total order spend — the monotone-association audit a feature
+    * pipeline runs before trusting a signal (Pearson sees only LINEAR
+    * association; a curation gate built on "balance predicts spend"
+    * needs the rank version). q165's matryoshka audit uses the
+    * 1 − 6Σd²/(n(n²−1)) shortcut, which is only valid with NO ties; this
+    * operator handles ties correctly via Pearson-on-AVERAGE-RANKS — the
+    * textbook tie-corrected definition — and the zero-spend customers
+    * (no orders) form a real massive tie group that exercises it.
+    *
+    * Numerics: average ranks are half-integers, so DOUBLED ranks
+    * (2·avg_rank = 2·|{v' < v}| + |{v' = v}| + 1) stay exact BIGINTs —
+    * the ×4 this puts on covariance and variances cancels in ρ. All
+    * sums run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): exact and
+    * associative, immune to the Σr² ≈ n³ BIGINT overflow past ~10⁶ rows
+    * per group. ρ = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is
+    * then one division over a product of two correctly-rounded sqrts
+    * (the q301 MCC discipline). A zero-variance side reports NULL.
+    *
+    * Scale shape: ranks are NOT a row-level sort — counts aggregate to
+    * the (segment, value) grain, ONE cumulative window runs over that
+    * bounded distinct-value grain (the q260 KS shape), and rows join
+    * their rank back by value. Three value-grain shuffles total; no
+    * window ever sees raw rows.
+    */
+  def spearmanBySegment(customer: DataFrame, orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val spend = orders.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(OracleSafe.quant(col("o_totalprice"), 100)).as("y"))
+    val base = customer.select(col("c_custkey"),
+        col("c_mktsegment").as("seg"),
+        OracleSafe.quant(col("c_acctbal"), 100).as("x"))
+      .join(spend, Seq("c_custkey"), "left")
+      .na.fill(0L, Seq("y"))
+    // doubled average rank at the (seg, value) grain: 2·cnt_less + cnt + 1
+    def rank2(c: String): DataFrame = {
+      val w = Window.partitionBy("seg").orderBy(c)
+      base.groupBy(col("seg"), col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .select(col("seg"), col(c),
+          (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+            .as(s"${c}_r2"))
+    }
+    val dec = DecimalType(18, 0)
+    val agg = base
+      .join(rank2("x"), Seq("seg", "x"))
+      .join(rank2("y"), Seq("seg", "y"))
+      .groupBy("seg").agg(
+        count(lit(1)).as("n"),
+        sum(col("x_r2").cast(dec)).as("sx"),
+        sum(col("y_r2").cast(dec)).as("sy"),
+        sum(col("x_r2").cast(dec) * col("y_r2").cast(dec)).as("sxy"),
+        sum(col("x_r2").cast(dec) * col("x_r2").cast(dec)).as("sxx"),
+        sum(col("y_r2").cast(dec) * col("y_r2").cast(dec)).as("syy"))
+    val nD = col("n").cast(dec)
+    val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (nD * col("syy") - col("sy") * col("sy")).cast("double")
+    agg.select(col("seg").as("c_mktsegment"), col("n"),
+        when(vx === 0.0 || vy === 0.0, lit(null).cast("double"))
+          .otherwise(num / (sqrt(vx) * sqrt(vy))).as("rho"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** DuckDB twin of [[spearmanBySegment]] — identical doubled-rank
+    * arithmetic in HUGEINT. Embed after `WITH ` and select from
+    * `spearman`.
+    */
+  def spearmanBySegmentSql(): String =
+    s"""sp_spend AS (
+       |  SELECT o_custkey AS c_custkey,
+       |         CAST(SUM(${OracleSafe.quantSql("o_totalprice", 100)})
+       |           AS BIGINT) AS y
+       |  FROM orders GROUP BY 1),
+       |sp_base AS (
+       |  SELECT c.c_custkey, c.c_mktsegment AS seg,
+       |         ${OracleSafe.quantSql("c_acctbal", 100)} AS x,
+       |         COALESCE(s.y, 0) AS y
+       |  FROM customer c LEFT JOIN sp_spend s USING (c_custkey)),
+       |sp_xr AS (
+       |  SELECT seg, x, 2 * (cum - cnt) + cnt + 1 AS x_r2
+       |  FROM (SELECT seg, x, COUNT(*) AS cnt,
+       |               SUM(COUNT(*)) OVER (PARTITION BY seg ORDER BY x)
+       |                 AS cum
+       |        FROM sp_base GROUP BY seg, x) t),
+       |sp_yr AS (
+       |  SELECT seg, y, 2 * (cum - cnt) + cnt + 1 AS y_r2
+       |  FROM (SELECT seg, y, COUNT(*) AS cnt,
+       |               SUM(COUNT(*)) OVER (PARTITION BY seg ORDER BY y)
+       |                 AS cum
+       |        FROM sp_base GROUP BY seg, y) t),
+       |sp_agg AS (
+       |  SELECT b.seg, COUNT(*) AS n,
+       |         SUM(CAST(xr.x_r2 AS HUGEINT)) AS sx,
+       |         SUM(CAST(yr.y_r2 AS HUGEINT)) AS sy,
+       |         SUM(CAST(xr.x_r2 AS HUGEINT) * CAST(yr.y_r2 AS HUGEINT))
+       |           AS sxy,
+       |         SUM(CAST(xr.x_r2 AS HUGEINT) * CAST(xr.x_r2 AS HUGEINT))
+       |           AS sxx,
+       |         SUM(CAST(yr.y_r2 AS HUGEINT) * CAST(yr.y_r2 AS HUGEINT))
+       |           AS syy
+       |  FROM sp_base b
+       |  JOIN sp_xr xr ON b.seg = xr.seg AND b.x = xr.x
+       |  JOIN sp_yr yr ON b.seg = yr.seg AND b.y = yr.y
+       |  GROUP BY b.seg),
+       |spearman AS (
+       |  SELECT seg AS c_mktsegment, CAST(n AS BIGINT) AS n,
+       |         CASE WHEN (n * sxx - sx * sx) = 0
+       |                OR (n * syy - sy * sy) = 0 THEN NULL
+       |              ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+       |                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       |           END AS rho
+       |  FROM sp_agg)""".stripMargin
+
+  /** q313 — CHI-SQUARED independence drift over the (event_type ×
+    * day-of-week) contingency table: the categorical companion to
+    * q260's KS (continuous values) and q161's bucketed L1 — "is the
+    * type mix independent of the weekday, and if not, WHICH cells
+    * drive it". Output is one row per cell carrying the observed
+    * count, the expected count, the cell's χ² contribution, and the
+    * table-level χ² + degrees of freedom repeated on every row — the
+    * ranked per-cell attribution IS the operational deliverable (a
+    * drift alarm without the offending cells is unactionable).
+    *
+    * Numerics: with d = O·G − R·C (exact BIGINT), the cell contribution
+    * (O−E)²/E = d²/(G·R·C) and the expected count E = R·C/G are kept
+    * EXACT by scaling to millionths and flooring: d² rides in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — it overflows BIGINT
+    * past ~3·10⁹ total rows — and the floor division is Spark's
+    * integral `div` / DuckDB's `//`, both exact truncation of
+    * positive exact integers. The table χ² is then a SUM OF EXACT
+    * INTEGERS (order-independent — the trap a double Σ of per-cell
+    * quotients would fall into), and df = (|types|−1)(|dows|−1) from
+    * the same bounded frame.
+    *
+    * Scale shape: one map-side-combinable count to the ≤|types|·7 cell
+    * grain; everything after is arithmetic on that bounded frame
+    * (broadcast row/column totals). dow = epoch-day mod 7 (0 =
+    * Thursday — 1970-01-01), matching the oracle exactly.
+    */
+  def chiSquareDrift(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val day = OracleSafe.intDiv(expr("ts_ns DIV 1000000"), lit(86400000L))
+    val sparse = events
+      .select(col("event_type"), (day % 7L).as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rowTot = sparse.groupBy("event_type").agg(sum("o").as("r_tot"))
+    val colTot = sparse.groupBy("dow").agg(sum("o").as("c_tot"))
+    val grand = sparse.agg(sum("o").as("g"),
+      countDistinct("event_type").as("n_types"),
+      countDistinct("dow").as("n_dows"))
+    // DENSIFY: a never-observed (type, dow) cell still contributes
+    // (0−E)²/E = E to the statistic — the sparse groupBy alone would
+    // silently drop it and understate χ² (spec-pinned on a diagonal
+    // table). The dense grid is marginals × marginals: bounded.
+    val cells = broadcast(rowTot).crossJoin(broadcast(colTot))
+      .join(sparse, Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("dow"), col("r_tot"), col("c_tot"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    // every product in decimal from the start: o·g alone overflows BIGINT
+    // past ~3·10⁹ total rows
+    val d = col("o").cast(dec) * col("g").cast(dec) -
+      col("r_tot").cast(dec) * col("c_tot").cast(dec)
+    val perCell = cells
+      .crossJoin(broadcast(grand))
+      .select(col("event_type"), col("dow"), col("o"),
+        call_function("div",
+          (col("r_tot") * col("c_tot")).cast(dec) * lit(1000000L),
+          col("g").cast(dec)).as("e_e6"),
+        call_function("div", d * d * lit(1000000L),
+          (col("g").cast(dec) * col("r_tot").cast(dec)
+            * col("c_tot").cast(dec))).as("contrib_e6"),
+        ((col("n_types") - 1L) * (col("n_dows") - 1L)).as("df"))
+    val total = broadcast(
+      perCell.agg(sum("contrib_e6").as("chi2_e6")))
+    perCell.crossJoin(total)
+      .select(col("event_type"), col("dow"), col("o"), col("e_e6"),
+        col("contrib_e6"), col("chi2_e6"), col("df"))
+      .orderBy("event_type", "dow")
+  }
+
+  /** DuckDB twin of [[chiSquareDrift]] — the same scaled-integer floor
+    * arithmetic in HUGEINT. Embed after `WITH ` and select from
+    * `chi_square_drift`.
+    */
+  def chiSquareDriftSql(): String = {
+    val day = OracleSafe.intDivSql("epoch_ms(ts)", "86400000")
+    s"""cs_sparse AS (
+       |  SELECT event_type, ($day) % 7 AS dow, COUNT(*) AS o
+       |  FROM events GROUP BY 1, 2),
+       |cs_r AS (SELECT event_type, SUM(o) AS r_tot FROM cs_sparse GROUP BY 1),
+       |cs_c AS (SELECT dow, SUM(o) AS c_tot FROM cs_sparse GROUP BY 1),
+       |cs_g AS (
+       |  SELECT SUM(o) AS g,
+       |         COUNT(DISTINCT event_type) AS n_types,
+       |         COUNT(DISTINCT dow) AS n_dows
+       |  FROM cs_sparse),
+       |cs_cells AS (
+       |  SELECT r.event_type, c.dow, r.r_tot, c.c_tot,
+       |         COALESCE(s.o, 0) AS o
+       |  FROM cs_r r CROSS JOIN cs_c c
+       |  LEFT JOIN cs_sparse s
+       |    ON s.event_type = r.event_type AND s.dow = c.dow),
+       |cs_per AS (
+       |  SELECT event_type, dow, CAST(o AS BIGINT) AS o,
+       |         CAST((CAST(r_tot AS HUGEINT) * CAST(c_tot AS HUGEINT)
+       |                 * 1000000) // CAST(g AS HUGEINT) AS BIGINT) AS e_e6,
+       |         CAST(((CAST(o AS HUGEINT) * CAST(g AS HUGEINT)
+       |                  - CAST(r_tot AS HUGEINT) * CAST(c_tot AS HUGEINT))
+       |                 * (CAST(o AS HUGEINT) * CAST(g AS HUGEINT)
+       |                    - CAST(r_tot AS HUGEINT) * CAST(c_tot AS HUGEINT))
+       |                 * 1000000)
+       |               // (CAST(g AS HUGEINT) * CAST(r_tot AS HUGEINT)
+       |                  * CAST(c_tot AS HUGEINT)) AS BIGINT) AS contrib_e6,
+       |         CAST((n_types - 1) * (n_dows - 1) AS BIGINT) AS df
+       |  FROM cs_cells
+       |  CROSS JOIN cs_g),
+       |chi_square_drift AS (
+       |  SELECT event_type, dow, o, e_e6, contrib_e6,
+       |         (SELECT CAST(SUM(contrib_e6) AS BIGINT) FROM cs_per)
+       |           AS chi2_e6,
+       |         df
+       |  FROM cs_per)""".stripMargin
+  }
+
   /** DuckDB twin of [[wilsonReturnRanking]] — the same expression, the
     * same operation order. Embed after `WITH ` and select from
     * `wilson_rank`.

@@ -131,4 +131,111 @@ class ProfileSpec extends SparkSpec {
       z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)) / (1 + z * z / n)
     assert(math.abs(byPart(1L)._2 - ref) < 1e-12)
   }
+
+  test("q311: Spearman hits the exact poles, NULLs zero variance, and matches a BigInt reference under ties") {
+    import spark.implicits._
+    // A: y monotone in x -> rho exactly 1; B: reversed -> exactly -1;
+    // C: constant x -> NULL; D: ties on both sides -> tie-corrected value
+    val cust = Seq(
+      (1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0), (4L, "A", 4.0),
+      (5L, "B", 1.0), (6L, "B", 2.0), (7L, "B", 3.0), (8L, "B", 4.0),
+      (9L, "C", 5.0), (10L, "C", 5.0), (11L, "C", 5.0),
+      (12L, "D", 1.0), (13L, "D", 1.0), (14L, "D", 2.0), (15L, "D", 3.0))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val ords = Seq(
+      (1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0),
+      (5L, 40.0), (6L, 30.0), (7L, 20.0), (8L, 10.0),
+      (9L, 10.0), (10L, 20.0), (11L, 30.0),
+      // D: custkeys 12/13 tie on x AND both have no orders (y = 0 tie)
+      (14L, 10.0), (15L, 20.0))
+      .toDF("o_custkey", "o_totalprice")
+    val got = Profile.spearmanBySegment(cust, ords).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // the poles land within one ulp of ±1: num equals the variance v
+    // exactly, but the overflow-safe denominator is sqrt(v)·sqrt(v),
+    // which differs from v by a rounding when v isn't a perfect square
+    // (the same deliberate trade as q301's four-sqrt MCC denominator —
+    // exact per-factor casts below 2^53 beat an exact pole)
+    assert(got("A").exists(r => math.abs(r - 1.0) < 1e-14), s"monotone: $got")
+    assert(got("B").exists(r => math.abs(r + 1.0) < 1e-14), s"reversed: $got")
+    assert(got("C").isEmpty, "zero x-variance must be NULL")
+    // BigInt reference for D with average ranks, same operation order:
+    // x = (1,1,2,3) -> 2r = (3,3,6,8); y = (0,0,10,20) -> 2r = (3,3,6,8)
+    val rx = Seq(3L, 3L, 6L, 8L).map(BigInt(_))
+    val n = BigInt(4)
+    val num = n * rx.zip(rx).map { case (a, b) => a * b }.sum -
+      rx.sum * rx.sum
+    val v = n * rx.map(r => r * r).sum - rx.sum * rx.sum
+    val ref = num.toDouble /
+      (math.sqrt(v.toDouble) * math.sqrt(v.toDouble))
+    assert(got("D").contains(ref),
+      s"tie-corrected value must match the BigInt reference exactly: " +
+        s"$got vs $ref")
+    assert(got("D").exists(r => math.abs(r - 1.0) < 1e-14),
+      "identical tie patterns correlate at the +1 pole")
+  }
+
+  test("q311: testdata segments stay in [-1, 1] with full-count rows") {
+    val got = Profile.spearmanBySegment(
+      graft.sources.TestData.customer(spark, sf),
+      graft.sources.TestData.orders(spark, sf)).collect()
+    assert(got.length >= 2, "sf0.001 must have several segments")
+    val nTotal = got.map(_.getLong(1)).sum
+    assert(nTotal == graft.sources.TestData.customer(spark, sf).count(),
+      "every customer must carry a rank pair")
+    got.foreach { r =>
+      assert(!r.isNullAt(2), "real segments have variance on both sides")
+      val rho = r.getDouble(2)
+      assert(rho >= -1.0 && rho <= 1.0, s"rho out of range: $rho")
+    }
+  }
+
+  test("q313: exact independence scores zero; a diagonal 2x2 scores chi2 = 20 exactly") {
+    import spark.implicits._
+    def ev(tp: String, day: Long, n: Int) =
+      (1 to n).map(_ => (tp, day * 86400000L * 1000000L))
+    // independent: per-type dow mix identical (1:2) -> every cell d = 0
+    val indep = (ev("a", 0, 10) ++ ev("a", 1, 20) ++
+      ev("b", 0, 30) ++ ev("b", 1, 60))
+      .toDF("event_type", "ts_ns")
+    val gi = Profile.chiSquareDrift(indep).collect()
+    assert(gi.length == 4)
+    gi.foreach { r =>
+      assert(r.getLong(4) == 0L, s"independent cell must contribute 0: $r")
+      assert(r.getLong(5) == 0L, "table chi2 must be 0")
+      assert(r.getLong(6) == 1L, "df = (2-1)(2-1)")
+    }
+    // exp_e6 sanity on one cell: E(a, dow0) = 30*40/120 = 10
+    val a0 = gi.find(r => r.getString(0) == "a" && r.getLong(1) == 0L).get
+    assert(a0.getLong(2) == 10L && a0.getLong(3) == 10000000L)
+    // perfectly dependent diagonal: chi2 = n = 20 exactly — each of the
+    // four cells (TWO of them never observed) contributes (O-E)^2/E = 5;
+    // dropping the zero cells would halve the statistic (the densify
+    // contract this test pins)
+    val diag = (ev("a", 0, 10) ++ ev("b", 1, 10)).toDF("event_type", "ts_ns")
+    val gd = Profile.chiSquareDrift(diag).collect()
+    assert(gd.length == 4, "the dense grid must include zero-observed cells")
+    assert(gd.count(_.getLong(2) == 0L) == 2, "two cells observe nothing")
+    gd.foreach { r =>
+      assert(r.getLong(3) == 5000000L, s"every cell expects 5: $r")
+      assert(r.getLong(4) == 5000000L, s"every cell contributes 5: $r")
+      assert(r.getLong(5) == 20000000L, "table chi2 must be exactly n = 20")
+      assert(r.getLong(6) == 1L)
+    }
+  }
+
+  test("q313: testdata total equals the sum of its cells and df matches the grid") {
+    val got = Profile.chiSquareDrift(
+      graft.sources.TestData.events(spark, sf)).collect()
+    val types = got.map(_.getString(0)).distinct.length
+    val dows = got.map(_.getLong(1)).distinct.length
+    val total = got.map(_.getLong(5)).distinct
+    assert(total.length == 1, "one table statistic on every row")
+    assert(total.head == got.map(_.getLong(4)).sum,
+      "chi2_e6 must be the exact integer sum of cell contributions")
+    assert(got.forall(_.getLong(6) == (types - 1).toLong * (dows - 1)),
+      "df must match the observed grid")
+    got.foreach(r => assert(r.getLong(4) >= 0L && r.getLong(3) > 0L))
+  }
 }
