@@ -2041,6 +2041,13 @@ object SparkEntry {
       ManifestTable.compactPartitioned(TestData.events(s, dir),
         scratchDir("graft-q309").resolve("events_table").toString)
     },
+    // Snapshot rollback as a roll-FORWARD commit: the new version's
+    // manifest is a copy of the target's — zero data moved (dir count
+    // require-pinned), the bad snapshot stays readable for audit.
+    "q312_snapshot_rollback" -> { (s, dir) =>
+      ManifestTable.snapshotRollback(TestData.events(s, dir),
+        scratchDir("graft-q312").resolve("events_table").toString)
+    },
     // NDCG@k + MRR of the IVF serve path vs the exact baseline: graded
     // relevance from the exact ranking, JVM-inlined integer discount
     // literals keep DCG exact on both engines — the order-aware metrics
@@ -4015,6 +4022,12 @@ object SparkEntry {
           SELECT stage, version, n_version_dirs, n_src_versions,
                  event_type, n, total_cents
           FROM compact_partitioned ORDER BY stage, event_type""",
+
+    "q312_snapshot_rollback" ->
+      s"""WITH ${ManifestTable.snapshotRollbackSql()}
+          SELECT stage, version, n_version_dirs, n_src_versions,
+                 event_type, n, total_cents
+          FROM snapshot_rollback ORDER BY stage, event_type""",
 
     "q310_ndcg_mrr" ->
       s"""WITH ${Similarity.retrievalRankingEvalSql()}

@@ -2098,16 +2098,10 @@ object ManifestTable {
     * partition-pruned read per distinct source version, unioned.
     */
   def readPartitioned(spark: SparkSession, tableDir: String,
-      partCol: String): DataFrame = {
-    val v = currentVersion(spark, tableDir).getOrElse(
-      sys.error(s"no published snapshot under $tableDir"))
-    val map = readPartitionManifest(spark, tableDir, v)
-    map.groupBy(_._2).toSeq.sortBy(_._1).map { case (srcV, entries) =>
-      spark.read.parquet(s"$tableDir/data/v$srcV")
-        .filter(col(partCol)
-          .isin(entries.keys.toSeq.sorted.map(x => x: Any): _*))
-    }.reduce(_ unionByName _)
-  }
+      partCol: String): DataFrame =
+    readPartitionedVersion(spark, tableDir, partCol,
+      currentVersion(spark, tableDir).getOrElse(
+        sys.error(s"no published snapshot under $tableDir")))
 
   /** Versions referenced by the partition manifests of versions that
     * would be RETAINED — the reachability set a vacuum over
@@ -2325,6 +2319,150 @@ object ManifestTable {
        |  UNION ALL
        |  SELECT 'c_post_vacuum', 4, 1, 1, event_type, n, total_cents
        |  FROM cpz_cur)""".stripMargin
+
+  // ---------------------------------------------------------------- q312
+
+  /** Versions with a partition manifest — the commit list of the
+    * partition-mapped table. Distinct from [[versions]] (data dirs):
+    * a metadata-only commit (rollback) has a manifest but NO data dir.
+    */
+  def partitionManifestVersions(spark: SparkSession,
+      tableDir: String): Seq[Long] = {
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$tableDir/pmanifest")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v").toLong).toOption)
+      .sorted
+  }
+
+  /** ROLL BACK the partition-mapped table to `toVersion` as a NEW
+    * commit (Iceberg's `rollback_to_snapshot`): the new version's
+    * partition manifest is a byte-for-byte copy of `toVersion`'s and
+    * the pointer swap is the same atomic commit — ZERO data files
+    * written, moved, or deleted, and the bad snapshot stays fully
+    * time-travelable for audit. Rolling the pointer backwards instead
+    * would forge history (the bad version would look never-served) and
+    * break the append-only commit log that q289's change-feed tail and
+    * q304's checkpoints rely on; roll-FORWARD is what every table
+    * format ships. Returns the new version.
+    */
+  def rollbackPartitioned(spark: SparkSession, tableDir: String,
+      toVersion: Long): Long = {
+    val mvs = partitionManifestVersions(spark, tableDir)
+    require(mvs.contains(toVersion),
+      s"cannot roll back to v$toVersion: no partition manifest (have $mvs)")
+    val newV = mvs.max + 1
+    writePartitionManifest(spark, tableDir, newV,
+      readPartitionManifest(spark, tableDir, toVersion))
+    swapPointer(spark, tableDir, newV)
+    newV
+  }
+
+  /** [[readPartitioned]] pinned at an explicit version — time travel
+    * over the partition-mapped table.
+    */
+  def readPartitionedVersion(spark: SparkSession, tableDir: String,
+      partCol: String, version: Long): DataFrame = {
+    val map = readPartitionManifest(spark, tableDir, version)
+    map.groupBy(_._2).toSeq.sortBy(_._1).map { case (srcV, entries) =>
+      spark.read.parquet(s"$tableDir/data/v$srcV")
+        .filter(col(partCol)
+          .isin(entries.keys.toSeq.sorted.map(x => x: Any): _*))
+    }.reduce(_ unionByName _)
+  }
+
+  /** q312 — SNAPSHOT ROLLBACK end to end: v1 publishes all partitions;
+    * v2 fat-fingers a 100× re-price of the purchase partition (the
+    * bad-deploy scenario rollback exists for); the rollback commits v3
+    * whose manifest is v1's copy — the serve path is back to the
+    * pre-corruption totals while the table's version-dir count is
+    * UNCHANGED (require-pinned: the metadata-only proof) — and the bad
+    * v2 remains pinned-readable for the incident audit. Output:
+    * per-stage totals with the resolved version, on-disk dir count,
+    * and spliced source-version count; the oracle pins all of it.
+    *
+    * Scale: rollback cost is one small-manifest copy + one pointer
+    * rename, independent of table size — reverting a bad commit on a
+    * 100 TB table is O(metadata), never a restore job.
+    */
+  def snapshotRollback(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    def stageOf(df: DataFrame, name: String, v: Long): DataFrame = {
+      val nSrc = readPartitionManifest(spark, tableDir, v)
+        .values.toSet.size.toLong
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .select(lit(name).as("stage"), lit(v).as("version"),
+          lit(versions(spark, tableDir).size.toLong).as("n_version_dirs"),
+          lit(nSrc).as("n_src_versions"), col("event_type"), col("n"),
+          col("total_cents"))
+    }
+    def stage(name: String): DataFrame = {
+      val v = currentVersion(spark, tableDir).get
+      stageOf(readPartitioned(spark, tableDir, "event_type"), name, v)
+    }
+    publishPartitioned(slim, tableDir, 1L, "event_type")
+    val s1 = stage("a_published")
+    // the bad deploy: purchase re-priced 100× — corruption in the data
+    overwritePartitions(
+      slim.filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 100),
+      tableDir, 2L, "event_type", Seq("purchase"))
+    val s2 = stage("b_corrupted")
+    val v3 = rollbackPartitioned(spark, tableDir, 1L)
+    require(v3 == 3L, s"rollback must commit as v3: $v3")
+    require(versions(spark, tableDir) == Seq(1L, 2L),
+      "rollback must write NO data dir — metadata only")
+    require(readPartitionManifest(spark, tableDir, 3L) ==
+      readPartitionManifest(spark, tableDir, 1L),
+      "the rollback manifest must be an exact copy of the target's")
+    val s3 = stage("c_rolled_back")
+    // the bad snapshot stays pinned-readable for the audit
+    val s4 = stageOf(
+      readPartitionedVersion(spark, tableDir, "event_type", 2L),
+      "d_audit_bad_v2", 2L)
+    s1.unionByName(s2).unionByName(s3).unionByName(s4)
+      .orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[snapshotRollback]]: base totals serve the
+    * published and rolled-back stages, corrupted totals the bad head
+    * and its audit read; versions, dir counts, and source-version
+    * counts pinned. Embed after `WITH ` and select from
+    * `snapshot_rollback`.
+    */
+  def snapshotRollbackSql(): String =
+    s"""srb_base AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM events GROUP BY 1),
+       |srb_bad AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql(
+                  "CASE WHEN event_type = 'purchase' THEN value * 100 " +
+                    "ELSE value END", 100)}) AS BIGINT) AS total_cents
+       |  FROM events GROUP BY 1),
+       |snapshot_rollback AS (
+       |  SELECT 'a_published' AS stage, CAST(1 AS BIGINT) AS version,
+       |         CAST(1 AS BIGINT) AS n_version_dirs,
+       |         CAST(1 AS BIGINT) AS n_src_versions, event_type, n,
+       |         total_cents
+       |  FROM srb_base
+       |  UNION ALL
+       |  SELECT 'b_corrupted', 2, 2, 2, event_type, n, total_cents
+       |  FROM srb_bad
+       |  UNION ALL
+       |  SELECT 'c_rolled_back', 3, 2, 1, event_type, n, total_cents
+       |  FROM srb_base
+       |  UNION ALL
+       |  SELECT 'd_audit_bad_v2', 2, 2, 2, event_type, n, total_cents
+       |  FROM srb_bad)""".stripMargin
 
   // ---------------------------------------------------------------- q308
 

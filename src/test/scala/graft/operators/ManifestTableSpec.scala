@@ -789,4 +789,50 @@ class ManifestTableSpec extends SparkSpec {
       assert(ManifestTable.read(spark, tbl).count() == 2L)
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q312: rollback is a metadata-only roll-forward commit, itself revertible, vacuum-safe") {
+    val out = java.nio.file.Files.createTempDirectory("graft-rb-spec")
+    try {
+      val tbl = s"$out/tbl"
+      val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+        .toDF("event_id", "event_type", "value")
+      def servedSum(): Long = ManifestTable
+        .readPartitioned(spark, tbl, "event_type")
+        .agg(sum(expr("CAST(value AS BIGINT)"))).head().getLong(0)
+      ManifestTable.publishPartitioned(base, tbl, 1L, "event_type")
+      ManifestTable.overwritePartitions(
+        base.filter(col("event_type") === "a")
+          .withColumn("value", col("value") * 10),
+        tbl, 2L, "event_type", Seq("a"))
+      assert(servedSum() == 42L) // a re-priced x10: 10 + 30 + 2
+      // roll back to v1: a NEW commit, zero data movement
+      val v3 = ManifestTable.rollbackPartitioned(spark, tbl, 1L)
+      assert(v3 == 3L)
+      assert(ManifestTable.currentVersion(spark, tbl).contains(3L))
+      assert(ManifestTable.versions(spark, tbl) == Seq(1L, 2L),
+        "the rollback commit must create NO data dir")
+      assert(ManifestTable.readPartitionManifest(spark, tbl, 3L)
+        == ManifestTable.readPartitionManifest(spark, tbl, 1L),
+        "the rollback manifest is an exact copy of the target's")
+      assert(servedSum() == 6L, "the serve path is back to v1's data")
+      // the bad snapshot stays time-travelable for the audit
+      val audit = ManifestTable
+        .readPartitionedVersion(spark, tbl, "event_type", 2L)
+        .agg(sum(expr("CAST(value AS BIGINT)"))).head().getLong(0)
+      assert(audit == 42L, "the rolled-back version must stay readable")
+      // history is append-only: the rollback itself reverts forward
+      val v4 = ManifestTable.rollbackPartitioned(spark, tbl, 2L)
+      assert(v4 == 4L && servedSum() == 42L,
+        "rolling back a rollback re-serves the overwrite as v4")
+      // reachability vacuum never tears files out of a rollback commit
+      val dropped = ManifestTable.vacuumPartitioned(spark, tbl, keep = 1)
+      assert(dropped.isEmpty,
+        s"v1 and v2 are referenced by live manifests: $dropped")
+      assert(servedSum() == 42L)
+      // a target without a manifest is refused loudly
+      intercept[IllegalArgumentException] {
+        ManifestTable.rollbackPartitioned(spark, tbl, 9L)
+      }
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
