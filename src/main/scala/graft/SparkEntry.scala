@@ -2055,6 +2055,13 @@ object SparkEntry {
     "q310_ndcg_mrr" -> { (s, dir) =>
       Similarity.retrievalRankingEval(TestData.embeddings(s, dir))
     },
+    // One-pass eval report: AUC, Brier, confusion/P/R/F1, and MCC all
+    // derived from ONE (type, cent-score) grain aggregate — the grain
+    // is a sufficient statistic, so four scans become one and every
+    // column stays bit-identical to its standalone query.
+    "q314_eval_report" -> { (s, dir) =>
+      Events.evalReport(TestData.events(s, dir))
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -4033,6 +4040,12 @@ object SparkEntry {
       s"""WITH ${Similarity.retrievalRankingEvalSql()}
           SELECT qid, hits, mrr, dcg_e6, ndcg
           FROM retrieval_eval ORDER BY qid""",
+
+    "q314_eval_report" ->
+      s"""WITH ${Events.evalReportSql()}
+          SELECT cls, n, auc, brier, tp, fp, fn, tn,
+                 precision, recall, f1, mcc
+          FROM eval_report ORDER BY cls""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

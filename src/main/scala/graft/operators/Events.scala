@@ -940,11 +940,21 @@ object Events {
     * the per-type prefix is partitioned by type. Everything downstream
     * is arithmetic on the grouped frame.
     */
-  def rocAucByType(events: DataFrame): DataFrame = {
-    val scored = events.select(col("event_type"),
-      OracleSafe.quant(col("value"), 100).as("s"))
-    val byTypeScore = scored.groupBy("event_type", "s")
-      .agg(count(lit(1)).as("pn")).localCheckpoint()
+  def rocAucByType(events: DataFrame): DataFrame =
+    aucFromGrain(typeScoreGrain(events).localCheckpoint())
+
+  /** The shared (type, cent-score) grain the eval tier collapses to
+    * FIRST — one map-side-combinable aggregate, ≤ |types|·|distinct
+    * cents| rows; q314's report derives EVERY metric from one instance
+    * of it (one scan where q291+q299+q301+q305 separately run four).
+    */
+  private def typeScoreGrain(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        OracleSafe.quant(col("value"), 100).as("s"))
+      .groupBy("event_type", "s").agg(count(lit(1)).as("pn"))
+
+  /** The q291 machinery from the grain down (see [[rocAucByType]]). */
+  private def aucFromGrain(byTypeScore: DataFrame): DataFrame = {
     val byScore = byTypeScore.groupBy("s").agg(sum("pn").as("tn"))
       .withColumn("bucket", OracleSafe.intDiv(col("s"), lit(10000L)))
     val bucketPrefix = byScore.groupBy("bucket").agg(sum("tn").as("btn"))
@@ -1083,19 +1093,23 @@ object Events {
     * Scale: one map-side-combinable aggregate to a ≤ |classes|² frame;
     * everything after is arithmetic on 5-row frames.
     */
-  def classifierEval(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    val bands = when(OracleSafe.quant(col("value"), 100) < 5000L,
-        lit("click"))
-      .when(OracleSafe.quant(col("value"), 100) < 15000L, lit("error"))
-      .when(OracleSafe.quant(col("value"), 100) < 30000L, lit("purchase"))
-      .when(OracleSafe.quant(col("value"), 100) < 40000L, lit("signup"))
+  /** The frozen value-band classifier on a cent-quantized score column
+    * — shared between the row path (q299) and the grain path (q314).
+    */
+  private def bandOf(cents: Column): Column =
+    when(cents < 5000L, lit("click"))
+      .when(cents < 15000L, lit("error"))
+      .when(cents < 30000L, lit("purchase"))
+      .when(cents < 40000L, lit("signup"))
       .otherwise(lit("view"))
-    val conf = events.select(col("event_type").as("label"),
-        bands.as("pred"))
-      .groupBy("label", "pred").agg(count(lit(1)).as("m"))
-      .localCheckpoint()
+
+  /** (cls, tp, fp, fn) off a grouped (label, pred, m) confusion frame,
+    * anchored on the static class list with zero-coalesce (the q272
+    * lesson) — shared between q299 and q314.
+    */
+  private def perClassFromConf(conf: DataFrame): DataFrame = {
+    val spark = conf.sparkSession
+    import spark.implicits._
     val classes = broadcast(evalClasses.toDF("cls"))
     val tp = conf.filter(col("label") === col("pred"))
       .select(col("label").as("cls"), col("m").as("tp"))
@@ -1103,7 +1117,7 @@ object Events {
       .agg(sum("m").as("pred_n"))
     val labelTot = conf.groupBy(col("label").as("cls"))
       .agg(sum("m").as("label_n"))
-    val perClass = classes
+    classes
       .join(tp, Seq("cls"), "left")
       .join(predTot, Seq("cls"), "left")
       .join(labelTot, Seq("cls"), "left")
@@ -1113,6 +1127,14 @@ object Events {
           .as("fp"),
         (coalesce(col("label_n"), lit(0L)) - coalesce(col("tp"), lit(0L)))
           .as("fn"))
+  }
+
+  def classifierEval(events: DataFrame): DataFrame = {
+    val conf = events.select(col("event_type").as("label"),
+        bandOf(OracleSafe.quant(col("value"), 100)).as("pred"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    val perClass = perClassFromConf(conf)
     val micro = perClass.agg(sum("tp").as("tp"), sum("fp").as("fp"),
         sum("fn").as("fn"))
       .select(lit("zz_micro").as("cls"), col("tp"), col("fp"), col("fn"))
@@ -1621,5 +1643,175 @@ object Events {
        |                   / CAST(2 * n_pos * n_neg AS DOUBLE)
        |           END AS auc
        |  FROM auc_agg)""".stripMargin
+  }
+
+  /** q314 — the ONE-PASS EVAL REPORT: every per-class metric the tier
+    * computes separately (q291 AUC, q305 Brier, q299 confusion +
+    * P/R/F1, q301 MCC) derived from a SINGLE instance of the shared
+    * (type, cent-score) grain — one scan and one map-side-combinable
+    * aggregate where running the four queries costs four. This works
+    * because the grain is a sufficient statistic for all of them: AUC
+    * needs the per-score counts, the band classifier is a function of
+    * the score (so the confusion matrix is a grain re-aggregation),
+    * and the Brier moments are Σ pn, Σ s·pn, Σ s²·pn. Formulas are the
+    * SAME code paths ([[aucFromGrain]], [[perClassFromConf]], the q305
+    * decomposition, the q301 sqrt-product), so each column is
+    * bit-identical to its standalone query — the composition adds no
+    * new numerics, it removes three scans.
+    *
+    * Scale: at 100 TB of predictions this is the difference between
+    * one pass over the score column and four; everything after the
+    * grain is arithmetic on bounded frames.
+    */
+  def evalReport(events: DataFrame): DataFrame = {
+    val grain = typeScoreGrain(events).localCheckpoint()
+    val auc = aucFromGrain(grain)
+      .select(col("event_type").as("cls"), col("auc"))
+    val conf = grain.select(col("event_type").as("label"),
+        bandOf(col("s")).as("pred"), col("pn"))
+      .groupBy("label", "pred").agg(sum("pn").as("m"))
+    val per = perClassFromConf(conf)
+    val glob = broadcast(grain.agg(sum("pn").as("n_all"),
+      sum(col("s") * col("s") * col("pn")).as("sum_c2"),
+      max("s").as("max_c")))
+    val perType = grain.groupBy(col("event_type").as("cls"))
+      .agg(sum("pn").as("n_t"), sum(col("s") * col("pn")).as("pos_cents"))
+    def sq(c: Column): Column = sqrt(c.cast("double"))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+    per.join(auc, Seq("cls"), "left")
+      .join(perType, Seq("cls"), "left")
+      .crossJoin(glob)
+      .withColumn("n", coalesce(col("n_t"), lit(0L)))
+      .withColumn("tn", col("n_all") - col("tp") - col("fp") - col("fn"))
+      .withColumn("sq_num", col("sum_c2")
+        - lit(2L) * col("max_c") * coalesce(col("pos_cents"), lit(0L))
+        + col("n") * col("max_c") * col("max_c"))
+      .withColumn("den",
+        sq(col("tp") + col("fp")) * sq(col("tp") + col("fn")) *
+          sq(col("tn") + col("fp")) * sq(col("tn") + col("fn")))
+      .select(col("cls"), col("n"), col("auc"),
+        when(col("max_c") <= 0L, lit(null).cast("double"))
+          .otherwise(col("sq_num").cast("double") /
+            (col("n_all") * col("max_c") * col("max_c")).cast("double"))
+          .as("brier"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+        ratio(lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"),
+        when(col("den") === 0.0, lit(null).cast("double"))
+          .otherwise((col("tp") * col("tn") - col("fp") * col("fn"))
+            .cast("double") / col("den")).as("mcc"))
+      .orderBy("cls")
+  }
+
+  /** DuckDB twin of [[evalReport]] — the q291/q299/q301/q305 CTE
+    * chains re-rooted on ONE grain. Embed after `WITH ` and select
+    * from `eval_report`.
+    */
+  def evalReportSql(): String = {
+    val cents = OracleSafe.quantSql("value", 100)
+    val clsVals = evalClasses.map(c => s"('$c')").mkString(", ")
+    s"""er_grain AS (
+       |  SELECT event_type, $cents AS s, COUNT(*) AS pn
+       |  FROM events GROUP BY 1, 2),
+       |er_sc AS (
+       |  SELECT s, CAST(SUM(pn) AS BIGINT) AS tn FROM er_grain GROUP BY 1),
+       |er_tot AS (
+       |  SELECT s, tn, CAST(COALESCE(SUM(tn) OVER (ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS tot_below
+       |  FROM er_sc),
+       |er_tb AS (
+       |  SELECT event_type, s, pn, CAST(COALESCE(SUM(pn) OVER (
+       |    PARTITION BY event_type ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS type_below
+       |  FROM er_grain),
+       |er_g AS (
+       |  SELECT CAST(SUM(pn) AS BIGINT) AS n_all,
+       |         CAST(SUM(s * s * pn) AS BIGINT) AS sum_c2,
+       |         CAST(MAX(s) AS BIGINT) AS max_c
+       |  FROM er_grain),
+       |er_auc AS (
+       |  SELECT cls, CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+       |              ELSE CAST(u2 AS DOUBLE)
+       |                   / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+       |  FROM (
+       |    SELECT t.event_type AS cls,
+       |           CAST(SUM(t.pn) AS BIGINT) AS n_pos,
+       |           g.n_all - CAST(SUM(t.pn) AS BIGINT) AS n_neg,
+       |           CAST(2 * SUM(t.pn * (o.tot_below - t.type_below))
+       |             + SUM(t.pn * (o.tn - t.pn)) AS BIGINT) AS u2
+       |    FROM er_tb t JOIN er_tot o USING (s) CROSS JOIN er_g g
+       |    GROUP BY 1, g.n_all) a),
+       |er_conf AS (
+       |  SELECT event_type AS label,
+       |         CASE WHEN s < 5000 THEN 'click'
+       |              WHEN s < 15000 THEN 'error'
+       |              WHEN s < 30000 THEN 'purchase'
+       |              WHEN s < 40000 THEN 'signup'
+       |              ELSE 'view' END AS pred,
+       |         SUM(pn) AS m
+       |  FROM er_grain GROUP BY 1, 2),
+       |er_cls(cls) AS (VALUES $clsVals),
+       |er_per AS (
+       |  SELECT c.cls,
+       |         CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+       |         CAST(COALESCE(p.pred_n, 0) - COALESCE(t.tp, 0) AS BIGINT)
+       |           AS fp,
+       |         CAST(COALESCE(l.label_n, 0) - COALESCE(t.tp, 0) AS BIGINT)
+       |           AS fn
+       |  FROM er_cls c
+       |  LEFT JOIN (SELECT label AS cls, m AS tp FROM er_conf
+       |             WHERE label = pred) t ON t.cls = c.cls
+       |  LEFT JOIN (SELECT pred AS cls, SUM(m) AS pred_n FROM er_conf
+       |             GROUP BY 1) p ON p.cls = c.cls
+       |  LEFT JOIN (SELECT label AS cls, SUM(m) AS label_n FROM er_conf
+       |             GROUP BY 1) l ON l.cls = c.cls),
+       |er_pt AS (
+       |  SELECT event_type AS cls, CAST(SUM(pn) AS BIGINT) AS n_t,
+       |         CAST(SUM(s * pn) AS BIGINT) AS pos_cents
+       |  FROM er_grain GROUP BY 1),
+       |er_sq AS (
+       |  SELECT p.cls, p.tp, p.fp, p.fn,
+       |         CAST(g.n_all - p.tp - p.fp - p.fn AS BIGINT) AS tn,
+       |         CAST(COALESCE(t.n_t, 0) AS BIGINT) AS n,
+       |         g.sum_c2 - 2 * g.max_c * COALESCE(t.pos_cents, 0)
+       |           + COALESCE(t.n_t, 0) * g.max_c * g.max_c AS sq_num,
+       |         g.n_all, g.max_c, a.auc
+       |  FROM er_per p
+       |  LEFT JOIN er_auc a ON a.cls = p.cls
+       |  LEFT JOIN er_pt t ON t.cls = p.cls
+       |  CROSS JOIN er_g g),
+       |eval_report AS (
+       |  SELECT cls, n, auc,
+       |         CASE WHEN max_c <= 0 THEN NULL
+       |              ELSE CAST(sq_num AS DOUBLE)
+       |                / CAST(n_all * max_c * max_c AS DOUBLE)
+       |           END AS brier,
+       |         tp, fp, fn, tn,
+       |         CASE WHEN tp + fp = 0 THEN NULL
+       |              ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+       |           END AS precision,
+       |         CASE WHEN tp + fn = 0 THEN NULL
+       |              ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+       |           END AS recall,
+       |         CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+       |              ELSE CAST(2 * tp AS DOUBLE)
+       |                / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1,
+       |         CASE WHEN sqrt(CAST(tp + fp AS DOUBLE))
+       |                   * sqrt(CAST(tp + fn AS DOUBLE))
+       |                   * sqrt(CAST(tn + fp AS DOUBLE))
+       |                   * sqrt(CAST(tn + fn AS DOUBLE)) = 0.0 THEN NULL
+       |              ELSE CAST(tp * tn - fp * fn AS DOUBLE)
+       |                   / (sqrt(CAST(tp + fp AS DOUBLE))
+       |                      * sqrt(CAST(tp + fn AS DOUBLE))
+       |                      * sqrt(CAST(tn + fp AS DOUBLE))
+       |                      * sqrt(CAST(tn + fn AS DOUBLE)))
+       |           END AS mcc
+       |  FROM er_sq)""".stripMargin
   }
 }

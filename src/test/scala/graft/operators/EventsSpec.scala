@@ -573,4 +573,46 @@ class EventsSpec extends SparkSpec {
       assert(math.abs(got - 1.0) < 1e-15, s"$c must be ~1: $got")
     }
   }
+
+  test("q314: the one-pass report reproduces every standalone metric bit-for-bit") {
+    val events = graft.sources.TestData.events(spark, sf)
+    val rep = Events.evalReport(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def nd(r: org.apache.spark.sql.Row, f: String): Option[Double] = {
+      val i = r.fieldIndex(f)
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
+    // AUC column == q291 per type
+    Events.rocAucByType(events).collect().foreach { a =>
+      assert(nd(rep(a.getString(0)), "auc") == nd(a, "auc"),
+        s"auc(${a.getString(0)})")
+    }
+    // Brier column == q305 per class
+    Events.brierByType(events).collect().foreach { b =>
+      assert(nd(rep(b.getString(0)), "brier") == nd(b, "brier"),
+        s"brier(${b.getString(0)})")
+    }
+    // confusion + P/R/F1 == q299 per class (micro row excluded)
+    Events.classifierEval(events)
+      .filter(org.apache.spark.sql.functions.col("cls") =!= "zz_micro")
+      .collect().foreach { c =>
+      val r = rep(c.getString(0))
+      for (f <- Seq("tp", "fp", "fn"))
+        assert(r.getAs[Long](f) == c.getAs[Long](f),
+          s"$f(${c.getString(0)})")
+      for (f <- Seq("precision", "recall", "f1"))
+        assert(nd(r, f) == nd(c, f), s"$f(${c.getString(0)})")
+    }
+    // MCC + tn == q301 per class
+    Events.mccPerClass(events).collect().foreach { m =>
+      val r = rep(m.getString(0))
+      assert(r.getAs[Long]("tn") == m.getAs[Long]("tn"),
+        s"tn(${m.getString(0)})")
+      assert(nd(r, "mcc") == nd(m, "mcc"), s"mcc(${m.getString(0)})")
+    }
+    // n is the class's row count and the report covers the static list
+    assert(rep.keySet == Set("click", "error", "purchase", "signup",
+      "view"))
+    assert(rep.values.map(_.getAs[Long]("n")).sum == events.count())
+  }
 }
