@@ -200,7 +200,13 @@ object ScaleBench {
     // (q291's two-grain prefix; output grows with distinct cent scores)
     "q302_safe_orphan_gc", "q303_pr_curve", "q304_manifest_checkpoint",
     "q305_brier_score", "q306_partition_overwrite", "q307_cohens_kappa",
-    "q308_write_audit_publish", "q309_compact_partitioned")
+    "q308_write_audit_publish", "q309_compact_partitioned",
+    // round-14 second wave: the ranking eval joins 2·|queries|·k top-k
+    // rows (its cost is the two index paths), Spearman/chi² are
+    // value-grain aggregates, rollback is metadata-plus-one-overwrite,
+    // and the report is ONE grain pass serving four metric families
+    "q310_ndcg_mrr", "q311_spearman", "q312_snapshot_rollback",
+    "q313_chi_square_drift", "q314_eval_report")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)

@@ -2062,6 +2062,21 @@ object SparkEntry {
     "q314_eval_report" -> { (s, dir) =>
       Events.evalReport(TestData.events(s, dir))
     },
+    // Incremental eval report: the grain is a pure SUM table, so a
+    // delta batch maintains the persisted artifact with one delta-only
+    // scan + an integer pn-merge — the nightly eval never rescans
+    // history; merged == full rebuild by oracle equality.
+    "q315_inc_eval_report" -> { (s, dir) =>
+      Events.incrementalEvalReport(TestData.events(s, dir),
+        scratchDir("graft-q315").resolve("eval_grain").toString)
+    },
+    // Streamed eval report: the streaming aggregation's state IS the
+    // bounded grain (|types| x |distinct cents|, never stream length);
+    // after the last micro-batch every metric equals the batch q314
+    // bit-for-bit — the oracle is q314's.
+    "q316_stream_eval_report" -> { (s, dir) =>
+      graft.streaming.EventStream.streamedEvalReport(s, dir)
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -4042,6 +4057,20 @@ object SparkEntry {
           FROM retrieval_eval ORDER BY qid""",
 
     "q314_eval_report" ->
+      s"""WITH ${Events.evalReportSql()}
+          SELECT cls, n, auc, brier, tp, fp, fn, tn,
+                 precision, recall, f1, mcc
+          FROM eval_report ORDER BY cls""",
+
+    "q315_inc_eval_report" ->
+      s"""WITH ${Events.incrementalEvalReportSql()}
+          SELECT stage, cls, n, auc, brier, tp, fp, fn, tn,
+                 precision, recall, f1, mcc
+          FROM inc_eval_report ORDER BY stage, cls""",
+
+    // the stream's oracle IS the batch report — streaming-vs-batch
+    // equality is the q68/q82 contract applied to the eval tier
+    "q316_stream_eval_report" ->
       s"""WITH ${Events.evalReportSql()}
           SELECT cls, n, auc, brier, tp, fp, fn, tn,
                  precision, recall, f1, mcc

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1663,8 +1663,15 @@ object Events {
     * one pass over the score column and four; everything after the
     * grain is arithmetic on bounded frames.
     */
-  def evalReport(events: DataFrame): DataFrame = {
-    val grain = typeScoreGrain(events).localCheckpoint()
+  def evalReport(events: DataFrame): DataFrame =
+    evalReportFromGrain(typeScoreGrain(events).localCheckpoint())
+
+  /** The report off an already-materialized (event_type, s, pn) grain —
+    * shared by q314 (grain built in-plan), q315 (grain maintained
+    * incrementally from a persisted artifact), and any stream that
+    * keeps the grain as state.
+    */
+  private[graft] def evalReportFromGrain(grain: DataFrame): DataFrame = {
     val auc = aucFromGrain(grain)
       .select(col("event_type").as("cls"), col("auc"))
     val conf = grain.select(col("event_type").as("label"),
@@ -1711,31 +1718,33 @@ object Events {
     * chains re-rooted on ONE grain. Embed after `WITH ` and select
     * from `eval_report`.
     */
-  def evalReportSql(): String = {
+  def evalReportSql(prefix: String = "er", where: String = "TRUE",
+      outName: String = "eval_report"): String = {
     val cents = OracleSafe.quantSql("value", 100)
     val clsVals = evalClasses.map(c => s"('$c')").mkString(", ")
-    s"""er_grain AS (
+    val p = prefix
+    s"""${p}_grain AS (
        |  SELECT event_type, $cents AS s, COUNT(*) AS pn
-       |  FROM events GROUP BY 1, 2),
-       |er_sc AS (
-       |  SELECT s, CAST(SUM(pn) AS BIGINT) AS tn FROM er_grain GROUP BY 1),
-       |er_tot AS (
+       |  FROM events WHERE $where GROUP BY 1, 2),
+       |${p}_sc AS (
+       |  SELECT s, CAST(SUM(pn) AS BIGINT) AS tn FROM ${p}_grain GROUP BY 1),
+       |${p}_tot AS (
        |  SELECT s, tn, CAST(COALESCE(SUM(tn) OVER (ORDER BY s
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |    AS BIGINT) AS tot_below
-       |  FROM er_sc),
-       |er_tb AS (
+       |  FROM ${p}_sc),
+       |${p}_tb AS (
        |  SELECT event_type, s, pn, CAST(COALESCE(SUM(pn) OVER (
        |    PARTITION BY event_type ORDER BY s
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |    AS BIGINT) AS type_below
-       |  FROM er_grain),
-       |er_g AS (
+       |  FROM ${p}_grain),
+       |${p}_g AS (
        |  SELECT CAST(SUM(pn) AS BIGINT) AS n_all,
        |         CAST(SUM(s * s * pn) AS BIGINT) AS sum_c2,
        |         CAST(MAX(s) AS BIGINT) AS max_c
-       |  FROM er_grain),
-       |er_auc AS (
+       |  FROM ${p}_grain),
+       |${p}_auc AS (
        |  SELECT cls, CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
        |              ELSE CAST(u2 AS DOUBLE)
        |                   / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
@@ -1745,9 +1754,9 @@ object Events {
        |           g.n_all - CAST(SUM(t.pn) AS BIGINT) AS n_neg,
        |           CAST(2 * SUM(t.pn * (o.tot_below - t.type_below))
        |             + SUM(t.pn * (o.tn - t.pn)) AS BIGINT) AS u2
-       |    FROM er_tb t JOIN er_tot o USING (s) CROSS JOIN er_g g
+       |    FROM ${p}_tb t JOIN ${p}_tot o USING (s) CROSS JOIN ${p}_g g
        |    GROUP BY 1, g.n_all) a),
-       |er_conf AS (
+       |${p}_conf AS (
        |  SELECT event_type AS label,
        |         CASE WHEN s < 5000 THEN 'click'
        |              WHEN s < 15000 THEN 'error'
@@ -1755,38 +1764,38 @@ object Events {
        |              WHEN s < 40000 THEN 'signup'
        |              ELSE 'view' END AS pred,
        |         SUM(pn) AS m
-       |  FROM er_grain GROUP BY 1, 2),
-       |er_cls(cls) AS (VALUES $clsVals),
-       |er_per AS (
+       |  FROM ${p}_grain GROUP BY 1, 2),
+       |${p}_cls(cls) AS (VALUES $clsVals),
+       |${p}_per AS (
        |  SELECT c.cls,
        |         CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
        |         CAST(COALESCE(p.pred_n, 0) - COALESCE(t.tp, 0) AS BIGINT)
        |           AS fp,
        |         CAST(COALESCE(l.label_n, 0) - COALESCE(t.tp, 0) AS BIGINT)
        |           AS fn
-       |  FROM er_cls c
-       |  LEFT JOIN (SELECT label AS cls, m AS tp FROM er_conf
+       |  FROM ${p}_cls c
+       |  LEFT JOIN (SELECT label AS cls, m AS tp FROM ${p}_conf
        |             WHERE label = pred) t ON t.cls = c.cls
-       |  LEFT JOIN (SELECT pred AS cls, SUM(m) AS pred_n FROM er_conf
+       |  LEFT JOIN (SELECT pred AS cls, SUM(m) AS pred_n FROM ${p}_conf
        |             GROUP BY 1) p ON p.cls = c.cls
-       |  LEFT JOIN (SELECT label AS cls, SUM(m) AS label_n FROM er_conf
+       |  LEFT JOIN (SELECT label AS cls, SUM(m) AS label_n FROM ${p}_conf
        |             GROUP BY 1) l ON l.cls = c.cls),
-       |er_pt AS (
+       |${p}_pt AS (
        |  SELECT event_type AS cls, CAST(SUM(pn) AS BIGINT) AS n_t,
        |         CAST(SUM(s * pn) AS BIGINT) AS pos_cents
-       |  FROM er_grain GROUP BY 1),
-       |er_sq AS (
+       |  FROM ${p}_grain GROUP BY 1),
+       |${p}_sq AS (
        |  SELECT p.cls, p.tp, p.fp, p.fn,
        |         CAST(g.n_all - p.tp - p.fp - p.fn AS BIGINT) AS tn,
        |         CAST(COALESCE(t.n_t, 0) AS BIGINT) AS n,
        |         g.sum_c2 - 2 * g.max_c * COALESCE(t.pos_cents, 0)
        |           + COALESCE(t.n_t, 0) * g.max_c * g.max_c AS sq_num,
        |         g.n_all, g.max_c, a.auc
-       |  FROM er_per p
-       |  LEFT JOIN er_auc a ON a.cls = p.cls
-       |  LEFT JOIN er_pt t ON t.cls = p.cls
-       |  CROSS JOIN er_g g),
-       |eval_report AS (
+       |  FROM ${p}_per p
+       |  LEFT JOIN ${p}_auc a ON a.cls = p.cls
+       |  LEFT JOIN ${p}_pt t ON t.cls = p.cls
+       |  CROSS JOIN ${p}_g g),
+       |$outName AS (
        |  SELECT cls, n, auc,
        |         CASE WHEN max_c <= 0 THEN NULL
        |              ELSE CAST(sq_num AS DOUBLE)
@@ -1812,6 +1821,57 @@ object Events {
        |                      * sqrt(CAST(tn + fp AS DOUBLE))
        |                      * sqrt(CAST(tn + fn AS DOUBLE)))
        |           END AS mcc
-       |  FROM er_sq)""".stripMargin
+       |  FROM ${p}_sq)""".stripMargin
   }
+
+  /** q315 — INCREMENTAL maintenance of the q314 report: the
+    * (type, cent-score) grain is a pure SUM table, so a delta batch
+    * maintains the persisted artifact with one delta-only scan and a
+    * pn-sum merge — the report NEVER rescans history (the q240/q243/
+    * q245/q268/q297 discipline, applied to the eval tier). Stage a is
+    * the report served from the persisted base grain; stage b is the
+    * report after merging the delta's grain — the oracle computes both
+    * from the raw split, so equality proves the merged artifact is
+    * indistinguishable from a full rebuild. The merge is
+    * order-independent exact integer addition; every downstream metric
+    * then rides [[evalReportFromGrain]] unchanged.
+    *
+    * Scale: nightly evals over an append-only prediction log cost
+    * O(|delta|) + O(|grain|) instead of O(|history|); the grain is
+    * bounded by |types|·|distinct cents|, not by rows.
+    */
+  def incrementalEvalReport(events: DataFrame, tableDir: String,
+      deltaMod: Long = 7L): DataFrame = {
+    val spark = events.sparkSession
+    val base = events.filter(col("event_id") % deltaMod =!= 1L)
+    val delta = events.filter(col("event_id") % deltaMod === 1L)
+    // the persisted artifact: the base batch's grain, landed once
+    typeScoreGrain(base).write.mode(SaveMode.Overwrite)
+      .parquet(s"$tableDir/grain")
+    val loaded = spark.read.parquet(s"$tableDir/grain")
+    val merged = loaded.unionByName(typeScoreGrain(delta))
+      .groupBy("event_type", "s").agg(sum("pn").as("pn"))
+      .localCheckpoint()
+    val a = evalReportFromGrain(loaded.localCheckpoint())
+      .withColumn("stage", lit("a_base"))
+    val b = evalReportFromGrain(merged).withColumn("stage", lit("b_merged"))
+    a.unionByName(b)
+      .select(col("stage"), col("cls"), col("n"), col("auc"), col("brier"),
+        col("tp"), col("fp"), col("fn"), col("tn"), col("precision"),
+        col("recall"), col("f1"), col("mcc"))
+      .orderBy("stage", "cls")
+  }
+
+  /** DuckDB twin of [[incrementalEvalReport]]: the q314 chain run twice
+    * — once over the base split, once over everything — stacked with
+    * stage labels. Embed after `WITH ` and select from
+    * `inc_eval_report`.
+    */
+  def incrementalEvalReportSql(deltaMod: Long = 7L): String =
+    s"""${evalReportSql("iea", s"event_id % $deltaMod <> 1", "iea_report")},
+       |${evalReportSql("ieb", "TRUE", "ieb_report")},
+       |inc_eval_report AS (
+       |  SELECT 'a_base' AS stage, * FROM iea_report
+       |  UNION ALL
+       |  SELECT 'b_merged', * FROM ieb_report)""".stripMargin
 }

@@ -1305,4 +1305,48 @@ object EventStream {
       .withColumn("replay_happened", lit(attempts > nLogged))
       .orderBy("version", "change_type", "event_type")
   }
+
+  /** q316 — the q314 EVAL REPORT fed by a STREAM: the streaming
+    * aggregation's state IS the (type, cent-score) grain, so the state
+    * an unbounded prediction stream accumulates is bounded by
+    * |types|·|distinct cents| — never by stream length — and no
+    * watermark is needed for boundedness (complete-mode output of a
+    * bounded-key aggregate, the same argument as a streaming
+    * word-count over a closed vocabulary). Each micro-batch folds its
+    * rows into the grain with exact integer adds
+    * (order-independent), so after the last batch the grain — and
+    * therefore every derived metric — equals the batch computation
+    * bit-for-bit: the oracle is q314's, and `minBatches` lets callers
+    * require the accumulation genuinely crossed micro-batches
+    * (maxFilesPerTrigger=1 makes every input file its own batch).
+    *
+    * Scale: the live-dashboard version of the nightly q315 — per
+    * trigger the incremental state update is O(|batch| + |grain|);
+    * the report re-derivation is arithmetic on the bounded grain.
+    */
+  def streamedEvalReport(spark: SparkSession, dir: String,
+      minBatches: Int = 1): DataFrame = withStatePartitions(spark, 8) {
+    val path = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    val grain = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/events*.parquet")
+      .select(col("event_type"),
+        graft.functions.OracleSafe.quant(col("value"), 100).as("s"))
+      .groupBy("event_type", "s").agg(count(lit(1)).as("pn"))
+    val q = grain.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val batches =
+      try { q.processAllAvailable(); q.recentProgress.length }
+      finally q.stop()
+    require(batches >= minBatches,
+      s"expected >= $minBatches micro-batches, saw $batches")
+    graft.operators.Events
+      .evalReportFromGrain(spark.table(name).localCheckpoint())
+  }
 }

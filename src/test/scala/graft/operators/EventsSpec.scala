@@ -615,4 +615,51 @@ class EventsSpec extends SparkSpec {
       "view"))
     assert(rep.values.map(_.getAs[Long]("n")).sum == events.count())
   }
+
+  test("q315: the delta-merged grain is indistinguishable from a full rebuild") {
+    import org.apache.spark.sql.functions.col
+    val events = graft.sources.TestData.events(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft-q315-spec")
+    try {
+      val got = Events.incrementalEvalReport(events, s"$out/eval_grain")
+        .collect()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1))
+      val byStage = got.groupBy(_.getString(0))
+      // stage b (merged) must equal the full rebuild EXACTLY, column
+      // for column — the maintained artifact is indistinguishable
+      val full = Events.evalReport(events).collect()
+        .map(r => r.getString(0) -> r).toMap
+      byStage("b_merged").foreach { r =>
+        val f = full(r.getString(1))
+        (1 until r.length).foreach { i =>
+          assert(r.get(i) == f.get(i - 1),
+            s"merged(${key(r)}) field $i: ${r.get(i)} vs ${f.get(i - 1)}")
+        }
+      }
+      // stage a must equal the report over the base split alone
+      val base = Events.evalReport(
+        events.filter(col("event_id") % 7L =!= 1L)).collect()
+        .map(r => r.getString(0) -> r).toMap
+      byStage("a_base").foreach { r =>
+        val f = base(r.getString(1))
+        (1 until r.length).foreach { i =>
+          assert(r.get(i) == f.get(i - 1), s"base(${key(r)}) field $i")
+        }
+      }
+      // the persisted artifact is the base grain, bounded by the
+      // (type, distinct-cent) cardinality — not by rows
+      val grain = spark.read.parquet(s"$out/eval_grain/grain")
+      assert(grain.count() ==
+        events.filter(col("event_id") % 7L =!= 1L)
+          .selectExpr("event_type",
+            "CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT) AS s")
+          .distinct().count())
+      // the delta genuinely contributed: merged n exceeds base n
+      val nOf = (st: String) =>
+        byStage(st).map(_.getAs[Long]("n")).sum
+      assert(nOf("b_merged") == events.count())
+      assert(nOf("a_base") < nOf("b_merged"))
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }

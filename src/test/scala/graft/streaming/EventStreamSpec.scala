@@ -339,4 +339,28 @@ class EventStreamSpec extends SparkSpec {
         "streamed feed must equal the batch change feed")
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q316: the grain accumulated across micro-batches yields the batch report exactly") {
+    val out = java.nio.file.Files.createTempDirectory("graft-q316-spec")
+    try {
+      // 4 part files + maxFilesPerTrigger=1 => the state provably folds
+      // across at least 4 micro-batches before the report is derived
+      val ev = graft.sources.TestData.events(spark, sf)
+      ev.repartition(4).write.parquet(s"$out/events.parquet")
+      val streamed = EventStream.streamedEvalReport(spark, out.toString,
+        minBatches = 4)
+      val batch = graft.operators.Events.evalReport(
+        graft.sources.TestData.events(spark, out.toString))
+      assert(streamed.count() == 5)
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "every metric must equal the batch computation bit-for-bit")
+      // the streaming state is the GRAIN: bounded by score cardinality
+      val distinctScores = ev.selectExpr("event_type",
+        "CAST(FLOOR(CAST(value AS DOUBLE) * 100) AS BIGINT) AS s")
+        .distinct().count()
+      assert(distinctScores < ev.count(),
+        "the boundedness claim needs a grain smaller than the stream")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
