@@ -206,7 +206,10 @@ object ScaleBench {
     // value-grain aggregates, rollback is metadata-plus-one-overwrite,
     // and the report is ONE grain pass serving four metric families
     "q310_ndcg_mrr", "q311_spearman", "q312_snapshot_rollback",
-    "q313_chi_square_drift", "q314_eval_report")
+    "q313_chi_square_drift", "q314_eval_report",
+    // grain maintenance (one persisted-artifact write + merge) and the
+    // streamed report (micro-batch floor + per-trigger state folds)
+    "q315_inc_eval_report", "q316_stream_eval_report")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)
