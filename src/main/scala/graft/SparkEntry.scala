@@ -2077,6 +2077,14 @@ object SparkEntry {
     "q316_stream_eval_report" -> { (s, dir) =>
       graft.streaming.EventStream.streamedEvalReport(s, dir)
     },
+    // Hybrid retrieval with reciprocal rank fusion: the postings-join
+    // Jaccard arm + the IVF arm fused by rank alone (no score
+    // calibration) — the RRF score is a fixed two-term expression,
+    // bit-identical on both engines.
+    "q317_hybrid_rrf" -> { (s, dir) =>
+      Similarity.hybridRrfTopK(TestData.documents(s, dir),
+        TestData.embeddings(s, dir))
+    },
     // Time-weighted average over irregular samples: step interpolation
     // weights each value by its holding interval — exact BIGINT weighted
     // sums, one division per user; one user_id shuffle for everything.
@@ -4075,6 +4083,11 @@ object SparkEntry {
           SELECT cls, n, auc, brier, tp, fp, fn, tn,
                  precision, recall, f1, mcc
           FROM eval_report ORDER BY cls""",
+
+    "q317_hybrid_rrf" ->
+      s"""WITH ${Similarity.hybridRrfTopKSql()}
+          SELECT qid, rank, nid, lex_rank, sem_rank, rrf
+          FROM hybrid_rrf ORDER BY qid, rank""",
 
     "q285_time_weighted_avg" ->
       s"""WITH ${Events.timeWeightedAverageSql()}

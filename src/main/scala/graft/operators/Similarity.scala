@@ -1607,6 +1607,116 @@ object Similarity {
        |  LEFT JOIN rre_agg a USING (qid))""".stripMargin
   }
 
+  /** q317 — HYBRID RETRIEVAL with RECIPROCAL RANK FUSION: the lexical
+    * arm (distinct-token Jaccard through a postings join — sparse,
+    * index-shaped: only co-occurring (query, doc) pairs are ever
+    * scored) and the semantic arm (the q54 IVF serve path) each
+    * produce a top-list, and RRF fuses them by rank alone:
+    * score = Σ_arms 1/(60 + rank). Rank-based fusion is what
+    * production hybrid search ships (Elasticsearch, Vespa, every RAG
+    * stack) because it needs NO score calibration between
+    * incomparable scales — exactly the BM25-vs-cosine situation here.
+    *
+    * Determinism: each arm's rank is an exact integer with a nid
+    * tie-break; the RRF score is a FIXED two-term expression — two
+    * correctly-rounded divisions of exact integers and one add in
+    * source order — never an aggregate over a variable number of
+    * doubles, so it is bit-identical on both engines. A doc found by
+    * only one arm contributes that arm's term plus literal 0.0.
+    *
+    * Scale: the lexical candidates are bounded by posting
+    * co-occurrence (at 100 TB the q141 df-cap/prefix-filter applies);
+    * the semantic arm is the IVF index; fusion joins two
+    * |queries|·k rank lists — independent of corpus size.
+    */
+  def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame, k: Int = 10,
+      queryMod: Int = 100, rrfK: Int = 60, armK: Int = 20): DataFrame = {
+    val distinctToks = array_distinct(TextAnalysis.tokens(col("text")))
+    val toks = docs.select(col("doc_id"), explode(distinctToks).as("tok"))
+    val sizes = docs.select(col("doc_id"),
+      size(distinctToks).cast("long").as("ntok"))
+    val shared = toks.filter(col("doc_id") % queryMod === 0)
+      .select(col("doc_id").as("qid"), col("tok"))
+      .join(toks.select(col("doc_id").as("nid"), col("tok")), Seq("tok"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid").agg(count(lit(1)).as("shared"))
+    val jac = shared
+      .join(sizes.select(col("doc_id").as("qid"), col("ntok").as("na")),
+        Seq("qid"))
+      .join(sizes.select(col("doc_id").as("nid"), col("ntok").as("nb")),
+        Seq("nid"))
+      .select(col("qid"), col("nid"), (col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")).cast("double")).as("jscore"))
+    val lex = graft.plans.TopK.perKey(jac, Seq("qid"),
+        Seq(graft.plans.TopK.desc("jscore"), graft.plans.TopK.asc("nid")),
+        armK)
+      .select(col("qid"), col("nid"), col("rank").as("lex_rank"))
+    val sem = ivfTopK(embeddings, armK, queryMod)
+      .select(col("qid"), col("nid"), col("rank").as("sem_rank"))
+    def arm(rank: Column): Column =
+      when(rank.isNotNull,
+        lit(1.0) / (rank + lit(rrfK)).cast("double")).otherwise(lit(0.0))
+    val fused = lex.join(sem, Seq("qid", "nid"), "full_outer")
+      .select(col("qid"), col("nid"), col("lex_rank"), col("sem_rank"),
+        (arm(col("lex_rank")) + arm(col("sem_rank"))).as("rrf"))
+    graft.plans.TopK.perKey(fused, Seq("qid"),
+        Seq(graft.plans.TopK.desc("rrf"), graft.plans.TopK.asc("nid")), k)
+      .select("qid", "rank", "nid", "lex_rank", "sem_rank", "rrf")
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin of [[hybridRrfTopK]] — the q54 IVF chain plus the
+    * postings-join Jaccard arm, fused with the identical fixed-order
+    * expression. Embed after `WITH ` and select from `hybrid_rrf`.
+    */
+  def hybridRrfTopKSql(k: Int = 10, queryMod: Int = 100, rrfK: Int = 60,
+      armK: Int = 20): String =
+    s"""${ivfTopKSql(armK, queryMod)},
+       |hyb_toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+       |    AS tok
+       |  FROM documents),
+       |hyb_sizes AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |           AS ntok
+       |  FROM documents),
+       |hyb_shared AS (
+       |  SELECT q.doc_id AS qid, d.doc_id AS nid, COUNT(*) AS shared
+       |  FROM hyb_toks q JOIN hyb_toks d USING (tok)
+       |  WHERE q.doc_id % $queryMod = 0 AND q.doc_id <> d.doc_id
+       |  GROUP BY 1, 2),
+       |hyb_jac AS (
+       |  SELECT qid, nid,
+       |         CAST(shared AS DOUBLE)
+       |           / CAST(a.ntok + b.ntok - shared AS DOUBLE) AS jscore
+       |  FROM hyb_shared
+       |  JOIN hyb_sizes a ON a.doc_id = qid
+       |  JOIN hyb_sizes b ON b.doc_id = nid),
+       |hyb_lex AS (
+       |  SELECT qid, nid,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY jscore DESC, nid) AS lex_rank
+       |  FROM hyb_jac
+       |  QUALIFY lex_rank <= $armK),
+       |hyb_sem AS (SELECT qid, nid, rank AS sem_rank FROM ivf_topk),
+       |hyb_fused AS (
+       |  SELECT qid, nid, lex_rank, sem_rank,
+       |         (CASE WHEN lex_rank IS NOT NULL
+       |               THEN 1.0 / CAST(lex_rank + $rrfK AS DOUBLE)
+       |               ELSE 0.0 END
+       |          + CASE WHEN sem_rank IS NOT NULL
+       |                 THEN 1.0 / CAST(sem_rank + $rrfK AS DOUBLE)
+       |                 ELSE 0.0 END) AS rrf
+       |  FROM hyb_lex FULL JOIN hyb_sem USING (qid, nid)),
+       |hybrid_rrf AS (
+       |  SELECT qid,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY rrf DESC, nid) AS rank,
+       |         nid, lex_rank, sem_rank, rrf
+       |  FROM hyb_fused
+       |  QUALIFY rank <= $k)""".stripMargin
+
   /** DuckDB twin of [[indexShardPlan]]; embed after `WITH ` and select
     * from `index_shard_plan`.
     */

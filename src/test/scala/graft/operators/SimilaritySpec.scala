@@ -345,4 +345,57 @@ class SimilaritySpec extends SparkSpec {
     // the suite's sf0.001 corpus must exercise both hit and miss paths
     assert(got.exists(_._2 > 0), "IVF must hit at least once at this sf")
   }
+
+  test("q317: RRF fuses the arms; a both-arms twin wins; scores are self-consistent") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"), // lexical twin of the query
+      (2L, "alpha beta zz yy"),
+      (3L, "qq rr ss tt"),
+      (4L, "alpha qq rr ss"),
+      (5L, "uu vv ww xx")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // semantic twin too
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.5f, 0.5f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.hybridRrfTopK(docs, emb, k = 5).collect()
+    assert(got.forall(_.getLong(0) == 0L), "only doc 0 is a query at mod 100")
+    // the document that tops BOTH arms must top the fusion
+    val first = got.find(_.getInt(1) == 1).get
+    assert(first.getLong(2) == 1L, s"the twin must win the fusion: $first")
+    assert(first.getInt(3) == 1 && first.getInt(4) == 1,
+      s"the twin tops both arms: $first")
+    // every row's score is the fixed two-term expression of its own ranks
+    got.foreach { r =>
+      val lex = if (r.isNullAt(3)) None else Some(r.getInt(3))
+      val sem = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      val expected = lex.map(x => 1.0 / (x + 60).toDouble).getOrElse(0.0) +
+        sem.map(x => 1.0 / (x + 60).toDouble).getOrElse(0.0)
+      assert(r.getDouble(5) == expected, s"rrf self-consistency: $r")
+      assert(lex.nonEmpty || sem.nonEmpty, "a fused row came from some arm")
+    }
+    // fused order is by rrf desc (nid tie-break)
+    val byRank = got.sortBy(_.getInt(1)).map(_.getDouble(5))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q317: the semantic arm's ranks equal the standalone IVF serve path") {
+    val docs = graft.sources.TestData.documents(spark, sf)
+    val emb = graft.sources.TestData.embeddings(spark, sf)
+    val fusedSem = Similarity.hybridRrfTopK(docs, emb, k = 10, queryMod = 100)
+      .filter(col("sem_rank").isNotNull)
+      .select("qid", "nid", "sem_rank").as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Similarity.ivfTopK(emb, k = 20, queryMod = 100)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(fusedSem.nonEmpty, "the semantic arm must surface at this sf")
+    fusedSem.foreach { case (key, rank) =>
+      assert(ivf.get(key).contains(rank),
+        s"fused sem_rank must equal the standalone IVF rank: $key")
+    }
+  }
 }
