@@ -209,7 +209,9 @@ object ScaleBench {
     "q313_chi_square_drift", "q314_eval_report",
     // grain maintenance (one persisted-artifact write + merge) and the
     // streamed report (micro-batch floor + per-trigger state folds)
-    "q315_inc_eval_report", "q316_stream_eval_report")
+    "q315_inc_eval_report", "q316_stream_eval_report",
+    // hybrid fusion: postings-join lexical arm + IVF semantic arm
+    "q317_hybrid_rrf")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)
