@@ -275,13 +275,19 @@ object ScaleBench {
     sys.env.get("SPARK_GRAFT_SCALE_COMPONENTS_ONLY").foreach { list =>
       val ccCopies = sys.env.getOrElse("SPARK_GRAFT_SCALE_CC_COPIES", "30").toInt
       val names = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
-      val known = Set("curation_pipeline")
+      val known = Set("curation_pipeline", "eval_report")
       val unknown = names -- known
       require(unknown.isEmpty && names.nonEmpty,
         s"unknown component names: ${unknown.toSeq.sorted.mkString(", ")}")
       val ccDir = s"$outRoot/x$ccCopies"
-      scaleDocs(spark, base, ccCopies).repartition(32)
-        .write.mode(SaveMode.Overwrite).parquet(s"$ccDir/documents.parquet")
+      if (names("curation_pipeline"))
+        scaleDocs(spark, base, ccCopies).repartition(32)
+          .write.mode(SaveMode.Overwrite).parquet(s"$ccDir/documents.parquet")
+      if (names("eval_report"))
+        scaleKeyed(spark, base, ccCopies, "events",
+            Map("event_id" -> 100000000L, "user_id" -> 100000000L))
+          .repartition(32)
+          .write.mode(SaveMode.Overwrite).parquet(s"$ccDir/events.parquet")
       // q300 at the component depth: the composed curation DAG must stay
       // ~linear while per-stage survivor counts scale with the corpus
       def curStats(dir: String): (Double, Seq[(String, Long)], Boolean) = {
@@ -312,6 +318,34 @@ object ScaleBench {
               s""""x${ccCopies}_stages":${stagesJson(stN)},""" +
               f""""ratio":${csN / math.max(cs1, 1e-9)}%.2f}"""
           else s""""curation_pipeline":{"failed":true}"""
+        // q314 at the component depth: the one-pass report must stay
+        // ~linear (one scan to the bounded grain) while per-class row
+        // counts scale with the corpus — the eval analog of the q300 row
+        case "eval_report" =>
+          def repStats(dir: String): (Double, Seq[(String, Long)], Boolean) = {
+            val t0 = System.nanoTime()
+            try {
+              val rows = graft.operators.Events.evalReport(
+                  graft.sources.TestData.events(spark, dir))
+                .select("cls", "n").collect()
+                .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+              ((System.nanoTime() - t0) / 1e9, rows, true)
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                ((System.nanoTime() - t0) / 1e9, Seq.empty, false)
+            }
+          }
+          repStats(ccDir) // warm the first touch off the clock
+          repStats(base)
+          val (rs1, rc1, rok1) = repStats(base)
+          val (rsN, rcN, rokN) = repStats(ccDir)
+          if (rok1 && rokN)
+            f""""eval_report":{"x1_sec":$rs1%.3f,""" +
+              s""""x1_class_n":${stagesJson(rc1)},""" +
+              f""""x$ccCopies%d_sec":$rsN%.3f,""" +
+              s""""x${ccCopies}_class_n":${stagesJson(rcN)},""" +
+              f""""ratio":${rsN / math.max(rs1, 1e-9)}%.2f}"""
+          else s""""eval_report":{"failed":true}"""
       }
       val json = s"""{"metric":"scale_components_partial",""" +
         s""""copies":$ccCopies,"base":"$base",""" +
