@@ -211,7 +211,22 @@ object ScaleBench {
     // streamed report (micro-batch floor + per-trigger state folds)
     "q315_inc_eval_report", "q316_stream_eval_report",
     // hybrid fusion: postings-join lexical arm + IVF semantic arm
-    "q317_hybrid_rrf")
+    "q317_hybrid_rrf",
+    // round-14 coverage sweep: carried event/document/embedding queries
+    // whose primary input scales with the 10× blow-up — measured to
+    // extend the zero-failure evidence past 220 queries (streaming and
+    // bank-CSV queries stay out: their inputs don't scale here)
+    "q60_events_hourly", "q61_sessionize", "q62_asof_join",
+    "q63_pivot_counts", "q72_range_join", "q76_window_suite",
+    "q85_exact_median", "q102_histogram", "q104_rarity",
+    "q106_outlier_fence", "q107_benford", "q108_funnel",
+    "q109_retention", "q126_markov_transitions", "q127_robust_spread",
+    "q132_active_users", "q133_spend_trend", "q136_hourly_bursts",
+    "q138_quantile_suite", "q39_vocab_topk", "q48_lang_id",
+    "q50_token_counts", "q55_contamination", "q56_quality_filter",
+    "q86_tfidf_terms", "q91_repetition", "q105_pack_sequences",
+    "q120_ngram_novelty", "q129_vocab_coverage", "q58_label_centroids",
+    "q97_int8_quant", "q131_embedding_audit")
 
   private def scaleDocs(spark: SparkSession, base: String, copies: Int): DataFrame = {
     val docs = graft.sources.TestData.documents(spark, base)
