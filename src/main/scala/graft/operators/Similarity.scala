@@ -1624,17 +1624,37 @@ object Similarity {
     * doubles, so it is bit-identical on both engines. A doc found by
     * only one arm contributes that arm's term plus literal 0.0.
     *
-    * Scale: the lexical candidates are bounded by posting
-    * co-occurrence (at 100 TB the q141 df-cap/prefix-filter applies);
-    * the semantic arm is the IVF index; fusion joins two
-    * |queries|·k rank lists — independent of corpus size.
+    * Scale: the lexical arm ENFORCES the q41 hot-token
+    * document-frequency cap IN-PLAN (not by deferring to a comment):
+    * tokens appearing in more than `df_cap(n_docs) = max(64, n_docs/20)`
+    * documents are dropped from the token SETS — consistently from the
+    * postings (both query and corpus side), the per-document sizes, and
+    * the intersections, so the score stays a true Jaccard over the
+    * capped token space. The postings self-join emits Σ_tok df(tok)²
+    * candidates; uncapped, ONE stop-token shared by 1M documents alone
+    * yields 10¹² pairs at 100 TB, while with the cap the blowup is
+    * bounded by |postings| · df_cap — linear in corpus size for a fixed
+    * cap fraction (the q41 sizing rule, `Dedup.cappedShingles`). A token
+    * in >5% of all documents carries no retrieval signal (it IS the
+    * stopword/boilerplate lexical search should ignore), so the cap is
+    * semantically safe, not just fast. The semantic arm is the IVF
+    * index; fusion joins two |queries|·k rank lists — independent of
+    * corpus size.
     */
   def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame, k: Int = 10,
       queryMod: Int = 100, rrfK: Int = 60, armK: Int = 20): DataFrame = {
     val distinctToks = array_distinct(TextAnalysis.tokens(col("text")))
-    val toks = docs.select(col("doc_id"), explode(distinctToks).as("tok"))
-    val sizes = docs.select(col("doc_id"),
-      size(distinctToks).cast("long").as("ntok"))
+    val allToks = docs.select(col("doc_id"), explode(distinctToks).as("tok"))
+    val dfCap = docs.agg(count(lit(1)).as("n_docs"))
+      .select(greatest(lit(64L),
+        floor(col("n_docs").cast("double") / 20).cast("long")).as("df_cap"))
+    val toks = allToks
+      .join(allToks.groupBy("tok").agg(count(lit(1)).as("df")), Seq("tok"))
+      .crossJoin(broadcast(dfCap))
+      .filter(col("df") <= col("df_cap"))
+      .select("doc_id", "tok")
+    val sizes = toks.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("ntok"))
     val shared = toks.filter(col("doc_id") % queryMod === 0)
       .select(col("doc_id").as("qid"), col("tok"))
       .join(toks.select(col("doc_id").as("nid"), col("tok")), Seq("tok"))
@@ -1666,21 +1686,30 @@ object Similarity {
   }
 
   /** DuckDB twin of [[hybridRrfTopK]] — the q54 IVF chain plus the
-    * postings-join Jaccard arm, fused with the identical fixed-order
-    * expression. Embed after `WITH ` and select from `hybrid_rrf`.
+    * df-capped postings-join Jaccard arm, fused with the identical
+    * fixed-order expression. Embed after `WITH ` and select from
+    * `hybrid_rrf`.
     */
   def hybridRrfTopKSql(k: Int = 10, queryMod: Int = 100, rrfK: Int = 60,
       armK: Int = 20): String =
     s"""${ivfTopKSql(armK, queryMod)},
-       |hyb_toks AS (
+       |hyb_all_toks AS (
        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
        |    AS tok
        |  FROM documents),
-       |hyb_sizes AS (
-       |  SELECT doc_id,
-       |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
-       |           AS ntok
+       |hyb_cap AS (
+       |  SELECT GREATEST(64,
+       |           CAST(floor(CAST(COUNT(*) AS DOUBLE) / 20) AS BIGINT))
+       |           AS df_cap
        |  FROM documents),
+       |hyb_freq AS (SELECT tok, COUNT(*) AS df FROM hyb_all_toks GROUP BY tok),
+       |hyb_toks AS (
+       |  SELECT t.doc_id, t.tok
+       |  FROM hyb_all_toks t JOIN hyb_freq f USING (tok), hyb_cap
+       |  WHERE f.df <= hyb_cap.df_cap),
+       |hyb_sizes AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok
+       |  FROM hyb_toks GROUP BY doc_id),
        |hyb_shared AS (
        |  SELECT q.doc_id AS qid, d.doc_id AS nid, COUNT(*) AS shared
        |  FROM hyb_toks q JOIN hyb_toks d USING (tok)

@@ -398,4 +398,36 @@ class SimilaritySpec extends SparkSpec {
         s"fused sem_rank must equal the standalone IVF rank: $key")
     }
   }
+
+  test("q317: a corpus-dominant token adds NO lexical candidates (df cap binds)") {
+    // 200 docs all share the stop-token "the" (df = 200 > cap = max(64,
+    // 200/20) = 64). Only docs 0 and 1 also share a RARE token
+    // "common0" (df = 2, kept). If the cap were not enforced, every doc
+    // would be a lexical candidate of the query through "the"; with it,
+    // the query's only lexical candidate is doc 1, and query 100 (whose
+    // kept tokens are all unique) has none.
+    val docs = (0L until 200L).map { i =>
+      val text =
+        if (i <= 1L) s"the common0 x$i y$i" else s"the x$i y$i z$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val emb = (0L until 200L).map { i =>
+      (i, Array(((i % 7) + 1).toFloat, ((i % 5) + 1).toFloat,
+        ((i % 3) + 1).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.hybridRrfTopK(docs, emb, k = 30, armK = 20)
+      .select("qid", "nid", "lex_rank", "rrf").collect()
+    val lexByQ = got.filter(!_.isNullAt(2))
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(lexByQ.getOrElse(0L, Set.empty) == Set(1L),
+      s"query 0's only lexical candidate is its rare-token partner: $lexByQ")
+    assert(!lexByQ.contains(100L),
+      s"query 100 shares only the capped stop-token => no lexical arm: $lexByQ")
+    // the kept pair is scored as true Jaccard over the CAPPED token
+    // space: |{common0}| / |{common0,x0,y0} ∪ {common0,x1,y1}| = 1/5,
+    // making it lex_rank 1 — the capped token neither adds candidates
+    // nor perturbs the kept candidates' scores.
+    val pair = got.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
+    assert(pair.getInt(2) == 1, s"rare-token partner is lex_rank 1: $pair")
+  }
 }
