@@ -2055,6 +2055,15 @@ object SparkEntry {
     "q310_ndcg_mrr" -> { (s, dir) =>
       Similarity.retrievalRankingEval(TestData.embeddings(s, dir))
     },
+    // The q310 eval re-rooted on a PERSISTED exact ground truth:
+    // brute-force top-k published once through the manifest pointer
+    // protocol, content-addressed by a corpus fingerprint; the second
+    // ensure call must detect it fresh and reuse it, and the oracle is
+    // the from-scratch chain — eval-from-artifact ≡ eval-from-scratch.
+    "q318_persisted_ground_truth" -> { (s, dir) =>
+      Similarity.persistedGroundTruthEval(TestData.embeddings(s, dir),
+        scratchDir("graft-q318").resolve("gt").toString)
+    },
     // One-pass eval report: AUC, Brier, confusion/P/R/F1, and MCC all
     // derived from ONE (type, cent-score) grain aggregate — the grain
     // is a sufficient statistic, so four scans become one and every
@@ -4063,6 +4072,11 @@ object SparkEntry {
       s"""WITH ${Similarity.retrievalRankingEvalSql()}
           SELECT qid, hits, mrr, dcg_e6, ndcg
           FROM retrieval_eval ORDER BY qid""",
+
+    "q318_persisted_ground_truth" ->
+      s"""WITH ${Similarity.persistedGroundTruthEvalSql()}
+          SELECT qid, hits, mrr, dcg_e6, ndcg, gt_version
+          FROM gt_eval ORDER BY qid""",
 
     "q314_eval_report" ->
       s"""WITH ${Events.evalReportSql()}

@@ -1533,12 +1533,22 @@ object Similarity {
     */
   def retrievalRankingEval(embeddings: DataFrame, k: Int = 5,
       queryMod: Int = 10): DataFrame = {
-    val disc = rankingDiscounts(k)
-    val idcg = rankingIdcg(k)
     val exact = bruteForceTopK(embeddings, k, queryMod)
       .select(col("qid"), col("nid"),
         (lit(k.toLong) + 1L - col("rank")).cast("long").as("rel"))
     val approx = ivfTopK(embeddings, k, queryMod).select("qid", "rank", "nid")
+    rankingEvalCore(exact, approx, k)
+  }
+
+  /** The NDCG/MRR arithmetic shared by [[retrievalRankingEval]] (exact
+    * side recomputed in-plan) and [[persistedGroundTruthEval]] (exact
+    * side loaded from the published artifact): `exact` carries
+    * (qid, nid, rel), `approx` carries (qid, rank, nid).
+    */
+  private def rankingEvalCore(exact: DataFrame, approx: DataFrame,
+      k: Int): DataFrame = {
+    val disc = rankingDiscounts(k)
+    val idcg = rankingIdcg(k)
     val discCol = disc.tail.foldLeft(
         when(col("rank") === 1, lit(disc.head._2))) {
       case (acc, (i, d)) => acc.when(col("rank") === i, lit(d))
@@ -1606,6 +1616,99 @@ object Similarity {
        |  FROM (SELECT DISTINCT qid FROM brute_topk) q
        |  LEFT JOIN rre_agg a USING (qid))""".stripMargin
   }
+
+  /** Order-independent content fingerprint of an embedding corpus:
+    * (xor of per-row xxhash64(vec_id, embedding), row count). Two
+    * corpora fingerprint equal iff they hold the same (vec_id, vector)
+    * multiset up to xor-collision — the content-address that decides
+    * whether a published ground-truth artifact still describes THIS
+    * corpus. One scan, map-side-combinable aggregate, no shuffle beyond
+    * the 1-row agg.
+    */
+  private def corpusFingerprint(embeddings: DataFrame): (Long, Long) = {
+    val r = embeddings
+      .select(xxhash64(col("vec_id"), col("embedding")).as("h"))
+      .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n")).head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+  }
+
+  /** Ensure a published exact-retrieval GROUND TRUTH artifact exists for
+    * this corpus under `gtDir`, returning (version, built-this-call).
+    * The exact brute-force top-k (the q45 shape — the |queries|×|corpus|
+    * pass every retrieval eval otherwise re-pays per run) is published
+    * through the [[ManifestTable]] pointer protocol, CONTENT-ADDRESSED
+    * by [[corpusFingerprint]]: a call whose corpus (and k/queryMod)
+    * matches the live version's recorded fingerprint reuses it without
+    * touching the corpus beyond the one fingerprint scan; any corpus
+    * delta changes the fingerprint, so the artifact is detected stale
+    * and a new version is published (the old one stays readable for
+    * pinned evals — the table-format retention story applies).
+    *
+    * Scale: this is how a 100 TB eval harness amortizes ground truth —
+    * build once per corpus version, grade every index config (q77
+    * recall, q310 NDCG/MRR, q317 regressions) against the artifact; the
+    * staleness check costs one linear scan instead of the quadratic
+    * rebuild. Meta lands before the pointer swap, so a reader that
+    * resolves a version always finds that version's fingerprint.
+    */
+  def ensureGroundTruth(embeddings: DataFrame, gtDir: String, k: Int = 5,
+      queryMod: Int = 10): (Long, Boolean) = {
+    val spark = embeddings.sparkSession
+    val (fpx, fpn) = corpusFingerprint(embeddings)
+    val cur = ManifestTable.currentVersion(spark, gtDir)
+    val fresh = cur.exists { v =>
+      val m = spark.read.parquet(s"$gtDir/meta/v$v").head()
+      m.getLong(0) == fpx && m.getLong(1) == fpn &&
+        m.getInt(2) == k && m.getInt(3) == queryMod
+    }
+    if (fresh) (cur.get, false)
+    else {
+      import spark.implicits._
+      val next = cur.getOrElse(0L) + 1L
+      Seq((fpx, fpn, k, queryMod)).toDF("fp_xor", "fp_n", "k", "query_mod")
+        .coalesce(1).write.mode("overwrite").parquet(s"$gtDir/meta/v$next")
+      ManifestTable.publish(bruteForceTopK(embeddings, k, queryMod),
+        gtDir, next)
+      (next, true)
+    }
+  }
+
+  /** q318 — the q310 NDCG/MRR eval RE-ROOTED on the persisted ground
+    * truth: [[ensureGroundTruth]] builds (or reuses) the published
+    * exact top-k artifact, and the eval grades the live IVF serve path
+    * against the LOADED artifact instead of recomputing the
+    * |queries|×|corpus| exact pass. The operator calls ensure TWICE and
+    * requires the second call to detect the artifact fresh and reuse
+    * it — the amortization certificate; `gt_version` pins 1 in the
+    * output, so a wrongly-rebuilt artifact fails the oracle hash, and
+    * the oracle itself is the FROM-SCRATCH q310 chain — hash equality
+    * IS the eval-from-artifact ≡ eval-from-scratch proof.
+    */
+  def persistedGroundTruthEval(embeddings: DataFrame, gtDir: String,
+      k: Int = 5, queryMod: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    val (v, _) = ensureGroundTruth(embeddings, gtDir, k, queryMod)
+    val (v2, rebuilt) = ensureGroundTruth(embeddings, gtDir, k, queryMod)
+    require(v2 == v && !rebuilt,
+      s"fresh ground truth must be reused, not rebuilt: v$v -> v$v2")
+    val exact = ManifestTable.readVersion(spark, gtDir, v2)
+      .select(col("qid"), col("nid"),
+        (lit(k.toLong) + 1L - col("rank")).cast("long").as("rel"))
+    val approx = ivfTopK(embeddings, k, queryMod).select("qid", "rank", "nid")
+    rankingEvalCore(exact, approx, k)
+      .withColumn("gt_version", lit(v2))
+  }
+
+  /** DuckDB twin of [[persistedGroundTruthEval]] — the from-scratch
+    * [[retrievalRankingEvalSql]] chain plus the pinned first-build
+    * version. Embed after `WITH ` and select from `gt_eval`.
+    */
+  def persistedGroundTruthEvalSql(k: Int = 5, queryMod: Int = 10): String =
+    s"""${retrievalRankingEvalSql(k, queryMod)},
+       |gt_eval AS (
+       |  SELECT qid, hits, mrr, dcg_e6, ndcg,
+       |         CAST(1 AS BIGINT) AS gt_version
+       |  FROM retrieval_eval)""".stripMargin
 
   /** q317 — HYBRID RETRIEVAL with RECIPROCAL RANK FUSION: the lexical
     * arm (distinct-token Jaccard through a postings join — sparse,

@@ -430,4 +430,41 @@ class SimilaritySpec extends SparkSpec {
     val pair = got.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
     assert(pair.getInt(2) == 1, s"rare-token partner is lex_rank 1: $pair")
   }
+
+  test("q318: fresh ground truth is reused; a corpus delta invalidates it") {
+    val dir = java.nio.file.Files.createTempDirectory("gt318").toString
+    def corpus(n: Long) = (0L until n).map { i =>
+      (i, Array(((i % 7) + 1).toFloat, ((i % 5) + 1).toFloat,
+        ((i % 3) + 1).toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val base = corpus(40)
+    val (v1, b1) = Similarity.ensureGroundTruth(base, dir, k = 3)
+    assert(v1 == 1L && b1, "first call publishes v1")
+    val (v2, b2) = Similarity.ensureGroundTruth(base, dir, k = 3)
+    assert(v2 == 1L && !b2, "same corpus => artifact reused, no rebuild")
+    val v1Rows = graft.operators.ManifestTable
+      .readVersion(spark, dir, 1L).count()
+    // a corpus delta (10 appended vectors) changes the fingerprint
+    val (v3, b3) = Similarity.ensureGroundTruth(corpus(50), dir, k = 3)
+    assert(v3 == 2L && b3, "corpus delta => stale artifact, new version")
+    // the superseded version stays readable for pinned evals
+    assert(graft.operators.ManifestTable
+      .readVersion(spark, dir, 1L).count() == v1Rows)
+    // and v2's content IS the from-scratch exact top-k of the new corpus
+    val scratch = Similarity.bruteForceTopK(corpus(50), k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    val artifact = graft.operators.ManifestTable.readVersion(spark, dir, 2L)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(artifact == scratch, "published GT equals the exact pass")
+  }
+
+  test("q318: eval from the artifact equals the from-scratch q310 eval") {
+    val emb = graft.sources.TestData.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("gt318e").toString
+    val fromArtifact = Similarity.persistedGroundTruthEval(emb, dir)
+      .drop("gt_version").orderBy("qid").collect().toSeq
+    val fromScratch = Similarity.retrievalRankingEval(emb)
+      .orderBy("qid").collect().toSeq
+    assert(fromArtifact == fromScratch)
+  }
 }
