@@ -2041,6 +2041,14 @@ object SparkEntry {
       ManifestTable.compactPartitioned(TestData.events(s, dir),
         scratchDir("graft-q309").resolve("events_table").toString)
     },
+    // The change feed CROSSING the compaction commit: v2/v3 present
+    // exactly their re-priced rows; the rewrite version presents ZERO
+    // change rows (compaction rewrites files, never rows) — the
+    // Iceberg rewrite_data_files-vs-CDC contract, oracle-pinned.
+    "q319_compaction_change_feed" -> { (s, dir) =>
+      ManifestTable.compactionChangeFeed(TestData.events(s, dir),
+        scratchDir("graft-q319").resolve("events_table").toString)
+    },
     // Snapshot rollback as a roll-FORWARD commit: the new version's
     // manifest is a copy of the target's — zero data moved (dir count
     // require-pinned), the bad snapshot stays readable for audit.
@@ -4077,6 +4085,12 @@ object SparkEntry {
       s"""WITH ${Similarity.persistedGroundTruthEvalSql()}
           SELECT qid, hits, mrr, dcg_e6, ndcg, gt_version
           FROM gt_eval ORDER BY qid""",
+
+    "q319_compaction_change_feed" ->
+      s"""WITH ${ManifestTable.compactionChangeFeedSql()}
+          SELECT version, is_compaction, n_update, pre_cents, post_cents,
+                 n_insert, n_delete
+          FROM compaction_change_feed ORDER BY version""",
 
     "q314_eval_report" ->
       s"""WITH ${Events.evalReportSql()}

@@ -384,32 +384,57 @@ object ManifestTable {
       fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion < toVersion, s"empty range: $fromVersion..$toVersion")
     (fromVersion until toVersion).map { v =>
-      val old = readVersion(spark, tableDir, v)
-        .select(col("event_id"), col("event_type").as("o_type"),
-          OracleSafe.quant(col("value"), 100).as("o_cents"))
-      val nw = readVersion(spark, tableDir, v + 1)
-        .select(col("event_id"), col("event_type").as("n_type"),
-          OracleSafe.quant(col("value"), 100).as("n_cents"))
-      val j = old.join(nw, Seq("event_id"), "full_outer")
-        .select(col("event_id"),
-          coalesce(col("n_type"), col("o_type")).as("event_type"),
-          col("o_cents"), col("n_cents"))
-        .localCheckpoint() // one diff pass feeds all four change branches
-      val deletes = j.filter(col("n_cents").isNull)
-        .select(col("event_id"), col("event_type"),
-          lit("delete").as("change_type"), col("o_cents").as("cents"))
-      val inserts = j.filter(col("o_cents").isNull)
-        .select(col("event_id"), col("event_type"),
-          lit("insert").as("change_type"), col("n_cents").as("cents"))
-      val updated = j.filter(col("o_cents").isNotNull &&
-        col("n_cents").isNotNull && col("o_cents") =!= col("n_cents"))
-      val pre = updated.select(col("event_id"), col("event_type"),
-        lit("update_pre").as("change_type"), col("o_cents").as("cents"))
-      val post = updated.select(col("event_id"), col("event_type"),
-        lit("update_post").as("change_type"), col("n_cents").as("cents"))
-      deletes.unionByName(inserts).unionByName(pre).unionByName(post)
-        .select(lit(v + 1).as("version"), col("change_type"),
-          col("event_id"), col("event_type"), col("cents"))
+      rowDiff(readVersion(spark, tableDir, v),
+        readVersion(spark, tableDir, v + 1), v + 1)
+    }.reduce(_ unionByName _)
+  }
+
+  /** One version-step row diff — shared by [[changeFeed]] (snapshot
+    * dirs) and [[changeFeedPartitioned]] (partition-mapped reads).
+    * Emits the Delta-CDF change rows tagged with `version`.
+    */
+  private def rowDiff(oldDf: DataFrame, newDf: DataFrame,
+      version: Long): DataFrame = {
+    val old = oldDf
+      .select(col("event_id"), col("event_type").as("o_type"),
+        OracleSafe.quant(col("value"), 100).as("o_cents"))
+    val nw = newDf
+      .select(col("event_id"), col("event_type").as("n_type"),
+        OracleSafe.quant(col("value"), 100).as("n_cents"))
+    val j = old.join(nw, Seq("event_id"), "full_outer")
+      .select(col("event_id"),
+        coalesce(col("n_type"), col("o_type")).as("event_type"),
+        col("o_cents"), col("n_cents"))
+      .localCheckpoint() // one diff pass feeds all four change branches
+    val deletes = j.filter(col("n_cents").isNull)
+      .select(col("event_id"), col("event_type"),
+        lit("delete").as("change_type"), col("o_cents").as("cents"))
+    val inserts = j.filter(col("o_cents").isNull)
+      .select(col("event_id"), col("event_type"),
+        lit("insert").as("change_type"), col("n_cents").as("cents"))
+    val updated = j.filter(col("o_cents").isNotNull &&
+      col("n_cents").isNotNull && col("o_cents") =!= col("n_cents"))
+    val pre = updated.select(col("event_id"), col("event_type"),
+      lit("update_pre").as("change_type"), col("o_cents").as("cents"))
+    val post = updated.select(col("event_id"), col("event_type"),
+      lit("update_post").as("change_type"), col("n_cents").as("cents"))
+    deletes.unionByName(inserts).unionByName(pre).unionByName(post)
+      .select(lit(version).as("version"), col("change_type"),
+        col("event_id"), col("event_type"), col("cents"))
+  }
+
+  /** [[changeFeed]] over the PARTITION-MAPPED table: each step diffs
+    * consecutive [[readPartitionedVersion]] reads at the row grain.
+    * Requires every version in [fromVersion, toVersion] to still be
+    * resolvable — i.e. retention (vacuum) must not outrun the consumer,
+    * the exact ordering contract [[compactionChangeFeed]]'s spec pins.
+    */
+  def changeFeedPartitioned(spark: SparkSession, tableDir: String,
+      partCol: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion, s"empty range: $fromVersion..$toVersion")
+    (fromVersion until toVersion).map { v =>
+      rowDiff(readPartitionedVersion(spark, tableDir, partCol, v),
+        readPartitionedVersion(spark, tableDir, partCol, v + 1), v + 1)
     }.reduce(_ unionByName _)
   }
 
@@ -2319,6 +2344,93 @@ object ManifestTable {
        |  UNION ALL
        |  SELECT 'c_post_vacuum', 4, 1, 1, event_type, n, total_cents
        |  FROM cpz_cur)""".stripMargin
+
+  /** q319 — the CHANGE FEED CROSSING A COMPACTION COMMIT: the one
+    * table-format interleaving q309 (compaction) and q289 (change-feed
+    * tail) left untested, and the exact production seam Iceberg's
+    * `rewrite_data_files` + CDC consumers share. Runs the q309
+    * lifecycle (v1 full publish, v2/v3 partition re-prices, v4 rewrite)
+    * and derives the row-grain [[changeFeedPartitioned]] across ALL
+    * commits including the rewrite: v2 and v3 present exactly their
+    * re-priced rows as updates, and the COMPACTION version presents
+    * ZERO change rows — compaction rewrites files, never rows, so a
+    * version-keyed CDC consumer crossing the commit sees nothing. The
+    * all-zero v4 row is pinned by the oracle; a compaction that leaked
+    * phantom inserts/deletes (e.g. by dropping or duplicating a row in
+    * the rewrite) would break the hash.
+    *
+    * Scale: each feed step is one full-outer key join between
+    * consecutive mapped reads (O(|v| + |v+1|), the q249 cost); the
+    * rollup is three bounded rows. The retention contract — vacuum
+    * must not reclaim a version a consumer still needs to diff — is
+    * driven in `ManifestTableSpec`'s tail-across-compaction race.
+    */
+  def compactionChangeFeed(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    publishPartitioned(slim, tableDir, 1L, "event_type")
+    overwritePartitions(
+      slim.filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2),
+      tableDir, 2L, "event_type", Seq("purchase"))
+    overwritePartitions(
+      slim.filter(col("event_type") === "view")
+        .withColumn("value", col("value") * 3),
+      tableDir, 3L, "event_type", Seq("view"))
+    publishPartitioned(readPartitioned(spark, tableDir, "event_type"),
+      tableDir, 4L, "event_type")
+    require(readPartitionManifest(spark, tableDir, 4L).values.toSet ==
+      Set(4L), "the rewrite must self-contain every partition")
+    val agg = changeFeedPartitioned(spark, tableDir, "event_type", 1L, 4L)
+      .groupBy("version").agg(
+        sum(when(col("change_type") === "update_post", 1L).otherwise(0L))
+          .as("u"),
+        sum(when(col("change_type") === "update_pre", col("cents"))
+          .otherwise(0L)).as("pre"),
+        sum(when(col("change_type") === "update_post", col("cents"))
+          .otherwise(0L)).as("post"),
+        sum(when(col("change_type") === "insert", 1L).otherwise(0L)).as("i"),
+        sum(when(col("change_type") === "delete", 1L).otherwise(0L)).as("d"))
+    import spark.implicits._
+    val spine = Seq(2L, 3L, 4L).toDF("version")
+    spine.join(agg, Seq("version"), "left")
+      .select(col("version"), (col("version") === 4L).as("is_compaction"),
+        coalesce(col("u"), lit(0L)).as("n_update"),
+        coalesce(col("pre"), lit(0L)).as("pre_cents"),
+        coalesce(col("post"), lit(0L)).as("post_cents"),
+        coalesce(col("i"), lit(0L)).as("n_insert"),
+        coalesce(col("d"), lit(0L)).as("n_delete"))
+      .orderBy("version")
+  }
+
+  /** DuckDB twin of [[compactionChangeFeed]] — v2/v3 updates derived
+    * from the raw events on the same cent-quantized grid (a re-price
+    * landing on the SAME cent is not an update, on both engines), v4
+    * pinned all-zero. Embed after `WITH ` and select from
+    * `compaction_change_feed`.
+    */
+  def compactionChangeFeedSql(): String = {
+    val c1 = OracleSafe.quantSql("value", 100)
+    def step(mult: Int, etype: String): String = {
+      val c2 = OracleSafe.quantSql(s"value * $mult", 100)
+      s"""SELECT COUNT(*) AS n,
+         |       CAST(COALESCE(SUM($c1), 0) AS BIGINT) AS pre,
+         |       CAST(COALESCE(SUM($c2), 0) AS BIGINT) AS post
+         |FROM events
+         |WHERE event_type = '$etype' AND $c2 <> $c1""".stripMargin
+    }
+    s"""ccf_p AS (${step(2, "purchase")}),
+       |ccf_v AS (${step(3, "view")}),
+       |compaction_change_feed AS (
+       |  SELECT CAST(2 AS BIGINT) AS version, FALSE AS is_compaction,
+       |         n AS n_update, pre AS pre_cents, post AS post_cents,
+       |         CAST(0 AS BIGINT) AS n_insert, CAST(0 AS BIGINT) AS n_delete
+       |  FROM ccf_p
+       |  UNION ALL
+       |  SELECT 3, FALSE, n, pre, post, 0, 0 FROM ccf_v
+       |  UNION ALL
+       |  SELECT 4, TRUE, 0, 0, 0, 0, 0)""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q312
 

@@ -835,4 +835,93 @@ class ManifestTableSpec extends SparkSpec {
       }
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q319 race: a change-feed tail crossing a live compaction commit presents the same rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mt-race")
+    try {
+      val (tbl, log, sink, ck) = (s"$out/tbl", s"$out/log", s"$out/sink",
+        s"$out/ck")
+      val slim = Seq((1L, "purchase", 10.0), (2L, "view", 5.0),
+        (3L, "click", 1.0), (4L, "purchase", 0.004))
+        .toDF("event_id", "event_type", "value")
+      // every commit appends a one-row log entry with forced-monotone
+      // mtimes (the q289 tail protocol)
+      var mtime = (System.currentTimeMillis() / 60000L) * 60000L
+      def logCommit(version: Long): Unit = {
+        val before = Option(new java.io.File(log).listFiles())
+          .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+        Seq(version).toDF("version").coalesce(1)
+          .write.mode("append").parquet(log)
+        mtime += 1000L
+        new java.io.File(log).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+          .foreach(f => assert(f.setLastModified(mtime)))
+      }
+      def runTail(): Unit = {
+        val q = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "version BIGINT"))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(log)
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.select("version").collect().map(_.getLong(0))
+              .filter(_ >= 2L).foreach { v =>
+                ManifestTable
+                  .changeFeedPartitioned(spark, tbl, "event_type", v - 1, v)
+                  .coalesce(1)
+                  .write.mode("overwrite").parquet(s"$sink/v$v")
+              }
+            ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable(); q.awaitTermination()
+      }
+      ManifestTable.publishPartitioned(slim, tbl, 1L, "event_type")
+      logCommit(1L)
+      ManifestTable.overwritePartitions(
+        slim.filter(col("event_type") === "purchase")
+          .withColumn("value", col("value") * 2),
+        tbl, 2L, "event_type", Seq("purchase"))
+      logCommit(2L)
+      ManifestTable.overwritePartitions(
+        slim.filter(col("event_type") === "view")
+          .withColumn("value", col("value") * 3),
+        tbl, 3L, "event_type", Seq("view"))
+      logCommit(3L)
+      runTail() // the consumer is live: v2/v3 consumed, checkpoint held
+      // the compaction commit lands while the consumer is mid-stream
+      ManifestTable.publishPartitioned(
+        ManifestTable.readPartitioned(spark, tbl, "event_type"),
+        tbl, 4L, "event_type")
+      logCommit(4L)
+      runTail() // resumes from the checkpoint, consumes the compaction
+      // the compaction batch presented ZERO change rows
+      assert(spark.read.parquet(s"$sink/v4").count() == 0L,
+        "compaction rewrites files, never rows")
+      // and the tail's union across the commit equals the batch feed
+      val served = Seq(2L, 3L, 4L).map(v => spark.read.parquet(s"$sink/v$v"))
+        .reduce(_ unionByName _)
+        .orderBy("version", "change_type", "event_id").collect().toSeq
+      val batch = ManifestTable
+        .changeFeedPartitioned(spark, tbl, "event_type", 1L, 4L)
+        .orderBy("version", "change_type", "event_id").collect().toSeq
+      assert(served == batch,
+        "the stream across the compaction must present the batch feed's rows")
+      // the same-cent reprice (0.004 -> 0.008) minted no phantom update
+      assert(!served.exists(_.getAs[Long]("event_id") == 4L))
+      // retention vs consumer: AFTER the tail passed the boundary the
+      // vacuum may reclaim the sprawl...
+      assert(ManifestTable.vacuumPartitioned(spark, tbl, keep = 1)
+        == Seq(1L, 2L, 3L))
+      // ...but a consumer still BEHIND the boundary is now broken — the
+      // expire-snapshots-vs-CDC ordering contract, observed:
+      intercept[Exception] {
+        ManifestTable.changeFeedPartitioned(spark, tbl, "event_type", 3L, 4L)
+          .collect()
+      }
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
