@@ -1360,8 +1360,22 @@ object ManifestTable {
     * between staging and its CAS. Deleting them is the GC every
     * deployment schedules beside vacuum: vacuum reclaims COMMITTED
     * history, orphan GC reclaims what was NEVER committed.
+    *
+    * TEST-ONLY (deprecated): this classification alone cannot tell a
+    * LIVE writer inside the q241 window from crash debris. Production
+    * callers use [[safeOrphanVersions]] with a real grace window.
     */
-  def orphanVersions(spark: SparkSession, tableDir: String): Seq[Long] = {
+  @deprecated("test-only: use safeOrphanVersions with a grace window — " +
+    "this classification alone cannot see an in-flight publish", "r15")
+  def orphanVersions(spark: SparkSession, tableDir: String): Seq[Long] =
+    rawOrphanVersions(spark, tableDir)
+
+  /** The q298 frontier/ref classification [[safeOrphanVersions]] layers
+    * its intent + grace clauses on. Internal: never delete from this
+    * set directly.
+    */
+  private def rawOrphanVersions(spark: SparkSession,
+      tableDir: String): Seq[Long] = {
     // an unborn table (no pointer yet) has no committed frontier to
     // judge against — GC nothing rather than eat an in-flight bootstrap
     val live = currentVersion(spark, tableDir) match {
@@ -1396,21 +1410,18 @@ object ManifestTable {
 
   /** Delete orphan version dirs. Returns the versions reclaimed.
     *
-    * SINGLE-WRITER ASSUMPTION (the q298 contract): this variant judges
-    * only by the committed frontier — a LIVE writer sitting between
-    * data-write and pointer-swap is indistinguishable from crash debris
-    * here, so running it concurrently with a publish can delete the
-    * publish's staged snapshot. A deployment that schedules GC beside
-    * live writers must use [[gcOrphansSafe]] (q302), which requires a
-    * writer intent or a grace-window age before reclaiming anything.
+    * TEST-ONLY (deprecated): delegates to [[gcOrphansSafe]] with
+    * `graceMs = 0` — the deterministic "every writer crashed long ago"
+    * the q298 single-writer spec wants, and EXACTLY the setting that is
+    * unsafe beside a live publish (a zero grace window declares an
+    * in-flight writer dead). A deployment that schedules GC beside
+    * live writers calls [[gcOrphansSafe]] (q302) with a real grace
+    * window directly; no other production path reaches this.
     */
-  def gcOrphans(spark: SparkSession, tableDir: String): Seq[Long] = {
-    val orphans = orphanVersions(spark, tableDir)
-    val fs = new Path(tableDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    orphans.foreach(v => fs.delete(new Path(s"$tableDir/data/v$v"), true))
-    orphans
-  }
+  @deprecated("test-only: delegates to gcOrphansSafe(graceMs = 0) — " +
+    "use gcOrphansSafe with a real grace window beside live writers", "r15")
+  def gcOrphans(spark: SparkSession, tableDir: String): Seq[Long] =
+    gcOrphansSafe(spark, tableDir, graceMs = 0L)
 
   /** q298 — ORPHAN GC end to end, the maintenance op beside vacuum:
     * publish v1, then a v2 publish DIES in the q241 crash window (data
@@ -1448,10 +1459,10 @@ object ManifestTable {
       try { publish(v2, tableDir, 2L, crashBeforeSwap = true); false }
       catch { case _: InjectedCrash => true }
     require(crashed, "the injected crash must fire inside the window")
-    val orphans = orphanVersions(spark, tableDir)
+    val orphans = rawOrphanVersions(spark, tableDir)
     require(orphans == Seq(2L), s"exactly the dead v2 is orphaned: $orphans")
     val s2 = stage("b_crash_debris", orphans.size.toLong)
-    val reclaimed = gcOrphans(spark, tableDir)
+    val reclaimed = gcOrphansSafe(spark, tableDir, graceMs = 0L)
     require(reclaimed == Seq(2L), s"GC must reclaim exactly v2: $reclaimed")
     val s3 = stage("c_post_gc", 0L)
     publish(v2, tableDir, 2L) // the retried publish commits cleanly
@@ -1712,7 +1723,7 @@ object ManifestTable {
     val fs = new Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val now = System.currentTimeMillis()
-    orphanVersions(spark, tableDir).filterNot { v =>
+    rawOrphanVersions(spark, tableDir).filterNot { v =>
       live(v) || {
         val p = new Path(s"$tableDir/data/v$v")
         fs.exists(p) && now - fs.getFileStatus(p).getModificationTime < graceMs
@@ -1811,7 +1822,7 @@ object ManifestTable {
     v2.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/data/v2")
     // the naive classifier WOULD call the live writer's snapshot debris —
     // the exact race this operator closes
-    require(orphanVersions(spark, tableDir) == Seq(2L),
+    require(rawOrphanVersions(spark, tableDir) == Seq(2L),
       "naive GC must (wrongly) see the in-flight v2 as debris")
     val gcDuring = gcOrphansSafe(spark, tableDir, IntentGraceMs)
     require(gcDuring.isEmpty,
