@@ -1845,16 +1845,26 @@ object Events {
     val spark = events.sparkSession
     val base = events.filter(col("event_id") % deltaMod =!= 1L)
     val delta = events.filter(col("event_id") % deltaMod === 1L)
-    // the persisted artifact: the base batch's grain, landed once
-    typeScoreGrain(base).write.mode(SaveMode.Overwrite)
-      .parquet(s"$tableDir/grain")
-    val loaded = spark.read.parquet(s"$tableDir/grain")
-    val merged = loaded.unionByName(typeScoreGrain(delta))
+    // BOOTSTRAP vs MAINTENANCE are split (the artifact lifecycle, not
+    // just the merge): the base grain lands ONLY when absent — a
+    // re-run against an existing artifact never rescans history — and
+    // the delta-merged grain lands as the NEXT artifact version, so
+    // the served stage-b report round-trips through the maintained
+    // artifact rather than an in-memory frame
+    val hd = spark.sparkContext.hadoopConfiguration
+    val v1 = s"$tableDir/grain/v1"
+    val v2 = s"$tableDir/grain/v2"
+    val fs = new org.apache.hadoop.fs.Path(tableDir).getFileSystem(hd)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(v1)))
+      typeScoreGrain(base).write.parquet(v1)
+    val loaded = spark.read.parquet(v1)
+    spark.read.parquet(v1).unionByName(typeScoreGrain(delta))
       .groupBy("event_type", "s").agg(sum("pn").as("pn"))
-      .localCheckpoint()
+      .write.mode(SaveMode.Overwrite).parquet(v2)
     val a = evalReportFromGrain(loaded.localCheckpoint())
       .withColumn("stage", lit("a_base"))
-    val b = evalReportFromGrain(merged).withColumn("stage", lit("b_merged"))
+    val b = evalReportFromGrain(spark.read.parquet(v2).localCheckpoint())
+      .withColumn("stage", lit("b_merged"))
     a.unionByName(b)
       .select(col("stage"), col("cls"), col("n"), col("auc"), col("brier"),
         col("tp"), col("fp"), col("fn"), col("tn"), col("precision"),

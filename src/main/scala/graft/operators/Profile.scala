@@ -347,10 +347,15 @@ object Profile {
     * Numerics: average ranks are half-integers, so DOUBLED ranks
     * (2·avg_rank = 2·|{v' < v}| + |{v' = v}| + 1) stay exact BIGINTs —
     * the ×4 this puts on covariance and variances cancels in ρ. All
-    * sums run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): exact and
-    * associative, immune to the Σr² ≈ n³ BIGINT overflow past ~10⁶ rows
-    * per group. ρ = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is
-    * then one division over a product of two correctly-rounded sqrts
+    * sums ACCUMULATE in an explicit DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB): exact and associative, immune to the Σr² ≈ n³ BIGINT
+    * overflow past ~10⁶ rows per group. The decimal ceiling is real but
+    * astronomical — Σ(2r)² ≤ 4n³ stays inside 38 digits up to n ≈ 10¹²
+    * rows PER SEGMENT (and the nΣxy − ΣxΣy combination ≤ 4n⁴ up to
+    * n ≈ 10⁹); past that, non-ANSI Spark yields NULL rho rather than a
+    * wrong value (silent-NULL, not silent-garbage — enable ANSI mode to
+    * make it an error). ρ = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+    * is then one division over a product of two correctly-rounded sqrts
     * (the q301 MCC discipline). A zero-variance side reports NULL.
     *
     * Scale shape: ranks are NOT a row-level sort — counts aggregate to
@@ -378,17 +383,25 @@ object Profile {
           (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
             .as(s"${c}_r2"))
     }
+    // products multiply in (18,0) — precision 37, exact for any
+    // realistic rank — then every sum accumulates in an EXPLICIT
+    // (38,0), so the stated numeric contract is in the plan, not left
+    // to Spark's implicit precision-widening rules
     val dec = DecimalType(18, 0)
+    val dec38 = DecimalType(38, 0)
     val agg = base
       .join(rank2("x"), Seq("seg", "x"))
       .join(rank2("y"), Seq("seg", "y"))
       .groupBy("seg").agg(
         count(lit(1)).as("n"),
-        sum(col("x_r2").cast(dec)).as("sx"),
-        sum(col("y_r2").cast(dec)).as("sy"),
-        sum(col("x_r2").cast(dec) * col("y_r2").cast(dec)).as("sxy"),
-        sum(col("x_r2").cast(dec) * col("x_r2").cast(dec)).as("sxx"),
-        sum(col("y_r2").cast(dec) * col("y_r2").cast(dec)).as("syy"))
+        sum(col("x_r2").cast(dec38)).as("sx"),
+        sum(col("y_r2").cast(dec38)).as("sy"),
+        sum((col("x_r2").cast(dec) * col("y_r2").cast(dec)).cast(dec38))
+          .as("sxy"),
+        sum((col("x_r2").cast(dec) * col("x_r2").cast(dec)).cast(dec38))
+          .as("sxx"),
+        sum((col("y_r2").cast(dec) * col("y_r2").cast(dec)).cast(dec38))
+          .as("syy"))
     val nD = col("n").cast(dec)
     val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
     val vx = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
@@ -473,15 +486,19 @@ object Profile {
     *
     * Scale shape: one map-side-combinable count to the ≤|types|·7 cell
     * grain; everything after is arithmetic on that bounded frame
-    * (broadcast row/column totals). dow = epoch-day mod 7 (0 =
-    * Thursday — 1970-01-01), matching the oracle exactly.
+    * (broadcast row/column totals). dow = pmod(epoch-day, 7) (0 =
+    * Thursday — 1970-01-01), matching the oracle exactly: BOTH integer
+    * steps (ns→ms, ms→day) are floor divisions and the weekday is the
+    * POSITIVE mod, so pre-1970 timestamps land on the same 0..6 labels
+    * in both engines instead of minting negative dow cells.
     */
   def chiSquareDrift(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
-    val day = OracleSafe.intDiv(expr("ts_ns DIV 1000000"), lit(86400000L))
+    val ms = OracleSafe.intDiv(col("ts_ns"), lit(1000000L))
+    val day = OracleSafe.intDiv(ms, lit(86400000L))
     val sparse = events
-      .select(col("event_type"), (day % 7L).as("dow"))
+      .select(col("event_type"), pmod(day, lit(7L)).as("dow"))
       .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
     val rowTot = sparse.groupBy("event_type").agg(sum("o").as("r_tot"))
     val colTot = sparse.groupBy("dow").agg(sum("o").as("c_tot"))
@@ -525,7 +542,7 @@ object Profile {
   def chiSquareDriftSql(): String = {
     val day = OracleSafe.intDivSql("epoch_ms(ts)", "86400000")
     s"""cs_sparse AS (
-       |  SELECT event_type, ($day) % 7 AS dow, COUNT(*) AS o
+       |  SELECT event_type, ((($day) % 7) + 7) % 7 AS dow, COUNT(*) AS o
        |  FROM events GROUP BY 1, 2),
        |cs_r AS (SELECT event_type, SUM(o) AS r_tot FROM cs_sparse GROUP BY 1),
        |cs_c AS (SELECT dow, SUM(o) AS c_tot FROM cs_sparse GROUP BY 1),

@@ -1341,9 +1341,14 @@ object EventStream {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
+    // count batches from the LAST progress's id, not recentProgress
+    // (a ring buffer capped by numRecentProgressUpdates, default 100 —
+    // a minBatches above the cap would spuriously fail on it)
     val batches =
-      try { q.processAllAvailable(); q.recentProgress.length }
-      finally q.stop()
+      try {
+        q.processAllAvailable()
+        Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      } finally q.stop()
     require(batches >= minBatches,
       s"expected >= $minBatches micro-batches, saw $batches")
     graft.operators.Events

@@ -649,7 +649,7 @@ class EventsSpec extends SparkSpec {
       }
       // the persisted artifact is the base grain, bounded by the
       // (type, distinct-cent) cardinality — not by rows
-      val grain = spark.read.parquet(s"$out/eval_grain/grain")
+      val grain = spark.read.parquet(s"$out/eval_grain/grain/v1")
       assert(grain.count() ==
         events.filter(col("event_id") % 7L =!= 1L)
           .selectExpr("event_type",
@@ -660,6 +660,23 @@ class EventsSpec extends SparkSpec {
         byStage(st).map(_.getAs[Long]("n")).sum
       assert(nOf("b_merged") == events.count())
       assert(nOf("a_base") < nOf("b_merged"))
+      // BOOTSTRAP vs MAINTENANCE: a second run against the existing
+      // artifact must REUSE the base grain byte-for-byte (no history
+      // rescan rewrites it) while the maintained v2 grain is re-landed
+      def listing(p: String) = new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+      val v1Before = listing(s"$out/eval_grain/grain/v1")
+      val v2Before = listing(s"$out/eval_grain/grain/v2")
+      val again = Events.incrementalEvalReport(events, s"$out/eval_grain")
+        .collect()
+      assert(listing(s"$out/eval_grain/grain/v1") == v1Before,
+        "the bootstrap artifact must be reused, never rewritten")
+      assert(listing(s"$out/eval_grain/grain/v2") != v2Before,
+        "the maintained grain must be re-landed by the delta merge")
+      assert(again.map(_.toString).sorted.toSeq ==
+        got.map(_.toString).sorted.toSeq,
+        "the reused-artifact run serves the identical report")
     } finally graft.Scratch.rmTree(out.toFile)
   }
 }

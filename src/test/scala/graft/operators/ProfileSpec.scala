@@ -238,4 +238,20 @@ class ProfileSpec extends SparkSpec {
       "df must match the observed grid")
     got.foreach(r => assert(r.getLong(4) >= 0L && r.getLong(3) > 0L))
   }
+
+  test("q313: pre-1970 timestamps land on positive 0..6 weekday labels") {
+    import spark.implicits._
+    def ev(tp: String, day: Long, n: Int) =
+      (1 to n).map(_ => (tp, day * 86400000L * 1000000L))
+    // day -1 = 1969-12-31 (Wednesday): pmod(-1, 7) = 6, never -1; and a
+    // sub-ms offset below the day boundary must FLOOR into day -1, not
+    // truncate up into day 0 (Thursday)
+    val rows = (ev("a", -1, 3) ++ ev("a", 0, 5) ++
+      Seq(("a", -500000L))) // -0.5 ms: floors to ms -1 -> day -1 -> dow 6
+      .toDF("event_type", "ts_ns")
+    val dows = Profile.chiSquareDrift(rows).collect()
+      .filter(_.getLong(2) > 0L).map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(dows == Map(6L -> 4L, 0L -> 5L),
+      s"Wed(-1day)+the floored sub-ms row on dow 6, Thu(epoch) on dow 0: $dows")
+  }
 }
