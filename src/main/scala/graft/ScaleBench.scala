@@ -210,8 +210,13 @@ object ScaleBench {
     // grain maintenance (one persisted-artifact write + merge) and the
     // streamed report (micro-batch floor + per-trigger state folds)
     "q315_inc_eval_report", "q316_stream_eval_report",
-    // hybrid fusion: postings-join lexical arm + IVF semantic arm
+    // hybrid fusion: df-capped postings-join lexical arm + IVF arm
     "q317_hybrid_rrf",
+    // round-15: the persisted ground truth (one fingerprint scan + an
+    // exact-arm build amortized across evals — carries the q310 exact
+    // shape, attributed) and the compaction-crossing change feed
+    // (per-step full-outer key diffs on the mapped reads)
+    "q318_persisted_ground_truth", "q319_compaction_change_feed",
     // round-14 coverage sweep: carried event/document/embedding queries
     // whose primary input scales with the 10× blow-up — measured to
     // extend the zero-failure evidence past 220 queries (streaming and
@@ -467,12 +472,29 @@ object ScaleBench {
 
     val at1x = time(base).toMap
     val at10x = time(scaledDir).toMap
+    // trigger-floor annotation: streaming file-source queries running
+    // maxFilesPerTrigger=1 pay one micro-batch FLOOR per input part
+    // file, so their scale ratio measures #files × floor, not per-row
+    // work (q316 at 10× read 32 part files → ratio ≈ 4 from floors
+    // alone). Recording the trigger count beside the ratio makes the
+    // artifact self-explaining instead of needing a BENCH_NOTES line.
+    def triggerCount(dir: String): Long = {
+      val d = new java.io.File(s"$dir/events.parquet")
+      Option(d.listFiles())
+        .map(_.count(_.getName.endsWith(".parquet")).toLong).getOrElse(0L)
+    }
+    val triggerFloorQueries = Set("q316_stream_eval_report")
     val entries = measuredRun.map { name =>
       val ((c1, s1, ok1), (c10, s10, ok10)) = (at1x(name), at10x(name))
       if (ok1 && ok10) {
         val r = s10 / math.max(s1, 1e-9)
+        val floors = if (triggerFloorQueries(name))
+          s""","x1_triggers":${triggerCount(base)}""" +
+            s""","x${copies}_triggers":${triggerCount(scaledDir)}"""
+        else ""
         f""""$name":{"x1_cold_sec":$c1%.3f,"x1_sec":$s1%.3f,""" +
-          f""""x$copies%d_cold_sec":$c10%.3f,"x$copies%d_sec":$s10%.3f,"ratio":$r%.2f}"""
+          f""""x$copies%d_cold_sec":$c10%.3f,"x$copies%d_sec":$s10%.3f,"ratio":$r%.2f""" +
+          s"""$floors}"""
       } else
         s""""$name":{"failed":true,"x1_ok":$ok1,"x${copies}_ok":$ok10}"""
     }
