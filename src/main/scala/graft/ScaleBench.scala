@@ -217,6 +217,10 @@ object ScaleBench {
     // shape, attributed) and the compaction-crossing change feed
     // (per-step full-outer key diffs on the mapped reads)
     "q318_persisted_ground_truth", "q319_compaction_change_feed",
+    // the multi-config eval (one exact-arm build + one deepest-probe
+    // candidate pass shared by all configs) and incremental GT
+    // maintenance (delta-term scoring vs the |Q|·|C| rebuild)
+    "q320_multi_probe_eval", "q321_incremental_ground_truth",
     // round-14 coverage sweep: carried event/document/embedding queries
     // whose primary input scales with the 10× blow-up — measured to
     // extend the zero-failure evidence past 220 queries (streaming and

@@ -2072,6 +2072,22 @@ object SparkEntry {
       Similarity.persistedGroundTruthEval(TestData.embeddings(s, dir),
         scratchDir("graft-q318").resolve("gt").toString)
     },
+    // The multi-config eval the persisted ground truth amortizes:
+    // recall / mean-NDCG / MRR at every probe depth, one GT artifact,
+    // one candidate pass; every aggregate is exact-integer sums + one
+    // division (MRR rides the lcm(1..k) integer scale).
+    "q320_multi_probe_eval" -> { (s, dir) =>
+      Similarity.multiProbeEvalFromGroundTruth(TestData.embeddings(s, dir),
+        scratchDir("graft-q320").resolve("gt").toString)
+    },
+    // Incremental ground-truth maintenance: delta-proportional scoring
+    // merged into the stored top-k, published as the next version
+    // carrying the FULL corpus fingerprint; the oracle is the
+    // from-scratch rebuild — hash equality proves maintained = rebuilt.
+    "q321_incremental_ground_truth" -> { (s, dir) =>
+      Similarity.incrementalGroundTruth(TestData.embeddings(s, dir),
+        scratchDir("graft-q321").resolve("gt").toString)
+    },
     // One-pass eval report: AUC, Brier, confusion/P/R/F1, and MCC all
     // derived from ONE (type, cent-score) grain aggregate — the grain
     // is a sufficient statistic, so four scans become one and every
@@ -4091,6 +4107,16 @@ object SparkEntry {
           SELECT version, is_compaction, n_update, pre_cents, post_cents,
                  n_insert, n_delete
           FROM compaction_change_feed ORDER BY version""",
+
+    "q320_multi_probe_eval" ->
+      s"""WITH ${Similarity.multiProbeEvalFromGroundTruthSql()}
+          SELECT nprobe, nq, hits, recall, sum_dcg_e6, mean_ndcg, mrr
+          FROM multi_probe_eval ORDER BY nprobe""",
+
+    "q321_incremental_ground_truth" ->
+      s"""WITH ${Similarity.incrementalGroundTruthSql()}
+          SELECT qid, rank, nid, score
+          FROM brute_topk ORDER BY qid, rank""",
 
     "q314_eval_report" ->
       s"""WITH ${Events.evalReportSql()}

@@ -798,6 +798,43 @@ object Similarity {
        |  LEFT JOIN lsh_topk l ON b.qid = l.qid AND b.nid = l.nid
        |  GROUP BY b.qid)""".stripMargin
 
+  /** The multi-probe candidate frame shared by [[ivfRecallCurve]] and
+    * [[multiProbeEvalFromGroundTruth]]: (qid, nid, cellrank, score)
+    * computed ONCE at the deepest probe level — each shallower level is
+    * a `cellrank <= p` filter, so a curve costs one candidate pass plus
+    * one bounded-heap top-k per depth, never |probes| index probes.
+    * localCheckpoint, not .cache(), for the frames re-read per probe
+    * depth: cache entries are catalog-pinned for the session's
+    * lifetime, checkpoint blocks are GC-released with the result (see
+    * Planning).
+    */
+  private def probeCandidates(embeddings: DataFrame, queryMod: Int,
+      maxP: Int): DataFrame = {
+    val qv = quantized(embeddings).localCheckpoint()
+    val cents = seedCentroids(embeddings, qv)
+    val cellScores = qv.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        cosine(dot(col("q"), col("cq")), col("n2"), col("cn2")).as("score"))
+    val assign = graft.plans.TopK.perKey(cellScores, Seq("vec_id"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("cid")), k = 1, rankName = "rnk")
+      .select(col("vec_id"), col("cid").as("cell"))
+    val qcells = graft.plans.TopK.perKey(
+        cellScores.filter(col("vec_id") % queryMod === 0), Seq("vec_id"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("cid")),
+        k = maxP, rankName = "cellrank")
+      .select(col("vec_id").as("qid"), col("cid").as("cell"), col("cellrank"))
+    val queries = qcells.join(
+      qv.filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("n2a")), Seq("qid"))
+    qv.join(assign, Seq("vec_id"))
+      .select(col("vec_id").as("nid"), col("q").as("qb"), col("n2").as("n2b"), col("cell"))
+      .join(queries, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("cellrank"),
+        cosine(dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("score"))
+      .localCheckpoint()
+  }
+
   /** Recall@k as a FUNCTION of probe depth — the accuracy-vs-cost curve an
     * IVF deployment actually tunes (q54 fixes nprobe=1; q77 evaluates the
     * LSH index): for each query, cells are ranked by centroid cosine, and
@@ -816,33 +853,7 @@ object Similarity {
   def ivfRecallCurve(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10,
       probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     require(probes.nonEmpty && probes.forall(_ >= 1), s"bad probe depths: $probes")
-    val maxP = probes.max
-    // localCheckpoint, not .cache(), for the frames re-read per probe
-    // depth: cache entries are catalog-pinned for the session's lifetime,
-    // checkpoint blocks are GC-released with the result (see Planning)
-    val qv = quantized(embeddings).localCheckpoint()
-    val cents = seedCentroids(embeddings, qv)
-    val cellScores = qv.join(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        cosine(dot(col("q"), col("cq")), col("n2"), col("cn2")).as("score"))
-    val assign = graft.plans.TopK.perKey(cellScores, Seq("vec_id"),
-        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("cid")), k = 1, rankName = "rnk")
-      .select(col("vec_id"), col("cid").as("cell"))
-    val qcells = graft.plans.TopK.perKey(
-        cellScores.filter(col("vec_id") % queryMod === 0), Seq("vec_id"),
-        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("cid")),
-        k = maxP, rankName = "cellrank")
-      .select(col("vec_id").as("qid"), col("cid").as("cell"), col("cellrank"))
-    val queries = qcells.join(
-      qv.filter(col("vec_id") % queryMod === 0)
-        .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("n2a")), Seq("qid"))
-    val cand = qv.join(assign, Seq("vec_id"))
-      .select(col("vec_id").as("nid"), col("q").as("qb"), col("n2").as("n2b"), col("cell"))
-      .join(queries, Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), col("cellrank"),
-        cosine(dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("score"))
-      .localCheckpoint()
+    val cand = probeCandidates(embeddings, queryMod, probes.max)
     val exact = bruteForceTopK(embeddings, k, queryMod).select("qid", "nid")
       .localCheckpoint()
     val nq = exact.agg(countDistinct(col("qid")).as("nq"))
@@ -876,6 +887,16 @@ object Similarity {
          |       FROM rc_cand WHERE cellrank <= $p) t WHERE rnk <= $k) l
          |    ON b.qid = l.qid AND b.nid = l.nid""".stripMargin
     }.mkString("\nUNION ALL\n")
+    s"""${rcCandSql(k, queryMod, maxP)},
+       |ivf_recall_curve AS (
+       |$perProbe)""".stripMargin
+  }
+
+  /** The multi-probe candidate + exact-baseline CTE chain shared by
+    * [[ivfRecallCurveSql]] and [[multiProbeEvalFromGroundTruthSql]]:
+    * defines `rc_cand` (qid, nid, cellrank, score) and `brute_topk`.
+    */
+  private def rcCandSql(k: Int, queryMod: Int, maxP: Int): String =
     s"""$ivfAssignSql,
        |rc_q AS (
        |  SELECT vec_id, cid, cellrank FROM (
@@ -893,10 +914,7 @@ object Similarity {
        |  JOIN ivf_assign d ON d.cell = q.cid
        |  JOIN qn da ON da.vec_id = d.vec_id
        |  WHERE d.vec_id <> q.vec_id),
-       |${bruteCoreSql(k, queryMod)},
-       |ivf_recall_curve AS (
-       |$perProbe)""".stripMargin
-  }
+       |${bruteCoreSql(k, queryMod)}""".stripMargin
 
   /** Matryoshka/truncation rank audit: if embeddings were stored at only
     * their first `dims` dimensions (4× − 8× cheaper storage and dot
@@ -1663,14 +1681,24 @@ object Similarity {
     }
     if (fresh) (cur.get, false)
     else {
-      import spark.implicits._
       val next = cur.getOrElse(0L) + 1L
-      Seq((fpx, fpn, k, queryMod)).toDF("fp_xor", "fp_n", "k", "query_mod")
-        .coalesce(1).write.mode("overwrite").parquet(s"$gtDir/meta/v$next")
-      ManifestTable.publish(bruteForceTopK(embeddings, k, queryMod),
-        gtDir, next)
+      publishGroundTruth(bruteForceTopK(embeddings, k, queryMod),
+        gtDir, next, (fpx, fpn), k, queryMod)
       (next, true)
     }
+  }
+
+  /** Land a ground-truth snapshot + its fingerprint meta as `version`.
+    * Meta lands BEFORE the pointer swap (inside [[ManifestTable.publish]])
+    * so a reader that resolves the version always finds its fingerprint.
+    */
+  private def publishGroundTruth(gt: DataFrame, gtDir: String,
+      version: Long, fp: (Long, Long), k: Int, queryMod: Int): Unit = {
+    val spark = gt.sparkSession
+    import spark.implicits._
+    Seq((fp._1, fp._2, k, queryMod)).toDF("fp_xor", "fp_n", "k", "query_mod")
+      .coalesce(1).write.mode("overwrite").parquet(s"$gtDir/meta/v$version")
+    ManifestTable.publish(gt, gtDir, version)
   }
 
   /** q318 — the q310 NDCG/MRR eval RE-ROOTED on the persisted ground
@@ -1709,6 +1737,221 @@ object Similarity {
        |  SELECT qid, hits, mrr, dcg_e6, ndcg,
        |         CAST(1 AS BIGINT) AS gt_version
        |  FROM retrieval_eval)""".stripMargin
+
+  /** lcm(1..k): the exact-integer MRR scale — `scale / first_hit` is an
+    * exact integer for every first_hit in 1..k, so a SUM of reciprocal
+    * ranks becomes a sum of exact integers (order-independent,
+    * map-side-combinable) followed by ONE division, instead of an
+    * order-dependent sum of doubles. Inlined as a literal on both
+    * engines, like the NDCG discounts.
+    */
+  private def mrrScale(k: Int): Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+  }
+
+  /** q320 — the MULTI-CONFIG retrieval eval a persisted ground truth
+    * exists FOR: recall@k, mean NDCG@k, and MRR at every probe depth in
+    * `probes`, ALL graded against ONE [[ensureGroundTruth]] artifact.
+    * This is the amortization q318 promises, made measurable: the
+    * |queries|×|corpus| exact pass is paid once (or zero times, when
+    * the artifact is already fresh — required here via the double
+    * ensure), while each additional config costs only its index-shaped
+    * candidate pass — at 100 TB an eval harness grades every index
+    * configuration it tunes against the same corpus-version artifact.
+    *
+    * Numerics (the q310 discipline, extended to aggregate metrics):
+    * per-probe hits and DCG sums are exact integers; mean NDCG is ONE
+    * division (Σdcg_e6 / (nq·idcg)); and mean reciprocal rank uses the
+    * lcm(1..k) integer scale — Σ(scale/first_hit) is exact, so MRR is
+    * also one division. No aggregate ever sums doubles.
+    *
+    * Scale: the candidate frame is computed once at the deepest probe
+    * (the q155 shape) and each config is a filter + bounded-heap top-k;
+    * the eval joins |probes|·|queries|·k rows against the loaded
+    * artifact — independent of corpus size.
+    */
+  def multiProbeEvalFromGroundTruth(embeddings: DataFrame, gtDir: String,
+      k: Int = 5, queryMod: Int = 10,
+      probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1) &&
+      probes.distinct == probes, s"bad probe depths: $probes")
+    val spark = embeddings.sparkSession
+    val (v, _) = ensureGroundTruth(embeddings, gtDir, k, queryMod)
+    val (v2, rebuilt) = ensureGroundTruth(embeddings, gtDir, k, queryMod)
+    require(v2 == v && !rebuilt,
+      s"fresh ground truth must be reused across configs: v$v -> v$v2")
+    val rel = ManifestTable.readVersion(spark, gtDir, v)
+      .select(col("qid"), col("nid"),
+        (lit(k.toLong) + 1L - col("rank")).cast("long").as("rel"))
+      .localCheckpoint()
+    val spine = rel.select("qid").distinct().localCheckpoint()
+    val cand = probeCandidates(embeddings, queryMod, probes.max)
+    val disc = rankingDiscounts(k)
+    val idcg = rankingIdcg(k)
+    val scale = mrrScale(k)
+    val discCol = disc.tail.foldLeft(
+        when(col("rank") === 1, lit(disc.head._2))) {
+      case (acc, (i, d)) => acc.when(col("rank") === i, lit(d))
+    }.otherwise(lit(0L))
+    probes.map { p =>
+      val topk = graft.plans.TopK.perKey(cand.filter(col("cellrank") <= p),
+          Seq("qid"),
+          Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("nid")), k)
+        .select("qid", "rank", "nid")
+      val scored = topk.join(rel, Seq("qid", "nid"), "left")
+        .select(col("qid"), col("rank"),
+          coalesce(col("rel"), lit(0L)).as("rel"), discCol.as("disc"))
+      val perQ = scored.groupBy("qid").agg(
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("hits"),
+        min(when(col("rel") > 0, col("rank"))).as("fh"),
+        sum(col("rel") * col("disc")).as("dcg"))
+      spine.join(perQ, Seq("qid"), "left")
+        .agg(count(lit(1)).as("nq"),
+          sum(coalesce(col("hits"), lit(0L))).as("hits"),
+          sum(coalesce(col("dcg"), lit(0L))).as("sum_dcg_e6"),
+          sum(when(col("fh").isNotNull,
+            call_function("div", lit(scale), col("fh").cast("long")))
+            .otherwise(lit(0L))).as("mrr_num"))
+        .select(lit(p).as("nprobe"), col("nq"), col("hits"),
+          (col("hits").cast("double")
+            / (col("nq") * lit(k.toLong)).cast("double")).as("recall"),
+          col("sum_dcg_e6"),
+          (col("sum_dcg_e6").cast("double")
+            / (col("nq") * lit(idcg)).cast("double")).as("mean_ndcg"),
+          (col("mrr_num").cast("double")
+            / (col("nq") * lit(scale)).cast("double")).as("mrr"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
+  /** DuckDB twin of [[multiProbeEvalFromGroundTruth]] — the q155
+    * candidate chain graded against the from-scratch exact baseline
+    * with the identical inlined discount/scale literals. Embed after
+    * `WITH ` and select from `multi_probe_eval`.
+    */
+  def multiProbeEvalFromGroundTruthSql(k: Int = 5, queryMod: Int = 10,
+      probes: Seq[Int] = Seq(1, 2, 4)): String = {
+    val discCase = rankingDiscounts(k)
+      .map { case (i, d) => s"WHEN $i THEN $d" }.mkString(" ")
+    val idcg = rankingIdcg(k)
+    val scale = mrrScale(k)
+    val per = probes.map { p =>
+      s"""mpe_t$p AS (
+         |  SELECT qid, nid, rank FROM (
+         |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+         |             ORDER BY score DESC, nid) AS rank
+         |    FROM rc_cand WHERE cellrank <= $p) t
+         |  WHERE rank <= $k),
+         |mpe_s$p AS (
+         |  SELECT t.qid, t.rank, COALESCE(r.rel, 0) AS rel,
+         |         CASE t.rank $discCase ELSE 0 END AS disc
+         |  FROM mpe_t$p t LEFT JOIN mpe_rel r
+         |    ON t.qid = r.qid AND t.nid = r.nid),
+         |mpe_a$p AS (
+         |  SELECT qid,
+         |         SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+         |         MIN(CASE WHEN rel > 0 THEN rank END) AS fh,
+         |         SUM(rel * disc) AS dcg
+         |  FROM mpe_s$p GROUP BY qid),
+         |mpe_r$p AS (
+         |  SELECT $p AS nprobe, COUNT(*) AS nq,
+         |         SUM(COALESCE(a.hits, 0)) AS hits,
+         |         SUM(COALESCE(a.dcg, 0)) AS sum_dcg_e6,
+         |         SUM(CASE WHEN a.fh IS NULL THEN 0
+         |                  ELSE $scale // a.fh END) AS mrr_num
+         |  FROM (SELECT DISTINCT qid FROM brute_topk) q
+         |  LEFT JOIN mpe_a$p a USING (qid))""".stripMargin
+    }.mkString(",\n")
+    val union = probes.map(p => s"  SELECT * FROM mpe_r$p")
+      .mkString("\n  UNION ALL\n")
+    s"""${rcCandSql(k, queryMod, probes.max)},
+       |mpe_rel AS (
+       |  SELECT qid, nid, CAST($k + 1 - rank AS BIGINT) AS rel
+       |  FROM brute_topk),
+       |$per,
+       |multi_probe_eval AS (
+       |  SELECT CAST(nprobe AS INT) AS nprobe, CAST(nq AS BIGINT) AS nq,
+       |         CAST(hits AS BIGINT) AS hits,
+       |         CAST(hits AS DOUBLE) / CAST(nq * $k AS DOUBLE) AS recall,
+       |         CAST(sum_dcg_e6 AS BIGINT) AS sum_dcg_e6,
+       |         CAST(sum_dcg_e6 AS DOUBLE) / CAST(nq * $idcg AS DOUBLE)
+       |           AS mean_ndcg,
+       |         CAST(mrr_num AS DOUBLE) / CAST(nq * $scale AS DOUBLE) AS mrr
+       |  FROM (
+       |$union))""".stripMargin
+  }
+
+  /** q321 — INCREMENTAL maintenance of the persisted ground truth (the
+    * q243 frozen-index discipline applied to the exact baseline): a
+    * delta batch of NEW vectors updates the artifact with
+    * delta-proportional scoring instead of the full |queries|×|corpus|
+    * rebuild. Correctness rests on a set identity: an appended vector
+    * can only ENTER a top-k, never change an existing candidate's
+    * score, so new-top-k(C∪D) ⊆ old-top-k(C) ∪ D — merging the stored
+    * top-k with (existing queries × delta candidates) plus (delta
+    * queries × full corpus) and re-taking k is EXACT. The maintained
+    * snapshot is published as the next version carrying the FULL
+    * corpus's fingerprint, and the operator requires a subsequent
+    * [[ensureGroundTruth]] over the full corpus to detect it fresh —
+    * maintenance and content-addressing compose. The oracle is the
+    * from-scratch brute force over the full corpus: hash equality IS
+    * the maintained ≡ rebuilt proof.
+    *
+    * Scale: scoring work is |queries|·|delta| + |delta queries|·|corpus|
+    * + one linear fingerprint scan — against |queries|·|corpus| for the
+    * rebuild; on an append-only 100 TB corpus the delta term is the
+    * one that stays small.
+    */
+  def incrementalGroundTruth(embeddings: DataFrame, gtDir: String,
+      k: Int = 5, queryMod: Int = 10, deltaMod: Long = 7L): DataFrame = {
+    require(deltaMod >= 2, s"deltaMod must leave a non-empty base: $deltaMod")
+    val spark = embeddings.sparkSession
+    val base = embeddings.filter(col("vec_id") % deltaMod =!= 1L)
+    val (v1, _) = ensureGroundTruth(base, gtDir, k, queryMod)
+    val old = ManifestTable.readVersion(spark, gtDir, v1)
+      .select("qid", "nid", "score")
+    val qv = quantized(embeddings).localCheckpoint()
+    val dq = qv.filter(col("vec_id") % deltaMod === 1L)
+    // existing queries × delta candidates — the delta-sized term
+    val exQueries = qv.filter(col("vec_id") % queryMod === 0 &&
+        col("vec_id") % deltaMod =!= 1L)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("n2a"))
+    val exDelta = dq
+      .select(col("vec_id").as("nid"), col("q").as("qb"), col("n2").as("n2b"))
+      .join(broadcast(exQueries), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine(dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("score"))
+    // delta queries × full corpus — new queries pay their full pass once
+    val newQueries = dq.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("n2").as("n2a"))
+    val newQCand = qv
+      .select(col("vec_id").as("nid"), col("q").as("qb"), col("n2").as("n2b"))
+      .join(broadcast(newQueries), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        cosine(dot(col("qa"), col("qb")), col("n2a"), col("n2b")).as("score"))
+    val merged = graft.plans.TopK.perKey(
+        old.unionByName(exDelta).unionByName(newQCand), Seq("qid"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("nid")), k)
+      .select("qid", "rank", "nid", "score")
+    val next = v1 + 1L
+    publishGroundTruth(merged, gtDir, next,
+      corpusFingerprint(embeddings), k, queryMod)
+    // the content-address certificate: the maintained artifact IS the
+    // full corpus's ground truth — a fresh ensure must reuse it
+    val (v2, rebuilt) = ensureGroundTruth(embeddings, gtDir, k, queryMod)
+    require(v2 == next && !rebuilt,
+      s"maintained ground truth must address the full corpus: v$v2")
+    ManifestTable.readVersion(spark, gtDir, next)
+      .select("qid", "rank", "nid", "score").orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin of [[incrementalGroundTruth]] — the from-scratch
+    * brute force over the FULL corpus (the rebuild the maintenance must
+    * be indistinguishable from). Embed after `WITH ` and select from
+    * `brute_topk`.
+    */
+  def incrementalGroundTruthSql(k: Int = 5, queryMod: Int = 10): String =
+    bruteForceTopKSql(k, queryMod)
 
   /** q317 — HYBRID RETRIEVAL with RECIPROCAL RANK FUSION: the lexical
     * arm (distinct-token Jaccard through a postings join — sparse,

@@ -467,4 +467,59 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("qid").collect().toSeq
     assert(fromArtifact == fromScratch)
   }
+
+  test("q320: per-config metrics are bounded, monotone in probe depth, and hit-consistent with q155") {
+    val emb = graft.sources.TestData.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("gt320").toString
+    val got = Similarity.multiProbeEvalFromGroundTruth(emb, dir)
+      .collect().sortBy(_.getInt(0))
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 4))
+    // one query spine for every config
+    assert(got.map(_.getLong(1)).distinct.length == 1)
+    got.foreach { r =>
+      val (recall, ndcg, mrr) =
+        (r.getDouble(3), r.getDouble(5), r.getDouble(6))
+      assert(recall >= 0.0 && recall <= 1.0, s"recall: $r")
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"mean_ndcg: $r")
+      assert(mrr >= 0.0 && mrr <= 1.0, s"mrr: $r")
+    }
+    // a candidate entering at a deeper probe can only displace a
+    // LOWER-cosine item, and the exact top-k is ranked by the same
+    // cosine — so every metric is non-decreasing in probe depth
+    Seq(2, 3, 5, 6).foreach { i =>
+      val vals = got.map(r => r.get(i).toString.toDouble)
+      assert(vals.zip(vals.tail).forall { case (a, b) => a <= b },
+        s"column $i must be monotone in nprobe: ${vals.toSeq}")
+    }
+    // hits agree with the standalone q155 recall curve, config for config
+    val curve = Similarity.ivfRecallCurve(emb)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(curve(r.getInt(0)) == r.getLong(2),
+      s"hits must match the q155 curve at nprobe ${r.getInt(0)}"))
+  }
+
+  test("q321: maintained ground truth equals the rebuild; both delta paths fire; versions line up") {
+    val emb = graft.sources.TestData.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("gt321").toString
+    val maintained = Similarity.incrementalGroundTruth(emb, dir)
+      .collect().toSeq
+    val rebuilt = Similarity.bruteForceTopK(emb)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(maintained == rebuilt,
+      "delta maintenance must be indistinguishable from the full rebuild")
+    // both maintenance paths genuinely fired at this sf: some existing
+    // query gained a delta neighbour, and some query IS a delta vector
+    assert(maintained.exists(r =>
+      r.getLong(2) % 7L == 1L && r.getLong(0) % 7L != 1L),
+      "a delta candidate must enter an existing query's top-k")
+    assert(maintained.exists(_.getLong(0) % 7L == 1L),
+      "a delta query must be served from its one full pass")
+    // version lineage: v1 = base GT, v2 = maintained full GT, and the
+    // content address resolves to the maintained version
+    assert(graft.operators.ManifestTable.currentVersion(spark, dir)
+      .contains(2L))
+    val (v, rebuilt2) = Similarity.ensureGroundTruth(emb, dir)
+    assert(v == 2L && !rebuilt2,
+      "the maintained artifact must be fresh for the full corpus")
+  }
 }
