@@ -221,6 +221,9 @@ object ScaleBench {
     // candidate pass shared by all configs) and incremental GT
     // maintenance (delta-term scoring vs the |Q|·|C| rebuild)
     "q320_multi_probe_eval", "q321_incremental_ground_truth",
+    // filtered search: three strategies sharing ONE cell-probe pass,
+    // plus the exact filtered baseline arm
+    "q322_filtered_ann",
     // round-14 coverage sweep: carried event/document/embedding queries
     // whose primary input scales with the 10× blow-up — measured to
     // extend the zero-failure evidence past 220 queries (streaming and

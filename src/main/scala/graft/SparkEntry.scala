@@ -2088,6 +2088,13 @@ object SparkEntry {
       Similarity.incrementalGroundTruth(TestData.embeddings(s, dir),
         scratchDir("graft-q321").resolve("gt").toString)
     },
+    // Filtered vector search, three serve strategies against the exact
+    // filtered baseline: black-box post-filter (underfills), over-fetch
+    // (recovers fill), filter-aware (the probe-budget upper bound) —
+    // hits provably monotone across the three; one shared probe pass.
+    "q322_filtered_ann" -> { (s, dir) =>
+      Similarity.filteredAnnAudit(TestData.embeddings(s, dir))
+    },
     // One-pass eval report: AUC, Brier, confusion/P/R/F1, and MCC all
     // derived from ONE (type, cent-score) grain aggregate — the grain
     // is a sufficient statistic, so four scans become one and every
@@ -4117,6 +4124,11 @@ object SparkEntry {
       s"""WITH ${Similarity.incrementalGroundTruthSql()}
           SELECT qid, rank, nid, score
           FROM brute_topk ORDER BY qid, rank""",
+
+    "q322_filtered_ann" ->
+      s"""WITH ${Similarity.filteredAnnAuditSql()}
+          SELECT variant, nq, n_served, underfilled, hits, recall
+          FROM filtered_ann_audit ORDER BY variant""",
 
     "q314_eval_report" ->
       s"""WITH ${Events.evalReportSql()}

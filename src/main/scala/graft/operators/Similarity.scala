@@ -1953,6 +1953,166 @@ object Similarity {
   def incrementalGroundTruthSql(k: Int = 5, queryMod: Int = 10): String =
     bruteForceTopKSql(k, queryMod)
 
+  /** q322 — FILTERED VECTOR SEARCH, the hard production ANN problem
+    * (metadata predicate + top-k — every vector store's "filtered
+    * search" page): ONE corpus-wide IVF index serves queries whose
+    * candidates must satisfy `label % labelMod == 0`, compared three
+    * ways against the exact filtered baseline:
+    *
+    *  - `a_post_filter`: top-k by score FIRST, filter after — the
+    *    black-box-ANN-API shape; loses every slot a non-matching
+    *    candidate occupied (underfill) and is the canonical failure;
+    *  - `b_over_fetch`: fetch k·overFetch, filter, re-take k — the
+    *    mitigation most stores ship; recovers fill as long as the
+    *    predicate's selectivity beats 1/overFetch on the cell;
+    *  - `c_filter_aware`: filter the probed cell's candidates BEFORE
+    *    the top-k — the filter-aware serving path (Qdrant/Vespa style)
+    *    and the upper bound for this probe budget.
+    *
+    * served(a) ⊆ served(b) ⊆ candidates(c) by construction, so hits
+    * are provably monotone a ≤ b ≤ c (spec-pinned). Recall is graded
+    * against the exact filtered top-k; every aggregate is exact-integer
+    * sums + one division (the q320 discipline).
+    *
+    * Scale: the exact arm is |queries|×|filtered corpus| (the baseline
+    * an audit pays once — persist it via [[ensureGroundTruth]] on the
+    * filtered corpus in a deployment); all three served arms share ONE
+    * cell-candidate pass over the index, so auditing the three
+    * strategies costs one probe, not three.
+    */
+  def filteredAnnAudit(embeddings: DataFrame, k: Int = 5, queryMod: Int = 10,
+      labelMod: Int = 3, overFetch: Int = 4): DataFrame = {
+    require(labelMod >= 1 && overFetch >= 1)
+    val pred = col("label") % labelMod === 0
+    val qv = quantized(embeddings)
+      .join(ivfAssign(embeddings).select("vec_id", "cell"), Seq("vec_id"))
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .localCheckpoint()
+    val queries = qv.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qa"),
+        col("n2").as("n2a"), col("cell"))
+    val spine = queries.select("qid").localCheckpoint()
+    val exact = graft.plans.TopK.perKey(
+        qv.filter(pred)
+          .select(col("vec_id").as("nid"), col("q").as("qb"),
+            col("n2").as("n2b"))
+          .join(broadcast(queries.drop("cell")), col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            cosine(dot(col("qa"), col("qb")), col("n2a"), col("n2b"))
+              .as("score")),
+        Seq("qid"),
+        Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("nid")), k)
+      .select(col("qid"), col("nid"), lit(1).as("hit")).localCheckpoint()
+    val cellCand = qv
+      .select(col("vec_id").as("nid"), col("q").as("qb"),
+        col("n2").as("n2b"), col("cell"), col("label"))
+      .join(queries, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("label"),
+        cosine(dot(col("qa"), col("qb")), col("n2a"), col("n2b"))
+          .as("score"))
+      .localCheckpoint()
+    val ord = Seq(graft.plans.TopK.desc("score"), graft.plans.TopK.asc("nid"))
+    val aServed = graft.plans.TopK.perKey(cellCand, Seq("qid"), ord, k)
+      .filter(pred)
+    val bServed = graft.plans.TopK.perKey(
+      graft.plans.TopK.perKey(cellCand, Seq("qid"), ord, k * overFetch)
+        .filter(pred).drop("rank"),
+      Seq("qid"), ord, k)
+    val cServed = graft.plans.TopK.perKey(cellCand.filter(pred),
+      Seq("qid"), ord, k)
+    def grade(name: String, served: DataFrame): DataFrame = {
+      val perQ = served.select("qid", "nid")
+        .join(exact, Seq("qid", "nid"), "left")
+        .groupBy("qid").agg(count(lit(1)).as("n_served"),
+          count(col("hit")).as("q_hits"))
+      spine.join(perQ, Seq("qid"), "left")
+        .agg(count(lit(1)).as("nq"),
+          sum(coalesce(col("n_served"), lit(0L))).as("n_served"),
+          sum(when(coalesce(col("n_served"), lit(0L)) < k, 1L)
+            .otherwise(0L)).as("underfilled"),
+          sum(coalesce(col("q_hits"), lit(0L))).as("hits"))
+        .select(lit(name).as("variant"), col("nq"), col("n_served"),
+          col("underfilled"), col("hits"),
+          (col("hits").cast("double")
+            / (col("nq") * lit(k.toLong)).cast("double")).as("recall"))
+    }
+    grade("a_post_filter", aServed)
+      .unionByName(grade("b_over_fetch", bServed))
+      .unionByName(grade("c_filter_aware", cServed))
+      .orderBy("variant")
+  }
+
+  /** DuckDB twin of [[filteredAnnAudit]] — the q54 cell chain with the
+    * label joined on, the three serve strategies as windowed
+    * subqueries, graded against the exact filtered baseline. Embed
+    * after `WITH ` and select from `filtered_ann_audit`.
+    */
+  def filteredAnnAuditSql(k: Int = 5, queryMod: Int = 10,
+      labelMod: Int = 3, overFetch: Int = 4): String = {
+    def topK(src: String, limit: String): String =
+      s"""SELECT qid, nid, label, score FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY score DESC, nid) AS rnk
+         |  FROM $src) t WHERE rnk <= $limit""".stripMargin
+    def grade(name: String, servedCte: String): String =
+      s"""SELECT '$name' AS variant,
+         |       CAST(COUNT(*) AS BIGINT) AS nq,
+         |       CAST(COALESCE(SUM(p.n_served), 0) AS BIGINT) AS n_served,
+         |       CAST(COALESCE(SUM(CASE WHEN COALESCE(p.n_served, 0) < $k
+         |                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |         AS underfilled,
+         |       CAST(COALESCE(SUM(p.q_hits), 0) AS BIGINT) AS hits,
+         |       CAST(COALESCE(SUM(p.q_hits), 0) AS DOUBLE)
+         |         / CAST(COUNT(*) * $k AS DOUBLE) AS recall
+         |FROM faa_spine s LEFT JOIN (
+         |  SELECT v.qid, COUNT(*) AS n_served, COUNT(e.hit) AS q_hits
+         |  FROM $servedCte v LEFT JOIN faa_exact e
+         |    ON v.qid = e.qid AND v.nid = e.nid
+         |  GROUP BY v.qid) p ON p.qid = s.qid""".stripMargin
+    s"""$ivfAssignSql,
+       |faa_qc AS (
+       |  SELECT qn.*, a.cell, e.label
+       |  FROM qn JOIN ivf_assign a USING (vec_id)
+       |  JOIN embeddings e USING (vec_id)),
+       |faa_spine AS (
+       |  SELECT vec_id AS qid FROM faa_qc WHERE vec_id % $queryMod = 0),
+       |faa_exact AS (
+       |  SELECT qid, nid, 1 AS hit FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |             list_dot_product(a.q, b.q)
+       |               / (sqrt(CAST(a.n2 AS DOUBLE))
+       |                  * sqrt(CAST(b.n2 AS DOUBLE))) DESC, b.vec_id)
+       |             AS rnk
+       |    FROM faa_qc a JOIN faa_qc b
+       |      ON a.vec_id % $queryMod = 0 AND a.vec_id <> b.vec_id
+       |     AND b.label % $labelMod = 0) t
+       |  WHERE rnk <= $k),
+       |faa_cand AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid, b.label,
+       |         list_dot_product(a.q, b.q)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE))
+       |              * sqrt(CAST(b.n2 AS DOUBLE))) AS score
+       |  FROM faa_qc a JOIN faa_qc b ON a.cell = b.cell
+       |   AND a.vec_id % $queryMod = 0 AND a.vec_id <> b.vec_id),
+       |faa_a AS (
+       |  SELECT * FROM (${topK("faa_cand", s"$k")})
+       |  WHERE label % $labelMod = 0),
+       |faa_b AS (${topK(
+          s"(SELECT * FROM (${topK("faa_cand", s"$k * $overFetch")})" +
+            s" WHERE label % $labelMod = 0)", s"$k")}),
+       |faa_c AS (${topK(
+          s"(SELECT * FROM faa_cand WHERE label % $labelMod = 0)",
+          s"$k")}),
+       |filtered_ann_audit AS (
+       |${grade("a_post_filter", "faa_a")}
+       |UNION ALL
+       |${grade("b_over_fetch", "faa_b")}
+       |UNION ALL
+       |${grade("c_filter_aware", "faa_c")})""".stripMargin
+  }
+
   /** q317 — HYBRID RETRIEVAL with RECIPROCAL RANK FUSION: the lexical
     * arm (distinct-token Jaccard through a postings join — sparse,
     * index-shaped: only co-occurring (query, doc) pairs are ever

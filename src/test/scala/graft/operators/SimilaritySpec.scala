@@ -522,4 +522,30 @@ class SimilaritySpec extends SparkSpec {
     assert(v == 2L && !rebuilt2,
       "the maintained artifact must be fresh for the full corpus")
   }
+
+  test("q322: post-filter underfills, over-fetch recovers, filter-aware bounds — monotone by construction") {
+    val emb = graft.sources.TestData.embeddings(spark, sf)
+    val got = Similarity.filteredAnnAudit(emb).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (a, b, c) =
+      (got("a_post_filter"), got("b_over_fetch"), got("c_filter_aware"))
+    // one query spine everywhere
+    assert(Seq(a, b, c).map(_.getLong(1)).distinct.length == 1)
+    // served(a) ⊆ served(b) ⊆ candidates(c): hits and fill are monotone
+    assert(a.getLong(4) <= b.getLong(4) && b.getLong(4) <= c.getLong(4),
+      s"hits must be monotone: $a $b $c")
+    assert(a.getLong(2) <= b.getLong(2) && b.getLong(2) <= c.getLong(2),
+      s"fill must be monotone: $a $b $c")
+    assert(a.getLong(3) >= b.getLong(3) && b.getLong(3) >= c.getLong(3),
+      s"underfill must be anti-monotone: $a $b $c")
+    // the production story is visible at this sf: the black-box
+    // post-filter (40% selectivity) genuinely loses slots that the
+    // filter-aware path serves
+    assert(a.getLong(2) < c.getLong(2),
+      s"post-filter must measurably underfill vs filter-aware: $a $c")
+    Seq(a, b, c).foreach { r =>
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1) * 5, "fill is capped at nq*k")
+    }
+  }
 }
