@@ -224,6 +224,9 @@ object ScaleBench {
     // filtered search: three strategies sharing ONE cell-probe pass,
     // plus the exact filtered baseline arm
     "q322_filtered_ann",
+    // duplicated spans: linear shingling + one shingle-grain df shuffle +
+    // per-doc island windows over duplicated offsets only
+    "q323_duplicated_spans",
     // round-14 coverage sweep: carried event/document/embedding queries
     // whose primary input scales with the 10× blow-up — measured to
     // extend the zero-failure evidence past 220 queries (streaming and

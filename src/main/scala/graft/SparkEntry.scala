@@ -2095,6 +2095,13 @@ object SparkEntry {
     "q322_filtered_ann" -> { (s, dir) =>
       Similarity.filteredAnnAudit(TestData.embeddings(s, dir))
     },
+    // Exact-substring dedup metric (Lee et al. 2022) at the token
+    // grain: per document, the fraction of tokens covered by n-grams
+    // shared with OTHER documents — cross-doc df test at the shingle
+    // grain (no self-join), interval union via gaps-and-islands.
+    "q323_duplicated_spans" -> { (s, dir) =>
+      TextAnalysis.duplicatedSpanAudit(TestData.documents(s, dir))
+    },
     // One-pass eval report: AUC, Brier, confusion/P/R/F1, and MCC all
     // derived from ONE (type, cent-score) grain aggregate — the grain
     // is a sufficient statistic, so four scans become one and every
@@ -4129,6 +4136,11 @@ object SparkEntry {
       s"""WITH ${Similarity.filteredAnnAuditSql()}
           SELECT variant, nq, n_served, underfilled, hits, recall
           FROM filtered_ann_audit ORDER BY variant""",
+
+    "q323_duplicated_spans" ->
+      s"""WITH ${TextAnalysis.duplicatedSpanAuditSql()}
+          SELECT doc_id, n_tokens, dup_tokens, dup_fraction
+          FROM duplicated_span_audit ORDER BY doc_id""",
 
     "q314_eval_report" ->
       s"""WITH ${Events.evalReportSql()}

@@ -1695,4 +1695,114 @@ object TextAnalysis {
        |         CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE)
        |           / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
        |  FROM cd_chunks GROUP BY 1)""".stripMargin
+
+  /** q323 — DUPLICATED-SPAN AUDIT, the exact-substring dedup metric of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", the NearDup/ExactSubstr protocol) at the token
+    * grain: for every document, the fraction of its tokens covered by
+    * an n-gram that also appears in at least one OTHER document. The
+    * q40/q41 family says whether two DOCUMENTS are near-dups; this says
+    * how much of EACH document is boilerplate shared across the corpus
+    * — the per-document signal a curation pipeline thresholds on (a doc
+    * that is 80% cross-doc spans is template residue even when no
+    * single partner document is a near-dup).
+    *
+    * Mechanics: positional shingles (one per token offset), cross-doc
+    * duplication = COUNT(DISTINCT doc_id) ≥ 2 per shingle (a phrase
+    * repeated only WITHIN one document does not count), each duplicated
+    * offset covers the interval [pos, pos+n−1], and covered tokens =
+    * the length of the interval UNION — computed by the q158
+    * gaps-and-islands trick (running max-end per doc splits overlapping
+    * intervals into maximal islands; Σ island lengths is exact, never
+    * double-counting overlaps). All integers; one division per doc.
+    *
+    * Scale: shingling is linear in tokens; the duplication test is one
+    * shuffle at the shingle grain (no self-join — unlike q41 there is
+    * no pair blowup to cap, since the audit needs only the df bit, not
+    * the partners); the island windows run per-document over duplicated
+    * offsets only.
+    */
+  def duplicatedSpanAudit(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"span length must be positive: $n")
+    val ts = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+    val spine = ts.select(col("doc_id"),
+      size(col("ts")).cast("long").as("n_tokens"))
+    val sh = ts.filter(size(col("ts")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("ts")) - n),
+          i => array_join(slice(col("ts"), i + 1, lit(n)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("start"),
+        col("col").as("sh"))
+    val crossDoc = sh.groupBy("sh")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= 2).select("sh")
+    val dup = sh.join(crossDoc, Seq("sh"))
+      .select(col("doc_id"), col("start"),
+        (col("start") + lit((n - 1).toLong)).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy("start")
+    val prevMax = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = dup
+      .withColumn("new_island",
+        when(prevMax.isNull || col("start") > prevMax, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg((max(col("e")) - min(col("start")) + 1L).as("len"))
+      .groupBy("doc_id").agg(sum("len").as("dup_tokens"))
+    spine.join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double")).as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[duplicatedSpanAudit]] — the same positional
+    * shingles, cross-doc df test, and island union. Embed after `WITH `
+    * and select from `duplicated_span_audit`.
+    */
+  def duplicatedSpanAuditSql(n: Int = 3): String =
+    s"""dsa_toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |dsa_spine AS (
+       |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM dsa_toks),
+       |dsa_sh AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+       |         array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + ${n - 1}], ' ')
+       |           AS sh
+       |  FROM (SELECT doc_id, ts,
+       |               unnest(generate_series(1, len(ts) - ${n - 1})) AS i
+       |        FROM dsa_toks) t),
+       |dsa_cross AS (
+       |  SELECT sh FROM dsa_sh GROUP BY sh
+       |  HAVING COUNT(DISTINCT doc_id) >= 2),
+       |dsa_dup AS (
+       |  SELECT s.doc_id, s.start, s.start + ${n - 1} AS e
+       |  FROM dsa_sh s JOIN dsa_cross USING (sh)),
+       |dsa_isl AS (
+       |  SELECT doc_id, start, e,
+       |         CASE WHEN start > COALESCE(MAX(e) OVER (
+       |                PARTITION BY doc_id ORDER BY start
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |                -1)
+       |              THEN 1 ELSE 0 END AS new_island
+       |  FROM dsa_dup),
+       |dsa_isl2 AS (
+       |  SELECT doc_id, start, e,
+       |         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start
+       |           ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM dsa_isl),
+       |dsa_per AS (
+       |  SELECT doc_id, island, MAX(e) - MIN(start) + 1 AS len
+       |  FROM dsa_isl2 GROUP BY 1, 2),
+       |dsa_doc AS (
+       |  SELECT doc_id, SUM(len) AS dup_tokens FROM dsa_per GROUP BY 1),
+       |duplicated_span_audit AS (
+       |  SELECT sp.doc_id, sp.n_tokens,
+       |         CAST(COALESCE(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |         CAST(COALESCE(d.dup_tokens, 0) AS DOUBLE)
+       |           / CAST(sp.n_tokens AS DOUBLE) AS dup_fraction
+       |  FROM dsa_spine sp LEFT JOIN dsa_doc d USING (doc_id))""".stripMargin
 }

@@ -323,4 +323,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(t("d_decontam") == 1L && t("e_quota") == 1L,
       s"short bench doc must not contaminate anything: $t")
   }
+
+  test("q323: cross-doc spans merge into islands; within-doc repeats and short docs score zero") {
+    val docs = Seq(
+      (0L, "t0 t1 t2 t3 t4 t5"),  // two overlapping cross-doc spans
+      (1L, "t0 t1 t2 x1 x2 x3"),  // shares [t0 t1 t2] with d0
+      (2L, "t2 t3 t4 y1 y2 y3"),  // shares [t2 t3 t4] with d0
+      (3L, "w w w w w w w w"),    // repeats only WITHIN itself
+      (4L, "z1 z2 z3 z4"),        // unique
+      (5L, "s1 s2"))              // shorter than the span length
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedSpanAudit(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // d0's duplicated intervals [0,2] (from d1) and [2,4] (from d2)
+    // OVERLAP — the island union counts 5 tokens, never 6
+    assert(got == Map(
+      0L -> ((6L, 5L)), 1L -> ((6L, 3L)), 2L -> ((6L, 3L)),
+      3L -> ((8L, 0L)), 4L -> ((4L, 0L)), 5L -> ((2L, 0L))), s"$got")
+  }
+
+  test("q323: testdata fractions are bounded and dup_tokens never exceeds n_tokens") {
+    val got = TextAnalysis.duplicatedSpanAudit(
+      graft.sources.TestData.documents(spark, sf)).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1), s"$r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"$r")
+    }
+  }
 }
