@@ -490,7 +490,8 @@ object ScaleBench {
     // artifact self-explaining instead of needing a BENCH_NOTES line.
     def triggerCount(dir: String): Long = {
       val d = new java.io.File(s"$dir/events.parquet")
-      Option(d.listFiles())
+      if (d.isFile) 1L // a single-file table is one trigger
+      else Option(d.listFiles())
         .map(_.count(_.getName.endsWith(".parquet")).toLong).getOrElse(0L)
     }
     val triggerFloorQueries = Set("q316_stream_eval_report")
