@@ -227,6 +227,9 @@ object ScaleBench {
     // duplicated spans: linear shingling + one shingle-grain df shuffle +
     // per-doc island windows over duplicated offsets only
     "q323_duplicated_spans",
+    // partitioned streaming ingest: 3 fixed micro-batches whose
+    // read-merge-write cost scales with the touched partitions' data
+    "q324_stream_partitioned_ingest",
     // round-14 coverage sweep: carried event/document/embedding queries
     // whose primary input scales with the 10× blow-up — measured to
     // extend the zero-failure evidence past 220 queries (streaming and

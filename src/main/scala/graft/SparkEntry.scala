@@ -2102,6 +2102,14 @@ object SparkEntry {
     "q323_duplicated_spans" -> { (s, dir) =>
       TextAnalysis.duplicatedSpanAudit(TestData.documents(s, dir))
     },
+    // Streaming ingest INTO the partition-mapped table: every micro-
+    // batch commits via the idempotent partitioned append (version =
+    // batchId + 1, read-by-version merge), a crash is injected in the
+    // commit-vs-checkpoint window, and the replay SKIPS on the existing
+    // manifest — exact final totals are the exactly-once proof.
+    "q324_stream_partitioned_ingest" -> { (s, dir) =>
+      graft.streaming.EventStream.streamIntoPartitionedTable(s, dir)
+    },
     // One-pass eval report: AUC, Brier, confusion/P/R/F1, and MCC all
     // derived from ONE (type, cent-score) grain aggregate — the grain
     // is a sufficient statistic, so four scans become one and every
@@ -4141,6 +4149,20 @@ object SparkEntry {
       s"""WITH ${TextAnalysis.duplicatedSpanAuditSql()}
           SELECT doc_id, n_tokens, dup_tokens, dup_fraction
           FROM duplicated_span_audit ORDER BY doc_id""",
+
+    // three chunks -> commits v1..v3; batches 0,1 run, crash, 1 replays
+    // (skipped), 2 runs -> 4 attempts; totals = every event exactly once
+    "q324_stream_partitioned_ingest" ->
+      s"""WITH spt_tot AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(${quantSql("value", 100)}) AS BIGINT)
+                     AS total_cents
+            FROM events GROUP BY 1)
+          SELECT event_type, n, total_cents,
+                 CAST(3 AS BIGINT) AS n_commits,
+                 CAST(4 AS BIGINT) AS n_attempts,
+                 TRUE AS replay_happened
+          FROM spt_tot ORDER BY event_type""",
 
     "q314_eval_report" ->
       s"""WITH ${Events.evalReportSql()}

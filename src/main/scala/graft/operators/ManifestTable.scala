@@ -2129,6 +2129,57 @@ object ManifestTable {
     swapPointer(spark, tableDir, version)
   }
 
+  /** APPEND a batch into the partition-mapped table as `version`,
+    * IDEMPOTENTLY — the commit primitive a streaming writer needs
+    * (q324): touched partitions are rewritten as previous content ∪
+    * batch rows (read BY VERSION `version−1`, never through the
+    * pointer — after a crash-after-commit the pointer already names
+    * this batch's own output and reading it would double-apply),
+    * untouched partitions are carried by reference. Returns true when
+    * this call committed, false when the commit already existed (a
+    * replayed batch). The replay test is the MANIFEST file (written
+    * last before the swap, via put-if-absent): manifest present ⇒ data
+    * complete ⇒ the replay only completes a possibly-unswapped pointer
+    * and skips — so every crash window is covered: before the data
+    * write and between data and manifest the replay redoes the
+    * idempotent overwrite; between manifest and swap it re-swaps;
+    * after the swap it skips. The pointer is never moved backwards.
+    *
+    * Scale: per batch the write cost is O(touched partitions' data) —
+    * the read-merge-write shape of a foreachBatch MERGE INTO; at
+    * 100 TB the batch touches the partitions its rows name, never the
+    * table.
+    */
+  def appendPartitionedIdempotent(df: DataFrame, tableDir: String,
+      version: Long, partCol: String,
+      crashBeforeSwap: Boolean = false): Boolean = {
+    val spark = df.sparkSession
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$tableDir/pmanifest/v$version"))) {
+      if (currentVersion(spark, tableDir).forall(_ < version))
+        swapPointer(spark, tableDir, version)
+      false
+    } else {
+      val prevMap = if (version == 1L) Map.empty[String, Long]
+        else readPartitionManifest(spark, tableDir, version - 1)
+      val touched = df.select(partCol).distinct().collect()
+        .map(_.get(0).toString).toSeq.sorted // bounded by |partitions|
+      val merged = if (prevMap.isEmpty) df
+        else readPartitionedVersion(spark, tableDir, partCol, version - 1)
+          .filter(col(partCol).isin(touched.map(x => x: Any): _*))
+          .unionByName(df)
+      merged.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+        .parquet(s"$tableDir/data/v$version")
+      val landed = partitionValues(spark, tableDir, version, partCol)
+      writePartitionManifest(spark, tableDir, version,
+        (prevMap -- touched) ++ landed.map(_ -> version))
+      if (crashBeforeSwap) throw new InjectedCrash
+      swapPointer(spark, tableDir, version)
+      true
+    }
+  }
+
   /** Read the live partition-mapped snapshot: each partition's rows
     * come from the version its manifest entry names — one
     * partition-pruned read per distinct source version, unioned.

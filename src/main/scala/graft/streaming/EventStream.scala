@@ -1107,6 +1107,98 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** q324 — STREAMING INGEST into the PARTITION-MAPPED table: the
+    * write-side composition the table-format tier lacked (q242 streams
+    * into the plain manifest table; q289 streams OUT of one; this
+    * streams INTO the partitioned one). Events arrive in three
+    * time-ordered chunks (`maxFilesPerTrigger = 1` — one micro-batch
+    * each), and every batch commits through
+    * [[graft.operators.ManifestTable.appendPartitionedIdempotent]]:
+    * touched partitions are rewritten as previous-content ∪ batch-rows
+    * (read BY VERSION, never the pointer), untouched partitions carried
+    * by reference, version = batchId + 1 so each commit is a pure
+    * function of the batch. A crash is injected AFTER batch 1's commit
+    * but before its checkpoint commit (the q231/q242 uncovered window);
+    * the restart REPLAYS batch 1 and the idempotent commit detects the
+    * existing manifest and SKIPS — a double-apply would double batch
+    * 1's rows and break the oracle hash, so exact totals ARE the
+    * exactly-once proof. The attempt markers prove the replay happened.
+    *
+    * Scale: per batch the write is O(touched partitions), the
+    * streaming analog of dynamic partition overwrite; the final serve
+    * is the ordinary partition-mapped read.
+    */
+  def streamIntoPartitionedTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val ev = graft.sources.TestData.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts_ns"))
+    val mm = ev.agg(min("ts_ns").as("lo"), max("ts_ns").as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * ((hi - lo) / 3)
+    val base = exitScratch("graft-pstream")
+    val (src, tbl, ck, att) =
+      (s"$base/src", s"$base/table", s"$base/ck", s"$base/attempts")
+    require(new java.io.File(att).mkdirs(), s"cannot create $att")
+
+    var mtime = (System.currentTimeMillis() / 60000L) * 60000L
+    def writeChunk(df: DataFrame): Unit = {
+      val before = Option(new java.io.File(src).listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+      df.coalesce(1).write.mode("append").parquet(src)
+      mtime += 1000L
+      new java.io.File(src).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(f => require(f.setLastModified(mtime),
+          s"setLastModified failed for $f — replay order would be undefined"))
+    }
+    writeChunk(ev.filter(col("ts_ns") <= cut1))
+    writeChunk(ev.filter(col("ts_ns") > cut1 && col("ts_ns") <= cut2))
+    writeChunk(ev.filter(col("ts_ns") > cut2))
+
+    def runOnce(injectCrashAt: Long): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val marker = new java.io.File(att,
+            s"b$batchId-${UUID.randomUUID().toString}")
+          require(marker.createNewFile(), s"cannot create $marker")
+          ManifestTable.appendPartitionedIdempotent(
+            df.select(col("event_id"), col("event_type"), col("value")),
+            tbl, batchId + 1, "event_type")
+          if (batchId == injectCrashAt)
+            throw new RuntimeException(
+              "injected crash: commit landed, checkpoint commit never reached")
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.processAllAvailable(); q.awaitTermination() }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => }
+      finally q.stop()
+    }
+    runOnce(injectCrashAt = 1L) // dies after batch 1's table commit
+    runOnce(injectCrashAt = -1L) // replays batch 1 (skipped), finishes 2
+
+    val attempts = new java.io.File(att).listFiles().length
+    val commits = ManifestTable
+      .partitionManifestVersions(spark, tbl).size
+    ManifestTable.readPartitioned(spark, tbl, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.OracleSafe.quant(col("value"), 100))
+          .as("total_cents"))
+      .select(col("event_type"), col("n"), col("total_cents"),
+        lit(commits.toLong).as("n_commits"),
+        lit(attempts.toLong).as("n_attempts"),
+        lit(attempts > commits).as("replay_happened"))
+      .orderBy("event_type")
+  }
+
   /** q281 — STREAMING maintenance of the persisted inverted index: the
     * q239 index is built from the base corpus, then document deltas
     * arrive as a file stream and each micro-batch maintains the

@@ -924,4 +924,49 @@ class ManifestTableSpec extends SparkSpec {
       }
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q324 primitive: idempotent partitioned append across every crash window") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ppa")
+    try {
+      val tbl = s"$out/tbl"
+      def rows(ids: Seq[(Long, String, Double)]) =
+        ids.toDF("event_id", "event_type", "value")
+      def served() = ManifestTable.readPartitioned(spark, tbl, "event_type")
+        .groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // bootstrap commit
+      assert(ManifestTable.appendPartitionedIdempotent(
+        rows(Seq((1L, "a", 1.0), (2L, "b", 2.0))), tbl, 1L, "event_type"))
+      assert(served() == Map("a" -> 1L, "b" -> 1L))
+      // v2 crashes BETWEEN manifest write and pointer swap
+      intercept[ManifestTable.InjectedCrash] {
+        ManifestTable.appendPartitionedIdempotent(
+          rows(Seq((3L, "a", 3.0))), tbl, 2L, "event_type",
+          crashBeforeSwap = true)
+      }
+      // readers still resolve v1; the manifest landed before the crash
+      assert(ManifestTable.currentVersion(spark, tbl).contains(1L))
+      assert(served() == Map("a" -> 1L, "b" -> 1L))
+      // the replay detects the manifest, COMPLETES the swap, skips the
+      // write — rows are never doubled
+      assert(!ManifestTable.appendPartitionedIdempotent(
+        rows(Seq((3L, "a", 3.0))), tbl, 2L, "event_type"))
+      assert(ManifestTable.currentVersion(spark, tbl).contains(2L))
+      assert(served() == Map("a" -> 2L, "b" -> 1L))
+      // untouched partition b is carried by REFERENCE to v1
+      assert(ManifestTable.readPartitionManifest(spark, tbl, 2L)
+        == Map("a" -> 2L, "b" -> 1L))
+      // a second replay is a pure no-op
+      assert(!ManifestTable.appendPartitionedIdempotent(
+        rows(Seq((3L, "a", 3.0))), tbl, 2L, "event_type"))
+      assert(served() == Map("a" -> 2L, "b" -> 1L))
+      // after v3 commits, a late v2 replay must NOT move the pointer back
+      assert(ManifestTable.appendPartitionedIdempotent(
+        rows(Seq((4L, "c", 4.0))), tbl, 3L, "event_type"))
+      assert(!ManifestTable.appendPartitionedIdempotent(
+        rows(Seq((3L, "a", 3.0))), tbl, 2L, "event_type"))
+      assert(ManifestTable.currentVersion(spark, tbl).contains(3L))
+      assert(served() == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
