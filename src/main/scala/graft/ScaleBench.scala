@@ -230,6 +230,9 @@ object ScaleBench {
     // partitioned streaming ingest: 3 fixed micro-batches whose
     // read-merge-write cost scales with the touched partitions' data
     "q324_stream_partitioned_ingest",
+    // cluster-safe split audit: rides the q59 cluster labels + two
+    // cluster-grain aggregates
+    "q325_cluster_safe_split",
     // round-14 coverage sweep: carried event/document/embedding queries
     // whose primary input scales with the 10× blow-up — measured to
     // extend the zero-failure evidence past 220 queries (streaming and

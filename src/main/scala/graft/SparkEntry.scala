@@ -2110,6 +2110,12 @@ object SparkEntry {
     "q324_stream_partitioned_ingest" -> { (s, dir) =>
       graft.streaming.EventStream.streamIntoPartitionedTable(s, dir)
     },
+    // Cluster-safe split: the doc-hash scheme leaks near-dup pairs
+    // across train/test; keying the coin on the q59 cluster label
+    // makes leakage structurally zero — both schemes audited per run.
+    "q325_cluster_safe_split" -> { (s, dir) =>
+      Sampling.clusterSafeSplit(TestData.documents(s, dir))
+    },
     // One-pass eval report: AUC, Brier, confusion/P/R/F1, and MCC all
     // derived from ONE (type, cent-score) grain aggregate — the grain
     // is a sufficient statistic, so four scans become one and every
@@ -4163,6 +4169,11 @@ object SparkEntry {
                  CAST(4 AS BIGINT) AS n_attempts,
                  TRUE AS replay_happened
           FROM spt_tot ORDER BY event_type""",
+
+    "q325_cluster_safe_split" ->
+      s"""WITH RECURSIVE ${Sampling.clusterSafeSplitSql()}
+          SELECT scheme, n_train, n_val, n_test, n_clusters, leaky_clusters
+          FROM cluster_safe_split ORDER BY scheme""",
 
     "q314_eval_report" ->
       s"""WITH ${Events.evalReportSql()}

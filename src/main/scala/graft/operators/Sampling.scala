@@ -1069,4 +1069,104 @@ object Sampling {
        |         t.n_all - COUNT(DISTINCT p.p)
        |  FROM il_pos p, il_tot t GROUP BY t.w_all, t.n_all)""".stripMargin
   }
+
+  /** q325 — CLUSTER-SAFE TRAIN/VAL/TEST SPLIT, the near-dup leakage
+    * guard: splitting documents by a per-document hash puts the two
+    * halves of a near-duplicate pair in different splits, so the test
+    * set "leaks" into training — the contamination mechanism the
+    * dedup-before-split literature warns about (near-dups straddling
+    * the split inflate eval scores exactly like true test leakage).
+    * The safe split keys the coin on the document's NEAR-DUP CLUSTER
+    * label (the q59 connected components — [[leakageSafeSplit]] is the
+    * assignment operator; this is its AUDIT form, quantifying what the
+    * per-doc alternative would leak). Every document participates:
+    * docs outside any candidate pair are their own singleton cluster.
+    * Output compares both schemes on the same corpus: per scheme, the
+    * 3-way split sizes, the cluster count, and the number of LEAKY
+    * clusters (docs in ≥2 splits) — 0 for the safe scheme by
+    * construction, measurably positive for the doc-hash scheme
+    * whenever the corpus has multi-doc clusters.
+    *
+    * Determinism: the coin is the md5-prefix integer (the q38 coin),
+    * identical in DuckDB; counts are exact integers.
+    *
+    * Scale: rides the q59 cluster labels (banded LSH + O(log d)
+    * propagation); the split itself is a map-side hash and the audit is
+    * two cluster-grain aggregates. No new shuffle beyond q59's.
+    */
+  def clusterSafeSplit(docs: DataFrame, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"bad split percentages: $trainPct/$valPct")
+    def splitOf(c: Column): Column =
+      when(c < trainPct, "train")
+        .when(c < trainPct + valPct, "val").otherwise("test")
+    val clusters = Dedup.dedupClusters(docs).select("doc_id", "cluster_id")
+    val tagged = docs.select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        splitOf(coin(col("doc_id"))).as("doc_split"),
+        splitOf(coin(col("cluster_id"))).as("cluster_split"))
+      .localCheckpoint()
+    def scheme(name: String, splitCol: String): DataFrame = {
+      val leaky = tagged.groupBy("cluster_id")
+        .agg(countDistinct(col(splitCol)).as("nsplits"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(when(col("nsplits") > 1, 1L).otherwise(0L))
+            .as("leaky_clusters"))
+      tagged.agg(
+          sum(when(col(splitCol) === "train", 1L).otherwise(0L))
+            .as("n_train"),
+          sum(when(col(splitCol) === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col(splitCol) === "test", 1L).otherwise(0L))
+            .as("n_test"))
+        .crossJoin(broadcast(leaky))
+        .select(lit(name).as("scheme"), col("n_train"), col("n_val"),
+          col("n_test"), col("n_clusters"), col("leaky_clusters"))
+    }
+    scheme("a_doc_hash", "doc_split")
+      .unionByName(scheme("b_cluster_safe", "cluster_split"))
+      .orderBy("scheme")
+  }
+
+  /** DuckDB twin of [[clusterSafeSplit]] — embed after `WITH RECURSIVE `
+    * (the q59 cluster chain is recursive) and select from
+    * `cluster_safe_split`.
+    */
+  def clusterSafeSplitSql(trainPct: Int = 80, valPct: Int = 10): String = {
+    def splitOf(id: String): String =
+      s"""CASE WHEN ${coinSql(id)} < $trainPct THEN 'train'
+         |     WHEN ${coinSql(id)} < ${trainPct + valPct} THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    def scheme(name: String, splitCol: String): String =
+      s"""SELECT '$name' AS scheme,
+         |       CAST(SUM(CASE WHEN $splitCol = 'train' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_train,
+         |       CAST(SUM(CASE WHEN $splitCol = 'val' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_val,
+         |       CAST(SUM(CASE WHEN $splitCol = 'test' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_test,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+         |          SELECT cluster_id FROM css_tag GROUP BY 1)) AS n_clusters,
+         |       (SELECT CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0
+         |                 END), 0) AS BIGINT)
+         |        FROM (SELECT cluster_id, COUNT(DISTINCT $splitCol) AS ns
+         |              FROM css_tag GROUP BY 1)) AS leaky_clusters
+         |FROM css_tag""".stripMargin
+    s"""${graft.operators.Dedup.dedupClustersSql()},
+       |css_all AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN dedup_clusters c USING (doc_id)),
+       |css_tag AS (
+       |  SELECT doc_id, cluster_id,
+       |         ${splitOf("doc_id")} AS doc_split,
+       |         ${splitOf("cluster_id")} AS cluster_split
+       |  FROM css_all),
+       |cluster_safe_split AS (
+       |${scheme("a_doc_hash", "doc_split")}
+       |UNION ALL
+       |${scheme("b_cluster_safe", "cluster_split")})""".stripMargin
+  }
 }

@@ -441,4 +441,46 @@ class SamplingSpec extends SparkSpec {
     assert(got("__total__") == ((wAll, 1L, n * (n + 1) / 2, 0L)),
       got("__total__"))
   }
+
+  test("q325: doc-hash split leaks exactly the predicted pairs; cluster-safe leaks zero") {
+    import spark.implicits._
+    // 16 exact-dup pairs (i, i+1000): identical text => same minhash
+    // signature => same cluster, label = the smaller id. Ids 11/12/13
+    // are known leaky pairs under the md5 coin (e.g. coin(11)=94 vs
+    // coin(1011)=25 — test vs train), so doc-hash leakage is guaranteed
+    val pairIds = (1L to 16L).map(i => (i, i + 1000L))
+    val docs = (pairIds.flatMap { case (a, b) =>
+      val text = (0 until 20).map(t => s"w${a}_$t").mkString(" ")
+      Seq((a, text), (b, text))
+    } :+ ((500L, (0 until 20).map(t => s"solo_$t").mkString(" "))))
+      .toDF("doc_id", "text") // plus one singleton: its own cluster
+    // the operator's exact md5 coin, recomputed independently
+    def coinOf(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16) % 100
+    }
+    def splitOf(c: Long): String =
+      if (c < 80) "train" else if (c < 90) "val" else "test"
+    val expLeaky = pairIds.count { case (a, b) =>
+      splitOf(coinOf(a)) != splitOf(coinOf(b))
+    }
+    val expTrainSafe =
+      2L * pairIds.count { case (a, _) => splitOf(coinOf(a)) == "train" } +
+        (if (splitOf(coinOf(500L)) == "train") 1L else 0L)
+    val got = Sampling.clusterSafeSplit(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (a, b) = (got("a_doc_hash"), got("b_cluster_safe"))
+    assert(a.getLong(4) == 17L && b.getLong(4) == 17L, "16 pairs + 1 singleton")
+    assert(a.getLong(5) == expLeaky.toLong,
+      s"doc-hash leakage is exactly the coin prediction: $a vs $expLeaky")
+    assert(expLeaky > 0, "the corpus must exhibit leakage under doc-hash")
+    assert(b.getLong(5) == 0L, "cluster-safe leakage is structurally zero")
+    // every doc lands somewhere, in both schemes
+    Seq(a, b).foreach(r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == 33L, s"$r"))
+    // the safe scheme's train count follows the CLUSTER coins
+    assert(b.getLong(1) == expTrainSafe, s"$b vs $expTrainSafe")
+  }
 }
