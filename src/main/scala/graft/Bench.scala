@@ -17,6 +17,57 @@ package graft
   */
 object Bench {
 
+  /** Queries whose per-run cost is a fixed micro-batch / commit / staging
+    * floor rather than compute: every Structured Streaming query (each
+    * trigger pays a scheduler+commit latch regardless of rows) and every
+    * query that writes a table/index/scratch staging per run (the file
+    * create + manifest fsync IS the cost). Repeating these multiplies the
+    * floor without reducing variance — the floor does not vary with GC or
+    * page-cache state the way compute does — so they run ONE rep while
+    * compute-shaped queries keep the median-of-3. This cut the projected
+    * full-suite wall from ~1090 s to ~744 s on the r14 clean numbers,
+    * keeping the driver budget safe even under a 2× ambient wave (the
+    * round-15 driver bench died rc=124 under a 19× wave).
+    *
+    * Membership criterion (regenerate when adding queries): the entry's
+    * body in SparkEntry.queries mentions any of readStream / writeStream /
+    * EventStream. / .write. / scratchDir / ManifestTable. A new floor
+    * query left out of this set is merely slower (3 reps), never wrong.
+    */
+  val FloorDominated: Set[String] = Set(
+    "q101_stream_stream_join", "q170_watermark_closure",
+    "q172_stream_outer_join", "q187_stream_checkpoint_resume",
+    "q211_multi_source_watermark", "q215_range_partitioned_write",
+    "q217_zone_pruned_scan", "q224_json_ingest_quarantine",
+    "q225_schema_evolution", "q231_exactly_once_sink",
+    "q234_session_window_stream", "q235_persisted_ivf",
+    "q237_bloom_index_lookup", "q239_inverted_index",
+    "q240_incremental_inverted", "q241_atomic_publish",
+    "q242_stream_cdc_upsert", "q243_incremental_ivf",
+    "q244_time_travel_vacuum", "q245_incremental_bloom",
+    "q247_pq_index", "q248_concurrent_commits", "q249_change_feed",
+    "q253_partition_evolution", "q254_merge_on_read",
+    "q255_rollup_pushdown", "q256_incremental_rollup",
+    "q257_incremental_components", "q259_cuboid_routing",
+    "q263_forget_user", "q264_multi_table_commit", "q266_mor_update",
+    "q268_incremental_zonemap", "q278_phrase_search",
+    "q279_dpp_star_join", "q280_leased_vacuum",
+    "q281_stream_index_maintenance", "q282_hll_rollup",
+    "q283_result_cache", "q284_index_intersection",
+    "q287_compact_vs_append", "q289_stream_manifest_tail",
+    "q290_branch_tags", "q295_string_zone_skip",
+    "q297_inc_string_zones", "q298_orphan_gc", "q302_safe_orphan_gc",
+    "q304_manifest_checkpoint", "q306_partition_overwrite",
+    "q308_write_audit_publish", "q309_compact_partitioned",
+    "q312_snapshot_rollback", "q315_inc_eval_report",
+    "q316_stream_eval_report", "q318_persisted_ground_truth",
+    "q319_compaction_change_feed", "q320_multi_probe_eval",
+    "q321_incremental_ground_truth", "q324_stream_partitioned_ingest",
+    "q36_warehouse_roundtrip", "q64_stream_tumbling",
+    "q67_stream_static_join", "q68_stream_sessionize", "q72_range_join",
+    "q82_stream_sliding", "q84_stream_dedup", "q88_compaction",
+    "q98_orc_roundtrip")
+
   /** Committed reference for [[calibrationProbeSec]] on an IDLE instance of
     * the build/judge box (32 cores; repeated idle runs sat at 0.33–0.46 s,
     * re-measurable any time with `SPARK_GRAFT_PROBE_ONLY=1`). The probe is
@@ -128,14 +179,17 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    val floorReps =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR_REPS", "1").toInt)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = Seq.fill(reps) {
+      val qReps = if (FloorDominated(name)) floorReps else reps
+      val runs = Seq.fill(qReps) {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, runs.map(_._1).sorted.apply(reps / 2), runs.forall(_._2)) // median
+      (name, runs.map(_._1).sorted.apply(qReps / 2), runs.forall(_._2)) // median
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -144,6 +198,13 @@ object Bench {
     // failed queries' (fast-throw) medians are excluded from the headline,
     // so the total itself can't improve when a query breaks
     val total = results.collect { case (_, v, true) => v }.sum
+    // floor-vs-compute split: floor-shaped queries run floorReps (default
+    // 1), compute-shaped run `reps`; the split makes the artifact's wall
+    // clock projectable (wall ≈ floor_sec·floorReps + compute_sec·reps)
+    val floorSec = results.collect {
+      case (n, v, true) if FloorDominated(n) => v }.sum
+    val computeSec = total - floorSec
+    val floorCount = results.count { case (n, _, _) => FloorDominated(n) }
 
     // routine convergence evidence: the component-loop round count at this
     // SF (the O(log diameter) claim), emitted with every bench instead of
@@ -170,6 +231,8 @@ object Bench {
     val meanProbe = (probeBefore + probeAfter) / 2
     val normalizedTotal = total * (ProbeRefSec / math.max(meanProbe, ProbeRefSec))
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      f""""floor_reps":$floorReps,"floor_rep_queries":$floorCount,""" +
+      f""""floor_sec":$floorSec%.3f,"compute_sec":$computeSec%.3f,""" +
       s""""warehouse_fill_sec":$fillSec,"failed":$failed,""" +
       f""""probe_ref_sec":$ProbeRefSec,"probe_sec_before":$probeBefore%.4f,""" +
       f""""probe_sec_after":$probeAfter%.4f,"contended":$contended,""" +

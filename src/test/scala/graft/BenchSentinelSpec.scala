@@ -38,4 +38,18 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(Bench.contentionTier(ref * Bench.DegradedFactor) == "clean")
     assert(Bench.contentionTier(ref * Bench.ContendedFactor) == "degraded")
   }
+
+  test("floor-dominated set names only declared queries (no rot)") {
+    val declared = SparkEntry.queries.keySet
+    val stale = Bench.FloorDominated -- declared
+    assert(stale.isEmpty, s"FloorDominated entries not in SparkEntry.queries: $stale")
+  }
+
+  test("every streaming query is in the floor-dominated set") {
+    // streaming queries pay a per-trigger scheduler/commit latch — none of
+    // them belongs in the 3-rep compute tier
+    val streaming = SparkEntry.queries.keySet.filter(_.contains("stream"))
+    val missing = streaming -- Bench.FloorDominated
+    assert(missing.isEmpty, s"streaming queries missing from FloorDominated: $missing")
+  }
 }
