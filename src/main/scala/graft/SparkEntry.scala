@@ -1770,6 +1770,14 @@ object SparkEntry {
       ManifestTable.concurrentCommitters(TestData.events(s, dir),
         scratchDir("graft-q248").resolve("events_table").toString)
     },
+    // q248's partition-mapped sibling: disjoint writers BOTH commit
+    // (the loser's retry is a metadata rebase — staged files renamed,
+    // never rewritten), an overlapping stale writer is refused and
+    // serializes on the live head; the Iceberg concurrent-append story.
+    "q327_concurrent_partition_commits" -> { (s, dir) =>
+      ManifestTable.concurrentPartitionCommits(TestData.events(s, dir),
+        scratchDir("graft-q327").resolve("events_table").toString)
+    },
     // The table_changes() surface: three published versions (base;
     // deletes+updates; inserts), the row-level CDF derived per
     // consecutive pair with one full-outer key join, update rows as
@@ -2109,6 +2117,14 @@ object SparkEntry {
     // manifest — exact final totals are the exactly-once proof.
     "q324_stream_partitioned_ingest" -> { (s, dir) =>
       graft.streaming.EventStream.streamIntoPartitionedTable(s, dir)
+    },
+    // q324's 100-TB sibling: each micro-batch lands MERGE-ON-READ delta
+    // files (write bytes ∝ |delta|, never the touched partition), the
+    // replay skips on the existing delta manifest, and a final
+    // compaction folds the splice back to one dir per partition with
+    // totals unchanged — the Iceberg/Delta streaming-ingest lifecycle.
+    "q326_stream_mor_ingest" -> { (s, dir) =>
+      graft.streaming.EventStream.streamIntoPartitionedMoR(s, dir)
     },
     // Cluster-safe split: the doc-hash scheme leaks near-dup pairs
     // across train/test; keying the coin on the q59 cluster label
@@ -3885,6 +3901,12 @@ object SparkEntry {
           SELECT stage, version, conflict, event_type, n, total_cents
           FROM concurrent_commits ORDER BY stage, event_type""",
 
+    "q327_concurrent_partition_commits" ->
+      s"""WITH ${ManifestTable.concurrentPartitionCommitsSql()}
+          SELECT stage, version, cas_losses, conflict, event_type, n,
+                 total_cents
+          FROM concurrent_partition_commits ORDER BY stage, event_type""",
+
     "q249_change_feed" ->
       s"""WITH ${ManifestTable.changeFeedSummarySql()}
           SELECT version, change_type, event_type, n, total_cents
@@ -4174,6 +4196,28 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Sampling.clusterSafeSplitSql()}
           SELECT scheme, n_train, n_val, n_test, n_clusters, leaky_clusters
           FROM cluster_safe_split ORDER BY scheme""",
+
+    // same delivery pins as q324 (3 commits, 4 attempts, replay TRUE);
+    // the MoR read splices >=2 versions pre-compaction (chunks 1 and 3
+    // are non-empty by construction) and exactly 1 after — totals
+    // identical at both stages is the exactly-once AND compaction proof
+    "q326_stream_mor_ingest" ->
+      s"""WITH smor_tot AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(${quantSql("value", 100)}) AS BIGINT)
+                     AS total_cents
+            FROM events GROUP BY 1)
+          SELECT stage, event_type, n, total_cents, multi_version,
+                 CAST(3 AS BIGINT) AS n_commits,
+                 CAST(4 AS BIGINT) AS n_attempts,
+                 TRUE AS replay_happened
+          FROM (SELECT 'a_mor_stream' AS stage, TRUE AS multi_version,
+                       event_type, n, total_cents
+                FROM smor_tot
+                UNION ALL
+                SELECT 'b_compacted', FALSE, event_type, n, total_cents
+                FROM smor_tot)
+          ORDER BY stage, event_type""",
 
     "q314_eval_report" ->
       s"""WITH ${Events.evalReportSql()}

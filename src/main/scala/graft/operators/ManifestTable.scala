@@ -2805,4 +2805,369 @@ object ManifestTable {
        |  SELECT 'c_cp_refreshed', 4, 4, 2, 4, 0, event_type, n,
        |         total_cents
        |  FROM cr_v4)""".stripMargin
+
+  // ---------------------------------------------------------------- q326
+
+  /** Write snapshot `version`'s DELTA MANIFEST: each partition value maps
+    * to the ORDERED LIST of versions whose files serve it — the base
+    * snapshot plus every delta landed since the last compaction. This is
+    * the partition-file-grain analog of the q254/q266 row-grain sidecars
+    * (Iceberg/Delta merge-on-read: readers splice base + delta files;
+    * writers never rewrite what they didn't change). Exclusive-create,
+    * same immutability as [[writePartitionManifest]].
+    */
+  def writeDeltaManifest(spark: SparkSession, tableDir: String,
+      version: Long, mapping: Map[String, Seq[Long]]): Unit = {
+    val body = mapping.toSeq.sortBy(_._1)
+      .map { case (p, vs) => s"$p\t${vs.mkString(",")}" }
+      .mkString("", "\n", "\n")
+    require(putIfAbsent(spark,
+        new Path(s"$tableDir/dmanifest/v$version"), body),
+      s"delta manifest for v$version already exists")
+  }
+
+  def readDeltaManifest(spark: SparkSession, tableDir: String,
+      version: Long): Map[String, Seq[Long]] =
+    readFully(fc(spark, tableDir),
+        new Path(s"$tableDir/dmanifest/v$version"))
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val Array(p, vs) = line.split("\t")
+        p -> vs.split(",").iterator.map(_.toLong).toSeq
+      }.toMap
+
+  /** Committed delta-manifest versions, ascending — the commit log of
+    * the merge-on-read table ([[partitionManifestVersions]]'s sibling).
+    */
+  def deltaManifestVersions(spark: SparkSession,
+      tableDir: String): Seq[Long] = {
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$tableDir/dmanifest")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v").toLong).toOption)
+      .sorted
+  }
+
+  /** MERGE-ON-READ streaming append — [[appendPartitionedIdempotent]]'s
+    * 100-TB sibling. The COW form rewrites every touched partition as
+    * previous-content ∪ batch per commit, so a stream whose batches keep
+    * hitting hot partitions pays write amplification ∝ partition size.
+    * This form lands ONLY the batch rows as this version's partition
+    * dirs and EXTENDS each touched partition's serving list in the delta
+    * manifest — per-batch bytes written ∝ |delta|, independent of how
+    * much data the partition has accumulated (ManifestTableSpec pins the
+    * byte ratio against the COW path on a skewed fixture). Reads splice
+    * the listed versions per partition ([[readPartitionedMoR]]) until a
+    * compaction ([[compactPartitionedMoR]]) folds the sprawl back to one
+    * dir per partition.
+    *
+    * Idempotence contract is unchanged from the COW form: the delta
+    * manifest is written last before the pointer swap via put-if-absent,
+    * so manifest-present ⇒ data complete ⇒ a replayed batch only
+    * completes a possibly-unswapped pointer and SKIPS; version =
+    * batchId + 1 keeps each commit a pure function of its batch. Returns
+    * true when this call committed, false on a replay.
+    */
+  def appendPartitionedDelta(df: DataFrame, tableDir: String,
+      version: Long, partCol: String,
+      crashBeforeSwap: Boolean = false): Boolean = {
+    val spark = df.sparkSession
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$tableDir/dmanifest/v$version"))) {
+      if (currentVersion(spark, tableDir).forall(_ < version))
+        swapPointer(spark, tableDir, version)
+      false
+    } else {
+      val prevMap = if (version == 1L) Map.empty[String, Seq[Long]]
+        else readDeltaManifest(spark, tableDir, version - 1)
+      // the delta lands alone: an idempotent overwrite of THIS version's
+      // dir, no read of previous data at all — the write-side O(|delta|)
+      df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+        .parquet(s"$tableDir/data/v$version")
+      val landed = partitionValues(spark, tableDir, version, partCol)
+      val map = prevMap ++ landed.map(p =>
+        p -> (prevMap.getOrElse(p, Seq.empty) :+ version))
+      writeDeltaManifest(spark, tableDir, version, map)
+      if (crashBeforeSwap) throw new InjectedCrash
+      swapPointer(spark, tableDir, version)
+      true
+    }
+  }
+
+  /** Resolve a merge-on-read partitioned snapshot: one partition-pruned
+    * read per DISTINCT source version, unioned — each partition's rows
+    * come from every version its serving list names. The splice count is
+    * |versions since last compaction|, which is exactly what
+    * [[compactPartitionedMoR]] exists to bound.
+    */
+  def readPartitionedMoR(spark: SparkSession, tableDir: String,
+      partCol: String, version: Long): DataFrame = {
+    val map = readDeltaManifest(spark, tableDir, version)
+    val bySrc = map.toSeq
+      .flatMap { case (p, vs) => vs.map(v => (v, p)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    bySrc.map { case (srcV, entries) =>
+      spark.read.parquet(s"$tableDir/data/v$srcV")
+        .filter(col(partCol)
+          .isin(entries.map(_._2).distinct.sorted.map(x => x: Any): _*))
+    }.reduce(_ unionByName _)
+  }
+
+  // ---------------------------------------------------------------- q327
+
+  /** Outcome of one optimistic partitioned commit: the version that
+    * landed and how many CAS slots the writer lost on the way.
+    */
+  final case class PartitionCommit(version: Long, casLosses: Int)
+
+  /** Stage a writer's replacement files under a WRITER-UNIQUE dir —
+    * data lands exactly once however many times the metadata commit
+    * retries (Iceberg writes data files first; only the metadata swap
+    * is optimistic). Overwrite mode keeps a re-stage idempotent.
+    */
+  def stagePartitions(df: DataFrame, tableDir: String, partCol: String,
+      writer: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(s"$tableDir/stage/$writer")
+
+  /** Partitions MODIFIED by the commits in `(baseVersion, headVersion]`:
+    * entries a manifest maps to its own version (freshly landed files)
+    * plus entries the previous manifest had that this one dropped
+    * (partition deletes). This is the conflict-validation set Iceberg's
+    * `validateNoConflictingData` walks over intervening snapshots.
+    */
+  def partitionsModifiedSince(spark: SparkSession, tableDir: String,
+      baseVersion: Long, headVersion: Long): Set[String] =
+    ((baseVersion + 1) to headVersion).iterator.flatMap { v =>
+      val cur = readPartitionManifest(spark, tableDir, v)
+      val prev = if (v == 1L) Map.empty[String, Long]
+        else readPartitionManifest(spark, tableDir, v - 1)
+      cur.collect { case (p, src) if src == v => p } ++
+        (prev.keySet -- cur.keySet)
+    }.toSet
+
+  /** Commit a writer's staged partition overwrite OPTIMISTICALLY from
+    * its pinned `baseVersion` — the Iceberg concurrent-writer story on
+    * the partition-mapped table. The loop: read the head; if any commit
+    * since the writer's base modified one of its `replaced` partitions,
+    * return None — the writer's staged data was derived from a state
+    * another writer has since replaced, and publishing it would silently
+    * drop that writer's change (write skew); the caller must re-derive
+    * from the new head and try again — OVERLAPPING WRITERS SERIALIZE.
+    * Otherwise CAS the next slot: the winner renames its staged dir to
+    * the version dir (metadata-only move — the files were written once),
+    * publishes prev-manifest − replaced + landed, and advances the
+    * pointer; a loser waits for the winner's pointer and retries the
+    * validation at the new head — DISJOINT WRITERS BOTH COMMIT, each
+    * paying only a metadata rebase for the slots it lost.
+    */
+  def commitStagedPartitions(spark: SparkSession, tableDir: String,
+      partCol: String, replaced: Seq[String], writer: String,
+      baseVersion: Long, maxRetries: Int = 8,
+      onLoss: () => Unit = () => ()): Option[PartitionCommit] = {
+    val ctx = fc(spark, tableDir)
+    var losses = 0
+    while (losses <= maxRetries) {
+      val head = currentVersion(spark, tableDir).getOrElse(0L)
+      val conflicts = partitionsModifiedSince(spark, tableDir,
+        baseVersion, head).intersect(replaced.toSet)
+      if (conflicts.nonEmpty) return None // serialize: re-derive from head
+      val target = head + 1
+      if (claimCommit(spark, tableDir, target, writer)) {
+        val prevMap = if (head == 0L) Map.empty[String, Long]
+          else readPartitionManifest(spark, tableDir, head)
+        ctx.rename(new Path(s"$tableDir/stage/$writer"),
+          new Path(s"$tableDir/data/v$target"), Options.Rename.OVERWRITE)
+        val landed = partitionValues(spark, tableDir, target, partCol)
+        require(landed.forall(replaced.contains),
+          s"rows outside the replaced partitions: ${landed.diff(replaced)}")
+        writePartitionManifest(spark, tableDir, target,
+          (prevMap -- replaced) ++ landed.map(_ -> target))
+        swapPointer(spark, tableDir, target)
+        return Some(PartitionCommit(target, losses))
+      }
+      losses += 1
+      onLoss() // fault-injection hook (crashBeforeSwap's sibling): lets
+      //          a deterministic driver play the winner's next move here
+      // lost the slot: wait for the winner's pointer so the rebase reads
+      // a COMPLETE head (manifest + pointer), bounded spin
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (currentVersion(spark, tableDir).getOrElse(0L) < target &&
+          System.nanoTime() < deadline)
+        Thread.sleep(10)
+    }
+    sys.error(s"$writer exhausted $maxRetries commit retries under contention")
+  }
+
+  /** q327 — CONCURRENT WRITERS on the partition-mapped table, closing
+    * the interleaving matrix (q248 proved CAS arbitration for
+    * whole-snapshot commits; this proves it where commits carry
+    * partition manifests that must MERGE). Writers A (re-price
+    * purchase ×2) and B (re-price view ×3) stage from the SAME pinned
+    * base and race for v2: A wins the slot, B loses the CAS, validates
+    * that no commit since its base touched `view`, and lands v3 as a
+    * METADATA-ONLY rebase — its staged files are renamed, never
+    * rewritten (require-pinned), and the v3 manifest merges both
+    * writers' partitions with the untouched three still served from v1
+    * by reference. Then writer C re-prices `purchase` ×5 from the STALE
+    * v1 base: validation sees A's intervening purchase commit and
+    * REFUSES (None — publishing would silently drop A's re-price);
+    * C re-derives from the live head and commits v4 — ×5 on top of ×2,
+    * the serial result. Output: per-stage totals with version,
+    * cas_losses, and conflict flags; the oracle pins versions (1,2,3,4),
+    * B's single CAS loss, C's single conflict, and computes every
+    * table state from the raw events.
+    *
+    * Scale: disjoint concurrent writers never rewrite data on conflict —
+    * a lost slot costs one manifest read + one rename, independent of
+    * data size; only a true partition overlap pays a re-derive, which
+    * is the minimum serializable isolation allows.
+    */
+  def concurrentPartitionCommits(events: DataFrame,
+      tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"), col("value"))
+    publishPartitioned(slim, tableDir, 1L, "event_type")
+    val base = currentVersion(spark, tableDir).get
+    def repriced(src: DataFrame, part: String, k: Int): DataFrame =
+      src.filter(col("event_type") === part)
+        .withColumn("value", col("value") * k)
+    // both writers stage from the SAME pinned snapshot — the race
+    val pinned = readPartitionedVersion(spark, tableDir, "event_type", base)
+    stagePartitions(repriced(pinned, "purchase", 2), tableDir,
+      "event_type", "writer_a")
+    stagePartitions(repriced(pinned, "view", 3), tableDir,
+      "event_type", "writer_b")
+    val a = commitStagedPartitions(spark, tableDir, "event_type",
+      Seq("purchase"), "writer_a", base)
+    require(a.contains(PartitionCommit(2L, 0)),
+      s"writer A races alone for v2 and must win: $a")
+    // B's files were staged BEFORE A committed; the disjoint rebase must
+    // not touch them — pin the staged bytes across the commit
+    val bStagedFile = new java.io.File(
+      s"$tableDir/stage/writer_b/event_type=view")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // exercise B's CAS-loss path deterministically: a third committer
+    // claims the v3 slot NOW; B races for v3, loses the slot, and the
+    // onLoss hook plays the winner's completion (no-op manifest +
+    // pointer) at exactly that point — B then waits out the (already
+    // satisfied) pointer, revalidates at the new head, and lands v4.
+    // This is the live-winner interleaving; the crashed-winner case is
+    // the spec's to drive.
+    require(claimCommit(spark, tableDir, 3L, "writer_noop"),
+      "pre-claiming the v3 slot must succeed")
+    val noopManifest = readPartitionManifest(spark, tableDir, 2L)
+    val b = commitStagedPartitions(spark, tableDir, "event_type",
+      Seq("view"), "writer_b", base, onLoss = () => {
+        writePartitionManifest(spark, tableDir, 3L, noopManifest)
+        swapPointer(spark, tableDir, 3L)
+      })
+    require(b.contains(PartitionCommit(4L, 1)),
+      s"writer B must lose the pre-claimed slot once, then land v4: $b")
+    val bLandedFile = new java.io.File(
+      s"$tableDir/data/v4/event_type=view")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    require(bLandedFile == bStagedFile,
+      "the disjoint rebase must rename B's staged files, never rewrite them")
+    // writer C: OVERLAPPING overwrite from the stale base — must refuse
+    stagePartitions(repriced(pinned, "purchase", 5), tableDir,
+      "event_type", "writer_c")
+    val cStale = commitStagedPartitions(spark, tableDir, "event_type",
+      Seq("purchase"), "writer_c", base)
+    require(cStale.isEmpty,
+      s"C's stale overwrite of A's partition must be refused: $cStale")
+    // serialize: re-derive from the live head and commit on top
+    val head = currentVersion(spark, tableDir).get
+    stagePartitions(
+      repriced(readPartitionedVersion(spark, tableDir, "event_type", head),
+        "purchase", 5), tableDir, "event_type", "writer_c")
+    val c = commitStagedPartitions(spark, tableDir, "event_type",
+      Seq("purchase"), "writer_c", head)
+    require(c.contains(PartitionCommit(5L, 0)),
+      s"C's rebased commit races alone and must land v5: $c")
+    def stage(name: String, v: Long, losses: Int, conflict: Int): DataFrame =
+      readPartitionedVersion(spark, tableDir, "event_type", v)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .select(lit(name).as("stage"), lit(v).as("version"),
+          lit(losses).as("cas_losses"), lit(conflict).as("conflict"),
+          col("event_type"), col("n"), col("total_cents"))
+    stage("a_base", 1L, 0, 0)
+      .unionByName(stage("b_writer_a", 2L, 0, 0))
+      .unionByName(stage("c_writer_b_rebased", 4L, 1, 0))
+      .unionByName(stage("d_writer_c_serialized", 5L, 0, 1))
+      .orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[concurrentPartitionCommits]]: base totals, then
+    * purchase ×2, then view ×3 stacked on it, then purchase ×10 (=×2
+    * then ×5 — the serial proof) with view ×3; versions, CAS losses,
+    * and conflicts pinned. Embed after `WITH ` and select from
+    * `concurrent_partition_commits`.
+    */
+  def concurrentPartitionCommitsSql(): String =
+    s"""cpc_base AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM events GROUP BY 1),
+       |cpc_a AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql(
+                  "CASE WHEN event_type = 'purchase' THEN value * 2 " +
+                    "ELSE value END", 100)}) AS BIGINT) AS total_cents
+       |  FROM events GROUP BY 1),
+       |cpc_ab AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql(
+                  "CASE WHEN event_type = 'purchase' THEN value * 2 " +
+                    "WHEN event_type = 'view' THEN value * 3 " +
+                    "ELSE value END", 100)}) AS BIGINT) AS total_cents
+       |  FROM events GROUP BY 1),
+       |cpc_abc AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql(
+                  "CASE WHEN event_type = 'purchase' THEN value * 10 " +
+                    "WHEN event_type = 'view' THEN value * 3 " +
+                    "ELSE value END", 100)}) AS BIGINT) AS total_cents
+       |  FROM events GROUP BY 1),
+       |concurrent_partition_commits AS (
+       |  SELECT 'a_base' AS stage, CAST(1 AS BIGINT) AS version,
+       |         0 AS cas_losses, 0 AS conflict, event_type, n, total_cents
+       |  FROM cpc_base
+       |  UNION ALL
+       |  SELECT 'b_writer_a', 2, 0, 0, event_type, n, total_cents
+       |  FROM cpc_a
+       |  UNION ALL
+       |  SELECT 'c_writer_b_rebased', 4, 1, 0, event_type, n, total_cents
+       |  FROM cpc_ab
+       |  UNION ALL
+       |  SELECT 'd_writer_c_serialized', 5, 0, 1, event_type, n,
+       |         total_cents
+       |  FROM cpc_abc)""".stripMargin
+
+  /** Fold the merge-on-read sprawl into ONE snapshot: materialize the
+    * spliced read into `version`'s dir and map every partition to a
+    * single-element serving list — the q309 rewrite commit applied to
+    * the delta-manifest table. Totals are unchanged by contract (the
+    * q88/q287/q309 compaction invariant); after it, reads open one
+    * version dir and the commit log can be vacuumed past the sprawl.
+    */
+  def compactPartitionedMoR(spark: SparkSession, tableDir: String,
+      version: Long, partCol: String): Unit = {
+    val prev = currentVersion(spark, tableDir).getOrElse(
+      sys.error(s"no published snapshot under $tableDir"))
+    readPartitionedMoR(spark, tableDir, partCol, prev)
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(s"$tableDir/data/v$version")
+    val landed = partitionValues(spark, tableDir, version, partCol)
+    writeDeltaManifest(spark, tableDir, version,
+      landed.map(_ -> Seq(version)).toMap)
+    swapPointer(spark, tableDir, version)
+  }
 }

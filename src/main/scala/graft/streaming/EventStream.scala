@@ -1199,6 +1199,115 @@ object EventStream {
       .orderBy("event_type")
   }
 
+  /** q326 — STREAMING INGEST into the partition-mapped table via
+    * MERGE-ON-READ deltas: q324's harness (three time-ordered chunks,
+    * one micro-batch each, a crash injected in the commit-vs-checkpoint
+    * window, the replay skipping on the existing manifest) with the COW
+    * commit swapped for
+    * [[graft.operators.ManifestTable.appendPartitionedDelta]] — each
+    * batch lands ONLY its own rows as delta files and extends the
+    * touched partitions' serving lists, so per-batch write bytes scale
+    * with the DELTA, never the partition's accumulated data (q324's COW
+    * rewrites touched partitions per commit — write amplification ∝
+    * partition size, the wrong plan for a hot-partition stream at
+    * 100 TB; ManifestTableSpec pins the byte ratio between the two
+    * paths on a skewed fixture). After the stream, the merged read must
+    * splice MULTIPLE source versions (`multi_version` = true — the MoR
+    * sprawl), then [[graft.operators.ManifestTable.compactPartitionedMoR]]
+    * folds it to one dir per partition (`multi_version` = false) with
+    * totals unchanged — the q309 compaction contract closing the
+    * lifecycle. Exact totals at both stages ARE the exactly-once proof,
+    * as in q324.
+    *
+    * Scale: per batch the write is O(|delta|); read cost grows with the
+    * splice count until the scheduled compaction amortizes it — the
+    * Iceberg/Delta streaming-ingest architecture (commit deltas fast,
+    * compact in the background).
+    */
+  def streamIntoPartitionedMoR(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val ev = graft.sources.TestData.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts_ns"))
+    val mm = ev.agg(min("ts_ns").as("lo"), max("ts_ns").as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * ((hi - lo) / 3)
+    val base = exitScratch("graft-mstream")
+    val (src, tbl, ck, att) =
+      (s"$base/src", s"$base/table", s"$base/ck", s"$base/attempts")
+    require(new java.io.File(att).mkdirs(), s"cannot create $att")
+
+    var mtime = (System.currentTimeMillis() / 60000L) * 60000L
+    def writeChunk(df: DataFrame): Unit = {
+      val before = Option(new java.io.File(src).listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+      df.coalesce(1).write.mode("append").parquet(src)
+      mtime += 1000L
+      new java.io.File(src).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(f => require(f.setLastModified(mtime),
+          s"setLastModified failed for $f — replay order would be undefined"))
+    }
+    writeChunk(ev.filter(col("ts_ns") <= cut1))
+    writeChunk(ev.filter(col("ts_ns") > cut1 && col("ts_ns") <= cut2))
+    writeChunk(ev.filter(col("ts_ns") > cut2))
+
+    def runOnce(injectCrashAt: Long): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val marker = new java.io.File(att,
+            s"b$batchId-${UUID.randomUUID().toString}")
+          require(marker.createNewFile(), s"cannot create $marker")
+          ManifestTable.appendPartitionedDelta(
+            df.select(col("event_id"), col("event_type"), col("value")),
+            tbl, batchId + 1, "event_type")
+          if (batchId == injectCrashAt)
+            throw new RuntimeException(
+              "injected crash: commit landed, checkpoint commit never reached")
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.processAllAvailable(); q.awaitTermination() }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => }
+      finally q.stop()
+    }
+    runOnce(injectCrashAt = 1L) // dies after batch 1's delta commit
+    runOnce(injectCrashAt = -1L) // replays batch 1 (skipped), finishes 2
+
+    val attempts = new java.io.File(att).listFiles().length
+    val commits = ManifestTable.deltaManifestVersions(spark, tbl).size
+
+    def stage(name: String): DataFrame = {
+      val v = ManifestTable.currentVersion(spark, tbl).get
+      val nSrc = ManifestTable.readDeltaManifest(spark, tbl, v)
+        .values.flatten.toSet.size
+      ManifestTable.readPartitionedMoR(spark, tbl, "event_type", v)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(graft.functions.OracleSafe.quant(col("value"), 100))
+            .as("total_cents"))
+        .select(lit(name).as("stage"), col("event_type"), col("n"),
+          col("total_cents"), lit(nSrc >= 2).as("multi_version"),
+          lit(commits.toLong).as("n_commits"),
+          lit(attempts.toLong).as("n_attempts"),
+          lit(attempts > commits).as("replay_happened"))
+    }
+    // the MoR sprawl: chunks 1 and 3 are non-empty by construction (they
+    // contain the min- and max-ts events), so the merged read splices >=2
+    // source versions here
+    val s1 = stage("a_mor_stream")
+    ManifestTable.compactPartitionedMoR(spark, tbl,
+      ManifestTable.currentVersion(spark, tbl).get + 1, "event_type")
+    val s2 = stage("b_compacted")
+    s1.unionByName(s2).orderBy("stage", "event_type")
+  }
+
   /** q281 — STREAMING maintenance of the persisted inverted index: the
     * q239 index is built from the base corpus, then document deltas
     * arrive as a file stream and each micro-batch maintains the

@@ -969,4 +969,183 @@ class ManifestTableSpec extends SparkSpec {
       assert(served() == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q326 primitive: delta append across every crash window; compaction folds the splice") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ppd")
+    try {
+      val tbl = s"$out/tbl"
+      def rows(ids: Seq[(Long, String, Double)]) =
+        ids.toDF("event_id", "event_type", "value")
+      def served() = {
+        val v = ManifestTable.currentVersion(spark, tbl).get
+        ManifestTable.readPartitionedMoR(spark, tbl, "event_type", v)
+          .groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      assert(ManifestTable.appendPartitionedDelta(
+        rows(Seq((1L, "a", 1.0), (2L, "b", 2.0))), tbl, 1L, "event_type"))
+      assert(served() == Map("a" -> 1L, "b" -> 1L))
+      // v2 crashes BETWEEN delta-manifest write and pointer swap
+      intercept[ManifestTable.InjectedCrash] {
+        ManifestTable.appendPartitionedDelta(
+          rows(Seq((3L, "a", 3.0))), tbl, 2L, "event_type",
+          crashBeforeSwap = true)
+      }
+      assert(ManifestTable.currentVersion(spark, tbl).contains(1L))
+      assert(served() == Map("a" -> 1L, "b" -> 1L))
+      // the replay detects the delta manifest, completes the swap, skips
+      assert(!ManifestTable.appendPartitionedDelta(
+        rows(Seq((3L, "a", 3.0))), tbl, 2L, "event_type"))
+      assert(ManifestTable.currentVersion(spark, tbl).contains(2L))
+      assert(served() == Map("a" -> 2L, "b" -> 1L))
+      // partition a is now SPLICED from v1+v2; b served from v1 alone
+      assert(ManifestTable.readDeltaManifest(spark, tbl, 2L)
+        == Map("a" -> Seq(1L, 2L), "b" -> Seq(1L)))
+      // a second replay is a pure no-op
+      assert(!ManifestTable.appendPartitionedDelta(
+        rows(Seq((3L, "a", 3.0))), tbl, 2L, "event_type"))
+      assert(served() == Map("a" -> 2L, "b" -> 1L))
+      // a late v2 replay after v3 must not move the pointer back
+      assert(ManifestTable.appendPartitionedDelta(
+        rows(Seq((4L, "c", 4.0))), tbl, 3L, "event_type"))
+      assert(!ManifestTable.appendPartitionedDelta(
+        rows(Seq((3L, "a", 3.0))), tbl, 2L, "event_type"))
+      assert(ManifestTable.currentVersion(spark, tbl).contains(3L))
+      assert(served() == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+      // compaction folds every partition to ONE serving version with
+      // identical totals (the q309 contract on the delta manifest)
+      ManifestTable.compactPartitionedMoR(spark, tbl, 4L, "event_type")
+      assert(ManifestTable.currentVersion(spark, tbl).contains(4L))
+      assert(served() == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+      assert(ManifestTable.readDeltaManifest(spark, tbl, 4L)
+        == Map("a" -> Seq(4L), "b" -> Seq(4L), "c" -> Seq(4L)))
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
+  test("q327 disjoint writers racing on REAL threads both commit; manifests merge") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cpc")
+    try {
+      val tbl = s"$out/tbl"
+      val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+        .toDF("event_id", "event_type", "value")
+      ManifestTable.publishPartitioned(base, tbl, 1L, "event_type")
+      // both writers stage from the same pinned base, then race the
+      // commit loop on real threads — whatever the interleaving, both
+      // must land (disjoint partitions), one of them paying >=1 CAS loss
+      // or arriving after the head moved (both are valid schedules)
+      ManifestTable.stagePartitions(
+        Seq((10L, "a", 10.0)).toDF("event_id", "event_type", "value"),
+        tbl, "event_type", "wa")
+      ManifestTable.stagePartitions(
+        Seq((20L, "b", 20.0)).toDF("event_id", "event_type", "value"),
+        tbl, "event_type", "wb")
+      val results = new java.util.concurrent.ConcurrentHashMap[String,
+        Option[ManifestTable.PartitionCommit]]()
+      val ts = Seq("wa" -> "a", "wb" -> "b").map { case (w, p) =>
+        new Thread(() => results.put(w,
+          ManifestTable.commitStagedPartitions(spark, tbl, "event_type",
+            Seq(p), w, 1L)))
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      val (ra, rb) = (results.get("wa"), results.get("wb"))
+      assert(ra.isDefined && rb.isDefined,
+        s"disjoint writers must both commit: a=$ra b=$rb")
+      assert(Set(ra.get.version, rb.get.version) == Set(2L, 3L),
+        "the two commits must land consecutive versions")
+      // the merged head serves BOTH writers' rows plus the untouched c
+      val head = ManifestTable.currentVersion(spark, tbl).get
+      assert(head == 3L)
+      val got = ManifestTable
+        .readPartitionedVersion(spark, tbl, "event_type", 3L)
+        .groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+      val ids = ManifestTable
+        .readPartitionedVersion(spark, tbl, "event_type", 3L)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(10L, 20L, 3L),
+        "each writer's overwrite and the untouched partition must all serve")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
+  test("q327 overlapping writers serialize: the stale one is refused until it re-derives") {
+    val out = java.nio.file.Files.createTempDirectory("graft-cpc2")
+    try {
+      val tbl = s"$out/tbl"
+      ManifestTable.publishPartitioned(
+        Seq((1L, "a", 1.0), (2L, "b", 2.0))
+          .toDF("event_id", "event_type", "value"),
+        tbl, 1L, "event_type")
+      // both replace partition a from the same base
+      ManifestTable.stagePartitions(
+        Seq((10L, "a", 10.0)).toDF("event_id", "event_type", "value"),
+        tbl, "event_type", "wa")
+      ManifestTable.stagePartitions(
+        Seq((30L, "a", 30.0)).toDF("event_id", "event_type", "value"),
+        tbl, "event_type", "wc")
+      assert(ManifestTable.commitStagedPartitions(spark, tbl,
+        "event_type", Seq("a"), "wa", 1L)
+        .contains(ManifestTable.PartitionCommit(2L, 0)))
+      // the stale overlapping commit must be REFUSED, not merged
+      assert(ManifestTable.commitStagedPartitions(spark, tbl,
+        "event_type", Seq("a"), "wc", 1L).isEmpty)
+      // ...and still refused however often it retries from the stale base
+      assert(ManifestTable.commitStagedPartitions(spark, tbl,
+        "event_type", Seq("a"), "wc", 1L).isEmpty)
+      // serialization: re-stage against the live head, commit on top
+      ManifestTable.stagePartitions(
+        Seq((31L, "a", 31.0)).toDF("event_id", "event_type", "value"),
+        tbl, "event_type", "wc")
+      val head = ManifestTable.currentVersion(spark, tbl).get
+      assert(ManifestTable.commitStagedPartitions(spark, tbl,
+        "event_type", Seq("a"), "wc", head)
+        .contains(ManifestTable.PartitionCommit(3L, 0)))
+      val ids = ManifestTable
+        .readPartitionedVersion(spark, tbl, "event_type", 3L)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(31L, 2L), "the serialized overwrite must win cleanly")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
+  test("q326 scale contract: per-batch delta bytes ∝ |delta|, COW bytes ∝ |touched partition|") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ppb")
+    try {
+      def dirBytes(d: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(d))
+      }
+      // skewed fixture: a hot partition with 50k accumulated rows, then
+      // a 100-row delta touching it
+      val hot = spark.range(50000L)
+        .select(col("id").as("event_id"), lit("hot").as("event_type"),
+          (col("id") % 97 * 1.5).as("value"))
+      val delta = spark.range(50000L, 50100L)
+        .select(col("id").as("event_id"), lit("hot").as("event_type"),
+          lit(1.0).as("value"))
+      val cow = s"$out/cow"
+      val mor = s"$out/mor"
+      assert(ManifestTable.appendPartitionedIdempotent(hot, cow, 1L, "event_type"))
+      assert(ManifestTable.appendPartitionedDelta(hot, mor, 1L, "event_type"))
+      assert(ManifestTable.appendPartitionedIdempotent(delta, cow, 2L, "event_type"))
+      assert(ManifestTable.appendPartitionedDelta(delta, mor, 2L, "event_type"))
+      val cowBytes = dirBytes(s"$cow/data/v2")
+      val morBytes = dirBytes(s"$mor/data/v2")
+      // the COW commit rewrote the whole hot partition (50,100 rows); the
+      // MoR commit wrote the 100 delta rows — at least a 5x byte gap here,
+      // and ∝ partition-size/delta-size in general
+      assert(morBytes * 5 < cowBytes,
+        s"delta commit must be delta-sized: mor=$morBytes cow=$cowBytes")
+      // both serve identical totals
+      def n(tbl: String, mor: Boolean): Long = {
+        val v = ManifestTable.currentVersion(spark, tbl).get
+        val df = if (mor) ManifestTable.readPartitionedMoR(spark, tbl, "event_type", v)
+          else ManifestTable.readPartitioned(spark, tbl, "event_type")
+        df.count()
+      }
+      assert(n(cow, mor = false) == 50100L)
+      assert(n(mor, mor = true) == 50100L)
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
