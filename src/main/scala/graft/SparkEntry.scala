@@ -2132,6 +2132,13 @@ object SparkEntry {
     "q325_cluster_safe_split" -> { (s, dir) =>
       Sampling.clusterSafeSplit(TestData.documents(s, dir))
     },
+    // q325's audit wired INTO the q300 pipeline: the curated survivors
+    // are split on the q59 cluster label (not the doc hash), and the
+    // leakage audit rides as a pipeline stage — leaky_clusters is
+    // structurally zero and the oracle recomputes it rather than pins.
+    "q328_curated_cluster_split" -> { (s, dir) =>
+      Sampling.curatedClusterSplit(TestData.documents(s, dir))
+    },
     // One-pass eval report: AUC, Brier, confusion/P/R/F1, and MCC all
     // derived from ONE (type, cent-score) grain aggregate — the grain
     // is a sufficient statistic, so four scans become one and every
@@ -4196,6 +4203,12 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Sampling.clusterSafeSplitSql()}
           SELECT scheme, n_train, n_val, n_test, n_clusters, leaky_clusters
           FROM cluster_safe_split ORDER BY scheme""",
+
+    "q328_curated_cluster_split" ->
+      s"""WITH RECURSIVE ${Sampling.curatedClusterSplitSql()}
+          SELECT split, source, n_docs, n_tokens, n_clusters,
+                 leaky_clusters
+          FROM curated_cluster_split ORDER BY split, source""",
 
     // same delivery pins as q324 (3 commits, 4 attempts, replay TRUE);
     // the MoR read splices >=2 versions pre-compaction (chunks 1 and 3

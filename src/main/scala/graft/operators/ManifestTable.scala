@@ -83,6 +83,16 @@ object ManifestTable {
     swapPointer(spark, tableDir, version)
   }
 
+  /** Monotone count of pointer swaps in this JVM — every commit path
+    * (publish, partitioned, delta, rollback, …) funnels through
+    * [[swapPointer]], so a before/after delta is the COMMIT-FLOOR count
+    * a measured run paid. ScaleBench emits it beside each floor-shaped
+    * query's scale row so the artifact explains its own ratio
+    * (fixed-floor vs data-growth) without prose attribution.
+    */
+  private val commitCount = new java.util.concurrent.atomic.AtomicLong(0L)
+  def commitsSoFar: Long = commitCount.get()
+
   /** Commit the pointer to `version` with the standard tmp-write +
     * atomic rename — the second half of [[publish]], factored out so
     * staged-publish flows (q302's in-flight writer) can land data and
@@ -90,6 +100,7 @@ object ManifestTable {
     */
   def swapPointer(spark: SparkSession, tableDir: String,
       version: Long): Unit = {
+    commitCount.incrementAndGet()
     val ctx = fc(spark, tableDir)
     val tmp = new Path(s"$tableDir/CURRENT.tmp")
     val out = ctx.create(tmp,

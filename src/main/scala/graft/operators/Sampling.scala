@@ -1131,6 +1131,88 @@ object Sampling {
       .orderBy("scheme")
   }
 
+  /** q328 — the CLUSTER-KEYED SPLIT wired INTO the q300 curation
+    * pipeline: q325 proved the doc-hash scheme leaks near-dup pairs
+    * across train/test, but the flagship pipeline still stopped at the
+    * quota stage, leaving the split to whoever consumes it. This runs
+    * the ACTUAL q300 stages (exact dedup → quality → decontamination →
+    * per-source quota, via [[TextAnalysis.curationStages]] — composed,
+    * not re-implemented) and then assigns each survivor to
+    * train/val/test by the md5 coin on its q59 NEAR-DUP CLUSTER label
+    * (singleton docs are their own cluster), with the leakage audit
+    * emitted as a pipeline stage: `leaky_clusters` counts survivor
+    * clusters straddling ≥2 splits and is STRUCTURALLY ZERO — the split
+    * is a pure function of the cluster id — which the oracle recomputes
+    * rather than pins. Output: per (split, source) doc/token counts
+    * with the audit columns on every row.
+    *
+    * Scale: adds one left join against the q59 labels (banded LSH +
+    * O(log d) propagation, already bounded) and two cluster-grain
+    * aggregates to the q300 plan; the split itself is a map-side hash —
+    * no new shuffle shape beyond what q300 and q59 already pay.
+    */
+  def curatedClusterSplit(docs: DataFrame, minTokens: Int = 20,
+      quota: Int = 15, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"bad split percentages: $trainPct/$valPct")
+    def splitOf(c: Column): Column =
+      when(c < trainPct, "train")
+        .when(c < trainPct + valPct, "val").otherwise("test")
+    val (_, _, _, _, sampled) =
+      TextAnalysis.curationStages(docs, minTokens, quota)
+    val clusters = Dedup.dedupClusters(docs).select("doc_id", "cluster_id")
+    val tagged = sampled.select("doc_id", "source", "n_toks")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split", splitOf(coin(col("cluster_id"))))
+      .localCheckpoint()
+    val audit = tagged.groupBy("cluster_id")
+      .agg(countDistinct("split").as("nsplits"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("nsplits") > 1, 1L).otherwise(0L))
+          .as("leaky_clusters"))
+    tagged.groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .crossJoin(broadcast(audit))
+      .select(col("split"), col("source"), col("n_docs"),
+        col("n_tokens"), col("n_clusters"), col("leaky_clusters"))
+      .orderBy("split", "source")
+  }
+
+  /** DuckDB twin of [[curatedClusterSplit]] — the q300 CTE chain plus
+    * the q59 cluster chain, the same coin on the cluster label, the
+    * audit recomputed. Embed after `WITH RECURSIVE ` and select from
+    * `curated_cluster_split`.
+    */
+  def curatedClusterSplitSql(minTokens: Int = 20, quota: Int = 15,
+      trainPct: Int = 80, valPct: Int = 10): String =
+    s"""${graft.operators.Dedup.dedupClustersSql()},
+       |${TextAnalysis.curationStagesSql(minTokens, quota)},
+       |ccs_tag AS (
+       |  SELECT q.doc_id, q.source, q.n_toks,
+       |         COALESCE(c.cluster_id, q.doc_id) AS cluster_id
+       |  FROM cp_quota q LEFT JOIN dedup_clusters c USING (doc_id)),
+       |ccs_split AS (
+       |  SELECT doc_id, source, n_toks, cluster_id,
+       |         CASE WHEN ${coinSql("cluster_id")} < $trainPct
+       |                THEN 'train'
+       |              WHEN ${coinSql("cluster_id")} <
+       |                ${trainPct + valPct} THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM ccs_tag),
+       |ccs_audit AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |         CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)
+       |           AS BIGINT) AS leaky_clusters
+       |  FROM (SELECT cluster_id, COUNT(DISTINCT split) AS ns
+       |        FROM ccs_split GROUP BY 1)),
+       |curated_cluster_split AS (
+       |  SELECT s.split, s.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(s.n_toks) AS BIGINT) AS n_tokens,
+       |         a.n_clusters, a.leaky_clusters
+       |  FROM ccs_split s, ccs_audit a
+       |  GROUP BY 1, 2, 5, 6)""".stripMargin
+
   /** DuckDB twin of [[clusterSafeSplit]] — embed after `WITH RECURSIVE `
     * (the q59 cluster chain is recursive) and select from
     * `cluster_safe_split`.

@@ -1524,15 +1524,33 @@ object TextAnalysis {
     */
   def curationPipeline(documents: DataFrame, minTokens: Int = 20,
       quota: Int = 15): DataFrame = {
-    val base = documents.select(col("doc_id"), col("source"),
-        col("text"), split(col("text"), " ").as("toks"))
-      .withColumn("n_toks", size(col("toks")))
-      .localCheckpoint()
+    val (base, deduped, quality, decontam, sampled) =
+      curationStages(documents, minTokens, quota)
     def stageCounts(df: DataFrame, stage: String): DataFrame = df
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
       .select(lit(stage).as("stage"), col("source"), col("n_docs"),
         col("n_tokens"))
+    stageCounts(base, "a_raw")
+      .unionByName(stageCounts(deduped, "b_dedup"))
+      .unionByName(stageCounts(quality, "c_quality"))
+      .unionByName(stageCounts(decontam, "d_decontam"))
+      .unionByName(stageCounts(sampled, "e_quota"))
+      .orderBy("stage", "source")
+  }
+
+  /** The q300 stage frames (raw, dedup, quality, decontam, quota), each
+    * carrying (doc_id, source, toks, n_toks, …) — factored out so the
+    * cluster-keyed split (q328) composes on the SAME pipeline instead of
+    * a re-implementation that could drift.
+    */
+  private[operators] def curationStages(documents: DataFrame,
+      minTokens: Int, quota: Int):
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val base = documents.select(col("doc_id"), col("source"),
+        col("text"), split(col("text"), " ").as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .localCheckpoint()
     // A: exact dedup — one md5-key shuffle, min doc_id survives
     val deduped = base
       .withColumn("fp", md5(col("text")))
@@ -1569,18 +1587,36 @@ object TextAnalysis {
     val sampled = decontam
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= quota).drop("rk")
-    stageCounts(base, "a_raw")
-      .unionByName(stageCounts(deduped, "b_dedup"))
-      .unionByName(stageCounts(quality, "c_quality"))
-      .unionByName(stageCounts(decontam, "d_decontam"))
-      .unionByName(stageCounts(sampled, "e_quota"))
-      .orderBy("stage", "source")
+    (base, deduped, quality, decontam, sampled)
   }
 
   /** DuckDB twin of [[curationPipeline]] — the same four stages as
     * CTEs. Embed after `WITH ` and select from `curation`.
     */
   def curationPipelineSql(minTokens: Int = 20, quota: Int = 15): String =
+    s"""${curationStagesSql(minTokens, quota)},
+       |curation AS (
+       |  SELECT 'a_raw' AS stage, source, COUNT(*) AS n_docs,
+       |         CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |  FROM cp_base GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'b_dedup', source, COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+       |  FROM cp_dedup GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'c_quality', source, COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+       |  FROM cp_quality GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'd_decontam', source, COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+       |  FROM cp_decontam GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'e_quota', source, COUNT(*), CAST(SUM(n_toks) AS BIGINT)
+       |  FROM cp_quota GROUP BY 2)""".stripMargin
+
+  /** The q300 CTE chain (cp_base … cp_quota), factored out so the
+    * cluster-keyed split oracle (q328) composes the SAME SQL stages.
+    * Embed after `WITH `.
+    */
+  def curationStagesSql(minTokens: Int = 20, quota: Int = 15): String =
     s"""cp_base AS (
        |  SELECT doc_id, source, text, string_split(text, ' ') AS toks,
        |         CAST(len(string_split(text, ' ')) AS INT) AS n_toks
@@ -1615,23 +1651,7 @@ object TextAnalysis {
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
        |    FROM cp_decontam)
-       |  WHERE rk <= $quota),
-       |curation AS (
-       |  SELECT 'a_raw' AS stage, source, COUNT(*) AS n_docs,
-       |         CAST(SUM(n_toks) AS BIGINT) AS n_tokens
-       |  FROM cp_base GROUP BY 2
-       |  UNION ALL
-       |  SELECT 'b_dedup', source, COUNT(*), CAST(SUM(n_toks) AS BIGINT)
-       |  FROM cp_dedup GROUP BY 2
-       |  UNION ALL
-       |  SELECT 'c_quality', source, COUNT(*), CAST(SUM(n_toks) AS BIGINT)
-       |  FROM cp_quality GROUP BY 2
-       |  UNION ALL
-       |  SELECT 'd_decontam', source, COUNT(*), CAST(SUM(n_toks) AS BIGINT)
-       |  FROM cp_decontam GROUP BY 2
-       |  UNION ALL
-       |  SELECT 'e_quota', source, COUNT(*), CAST(SUM(n_toks) AS BIGINT)
-       |  FROM cp_quota GROUP BY 2)""".stripMargin
+       |  WHERE rk <= $quota)""".stripMargin
 
   /** q293 — OVERLAPPING-CHUNK DEDUP, the RAG-ingestion shape: every
     * document splits into token windows of `width` every `stride`
