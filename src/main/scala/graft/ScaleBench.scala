@@ -239,6 +239,9 @@ object ScaleBench {
     // cluster-keyed split (q300 stages + q59 labels + the leakage audit)
     "q326_stream_mor_ingest", "q327_concurrent_partition_commits",
     "q328_curated_cluster_split",
+    // keyed MoR upserts/tombstones: O(delta) commits, key-grain merge
+    // read, compaction + reachability vacuum both ways
+    "q329_mor_upsert_read",
     // round-14 coverage sweep: carried event/document/embedding queries
     // whose primary input scales with the 10× blow-up — measured to
     // extend the zero-failure evidence past 220 queries (streaming and

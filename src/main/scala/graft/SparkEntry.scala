@@ -2139,6 +2139,15 @@ object SparkEntry {
     "q328_curated_cluster_split" -> { (s, dir) =>
       Sampling.curatedClusterSplit(TestData.documents(s, dir))
     },
+    // Keyed upserts + tombstones on the MoR table (the Hudi read shape):
+    // every commit writes only delta rows, the read resolves latest-wins
+    // then drops tombstones, compaction applies both physically, and the
+    // MoR-aware vacuum honors delta references both before (reclaims
+    // nothing) and after (reclaims exactly the chain) the compaction.
+    "q329_mor_upsert_read" -> { (s, dir) =>
+      ManifestTable.morUpsertRead(TestData.events(s, dir),
+        scratchDir("graft-q329").resolve("events_table").toString)
+    },
     // One-pass eval report: AUC, Brier, confusion/P/R/F1, and MCC all
     // derived from ONE (type, cent-score) grain aggregate — the grain
     // is a sufficient statistic, so four scans become one and every
@@ -4209,6 +4218,12 @@ object SparkEntry {
           SELECT split, source, n_docs, n_tokens, n_clusters,
                  leaky_clusters
           FROM curated_cluster_split ORDER BY split, source""",
+
+    "q329_mor_upsert_read" ->
+      s"""WITH ${ManifestTable.morUpsertReadSql()}
+          SELECT stage, version, n_src_versions, reclaimed, event_type,
+                 n, total_cents
+          FROM mor_upsert_read ORDER BY stage, event_type""",
 
     // same delivery pins as q324 (3 commits, 4 attempts, replay TRUE);
     // the MoR read splices >=2 versions pre-compaction (chunks 1 and 3

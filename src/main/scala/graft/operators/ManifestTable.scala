@@ -3170,15 +3170,213 @@ object ManifestTable {
     * version dir and the commit log can be vacuumed past the sprawl.
     */
   def compactPartitionedMoR(spark: SparkSession, tableDir: String,
+      version: Long, partCol: String): Unit =
+    publishCompactedMoR(
+      readPartitionedMoR(spark, tableDir, partCol,
+        currentVersion(spark, tableDir).getOrElse(
+          sys.error(s"no published snapshot under $tableDir"))),
+      tableDir, version, partCol)
+
+  private def publishCompactedMoR(resolved: DataFrame, tableDir: String,
       version: Long, partCol: String): Unit = {
-    val prev = currentVersion(spark, tableDir).getOrElse(
-      sys.error(s"no published snapshot under $tableDir"))
-    readPartitionedMoR(spark, tableDir, partCol, prev)
-      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+    val spark = resolved.sparkSession
+    resolved.write.mode(SaveMode.Overwrite).partitionBy(partCol)
       .parquet(s"$tableDir/data/v$version")
     val landed = partitionValues(spark, tableDir, version, partCol)
     writeDeltaManifest(spark, tableDir, version,
       landed.map(_ -> Seq(version)).toMap)
     swapPointer(spark, tableDir, version)
   }
+
+  // ---------------------------------------------------------------- q329
+
+  /** Resolve a KEYED merge-on-read snapshot: splice the delta files
+    * ([[readPartitionedMoR]]'s union) with each row tagged by the
+    * version that committed it, keep the LATEST row per key
+    * (`max_by(row, commit_version)` — upsert-wins, the Hudi MoR /
+    * Iceberg equality-delete read), then drop rows whose latest image
+    * is a tombstone (`deleted = true`). Writers never read or rewrite
+    * base data — an upsert or delete is just a delta row — so the
+    * write path stays O(|delta|); the read pays one key-grain
+    * aggregation until [[compactPartitionedMoRKeyed]] applies the
+    * deltas physically.
+    *
+    * Keys must be unique within a version (each delta upserts a key at
+    * most once — the micro-batch grain), which makes `max_by`
+    * deterministic with no tie to break.
+    */
+  def readPartitionedMoRKeyed(spark: SparkSession, tableDir: String,
+      partCol: String, keyCol: String, version: Long): DataFrame = {
+    val map = readDeltaManifest(spark, tableDir, version)
+    val bySrc = map.toSeq
+      .flatMap { case (p, vs) => vs.map(v => (v, p)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val tagged = bySrc.map { case (srcV, entries) =>
+      spark.read.parquet(s"$tableDir/data/v$srcV")
+        .filter(col(partCol)
+          .isin(entries.map(_._2).distinct.sorted.map(x => x: Any): _*))
+        .withColumn("_commit_version", lit(srcV))
+    }.reduce(_ unionByName _)
+    val cols = tagged.columns.filter(_ != "_commit_version")
+    tagged
+      .groupBy(col(keyCol).as("_k"))
+      .agg(max_by(struct(cols.map(col): _*), col("_commit_version"))
+        .as("_latest"))
+      .select(cols.map(c => col(s"_latest.$c")): _*)
+      .filter(!col("deleted"))
+  }
+
+  /** Compaction for the KEYED MoR table: materialize the RESOLVED read
+    * (upserts applied, tombstones dropped — they have served their
+    * purpose once no older snapshot needs them) into one snapshot.
+    * Totals equal the pre-compaction resolved read by contract.
+    */
+  def compactPartitionedMoRKeyed(spark: SparkSession, tableDir: String,
+      version: Long, partCol: String, keyCol: String): Unit =
+    publishCompactedMoR(
+      readPartitionedMoRKeyed(spark, tableDir, partCol, keyCol,
+        currentVersion(spark, tableDir).getOrElse(
+          sys.error(s"no published snapshot under $tableDir"))),
+      tableDir, version, partCol)
+
+  /** Versions referenced by the DELTA manifests of retained versions —
+    * [[partitionReferencedVersions]]'s sibling for merge-on-read
+    * tables. A vacuum that only walked the COW manifests would tear
+    * live delta files out of every MoR snapshot.
+    */
+  def deltaReferencedVersions(spark: SparkSession, tableDir: String,
+      retained: Set[Long]): Set[Long] = {
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    retained.flatMap { v =>
+      if (!fs.exists(new Path(s"$tableDir/dmanifest/v$v")))
+        Set.empty[Long]
+      else readDeltaManifest(spark, tableDir, v).values.flatten.toSet
+    }
+  }
+
+  /** [[vacuumPartitioned]] for the merge-on-read table: keep-last-`keep`
+    * plus every version a retained DELTA manifest references. Before a
+    * compaction the live manifest references the whole delta chain —
+    * the vacuum must reclaim NOTHING; after one, the chain unpins in a
+    * single sweep (the q309 pairing, on delta manifests).
+    */
+  def vacuumPartitionedMoR(spark: SparkSession, tableDir: String,
+      keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, s"must keep at least the live snapshot: $keep")
+    val live = currentVersion(spark, tableDir)
+    val all = deltaManifestVersions(spark, tableDir)
+    val base = all.takeRight(keep).toSet ++ live
+    val retained = base ++ deltaReferencedVersions(spark, tableDir, base)
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dropped = all.filterNot(retained)
+    dropped.foreach(v => fs.delete(new Path(s"$tableDir/data/v$v"), true))
+    dropped
+  }
+
+  /** q329 — KEYED UPSERTS AND TOMBSTONES on the merge-on-read table,
+    * the row-grain completion of q326 (whose deltas were pure inserts):
+    * v1 lands the base rows; v2 upserts every purchase at ×2 (same
+    * keys — the read must prefer the v2 image); v3 tombstones every
+    * error row (`deleted = true` deltas — the Hudi `_hoodie_is_deleted`
+    * / Iceberg equality-delete shape). Each commit writes ONLY its
+    * delta rows. The keyed read resolves latest-wins then filters
+    * tombstones; compaction applies both physically (totals unchanged —
+    * require-pinned by the oracle hash); and the MoR-aware vacuum
+    * proves the reachability contract both ways: keep-1 BEFORE
+    * compaction reclaims nothing (the live delta manifest references
+    * the whole chain), keep-1 AFTER reclaims exactly the three unpinned
+    * delta dirs while the compacted read still serves. Output:
+    * per-stage totals with version, spliced source-version count, and
+    * dirs reclaimed.
+    *
+    * Scale: upsert/delete commits are O(|delta|) writes; the read-side
+    * key aggregation is the MoR merge cost that scheduled compaction
+    * amortizes; vacuum is metadata + dir deletes.
+    */
+  def morUpsertRead(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"),
+      col("value"), lit(false).as("deleted"))
+    def stage(name: String, reclaimed: Long): DataFrame = {
+      val v = currentVersion(spark, tableDir).get
+      val nSrc = readDeltaManifest(spark, tableDir, v)
+        .values.flatten.toSet.size.toLong
+      readPartitionedMoRKeyed(spark, tableDir, "event_type", "event_id", v)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .select(lit(name).as("stage"), lit(v).as("version"),
+          lit(nSrc).as("n_src_versions"), lit(reclaimed).as("reclaimed"),
+          col("event_type"), col("n"), col("total_cents"))
+        // materialized NOW: the later vacuum stage legitimately deletes
+        // dirs this stage's lazy plan would still reference
+        .localCheckpoint()
+    }
+    require(appendPartitionedDelta(slim, tableDir, 1L, "event_type"))
+    val s1 = stage("a_base", 0L)
+    // v2: upsert deltas — purchases re-priced, SAME keys
+    require(appendPartitionedDelta(
+      slim.filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2),
+      tableDir, 2L, "event_type"))
+    val s2 = stage("b_upserted", 0L)
+    // v3: tombstone deltas — every error row deleted
+    require(appendPartitionedDelta(
+      slim.filter(col("event_type") === "error")
+        .withColumn("deleted", lit(true)),
+      tableDir, 3L, "event_type"))
+    val s3 = stage("c_tombstoned", 0L)
+    // reachability, pre-compaction: keep-1 must reclaim NOTHING — the
+    // live delta manifest references v1..v3
+    val preDropped = vacuumPartitionedMoR(spark, tableDir, keep = 1)
+    require(preDropped.isEmpty,
+      s"pre-compaction vacuum must respect delta references: $preDropped")
+    compactPartitionedMoRKeyed(spark, tableDir, 4L, "event_type",
+      "event_id")
+    val s4 = stage("d_compacted", 0L)
+    // post-compaction: the chain unpins — keep-1 reclaims exactly v1..v3
+    val dropped = vacuumPartitionedMoR(spark, tableDir, keep = 1)
+    require(dropped == Seq(1L, 2L, 3L),
+      s"post-compaction vacuum must reclaim exactly the delta chain: $dropped")
+    val s5 = stage("e_post_vacuum", dropped.size.toLong)
+    s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
+      .orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[morUpsertRead]]: base totals, purchase ×2, errors
+    * gone, identical after compaction and vacuum; versions,
+    * source-version counts, and reclaim counts pinned. Embed after
+    * `WITH ` and select from `mor_upsert_read`.
+    */
+  def morUpsertReadSql(): String =
+    s"""mur_base AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM events GROUP BY 1),
+       |mur_up AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql(
+                  "CASE WHEN event_type = 'purchase' THEN value * 2 " +
+                    "ELSE value END", 100)}) AS BIGINT) AS total_cents
+       |  FROM events GROUP BY 1),
+       |mor_upsert_read AS (
+       |  SELECT 'a_base' AS stage, CAST(1 AS BIGINT) AS version,
+       |         CAST(1 AS BIGINT) AS n_src_versions,
+       |         CAST(0 AS BIGINT) AS reclaimed, event_type, n, total_cents
+       |  FROM mur_base
+       |  UNION ALL
+       |  SELECT 'b_upserted', 2, 2, 0, event_type, n, total_cents
+       |  FROM mur_up
+       |  UNION ALL
+       |  SELECT 'c_tombstoned', 3, 3, 0, event_type, n, total_cents
+       |  FROM mur_up WHERE event_type <> 'error'
+       |  UNION ALL
+       |  SELECT 'd_compacted', 4, 1, 0, event_type, n, total_cents
+       |  FROM mur_up WHERE event_type <> 'error'
+       |  UNION ALL
+       |  SELECT 'e_post_vacuum', 4, 1, 3, event_type, n, total_cents
+       |  FROM mur_up WHERE event_type <> 'error')""".stripMargin
 }

@@ -1107,6 +1107,51 @@ class ManifestTableSpec extends SparkSpec {
     } finally graft.Scratch.rmTree(out.toFile)
   }
 
+  test("q329 keyed MoR: latest image wins, tombstones mask, vacuum honors delta references") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mur")
+    try {
+      val tbl = s"$out/tbl"
+      def rows(ids: Seq[(Long, String, Double, Boolean)]) =
+        ids.toDF("event_id", "event_type", "value", "deleted")
+      def served(): Map[Long, Double] = {
+        val v = ManifestTable.currentVersion(spark, tbl).get
+        ManifestTable.readPartitionedMoRKeyed(spark, tbl,
+            "event_type", "event_id", v)
+          .select("event_id", "value").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+      assert(ManifestTable.appendPartitionedDelta(
+        rows(Seq((1L, "a", 1.0, false), (2L, "a", 2.0, false),
+          (3L, "b", 3.0, false))), tbl, 1L, "event_type"))
+      assert(served() == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+      // v2 upserts key 1; v3 re-upserts key 1 AND tombstones key 2 —
+      // the latest image must win through a two-deep chain
+      assert(ManifestTable.appendPartitionedDelta(
+        rows(Seq((1L, "a", 10.0, false))), tbl, 2L, "event_type"))
+      assert(served() == Map(1L -> 10.0, 2L -> 2.0, 3L -> 3.0))
+      assert(ManifestTable.appendPartitionedDelta(
+        rows(Seq((1L, "a", 100.0, false), (2L, "a", 0.0, true))),
+        tbl, 3L, "event_type"))
+      assert(served() == Map(1L -> 100.0, 3L -> 3.0))
+      // vacuum BEFORE compaction: the live manifest references v1..v3 —
+      // nothing reclaimable
+      assert(ManifestTable.vacuumPartitionedMoR(spark, tbl, keep = 1)
+        .isEmpty)
+      assert(served() == Map(1L -> 100.0, 3L -> 3.0))
+      // compaction applies upserts + tombstones physically; the
+      // tombstone row must be GONE from the files, not just masked
+      ManifestTable.compactPartitionedMoRKeyed(spark, tbl, 4L,
+        "event_type", "event_id")
+      assert(served() == Map(1L -> 100.0, 3L -> 3.0))
+      assert(spark.read.parquet(s"$tbl/data/v4").count() == 2L,
+        "compaction must drop tombstoned rows physically")
+      // vacuum AFTER compaction reclaims exactly the unpinned chain
+      assert(ManifestTable.vacuumPartitionedMoR(spark, tbl, keep = 1)
+        == Seq(1L, 2L, 3L))
+      assert(served() == Map(1L -> 100.0, 3L -> 3.0))
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
   test("q326 scale contract: per-batch delta bytes ∝ |delta|, COW bytes ∝ |touched partition|") {
     val out = java.nio.file.Files.createTempDirectory("graft-ppb")
     try {
