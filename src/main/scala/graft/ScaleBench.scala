@@ -242,6 +242,8 @@ object ScaleBench {
     // keyed MoR upserts/tombstones: O(delta) commits, key-grain merge
     // read, compaction + reachability vacuum both ways
     "q329_mor_upsert_read",
+    // stream + compactor racing the txn log: 4 CAS commits + one fold
+    "q330_stream_compact_race",
     // round-14 coverage sweep: carried event/document/embedding queries
     // whose primary input scales with the 10× blow-up — measured to
     // extend the zero-failure evidence past 220 queries (streaming and

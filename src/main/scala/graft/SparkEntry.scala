@@ -2126,6 +2126,14 @@ object SparkEntry {
     "q326_stream_mor_ingest" -> { (s, dir) =>
       graft.streaming.EventStream.streamIntoPartitionedMoR(s, dir)
     },
+    // Streaming ingest and a compaction racing the SAME log: txn-tagged
+    // idempotence (appId, batchId) with CAS-allocated versions — the
+    // compactor folds v1+v2 as v3 between micro-batches, batch 2
+    // rebases onto the fold as v4, and the crash-replay straddling the
+    // compaction skips on the txn tag; exact totals prove exactly-once.
+    "q330_stream_compact_race" -> { (s, dir) =>
+      graft.streaming.EventStream.streamWithConcurrentCompaction(s, dir)
+    },
     // Cluster-safe split: the doc-hash scheme leaks near-dup pairs
     // across train/test; keying the coin on the q59 cluster label
     // makes leakage structurally zero — both schemes audited per run.
@@ -4224,6 +4232,21 @@ object SparkEntry {
           SELECT stage, version, n_src_versions, reclaimed, event_type,
                  n, total_cents
           FROM mor_upsert_read ORDER BY stage, event_type""",
+
+    // b0, b1, compaction, b2 -> 4 commits; crash after b1+compaction,
+    // replay skips on the txn tag -> 4 attempts over 3 batches
+    "q330_stream_compact_race" ->
+      s"""WITH scr_tot AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(${quantSql("value", 100)}) AS BIGINT)
+                     AS total_cents
+            FROM events GROUP BY 1)
+          SELECT event_type, n, total_cents,
+                 CAST(4 AS BIGINT) AS n_commits,
+                 CAST(3 AS BIGINT) AS compact_version,
+                 CAST(4 AS BIGINT) AS n_attempts,
+                 TRUE AS replay_happened
+          FROM scr_tot ORDER BY event_type""",
 
     // same delivery pins as q324 (3 commits, 4 attempts, replay TRUE);
     // the MoR read splices >=2 versions pre-compaction (chunks 1 and 3

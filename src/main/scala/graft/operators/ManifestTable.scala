@@ -3275,6 +3275,172 @@ object ManifestTable {
     dropped
   }
 
+  // ---------------------------------------------------------------- q330
+
+  /** The TXN-TAGGED manifest tier: q326's streaming commits derive
+    * version = batchId + 1, which is a pure function of the batch but
+    * COLLIDES the moment any other committer (a compactor, a second
+    * stream) wants a version — the two rules can't share one log. This
+    * tier separates the two concerns the way Delta's transaction log
+    * does: IDEMPOTENCE comes from an (appId, batchId) txn tag recorded
+    * IN the commit, VERSIONS are CAS-allocated by whoever commits next,
+    * and data files are staged under txn-unique dirs BEFORE the
+    * metadata commit — the manifest references dirs by name, so there
+    * is no rename-after-commit window where a published manifest names
+    * missing data (the q241 lesson, strengthened: data first, one
+    * atomic metadata create, pointer advance last and monotone).
+    *
+    * Manifest format (`tmanifest/v<N>`): optional `#txn <app> <batch>`
+    * header, then `partition\tdir1,dir2` serving lists naming dirs
+    * under `data/`.
+    */
+  def readTxnManifest(spark: SparkSession, tableDir: String,
+      version: Long): Map[String, Seq[String]] =
+    readFully(fc(spark, tableDir),
+        new Path(s"$tableDir/tmanifest/v$version"))
+      .split("\n").iterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        val Array(p, ds) = line.split("\t")
+        p -> ds.split(",").toSeq
+      }.toMap
+
+  /** The txn tag a version's manifest carries, if any. */
+  def txnOf(spark: SparkSession, tableDir: String,
+      version: Long): Option[(String, Long)] =
+    readFully(fc(spark, tableDir),
+        new Path(s"$tableDir/tmanifest/v$version"))
+      .split("\n").iterator.map(_.trim)
+      .collectFirst { case l if l.startsWith("#txn\t") =>
+        val Array(_, app, b) = l.split("\t")
+        (app, b.toLong)
+      }
+
+  def txnManifestVersions(spark: SparkSession,
+      tableDir: String): Seq[Long] = {
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$tableDir/tmanifest")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v").toLong).toOption)
+      .sorted
+  }
+
+  private def partitionValuesIn(spark: SparkSession, dir: String,
+      partCol: String): Seq[String] = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol="))
+      .map(_.stripPrefix(s"$partCol=")).sorted
+  }
+
+  /** Append `df` under txn tag (`appId`, `batchId`), CAS-allocating the
+    * version: stage the delta under `data/t_<app>_b<batch>` (idempotent
+    * overwrite — a replay re-stages the same bytes), then loop — read
+    * the head, merge serving lists, put-if-absent the next manifest.
+    * A CAS loss means another committer (a compactor, another stream)
+    * took the slot; the retry re-merges onto ITS manifest — append
+    * commutes with everything, so no conflict check is needed. Returns
+    * (version, committedNow): a tag already in the log short-circuits
+    * to (its version, false) — exactly-once under crash-replay without
+    * owning the version sequence.
+    */
+  def appendDeltaTxn(df: DataFrame, tableDir: String, appId: String,
+      batchId: Long, partCol: String,
+      crashBeforePointer: Boolean = false): (Long, Boolean) = {
+    val spark = df.sparkSession
+    val existing = txnManifestVersions(spark, tableDir).reverseIterator
+      .find(v => txnOf(spark, tableDir, v).contains((appId, batchId)))
+    existing match {
+      case Some(v) =>
+        if (currentVersion(spark, tableDir).forall(_ < v))
+          swapPointer(spark, tableDir, v)
+        (v, false)
+      case None =>
+        val dirName = s"t_${appId}_b$batchId"
+        df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+          .parquet(s"$tableDir/data/$dirName")
+        val landed =
+          partitionValuesIn(spark, s"$tableDir/data/$dirName", partCol)
+        while (true) {
+          val head = txnManifestVersions(spark, tableDir)
+            .lastOption.getOrElse(0L)
+          val prev = if (head == 0L) Map.empty[String, Seq[String]]
+            else readTxnManifest(spark, tableDir, head)
+          val map = prev ++ landed.map(p =>
+            p -> (prev.getOrElse(p, Seq.empty) :+ dirName))
+          val target = head + 1
+          val body = s"#txn\t$appId\t$batchId\n" + map.toSeq.sortBy(_._1)
+            .map { case (p, ds) => s"$p\t${ds.mkString(",")}" }
+            .mkString("", "\n", "\n")
+          if (putIfAbsent(spark,
+              new Path(s"$tableDir/tmanifest/v$target"), body)) {
+            if (crashBeforePointer) throw new InjectedCrash
+            if (currentVersion(spark, tableDir).forall(_ < target))
+              swapPointer(spark, tableDir, target)
+            return (target, true)
+          }
+          // lost the slot: the winner's manifest is already complete
+          // (data staged before metadata — no wait needed), re-merge
+        }
+        sys.error("unreachable")
+    }
+  }
+
+  /** Resolve a txn-manifest snapshot: one partition-pruned read per
+    * distinct serving dir, unioned.
+    */
+  def readPartitionedTxn(spark: SparkSession, tableDir: String,
+      partCol: String, version: Long): DataFrame = {
+    val map = readTxnManifest(spark, tableDir, version)
+    map.toSeq.flatMap { case (p, ds) => ds.map(d => (d, p)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, entries) =>
+        spark.read.parquet(s"$tableDir/data/$d")
+          .filter(col(partCol)
+            .isin(entries.map(_._2).distinct.sorted.map(x => x: Any): _*))
+      }.reduce(_ unionByName _)
+  }
+
+  /** Compaction as just another CAS committer: resolve the head's
+    * spliced read into `data/c_v<head>`, then race for the next slot
+    * like any writer. A CAS loss means a concurrent append landed —
+    * the staged fold is STALE (it lacks the new delta), so the
+    * compactor re-resolves and re-stages rather than publishing a
+    * snapshot that silently drops a commit (the Iceberg RewriteFiles
+    * revalidation). Returns the version it committed.
+    */
+  def compactPartitionedTxn(spark: SparkSession, tableDir: String,
+      partCol: String, maxRetries: Int = 8): Long = {
+    var tries = 0
+    while (tries <= maxRetries) {
+      val head = txnManifestVersions(spark, tableDir)
+        .lastOption.getOrElse(sys.error(s"nothing to compact: $tableDir"))
+      val dirName = s"c_v$head"
+      readPartitionedTxn(spark, tableDir, partCol, head)
+        .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+        .parquet(s"$tableDir/data/$dirName")
+      val landed =
+        partitionValuesIn(spark, s"$tableDir/data/$dirName", partCol)
+      val target = head + 1
+      val body = landed.sorted.map(p => s"$p\t$dirName")
+        .mkString("", "\n", "\n")
+      if (putIfAbsent(spark,
+          new Path(s"$tableDir/tmanifest/v$target"), body)) {
+        if (currentVersion(spark, tableDir).forall(_ < target))
+          swapPointer(spark, tableDir, target)
+        return target
+      }
+      tries += 1 // a concurrent commit landed: the fold is stale — redo
+    }
+    sys.error(s"compactor exhausted $maxRetries retries under contention")
+  }
+
   /** q329 — KEYED UPSERTS AND TOMBSTONES on the merge-on-read table,
     * the row-grain completion of q326 (whose deltas were pure inserts):
     * v1 lands the base rows; v2 upserts every purchase at ×2 (same

@@ -1308,6 +1308,115 @@ object EventStream {
     s1.unionByName(s2).orderBy("stage", "event_type")
   }
 
+  /** q330 — STREAMING INGEST INTERLEAVED WITH A CONCURRENT COMPACTION,
+    * the interleaving q326's commit rule cannot express: version =
+    * batchId + 1 makes each commit a pure function of its batch but
+    * collides the moment a compactor wants a version of its own. Here
+    * the stream commits through the TXN-TAGGED protocol
+    * ([[graft.operators.ManifestTable.appendDeltaTxn]]): idempotence
+    * comes from the (appId, batchId) tag recorded in the manifest,
+    * versions are CAS-allocated, and data stages under txn-unique dirs
+    * BEFORE the metadata commit — so a compaction
+    * ([[graft.operators.ManifestTable.compactPartitionedTxn]], itself
+    * just another CAS committer) lands BETWEEN micro-batches without
+    * either writer owning the sequence: batch 0 → v1, batch 1 → v2,
+    * the compaction folds them as v3, batch 2 rebases onto the
+    * compacted manifest as v4 (serving lists splice c_v2 + its own
+    * delta). The crash is injected after batch 1's commit AND the
+    * compaction, before the checkpoint commit; the replay finds batch
+    * 1's txn tag in the log and SKIPS — exact totals through a crash
+    * that straddles a compaction are the exactly-once proof.
+    *
+    * Scale: this is the architecture that lets ingest and maintenance
+    * run as independent jobs on a live 100 TB table — neither
+    * serializes behind the other's schedule, the log arbitrates.
+    */
+  def streamWithConcurrentCompaction(spark: SparkSession,
+      dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val ev = graft.sources.TestData.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts_ns"))
+    val mm = ev.agg(min("ts_ns").as("lo"), max("ts_ns").as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * ((hi - lo) / 3)
+    val base = exitScratch("graft-txstream")
+    val (src, tbl, ck, att) =
+      (s"$base/src", s"$base/table", s"$base/ck", s"$base/attempts")
+    require(new java.io.File(att).mkdirs(), s"cannot create $att")
+
+    var mtime = (System.currentTimeMillis() / 60000L) * 60000L
+    def writeChunk(df: DataFrame): Unit = {
+      val before = Option(new java.io.File(src).listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+      df.coalesce(1).write.mode("append").parquet(src)
+      mtime += 1000L
+      new java.io.File(src).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(f => require(f.setLastModified(mtime),
+          s"setLastModified failed for $f — replay order would be undefined"))
+    }
+    writeChunk(ev.filter(col("ts_ns") <= cut1))
+    writeChunk(ev.filter(col("ts_ns") > cut1 && col("ts_ns") <= cut2))
+    writeChunk(ev.filter(col("ts_ns") > cut2))
+
+    def runOnce(injectCrashAt: Long): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val marker = new java.io.File(att,
+            s"b$batchId-${UUID.randomUUID().toString}")
+          require(marker.createNewFile(), s"cannot create $marker")
+          val (_, committedNow) = ManifestTable.appendDeltaTxn(
+            df.select(col("event_id"), col("event_type"), col("value")),
+            tbl, "ingest", batchId, "event_type")
+          if (batchId == injectCrashAt && committedNow) {
+            // the CONCURRENT maintenance job: folds v1+v2 as v3 while
+            // the stream is mid-flight, then the crash window hits
+            val cv = ManifestTable.compactPartitionedTxn(
+              spark, tbl, "event_type")
+            require(cv == 3L, s"the compaction must land as v3: $cv")
+            throw new RuntimeException(
+              "injected crash: txn + compaction committed, checkpoint never")
+          }
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.processAllAvailable(); q.awaitTermination() }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => }
+      finally q.stop()
+    }
+    runOnce(injectCrashAt = 1L) // dies after b1's txn commit + compaction
+    runOnce(injectCrashAt = -1L) // replays b1 (txn tag found, skipped)
+
+    val attempts = new java.io.File(att).listFiles().length
+    val versions = ManifestTable.txnManifestVersions(spark, tbl)
+    require(versions == Seq(1L, 2L, 3L, 4L),
+      s"expected b0, b1, compaction, b2 commits: $versions")
+    // the post-compaction append must SPLICE the compacted fold with
+    // its own delta — the rebase the CAS loop exists for
+    val v4 = ManifestTable.readTxnManifest(spark, tbl, 4L)
+    require(v4.values.exists(_ == Seq("c_v2", "t_ingest_b2")),
+      s"v4 must rebase onto the compacted manifest: $v4")
+    val head = ManifestTable.currentVersion(spark, tbl).get
+    ManifestTable.readPartitionedTxn(spark, tbl, "event_type", head)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.functions.OracleSafe.quant(col("value"), 100))
+          .as("total_cents"))
+      .select(col("event_type"), col("n"), col("total_cents"),
+        lit(versions.size.toLong).as("n_commits"),
+        lit(3L).as("compact_version"),
+        lit(attempts.toLong).as("n_attempts"),
+        lit(attempts > 3).as("replay_happened"))
+      .orderBy("event_type")
+  }
+
   /** q281 — STREAMING maintenance of the persisted inverted index: the
     * q239 index is built from the base corpus, then document deltas
     * arrive as a file stream and each micro-batch maintains the

@@ -1152,6 +1152,81 @@ class ManifestTableSpec extends SparkSpec {
     } finally graft.Scratch.rmTree(out.toFile)
   }
 
+  test("q330 txn protocol: tag-keyed idempotence across the crash window, versions CAS-allocated") {
+    val out = java.nio.file.Files.createTempDirectory("graft-txn")
+    try {
+      val tbl = s"$out/tbl"
+      def rows(ids: Seq[(Long, String, Double)]) =
+        ids.toDF("event_id", "event_type", "value")
+      def servedIds(): Set[Long] = {
+        val v = ManifestTable.currentVersion(spark, tbl).get
+        ManifestTable.readPartitionedTxn(spark, tbl, "event_type", v)
+          .select("event_id").collect().map(_.getLong(0)).toSet
+      }
+      assert(ManifestTable.appendDeltaTxn(
+        rows(Seq((1L, "a", 1.0))), tbl, "app", 0L, "event_type")
+        == ((1L, true)))
+      // batch 1 crashes AFTER its manifest commit, before the pointer
+      intercept[ManifestTable.InjectedCrash] {
+        ManifestTable.appendDeltaTxn(rows(Seq((2L, "b", 2.0))), tbl,
+          "app", 1L, "event_type", crashBeforePointer = true)
+      }
+      // data staged before metadata: the committed-but-unpointed v2 is
+      // already complete — a reader pinned to it would serve
+      assert(ManifestTable.readPartitionedTxn(spark, tbl, "event_type", 2L)
+        .count() == 2L)
+      // the replay finds the txn tag: same version back, no double rows,
+      // pointer completed
+      assert(ManifestTable.appendDeltaTxn(
+        rows(Seq((2L, "b", 2.0))), tbl, "app", 1L, "event_type")
+        == ((2L, false)))
+      assert(ManifestTable.currentVersion(spark, tbl).contains(2L))
+      assert(servedIds() == Set(1L, 2L))
+      // a second app's batch 0 is a DIFFERENT txn — it must commit,
+      // CAS-allocating v3 (no collision with app's batch numbering)
+      assert(ManifestTable.appendDeltaTxn(
+        rows(Seq((3L, "a", 3.0))), tbl, "app2", 0L, "event_type")
+        == ((3L, true)))
+      assert(servedIds() == Set(1L, 2L, 3L))
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
+  test("q330 compactor races a live append on real threads; both land, nothing lost") {
+    val out = java.nio.file.Files.createTempDirectory("graft-txr")
+    try {
+      val tbl = s"$out/tbl"
+      def rows(ids: Seq[(Long, String, Double)]) =
+        ids.toDF("event_id", "event_type", "value")
+      assert(ManifestTable.appendDeltaTxn(
+        rows(Seq((1L, "a", 1.0), (2L, "b", 2.0))), tbl, "s", 0L,
+        "event_type")._2)
+      assert(ManifestTable.appendDeltaTxn(
+        rows(Seq((3L, "a", 3.0))), tbl, "s", 1L, "event_type")._2)
+      // a compactor and a fresh append race the v3 slot on real threads;
+      // whichever loses must rebase/re-resolve — in EVERY interleaving
+      // both commit and the final read serves all four rows exactly once
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = Seq(
+        new Thread(() =>
+          try ManifestTable.compactPartitionedTxn(spark, tbl, "event_type")
+          catch { case t: Throwable => errs.add(t) }),
+        new Thread(() =>
+          try ManifestTable.appendDeltaTxn(rows(Seq((4L, "c", 4.0))), tbl,
+            "s", 2L, "event_type")
+          catch { case t: Throwable => errs.add(t) }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(errs.isEmpty, s"racing committers must not fail: $errs")
+      assert(ManifestTable.txnManifestVersions(spark, tbl)
+        == Seq(1L, 2L, 3L, 4L))
+      val v = ManifestTable.currentVersion(spark, tbl).get
+      assert(v == 4L)
+      val ids = ManifestTable.readPartitionedTxn(spark, tbl, "event_type", v)
+        .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L, 4L),
+        "every row exactly once, whatever the interleaving")
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
+
   test("q326 scale contract: per-batch delta bytes ∝ |delta|, COW bytes ∝ |touched partition|") {
     val out = java.nio.file.Files.createTempDirectory("graft-ppb")
     try {
