@@ -2156,6 +2156,15 @@ object SparkEntry {
       ManifestTable.morUpsertRead(TestData.events(s, dir),
         scratchDir("graft-q329").resolve("events_table").toString)
     },
+    // DELETE WHERE via POSITION deletes (Iceberg's second delete flavor
+    // beside q329's equality form): delete commits write (partition,
+    // src_version, pos) triples ∝ |deleted rows|; the read applies them
+    // with a broadcast anti-join over only the touched partitions — the
+    // base is never shuffled or key-aggregated, unlike the keyed read.
+    "q331_position_delete_mor" -> { (s, dir) =>
+      ManifestTable.positionDeleteRead(TestData.events(s, dir),
+        scratchDir("graft-q331").resolve("events_table").toString)
+    },
     // One-pass eval report: AUC, Brier, confusion/P/R/F1, and MCC all
     // derived from ONE (type, cent-score) grain aggregate — the grain
     // is a sufficient statistic, so four scans become one and every
@@ -4232,6 +4241,12 @@ object SparkEntry {
           SELECT stage, version, n_src_versions, reclaimed, event_type,
                  n, total_cents
           FROM mor_upsert_read ORDER BY stage, event_type""",
+
+    "q331_position_delete_mor" ->
+      s"""WITH ${ManifestTable.positionDeleteReadSql()}
+          SELECT stage, version, n_base, n_del, event_type, n,
+                 total_cents
+          FROM position_delete_read ORDER BY stage, event_type""",
 
     // b0, b1, compaction, b2 -> 4 commits; crash after b1+compaction,
     // replay skips on the txn tag -> 4 attempts over 3 batches

@@ -3545,4 +3545,236 @@ object ManifestTable {
        |  UNION ALL
        |  SELECT 'e_post_vacuum', 4, 1, 3, event_type, n, total_cents
        |  FROM mur_up WHERE event_type <> 'error')""".stripMargin
+
+  // ---------------------------------------------------------------- q331
+
+  /** POSITION-DELETE manifests (`pmanifest/v<N>`): each line is
+    * `partition\tbase:v1,v2\tdel:v3,v4` — per partition, the versions
+    * serving base ROWS and the versions serving delete TRIPLES
+    * `(partCol, _src_version, _pos)`. This is Iceberg's SECOND delete
+    * flavor beside q329's equality deletes: a delete names the physical
+    * row it kills (here `(source version, position)`; Iceberg uses
+    * `(file_path, pos)`), so the read applies it with an ANTI-JOIN
+    * against a delete set that is ∝ |deleted rows| — no key-grain
+    * aggregation over the base data at all, where the keyed MoR read
+    * pays a full-table `max_by` shuffle until compaction.
+    */
+  def writePosManifest(spark: SparkSession, tableDir: String,
+      version: Long,
+      mapping: Map[String, (Seq[Long], Seq[Long])]): Unit = {
+    val body = mapping.toSeq.sortBy(_._1)
+      .map { case (p, (bs, ds)) =>
+        s"$p\tbase:${bs.mkString(",")}\tdel:${ds.mkString(",")}" }
+      .mkString("", "\n", "\n")
+    require(putIfAbsent(spark,
+        new Path(s"$tableDir/pmanifest/v$version"), body),
+      s"position manifest for v$version already exists")
+  }
+
+  def readPosManifest(spark: SparkSession, tableDir: String,
+      version: Long): Map[String, (Seq[Long], Seq[Long])] =
+    readFully(fc(spark, tableDir),
+        new Path(s"$tableDir/pmanifest/v$version"))
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val Array(p, bs, ds) = line.split("\t")
+        def vs(s: String, tag: String): Seq[Long] = {
+          val body = s.stripPrefix(tag)
+          if (body.isEmpty) Seq.empty
+          else body.split(",").iterator.map(_.toLong).toSeq
+        }
+        p -> (vs(bs, "base:"), vs(ds, "del:"))
+      }.toMap
+
+  /** Publish base rows with a persisted `_pos` row id. `_pos` only needs
+    * to be unique WITHIN this version (a delete names `(version, pos)`),
+    * so `monotonically_increasing_id` — task-local counters, no window,
+    * no single-task bottleneck — is the 100-TB-safe assignment; Iceberg's
+    * per-file ordinal is the same idea at file grain. The id is persisted
+    * at write and only ever read back, so its layout-dependence is moot.
+    */
+  def publishPosBase(df: DataFrame, tableDir: String, version: Long,
+      partCol: String): Unit = {
+    val spark = df.sparkSession
+    df.withColumn("_pos", monotonically_increasing_id())
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(s"$tableDir/data/v$version")
+    val landed = partitionValues(spark, tableDir, version, partCol)
+    writePosManifest(spark, tableDir, version,
+      landed.map(p => p -> (Seq(version), Seq.empty[Long])).toMap)
+    swapPointer(spark, tableDir, version)
+  }
+
+  /** Commit a batch of position deletes: triples
+    * `(partCol, _src_version, _pos)` land under `data/v<version>` — bytes
+    * written ∝ |deleted rows|, never the touched partition — and the
+    * manifest extends the DELETE list of each touched partition.
+    */
+  def appendPositionDeletes(deletes: DataFrame, tableDir: String,
+      version: Long, partCol: String): Unit = {
+    val spark = deletes.sparkSession
+    deletes.select(col(partCol), col("_src_version"), col("_pos"))
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(s"$tableDir/data/v$version")
+    val prev = readPosManifest(spark, tableDir, version - 1)
+    val landed = partitionValues(spark, tableDir, version, partCol)
+    val map = prev ++ landed.map { p =>
+      val (bs, ds) = prev.getOrElse(p, (Seq.empty[Long], Seq.empty[Long]))
+      p -> (bs, ds :+ version)
+    }
+    writePosManifest(spark, tableDir, version, map)
+    swapPointer(spark, tableDir, version)
+  }
+
+  /** The spliced read WITH the row-id columns still attached — the form
+    * a DELETE-WHERE scans to translate its predicate into positions.
+    * Partitions with NO delete files bypass the anti-join entirely (the
+    * per-partition application real formats do), so the join's probe
+    * side is ∝ touched partitions and its build side ∝ |deleted rows| —
+    * small enough to broadcast by construction, keeping the base scan
+    * shuffle-free (PositionDeleteSpec pins the plan: no shuffle
+    * exchange anywhere in the resolved read).
+    */
+  def readPositionMoRRaw(spark: SparkSession, tableDir: String,
+      partCol: String, version: Long): DataFrame = {
+    val map = readPosManifest(spark, tableDir, version)
+    def baseOf(parts: Map[String, (Seq[Long], Seq[Long])]): DataFrame =
+      parts.toSeq.flatMap { case (p, (bs, _)) => bs.map(v => (v, p)) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (srcV, entries) =>
+          spark.read.parquet(s"$tableDir/data/v$srcV")
+            .filter(col(partCol)
+              .isin(entries.map(_._2).distinct.sorted.map(x => x: Any): _*))
+            .withColumn("_src_version", lit(srcV))
+        }.reduce(_ unionByName _)
+    val (touched, untouched) = map.partition(_._2._2.nonEmpty)
+    val clean = if (untouched.isEmpty) None else Some(baseOf(untouched))
+    val merged = if (touched.isEmpty) None else {
+      val delVs = touched.values.flatMap(_._2).toSet.toSeq.sorted
+      val dels = delVs.map { v =>
+        spark.read.parquet(s"$tableDir/data/v$v")
+          .select(col(partCol), col("_src_version"), col("_pos"))
+      }.reduce(_ unionByName _)
+      Some(baseOf(touched).join(broadcast(dels),
+        Seq(partCol, "_src_version", "_pos"), "left_anti"))
+    }
+    (clean, merged) match {
+      case (Some(c), Some(m)) => c.unionByName(m)
+      case (Some(c), None)    => c
+      case (None, Some(m))    => m
+      case _ => sys.error(s"empty position manifest v$version: $tableDir")
+    }
+  }
+
+  /** Resolve a position-delete MoR snapshot: the raw read minus the row
+    * ids. Cost shape vs [[readPartitionedMoRKeyed]]: broadcast anti-join
+    * (zero shuffle of base data) vs full-table key aggregation.
+    */
+  def readPositionMoR(spark: SparkSession, tableDir: String,
+      partCol: String, version: Long): DataFrame =
+    readPositionMoRRaw(spark, tableDir, partCol, version)
+      .drop("_src_version", "_pos")
+
+  /** Fold base + position deletes into ONE physical snapshot with fresh
+    * row ids; every partition's serving lists collapse to
+    * `base:[version] del:[]`. Totals unchanged by the q88/q287/q309
+    * compaction contract.
+    */
+  def compactPositionMoR(spark: SparkSession, tableDir: String,
+      version: Long, partCol: String): Unit =
+    publishPosBase(
+      readPositionMoR(spark, tableDir, partCol,
+        currentVersion(spark, tableDir).getOrElse(
+          sys.error(s"no published snapshot under $tableDir"))),
+      tableDir, version, partCol)
+
+  /** q331 — DELETE WHERE via position deletes, Iceberg's second delete
+    * flavor beside q329's keyed/equality form: v1 publishes the base
+    * with persisted row ids; v2 translates `DELETE WHERE event_id%7=0`
+    * into `(partition, src_version, pos)` triples by scanning the
+    * CURRENT resolved read (predicate → positions, exactly how engines
+    * write position deletes); v3 deletes `event_id%5=0` from the
+    * survivors; v4 compacts — totals unchanged. Each delete commit
+    * writes bytes ∝ |deleted rows|; the read applies deletes with a
+    * broadcast anti-join touching only partitions that HAVE deletes, so
+    * the base is never shuffled or key-aggregated (the structural win
+    * over the keyed read, pinned by PositionDeleteSpec).
+    *
+    * Output: per-stage totals with the manifest's base/delete version
+    * counts pinned.
+    */
+  def positionDeleteRead(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"),
+      col("value"))
+    def stage(name: String): DataFrame = {
+      val v = currentVersion(spark, tableDir).get
+      val m = readPosManifest(spark, tableDir, v)
+      val nBase = m.values.flatMap(_._1).toSet.size.toLong
+      val nDel = m.values.flatMap(_._2).toSet.size.toLong
+      readPositionMoR(spark, tableDir, "event_type", v)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(OracleSafe.quant(col("value"), 100)).as("total_cents"))
+        .select(lit(name).as("stage"), lit(v).as("version"),
+          lit(nBase).as("n_base"), lit(nDel).as("n_del"),
+          col("event_type"), col("n"), col("total_cents"))
+    }
+    publishPosBase(slim, tableDir, 1L, "event_type")
+    val s1 = stage("a_base")
+    def positionsWhere(pred: org.apache.spark.sql.Column): DataFrame =
+      readPositionMoRRaw(spark, tableDir, "event_type",
+          currentVersion(spark, tableDir).get)
+        .filter(pred)
+        .select(col("event_type"), col("_src_version"), col("_pos"))
+    appendPositionDeletes(positionsWhere(pmod(col("event_id"), lit(7)) === 0),
+      tableDir, 2L, "event_type")
+    val s2 = stage("b_del_mod7")
+    appendPositionDeletes(positionsWhere(pmod(col("event_id"), lit(5)) === 0),
+      tableDir, 3L, "event_type")
+    val s3 = stage("c_del_mod5")
+    compactPositionMoR(spark, tableDir, 4L, "event_type")
+    val s4 = stage("d_compacted")
+    s1.unionByName(s2).unionByName(s3).unionByName(s4)
+      .orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[positionDeleteRead]]: base totals, then minus
+    * `event_id%7=0`, then also minus `event_id%5=0`, unchanged by
+    * compaction; version and manifest counts pinned. Embed after
+    * `WITH ` and select from `position_delete_read`.
+    */
+  def positionDeleteReadSql(): String =
+    s"""pdr AS (
+       |  SELECT event_type, event_id, value FROM events),
+       |pdr_a AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM pdr GROUP BY 1),
+       |pdr_b AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM pdr WHERE event_id % 7 <> 0 GROUP BY 1),
+       |pdr_c AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(${OracleSafe.quantSql("value", 100)}) AS BIGINT)
+       |           AS total_cents
+       |  FROM pdr WHERE event_id % 7 <> 0 AND event_id % 5 <> 0
+       |  GROUP BY 1),
+       |position_delete_read AS (
+       |  SELECT 'a_base' AS stage, CAST(1 AS BIGINT) AS version,
+       |         CAST(1 AS BIGINT) AS n_base, CAST(0 AS BIGINT) AS n_del,
+       |         event_type, n, total_cents
+       |  FROM pdr_a
+       |  UNION ALL
+       |  SELECT 'b_del_mod7', 2, 1, 1, event_type, n, total_cents
+       |  FROM pdr_b
+       |  UNION ALL
+       |  SELECT 'c_del_mod5', 3, 1, 2, event_type, n, total_cents
+       |  FROM pdr_c
+       |  UNION ALL
+       |  SELECT 'd_compacted', 4, 1, 0, event_type, n, total_cents
+       |  FROM pdr_c)""".stripMargin
 }
