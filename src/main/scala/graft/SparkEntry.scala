@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
-import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, Funnel, Graph, ManifestTable, Multimodal, Packing, Planning, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, Snapshot, TextAnalysis, WarehouseSink, ZOrder}
+import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, FieldIdTable, Funnel, Graph, ManifestTable, Multimodal, Packing, Planning, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, Snapshot, TextAnalysis, WarehouseSink, ZOrder}
 import graft.oracle.BankOracle
 import graft.sources.{BankAdapter, CsvSource, TestData}
 import graft.streaming.EventStream
@@ -2165,6 +2165,15 @@ object SparkEntry {
       ManifestTable.positionDeleteRead(TestData.events(s, dir),
         scratchDir("graft-q331").resolve("events_table").toString)
     },
+    // Field-ID schema evolution (the piece q225's mergeSchema cannot
+    // give): renames are metadata-only — old files read under the new
+    // names via their immutable field ids — and a dropped-then-re-added
+    // column gets a fresh id, so dead same-named columns in old files
+    // never resurrect. Evolution commits are one tiny metadata file.
+    "q332_field_id_evolution" -> { (s, dir) =>
+      FieldIdTable.fieldIdEvolution(TestData.events(s, dir),
+        scratchDir("graft-q332").resolve("events_table").toString)
+    },
     // One-pass eval report: AUC, Brier, confusion/P/R/F1, and MCC all
     // derived from ONE (type, cent-score) grain aggregate — the grain
     // is a sufficient statistic, so four scans become one and every
@@ -4247,6 +4256,12 @@ object SparkEntry {
           SELECT stage, version, n_base, n_del, event_type, n,
                  total_cents
           FROM position_delete_read ORDER BY stage, event_type""",
+
+    "q332_field_id_evolution" ->
+      s"""WITH ${FieldIdTable.fieldIdEvolutionSql()}
+          SELECT stage, event_type, n, total_cents, n_channel,
+                 n_channel_vals
+          FROM field_id_evolution ORDER BY stage, event_type""",
 
     // b0, b1, compaction, b2 -> 4 commits; crash after b1+compaction,
     // replay skips on the txn tag -> 4 attempts over 3 batches

@@ -48,7 +48,7 @@ object ManifestTable {
   final class InjectedCrash extends RuntimeException(
     "injected crash: snapshot data written, pointer never swapped")
 
-  private def fc(spark: SparkSession, dir: String): FileContext =
+  private[operators] def fc(spark: SparkSession, dir: String): FileContext =
     FileContext.getFileContext(new Path(dir).toUri,
       spark.sparkContext.hadoopConfiguration)
 
@@ -279,7 +279,7 @@ object ManifestTable {
     * 8-thread race before this branch existed). Local paths therefore go
     * through NIO's `CREATE_NEW` (O_CREAT|O_EXCL — atomic on POSIX).
     */
-  private def putIfAbsent(spark: SparkSession, path: Path,
+  private[operators] def putIfAbsent(spark: SparkSession, path: Path,
       content: String): Boolean = {
     val uri = path.toUri
     if (uri.getScheme == null || uri.getScheme == "file") {
@@ -1908,7 +1908,7 @@ object ManifestTable {
 
   // ---------------------------------------------------------------- q304
 
-  private def readFully(ctx: FileContext, p: Path): String = {
+  private[operators] def readFully(ctx: FileContext, p: Path): String = {
     val in = ctx.open(p)
     try {
       val buf = new java.io.ByteArrayOutputStream()
