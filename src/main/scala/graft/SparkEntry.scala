@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe._
-import graft.operators.{BankEtl, Bucketing, DataQuality, Dedup, Events, FieldIdTable, Funnel, Graph, ManifestTable, Multimodal, Packing, Planning, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, Snapshot, TextAnalysis, WarehouseSink, ZOrder}
+import graft.operators.{BankEtl, Bucketing, ColocatedJoin, DataQuality, Dedup, Events, FieldIdTable, Funnel, Graph, ManifestTable, Multimodal, Packing, Planning, Privacy, Profile, Sampling, Scd, Segmentation, Similarity, Skew, Snapshot, TextAnalysis, WarehouseSink, ZOrder}
 import graft.oracle.BankOracle
 import graft.sources.{BankAdapter, CsvSource, TestData}
 import graft.streaming.EventStream
@@ -2174,6 +2174,16 @@ object SparkEntry {
       FieldIdTable.fieldIdEvolution(TestData.events(s, dir),
         scratchDir("graft-q332").resolve("events_table").toString)
     },
+    // Storage-partitioned join: both tables are partition-mapped on
+    // event_type, so the manifests plan one branch per common partition
+    // — the cross-partition shuffle is structurally gone, and broadcast
+    // is a PER-PARTITION decision from manifest byte counts (a slice
+    // broadcasts even when the whole dimension would not).
+    "q333_colocated_partition_join" -> { (s, dir) =>
+      ColocatedJoin.colocatedOverAverage(TestData.events(s, dir),
+        scratchDir("graft-q333").resolve("facts").toString,
+        scratchDir("graft-q333").resolve("user_totals").toString)
+    },
     // One-pass eval report: AUC, Brier, confusion/P/R/F1, and MCC all
     // derived from ONE (type, cent-score) grain aggregate — the grain
     // is a sufficient statistic, so four scans become one and every
@@ -4262,6 +4272,11 @@ object SparkEntry {
           SELECT stage, event_type, n, total_cents, n_channel,
                  n_channel_vals
           FROM field_id_evolution ORDER BY stage, event_type""",
+
+    "q333_colocated_partition_join" ->
+      s"""WITH ${ColocatedJoin.colocatedOverAverageSql()}
+          SELECT event_type, n_over, n_users, over_cents
+          FROM colocated_over_average ORDER BY event_type""",
 
     // b0, b1, compaction, b2 -> 4 commits; crash after b1+compaction,
     // replay skips on the txn tag -> 4 attempts over 3 batches

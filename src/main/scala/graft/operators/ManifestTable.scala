@@ -3548,7 +3548,7 @@ object ManifestTable {
 
   // ---------------------------------------------------------------- q331
 
-  /** POSITION-DELETE manifests (`pmanifest/v<N>`): each line is
+  /** POSITION-DELETE manifests (`posmanifest/v<N>`): each line is
     * `partition\tbase:v1,v2\tdel:v3,v4` — per partition, the versions
     * serving base ROWS and the versions serving delete TRIPLES
     * `(partCol, _src_version, _pos)`. This is Iceberg's SECOND delete
@@ -3567,14 +3567,14 @@ object ManifestTable {
         s"$p\tbase:${bs.mkString(",")}\tdel:${ds.mkString(",")}" }
       .mkString("", "\n", "\n")
     require(putIfAbsent(spark,
-        new Path(s"$tableDir/pmanifest/v$version"), body),
+        new Path(s"$tableDir/posmanifest/v$version"), body),
       s"position manifest for v$version already exists")
   }
 
   def readPosManifest(spark: SparkSession, tableDir: String,
       version: Long): Map[String, (Seq[Long], Seq[Long])] =
     readFully(fc(spark, tableDir),
-        new Path(s"$tableDir/pmanifest/v$version"))
+        new Path(s"$tableDir/posmanifest/v$version"))
       .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
       .map { line =>
         val Array(p, bs, ds) = line.split("\t")
