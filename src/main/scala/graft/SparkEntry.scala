@@ -2134,6 +2134,13 @@ object SparkEntry {
     "q330_stream_compact_race" -> { (s, dir) =>
       graft.streaming.EventStream.streamWithConcurrentCompaction(s, dir)
     },
+    // Backfill → stream handoff: one batch job loads all history under
+    // appId "backfill", a streaming job ingests the live tail under
+    // appId "live", both into one txn-tagged log; the boundary is exact
+    // by predicate and a crash straddling the seam batch replays clean.
+    "q334_backfill_stream_handoff" -> { (s, dir) =>
+      graft.streaming.EventStream.backfillStreamHandoff(s, dir)
+    },
     // Cluster-safe split: the doc-hash scheme leaks near-dup pairs
     // across train/test; keying the coin on the q59 cluster label
     // makes leakage structurally zero — both schemes audited per run.
@@ -4292,6 +4299,40 @@ object SparkEntry {
                  CAST(4 AS BIGINT) AS n_attempts,
                  TRUE AS replay_happened
           FROM scr_tot ORDER BY event_type""",
+
+    // the seam: backfill takes epoch_us(ts) <= lo+(hi-lo)//2, the
+    // stream takes the rest — stage b equals raw totals (no row lost or
+    // doubled at the handoff); 3 commits (backfill, live b0, live b1),
+    // 3 attempts (b0 ran twice: crash then tag-skip replay)
+    "q334_backfill_stream_handoff" ->
+      s"""WITH bsh_cut AS (
+            SELECT MIN(epoch_us(ts))
+                     + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS cut
+            FROM events),
+          bsh_a AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(${quantSql("value", 100)}) AS BIGINT)
+                     AS total_cents
+            FROM events WHERE epoch_us(ts) <= (SELECT cut FROM bsh_cut)
+            GROUP BY 1),
+          bsh_b AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(${quantSql("value", 100)}) AS BIGINT)
+                     AS total_cents
+            FROM events GROUP BY 1)
+          SELECT stage, event_type, n, total_cents, n_commits,
+                 n_attempts, replay_happened
+          FROM (
+            SELECT 'a_backfill_only' AS stage, event_type, n, total_cents,
+                   CAST(1 AS BIGINT) AS n_commits,
+                   CAST(0 AS BIGINT) AS n_attempts,
+                   FALSE AS replay_happened
+            FROM bsh_a
+            UNION ALL
+            SELECT 'b_handoff_complete', event_type, n, total_cents,
+                   3, 3, TRUE
+            FROM bsh_b)
+          ORDER BY stage, event_type""",
 
     // same delivery pins as q324 (3 commits, 4 attempts, replay TRUE);
     // the MoR read splices >=2 versions pre-compaction (chunks 1 and 3

@@ -1308,6 +1308,120 @@ object EventStream {
     s1.unionByName(s2).orderBy("stage", "event_type")
   }
 
+  /** q334 — BACKFILL → STREAM HANDOFF: bootstrapping a live streaming
+    * table from batch history, the lambda/kappa unification every
+    * production ingest meets once. A cutoff timestamp splits the events:
+    * one BATCH job commits all history (`ts <= cut`) under its own
+    * writer identity (`appId = "backfill"`, via
+    * [[graft.operators.ManifestTable.appendDeltaTxn]]), then a
+    * Structured Streaming job ingests the live tail (`ts > cut`, staged
+    * as two source files) under `appId = "live"` into the SAME
+    * txn-tagged log — the q330 protocol is what lets two writers share
+    * one table without coordinating versions. The boundary is exact by
+    * predicate (`<=` vs `>`), and the oracle proves it end to end: the
+    * handed-off table's totals equal the raw events' totals — no row
+    * dropped or doubled at the seam. A crash is injected after the
+    * FIRST live micro-batch's commit (the seam batch), before its
+    * checkpoint commit; the replay finds the (live, 0) txn tag and
+    * skips — exactly-once holds across the handoff.
+    *
+    * Scale: the backfill is one distributed batch write over cold
+    * history (no micro-batch floors), the stream only ever reads the
+    * tail, and neither writer blocks the other — the log arbitrates.
+    */
+  def backfillStreamHandoff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ManifestTable
+    val ev = graft.sources.TestData.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+    val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val cut = lo + (hi - lo) / 2
+    val cutTail = lo + (hi - lo) * 3 / 4
+    val base = exitScratch("graft-handoff")
+    val (src, tbl, ck, att) =
+      (s"$base/src", s"$base/table", s"$base/ck", s"$base/attempts")
+    require(new java.io.File(att).mkdirs(), s"cannot create $att")
+
+    val slim = ev.select(col("event_id"), col("event_type"), col("value"),
+      unix_micros(col("ts")).as("us"))
+    var mtime = (System.currentTimeMillis() / 60000L) * 60000L
+    def writeChunk(df: DataFrame): Unit = {
+      val before = Option(new java.io.File(src).listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+      df.coalesce(1).write.mode("append").parquet(src)
+      mtime += 1000L
+      new java.io.File(src).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(f => require(f.setLastModified(mtime),
+          s"setLastModified failed for $f — replay order would be undefined"))
+    }
+    // the live tail is what the stream will see — staged BEFORE the
+    // backfill commits, as in production (the stream's source exists
+    // while history loads; it just hasn't been started yet)
+    writeChunk(slim.filter(col("us") > cut && col("us") <= cutTail))
+    writeChunk(slim.filter(col("us") > cutTail))
+
+    // the BACKFILL: one batch commit of all history, its own writer id
+    val (bfV, bfNew) = ManifestTable.appendDeltaTxn(
+      slim.filter(col("us") <= cut)
+        .select(col("event_id"), col("event_type"), col("value")),
+      tbl, "backfill", 0L, "event_type")
+    require(bfV == 1L && bfNew, s"backfill must land as v1: $bfV/$bfNew")
+
+    def stage(name: String, nCommits: Long, attempts: Long): DataFrame =
+      ManifestTable.readPartitionedTxn(spark, tbl, "event_type",
+          ManifestTable.currentVersion(spark, tbl).get)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(graft.functions.OracleSafe.quant(col("value"), 100))
+            .as("total_cents"))
+        .select(lit(name).as("stage"), col("event_type"), col("n"),
+          col("total_cents"), lit(nCommits).as("n_commits"),
+          lit(attempts).as("n_attempts"),
+          lit(attempts > 2).as("replay_happened"))
+    val s1 = stage("a_backfill_only", 1L, 0L)
+
+    def runOnce(injectCrashAt: Long): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val marker = new java.io.File(att,
+            s"b$batchId-${UUID.randomUUID().toString}")
+          require(marker.createNewFile(), s"cannot create $marker")
+          val (_, committedNow) = ManifestTable.appendDeltaTxn(
+            df.select(col("event_id"), col("event_type"), col("value")),
+            tbl, "live", batchId, "event_type")
+          if (batchId == injectCrashAt && committedNow)
+            throw new RuntimeException(
+              "injected crash: seam batch committed, checkpoint never")
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try { q.processAllAvailable(); q.awaitTermination() }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => }
+      finally q.stop()
+    }
+    runOnce(injectCrashAt = 0L) // dies after the SEAM batch's commit
+    runOnce(injectCrashAt = -1L) // replays b0 (txn tag found → skip), b1
+
+    val attempts = new java.io.File(att).listFiles().length.toLong
+    val versions = ManifestTable.txnManifestVersions(spark, tbl)
+    require(versions == Seq(1L, 2L, 3L),
+      s"expected backfill, live b0, live b1: $versions")
+    require(ManifestTable.txnOf(spark, tbl, 1L).contains(("backfill", 0L))
+        && ManifestTable.txnOf(spark, tbl, 2L).contains(("live", 0L))
+        && ManifestTable.txnOf(spark, tbl, 3L).contains(("live", 1L)),
+      "the log must carry both writer identities in handoff order")
+    val s2 = stage("b_handoff_complete", versions.size.toLong, attempts)
+    s1.unionByName(s2).orderBy("stage", "event_type")
+  }
+
   /** q330 — STREAMING INGEST INTERLEAVED WITH A CONCURRENT COMPACTION,
     * the interleaving q326's commit rule cannot express: version =
     * batchId + 1 makes each commit a pure function of its batch but
