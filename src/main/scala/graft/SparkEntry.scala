@@ -2191,6 +2191,16 @@ object SparkEntry {
         scratchDir("graft-q333").resolve("facts").toString,
         scratchDir("graft-q333").resolve("user_totals").toString)
     },
+    // Metadata-only aggregation: each delta commit folds its batch's
+    // per-partition (count, sum) into a cumulative stats manifest, so
+    // full-table COUNT/SUM — at any version, including time travel —
+    // is a one-file metadata read with zero data files opened (Delta's
+    // numRecords / Iceberg's manifest value-counts); a physical recount
+    // cross-checks the stats in-plan.
+    "q335_metadata_count" -> { (s, dir) =>
+      ManifestTable.metadataCountRead(TestData.events(s, dir),
+        scratchDir("graft-q335").resolve("events_table").toString)
+    },
     // One-pass eval report: AUC, Brier, confusion/P/R/F1, and MCC all
     // derived from ONE (type, cent-score) grain aggregate — the grain
     // is a sufficient statistic, so four scans become one and every
@@ -4284,6 +4294,11 @@ object SparkEntry {
       s"""WITH ${ColocatedJoin.colocatedOverAverageSql()}
           SELECT event_type, n_over, n_users, over_cents
           FROM colocated_over_average ORDER BY event_type""",
+
+    "q335_metadata_count" ->
+      s"""WITH ${ManifestTable.metadataCountReadSql()}
+          SELECT stage, event_type, n, total_cents
+          FROM metadata_count_read ORDER BY stage, event_type""",
 
     // b0, b1, compaction, b2 -> 4 commits; crash after b1+compaction,
     // replay skips on the txn tag -> 4 attempts over 3 batches

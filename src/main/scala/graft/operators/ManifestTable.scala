@@ -3777,4 +3777,165 @@ object ManifestTable {
        |  UNION ALL
        |  SELECT 'd_compacted', 4, 1, 0, event_type, n, total_cents
        |  FROM pdr_c)""".stripMargin
+
+  // ---------------------------------------------------------------- q335
+
+  /** Idempotent small-file write (CREATE or OVERWRITE) — for metadata
+    * whose content is a pure function of the commit, where a crash-replay
+    * must be able to re-write the identical bytes ([[putIfAbsent]]'s
+    * sibling for the pre-commit-point files).
+    */
+  private def putOverwrite(spark: SparkSession, path: Path,
+      content: String): Unit = {
+    val uri = path.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      val p = java.nio.file.Paths.get(uri.getPath)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    } else {
+      val ctx = fc(spark, path.toString)
+      val out = ctx.create(path,
+        EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+        CreateOpts.createParent())
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** COMMIT-TIME STATS manifests (`stmanifest/v<N>`): per partition,
+    * the CUMULATIVE `(row_count, stat_sum)` as of the version — additive
+    * over delta commits, so each commit folds its batch's one-line
+    * aggregate into the previous stats at O(|partitions|) metadata cost.
+    * This is how table formats answer `COUNT(*)`/`SUM` instantly:
+    * Iceberg keeps per-file value counts in manifests, Delta puts
+    * numRecords in the commit stats — a full-table aggregate becomes a
+    * METADATA read, zero data files opened.
+    */
+  def writeStatsManifest(spark: SparkSession, tableDir: String,
+      version: Long, stats: Map[String, (Long, Long)]): Unit =
+    putOverwrite(spark, new Path(s"$tableDir/stmanifest/v$version"),
+      stats.toSeq.sortBy(_._1)
+        .map { case (p, (n, s)) => s"$p\t$n\t$s" }
+        .mkString("", "\n", "\n"))
+
+  def readStatsManifest(spark: SparkSession, tableDir: String,
+      version: Long): Map[String, (Long, Long)] =
+    readFully(fc(spark, tableDir),
+        new Path(s"$tableDir/stmanifest/v$version"))
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val Array(p, n, s) = line.split("\t")
+        p -> (n.toLong, s.toLong)
+      }.toMap
+
+  /** [[appendPartitionedDelta]] with commit-time stats: before the
+    * commit point, the batch's per-partition `(count, sum(statCol))` —
+    * one tiny aggregate of rows the writer is already holding — folds
+    * into the previous cumulative stats under `stmanifest/v<version>`.
+    * The stats file is written BEFORE the delta manifest (the commit
+    * point), so delta-manifest-present ⇒ stats present; its content is
+    * a pure function of (batch, previous stats), so the crash-replay's
+    * re-write is byte-identical (hence overwrite, not put-if-absent).
+    */
+  def appendPartitionedDeltaWithStats(df: DataFrame, tableDir: String,
+      version: Long, partCol: String, statCol: String): Boolean = {
+    val spark = df.sparkSession
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$tableDir/dmanifest/v$version"))) {
+      if (currentVersion(spark, tableDir).forall(_ < version))
+        swapPointer(spark, tableDir, version)
+      false
+    } else {
+      val prevStats = if (version == 1L) Map.empty[String, (Long, Long)]
+        else readStatsManifest(spark, tableDir, version - 1)
+      val batchStats = df.groupBy(partCol)
+        .agg(count(lit(1)).as("n"), sum(col(statCol)).as("s"))
+        .collect() // bounded by |partitions|
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val prevMap = if (version == 1L) Map.empty[String, Seq[Long]]
+        else readDeltaManifest(spark, tableDir, version - 1)
+      df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+        .parquet(s"$tableDir/data/v$version")
+      val landed = partitionValues(spark, tableDir, version, partCol)
+      writeStatsManifest(spark, tableDir, version,
+        prevStats ++ batchStats.map { case (p, (n, s)) =>
+          val (pn, ps) = prevStats.getOrElse(p, (0L, 0L))
+          p -> (pn + n, ps + s)
+        })
+      val map = prevMap ++ landed.map(p =>
+        p -> (prevMap.getOrElse(p, Seq.empty) :+ version))
+      writeDeltaManifest(spark, tableDir, version, map)
+      swapPointer(spark, tableDir, version)
+      true
+    }
+  }
+
+  /** Answer `GROUP BY partition: COUNT(*), SUM(statCol)` from METADATA
+    * ONLY — one stats-manifest read, zero data files opened. The
+    * returned plan is a local relation of |partitions| rows.
+    */
+  def metadataAggregate(spark: SparkSession, tableDir: String,
+      version: Long): DataFrame = {
+    import spark.implicits._
+    readStatsManifest(spark, tableDir, version).toSeq.sortBy(_._1)
+      .map { case (p, (n, s)) => (p, n, s) }
+      .toDF("partition", "n", "stat_sum")
+  }
+
+  /** q335 — metadata-only aggregation from commit-time stats: three
+    * delta commits (split on `event_id % 3`) each fold their batch's
+    * per-partition `(count, sum_cents)` into the cumulative stats
+    * manifest; the per-type totals are then answered WITHOUT OPENING A
+    * DATA FILE at every version — including time travel to v2 — and
+    * equal the oracle's recomputation from raw events. A scan-based
+    * recount of the head cross-checks the stats in-plan (`require`).
+    *
+    * Scale: the stats fold is O(|touched partitions|) metadata per
+    * commit (the batch aggregate rides the write the way Delta's
+    * numRecords does); the full-table COUNT/SUM at 100 TB is a
+    * one-file metadata read instead of a full scan.
+    */
+  def metadataCountRead(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"),
+      OracleSafe.quant(col("value"), 100).as("cents"))
+    (0 to 2).foreach { m =>
+      require(appendPartitionedDeltaWithStats(
+        slim.filter(pmod(col("event_id"), lit(3)) === m),
+        tableDir, m + 1L, "event_type", "cents"))
+    }
+    // the head's stats must equal a physical recount — checked here so
+    // the oracle row carries the cross-validated numbers
+    val physical = readPartitionedMoR(spark, tableDir, "event_type", 3L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    require(readStatsManifest(spark, tableDir, 3L) == physical,
+      "commit-time stats must equal the physical recount")
+    def stage(name: String, v: Long): DataFrame =
+      metadataAggregate(spark, tableDir, v)
+        .select(lit(name).as("stage"), col("partition").as("event_type"),
+          col("n"), col("stat_sum").as("total_cents"))
+    stage("a_v2_time_travel", 2L).unionByName(stage("b_head", 3L))
+      .orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[metadataCountRead]]: v2 covers `event_id%3 IN
+    * (0,1)`, the head covers all rows. Embed after `WITH ` and select
+    * from `metadata_count_read`.
+    */
+  def metadataCountReadSql(): String =
+    s"""mcr AS (
+       |  SELECT event_type, event_id,
+       |         ${OracleSafe.quantSql("value", 100)} AS cents
+       |  FROM events),
+       |metadata_count_read AS (
+       |  SELECT 'a_v2_time_travel' AS stage, event_type,
+       |         COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents
+       |  FROM mcr WHERE event_id % 3 IN (0, 1) GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'b_head', event_type, COUNT(*) AS n,
+       |         CAST(SUM(cents) AS BIGINT) AS total_cents
+       |  FROM mcr GROUP BY 2)""".stripMargin
 }

@@ -1268,4 +1268,44 @@ class ManifestTableSpec extends SparkSpec {
       assert(n(mor, mor = true) == 50100L)
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q335 commit-time stats: additive across commits, replay-stable, equal to a physical scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft-stats")
+    try {
+      val tbl = s"$out/tbl"
+      def rows(ids: Seq[(Long, String, Long)]) =
+        ids.toDF("event_id", "event_type", "cents")
+      assert(ManifestTable.appendPartitionedDeltaWithStats(
+        rows(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))),
+        tbl, 1L, "event_type", "cents"))
+      assert(ManifestTable.readStatsManifest(spark, tbl, 1L)
+        == Map("a" -> (2L, 30L), "b" -> (1L, 5L)))
+      assert(ManifestTable.appendPartitionedDeltaWithStats(
+        rows(Seq((4L, "a", 100L), (5L, "c", 7L))),
+        tbl, 2L, "event_type", "cents"))
+      // cumulative: a folds forward, untouched b carries, c appears
+      assert(ManifestTable.readStatsManifest(spark, tbl, 2L)
+        == Map("a" -> (3L, 130L), "b" -> (1L, 5L), "c" -> (1L, 7L)))
+      // a replayed commit must not double-fold the stats
+      assert(!ManifestTable.appendPartitionedDeltaWithStats(
+        rows(Seq((4L, "a", 100L), (5L, "c", 7L))),
+        tbl, 2L, "event_type", "cents"))
+      assert(ManifestTable.readStatsManifest(spark, tbl, 2L)
+        == Map("a" -> (3L, 130L), "b" -> (1L, 5L), "c" -> (1L, 7L)))
+      // metadata answer == physical scan answer, via the public reader
+      val meta = ManifestTable.metadataAggregate(spark, tbl, 2L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val scan = ManifestTable.readPartitionedMoR(spark, tbl,
+          "event_type", 2L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(meta == scan)
+      // time travel: v1's stats file still serves v1's answer
+      assert(ManifestTable.metadataAggregate(spark, tbl, 1L)
+        .count() == 2L)
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
