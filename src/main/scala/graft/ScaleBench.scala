@@ -244,6 +244,24 @@ object ScaleBench {
     "q329_mor_upsert_read",
     // stream + compactor racing the txn log: 4 CAS commits + one fold
     "q330_stream_compact_race",
+    // position-delete MoR: 4 commits; delete commits write triples ∝
+    // |deleted rows|, reads apply them as a broadcast anti-join (no
+    // base shuffle), the compaction fold is the data-proportional part
+    "q331_position_delete_mor",
+    // field-id evolution: 3 batch writes (data-proportional) + 2
+    // spliced head reads; evolution itself is one metadata file
+    "q332_field_id_evolution",
+    // storage-partitioned join: 2 publishes + |event_type| join
+    // branches (fixed fan-out), per-branch broadcast of the dim slice
+    "q333_colocated_partition_join",
+    // backfill + 2 live micro-batches into the txn log: 3 commit
+    // floors fixed at every scale; the backfill write is the
+    // data-proportional part
+    "q334_backfill_stream_handoff",
+    // commit-time stats: 3 delta commits each folding an O(|parts|)
+    // batch aggregate; the metadata read is O(|parts|) at any scale —
+    // the in-plan physical recount is the data-proportional part
+    "q335_metadata_count",
     // round-14 coverage sweep: carried event/document/embedding queries
     // whose primary input scales with the 10× blow-up — measured to
     // extend the zero-failure evidence past 220 queries (streaming and
