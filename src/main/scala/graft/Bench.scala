@@ -67,7 +67,7 @@ object Bench {
     "q329_mor_upsert_read", "q330_stream_compact_race",
     "q331_position_delete_mor", "q332_field_id_evolution",
     "q333_colocated_partition_join", "q334_backfill_stream_handoff",
-    "q335_metadata_count",
+    "q335_metadata_count", "q336_metadata_stats_deletes",
     "q36_warehouse_roundtrip", "q64_stream_tumbling",
     "q67_stream_static_join", "q68_stream_sessionize", "q72_range_join",
     "q82_stream_sliding", "q84_stream_dedup", "q88_compaction",

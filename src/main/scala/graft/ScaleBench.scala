@@ -262,6 +262,10 @@ object ScaleBench {
     // batch aggregate; the metadata read is O(|parts|) at any scale —
     // the in-plan physical recount is the data-proportional part
     "q335_metadata_count",
+    // stats through position deletes: q331's 4 commits + the negative
+    // folds (the doomed-row scans are the data-proportional part; each
+    // fold itself is O(|parts|) metadata)
+    "q336_metadata_stats_deletes",
     // round-14 coverage sweep: carried event/document/embedding queries
     // whose primary input scales with the 10× blow-up — measured to
     // extend the zero-failure evidence past 220 queries (streaming and

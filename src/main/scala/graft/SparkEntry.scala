@@ -2201,6 +2201,15 @@ object SparkEntry {
       ManifestTable.metadataCountRead(TestData.events(s, dir),
         scratchDir("graft-q335").resolve("events_table").toString)
     },
+    // Stats stay EXACT through position deletes: the DELETE WHERE scan
+    // that names the doomed rows also prices the negative stats fold,
+    // so COUNT/SUM remains a metadata read at every stage (base, two
+    // deletes, compaction) — the composition equality deletes cannot
+    // afford without the key-grain read MoR writes exist to avoid.
+    "q336_metadata_stats_deletes" -> { (s, dir) =>
+      ManifestTable.metadataStatsDeletes(TestData.events(s, dir),
+        scratchDir("graft-q336").resolve("events_table").toString)
+    },
     // One-pass eval report: AUC, Brier, confusion/P/R/F1, and MCC all
     // derived from ONE (type, cent-score) grain aggregate — the grain
     // is a sufficient statistic, so four scans become one and every
@@ -4299,6 +4308,11 @@ object SparkEntry {
       s"""WITH ${ManifestTable.metadataCountReadSql()}
           SELECT stage, event_type, n, total_cents
           FROM metadata_count_read ORDER BY stage, event_type""",
+
+    "q336_metadata_stats_deletes" ->
+      s"""WITH ${ManifestTable.metadataStatsDeletesSql()}
+          SELECT stage, version, event_type, n, total_cents
+          FROM metadata_stats_deletes ORDER BY stage, event_type""",
 
     // b0, b1, compaction, b2 -> 4 commits; crash after b1+compaction,
     // replay skips on the txn tag -> 4 attempts over 3 batches

@@ -3921,6 +3921,109 @@ object ManifestTable {
       .orderBy("stage", "event_type")
   }
 
+  /** q336 — commit-time stats kept EXACT through position deletes, the
+    * composition of q335's stats manifests with q331's delete flavor.
+    * The reason it works is specific to POSITION deletes: a DELETE WHERE
+    * translates its predicate into positions by SCANNING the doomed rows
+    * (q331's flow), so the writer is already holding their stat values
+    * and can fold the per-partition `(−count, −sum)` into the cumulative
+    * stats at commit time — full-table COUNT/SUM stays a metadata read
+    * at every version of the delete lifecycle. Equality deletes can't do
+    * this: a keyed tombstone names a KEY, not a row image — maintaining
+    * stats there would itself cost the key-grain read the MoR write path
+    * exists to avoid (Iceberg marks stats inexact under such deletes;
+    * the q329 tier leaves stats to compaction for the same reason).
+    *
+    * Stats files are written immediately BEFORE each commit point; a
+    * crash in between leaves an orphan stats file at an uncommitted
+    * version — invisible, since every reader resolves the pointer and
+    * the commit manifest first. Stages: base, two DELETE WHERE commits,
+    * compaction (stats carry forward unchanged — the q88/q309 totals
+    * invariant, now visible in metadata). The head's stats are
+    * cross-checked against a physical recount in-plan; the oracle
+    * recomputes every stage from raw events.
+    */
+  def metadataStatsDeletes(events: DataFrame, tableDir: String): DataFrame = {
+    val spark = events.sparkSession
+    val slim = events.select(col("event_id"), col("event_type"),
+      OracleSafe.quant(col("value"), 100).as("cents"))
+    def statsOf(df: DataFrame): Map[String, (Long, Long)] =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        .collect() // bounded by |partitions|
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    writeStatsManifest(spark, tableDir, 1L, statsOf(slim))
+    publishPosBase(slim, tableDir, 1L, "event_type")
+    def deleteWhere(v: Long, mod: Int): Unit = {
+      // predicate → positions: the scan that names the doomed rows is
+      // the same scan that prices the negative stats fold
+      val doomed = readPositionMoRRaw(spark, tableDir, "event_type", v - 1)
+        .filter(pmod(col("event_id"), lit(mod)) === 0)
+        .localCheckpoint()
+      val neg = statsOf(doomed)
+      writeStatsManifest(spark, tableDir, v,
+        readStatsManifest(spark, tableDir, v - 1).map { case (p, (n, s)) =>
+          val (dn, ds) = neg.getOrElse(p, (0L, 0L))
+          p -> (n - dn, s - ds)
+        })
+      appendPositionDeletes(doomed.select(col("event_type"),
+        col("_src_version"), col("_pos")), tableDir, v, "event_type")
+    }
+    deleteWhere(2L, 7)
+    deleteWhere(3L, 5)
+    // compaction changes layout, never totals: stats carry forward
+    writeStatsManifest(spark, tableDir, 4L,
+      readStatsManifest(spark, tableDir, 3L))
+    compactPositionMoR(spark, tableDir, 4L, "event_type")
+    val physical = statsOf(readPositionMoR(spark, tableDir, "event_type", 4L))
+    require(readStatsManifest(spark, tableDir, 4L)
+        .filter(_._2._1 > 0L) == physical,
+      "delete-folded stats must equal the physical recount")
+    def stage(name: String, v: Long): DataFrame =
+      metadataAggregate(spark, tableDir, v)
+        .select(lit(name).as("stage"), lit(v).as("version"),
+          col("partition").as("event_type"), col("n"),
+          col("stat_sum").as("total_cents"))
+    stage("a_base", 1L).unionByName(stage("b_del_mod7", 2L))
+      .unionByName(stage("c_del_mod5", 3L))
+      .unionByName(stage("d_compacted", 4L))
+      .orderBy("stage", "event_type")
+  }
+
+  /** DuckDB twin of [[metadataStatsDeletes]] — q331's stage filters with
+    * the stats answered per stage. Embed after `WITH ` and select from
+    * `metadata_stats_deletes`.
+    */
+  def metadataStatsDeletesSql(): String =
+    s"""msd AS (
+       |  SELECT event_type, event_id,
+       |         ${OracleSafe.quantSql("value", 100)} AS cents
+       |  FROM events),
+       |msd_a AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(cents) AS BIGINT) AS total_cents
+       |  FROM msd GROUP BY 1),
+       |msd_b AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(cents) AS BIGINT) AS total_cents
+       |  FROM msd WHERE event_id % 7 <> 0 GROUP BY 1),
+       |msd_c AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |         CAST(SUM(cents) AS BIGINT) AS total_cents
+       |  FROM msd WHERE event_id % 7 <> 0 AND event_id % 5 <> 0
+       |  GROUP BY 1),
+       |metadata_stats_deletes AS (
+       |  SELECT 'a_base' AS stage, CAST(1 AS BIGINT) AS version,
+       |         event_type, n, total_cents
+       |  FROM msd_a
+       |  UNION ALL
+       |  SELECT 'b_del_mod7', 2, event_type, n, total_cents FROM msd_b
+       |  UNION ALL
+       |  SELECT 'c_del_mod5', 3, event_type, n, total_cents FROM msd_c
+       |  UNION ALL
+       |  SELECT 'd_compacted', 4, event_type, n, total_cents
+       |  FROM msd_c)""".stripMargin
+
   /** DuckDB twin of [[metadataCountRead]]: v2 covers `event_id%3 IN
     * (0,1)`, the head covers all rows. Embed after `WITH ` and select
     * from `metadata_count_read`.

@@ -1308,4 +1308,36 @@ class ManifestTableSpec extends SparkSpec {
         .count() == 2L)
     } finally graft.Scratch.rmTree(out.toFile)
   }
+
+  test("q336 delete-folded stats: exact through deletes, incl. a fully-deleted partition") {
+    val out = java.nio.file.Files.createTempDirectory("graft-statsdel")
+    try {
+      val tbl = s"$out/tbl"
+      val base = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+        .toDF("event_id", "event_type", "cents")
+      ManifestTable.writeStatsManifest(spark, tbl, 1L,
+        Map("a" -> (2L, 30L), "b" -> (1L, 5L)))
+      ManifestTable.publishPosBase(base, tbl, 1L, "event_type")
+      // DELETE WHERE event_type = 'b' — wipes partition b entirely
+      val doomed = ManifestTable.readPositionMoRRaw(spark, tbl,
+          "event_type", 1L)
+        .filter(col("event_type") === "b")
+      ManifestTable.writeStatsManifest(spark, tbl, 2L,
+        Map("a" -> (2L, 30L), "b" -> (0L, 0L)))
+      ManifestTable.appendPositionDeletes(
+        doomed.select(col("event_type"), col("_src_version"), col("_pos")),
+        tbl, 2L, "event_type")
+      // metadata keeps the exact (0, 0) row for the emptied partition;
+      // the physical read simply has no group for it
+      assert(ManifestTable.readStatsManifest(spark, tbl, 2L)
+        == Map("a" -> (2L, 30L), "b" -> (0L, 0L)))
+      val phys = ManifestTable.readPositionMoR(spark, tbl, "event_type", 2L)
+        .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(phys == Map("a" -> (2L, 30L)))
+      assert(ManifestTable.readStatsManifest(spark, tbl, 2L)
+        .filter(_._2._1 > 0L) == phys)
+    } finally graft.Scratch.rmTree(out.toFile)
+  }
 }
