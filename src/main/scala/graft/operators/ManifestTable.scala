@@ -3630,13 +3630,20 @@ object ManifestTable {
     * a DELETE-WHERE scans to translate its predicate into positions.
     * Partitions with NO delete files bypass the anti-join entirely (the
     * per-partition application real formats do), so the join's probe
-    * side is ∝ touched partitions and its build side ∝ |deleted rows| —
-    * small enough to broadcast by construction, keeping the base scan
-    * shuffle-free (PositionDeleteSpec pins the plan: no shuffle
-    * exchange anywhere in the resolved read).
+    * side is ∝ touched partitions and its build side ∝ |deleted rows
+    * since the last compaction|. The broadcast hint is SIZE-GATED
+    * (manifest byte count vs `broadcastMaxBytes`, the [[ColocatedJoin]]
+    * discipline): scheduled compaction is what keeps the delete set
+    * broadcastable in steady state, and a table whose deletes have
+    * outgrown the threshold falls back to Catalyst's own strategy
+    * choice for the anti-join — correctness identical, and the
+    * broadcast claim never silently OOMs a 100-TB executor.
+    * PositionDeleteSpec pins the broadcast-path plan: no shuffle
+    * exchange anywhere in the resolved read.
     */
   def readPositionMoRRaw(spark: SparkSession, tableDir: String,
-      partCol: String, version: Long): DataFrame = {
+      partCol: String, version: Long,
+      broadcastMaxBytes: Long = 64L << 20): DataFrame = {
     val map = readPosManifest(spark, tableDir, version)
     def baseOf(parts: Map[String, (Seq[Long], Seq[Long])]): DataFrame =
       parts.toSeq.flatMap { case (p, (bs, _)) => bs.map(v => (v, p)) }
@@ -3651,11 +3658,17 @@ object ManifestTable {
     val clean = if (untouched.isEmpty) None else Some(baseOf(untouched))
     val merged = if (touched.isEmpty) None else {
       val delVs = touched.values.flatMap(_._2).toSet.toSeq.sorted
+      val fs = new Path(tableDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val delBytes = delVs.map(v => fs.getContentSummary(
+        new Path(s"$tableDir/data/v$v")).getLength).sum
       val dels = delVs.map { v =>
         spark.read.parquet(s"$tableDir/data/v$v")
           .select(col(partCol), col("_src_version"), col("_pos"))
       }.reduce(_ unionByName _)
-      Some(baseOf(touched).join(broadcast(dels),
+      val build = if (delBytes <= broadcastMaxBytes) broadcast(dels)
+        else dels
+      Some(baseOf(touched).join(build,
         Seq(partCol, "_src_version", "_pos"), "left_anti"))
     }
     (clean, merged) match {

@@ -90,6 +90,13 @@ class PositionDeleteSpec extends SparkSpec {
         s"expected a broadcast anti-join:\n$plan")
       assert(!plan.contains("Exchange hashpartitioning"),
         s"position-delete read must not shuffle the base:\n$plan")
+      // a delete set past the broadcast gate gets NO hint — Catalyst
+      // owns the strategy; the rows must be identical either way
+      val unhinted = ManifestTable.readPositionMoRRaw(spark, tbl,
+          "event_type", 2L, broadcastMaxBytes = 1L)
+        .drop("_src_version", "_pos")
+      assert(unhinted.count() == 50000L - 100L,
+        "strategy choice must never change the result")
     } finally graft.Scratch.rmTree(out.toFile)
   }
 }
