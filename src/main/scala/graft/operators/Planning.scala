@@ -957,7 +957,7 @@ object Planning {
     lineitem.select(col("l_shipdate"),
         OracleSafe.quant(col("l_extendedprice"), 100).as("cents"),
         zone.as("zone"))
-      .repartitionByRange(col("zone"))
+      .repartition(col("zone")) // hash — see buildBloomIndex: same dirs, one less pass
       .write.mode("overwrite").partitionBy("zone").parquet(outDir)
     val zm = spark.read.parquet(outDir)
       .select(col("l_shipdate"), col("zone").cast("long").as("zone"))
@@ -1075,7 +1075,7 @@ object Planning {
     part.select(col("p_name"),
         OracleSafe.quant(col("p_retailprice"), 100).as("cents"),
         ascii(substring(col("p_name"), 1, 1)).cast("long").as("zone"))
-      .repartitionByRange(col("zone"))
+      .repartition(col("zone")) // hash — see buildBloomIndex: same dirs, one less pass
       .write.mode("overwrite").partitionBy("zone").parquet(outDir)
     val zm = spark.read.parquet(outDir)
       .select(col("p_name"), col("zone").cast("long").as("zone"))
@@ -1197,7 +1197,7 @@ object Planning {
       .write.mode("overwrite").parquet(s"$outDir/szm")
     // the full data lands zone-partitioned once (base + delta files);
     // the serve below prunes its dirs with the MERGED bounds
-    slim.repartitionByRange(col("zone"))
+    slim.repartition(col("zone")) // hash — see buildBloomIndex
       .write.mode("overwrite").partitionBy("zone").parquet(s"$outDir/data")
     // the maintenance: delta-only aggregate + one |alphabet|-row merge
     val deltaB = bounds(slim.filter(inDelta))
@@ -2137,13 +2137,22 @@ object Planning {
     lineitem.select(col("l_orderkey"),
         OracleSafe.quant(col("l_extendedprice"), 100).as("cents"),
         monthZone.as("zone"))
-      .repartitionByRange(col("zone"))
+      // hash, not range: partitionBy already yields one dir per zone and
+      // each zone lands whole in one task either way, so the range
+      // partitioner's extra sampling pass over the input bought nothing
+      .repartition(col("zone"))
       .write.mode("overwrite").partitionBy("zone").parquet(s"$outDir/fact")
+    // materialized once: without the checkpoint this subtree (fact scan +
+    // md5 + distinct, the build's most expensive stage) re-executed THREE
+    // times — under the meta write, under the broadcast's meta recompute,
+    // and under the positions write (measured 4.7 s warm → 3.0 s)
     val zoneKeys = spark.read.parquet(s"$outDir/fact")
       .select(col("zone").cast("long").as("zone"),
         h48(col("l_orderkey")).as("hk")).distinct()
+      .localCheckpoint()
     val meta = zoneKeys.groupBy("zone")
       .agg(greatest(count(lit(1)) * bitsPerKey, lit(1L)).as("m"))
+      .localCheckpoint() // bounded by the calendar; feeds write + broadcast
     meta.write.mode("overwrite").parquet(s"$outDir/meta")
     zoneKeys.join(broadcast(meta), Seq("zone"))
       .select(col("zone"), explode(sequence(lit(0), lit(kHash - 1))).as("i"),
@@ -2151,8 +2160,13 @@ object Planning {
       .select(col("zone"),
         (h48(concat(col("hk").cast("string"), lit(":"), col("i").cast("string")))
           % col("m")).as("pos"))
-      .distinct()
+      // ONE shuffle instead of two: hash-partition by zone first, then
+      // dedup — HashPartitioning(zone) already satisfies the (zone, pos)
+      // clustering the dedup aggregate requires (a subset of its keys),
+      // so no second exchange is planned, and the zone-partitioned output
+      // still writes one file per zone dir
       .repartition(col("zone"))
+      .dropDuplicates("zone", "pos")
       .write.mode("overwrite").partitionBy("zone").parquet(s"$outDir/bloom")
   }
 
@@ -2176,9 +2190,9 @@ object Planning {
     delta.select(col("l_orderkey"),
         OracleSafe.quant(col("l_extendedprice"), 100).as("cents"),
         monthZone.as("zone"))
-      .repartitionByRange(col("zone"))
+      .repartition(col("zone")) // hash — see buildBloomIndex
       .write.mode("append").partitionBy("zone").parquet(s"$outDir/fact")
-    val meta = spark.read.parquet(s"$outDir/meta")
+    val meta = spark.read.parquet(s"$outDir/meta").localCheckpoint()
     val dKeys = delta.select(monthZone.as("zone"), h48(col("l_orderkey")).as("hk"))
       .distinct().localCheckpoint() // bounded: delta keys
     val newMeta = dKeys.join(meta, Seq("zone"), "left_anti")
@@ -2233,17 +2247,23 @@ object Planning {
     lineitem.select(col("l_orderkey"),
         OracleSafe.quant(col("l_extendedprice"), 100).as("cents"),
         sd.as("sd"), monthZone.as("zone"))
-      .repartitionByRange(col("zone"))
+      // hash, not range — see buildBloomIndex: same dirs, one less pass
+      .repartition(col("zone"))
       .write.mode("overwrite").partitionBy("zone").parquet(s"$outDir/fact")
     val built = spark.read.parquet(s"$outDir/fact")
       .select(col("zone").cast("long").as("zone"), col("l_orderkey"),
         col("sd"), col("cents"))
     built.groupBy("zone").agg(min("sd").as("zmin"), max("sd").as("zmax"))
       .write.mode("overwrite").parquet(s"$outDir/zonemap")
+    // materialized once — the fact scan + md5 + distinct otherwise
+    // re-executes under the meta write, the broadcast, and the positions
+    // write (see buildBloomIndex)
     val zoneKeys = built
       .select(col("zone"), h48(col("l_orderkey")).as("hk")).distinct()
+      .localCheckpoint()
     val meta = zoneKeys.groupBy("zone")
       .agg(greatest(count(lit(1)) * bitsPerKey, lit(1L)).as("m"))
+      .localCheckpoint() // bounded by the calendar
     meta.write.mode("overwrite").parquet(s"$outDir/meta")
     zoneKeys.join(broadcast(meta), Seq("zone"))
       .select(col("zone"), explode(sequence(lit(0), lit(kHash - 1))).as("i"),
@@ -2251,8 +2271,9 @@ object Planning {
       .select(col("zone"),
         (h48(concat(col("hk").cast("string"), lit(":"), col("i").cast("string")))
           % col("m")).as("pos"))
-      .distinct()
+      // one shuffle, not two — see buildBloomIndex
       .repartition(col("zone"))
+      .dropDuplicates("zone", "pos")
       .write.mode("overwrite").partitionBy("zone").parquet(s"$outDir/bloom")
     // serve: window from the LOADED zone map (middle third of the span)
     val zm = spark.read.parquet(s"$outDir/zonemap").localCheckpoint()
@@ -2270,19 +2291,25 @@ object Planning {
       .select(col("zone").cast("long").as("zone"), col("pos"))
     val present = lineitem.select(col("l_orderkey").as("probe_key"))
       .distinct().filter(col("probe_key") % probeMod === 0)
+      .localCheckpoint() // probe-workload-sized; feeds candidates AND counts
     val probes = present
       .unionByName(present.select((col("probe_key") + 1000000000L)
         .as("probe_key")))
       .select(col("probe_key"), h48(col("probe_key")).as("hk"))
-    val bloomCands = probes.crossJoin(broadcast(metaL))
-      .select(col("probe_key"), col("zone"),
-        explode(sequence(lit(0), lit(kHash - 1))).as("i"), col("hk"), col("m"))
-      .select(col("probe_key"), col("zone"),
-        (h48(concat(col("hk").cast("string"), lit(":"), col("i").cast("string")))
-          % col("m")).as("pos"))
-      .join(bloom.withColumn("hit", lit(1)), Seq("zone", "pos"), "left")
+    // broadcast the bounded candidate-position frame and stream the
+    // loaded bloom through the hash join — the index is scanned once,
+    // never shuffled (same restructure as serveBloomIndex; the inner
+    // join + count equals the old left join + sum(hit) because the
+    // bloom's (zone, pos) rows are unique)
+    val bloomCands = bloom
+      .join(broadcast(probes.crossJoin(metaL)
+        .select(col("probe_key"), col("zone"),
+          explode(sequence(lit(0), lit(kHash - 1))).as("i"), col("hk"), col("m"))
+        .select(col("probe_key"), col("zone"),
+          (h48(concat(col("hk").cast("string"), lit(":"), col("i").cast("string")))
+            % col("m")).as("pos"))), Seq("zone", "pos"))
       .groupBy("probe_key", "zone")
-      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .agg(count(lit(1)).as("hits"))
       .filter(col("hits") === kHash)
       .select("probe_key", "zone")
       .localCheckpoint() // bounded: probes × candidate months
@@ -2412,18 +2439,26 @@ object Planning {
     val zonesMeta = spark.read.parquet(s"$outDir/meta").localCheckpoint()
     val present = lineitem.select(col("l_orderkey").as("probe_key")).distinct()
       .filter(col("probe_key") % probeMod === 0)
+      .localCheckpoint() // probe-workload-sized; feeds candidates AND the result frame
     val probes = present
       .unionByName(present.select((col("probe_key") + 1000000000L).as("probe_key")))
       .select(col("probe_key"), h48(col("probe_key")).as("hk"))
-    val candidates = probes.crossJoin(broadcast(zonesMeta))
-      .select(col("probe_key"), col("zone"),
-        explode(sequence(lit(0), lit(kHash - 1))).as("i"), col("hk"), col("m"))
-      .select(col("probe_key"), col("zone"),
-        (h48(concat(col("hk").cast("string"), lit(":"), col("i").cast("string")))
-          % col("m")).as("pos"))
-      .join(bloom.withColumn("hit", lit(1)), Seq("zone", "pos"), "left")
+    // probes × zones × kHash candidate positions — a bounded frame, so
+    // BROADCAST it and stream the loaded bloom through the hash join: the
+    // index (the big side) is scanned once and never shuffled. The inner
+    // join + count is exactly the old left-join + sum(hit): the bloom's
+    // (zone, pos) rows are unique (build dedups), so each candidate row
+    // matches at most once, and a (probe_key, zone) group missing rows
+    // can never reach hits == kHash anyway.
+    val candidates = bloom
+      .join(broadcast(probes.crossJoin(zonesMeta)
+        .select(col("probe_key"), col("zone"),
+          explode(sequence(lit(0), lit(kHash - 1))).as("i"), col("hk"), col("m"))
+        .select(col("probe_key"), col("zone"),
+          (h48(concat(col("hk").cast("string"), lit(":"), col("i").cast("string")))
+            % col("m")).as("pos"))), Seq("zone", "pos"))
       .groupBy("probe_key", "zone")
-      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .agg(count(lit(1)).as("hits"))
       .filter(col("hits") === kHash)
       .select("probe_key", "zone")
       .localCheckpoint() // bounded: probes × candidate months

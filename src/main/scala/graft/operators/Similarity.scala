@@ -1395,13 +1395,17 @@ object Similarity {
       .select(posexplode(col("q")).as(Seq("d0", "x")))
       .groupBy((col("d0") + 1).as("d"))
       .agg(sum(col("x")).as("s"))
+    // upper triangle GENERATED, not filtered: the inner transform runs
+    // over slice(q, i+1, …) so only the d(d+1)/2 pairs with j >= i are
+    // ever built — half the exploded rows (and struct allocations) of
+    // the full d² outer product the old filter threw away
     val gram = qv
       .select(explode(flatten(transform(col("q"), (xi, i) =>
-        transform(col("q"), (xj, j) =>
-          struct((i + 1).as("i"), (j + 1).as("j"), (xi * xj).as("p"))))))
+        transform(slice(col("q"), i + 1, greatest(size(col("q")) - i, lit(0))),
+          (xj, j0) =>
+          struct((i + 1).as("i"), (i + j0 + 1).as("j"), (xi * xj).as("p"))))))
         .as("e"))
       .select(col("e.i"), col("e.j"), col("e.p"))
-      .filter(col("i") <= col("j"))
       .groupBy("i", "j")
       .agg(sum(col("p")).as("g"))
     gram.crossJoin(broadcast(n))
