@@ -82,11 +82,20 @@ object Dedup {
     * there, instead of shuffling |postings|×16 exploded rows (see
     * [[simhashAgg]] for the same argument on the vote side).
     */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 16, shingleN: Int = 3): DataFrame = {
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 16, shingleN: Int = 3): DataFrame =
+    minhashSignaturesFromPosts(docShingles(docs, shingleN), numHashes)
+
+  /** [[minhashSignatures]] over an already-computed (doc_id, sid) posting
+    * frame — the Scala twin of [[minhashSqlFromShingles]], so callers that
+    * need BOTH the postings and the signatures (the S-curve audit) can
+    * share one shingle pass instead of re-shingling the corpus.
+    */
+  private[graft] def minhashSignaturesFromPosts(posts: DataFrame,
+      numHashes: Int = 16): DataFrame = {
     val mins = (0 until numHashes).map { h =>
       min((lit(2L * h + 1) * col("sid") + lit(h.toLong * h + 7)) % MinhashPrime).as(s"m$h")
     }
-    docShingles(docs, shingleN)
+    posts
       .groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         posexplode(array((0 until numHashes).map(h => col(s"m$h")): _*)))
@@ -878,11 +887,37 @@ object Dedup {
       s"each r must divide numHashes=$numHashes: $rowsPerBandConfigs")
     val spark = docs.sparkSession
     import spark.implicits._
-    val truth = prefixJaccardJoin(docs, threshold, shingleN)
+    // ONE shingle pass feeds both the truth and the signature side (the
+    // SQL twin shares a doc_shingles CTE the same way; without the
+    // checkpoint each side re-shingled + re-hashed the corpus).
+    val posts = docShingles(docs, shingleN).localCheckpoint()
+    // Exact truth DIRECTLY: at the audit's low threshold the prefix-join
+    // candidate stage degenerates (prefix length ≈ |doc|, the length
+    // filter barely prunes), so its df-ranking windows, collect_set and
+    // array_intersect are pure overhead over the same all-intersecting-
+    // pairs join. A posting self-join + pair count computes the IDENTICAL
+    // pair set for any t > 0: a pair with J ≥ t shares ≥ 1 shingle, so no
+    // qualifying pair can be missed, and the integer filter is the same
+    // exact comparison the prefix join applies after verification.
+    val tNum = math.rint(threshold * 100).toLong
+    require(math.abs(threshold * 100 - tNum) < 1e-9 && tNum >= 1,
+      s"threshold must be a positive multiple of 0.01, got $threshold")
+    val counts = posts.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = posts.as("a").join(posts.as("b"),
+        col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      // J >= t  <=>  100 * inter >= tNum * union (exact integers)
+      .filter(col("n_inter") * 100L >= col("n_union") * tNum)
       .select(col("doc_a"), col("doc_b"),
         least(graft.functions.OracleSafe.intDiv(col("n_inter") * 10,
           col("n_union")), lit(9L)).as("j_band"))
-    val sig = minhashSignatures(docs, numHashes, shingleN)
+    val sig = minhashSignaturesFromPosts(posts, numHashes)
     val theory = rowsPerBandConfigs.flatMap { r =>
       val b = numHashes / r
       (0 to 9).map { jb =>

@@ -50,7 +50,7 @@ object EventStream {
     * STREAMING ENGINE and returned as a batch DataFrame once the source is
     * exhausted.
     */
-  def tumblingHourly(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 8) {
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
     val path = s"$dir/events.parquet"
     // Explicit schema (file sources cannot infer); EventEncoding derives
     // the event-time column from whatever `ts` type that schema carries.
@@ -84,7 +84,7 @@ object EventStream {
     * to the lateness horizon. Emits the window start as epoch millis for
     * oracle parity.
     */
-  def slidingHourly(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 8) {
+  def slidingHourly(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
     val path = s"$dir/events.parquet"
     val rawSchema = spark.read.parquet(path).schema
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
@@ -115,7 +115,7 @@ object EventStream {
     * state size is bounded by the lateness window, not the stream length
     * (the 100 TB-stream version of `dropDuplicates`).
     */
-  def dedupedCount(spark: SparkSession, dir: String, glob: String = "*.parquet"): Long = withStatePartitions(spark, 8) {
+  def dedupedCount(spark: SparkSession, dir: String, glob: String = "*.parquet"): Long = withStatePartitions(spark, 4) {
     val sample = spark.read.parquet(dir)
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
     val q = spark.readStream.schema(sample.schema).parquet(s"$dir/$glob")
@@ -142,7 +142,7 @@ object EventStream {
     */
   def enrichedTypeTotals(spark: SparkSession, dir: String,
       userDim: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
     val path = s"$dir/events.parquet"
     val rawSchema = spark.read.parquet(path).schema
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
@@ -173,7 +173,7 @@ object EventStream {
     * `GroupState` across batches and close it on timeout.
     */
   def sessionizeStateful(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
@@ -236,7 +236,7 @@ object EventStream {
     * contract: (user_id, n_pairs).
     */
   def clickViewPairs(spark: SparkSession, dir: String, windowMinutes: Int = 10): DataFrame =
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
     val path = s"$dir/events.parquet"
     val rawSchema = spark.read.parquet(path).schema
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
@@ -300,7 +300,7 @@ object EventStream {
   def watermarkClosureWithMetrics(spark: SparkSession, dir: String,
       jitterMaxMs: Long = 1800000L, chunks: Int = 12)
       : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
     require(jitterMaxMs >= 1, s"jitterMaxMs must be >= 1, got $jitterMaxMs")
     require(chunks >= 2, s"need >= 2 chunks for a multi-batch replay, got $chunks")
     val ev = graft.sources.TestData.events(spark, dir)
@@ -312,7 +312,11 @@ object EventStream {
       expr("ts_ns DIV 1000000").as("ms"), lit(copyId).as("copy"),
       (expr("ts_ns DIV 1000000")
         + jit(concat(col("event_id").cast("string"), lit(seedSuffix)))).as("arr"))
-    val feed = side(0, "").unionByName(side(1, ":dup"))
+    // materialized once: the doubled feed (events scan + md5 jitter ×2
+    // sides) otherwise re-executes FOUR times — twice inside the lateness
+    // measurement (grid + row side) and twice more under the chunk write
+    // (min/max frame + the chunked projection)
+    val feed = side(0, "").unionByName(side(1, ":dup")).localCheckpoint()
 
     val maxLateMs = graft.operators.Events.globalMaxLatenessMs(feed)
       .head().getLong(0)
@@ -392,10 +396,11 @@ object EventStream {
   def multiSourceWatermarkWithMetrics(spark: SparkSession, dir: String,
       lagChunks: Int = 6)
       : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
     require(lagChunks >= 2, s"need >= 2 lag chunks for a skewed replay, got $lagChunks")
     val ev = graft.sources.TestData.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("ts").as("tstamp"))
+      .localCheckpoint() // scanned ~5× below (max, fast write, lag min/max + chunks)
     val maxUs = ev.agg(max(unix_micros(col("tstamp")))).head().getLong(0)
     def sentinel(id: Long) = {
       import spark.implicits._
@@ -531,7 +536,7 @@ object EventStream {
     * exactly the batch left-join the oracle computes.
     */
   def clickViewOuter(spark: SparkSession, dir: String,
-      windowMinutes: Int = 10): DataFrame = withStatePartitions(spark, 8) {
+      windowMinutes: Int = 10): DataFrame = withStatePartitions(spark, 4) {
     val ev = graft.sources.TestData.events(spark, dir)
       .filter(col("event_type").isin("click", "view"))
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -674,7 +679,7 @@ object EventStream {
 
   def checkpointResumeWithMetrics(spark: SparkSession, dir: String)
       : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
     val ev = graft.sources.TestData.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("ts").as("tstamp"),
         col("ts_ns"), col("value"))
@@ -777,7 +782,7 @@ object EventStream {
     * entry point for crafting a guaranteed cross-batch session merge.
     */
   def sessionWindowStreamFromEvents(spark: SparkSession, events: DataFrame,
-      gapMinutes: Int = 30): DataFrame = withStatePartitions(spark, 8) {
+      gapMinutes: Int = 30): DataFrame = withStatePartitions(spark, 4) {
     val gapMs = gapMinutes * 60000L
     val ev = events
       .select(col("event_id"), col("user_id"), col("ts").as("tstamp"),
@@ -1749,7 +1754,7 @@ object EventStream {
     * the report re-derivation is arithmetic on the bounded grain.
     */
   def streamedEvalReport(spark: SparkSession, dir: String,
-      minBatches: Int = 1): DataFrame = withStatePartitions(spark, 8) {
+      minBatches: Int = 1): DataFrame = withStatePartitions(spark, 4) {
     val path = s"$dir/events.parquet"
     val rawSchema = spark.read.parquet(path).schema
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
